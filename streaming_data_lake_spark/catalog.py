@@ -1,0 +1,107 @@
+"""Table catalog over the driver-provided parquet test tables.
+
+The reference declares its tables in YAML and applies them via
+PyIceberg (reference: iceberg/apply_tables.py:221-295); here the
+catalog is a thin loader that reads the same logical tables from a
+scale-factor directory and registers temp views so every operator
+can be written either with the DataFrame API or ``spark.sql``.
+
+Schema drift checking (reference: iceberg/apply_tables.py:146-218)
+is re-expressed as :func:`check_drift`, comparing observed parquet
+schemas against the declared contracts in :mod:`schemas`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one logical table. Parquet scan → full predicate pushdown,
+    column pruning and (on partitioned layouts) partition pruning are
+    handled by the data source V2 scan.
+
+    The testdata writes timestamps as parquet TIMESTAMP(NANOS), which
+    Spark reads as long (``spark.sql.legacy.parquet.nanosAsLong``) —
+    normalize those columns back to TimestampType (truncating to
+    microseconds, exactly what DuckDB does when it reads the same
+    files). Integer ``div`` keeps the conversion exact; the cast
+    stays inside codegen.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from streaming_data_lake_spark.schemas import DECLARED_SCHEMAS
+
+    df = spark.read.parquet(table_path(sf_dir, name))
+    declared = DECLARED_SCHEMAS.get(name)
+    if declared is not None:
+        observed = {f.name: f.dataType for f in df.schema.fields}
+        for field in declared.fields:
+            if isinstance(field.dataType, T.TimestampType) and isinstance(
+                observed.get(field.name), T.LongType
+            ):
+                df = df.withColumn(
+                    field.name,
+                    F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
+                )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every table as a temp view named after itself."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def check_drift(spark: SparkSession, sf_dir: str) -> dict[str, list[str]]:
+    """Compare observed schemas against the declared contracts.
+
+    Returns {table: [drift messages]}; empty dict means no drift.
+    Mirrors the reference's YAML-vs-catalog drift detector
+    (iceberg/apply_tables.py:146-218) — warn, never mutate.
+    """
+    from streaming_data_lake_spark.schemas import DECLARED_SCHEMAS
+
+    drift: dict[str, list[str]] = {}
+    for name, declared in DECLARED_SCHEMAS.items():
+        observed = load_table(spark, sf_dir, name).schema
+        msgs: list[str] = []
+        obs_fields = {f.name: f for f in observed.fields}
+        dec_fields = {f.name: f for f in declared.fields}
+        for col in dec_fields.keys() - obs_fields.keys():
+            msgs.append(f"missing column {col}")
+        for col in obs_fields.keys() - dec_fields.keys():
+            msgs.append(f"unexpected column {col}")
+        for col in dec_fields.keys() & obs_fields.keys():
+            if dec_fields[col].dataType != obs_fields[col].dataType:
+                msgs.append(
+                    f"type drift on {col}: declared {dec_fields[col].dataType.simpleString()}"
+                    f" observed {obs_fields[col].dataType.simpleString()}"
+                )
+        if msgs:
+            drift[name] = msgs
+    return drift

@@ -1,0 +1,57 @@
+"""Cross-engine numeric parity helpers.
+
+The correctness gate hash-compares query output against a DuckDB
+oracle. Floating-point SUM is order-dependent, and Spark and DuckDB
+will not add 60k doubles in the same order — so money/quantity
+aggregates are computed in *decimal* (exact, order-independent) and
+converted to double only at the end via deterministic casts. Both
+engines then produce bit-identical doubles.
+
+Each Spark helper has a ``duck_*`` twin that emits the equivalent
+DuckDB SQL fragment, so query and oracle stay in lockstep.
+
+At 100 TB this is also the *right* engineering: decimal aggregation
+of money avoids the silent drift of double summation across
+partition orderings, and stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Default decimal spec: wide enough for 2-dp money at 100 TB row counts.
+MONEY = "decimal(18,2)"
+DUCK_MONEY = "DECIMAL(18,2)"
+
+
+def dsum(c: Column, spec: str = MONEY) -> Column:
+    """Exact decimal SUM surfaced as double."""
+    return F.sum(c.cast(spec)).cast("double")
+
+
+def duck_dsum(expr: str, spec: str = DUCK_MONEY) -> str:
+    return f"CAST(sum(CAST({expr} AS {spec})) AS DOUBLE)"
+
+
+def davg(c: Column, spec: str = MONEY) -> Column:
+    """Order-independent AVG: exact decimal sum → double, divided by
+    the non-null count in double. One double division on identical
+    operands → identical result in both engines."""
+    return F.sum(c.cast(spec)).cast("double") / F.count(c).cast("double")
+
+
+def duck_davg(expr: str, spec: str = DUCK_MONEY) -> str:
+    return (
+        f"CAST(sum(CAST({expr} AS {spec})) AS DOUBLE)"
+        f" / CAST(count({expr}) AS DOUBLE)"
+    )
+
+
+def lsum(c: Column) -> Column:
+    """Integer SUM surfaced as long (DuckDB sums int to HUGEINT)."""
+    return F.sum(c).cast("long")
+
+
+def duck_lsum(expr: str) -> str:
+    return f"CAST(sum({expr}) AS BIGINT)"

@@ -1,0 +1,224 @@
+"""Deduplication operators — exact and near-duplicate, batch + streaming.
+
+Covers the reference's canonicalizing dedup idioms and extends them
+with the near-dup family a 100 TB training-data pipeline needs:
+
+ - :func:`dedup_groupby_canonical` — GROUP BY key + per-column
+   aggregate canonicalization (A4 — aggregation_jobs.sql:31-50).
+ - :func:`dedup_row_number` — ROW_NUMBER()=1 idiom (W3 — the
+   reference design doc's dedup pattern, .design:1136-1139).
+ - :func:`exact_text_dedup` — hash-groupBy exact dedup.
+ - :func:`shingles` / :func:`minhash_signature` / MinHash-LSH
+   candidate generation — scalable near-dup (band-bucket join, no
+   all-pairs shuffle).
+ - :func:`ngram_jaccard_pairs` — exact shingle-set Jaccard via a
+   shared-shingle equi-join (candidate pruning happens in the join:
+   pairs with no common shingle never materialize).
+ - :func:`simhash64` — 64-bit SimHash fingerprint from token hashes.
+
+Scale notes: all paths are shuffle-on-key joins/aggregations over
+deterministic hashes — no driver collection, no all-pairs cartesian.
+MinHash-LSH bounds candidate pairs per band-bucket; at 100 TB the
+band count / shingle width are the recall/ cost dials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from streaming_data_lake_spark.functions.hashing import h32, h32_seeded
+
+
+def dedup_groupby_canonical(df: DataFrame, keys: list[str], aggs: dict[str, str]) -> DataFrame:
+    """Canonicalize duplicate rows per key with explicit per-column
+    aggregates, e.g. ``{"value": "max", "ts": "max"}``; the
+    reference's pre-join dedup (aggregation_jobs.sql:31-50) uses
+    MAX/MIN per column rather than an arbitrary-row ``dropDuplicates``
+    so output is deterministic regardless of encounter order."""
+    exprs = [getattr(F, fn)(c).alias(c) for c, fn in aggs.items()]
+    return df.groupBy(*keys).agg(*exprs)
+
+
+def dedup_row_number(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
+    """Keep the first row per key under an explicit deterministic
+    ordering (W3). The tie-break ordering must reach a unique column
+    so the winner is stable across engines and runs."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_text_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text, keeping
+    the smallest id as canonical and counting the duplicates.
+    Hash-groupBy: one shuffle on a 32-char key, map-side partial agg."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization with empties removed."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column, as an array of
+    strings. Built entirely from higher-order array functions —
+    JVM-side, no UDF."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+    )
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(idx, gram))
+    )
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int = 16) -> list[Column]:
+    """MinHash signature: per seed, the min portable hash over the
+    shingle set. Empty shingle sets get NULL."""
+    return [
+        F.array_min(F.transform(shingle_arr, lambda s, i=i: h32_seeded(s, i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band of their
+    MinHash signature. rows = (id_a, id_b) with id_a < id_b.
+
+    Plan shape at scale: narrow signature computation → explode to
+    (band_id, band_hash) → self equi-join on the band key. The join
+    key is a hash bucket, so Catalyst uses a shuffled hash/sort-merge
+    join on small buckets rather than any all-pairs comparison.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        *minhash_signature(shingles(F.col(text_col), n), num_hashes),
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard similarity for all pairs sharing
+    ≥1 shingle. Returns (id_a, id_b, jaccard) above threshold.
+
+    Candidate generation = equi-join on the shingle value: only pairs
+    with intersection ≥ 1 are ever formed, and the agg that counts
+    the intersection is a map-side-combinable groupBy. This is the
+    exact-verification stage that MinHash-LSH candidates feed at
+    scale; standalone it is correct (not approximate) and still
+    avoids the cartesian product.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash fingerprint over whitespace tokens.
+
+    For each of 32 bit positions, sums +1/-1 votes from each token's
+    portable hash bit and sets the bit when the vote is positive.
+    Uses the 32-bit portable hash (cross-engine reproducible); the
+    fingerprint is returned as a long. Near-dup detection then groups
+    on fingerprint or on rotated prefixes.
+
+    Implementation: explode tokens → explode bit positions via
+    posexplode of a 32-element sequence → groupBy(id) summing votes →
+    reassemble with bit arithmetic. All built-ins; two shuffles on id.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    hashed = tok.select(id_col, h32(F.col("tok")).alias("h"))
+    bits = hashed.select(
+        id_col,
+        F.posexplode(F.sequence(F.lit(0), F.lit(31))).alias("pos", "bit"),
+        F.col("h"),
+    ).select(
+        id_col,
+        "bit",
+        F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1)
+        .otherwise(-1)
+        .alias("vote"),
+    )
+    votes = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit").cast("int"))).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )

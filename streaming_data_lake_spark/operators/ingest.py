@@ -1,0 +1,70 @@
+"""Ingestion transforms: clean/enrich/reject, batch- and stream-composable.
+
+Re-expresses the reference's Flink ingestion layer (SURVEY.md §2.2;
+streaming/flink/sql/insert_jobs.sql) on the engine's event stream:
+ - clean-traffic filter + flag derivation + classification
+   (P6/P7/P9/P11 — insert_jobs.sql:48-62, 92-122)
+ - prioritized reject-reason classifier, complement of the clean
+   filter (P12 — insert_jobs.sql:141-173)
+ - nested value extraction from the JSON props payload
+   (P1 analog — insert_jobs.sql:24-37)
+
+Every function takes and returns a DataFrame (``.transform``
+composable), so the exact same logic runs under ``spark.read`` and
+``spark.readStream`` — the reference's dual batch/streaming parity
+requirement (SURVEY.md §7.1 step 3).
+
+All expressions are built-in functions: whole-stage codegen keeps
+them JVM-side; the filter on ``value``/``event_type`` is pushed to
+the parquet scan when run in batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from streaming_data_lake_spark.functions.scalar import event_class
+
+# Complementary predicates: clean AND reject partition the input
+# (reference keeps the complement property between insert_jobs.sql:48-62
+# and :162-173; FIXTURES.md scenario 2).
+_CLEAN = (F.col("value") > 0) & (F.col("event_type") != "error")
+
+
+def clean_events(df: DataFrame) -> DataFrame:
+    """Filtered + enriched event stream (the `bid_requests_enriched`
+    analog). Derives boolean flags, a CASE classification, an hourly
+    bucket, and extracts the nested JSON metric."""
+    return (
+        df.filter(_CLEAN)
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            F.date_trunc("hour", F.col("ts")).alias("event_hour"),
+            (F.col("value") >= 20.0).alias("is_high_value"),
+            event_class(F.col("event_type")).alias("event_class"),
+            F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int").alias("prop_k"),
+        )
+    )
+
+
+def rejected_events(df: DataFrame) -> DataFrame:
+    """Complement of :func:`clean_events` with a prioritized reject
+    reason (the `dq_rejected_events` analog; insert_jobs.sql:141-173)."""
+    reason = (
+        F.when(F.col("event_type") == "error", "ERROR_EVENT")
+        .when(F.col("value") <= 0, "NON_POSITIVE_VALUE")
+        .otherwise("UNKNOWN")
+    )
+    return df.filter(~_CLEAN).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        reason.alias("reject_reason"),
+    )

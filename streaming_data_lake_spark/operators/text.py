@@ -1,0 +1,111 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (lexicon n-gram heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and rolling-hash document
+fingerprinting — all as built-in-function column expressions so the
+hot path stays in whole-stage codegen and the DuckDB oracle can
+reproduce every value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from streaming_data_lake_spark.functions.hashing import h32
+from streaming_data_lake_spark.operators.dedup import shingles, tokens
+
+# Tiny per-language marker lexicons for the heuristic language-ID.
+# Deliberately simple and deterministic: score = number of tokens in
+# the language's marker set; argmax with alphabetical tie-break.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "datos"),
+    "fr": ("le", "la", "les", "des"),
+    "zh": ("de", "shi", "zai", "he"),
+}
+
+# BPE-ish token pattern: word pieces, digit runs, or single symbols.
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH), F.lit(0))).cast("long")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language over the token multiset."""
+    toks = tokens(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t))).cast("long")
+    return out
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Predict language as the argmax marker score (ties → first
+    language alphabetically). Output keeps the per-language scores so
+    downstream filters can threshold on confidence."""
+    scores = lang_scores(F.col(text_col))
+    langs = sorted(scores)
+    pairs = F.array(*[F.struct((-scores[lg]).alias("neg"), F.lit(lg).alias("lang")) for lg in langs])
+    best = F.array_min(pairs)  # struct compare: lowest neg score, then lang asc
+    return df.select(
+        F.col(id_col),
+        *[scores[lg].alias(f"score_{lg}") for lg in langs],
+        best["lang"].alias("predicted_lang"),
+    )
+
+
+def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score.
+
+    Features follow the standard web-corpus filters: length, mean
+    token length, type-token ratio, stopword ratio. Single divisions
+    on exact integer counts → cross-engine-stable doubles.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("double")
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+    uniq = F.size(F.array_distinct(toks)).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+    avg_tok_len = F.when(n_tok > 0, tok_chars / n_tok).otherwise(F.lit(0.0))
+    ttr = F.when(n_tok > 0, uniq / n_tok).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_tok >= 20) & (n_tok <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((avg_tok_len >= 3.0) & (avg_tok_len <= 10.0), F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(ttr >= 0.3, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio <= 0.4, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        avg_tok_len.alias("avg_token_len"),
+        ttr.alias("type_token_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Document fingerprint: (min, max) portable hash over the word
+    n-gram shingle set — a 1-hash MinHash sketch usable as a cheap
+    near-dup prefilter key."""
+    sh = shingles(F.col(text_col), n)
+    hashes = F.transform(sh, lambda s: h32(s))
+    return df.select(
+        F.col(id_col),
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.size(sh).cast("long").alias("n_shingles"),
+    )

@@ -1,0 +1,999 @@
+"""Core batch query inventory — SURVEY.md §2 operator classes
+(P projections/filters, J joins, A aggregations, W windows, O
+sort/limit/set-ops) re-expressed on the engine's tables, each with a
+DuckDB oracle.
+
+Numeric parity: money/quantity sums go through exact decimal
+aggregation (functions.parity) so both engines produce bit-identical
+doubles; ratios are single double divisions of exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from streaming_data_lake_spark.catalog import load_table
+from streaming_data_lake_spark.functions.parity import davg, dsum, duck_davg, duck_dsum
+from streaming_data_lake_spark.functions.scalar import decode_priority, zero_guard_ratio
+from streaming_data_lake_spark.operators import ingest
+from streaming_data_lake_spark.operators.dedup import dedup_groupby_canonical, dedup_row_number
+from streaming_data_lake_spark.operators.joins import interval_join
+from streaming_data_lake_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A1 — hash aggregate flagship (TPC-H Q1 shape; reference A1/A5 aggregates)
+# ---------------------------------------------------------------------------
+
+_DEC_PRICE = "decimal(18,2)"
+_DEC_RATE = "decimal(3,2)"
+
+_PRICING_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+    AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_quantity) AS DOUBLE)
+    AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_extendedprice) AS DOUBLE)
+    AS avg_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_discount) AS DOUBLE)
+    AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "pricing_summary",
+    _PRICING_ORACLE,
+    "A1: grouped hash aggregate with derived measures (flagship).",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(_DEC_PRICE)
+    one_minus_disc = F.lit(1).cast(_DEC_RATE) - F.col("l_discount").cast(_DEC_RATE)
+    one_plus_tax = F.lit(1).cast(_DEC_RATE) + F.col("l_tax").cast(_DEC_RATE)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), _DEC_PRICE).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), _DEC_PRICE).alias("sum_base_price"),
+            F.sum(price * one_minus_disc).cast("double").alias("sum_disc_price"),
+            F.sum(price * one_minus_disc * one_plus_tax).cast("double").alias("sum_charge"),
+            davg(F.col("l_quantity"), _DEC_PRICE).alias("avg_qty"),
+            davg(F.col("l_extendedprice"), _DEC_PRICE).alias("avg_price"),
+            davg(F.col("l_discount"), _DEC_PRICE).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6/P7/P9/P11 — clean-traffic ingestion transform
+# ---------------------------------------------------------------------------
+
+_EVENTS_CLEAN_ORACLE = r"""
+SELECT
+  event_id, ts, user_id, event_type, value,
+  date_trunc('hour', ts) AS event_hour,
+  value >= 20.0 AS is_high_value,
+  CASE WHEN event_type = 'purchase' THEN 'Revenue'
+       WHEN event_type IN ('click', 'view') THEN 'Engagement'
+       WHEN event_type = 'signup' THEN 'Acquisition'
+       WHEN event_type = 'error' THEN 'Fault'
+       ELSE 'Unknown' END AS event_class,
+  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS prop_k
+FROM events
+WHERE value > 0 AND event_type <> 'error'
+"""
+
+
+@register(
+    "events_clean",
+    _EVENTS_CLEAN_ORACLE,
+    "P6/P7/P9/P11/S2: filter + flag derivation + CASE classification + JSON extraction.",
+)
+def events_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ingest.clean_events(_t(spark, sf_dir, "events"))
+
+
+_EVENTS_REJECTED_ORACLE = """
+SELECT
+  event_id, ts, user_id, event_type, value,
+  CASE WHEN event_type = 'error' THEN 'ERROR_EVENT'
+       WHEN value <= 0 THEN 'NON_POSITIVE_VALUE'
+       ELSE 'UNKNOWN' END AS reject_reason
+FROM events
+WHERE NOT (value > 0 AND event_type <> 'error')
+"""
+
+
+@register(
+    "events_rejected",
+    _EVENTS_REJECTED_ORACLE,
+    "P12: prioritized reject-reason classifier, complement of events_clean.",
+)
+def events_rejected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ingest.rejected_events(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# J6 + O1 — dimension join + top-k
+# ---------------------------------------------------------------------------
+
+_TOP_NATIONS_ORACLE = """
+SELECT n_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_customers DESC, n_name ASC
+LIMIT 10
+"""
+
+
+@register(
+    "top_nations_by_customers",
+    _TOP_NATIONS_ORACLE,
+    "J6/O1: broadcast dimension join + top-k with deterministic tie-break.",
+)
+def top_nations_by_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_name").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 chain — multi-dimension enrichment rollup
+# ---------------------------------------------------------------------------
+
+_REVENUE_BY_REGION_ORACLE = """
+SELECT
+  r_name AS region_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+    AS revenue,
+  count(*) AS n_lineitems
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@register(
+    "revenue_by_region",
+    _REVENUE_BY_REGION_ORACLE,
+    "J6: chained broadcast dim joins (supplier→nation→region) + decimal revenue rollup.",
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast(_DEC_PRICE) * (
+        F.lit(1).cast(_DEC_RATE) - F.col("l_discount").cast(_DEC_RATE)
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8/J9 — pre-aggregated subquery join (avoids fan-out)
+# ---------------------------------------------------------------------------
+
+_ORDER_PREAGG_ORACLE = """
+WITH lr AS (
+  SELECT l_orderkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS order_revenue,
+         count(*) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT
+  o_orderpriority,
+  count(*) AS n_orders,
+  CAST(sum(coalesce(order_revenue, 0)) AS DOUBLE) AS total_revenue,
+  CAST(sum(coalesce(n_lines, 0)) AS BIGINT) AS total_lines
+FROM orders LEFT JOIN lr ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "order_priority_rollup",
+    _ORDER_PREAGG_ORACLE,
+    "J8/J9: pre-aggregated-then-join pattern (rollup lineitem per order before the join).",
+)
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice").cast(_DEC_PRICE) * (
+        F.lit(1).cast(_DEC_RATE) - F.col("l_discount").cast(_DEC_RATE)
+    )
+    lr = li.groupBy("l_orderkey").agg(
+        F.sum(rev).alias("order_revenue"),  # stays decimal: exact across both aggs
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    zero_dec = F.lit(0).cast("decimal(38,4)")
+    return (
+        o.join(lr, o.o_orderkey == lr.l_orderkey, "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.coalesce(F.col("order_revenue").cast("decimal(38,4)"), zero_dec))
+            .cast("double")
+            .alias("total_revenue"),
+            F.sum(F.coalesce(F.col("n_lines"), F.lit(0))).cast("long").alias("total_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10 — semi / anti joins
+# ---------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_customers_with_orders
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "customers_with_orders",
+    _SEMI_ORACLE,
+    "J10: EXISTS semi-join (Catalyst left_semi).",
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_with_orders"))
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_customers_without_orders
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "customers_without_orders",
+    _ANTI_ORACLE,
+    "J10: NOT EXISTS anti-join.",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_without_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/P15 — exact distinct counts per time bucket
+# ---------------------------------------------------------------------------
+
+_DAILY_DISTINCT_ORACLE = """
+SELECT
+  CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day,
+  event_type,
+  count(DISTINCT user_id) AS n_users,
+  count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "daily_distinct_users",
+    _DAILY_DISTINCT_ORACLE,
+    "A2/P15: COUNT(DISTINCT) inside grouped agg + date_trunc bucketing.",
+)
+def daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("event_day"),
+            "event_type",
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — conditional distinct count
+# ---------------------------------------------------------------------------
+
+_COND_DISTINCT_ORACLE = """
+SELECT
+  event_type,
+  count(DISTINCT user_id) AS n_users,
+  count(DISTINCT CASE WHEN value < 5.0 THEN user_id ELSE NULL END) AS n_low_value_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "conditional_distinct_users",
+    _COND_DISTINCT_ORACLE,
+    "A3: COUNT(DISTINCT CASE WHEN ...) — invalid-request-count idiom.",
+)
+def conditional_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.when(F.col("value") < 5.0, F.col("user_id"))).alias(
+            "n_low_value_users"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — dedup-by-key via GROUP BY with per-column canonicalizing aggregates
+# ---------------------------------------------------------------------------
+
+_DEDUP_CANONICAL_ORACLE = """
+SELECT
+  user_id,
+  event_type,
+  CAST(min(event_id) AS BIGINT) AS first_event_id,
+  max(ts) AS last_ts,
+  CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+@register(
+    "events_dedup_canonical",
+    _DEDUP_CANONICAL_ORACLE,
+    "A4: GROUP-BY-key canonicalizing dedup (MIN/MAX per column).",
+)
+def events_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(12,2)")
+    )
+    out = dedup_groupby_canonical(
+        e,
+        keys=["user_id", "event_type"],
+        aggs={"event_id": "min", "ts": "max", "value": "max"},
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").cast("long").alias("first_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").cast("double").alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — derived ratio metrics with zero-guard
+# ---------------------------------------------------------------------------
+
+_RATIOS_ORACLE = """
+SELECT
+  user_id,
+  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_views,
+  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_clicks,
+  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchases,
+  CASE WHEN count(CASE WHEN event_type = 'view' THEN 1 END) > 0
+       THEN CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE)
+            / CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE)
+       ELSE 0.0 END AS ctr,
+  CASE WHEN count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+       THEN CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
+            / CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE)
+       ELSE 0.0 END AS purchase_rate
+FROM events
+GROUP BY user_id
+"""
+
+
+@register(
+    "user_engagement_ratios",
+    _RATIOS_ORACLE,
+    "A5: zero-guarded ratio metrics (0.0 on zero denominator, not NULL).",
+)
+def user_engagement_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    n_views = F.count(F.when(F.col("event_type") == "view", 1))
+    n_clicks = F.count(F.when(F.col("event_type") == "click", 1))
+    n_purch = F.count(F.when(F.col("event_type") == "purchase", 1))
+    agg = e.groupBy("user_id").agg(
+        n_views.alias("n_views"),
+        n_clicks.alias("n_clicks"),
+        n_purch.alias("n_purchases"),
+    )
+    return agg.select(
+        "user_id",
+        "n_views",
+        "n_clicks",
+        "n_purchases",
+        zero_guard_ratio(F.col("n_clicks"), F.col("n_views")).alias("ctr"),
+        zero_guard_ratio(F.col("n_purchases"), F.col("n_clicks")).alias("purchase_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — multi-source hourly spine with UNION-distinct + N left joins
+# ---------------------------------------------------------------------------
+
+_SPINE_ORACLE = """
+WITH spine AS (
+  SELECT date_trunc('hour', ts) AS hour_start FROM events WHERE event_type = 'view'
+  UNION
+  SELECT date_trunc('hour', ts) FROM events WHERE event_type = 'click'
+  UNION
+  SELECT date_trunc('hour', ts) FROM events WHERE event_type = 'purchase'
+  UNION
+  SELECT date_trunc('hour', ts) FROM events WHERE event_type = 'signup'
+),
+v AS (SELECT date_trunc('hour', ts) h, count(*) n, count(DISTINCT user_id) u
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT date_trunc('hour', ts) h, count(*) n, count(DISTINCT user_id) u
+      FROM events WHERE event_type = 'click' GROUP BY 1),
+p AS (SELECT date_trunc('hour', ts) h, count(*) n, count(DISTINCT user_id) u
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+s AS (SELECT date_trunc('hour', ts) h, count(*) n, count(DISTINCT user_id) u
+      FROM events WHERE event_type = 'signup' GROUP BY 1)
+SELECT
+  spine.hour_start,
+  CAST(coalesce(v.n, 0) AS BIGINT) AS view_count,
+  CAST(coalesce(v.u, 0) AS BIGINT) AS view_users,
+  CAST(coalesce(c.n, 0) AS BIGINT) AS click_count,
+  CAST(coalesce(c.u, 0) AS BIGINT) AS click_users,
+  CAST(coalesce(p.n, 0) AS BIGINT) AS purchase_count,
+  CAST(coalesce(p.u, 0) AS BIGINT) AS purchase_users,
+  CAST(coalesce(s.n, 0) AS BIGINT) AS signup_count,
+  CAST(coalesce(s.u, 0) AS BIGINT) AS signup_users,
+  CASE WHEN coalesce(v.n, 0) > 0
+       THEN CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(v.n AS DOUBLE)
+       ELSE 0.0 END AS click_rate,
+  CASE WHEN coalesce(c.n, 0) > 0
+       THEN CAST(coalesce(p.n, 0) AS DOUBLE) / CAST(c.n AS DOUBLE)
+       ELSE 0.0 END AS purchase_rate
+FROM spine
+LEFT JOIN v ON v.h = spine.hour_start
+LEFT JOIN c ON c.h = spine.hour_start
+LEFT JOIN p ON p.h = spine.hour_start
+LEFT JOIN s ON s.h = spine.hour_start
+"""
+
+
+@register(
+    "event_quality_spine_hourly",
+    _SPINE_ORACLE,
+    "A6/O3: UNION-distinct hourly spine across 4 streams + 4 LEFT joins + coalesce "
+    "(the dq_event_quality_hourly shape, aggregation_jobs.sql:84-228).",
+)
+def event_quality_spine_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+
+    def per_type(t: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == t)
+            .groupBy(hour.alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias(f"{t}_count"),
+                F.countDistinct("user_id").alias(f"{t}_users"),
+            )
+        )
+
+    spines = [
+        e.filter(F.col("event_type") == t).select(hour.alias("hour_start"))
+        for t in ("view", "click", "purchase", "signup")
+    ]
+    spine = spines[0]
+    for s in spines[1:]:
+        spine = spine.union(s)
+    spine = spine.distinct()
+
+    out = spine
+    for t in ("view", "click", "purchase", "signup"):
+        agg = per_type(t)
+        out = out.join(agg, out.hour_start == agg.h, "left").drop("h")
+    zero = F.lit(0).cast("long")
+    out = out.select(
+        "hour_start",
+        *[
+            F.coalesce(F.col(f"{t}_{m}"), zero).alias(f"{t}_{m}")
+            for t in ("view", "click", "purchase", "signup")
+            for m in ("count", "users")
+        ],
+    )
+    return out.withColumns(
+        {
+            "click_rate": zero_guard_ratio(F.col("click_count"), F.col("view_count")),
+            "purchase_rate": zero_guard_ratio(F.col("purchase_count"), F.col("click_count")),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — landscape metrics per (day, user)
+# ---------------------------------------------------------------------------
+
+_LANDSCAPE_ORACLE = """
+SELECT
+  CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day,
+  user_id,
+  count(*) AS n_events,
+  count(DISTINCT event_type) AS n_types,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+  CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(value) AS DOUBLE) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "user_daily_landscape",
+    _LANDSCAPE_ORACLE,
+    "A7: per-(day,user) landscape metrics — counts, distincts, decimal sum/avg/max.",
+)
+def user_daily_landscape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("event_day"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+            F.max(F.col("value").cast("decimal(12,2)")).cast("double").alias("max_value"),
+            davg(F.col("value"), "decimal(12,2)").alias("avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10/J6/P15 — monthly revenue by nation (hourly-geo-metrics shape)
+# ---------------------------------------------------------------------------
+
+_MONTHLY_NATION_ORACLE = """
+SELECT
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+  n_name AS nation_name,
+  count(*) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(o_totalprice) AS DOUBLE)
+    AS avg_order_value
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "monthly_nation_revenue",
+    _MONTHLY_NATION_ORACLE,
+    "A10 shape: time-bucketed geo rollup (count, SUM, AVG) after dim joins.",
+)
+def monthly_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+            davg(F.col("o_totalprice")).alias("avg_order_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — sliding (HOP) window: 5-minute windows, 1-minute hop
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+SELECT
+  time_bucket(INTERVAL '1 minute', ts) - CAST(i AS INTEGER) * INTERVAL '1 minute'
+    AS window_start,
+  time_bucket(INTERVAL '1 minute', ts) - CAST(i AS INTEGER) * INTERVAL '1 minute'
+    + INTERVAL '5 minutes' AS window_end,
+  event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events CROSS JOIN range(5) t(i)
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "sliding_window_metrics",
+    _SLIDING_ORACLE,
+    "W1: HOP window (5 min size / 1 min hop) rolling metrics per event type.",
+)
+def sliding_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window(F.col("ts"), "5 minutes", "1 minute"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — ROW_NUMBER dedup (keep latest per key)
+# ---------------------------------------------------------------------------
+
+_ROWNUM_ORACLE = """
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register(
+    "latest_event_per_user_type",
+    _ROWNUM_ORACLE,
+    "W3: ROW_NUMBER()=1 dedup keeping the latest row per key.",
+)
+def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    out = dedup_row_number(
+        e,
+        keys=["user_id", "event_type"],
+        order=[F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    return out.select("user_id", "event_type", "event_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# O1/O2 — multi-column ORDER BY ... LIMIT
+# ---------------------------------------------------------------------------
+
+_TOP_HOURS_ORACLE = """
+SELECT
+  date_trunc('hour', ts) AS hour_start,
+  count(*) AS n_events,
+  count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+ORDER BY n_events DESC, hour_start ASC
+LIMIT 10
+"""
+
+
+@register(
+    "top_busiest_hours",
+    _TOP_HOURS_ORACLE,
+    "O1/O2: multi-column ORDER BY + LIMIT top-k.",
+)
+def top_busiest_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("hour_start").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8/P17 — decode CASE + static-rate normalization
+# ---------------------------------------------------------------------------
+
+_PRIORITY_DECODE_ORACLE = """
+SELECT
+  CASE WHEN o_orderpriority LIKE '1%' THEN 'Critical'
+       WHEN o_orderpriority LIKE '2%' THEN 'High'
+       WHEN o_orderpriority LIKE '3%' THEN 'Medium'
+       ELSE 'Low' END AS priority_class,
+  count(*) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+           * CASE WHEN o_orderstatus = 'F' THEN CAST(1.08 AS DECIMAL(3,2))
+                  WHEN o_orderstatus = 'P' THEN CAST(1.25 AS DECIMAL(3,2))
+                  ELSE CAST(1.00 AS DECIMAL(3,2)) END) AS DOUBLE) AS normalized_revenue
+FROM orders
+GROUP BY 1
+"""
+
+
+@register(
+    "priority_decode_rollup",
+    _PRIORITY_DECODE_ORACLE,
+    "P17/P8: small-domain decode CASE + static-rate normalization (currency-norm shape).",
+)
+def priority_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    rate = (
+        F.when(F.col("o_orderstatus") == "F", F.lit(1.08))
+        .when(F.col("o_orderstatus") == "P", F.lit(1.25))
+        .otherwise(F.lit(1.00))
+        .cast(_DEC_RATE)
+    )
+    return (
+        o.groupBy(decode_priority(F.col("o_orderpriority")).alias("priority_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC_PRICE) * rate)
+            .cast("double")
+            .alias("normalized_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — batch interval join (clicks ⟕ views within a bounded window)
+# ---------------------------------------------------------------------------
+
+_INTERVAL_JOIN_ORACLE = """
+SELECT
+  CAST(date_trunc('day', c.ts) AS TIMESTAMP) AS event_day,
+  count(*) AS n_pairs,
+  count(DISTINCT c.event_id) AS n_clicks_matched,
+  count(DISTINCT v.event_id) AS n_views_matched
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON v.user_id = c.user_id
+ AND v.ts >= c.ts - INTERVAL '10 minutes'
+ AND v.ts <= c.ts
+GROUP BY 1
+"""
+
+
+@register(
+    "interval_join_click_view",
+    _INTERVAL_JOIN_ORACLE,
+    "J1: time-bounded interval join (view within [click-10m, click], same user).",
+)
+def interval_join_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    views = e.filter(F.col("event_type") == "view")
+    joined = interval_join(
+        clicks, views, key="user_id", left_ts="ts", right_ts="ts",
+        lower_s=-600, upper_s=0, aliases=("c", "v"),
+    )
+    return (
+        joined.groupBy(F.date_trunc("day", F.col("c.ts")).alias("event_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct(F.col("c.event_id")).alias("n_clicks_matched"),
+            F.countDistinct(F.col("v.event_id")).alias("n_views_matched"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4/J5/A9 — chained funnel joins + stage conversion rates
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+     c AS (SELECT * FROM events WHERE event_type = 'click'),
+     p AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT
+  CAST(date_trunc('day', v.ts) AS TIMESTAMP) AS event_day,
+  count(DISTINCT v.event_id) AS n_views,
+  count(DISTINCT c.event_id) AS n_clicks,
+  count(DISTINCT p.event_id) AS n_purchases,
+  CASE WHEN count(DISTINCT v.event_id) > 0
+       THEN CAST(count(DISTINCT c.event_id) AS DOUBLE)
+            / CAST(count(DISTINCT v.event_id) AS DOUBLE)
+       ELSE 0.0 END AS click_through_rate,
+  CASE WHEN count(DISTINCT c.event_id) > 0
+       THEN CAST(count(DISTINCT p.event_id) AS DOUBLE)
+            / CAST(count(DISTINCT c.event_id) AS DOUBLE)
+       ELSE 0.0 END AS purchase_rate
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+           AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '10 minutes'
+LEFT JOIN p ON p.user_id = c.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '60 minutes'
+GROUP BY 1
+"""
+
+
+@register(
+    "funnel_conversion_daily",
+    _FUNNEL_ORACLE,
+    "J4/J5/A9: chained LEFT interval joins (view→click≤10m→purchase≤60m) + "
+    "stage distinct counts + zero-guarded conversion rates.",
+)
+def funnel_conversion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").alias("v")
+    c = e.filter(F.col("event_type") == "click").alias("c")
+    p = e.filter(F.col("event_type") == "purchase").alias("p")
+    vc = v.join(
+        c,
+        (F.col("c.user_id") == F.col("v.user_id"))
+        & (F.col("c.ts") >= F.col("v.ts"))
+        & (F.col("c.ts") <= F.col("v.ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left",
+    )
+    vcp = vc.join(
+        p,
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 60 MINUTES")),
+        "left",
+    )
+    agg = vcp.groupBy(F.date_trunc("day", F.col("v.ts")).alias("event_day")).agg(
+        F.countDistinct(F.col("v.event_id")).alias("n_views"),
+        F.countDistinct(F.col("c.event_id")).alias("n_clicks"),
+        F.countDistinct(F.col("p.event_id")).alias("n_purchases"),
+    )
+    return agg.select(
+        "event_day",
+        "n_views",
+        "n_clicks",
+        "n_purchases",
+        zero_guard_ratio(F.col("n_clicks"), F.col("n_views")).alias("click_through_rate"),
+        zero_guard_ratio(F.col("n_purchases"), F.col("n_clicks")).alias("purchase_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — SCD2 dimension join with is_current guard (synthesized dim versions)
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH dim_nation AS (
+  SELECT n_nationkey, n_name || '_V1' AS nation_label,
+         TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+         TIMESTAMP '2023-01-01 00:00:00' AS valid_to,
+         FALSE AS is_current
+  FROM nation WHERE n_nationkey < 5
+  UNION ALL
+  SELECT n_nationkey, n_name AS nation_label,
+         CASE WHEN n_nationkey < 5 THEN TIMESTAMP '2023-01-01 00:00:00'
+              ELSE TIMESTAMP '2020-01-01 00:00:00' END AS valid_from,
+         NULL AS valid_to,
+         TRUE AS is_current
+  FROM nation
+)
+SELECT nation_label, count(*) AS n_customers
+FROM customer
+LEFT JOIN dim_nation ON c_nationkey = n_nationkey AND is_current
+GROUP BY nation_label
+"""
+
+
+@register(
+    "scd2_current_enrichment",
+    _SCD2_ORACLE,
+    "J6: SCD Type-2 dimension with multiple versions; join filtered to is_current.",
+)
+def scd2_current_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    old = n.filter(F.col("n_nationkey") < 5).select(
+        "n_nationkey",
+        F.concat(F.col("n_name"), F.lit("_V1")).alias("nation_label"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit("2023-01-01 00:00:00").cast("timestamp").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    cur = n.select(
+        "n_nationkey",
+        F.col("n_name").alias("nation_label"),
+        F.when(
+            F.col("n_nationkey") < 5, F.lit("2023-01-01 00:00:00").cast("timestamp")
+        )
+        .otherwise(F.lit("2020-01-01 00:00:00").cast("timestamp"))
+        .alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    dim = old.unionByName(cur)
+    c = _t(spark, sf_dir, "customer")
+    d = F.broadcast(dim.filter(F.col("is_current")))
+    return (
+        c.join(d, c.c_nationkey == d.n_nationkey, "left")
+        .groupBy("nation_label")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2/P4 — tokenize + explode (UNNEST) + top-k tokens
+# ---------------------------------------------------------------------------
+
+_TOKEN_EXPLODE_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM tok
+WHERE token <> ''
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 20
+"""
+
+
+@register(
+    "top_tokens",
+    _TOKEN_EXPLODE_ORACLE,
+    "P4 (UNNEST): explode tokenized text + grouped counts + top-k.",
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(20)
+    )

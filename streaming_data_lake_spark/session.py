@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` but every setting is chosen to
+also hold on a large cluster: AQE for runtime re-planning (skew
+joins, partition coalescing), UTC session time zone (oracle parity
+and cross-engine determinism), Arrow for the pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partition count: ~cores for local mode. On a real cluster
+# this would be 2-3x total executor cores (or left to AQE's
+# coalescing with a high initial value).
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "streaming_data_lake_spark", cpus: str | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Settings that matter at 100 TB scale:
+    - AQE enabled: runtime shuffle-partition coalescing and skew-join
+      splitting replace hand-tuned partition counts.
+    - ``spark.sql.files.maxPartitionBytes`` left at 128 MB default —
+      matches the reference's compaction target (scripts/maintenance.sh:67).
+    - UTC session TZ: window/bucket boundaries identical on every
+      executor regardless of host TZ.
+    """
+    n = cpus or _DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # The driver's testdata stores timestamps as parquet
+        # TIMESTAMP(NANOS), which Spark cannot represent natively;
+        # read them as long nanos and convert in catalog.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
