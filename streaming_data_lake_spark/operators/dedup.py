@@ -116,7 +116,7 @@ def minhash_lsh_candidates(
     sig = df.select(
         F.col(id_col),
         *minhash_signature(shingles(F.col(text_col), n), num_hashes),
-    )
+    ).filter(F.col("mh_0").isNotNull())  # drop docs too short to shingle
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -205,20 +205,19 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     hashed = tok.select(id_col, h32(F.col("tok")).alias("h"))
     bits = hashed.select(
         id_col,
-        F.posexplode(F.sequence(F.lit(0), F.lit(31))).alias("pos", "bit"),
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
         F.col("h"),
     ).select(
         id_col,
         "bit",
-        F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1)
-        .otherwise(-1)
-        .alias("vote"),
+        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
     )
     votes = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
     return votes.groupBy(id_col).agg(
         F.sum(
-            F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit").cast("int"))).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("simhash")
     )

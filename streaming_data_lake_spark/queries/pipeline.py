@@ -1,0 +1,490 @@
+r"""Training-data-pipeline query inventory: dedup, similarity search,
+text analysis, multimodal — the beyond-reference operator families
+(SURVEY.md §7.6), each with a DuckDB oracle built on the portable
+MD5-based hash so even MinHash/SimHash values match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_lake_spark.catalog import load_table
+from streaming_data_lake_spark.operators import similarity, text
+from streaming_data_lake_spark.operators.dedup import (
+    exact_text_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash64,
+)
+from streaming_data_lake_spark.operators.multimodal import attach_fake_media, extract_media_features
+from streaming_data_lake_spark.queries import register
+
+# Shared DuckDB fragments (kept in lockstep with the Spark operators).
+_DUCK_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
+_DUCK_H32 = "CAST('0x' || substring(md5({x}), 1, 8) AS BIGINT)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register(
+    "dedup_exact_text",
+    _EXACT_DEDUP_ORACLE,
+    "Exact dedup: content-hash groupBy keeping min id + dup count.",
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_text_dedup(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprints (1-hash MinHash sketch)
+# ---------------------------------------------------------------------------
+
+_FINGERPRINT_ORACLE = rf"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM tk
+)
+SELECT doc_id,
+       list_min(list_transform(s, x -> {_DUCK_H32.format(x='x')})) AS fp_min,
+       list_max(list_transform(s, x -> {_DUCK_H32.format(x='x')})) AS fp_max,
+       CAST(len(s) AS BIGINT) AS n_shingles
+FROM sh
+"""
+
+
+@register(
+    "doc_fingerprints",
+    _FINGERPRINT_ORACLE,
+    "Document fingerprinting: min/max portable hash over 3-gram shingles.",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+_TOKEN_COUNT_ORACLE = rf"""
+SELECT doc_id,
+       CAST(len({_DUCK_TOKS}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+         AS bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+@register(
+    "token_counts",
+    _TOKEN_COUNT_ORACLE,
+    "Token counting: whitespace tokens + BPE-ish regex pieces per document.",
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        text.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        F.length(F.col("text")).cast("long").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+_QUALITY_ORACLE = rf"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CASE WHEN len(toks) > 0
+       THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE)
+       ELSE 0.0 END AS avg_token_len,
+  CASE WHEN len(toks) > 0
+       THEN CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       ELSE 0.0 END AS type_token_ratio,
+  CASE WHEN len(toks) > 0
+       THEN CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE)
+       ELSE 0.0 END AS stopword_ratio,
+  (CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+   + CASE WHEN len(toks) > 0
+          AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE) >= 3.0
+          AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE) <= 10.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+   + CASE WHEN len(toks) > 0
+          AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.3
+          THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+   + CASE WHEN len(toks) > 0
+          AND CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE) <= 0.4
+          THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS quality_score
+FROM tk
+"""
+
+
+@register(
+    "quality_scores",
+    _QUALITY_ORACLE,
+    "Quality scoring: length/TTR/stopword-ratio features + composite score.",
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_features(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Language ID (marker-lexicon heuristic)
+# ---------------------------------------------------------------------------
+
+def _duck_lang_score(markers: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return f"CAST(len(list_filter(toks, t -> t IN ({in_list}))) AS BIGINT)"
+
+
+_LANG_ORACLE = rf"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    {_duck_lang_score(text.LANG_MARKERS['de'])} AS score_de,
+    {_duck_lang_score(text.LANG_MARKERS['en'])} AS score_en,
+    {_duck_lang_score(text.LANG_MARKERS['es'])} AS score_es,
+    {_duck_lang_score(text.LANG_MARKERS['fr'])} AS score_fr,
+    {_duck_lang_score(text.LANG_MARKERS['zh'])} AS score_zh
+  FROM tk
+)
+SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+  CASE WHEN score_de >= greatest(score_en, score_es, score_fr, score_zh) THEN 'de'
+       WHEN score_en >= greatest(score_es, score_fr, score_zh) THEN 'en'
+       WHEN score_es >= greatest(score_fr, score_zh) THEN 'es'
+       WHEN score_fr >= score_zh THEN 'fr'
+       ELSE 'zh' END AS predicted_lang
+FROM s
+"""
+
+
+@register(
+    "lang_id_heuristic",
+    _LANG_ORACLE,
+    "Language ID: marker-lexicon scores + argmax with alphabetical tie-break.",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+_SIMHASH_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM documents
+),
+h AS (SELECT doc_id, {_DUCK_H32.format(x='t')} AS h FROM tok),
+bits AS (
+  SELECT doc_id, b.bit,
+         CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM h CROSS JOIN (SELECT unnest(range(32)) AS bit) b
+),
+v AS (SELECT doc_id, bit, CAST(sum(vote) AS BIGINT) AS v FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(bit AS INTEGER)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM v
+GROUP BY doc_id
+"""
+
+
+@register(
+    "simhash_fingerprints",
+    _SIMHASH_ORACLE,
+    "SimHash: 32-bit-vote fingerprint from portable token hashes.",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash64(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs (exact, shared-shingle candidate join)
+# ---------------------------------------------------------------------------
+
+_JACCARD_THRESHOLD = 0.12
+
+_JACCARD_ORACLE = rf"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM tk
+),
+ex AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.sng = b.sng AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "ngram_jaccard_near_dups",
+    _JACCARD_ORACLE,
+    "Near-dup detection: exact 3-gram-shingle Jaccard via shared-shingle equi-join.",
+)
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=_JACCARD_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidates verified with exact Jaccard
+# ---------------------------------------------------------------------------
+
+def _duck_minhash_cols(num_hashes: int) -> str:
+    cols = []
+    for i in range(num_hashes):
+        h = _DUCK_H32.format(x=f"'{i}:' || x")
+        cols.append(f"list_min(list_transform(s, x -> {h})) AS mh_{i}")
+    return ",\n    ".join(cols)
+
+
+def _duck_band_selects(num_hashes: int, bands: int) -> str:
+    rows = num_hashes // bands
+    selects = []
+    for b in range(bands):
+        parts = " || '_' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        selects.append(f"SELECT doc_id, {b} AS band, {parts} AS key FROM mh")
+    return "\nUNION ALL\n".join(selects)
+
+
+_LSH_ORACLE = rf"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM tk
+),
+mh AS (
+  SELECT doc_id,
+    {_duck_minhash_cols(16)}
+  FROM sh WHERE len(s) > 0
+),
+bands AS (
+{_duck_band_selects(16, 4)}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+"""
+
+
+@register(
+    "minhash_lsh_near_dups",
+    _LSH_ORACLE,
+    "MinHash-LSH (16 hashes, 4 bands) candidate pairs + exact Jaccard verification.",
+)
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, num_hashes=16, bands=4)
+    sh = d.select(F.col("doc_id"), shingles(F.col("text"), 3).alias("s"))
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b"))).cast("double")
+    union = (F.size(F.col("s_a")) + F.size(F.col("s_b"))).cast("double") - inter
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# KNN: brute-force exact and IVF approximate
+# ---------------------------------------------------------------------------
+
+_DUCK_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+_KNN_BF_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id, embedding AS v,
+         sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+q AS (SELECT * FROM n WHERE vec_id < 50),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DUCK_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) AS cosine_sim
+  FROM q JOIN n c ON c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
+FROM r WHERE rank <= 5
+"""
+
+
+@register(
+    "knn_bruteforce_cosine",
+    _KNN_BF_ORACLE,
+    "Similarity search baseline: exact brute-force cosine top-5 (queries = vec_id < 50).",
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_knn(e, e.filter(F.col("vec_id") < 50), k=5)
+
+
+_KNN_IVF_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id, embedding AS v,
+         sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
+scored_asg AS (
+  SELECT n.vec_id, n.v, n.nrm, cent.centroid_id,
+         {_DUCK_DOT.format(a='n.v', b='cent.cv')} / (n.nrm * cent.cnrm) AS sim,
+         row_number() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY {_DUCK_DOT.format(a='n.v', b='cent.cv')} / (n.nrm * cent.cnrm) DESC,
+                    cent.centroid_id ASC
+         ) AS rn
+  FROM n CROSS JOIN cent
+),
+asg AS (SELECT vec_id, v, nrm, centroid_id AS cluster_id FROM scored_asg WHERE rn = 1),
+q AS (SELECT * FROM asg WHERE vec_id < 50),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DUCK_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) AS cosine_sim
+  FROM q JOIN asg c ON c.cluster_id = q.cluster_id AND c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
+FROM r WHERE rank <= 5
+"""
+
+
+@register(
+    "knn_ivf_cosine",
+    _KNN_IVF_ORACLE,
+    "Similarity search scale path: IVF cluster-pruned cosine top-5 (8 centroids, nprobe=1).",
+)
+def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_knn(
+        e,
+        e.filter(F.col("vec_id") < 50),
+        e.filter(F.col("vec_id") < 8),
+        k=5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding corpus stats (order-independent metrics only)
+# ---------------------------------------------------------------------------
+
+_EMB_STATS_ORACLE = f"""
+WITH n AS (
+  SELECT label, sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vectors,
+       min(nrm) AS min_norm, max(nrm) AS max_norm
+FROM n GROUP BY label
+"""
+
+
+@register(
+    "embedding_label_stats",
+    _EMB_STATS_ORACLE,
+    "Embedding corpus profile: per-label counts and norm extrema.",
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", similarity.norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload + mapInPandas feature extraction
+# ---------------------------------------------------------------------------
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS checksum,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS fake_width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS fake_height
+FROM documents
+"""
+
+
+@register(
+    "multimodal_media_features",
+    _MULTIMODAL_ORACLE,
+    "Multimodal plumbing: binary payload column + Arrow-batched mapInPandas feature "
+    "extraction (decode stubbed deterministically).",
+)
+def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    return extract_media_features(media, decode_stub=True)
