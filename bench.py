@@ -1,0 +1,77 @@
+"""Benchmark harness: run the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set spans the engine's surface: parquet scan + hash agg,
+broadcast-dim joins, the 4-stage funnel, sliding windows, interval
+joins, exact + fuzzy dedup, ANN similarity search, text analysis, and
+a full streaming pipeline (availableNow replay + MERGE upsert sink).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",          # scan + decimal hash agg (flagship)
+    "revenue_by_region",        # 6-way broadcast dim join + agg
+    "monthly_nation_revenue",   # join + month bucketing
+    "top_busiest_hours",        # time bucket + top-k
+    "funnel_conversion_daily",  # 4-stage left-join funnel + ratios
+    "sliding_window_metrics",   # 5-min/1-min sliding windows
+    "interval_join_click_view", # time-range join
+    "latest_event_per_user_type",  # window-rank dedup
+    "event_quality_spine_hourly",  # multi-source union spine
+    "dedup_exact_text",         # exact dedup on documents
+    "minhash_lsh_near_dups",    # MinHash+LSH near-dup
+    "knn_bruteforce_cosine",    # ANN brute-force top-k
+    "knn_ivf_cosine",           # ANN IVF-bucketed top-k
+    "token_counts",             # text analysis
+    "streaming_upsert_hourly",  # streaming replay + MERGE upsert
+    "materialize_incremental_clean_events",  # incremental materializer
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from streaming_data_lake_spark.queries import all_queries
+    from streaming_data_lake_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # Warm the JVM/codegen path once so per-query times measure the
+    # plan, not session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        q = queries[name]
+        t0 = time.time()
+        n = q.fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -51,23 +51,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    return normalize_timestamps(df, name)
+
+
+def normalize_timestamps(df: DataFrame, name: str) -> DataFrame:
+    """Normalize physically-variable timestamp encodings to the
+    declared TimestampType: long nanos (parquet TIMESTAMP(NANOS) via
+    nanosAsLong) → timestamp_micros(div 1000); TIMESTAMP_NTZ (micros
+    files) → plain timestamp (identical instants under the UTC
+    session zone)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     from streaming_data_lake_spark.schemas import DECLARED_SCHEMAS
 
-    df = spark.read.parquet(table_path(sf_dir, name))
     declared = DECLARED_SCHEMAS.get(name)
-    if declared is not None:
-        observed = {f.name: f.dataType for f in df.schema.fields}
-        for field in declared.fields:
-            if isinstance(field.dataType, T.TimestampType) and isinstance(
-                observed.get(field.name), T.LongType
-            ):
-                df = df.withColumn(
-                    field.name,
-                    F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
-                )
+    if declared is None:
+        return df
+    observed = {f.name: f.dataType for f in df.schema.fields}
+    for field in declared.fields:
+        if not isinstance(field.dataType, T.TimestampType):
+            continue
+        obs = observed.get(field.name)
+        if isinstance(obs, T.LongType):
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
+            )
+        elif isinstance(obs, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -72,11 +72,8 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column, as an array of
-    strings. Built entirely from higher-order array functions —
-    JVM-side, no UDF."""
-    toks = tokens(text)
+def _shingles_of(toks: Column, n: int) -> Column:
+    """Shingle array from an already-bound token-array column."""
     k = F.size(toks) - (n - 1)
     idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
     gram = lambda i: F.concat_ws(  # noqa: E731
@@ -87,13 +84,54 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column, as an array of
+    strings. Built entirely from higher-order array functions —
+    JVM-side, no UDF.
+
+    The tokenization (split + filter) is bound ONCE per row via a
+    single-element-array ``transform``: referencing ``tokens(text)``
+    directly inside the per-shingle lambda would re-evaluate the
+    split for every element (O(tokens²) per doc — measured 16×
+    slower at sf0.1)."""
+    return F.element_at(
+        F.transform(F.array(tokens(text)), lambda t: _shingles_of(t, n)), 1
+    )
+
+
 def minhash_signature(shingle_arr: Column, num_hashes: int = 16) -> list[Column]:
-    """MinHash signature: per seed, the min portable hash over the
-    shingle set. Empty shingle sets get NULL."""
+    """MinHash signature as per-row array expressions: per seed, the
+    min portable hash over the shingle set. Empty shingle sets get
+    NULL. Prefer :func:`minhash_signatures` (explode + groupBy-min)
+    in plans — these nested-lambda columns each embed a full copy of
+    the shingle expression, which defeats codegen at scale."""
     return [
         F.array_min(F.transform(shingle_arr, lambda s, i=i: h32_seeded(s, i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signatures via explode → flat seeded hashes → groupBy
+    min. One row per doc with columns ``mh_0..mh_{k-1}``.
+
+    Plan shape at scale: the shingle array is computed ONCE per doc,
+    exploded, and each (doc, shingle) row projects k flat md5-based
+    hashes — a single whole-stage-codegen span. The groupBy(min) is
+    map-side combinable, so the shuffle carries one k-wide row per
+    doc per input partition, not the shingle fan-out. Docs too short
+    to shingle drop out at the explode (empty array → no rows).
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sng"))
+    return sh.groupBy(id_col).agg(
+        *[F.min(h32_seeded(F.col("sng"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
+    )
 
 
 def minhash_lsh_candidates(
@@ -113,10 +151,7 @@ def minhash_lsh_candidates(
     join on small buckets rather than any all-pairs comparison.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        *minhash_signature(shingles(F.col(text_col), n), num_hashes),
-    ).filter(F.col("mh_0").isNotNull())  # drop docs too short to shingle
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),

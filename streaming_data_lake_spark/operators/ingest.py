@@ -28,8 +28,10 @@ from streaming_data_lake_spark.functions.scalar import event_class
 
 # Complementary predicates: clean AND reject partition the input
 # (reference keeps the complement property between insert_jobs.sql:48-62
-# and :162-173; FIXTURES.md scenario 2).
-_CLEAN = (F.col("value") > 0) & (F.col("event_type") != "error")
+# and :162-173; FIXTURES.md scenario 2). Built lazily — Column
+# construction needs an active SparkContext.
+def _clean_pred():
+    return (F.col("value") > 0) & (F.col("event_type") != "error")
 
 
 def clean_events(df: DataFrame) -> DataFrame:
@@ -37,7 +39,7 @@ def clean_events(df: DataFrame) -> DataFrame:
     analog). Derives boolean flags, a CASE classification, an hourly
     bucket, and extracts the nested JSON metric."""
     return (
-        df.filter(_CLEAN)
+        df.filter(_clean_pred())
         .select(
             "event_id",
             "ts",
@@ -60,7 +62,7 @@ def rejected_events(df: DataFrame) -> DataFrame:
         .when(F.col("value") <= 0, "NON_POSITIVE_VALUE")
         .otherwise("UNKNOWN")
     )
-    return df.filter(~_CLEAN).select(
+    return df.filter(~_clean_pred()).select(
         "event_id",
         "ts",
         "user_id",

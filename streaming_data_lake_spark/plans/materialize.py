@@ -1,0 +1,165 @@
+"""Incremental view materialization — the reference's 3-pass
+watermark-based maintenance algorithm (SURVEY.md §2.8,
+scripts/materialize.sh:74-333) as a PySpark batch job.
+
+Targets are (view definition, timestamp column, optional SCD2
+dimension dependencies). State lives in a ``_watermarks`` table
+(table_name, last_materialized_at), exactly like the reference's
+``materialization_watermarks`` (materialize.sh:66-71, M6).
+
+Passes per run:
+ - M1  full load (CTAS) when the mat table does not exist.
+ - M2  pass 0 lookback repair: if view-count ≠ mat-count inside
+   [watermark - lookback, watermark], DELETE + re-INSERT that window
+   (materialize.sh:123-173). Catches late-arriving facts within the
+   lookback horizon; later ones are the reference's documented
+   hour-boundary gap (M7, .design:2329).
+ - M3  pass 1 dimension-change repair: for each SCD2 dim dependency
+   with versions newer than the watermark, DELETE mat rows carrying
+   affected foreign keys and re-INSERT them from the view
+   (materialize.sh:175-224).
+ - M4  pass 2 append: INSERT view rows with ts > watermark
+   (materialize.sh:226-241).
+ - M6  watermark upsert.
+
+Row-level DELETE is emulated with read-filter-overwrite on parquet;
+on Delta/Iceberg the same passes map to ``DELETE FROM ... WHERE`` and
+``MERGE`` (the reference's Trino statements). At 100 TB the mat
+tables would be day-partitioned on the ts column so M2's
+delete+reinsert rewrites only the lookback partitions and M4 is a
+partition append — the pass structure is unchanged.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_lake_spark.sources.upsert import merge_upsert
+
+
+@dataclass(frozen=True)
+class DimDependency:
+    """An SCD2 dimension the view joins; used by the M3 repair pass."""
+
+    dim: Callable[[SparkSession], DataFrame]  # full dim incl. history
+    dim_key: str  # business key column in the dim
+    fact_fk: str  # FK column in the materialized view output
+    valid_from_col: str = "valid_from"
+
+
+@dataclass(frozen=True)
+class MatTarget:
+    name: str
+    view: Callable[[SparkSession], DataFrame]
+    ts_col: str
+    dims: tuple[DimDependency, ...] = field(default_factory=tuple)
+
+
+class Materializer:
+    def __init__(self, spark: SparkSession, lake_dir: str) -> None:
+        self.spark = spark
+        self.lake_dir = lake_dir
+        self.wm_dir = os.path.join(lake_dir, "_watermarks")
+
+    # -- state ---------------------------------------------------------
+    def _mat_dir(self, name: str) -> str:
+        return os.path.join(self.lake_dir, name)
+
+    def read_mat(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._mat_dir(name))
+
+    def get_watermark(self, name: str) -> dt.datetime | None:
+        if not os.path.exists(self.wm_dir):
+            return None
+        row = (
+            self.spark.read.parquet(self.wm_dir)
+            .filter(F.col("table_name") == name)
+            .select("last_materialized_at")
+            .collect()
+        )
+        return row[0][0] if row else None
+
+    def _set_watermark(self, name: str, ts: dt.datetime) -> None:
+        updates = self.spark.createDataFrame(
+            [(name, ts)], "table_name string, last_materialized_at timestamp"
+        )
+        merge_upsert(self.spark, self.wm_dir, updates, ["table_name"])
+
+    # -- passes ----------------------------------------------------------
+    def run(self, target: MatTarget, lookback_hours: int = 1) -> dict[str, str]:
+        """Run one maintenance cycle; returns {pass: action} audit log."""
+        log: dict[str, str] = {}
+        view = target.view(self.spark)
+        mat_dir = self._mat_dir(target.name)
+        ts = F.col(target.ts_col)
+
+        if not os.path.exists(mat_dir):  # M1 full load
+            view.write.mode("overwrite").parquet(mat_dir)
+            log["M1"] = "full load"
+        else:
+            wm = self.get_watermark(target.name)
+            if wm is None:
+                raise RuntimeError(f"mat table {target.name} exists but no watermark")
+            lo = wm - dt.timedelta(hours=lookback_hours)
+
+            # M2 — pass 0: lookback repair on count drift
+            in_window = (ts > F.lit(lo)) & (ts <= F.lit(wm))
+            view_cnt = view.filter(in_window).count()
+            mat = self.read_mat(target.name)
+            mat_cnt = mat.filter(in_window).count()
+            if view_cnt != mat_cnt:
+                repaired = mat.filter(~in_window).unionByName(view.filter(in_window))
+                self._overwrite(mat_dir, repaired)
+                log["M2"] = f"repaired window ({mat_cnt}→{view_cnt} rows)"
+            else:
+                log["M2"] = "no drift"
+
+            # M3 — pass 1: dimension-change repair
+            for dep in target.dims:
+                dim = dep.dim(self.spark)
+                changed = (
+                    dim.filter(F.col(dep.valid_from_col) > F.lit(wm))
+                    .select(F.col(dep.dim_key).alias(dep.fact_fk))
+                    .distinct()
+                )
+                if changed.isEmpty():
+                    log[f"M3:{dep.fact_fk}"] = "no dim change"
+                    continue
+                mat = self.read_mat(target.name)
+                keep = mat.join(changed, on=dep.fact_fk, how="left_anti")
+                reinsert = view.join(
+                    F.broadcast(changed), on=dep.fact_fk, how="left_semi"
+                ).filter(ts <= F.lit(wm))
+                self._overwrite(mat_dir, keep.unionByName(reinsert))
+                log[f"M3:{dep.fact_fk}"] = "repaired changed keys"
+
+            # M4 — pass 2: append new facts
+            new_rows = view.filter(ts > F.lit(wm))
+            n_new = new_rows.count()
+            if n_new:
+                new_rows.write.mode("append").parquet(mat_dir)
+            log["M4"] = f"appended {n_new}"
+
+        # M6 — watermark upsert
+        max_ts = view.agg(F.max(ts)).collect()[0][0]
+        if max_ts is not None:
+            self._set_watermark(target.name, max_ts)
+            log["M6"] = f"watermark={max_ts.isoformat()}"
+        return log
+
+    def _overwrite(self, path: str, df: DataFrame) -> None:
+        import shutil
+        import uuid
+
+        tmp = f"{path}__tmp_{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{path}__old_{uuid.uuid4().hex}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)

@@ -1,0 +1,84 @@
+"""Streaming query inventory — each pipeline runs to completion on
+the bounded input (availableNow = the reference's backfill/replay
+path, T8) and must converge to the same result as its batch oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from streaming_data_lake_spark.queries import register
+from streaming_data_lake_spark.queries.core import _EVENTS_CLEAN_ORACLE
+from streaming_data_lake_spark.streaming import pipelines
+
+_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+_DEDUP_KEYS_ORACLE = "SELECT DISTINCT user_id, event_type FROM events"
+
+_STREAM_JOIN_ORACLE = """
+SELECT
+  CAST(date_trunc('day', c.ts) AS TIMESTAMP) AS event_day,
+  count(*) AS n_pairs,
+  count(DISTINCT c.event_id) AS n_clicks_matched,
+  count(DISTINCT v.event_id) AS n_views_matched
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON v.user_id = c.user_id
+ AND v.ts >= c.ts - INTERVAL '10 minutes'
+ AND v.ts <= c.ts
+GROUP BY 1
+"""
+
+
+@register(
+    "streaming_clean_events",
+    _EVENTS_CLEAN_ORACLE,
+    "S6/T8: streaming ingestion (readStream → batch transform → append sink); "
+    "converges to the batch events_clean result.",
+)
+def streaming_clean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.streaming_clean_events(spark, sf_dir)
+
+
+@register(
+    "streaming_hourly_metrics",
+    _HOURLY_ORACLE,
+    "W2/T4: watermarked windowed aggregate in update mode.",
+)
+def streaming_hourly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.streaming_hourly_metrics(spark, sf_dir)
+
+
+@register(
+    "streaming_dedup_keys",
+    _DEDUP_KEYS_ORACLE,
+    "A4 (streaming): dropDuplicates under watermark — first row per key.",
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.streaming_dedup_keys(spark, sf_dir)
+
+
+@register(
+    "streaming_interval_join_daily",
+    _STREAM_JOIN_ORACLE,
+    "J1 (streaming): stream-stream interval join with watermarks both sides.",
+)
+def streaming_interval_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.streaming_interval_join_daily(spark, sf_dir)
+
+
+@register(
+    "streaming_upsert_hourly",
+    _HOURLY_ORACLE,
+    "S7/T4: foreachBatch keyed MERGE upsert sink; converged table equals the "
+    "batch hourly aggregate.",
+)
+def streaming_upsert_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.streaming_upsert_hourly(spark, sf_dir)

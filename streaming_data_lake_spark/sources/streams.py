@@ -1,0 +1,61 @@
+"""Streaming sources over the engine's tables.
+
+The reference consumes Kafka/Avro (SURVEY.md S1); in this
+environment streams are file sources over the same parquet tables —
+the transformation layer is identical either way because every
+ingest/agg operator is a plain DataFrame→DataFrame function. A Kafka
+deployment would swap :func:`stream_table` for
+``spark.readStream.format("kafka")`` + ``from_avro`` (stripping the
+5-byte Confluent wire header) and nothing downstream changes.
+
+File streams require an explicit schema: we derive the *physical*
+schema (timestamps arrive as long nanos, as the parquet files are
+written) from the declared logical schema and normalize after read,
+exactly like the batch catalog loader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from streaming_data_lake_spark.catalog import TABLES, normalize_timestamps, table_path
+
+
+def physical_schema(spark: SparkSession, sf_dir: str, name: str) -> T.StructType:
+    """Observed physical schema of the table's parquet files (the
+    file stream source needs an explicit schema; timestamps may be
+    long nanos or TIMESTAMP_NTZ depending on how the files were
+    written — probe with a batch footer read)."""
+    return spark.read.parquet(table_path(sf_dir, name)).schema
+
+
+_STREAM_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _stream_dir(sf_dir: str, name: str) -> str:
+    """The file stream source requires a *directory* to monitor;
+    stage one containing a symlink to the (read-only) parquet file."""
+    import os
+    import tempfile
+
+    key = (sf_dir, name)
+    d = _STREAM_DIRS.get(key)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix=f"stream_{name}_")
+        os.symlink(table_path(sf_dir, name), os.path.join(d, f"{name}.parquet"))
+        _STREAM_DIRS[key] = d
+    return d
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``readStream`` over one logical table (file source)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    raw = (
+        spark.readStream.schema(physical_schema(spark, sf_dir, name))
+        .format("parquet")
+        .load(_stream_dir(sf_dir, name))
+    )
+    return normalize_timestamps(raw, name)

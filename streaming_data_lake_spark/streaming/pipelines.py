@@ -1,0 +1,155 @@
+"""Structured Streaming pipelines (SURVEY.md §2.7, §3.1-3.2).
+
+Every pipeline reuses the batch operator functions unchanged —
+the dual batch/streaming composition requirement — and runs here
+with the ``availableNow`` trigger (the reference's backfill/replay
+mode, T8) so a bounded input drives the stream to completion
+synchronously. In production the same code runs unbounded with
+``processingTime`` triggers and per-query checkpoints (T2).
+
+Pipelines:
+ - ingest: clean-events append stream (S6 analog)
+ - windowed aggregate in update mode (W2/T4)
+ - streaming dedup via dropDuplicates (A4 streaming form)
+ - stream-stream interval join with watermarks (J1)
+ - foreachBatch keyed upsert into a parquet table (S7/T4)
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_lake_spark.functions.parity import dsum
+from streaming_data_lake_spark.operators.ingest import clean_events
+from streaming_data_lake_spark.sources.streams import stream_table
+from streaming_data_lake_spark.sources.upsert import foreach_batch_upsert
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Run a bounded streaming query to completion into a memory sink
+    and return the sink contents as a DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def streaming_clean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion: the exact batch `clean_events` transform
+    under readStream, appended to the sink."""
+    src = stream_table(spark, sf_dir, "events")
+    return _run_to_memory(clean_events(src), "append")
+
+
+def streaming_hourly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate in update mode — the
+    continuously-updated keyed aggregate (W2/T4). With availableNow
+    over a bounded input, the final sink state equals the batch
+    hourly aggregate."""
+    src = stream_table(spark, sf_dir, "events")
+    agg = (
+        src.withWatermark("ts", "30 seconds")
+        .groupBy(F.window(F.col("ts"), "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, "update")
+
+
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: first occurrence per (user_id, event_type) —
+    the reference's pre-join dedup idiom in its streaming form."""
+    src = stream_table(spark, sf_dir, "events")
+    deduped = (
+        src.withWatermark("ts", "30 seconds")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(deduped, "append")
+
+
+def streaming_interval_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval inner join (J1): clicks ⋈ views on
+    user_id with views in [click - 10 min, click], watermarks on both
+    sides; joined pairs are then rolled up per day (batch agg over
+    the sink)."""
+    clicks = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "30 seconds")
+        .alias("c")
+    )
+    views = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "30 seconds")
+        .alias("v")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("v.user_id") == F.col("c.user_id"))
+        & (F.col("v.ts") >= F.col("c.ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("v.ts") <= F.col("c.ts")),
+    ).select(
+        F.col("c.ts").alias("click_ts"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.event_id").alias("view_id"),
+    )
+    pairs = _run_to_memory(joined, "append")
+    return pairs.groupBy(F.date_trunc("day", F.col("click_ts")).alias("event_day")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("click_id").alias("n_clicks_matched"),
+        F.countDistinct("view_id").alias("n_views_matched"),
+    )
+
+
+def streaming_upsert_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's upsert-sink pipeline (S7/T4): update-mode
+    windowed aggregate fed through foreachBatch MERGE into a keyed
+    parquet table; returns the converged table."""
+    table_dir = tempfile.mkdtemp(prefix="upsert_") + "/hourly_metrics"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    src = stream_table(spark, sf_dir, "events")
+    agg = (
+        src.withWatermark("ts", "30 seconds")
+        .groupBy(F.window(F.col("ts"), "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(foreach_batch_upsert(spark, table_dir, ["hour_start", "event_type"]))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(table_dir)

@@ -1,0 +1,106 @@
+"""Materializer passes M1-M6: full load, late-data repair, dimension-
+change repair, idempotency (SURVEY.md §2.8)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from streaming_data_lake_spark.plans.maintenance import compact_parquet, remove_orphans
+from streaming_data_lake_spark.plans.materialize import DimDependency, Materializer, MatTarget
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(rows, "id long, ts timestamp, k int, v double")
+    df.write.mode("append").parquet(path)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_m1_m2_m4_late_repair(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    src = os.path.join(lake, "src")
+    os.makedirs(lake, exist_ok=True)
+    _write_events(spark, src, [(1, _ts("2024-01-01 10:00:00"), 1, 1.0),
+                               (2, _ts("2024-01-01 11:00:00"), 2, 2.0)])
+    target = MatTarget("mat", lambda s: s.read.parquet(src), "ts")
+    m = Materializer(spark, lake)
+    log1 = m.run(target, lookback_hours=2)
+    assert "M1" in log1
+    assert m.read_mat("mat").count() == 2
+
+    # late row inside lookback + one new row
+    _write_events(spark, src, [(3, _ts("2024-01-01 10:30:00"), 3, 3.0),
+                               (4, _ts("2024-01-01 12:00:00"), 4, 4.0)])
+    log2 = m.run(target, lookback_hours=2)
+    assert log2["M2"].startswith("repaired")
+    assert log2["M4"] == "appended 1"
+    got = {r["id"] for r in m.read_mat("mat").collect()}
+    assert got == {1, 2, 3, 4}
+
+    # idempotent: rerun with no source change
+    log3 = m.run(target, lookback_hours=2)
+    assert log3["M2"] == "no drift" and log3["M4"] == "appended 0"
+    assert m.read_mat("mat").count() == 4
+
+
+def test_m3_dimension_change_repair(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake, exist_ok=True)
+    src = os.path.join(lake, "src")
+    dim_dir = os.path.join(lake, "dim")
+    _write_events(spark, src, [(1, _ts("2024-01-01 10:00:00"), 1, 1.0),
+                               (2, _ts("2024-01-01 11:00:00"), 2, 2.0)])
+    dim_v1 = spark.createDataFrame(
+        [(1, "one_v1", _ts("2020-01-01 00:00:00"), True),
+         (2, "two_v1", _ts("2020-01-01 00:00:00"), True)],
+        "k int, label string, valid_from timestamp, is_current boolean",
+    )
+    dim_v1.write.mode("overwrite").parquet(dim_dir)
+
+    def view(s):
+        facts = s.read.parquet(src)
+        dim = s.read.parquet(dim_dir).filter(F.col("is_current"))
+        return facts.join(F.broadcast(dim), "k", "left").select("id", "ts", "k", "label")
+
+    target = MatTarget(
+        "mat_enriched",
+        view,
+        "ts",
+        dims=(DimDependency(dim=lambda s: s.read.parquet(dim_dir), dim_key="k", fact_fk="k"),),
+    )
+    m = Materializer(spark, lake)
+    m.run(target)
+    assert {r["label"] for r in m.read_mat("mat_enriched").collect()} == {"one_v1", "two_v1"}
+
+    # SCD2 change: new current version of k=1 AFTER the watermark
+    dim_v2 = spark.createDataFrame(
+        [(1, "one_v1", _ts("2020-01-01 00:00:00"), False),
+         (1, "one_v2", _ts("2024-06-01 00:00:00"), True),
+         (2, "two_v1", _ts("2020-01-01 00:00:00"), True)],
+        "k int, label string, valid_from timestamp, is_current boolean",
+    )
+    dim_v2.write.mode("overwrite").parquet(dim_dir)
+    log = m.run(target)
+    assert log["M3:k"] == "repaired changed keys"
+    assert {r["label"] for r in m.read_mat("mat_enriched").collect()} == {"one_v2", "two_v1"}
+
+
+def test_maintenance_compact_and_orphans(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    tbl = os.path.join(lake, "t")
+    os.makedirs(lake, exist_ok=True)
+    spark.range(0, 1000).repartition(8).write.parquet(tbl)
+    n = compact_parquet(spark, tbl)
+    assert n == 1  # tiny table → single file
+    files = [f for f in os.listdir(tbl) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert spark.read.parquet(tbl).count() == 1000
+
+    os.makedirs(os.path.join(lake, "t__tmp_dead"), exist_ok=True)
+    removed = remove_orphans(lake)
+    assert removed == ["t__tmp_dead"]

@@ -1,0 +1,109 @@
+"""Operator-level invariants (the reference's operational checks as
+tests — SURVEY.md §5): complement partitioning, dedup determinism,
+LSH ⊇ high-similarity pairs, IVF recall, multimodal stub gating,
+drift detection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_data_lake_spark.catalog import check_drift, load_table
+from streaming_data_lake_spark.operators import ingest
+from streaming_data_lake_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    shingles,
+)
+from streaming_data_lake_spark.operators.multimodal import attach_fake_media, extract_media_features
+from streaming_data_lake_spark.operators.similarity import brute_force_knn, ivf_knn
+from tests.conftest import SF_DIR
+
+
+def test_clean_plus_rejected_partitions_input(spark):
+    """FIXTURES.md scenario 2: clean + rejected partition the input."""
+    events = load_table(spark, SF_DIR, "events")
+    n_all = events.count()
+    n_clean = ingest.clean_events(events).count()
+    n_rej = ingest.rejected_events(events).count()
+    assert n_clean + n_rej == n_all
+    assert n_clean > 0 and n_rej > 0
+
+
+def test_reject_reasons_prioritized(spark):
+    events = load_table(spark, SF_DIR, "events")
+    reasons = {
+        r["reject_reason"]
+        for r in ingest.rejected_events(events).select("reject_reason").distinct().collect()
+    }
+    assert reasons <= {"ERROR_EVENT", "NON_POSITIVE_VALUE", "UNKNOWN"}
+
+
+def test_shingle_count(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "id long, text string")
+    out = df.select(F.size(shingles(F.col("text"), 3)).alias("n")).collect()
+    assert out[0]["n"] == 3  # "a b c", "b c d", "c d e"
+    short = spark.createDataFrame([(1, "a b")], "id long, text string")
+    out = short.select(F.size(shingles(F.col("text"), 3)).alias("n")).collect()
+    assert out[0]["n"] == 0
+
+
+def test_lsh_candidates_catch_near_dups(spark):
+    """MinHash-LSH (16 hashes / 4 bands → S-curve threshold ≈0.7)
+    must catch near-identical pairs (j≈0.98 ⇒ collision probability
+    1-(1-j^4)^4 ≈ 1-4e-5; deterministic hashes make the outcome
+    fixed), and keep decent recall on j≥0.8 pairs."""
+    docs = load_table(spark, SF_DIR, "documents")
+    base_ids = [r["doc_id"] for r in docs.select("doc_id").orderBy("doc_id").limit(2).collect()]
+    dup = (
+        docs.filter(F.col("doc_id").isin(base_ids))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra token tail")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    corpus = docs.unionByName(dup)
+    cands = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(corpus).collect()
+    }
+    for bid in base_ids:
+        assert (bid, bid + 100000) in cands
+    high = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(corpus, threshold=0.8).collect()
+    }
+    assert high, "fixture should produce at least one j>=0.8 pair"
+    recall = len(high & cands) / len(high)
+    assert recall >= 0.5, f"LSH recall on j>=0.8 pairs too low: {recall}"
+
+
+def test_ivf_recall_positive(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    cents = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_knn(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_knn(emb, queries, cents, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.2, f"IVF recall suspiciously low: {recall}"
+
+
+def test_multimodal_stub_gate(spark):
+    media = attach_fake_media(load_table(spark, SF_DIR, "documents").limit(5))
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_media_features(media, decode_stub=False).collect()
+    rows = extract_media_features(media, decode_stub=True).collect()
+    assert len(rows) == 5
+    assert all(1 <= r["fake_width"] <= 640 for r in rows)
+
+
+def test_no_schema_drift(spark):
+    assert check_drift(spark, SF_DIR) == {}

@@ -1,0 +1,39 @@
+"""Streaming ⇄ batch equivalence on the bounded input (T8 replay
+semantics): the streaming pipelines must converge to the batch
+results."""
+
+from __future__ import annotations
+
+from streaming_data_lake_spark.catalog import load_table
+from streaming_data_lake_spark.operators.ingest import clean_events
+from streaming_data_lake_spark.streaming import pipelines
+from tests.conftest import SF_DIR
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_clean_matches_batch(spark):
+    batch = clean_events(load_table(spark, SF_DIR, "events"))
+    stream = pipelines.streaming_clean_events(spark, SF_DIR)
+    cols = batch.columns
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_streaming_upsert_converges(spark):
+    got = pipelines.streaming_upsert_hourly(spark, SF_DIR)
+    import pyspark.sql.functions as F
+
+    from streaming_data_lake_spark.functions.parity import dsum
+
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+        )
+    )
+    cols = ["hour_start", "event_type", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
