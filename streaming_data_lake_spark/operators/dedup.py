@@ -223,6 +223,97 @@ def ngram_jaccard_pairs(
     )
 
 
+def rh_weights(num_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane weights in [-1, 1],
+    derived from the portable md5-based hash so the DuckDB oracle can
+    regenerate them bit-for-bit: w(s, d) = ((h32(f"{s}:{d}") % 2001)
+    - 1000) / 1000.0."""
+    import hashlib
+
+    def h32py(x: str) -> int:
+        return int(hashlib.md5(x.encode()).hexdigest()[:8], 16)
+
+    return [
+        [((h32py(f"{s}:{d}") % 2001) - 1000) / 1000.0 for d in range(dim)]
+        for s in range(num_bits)
+    ]
+
+
+def embedding_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_bits: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH candidate pairs over an embedding
+    column: vectors sharing at least one band of sign bits.
+
+    Plan shape at scale: the signature is a narrow per-row projection
+    (num_bits dot products against broadcast literal weight arrays —
+    flat codegen, no shuffle), then explode to (band, key) and
+    self equi-join on the band bucket. Identical shape to
+    :func:`minhash_lsh_candidates`; no all-pairs comparison ever
+    materializes."""
+    from streaming_data_lake_spark.operators.similarity import dot
+
+    weights = rh_weights(num_bits, dim)
+    bits = [
+        F.when(dot(F.col(vec_col), F.array(*[F.lit(w) for w in ws])) >= 0, F.lit("1"))
+        .otherwise(F.lit("0"))
+        .alias(f"b{s}")
+        for s, ws in enumerate(weights)
+    ]
+    sig = df.select(F.col(id_col), *bits)
+    rpb = num_bits // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*[F.col(f"b{b * rpb + r}") for r in range(rpb)]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def embedding_cosine_near_dups(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_bits: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs: sign-LSH candidates verified with
+    exact cosine ≥ threshold. Returns (id_a, id_b, cosine_sim)."""
+    from streaming_data_lake_spark.operators.similarity import cosine
+
+    cand = embedding_lsh_candidates(df, id_col, vec_col, dim, num_bits, bands)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """SimHash fingerprint over whitespace tokens.
 

@@ -61,3 +61,93 @@ def materialize_incremental_clean_events(spark: SparkSession, sf_dir: str) -> Da
     batch2.write.mode("append").parquet(src_dir)  # late + new facts arrive
     mat.run(target, lookback_hours=4)  # M2 repair + M4 append
     return mat.read_mat("mat_events_clean")
+
+
+_TT_CUTOFF = "2024-01-20 00:00:00"
+
+_TIME_TRAVEL_ORACLE = f"""
+SELECT event_id, ts, user_id, event_type, value
+FROM events WHERE ts <= TIMESTAMP '{_TT_CUTOFF}'
+"""
+
+
+@register(
+    "time_travel_read_v1",
+    _TIME_TRAVEL_ORACLE,
+    "S10: snapshot versioning + time travel — two commits, read back "
+    "version 1 (the pre-cutoff state) after version 2 superseded it.",
+)
+def time_travel_read_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.sources.versioned import VersionedTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    cutoff = F.lit(_TT_CUTOFF).cast("timestamp")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_") + "/events_versioned")
+    vt.commit(events.filter(F.col("ts") <= cutoff), operation="append")
+    vt.commit(events, operation="overwrite")
+    return vt.read(version=1)
+
+
+_SNAPSHOTS_ORACLE = f"""
+SELECT 1 AS version, 'append' AS operation,
+       count(*) FILTER (ts <= TIMESTAMP '{_TT_CUTOFF}') AS n_rows FROM events
+UNION ALL
+SELECT 2 AS version, 'overwrite' AS operation, count(*) AS n_rows FROM events
+"""
+
+
+@register(
+    "snapshot_metadata",
+    _SNAPSHOTS_ORACLE,
+    "S10: the table$snapshots metadata view over the versioned table.",
+)
+def snapshot_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.sources.versioned import VersionedTable
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    cutoff = F.lit(_TT_CUTOFF).cast("timestamp")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_") + "/events_versioned")
+    vt.commit(events.filter(F.col("ts") <= cutoff), operation="append")
+    vt.commit(events, operation="overwrite")
+    return vt.snapshots()
+
+
+_COMPACTION_ORACLE = """
+SELECT 64 AS n_files_before, 1 AS n_files_after, count(*) AS n_rows FROM events
+"""
+
+
+@register(
+    "maintenance_compaction",
+    _COMPACTION_ORACLE,
+    "X1-X3: small-file compaction (64 fragments -> 128MB-target files) with "
+    "atomic swap + orphan sweep; row count is preserved.",
+)
+def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.plans.maintenance import (
+        compact_parquet,
+        remove_orphans,
+    )
+
+    def parquet_files(d: str) -> int:
+        return sum(
+            1
+            for f in os.listdir(d)
+            if f.endswith(".parquet") or f.startswith("part-")
+        )
+
+    lake = tempfile.mkdtemp(prefix="lake_")
+    tdir = os.path.join(lake, "events_small_files")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(64).write.mode("overwrite").parquet(tdir)
+    before = parquet_files(tdir)
+    compact_parquet(spark, tdir)
+    after = parquet_files(tdir)
+    remove_orphans(lake)
+    n_rows = spark.read.parquet(tdir).count()
+    return spark.createDataFrame(
+        [(before, after, n_rows)],
+        "n_files_before int, n_files_after int, n_rows long",
+    )

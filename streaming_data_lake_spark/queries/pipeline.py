@@ -488,3 +488,85 @@ FROM documents
 def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_fake_media(_t(spark, sf_dir, "documents"))
     return extract_media_features(media, decode_stub=True)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (sign-LSH candidates + exact verify)
+# ---------------------------------------------------------------------------
+
+_EMB_NEAR_DUP_THRESHOLD = 0.4
+_EMB_DIM = 64
+_EMB_BITS = 16
+_EMB_BANDS = 4
+
+
+def _duck_rh_bit(s: int, dim: int) -> str:
+    """DuckDB expression for sign bit s: left-fold dot product of the
+    embedding against the md5-derived hyperplane (same fold order and
+    double arithmetic as the Spark side, so signs match exactly)."""
+    w = (
+        f"((CAST('0x' || substring(md5('{s}:' || CAST(d - 1 AS VARCHAR)), 1, 8) AS BIGINT)"
+        f" % 2001) - 1000) / 1000.0"
+    )
+    p = (
+        f"list_reduce(list_transform(range(1, {dim + 1}),"
+        f" d -> CAST(embedding[d] AS DOUBLE) * ({w})), (x, y) -> x + y)"
+    )
+    return f"CASE WHEN {p} >= 0 THEN '1' ELSE '0' END"
+
+
+def _duck_emb_bands(num_bits: int, bands: int) -> str:
+    rpb = num_bits // bands
+    selects = []
+    for b in range(bands):
+        key = " || ".join(f"b{b * rpb + r}" for r in range(rpb))
+        selects.append(f"SELECT vec_id, {b} AS band, {key} AS key FROM sig")
+    return "\nUNION ALL\n".join(selects)
+
+
+_EMB_BIT_COLS = ",\n    ".join(
+    f"{_duck_rh_bit(s, _EMB_DIM)} AS b{s}" for s in range(_EMB_BITS)
+)
+
+_EMB_NEAR_DUP_ORACLE = f"""
+WITH sig AS (
+  SELECT vec_id,
+    {_EMB_BIT_COLS}
+  FROM embeddings
+),
+bands AS (
+{_duck_emb_bands(_EMB_BITS, _EMB_BANDS)}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         {_DUCK_DOT.format(a='ea.embedding', b='eb.embedding')}
+         / (sqrt({_DUCK_DOT.format(a='ea.embedding', b='ea.embedding')})
+            * sqrt({_DUCK_DOT.format(a='eb.embedding', b='eb.embedding')})) AS cosine_sim
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = id_a
+  JOIN embeddings eb ON eb.vec_id = id_b
+)
+SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {_EMB_NEAR_DUP_THRESHOLD}
+"""
+
+
+@register(
+    "embedding_cosine_near_dups",
+    _EMB_NEAR_DUP_ORACLE,
+    "Embedding near-dup: deterministic sign-LSH (16 bits, 4 bands) candidates "
+    "verified with exact cosine >= 0.4.",
+)
+def embedding_cosine_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.dedup import embedding_cosine_near_dups
+
+    return embedding_cosine_near_dups(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=_EMB_NEAR_DUP_THRESHOLD,
+        dim=_EMB_DIM,
+        num_bits=_EMB_BITS,
+        bands=_EMB_BANDS,
+    )

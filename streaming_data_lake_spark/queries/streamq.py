@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from streaming_data_lake_spark.queries import register
-from streaming_data_lake_spark.queries.core import _EVENTS_CLEAN_ORACLE
+from streaming_data_lake_spark.queries.core import _EVENTS_CLEAN_ORACLE, _FUNNEL_ORACLE
 from streaming_data_lake_spark.streaming import pipelines
 
 _HOURLY_ORACLE = """
@@ -72,6 +72,35 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_interval_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.streaming_interval_join_daily(spark, sf_dir)
+
+
+_FANOUT_ORACLE = """
+SELECT 'clean' AS sink, count(*) AS n_rows
+FROM events WHERE value > 0 AND event_type <> 'error'
+UNION ALL
+SELECT 'rejected' AS sink, count(*) AS n_rows
+FROM events WHERE NOT (value > 0 AND event_type <> 'error')
+"""
+
+
+@register(
+    "streaming_funnel_daily",
+    _FUNNEL_ORACLE,  # the batch funnel IS the oracle (two-path design, T6)
+    "J4 (streaming): chained stream-stream LEFT interval joins "
+    "(view→click≤10m→purchase≤60m); converges to the batch funnel.",
+)
+def streaming_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.streaming_funnel_daily(spark, sf_dir)
+
+
+@register(
+    "streaming_fanout_ingest",
+    _FANOUT_ORACLE,
+    "T5: one source read fanned out to clean+rejected sinks in a single "
+    "foreachBatch (statement-set source fusion).",
+)
+def streaming_fanout_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.streaming_fanout_ingest(spark, sf_dir)
 
 
 @register(

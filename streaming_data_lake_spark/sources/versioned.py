@@ -1,0 +1,98 @@
+"""Versioned parquet tables: snapshots + time travel (SURVEY.md S10).
+
+The reference exposes Iceberg snapshot metadata (``table$snapshots``)
+and time travel (``scripts/query-examples.sh:91-95``,
+``.design/adtech-data-playground.md:377-381``). On a Delta/Iceberg
+deployment this is ``VERSION AS OF`` / ``DESCRIBE HISTORY`` for free;
+neither format's runtime ships in this environment, so the same
+contract is implemented over plain parquet: every commit writes an
+immutable ``v{N}`` directory plus a row in a ``_snapshots`` metadata
+table.
+
+Scale notes: a commit is one atomic directory rename; readers of
+version N never see partial writes because ``v{N}`` appears only
+after the rename. Snapshot metadata is tiny (one row per commit).
+Historical versions are retained until :func:`expire_snapshots`
+(the X2 maintenance analog) removes them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedTable:
+    """A parquet table with numbered snapshot versions."""
+
+    def __init__(self, spark: SparkSession, table_dir: str):
+        self.spark = spark
+        self.table_dir = table_dir
+        os.makedirs(table_dir, exist_ok=True)
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.table_dir, "_snapshots.json")
+
+    def _read_meta(self) -> list[dict]:
+        if not os.path.exists(self._meta_path()):
+            return []
+        with open(self._meta_path()) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def latest_version(self) -> int:
+        meta = self._read_meta()
+        return meta[-1]["version"] if meta else 0
+
+    def commit(self, df: DataFrame, operation: str = "append") -> int:
+        """Write a new immutable snapshot; returns its version number.
+
+        ``operation`` is descriptive metadata (append/overwrite), as
+        in Iceberg's snapshot ``operation`` field; each snapshot holds
+        the FULL table contents (like an Iceberg snapshot's manifest
+        closure), so readers need exactly one version directory.
+        """
+        version = self.latest_version() + 1
+        tmp = os.path.join(self.table_dir, f"__tmp_{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        n_rows = self.spark.read.parquet(tmp).count()
+        final = os.path.join(self.table_dir, f"v{version}")
+        os.rename(tmp, final)
+        with open(self._meta_path(), "a") as f:
+            f.write(
+                json.dumps(
+                    {"version": version, "operation": operation, "n_rows": n_rows}
+                )
+                + "\n"
+            )
+        return version
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the table at ``version`` (time travel) or latest."""
+        v = self.latest_version() if version is None else version
+        path = os.path.join(self.table_dir, f"v{v}")
+        if not os.path.isdir(path):
+            raise ValueError(f"version {v} does not exist in {self.table_dir}")
+        return self.spark.read.parquet(path)
+
+    def snapshots(self) -> DataFrame:
+        """Snapshot metadata table: (version, operation, n_rows) —
+        the ``table$snapshots`` analog."""
+        meta = self._read_meta()
+        return self.spark.createDataFrame(
+            [(m["version"], m["operation"], m["n_rows"]) for m in meta],
+            "version int, operation string, n_rows long",
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """X2 analog: drop all but the newest ``keep_last`` versions'
+        data directories (metadata rows are kept, as Iceberg keeps
+        history of expired snapshots in the metadata log)."""
+        versions = [m["version"] for m in self._read_meta()]
+        expired = versions[:-keep_last] if keep_last else versions
+        for v in expired:
+            shutil.rmtree(os.path.join(self.table_dir, f"v{v}"), ignore_errors=True)
+        return expired

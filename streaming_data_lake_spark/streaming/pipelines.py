@@ -123,6 +123,133 @@ def streaming_interval_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def streaming_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: the reference's chained LEFT interval-join funnel
+    (funnel_jobs.sql:54-63) re-expressed Spark-first as
+    view → click (≤10 min) → purchase (≤60 min).
+
+    A literal chain of stream-stream LEFT joins is unsound in Spark:
+    the second join's event-time key (click ts) is NULL for unmatched
+    views, and NULL-event-time rows can never be watermark-evicted —
+    verified empirically: the outer state sits in the store forever
+    and only inner matches are ever emitted. The Spark-idiomatic
+    decomposition runs the two INNER interval joins as streaming
+    stages (inner matches emit within the micro-batch that completes
+    them; no terminal-state problem), then assembles the LEFT
+    semantics with batch equi-joins over the converged pair sinks —
+    the same fast-path/truth-path split the reference itself uses for
+    the funnel (SURVEY.md T6, .design:2023-2041).
+
+    Equivalence: the oracle's 2nd LEFT join condition references only
+    click columns, so its matches are exactly the (click, purchase)
+    inner pairs keyed by click_id; NULL click_ids match nothing.
+    Joining views LEFT→(view,click) pairs LEFT→(click,purchase) pairs
+    reproduces the chained cardinality row-for-row."""
+
+    def staged(t: str) -> DataFrame:
+        return (
+            stream_table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == t)
+            .withWatermark("ts", "30 seconds")
+        )
+
+    vc = (
+        staged("view")
+        .alias("v")
+        .join(
+            staged("click").alias("c"),
+            (F.col("c.user_id") == F.col("v.user_id"))
+            & (F.col("c.ts") >= F.col("v.ts"))
+            & (F.col("c.ts") <= F.col("v.ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select(
+            F.col("v.event_id").alias("view_id"),
+            F.col("c.event_id").alias("click_id"),
+        )
+    )
+    cp = (
+        staged("click")
+        .alias("c")
+        .join(
+            staged("purchase").alias("p"),
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("p.ts") >= F.col("c.ts"))
+            & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 60 MINUTES")),
+        )
+        .select(
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.event_id").alias("purchase_id"),
+        )
+    )
+    vc_pairs = _run_to_memory(vc, "append")
+    cp_pairs = _run_to_memory(cp, "append").withColumnRenamed("click_id", "cp_click_id")
+
+    views = _run_to_memory(
+        staged("view").select(
+            F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+        ),
+        "append",
+    )
+    rows = views.join(vc_pairs, "view_id", "left").join(
+        cp_pairs, F.col("click_id") == F.col("cp_click_id"), "left"
+    )
+    agg = rows.groupBy(F.date_trunc("day", F.col("view_ts")).alias("event_day")).agg(
+        F.countDistinct("view_id").alias("n_views"),
+        F.countDistinct("click_id").alias("n_clicks"),
+        F.countDistinct("purchase_id").alias("n_purchases"),
+    )
+    ctr = F.when(
+        F.col("n_views") > 0,
+        F.col("n_clicks").cast("double") / F.col("n_views").cast("double"),
+    ).otherwise(F.lit(0.0))
+    pr = F.when(
+        F.col("n_clicks") > 0,
+        F.col("n_purchases").cast("double") / F.col("n_clicks").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "event_day",
+        "n_views",
+        "n_clicks",
+        "n_purchases",
+        ctr.alias("click_through_rate"),
+        pr.alias("purchase_rate"),
+    )
+
+
+def streaming_fanout_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: the reference's statement-set source fusion — ONE source
+    read fanned out to multiple sinks inside a single foreachBatch
+    (clean and rejected partitions land atomically per micro-batch).
+    Returns per-sink row counts."""
+    from streaming_data_lake_spark.operators.ingest import rejected_events
+
+    base = tempfile.mkdtemp(prefix="fanout_")
+    clean_dir, rej_dir = f"{base}/events_clean", f"{base}/events_rejected"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+
+    def fan_out(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            clean_events(batch_df).write.mode("append").parquet(clean_dir)
+            rejected_events(batch_df).write.mode("append").parquet(rej_dir)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream_table(spark, sf_dir, "events")
+        .writeStream.foreachBatch(fan_out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    clean_n = spark.read.parquet(clean_dir).count()
+    rej_n = spark.read.parquet(rej_dir).count()
+    return spark.createDataFrame(
+        [("clean", clean_n), ("rejected", rej_n)], "sink string, n_rows long"
+    )
+
+
 def streaming_upsert_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's upsert-sink pipeline (S7/T4): update-mode
     windowed aggregate fed through foreachBatch MERGE into a keyed

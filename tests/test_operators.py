@@ -107,3 +107,34 @@ def test_multimodal_stub_gate(spark):
 
 def test_no_schema_drift(spark):
     assert check_drift(spark, SF_DIR) == {}
+
+
+def test_versioned_table_lifecycle(spark, tmp_path):
+    from streaming_data_lake_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    df = load_table(spark, SF_DIR, "events").limit(100)
+    v1 = vt.commit(df.limit(40), operation="append")
+    v2 = vt.commit(df, operation="overwrite")
+    assert (v1, v2) == (1, 2)
+    assert vt.read(version=1).count() == 40
+    assert vt.read().count() == 100
+    snaps = {r["version"]: r["n_rows"] for r in vt.snapshots().collect()}
+    assert snaps == {1: 40, 2: 100}
+    assert vt.expire_snapshots(keep_last=1) == [1]
+    assert vt.read().count() == 100  # latest untouched
+    with pytest.raises(Exception, match="does not exist"):
+        vt.read(version=1)
+
+
+def test_embedding_lsh_candidates_subset_of_pairs(spark):
+    from streaming_data_lake_spark.operators.dedup import (
+        embedding_cosine_near_dups,
+        embedding_lsh_candidates,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cand = embedding_lsh_candidates(emb).collect()
+    assert all(r["id_a"] < r["id_b"] for r in cand)
+    dups = embedding_cosine_near_dups(emb, threshold=0.3)
+    assert all(r["cosine_sim"] >= 0.3 for r in dups.collect())
