@@ -31,10 +31,12 @@ HEADLINE = [
     "event_quality_spine_hourly",  # multi-source union spine
     "dedup_exact_text",         # exact dedup on documents
     "minhash_lsh_near_dups",    # MinHash+LSH near-dup
+    "embedding_cosine_near_dups",  # sign-LSH embedding near-dup
     "knn_bruteforce_cosine",    # ANN brute-force top-k
     "knn_ivf_cosine",           # ANN IVF-bucketed top-k
     "token_counts",             # text analysis
     "streaming_upsert_hourly",  # streaming replay + MERGE upsert
+    "streaming_funnel_daily",   # streaming interval-join funnel
     "materialize_incremental_clean_events",  # incremental materializer
 ]
 

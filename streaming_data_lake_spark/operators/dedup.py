@@ -245,7 +245,7 @@ def embedding_lsh_candidates(
     vec_col: str = "embedding",
     dim: int = 64,
     num_bits: int = 16,
-    bands: int = 4,
+    bands: int = 2,
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH candidate pairs over an embedding
     column: vectors sharing at least one band of sign bits.
@@ -259,8 +259,10 @@ def embedding_lsh_candidates(
     from streaming_data_lake_spark.operators.similarity import dot
 
     weights = rh_weights(num_bits, dim)
+    # One F.lit per hyperplane (array literal), not one per component —
+    # 16 driver→JVM calls instead of 1024.
     bits = [
-        F.when(dot(F.col(vec_col), F.array(*[F.lit(w) for w in ws])) >= 0, F.lit("1"))
+        F.when(dot(F.col(vec_col), F.lit(ws)) >= 0, F.lit("1"))
         .otherwise(F.lit("0"))
         .alias(f"b{s}")
         for s, ws in enumerate(weights)
@@ -297,7 +299,7 @@ def embedding_cosine_near_dups(
     vec_col: str = "embedding",
     dim: int = 64,
     num_bits: int = 16,
-    bands: int = 4,
+    bands: int = 2,
 ) -> DataFrame:
     """Embedding near-dup pairs: sign-LSH candidates verified with
     exact cosine ≥ threshold. Returns (id_a, id_b, cosine_sim)."""

@@ -513,34 +513,33 @@ LEFT JOIN s ON s.h = spine.hour_start
     "(the dq_event_quality_hourly shape, aggregation_jobs.sql:84-228).",
 )
 def event_quality_spine_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-first plan for the union-spine shape: the spine of
+    distinct hours and the 4 per-type aggregates are all derivable
+    from ONE groupBy(hour, type) — a literal translation would scan
+    the fact table 8 times (4 spine branches + 4 agg subqueries,
+    verified via explain); this form scans it once, shuffles once on
+    (hour, type), and pivots the tiny aggregated frame. Identical
+    output to the oracle's union+left-join formulation: every spine
+    hour has ≥1 event of some tracked type, so the groupBy covers
+    exactly the spine, and absent (hour, type) cells surface as NULLs
+    → coalesced to 0 just like the failed left joins."""
     e = _t(spark, sf_dir, "events")
-    hour = F.date_trunc("hour", F.col("ts"))
-
-    def per_type(t: str) -> DataFrame:
-        return (
-            e.filter(F.col("event_type") == t)
-            .groupBy(hour.alias("h"))
-            .agg(
-                F.count(F.lit(1)).alias(f"{t}_count"),
-                F.countDistinct("user_id").alias(f"{t}_users"),
-            )
+    types = ["view", "click", "purchase", "signup"]
+    per = (
+        e.filter(F.col("event_type").isin(types))
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
         )
-
-    spines = [
-        e.filter(F.col("event_type") == t).select(hour.alias("hour_start"))
-        for t in ("view", "click", "purchase", "signup")
-    ]
-    spine = spines[0]
-    for s in spines[1:]:
-        spine = spine.union(s)
-    spine = spine.distinct()
-
-    out = spine
-    for t in ("view", "click", "purchase", "signup"):
-        agg = per_type(t)
-        out = out.join(agg, out.hour_start == agg.h, "left").drop("h")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+    piv = per.groupBy("hour_start").pivot("event_type", types).agg(
+        F.first("count").alias("count"), F.first("users").alias("users")
+    )
     zero = F.lit(0).cast("long")
-    out = out.select(
+    out = piv.select(
         "hour_start",
         *[
             F.coalesce(F.col(f"{t}_{m}"), zero).alias(f"{t}_{m}")
@@ -996,4 +995,46 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# P10/P12 — prioritized LIKE-pattern classifier (incl. `_` wildcard)
+# ---------------------------------------------------------------------------
+
+_LIKE_CLASS_ORACLE = """
+SELECT
+  CASE WHEN source LIKE 'src1_' THEN 'double_digit'
+       WHEN source LIKE 'src_' THEN 'single_digit'
+       ELSE 'other' END AS source_class,
+  count(*) AS n_docs,
+  count(DISTINCT lang) AS n_langs,
+  min(split_part(trim(text), ' ', 1)) AS first_token_min
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "like_pattern_source_classes",
+    _LIKE_CLASS_ORACLE,
+    "P10/P12: prioritized LIKE classification with the SQL `_` single-char "
+    "wildcard (src1_ = src10..src19, src_ = src1..src9) + element_at.",
+)
+def like_pattern_source_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    cls = (
+        F.when(F.col("source").like("src1_"), "double_digit")
+        .when(F.col("source").like("src_"), "single_digit")
+        .otherwise("other")
+    )
+    first_tok = F.element_at(F.split(F.trim(F.col("text")), " "), 1)
+    return (
+        d.select(cls.alias("source_class"), "lang", first_tok.alias("ft"))
+        .groupBy("source_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("ft").alias("first_token_min"),
+        )
     )

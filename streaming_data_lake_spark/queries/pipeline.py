@@ -497,7 +497,7 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_NEAR_DUP_THRESHOLD = 0.4
 _EMB_DIM = 64
 _EMB_BITS = 16
-_EMB_BANDS = 4
+_EMB_BANDS = 2
 
 
 def _duck_rh_bit(s: int, dim: int) -> str:
@@ -557,7 +557,7 @@ SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {_EMB_NEAR_DUP_THR
 @register(
     "embedding_cosine_near_dups",
     _EMB_NEAR_DUP_ORACLE,
-    "Embedding near-dup: deterministic sign-LSH (16 bits, 4 bands) candidates "
+    "Embedding near-dup: deterministic sign-LSH (16 bits, 2 x 8-bit bands) candidates "
     "verified with exact cosine >= 0.4.",
 )
 def embedding_cosine_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
