@@ -20,6 +20,9 @@ Passes per run:
    (materialize.sh:175-224).
  - M4  pass 2 append: INSERT view rows with ts > watermark
    (materialize.sh:226-241).
+ - M5  pass 3 EXISTS repair: rows whose funnel flags were false at
+   materialization time but whose downstream event has since arrived
+   are deleted + re-inserted (materialize.sh:243-321).
  - M6  watermark upsert.
 
 Row-level DELETE is emulated with read-filter-overwrite on parquet;
@@ -54,11 +57,23 @@ class DimDependency:
 
 
 @dataclass(frozen=True)
+class ExistsRepair:
+    """M5 spec: mat rows whose ``flag_cols`` were false at
+    materialization time but have since flipped true in the view
+    (a downstream event arrived late) are deleted and re-inserted —
+    the reference's funnel-repair pass (materialize.sh:243-321)."""
+
+    key_col: str
+    flag_cols: tuple[str, ...]
+
+
+@dataclass(frozen=True)
 class MatTarget:
     name: str
     view: Callable[[SparkSession], DataFrame]
     ts_col: str
     dims: tuple[DimDependency, ...] = field(default_factory=tuple)
+    exists_repair: ExistsRepair | None = None
 
 
 class Materializer:
@@ -145,6 +160,37 @@ class Materializer:
             if n_new:
                 new_rows.write.mode("append").parquet(mat_dir)
             log["M4"] = f"appended {n_new}"
+
+            # M5 — pass 3: EXISTS repair (funnel flag flips). A late
+            # downstream event changes an already-materialized row's
+            # CONTENT without changing the window's row count, so M2
+            # never sees it; compare flags row-by-row instead.
+            if target.exists_repair is not None:
+                er = target.exists_repair
+                mat = self.read_mat(target.name)
+                flips = [
+                    (~F.col(f"m.{c}")) & F.col(f"v.{c}") for c in er.flag_cols
+                ]
+                flip_any = flips[0]
+                for f in flips[1:]:
+                    flip_any = flip_any | f
+                changed = (
+                    mat.alias("m")
+                    .join(
+                        view.alias("v"),
+                        F.col(f"m.{er.key_col}") == F.col(f"v.{er.key_col}"),
+                    )
+                    .filter(flip_any)
+                    .select(F.col(f"m.{er.key_col}").alias(er.key_col))
+                    .distinct()
+                )
+                if changed.isEmpty():
+                    log["M5"] = "no flag flips"
+                else:
+                    keep = mat.join(changed, on=er.key_col, how="left_anti")
+                    reinsert = view.join(changed, on=er.key_col, how="left_semi")
+                    self._overwrite(mat_dir, keep.unionByName(reinsert))
+                    log["M5"] = "repaired flipped keys"
 
         # M6 — watermark upsert
         max_ts = view.agg(F.max(ts)).collect()[0][0]

@@ -151,3 +151,168 @@ def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(before, after, n_rows)],
         "n_files_before int, n_files_after int, n_rows long",
     )
+
+
+# ---------------------------------------------------------------------------
+# M3 — dimension-change repair
+# ---------------------------------------------------------------------------
+
+_DIM_REPAIR_ORACLE = """
+SELECT event_id, ts, user_id, user_id % 10 AS user_bucket,
+       CASE WHEN user_id % 10 < 3
+            THEN 'tier_' || CAST(user_id % 10 AS VARCHAR) || '_v2'
+            ELSE 'tier_' || CAST(user_id % 10 AS VARCHAR) || '_v1' END AS tier_label
+FROM events
+"""
+
+
+@register(
+    "materialize_dim_change_repair",
+    _DIM_REPAIR_ORACLE,
+    "M3: SCD2 dim gains new versions (valid_from > watermark) between cycles; "
+    "pass 1 deletes+reinserts mat rows carrying the changed FKs.",
+)
+def materialize_dim_change_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from streaming_data_lake_spark.plans.materialize import (
+        DimDependency,
+        Materializer,
+        MatTarget,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+    batch1 = events.filter(F.col("ts") <= cutoff)
+    batch2 = events.filter(F.col("ts") > cutoff)
+
+    lake = tempfile.mkdtemp(prefix="lake_")
+    src_dir = os.path.join(lake, "events_src")
+    dim_dir = os.path.join(lake, "dim_tier")
+    batch1.write.mode("overwrite").parquet(src_dir)
+
+    t0 = dt.datetime(2020, 1, 1)
+    dim_v1 = [(b, f"tier_{b}_v1", t0, None, True) for b in range(10)]
+    dim_schema = (
+        "bucket long, tier_label string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean"
+    )
+    spark.createDataFrame(dim_v1, dim_schema).write.mode("overwrite").parquet(dim_dir)
+
+    def view(s: SparkSession) -> DataFrame:
+        ev = s.read.parquet(src_dir)
+        dim = F.broadcast(s.read.parquet(dim_dir).filter(F.col("is_current")))
+        return (
+            ev.withColumn("user_bucket", F.col("user_id") % 10)
+            .join(dim, F.col("user_bucket") == F.col("bucket"), "left")
+            .select("event_id", "ts", "user_id", "user_bucket", "tier_label")
+        )
+
+    target = MatTarget(
+        name="mat_events_tiered",
+        view=view,
+        ts_col="ts",
+        dims=(
+            DimDependency(
+                dim=lambda s: s.read.parquet(dim_dir),
+                dim_key="bucket",
+                fact_fk="user_bucket",
+            ),
+        ),
+    )
+    mat = Materializer(spark, lake)
+    mat.run(target)  # M1 full load under dim v1
+
+    # SCD2 change: buckets 0-2 get a v2 version effective after the
+    # watermark; the old version is closed out.
+    t1 = dt.datetime(2024, 1, 21, 0, 0, 0)
+    dim_v2 = []
+    for b in range(10):
+        if b < 3:
+            dim_v2.append((b, f"tier_{b}_v1", t0, t1, False))
+            dim_v2.append((b, f"tier_{b}_v2", t1, None, True))
+        else:
+            dim_v2.append((b, f"tier_{b}_v1", t0, None, True))
+    spark.createDataFrame(dim_v2, dim_schema).write.mode("overwrite").parquet(dim_dir)
+    batch2.write.mode("append").parquet(src_dir)
+
+    mat.run(target)  # M3 repairs buckets 0-2, M4 appends new facts
+    return mat.read_mat("mat_events_tiered")
+
+
+# ---------------------------------------------------------------------------
+# M5 — EXISTS repair (late downstream events flip funnel flags)
+# ---------------------------------------------------------------------------
+
+_EXISTS_REPAIR_ORACLE = """
+WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+     c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT v.event_id, v.ts, v.user_id,
+       count(c.ts) AS n_clicks,
+       count(c.ts) > 0 AS has_click
+FROM v LEFT JOIN c
+  ON c.user_id = v.user_id AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '10 minutes'
+GROUP BY v.event_id, v.ts, v.user_id
+"""
+
+
+@register(
+    "materialize_funnel_exists_repair",
+    _EXISTS_REPAIR_ORACLE,
+    "M5: late clicks flip has_click on already-materialized view rows without "
+    "changing window counts (so M2 is blind); pass 3 detects flag flips "
+    "row-by-row and deletes+reinserts the affected keys.",
+)
+def materialize_funnel_exists_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.plans.materialize import (
+        ExistsRepair,
+        Materializer,
+        MatTarget,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+    late_clicks = (
+        (F.col("event_type") == "click")
+        & (F.col("ts") > cutoff - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("ts") <= cutoff)
+    )
+    batch1 = events.filter((F.col("ts") <= cutoff) & ~late_clicks)
+    batch2 = events.filter((F.col("ts") > cutoff) | late_clicks)
+
+    lake = tempfile.mkdtemp(prefix="lake_")
+    src_dir = os.path.join(lake, "events_src")
+    batch1.write.mode("overwrite").parquet(src_dir)
+
+    def view(s: SparkSession) -> DataFrame:
+        ev = s.read.parquet(src_dir)
+        v = ev.filter(F.col("event_type") == "view").select("event_id", "ts", "user_id")
+        c = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
+        )
+        j = v.join(
+            c,
+            (F.col("c_user_id") == F.col("user_id"))
+            & (F.col("c_ts") >= F.col("ts"))
+            & (F.col("c_ts") <= F.col("ts") + F.expr("INTERVAL 10 MINUTES")),
+            "left",
+        )
+        return (
+            j.groupBy("event_id", "ts", "user_id")
+            .agg(F.count(F.col("c_ts")).alias("n_clicks"))
+            .withColumn("has_click", F.col("n_clicks") > 0)
+        )
+
+    target = MatTarget(
+        name="mat_view_funnel_flags",
+        view=view,
+        ts_col="ts",
+        exists_repair=ExistsRepair(key_col="event_id", flag_cols=("has_click",)),
+    )
+    mat = Materializer(spark, lake)
+    mat.run(target)  # M1: some has_click=false rows are wrong (clicks missing)
+    batch2.write.mode("append").parquet(src_dir)
+    mat.run(target)  # M4 appends post-cutoff views; M5 repairs flipped flags
+    return mat.read_mat("mat_view_funnel_flags")

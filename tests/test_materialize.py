@@ -104,3 +104,45 @@ def test_maintenance_compact_and_orphans(spark, tmp_path):
     os.makedirs(os.path.join(lake, "t__tmp_dead"), exist_ok=True)
     removed = remove_orphans(lake)
     assert removed == ["t__tmp_dead"]
+
+
+def test_m5_exists_repair_flag_flip(spark, tmp_path):
+    from streaming_data_lake_spark.plans.materialize import ExistsRepair
+
+    lake = str(tmp_path / "lake")
+    src = os.path.join(lake, "src")
+    os.makedirs(lake, exist_ok=True)
+    # facts: (id, ts, k) where k encodes a downstream-event count table
+    down = os.path.join(lake, "down")
+    _write_events(spark, src, [(1, _ts("2024-01-01 10:00:00"), 1, 1.0),
+                               (2, _ts("2024-01-01 11:00:00"), 2, 2.0)])
+    spark.createDataFrame([(99, 0)], "fact_id long, dummy int").write.mode(
+        "overwrite"
+    ).parquet(down)
+
+    def view(s):
+        ev = s.read.parquet(src)
+        d = s.read.parquet(down).select(F.col("fact_id").alias("id"),
+                                        F.lit(True).alias("has_down"))
+        return (ev.join(d, "id", "left")
+                .withColumn("has_down", F.coalesce(F.col("has_down"), F.lit(False))))
+
+    target = MatTarget(
+        "mat_flags", view, "ts",
+        exists_repair=ExistsRepair(key_col="id", flag_cols=("has_down",)),
+    )
+    m = Materializer(spark, lake)
+    m.run(target)
+    assert {r["id"]: r["has_down"] for r in m.read_mat("mat_flags").collect()} == {
+        1: False, 2: False}
+
+    # the downstream event for fact 1 arrives late → flag must flip
+    spark.createDataFrame([(1, 0)], "fact_id long, dummy int").write.mode(
+        "append"
+    ).parquet(down)
+    log = m.run(target)
+    assert log["M5"] == "repaired flipped keys"
+    assert {r["id"]: r["has_down"] for r in m.read_mat("mat_flags").collect()} == {
+        1: True, 2: False}
+    # idempotent: a third run does nothing
+    assert m.run(target)["M5"] == "no flag flips"
