@@ -134,6 +134,34 @@ def minhash_signatures(
     )
 
 
+def _self_join_band_pairs(banded: DataFrame, id_col: str) -> DataFrame:
+    """Self-join a (id, band, band_key) frame into candidate pairs.
+
+    The signature subtree executes once per join side (Spark does not
+    reuse subplans through a broadcast join). Measured at sf0.1 that
+    is FASTER than persist + eager materialization — the signatures
+    are a narrow codegen'd pipeline and one side broadcasts, whereas
+    caching forces a materialization barrier and a shuffled join
+    (9.0s vs 6.1s end-to-end). On a cluster-scale corpus the right
+    structure is different again: write the signature table once,
+    then self-join that table — which also makes the band key a
+    bucketing column so the join is co-located."""
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -162,21 +190,7 @@ def minhash_lsh_candidates(
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
+    return _self_join_band_pairs(banded, id_col)
 
 
 def ngram_jaccard_pairs(
@@ -279,17 +293,7 @@ def embedding_lsh_candidates(
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return _self_join_band_pairs(banded, id_col)
 
 
 def embedding_cosine_near_dups(

@@ -1038,3 +1038,70 @@ def like_pattern_source_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ft").alias("first_token_min"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# P1/P4/P5 — nested array<struct> construction + double UNNEST round trip
+# ---------------------------------------------------------------------------
+
+_NESTED_ROUNDTRIP_ORACLE = """
+SELECT o_custkey,
+       count(DISTINCT o_orderkey) AS n_orders,
+       count(*) AS n_lines,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       max(l_linenumber) AS max_linenumber
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_custkey
+"""
+
+
+@register(
+    "nested_double_unnest_roundtrip",
+    _NESTED_ROUNDTRIP_ORACLE,
+    "P1/P4/P5: build customer→orders[]→lines[] nested array<struct> "
+    "(the reference's seatbid[].bid[] shape), double-explode it back, "
+    "project nested fields, aggregate — exact round trip.",
+)
+def nested_double_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds the reference's doubly-nested wire shape
+    (seatbid ARRAY<ROW< bid ARRAY<ROW<...>> >>, create_tables.sql:87-105)
+    from flat tables, then flattens it exactly like insert_jobs.sql's
+    double UNNEST (:198-199) and aggregates. Proves ArrayType(Struct)
+    construction, chained explode, and nested-field projection agree
+    with the flat computation bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lines_per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+            )
+        ).alias("lines")
+    )
+    nested = (
+        o.join(lines_per_order, o.o_orderkey == lines_per_order.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("o_orderkey", "lines"))).alias(
+                "orders"
+            )
+        )
+    )
+    # double UNNEST: explode orders[], then each order's lines[]
+    flat = (
+        nested.select("o_custkey", F.explode("orders").alias("ord"))
+        .select("o_custkey", F.col("ord.o_orderkey").alias("o_orderkey"),
+                F.explode("ord.lines").alias("line"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("line.l_linenumber").alias("l_linenumber"),
+            F.col("line.l_quantity").alias("l_quantity"),
+        )
+    )
+    return flat.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(F.col("l_quantity"), "decimal(18,2)").alias("sum_qty"),
+        F.max("l_linenumber").alias("max_linenumber"),
+    )

@@ -37,3 +37,27 @@ def test_streaming_upsert_converges(spark):
     )
     cols = ["hour_start", "event_type", "n_events", "total_value"]
     assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_kafka_avro_gate(spark):
+    """The Kafka/Avro source either builds a valid plan (when the
+    packages exist) or raises the documented guidance error."""
+    import pytest as _pytest
+
+    from streaming_data_lake_spark.sources.kafka_avro import kafka_avro_stream
+
+    try:
+        kafka_avro_stream(spark, "localhost:9092", "t", '{"type":"string"}')
+    except RuntimeError as exc:
+        assert "spark-avro" in str(exc) or "spark-sql-kafka" in str(exc)
+    except Exception:
+        _pytest.fail("unexpected error type from kafka_avro_stream gate")
+
+
+def test_strip_confluent_header(spark):
+    from streaming_data_lake_spark.sources.kafka_avro import strip_confluent_header
+
+    df = spark.createDataFrame(
+        [(bytearray(b"\x00\x00\x00\x00\x01payload"),)], "value binary"
+    ).select(strip_confluent_header().alias("p"))
+    assert bytes(df.first()["p"]) == b"payload"
