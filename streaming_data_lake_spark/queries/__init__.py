@@ -39,6 +39,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 def all_queries() -> dict[str, Query]:
     # Import side-effect modules that populate REGISTRY.
-    from streaming_data_lake_spark.queries import core, pipeline, streamq, matq  # noqa: F401
+    from streaming_data_lake_spark.queries import (  # noqa: F401
+        core,
+        matq,
+        pipeline,
+        platform,
+        streamq,
+    )
 
     return dict(REGISTRY)

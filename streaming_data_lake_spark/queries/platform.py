@@ -1,0 +1,172 @@
+"""Platform-layer queries: SQL-over-views entry point (§3.3),
+deterministic dimension seeding (S8), and skew-mitigation operators —
+each oracle-checked like every other registry entry.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_lake_spark.catalog import load_table
+from streaming_data_lake_spark.functions.parity import dsum
+from streaming_data_lake_spark.queries import register
+
+
+# ---------------------------------------------------------------------------
+# §3.3 — ad-hoc SQL over the registered view layer
+# ---------------------------------------------------------------------------
+
+_SQL_VIEWS_ORACLE = """
+SELECT date_trunc('hour', ts) AS event_hour,
+       count(*) AS n_purchases,
+       count(DISTINCT user_id) AS n_buyers
+FROM events
+WHERE value > 0 AND event_type = 'purchase'
+GROUP BY 1
+ORDER BY n_purchases DESC, event_hour ASC
+LIMIT 15
+"""
+
+
+@register(
+    "sql_over_views_adhoc",
+    _SQL_VIEWS_ORACLE,
+    "§3.3: ad-hoc spark.sql over the registered v_* view layer (the "
+    "Trino-CLI/Superset entry path).",
+)
+def sql_over_views_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark import views
+
+    return views.sql(
+        spark,
+        sf_dir,
+        """
+        SELECT event_hour,
+               count(*) AS n_purchases,
+               count(DISTINCT user_id) AS n_buyers
+        FROM v_events_clean
+        WHERE event_class = 'Revenue'
+        GROUP BY event_hour
+        ORDER BY n_purchases DESC, event_hour ASC
+        LIMIT 15
+        """,
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8 — deterministic SCD2 dimension seeding + hierarchy enrichment
+# ---------------------------------------------------------------------------
+
+_SEEDED_DIM_ORACLE = """
+SELECT CASE user_id % 10 % 3 WHEN 0 THEN 'casual'
+                             WHEN 1 THEN 'regular'
+                             ELSE 'power' END AS segment_name,
+       count(*) AS n_events,
+       count(DISTINCT user_id % 10) AS n_tiers,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register(
+    "seeded_dim_hierarchy_enrichment",
+    _SEEDED_DIM_ORACLE,
+    "S8/J6: idempotently-seeded deterministic SCD2 hierarchy (tier → segment) "
+    "joined through is_current, rolled up per segment.",
+)
+def seeded_dim_hierarchy_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.datagen import seed_dimensions
+
+    lake = tempfile.mkdtemp(prefix="dims_")
+    log1 = seed_dimensions(spark, lake)
+    log2 = seed_dimensions(spark, lake)  # idempotent second call
+    assert log2 == {k: "skipped (non-empty)" for k in log1}
+
+    tier = F.broadcast(
+        spark.read.parquet(os.path.join(lake, "dim_tier")).filter("is_current")
+    )
+    seg = F.broadcast(
+        spark.read.parquet(os.path.join(lake, "dim_segment")).filter("is_current")
+    )
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "bucket", F.col("user_id") % 10
+    )
+    return (
+        e.join(tier, "bucket")
+        .join(seg, "segment_id")
+        .groupBy("segment_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("bucket").alias("n_tiers"),
+            dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation — salted two-phase aggregation + replicated join
+# ---------------------------------------------------------------------------
+
+_SALTED_AGG_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "salted_skew_aggregation",
+    _SALTED_AGG_ORACLE,
+    "Skew path: 5 hot keys aggregated via salted two-phase groupBy "
+    "(key,salt partials -> combine); equals the direct aggregate exactly.",
+)
+def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.skew import salt_expr, salted_two_phase_agg
+
+    e = load_table(spark, sf_dir, "events")
+    return salted_two_phase_agg(
+        e,
+        keys=["event_type"],
+        salt=salt_expr("event_id", 16),
+        counts=[("n_events", "*")],
+        sums=[(F.col("value").cast("decimal(12,2)"), "total_value")],
+    ).withColumn("total_value", F.col("total_value").cast("double"))
+
+
+_REPL_JOIN_ORACLE = """
+SELECT CASE user_id % 10 % 3 WHEN 0 THEN 'casual'
+                             WHEN 1 THEN 'regular'
+                             ELSE 'power' END AS segment_name,
+       count(*) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+@register(
+    "replicated_skew_join_rollup",
+    _REPL_JOIN_ORACLE,
+    "Skew path: fact->dim join with dim replicated per salt so hot keys "
+    "spread across reducers; equals the plain join exactly.",
+)
+def replicated_skew_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.datagen import SEGMENTS
+    from streaming_data_lake_spark.operators.skew import replicated_skew_join, salt_expr
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "segment_id", F.col("user_id") % 10 % 3
+    )
+    dim = spark.createDataFrame(
+        [(s, n) for s, n in SEGMENTS.items()], "segment_id long, segment_name string"
+    )
+    joined = replicated_skew_join(
+        e, dim, key="segment_id", salt=salt_expr("event_id", 8), n_salts=8
+    )
+    return joined.groupBy("segment_name").agg(F.count(F.lit(1)).alias("n_events"))

@@ -111,3 +111,16 @@ def streaming_fanout_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_upsert_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.streaming_upsert_hourly(spark, sf_dir)
+
+
+_DEDUP_WM_ORACLE = "SELECT DISTINCT event_id, event_type FROM events"
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    _DEDUP_WM_ORACLE,
+    "A4 (bounded state): dropDuplicatesWithinWatermark — dedup state evicted "
+    "as the watermark advances.",
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.streaming_dedup_within_watermark(spark, sf_dir)

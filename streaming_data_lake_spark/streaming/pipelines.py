@@ -117,6 +117,24 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_to_memory(deduped, "append")
 
 
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W3 with bounded state: ``dropDuplicatesWithinWatermark``
+    evicts seen-key state once the watermark passes, so dedup state
+    does not grow with the full key cardinality — the production
+    choice when duplicates arrive close together (the reference's
+    duplicate injection is per-stage and immediate, T7). Emits one
+    row per (event_id) duplicate cluster; on the bounded replay the
+    distinct event_id set equals the batch DISTINCT."""
+    src = stream_table(spark, sf_dir, "events")
+    deduped = (
+        src.withWatermark("ts", "30 seconds")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    with _state_partitions(spark):
+        return _run_to_memory(deduped, "append")
+
+
 def streaming_interval_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval inner join (J1): clicks ⋈ views on
     user_id with views in [click - 10 min, click], watermarks on both

@@ -138,3 +138,15 @@ def test_embedding_lsh_candidates_subset_of_pairs(spark):
     assert all(r["id_a"] < r["id_b"] for r in cand)
     dups = embedding_cosine_near_dups(emb, threshold=0.3)
     assert all(r["cosine_sim"] >= 0.3 for r in dups.collect())
+
+
+def test_register_all_views(spark):
+    from streaming_data_lake_spark import views
+
+    names = views.register_views(spark, SF_DIR)
+    assert len(names) >= 30
+    # spot-check a couple of views are queryable
+    assert spark.sql("SELECT count(*) FROM v_events_clean").first()[0] > 0
+    assert spark.sql(
+        "SELECT * FROM v_revenue_by_region ORDER BY region_name LIMIT 1"
+    ).first() is not None
