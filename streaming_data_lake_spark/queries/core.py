@@ -1105,3 +1105,95 @@ def nested_double_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         dsum(F.col("l_quantity"), "decimal(18,2)").alias("sum_qty"),
         F.max("l_linenumber").alias("max_linenumber"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P8 — static-rate currency normalization (broadcast rates join)
+# ---------------------------------------------------------------------------
+
+_CURRENCY_ORACLE = """
+SELECT l_returnflag AS flag,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CASE l_returnflag WHEN 'A' THEN CAST(1.08 AS DECIMAL(5,4))
+                                    WHEN 'R' THEN CAST(1.25 AS DECIMAL(5,4))
+                                    ELSE CAST(1.0 AS DECIMAL(5,4)) END) AS DOUBLE)
+         AS normalized_revenue,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "currency_normalized_revenue",
+    _CURRENCY_ORACLE,
+    "P8: static-rate normalization via a broadcast rates table "
+    "(the EUR/GBP/JPY->USD CASE, insert_jobs.sql:74-79, as a small-dim join).",
+)
+def currency_normalized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference hardcodes the rate CASE inline; the Spark-first
+    form keeps rates in a tiny broadcast dimension so new currencies
+    are data, not code — the plan is identical (broadcast hash join
+    folds to the same per-row multiply)."""
+    import decimal
+
+    li = _t(spark, sf_dir, "lineitem")
+    rates = spark.createDataFrame(
+        [
+            ("A", decimal.Decimal("1.08")),
+            ("R", decimal.Decimal("1.25")),
+            ("N", decimal.Decimal("1.0")),
+        ],
+        "flag string, rate decimal(5,4)",
+    )
+    return (
+        li.join(F.broadcast(rates), li.l_returnflag == rates.flag)
+        .groupBy("flag")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC_PRICE) * F.col("rate"))
+            .cast("double")
+            .alias("normalized_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T7 — duplicate observability (dq duplicate-rate rollup)
+# ---------------------------------------------------------------------------
+
+_DUP_RATES_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_unique_users,
+       CAST(count(*) - count(DISTINCT user_id) AS BIGINT) AS n_repeat_rows,
+       CASE WHEN count(*) > 0
+            THEN CAST(count(*) - count(DISTINCT user_id) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE)
+            ELSE 0.0 END AS repeat_rate
+FROM events
+GROUP BY 1
+"""
+
+
+@register(
+    "duplicate_rates_hourly",
+    _DUP_RATES_ORACLE,
+    "T7/dq: per-hour duplicate observability — total vs distinct counts and "
+    "the repeat rate (the dq_event_quality_hourly duplicate metrics shape).",
+)
+def duplicate_rates_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_unique_users"),
+    )
+    return agg.select(
+        "hour_start",
+        "n_rows",
+        "n_unique_users",
+        (F.col("n_rows") - F.col("n_unique_users")).alias("n_repeat_rows"),
+        zero_guard_ratio(
+            F.col("n_rows") - F.col("n_unique_users"), F.col("n_rows")
+        ).alias("repeat_rate"),
+    )
