@@ -77,3 +77,79 @@ def extract_media_features(media: DataFrame, decode_stub: bool = True) -> DataFr
             )
 
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, media_type string, byte_len long, payload binary"
+)
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_len long, frame_md5 string"
+)
+
+
+def resize_media(
+    media: DataFrame, target_bytes: int, decode_stub: bool = True
+) -> DataFrame:
+    """Resize step: 1→1 payload transformation over ``mapInPandas``.
+
+    Real path (``decode_stub=False``) would decode, resample to the
+    target resolution, and re-encode — not implemented here. The stub
+    keeps the plumbing real by truncating/zero-padding the payload to
+    exactly ``target_bytes`` and updating the metadata, so schemas,
+    batch shapes, and downstream feature extraction are exercised."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media resize requires PIL/ffmpeg; not available here"
+                )
+            resized = pdf["payload"].map(
+                lambda b: bytes(b)[:target_bytes].ljust(target_bytes, b"\0")
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": resized.map(len),
+                    "payload": resized,
+                }
+            )
+
+    return media.mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, frame_chars: int = 64, decode_stub: bool = True
+) -> DataFrame:
+    """Frame sampling: 1→N row expansion over ``mapInPandas`` (each
+    payload yields one row per frame). Real path would demux video /
+    window audio; the stub "decodes" the UTF-8 payload and windows it
+    into fixed-size character frames — deterministic, so the DuckDB
+    oracle reproduces the exact frame checksums."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg; not available here"
+                )
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = bytes(payload).decode("utf-8")
+                for i in range(0, max(len(s), 1), frame_chars):
+                    chunk = s[i : i + frame_chars]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i // frame_chars)
+                    out["frame_len"].append(len(chunk))
+                    out["frame_md5"].append(
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, schema=FRAME_SCHEMA)

@@ -570,3 +570,38 @@ def embedding_cosine_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_bits=_EMB_BITS,
         bands=_EMB_BANDS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling (1→N mapInPandas expansion)
+# ---------------------------------------------------------------------------
+
+_FRAME_CHARS = 64
+
+_FRAME_SAMPLE_ORACLE = f"""
+WITH frames AS (
+  SELECT doc_id,
+         CAST(i AS INTEGER) AS frame_idx,
+         substring(text, CAST(i AS INTEGER) * {_FRAME_CHARS} + 1, {_FRAME_CHARS}) AS chunk
+  FROM documents,
+       LATERAL unnest(range(CAST(ceil(CAST(greatest(length(text), 1) AS DOUBLE)
+                                      / {_FRAME_CHARS}) AS BIGINT))) AS t(i)
+)
+SELECT doc_id, frame_idx,
+       CAST(length(chunk) AS BIGINT) AS frame_len,
+       md5(chunk) AS frame_md5
+FROM frames
+"""
+
+
+@register(
+    "multimodal_frame_sample",
+    _FRAME_SAMPLE_ORACLE,
+    "Multimodal: 1-to-N frame sampling via mapInPandas (each payload emits one "
+    "row per fixed-size frame; deterministic stub decode).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.multimodal import sample_frames
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    return sample_frames(media, frame_chars=_FRAME_CHARS)

@@ -150,3 +150,22 @@ def test_register_all_views(spark):
     assert spark.sql(
         "SELECT * FROM v_revenue_by_region ORDER BY region_name LIMIT 1"
     ).first() is not None
+
+
+def test_multimodal_resize_stub(spark):
+    from streaming_data_lake_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+        resize_media,
+    )
+
+    media = attach_fake_media(load_table(spark, SF_DIR, "documents").limit(10))
+    resized = resize_media(media, target_bytes=128)
+    rows = resized.collect()
+    assert len(rows) == 10
+    assert all(r["byte_len"] == 128 and len(bytes(r["payload"])) == 128 for r in rows)
+    # resized payloads flow through downstream feature extraction
+    feats = extract_media_features(resized).collect()
+    assert all(r["byte_len"] == 128 for r in feats)
+    with pytest.raises(Exception, match="NotImplementedError|real media resize"):
+        resize_media(media, 128, decode_stub=False).collect()
