@@ -1197,3 +1197,182 @@ def duplicate_rates_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_rows") - F.col("n_unique_users"), F.col("n_rows")
         ).alias("repeat_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 ad-hoc analog closure — query-examples.sh #3, #7, #14, #19
+# ---------------------------------------------------------------------------
+
+_VALUE_DIST_ORACLE = """
+SELECT
+  event_type,
+  count(*) AS n_events,
+  min(value) AS min_value,
+  max(value) AS max_value,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(value) AS DOUBLE)
+    AS avg_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "value_distribution_by_class",
+    _VALUE_DIST_ORACLE,
+    "query-examples.sh:43-53 (#3 bid-floor distribution by ad size): grouped "
+    "min/avg/max/count distribution over a dimension.",
+)
+def value_distribution_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        davg(F.col("value"), "decimal(12,2)").alias("avg_value"),
+    )
+
+
+_FLAG_DIST_ORACLE = r"""
+SELECT
+  value >= 20.0 AS is_high_value,
+  regexp_extract(props, '"k":\s*(\d+)', 1) <> '' AS has_prop_k,
+  count(*) AS event_count
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "flag_distribution",
+    _FLAG_DIST_ORACLE,
+    "query-examples.sh:83-89 (#7 GDPR/COPPA flag distribution): grouped "
+    "counts over derived boolean flags (P6 flag derivation).",
+)
+def flag_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            (F.col("value") >= 20.0).alias("is_high_value"),
+            (F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1) != "").alias(
+                "has_prop_k"
+            ),
+        )
+        .groupBy("is_high_value", "has_prop_k")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+    )
+
+
+_VALUE_SPREAD_ORACLE = """
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+     p AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT
+  CAST(date_trunc('day', c.ts) AS TIMESTAMP) AS event_day,
+  CAST(sum(CAST(c.value AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(c.value) AS DOUBLE)
+    AS avg_click_value,
+  CAST(sum(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(p.value) AS DOUBLE)
+    AS avg_purchase_value,
+  CAST(sum(CAST(p.value - c.value AS DECIMAL(12,2))) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS avg_spread
+FROM c
+JOIN p ON p.user_id = c.user_id
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '60 minutes'
+GROUP BY 1
+"""
+
+
+@register(
+    "avg_value_spread",
+    _VALUE_SPREAD_ORACLE,
+    "query-examples.sh:162-172 (#14 avg bid-to-win spread): inner "
+    "time-bounded join of two stages, averaging each side and the per-pair "
+    "difference (J5 + A1; decimal parity for order-independent sums).",
+)
+def avg_value_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").alias("c")
+    p = e.filter(F.col("event_type") == "purchase").alias("p")
+    joined = c.join(
+        p,
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 60 MINUTES")),
+    )
+    spread = (F.col("p.value") - F.col("c.value")).cast("decimal(12,2)")
+    return joined.groupBy(
+        F.date_trunc("day", F.col("c.ts")).alias("event_day")
+    ).agg(
+        davg(F.col("c.value"), "decimal(12,2)").alias("avg_click_value"),
+        davg(F.col("p.value"), "decimal(12,2)").alias("avg_purchase_value"),
+        (F.sum(spread).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_spread"
+        ),
+    )
+
+
+_LEAKAGE_ORACLE = """
+WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+     c AS (SELECT * FROM events WHERE event_type = 'click'),
+     p AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT
+  CAST(date_trunc('day', v.ts) AS TIMESTAMP) AS event_day,
+  count(DISTINCT v.event_id) - count(DISTINCT c.event_id) AS views_no_click,
+  count(DISTINCT c.event_id) - count(DISTINCT p.event_id) AS clicks_no_purchase,
+  CASE WHEN count(DISTINCT v.event_id) > 0
+       THEN CAST(count(DISTINCT v.event_id) - count(DISTINCT c.event_id) AS DOUBLE)
+            / CAST(count(DISTINCT v.event_id) AS DOUBLE)
+       ELSE 0.0 END AS click_leakage_rate,
+  CASE WHEN count(DISTINCT c.event_id) > 0
+       THEN CAST(count(DISTINCT c.event_id) - count(DISTINCT p.event_id) AS DOUBLE)
+            / CAST(count(DISTINCT c.event_id) AS DOUBLE)
+       ELSE 0.0 END AS purchase_leakage_rate
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+           AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '10 minutes'
+LEFT JOIN p ON p.user_id = c.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '60 minutes'
+GROUP BY 1
+"""
+
+
+@register(
+    "funnel_leakage_daily",
+    _LEAKAGE_ORACLE,
+    "v_agg_funnel_leakage.sql + query-examples.sh:208-214 (#19): stage-count "
+    "differences and zero-guarded drop-off rates over the chained LEFT "
+    "funnel join (A9 leakage).",
+)
+def funnel_leakage_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").alias("v")
+    c = e.filter(F.col("event_type") == "click").alias("c")
+    p = e.filter(F.col("event_type") == "purchase").alias("p")
+    vc = v.join(
+        c,
+        (F.col("c.user_id") == F.col("v.user_id"))
+        & (F.col("c.ts") >= F.col("v.ts"))
+        & (F.col("c.ts") <= F.col("v.ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left",
+    )
+    vcp = vc.join(
+        p,
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 60 MINUTES")),
+        "left",
+    )
+    agg = vcp.groupBy(F.date_trunc("day", F.col("v.ts")).alias("event_day")).agg(
+        F.countDistinct(F.col("v.event_id")).alias("n_views"),
+        F.countDistinct(F.col("c.event_id")).alias("n_clicks"),
+        F.countDistinct(F.col("p.event_id")).alias("n_purchases"),
+    )
+    return agg.select(
+        "event_day",
+        (F.col("n_views") - F.col("n_clicks")).alias("views_no_click"),
+        (F.col("n_clicks") - F.col("n_purchases")).alias("clicks_no_purchase"),
+        zero_guard_ratio(
+            F.col("n_views") - F.col("n_clicks"), F.col("n_views")
+        ).alias("click_leakage_rate"),
+        zero_guard_ratio(
+            F.col("n_clicks") - F.col("n_purchases"), F.col("n_clicks")
+        ).alias("purchase_leakage_rate"),
+    )
