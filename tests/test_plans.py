@@ -1,0 +1,96 @@
+"""Physical plan-shape guards — the properties that make queries
+survive a 100 TB scale-up, asserted on `.explain` output so a
+regression that silently de-optimizes a plan fails CI:
+
+ - predicate pushdown + column pruning reach the parquet scan,
+ - small dimension joins broadcast (no shuffle of the fact side),
+ - hash aggregates are two-phase (map-side partial combine),
+ - the hot aggregate path stays inside whole-stage codegen,
+ - LSH candidate generation never degenerates into a cartesian /
+   nested-loop product.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_data_lake_spark.catalog import load_table
+from tests.conftest import SF_DIR
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _query(spark, name):
+    from streaming_data_lake_spark.queries import all_queries
+
+    return all_queries()[name].fn(spark, SF_DIR)
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    df = (
+        load_table(spark, SF_DIR, "lineitem")
+        .filter(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _formatted(df)
+    assert "GreaterThan(l_quantity,40" in plan, "filter not pushed to scan"
+    # ReadSchema must carry only the projected+filtered columns, not
+    # all 16 lineitem columns.
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema, "column pruning failed"
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _executed(_query(spark, "revenue_by_region"))
+    assert "BroadcastHashJoin" in plan, "dim join should broadcast"
+    assert "SortMergeJoin" not in plan, "fact side should not shuffle for dims"
+
+
+def test_hash_agg_is_two_phase(spark):
+    plan = _executed(_query(spark, "pricing_summary"))
+    # partial (map-side combine) + final aggregate nodes
+    assert plan.count("HashAggregate") >= 2, "missing map-side partial agg"
+
+
+def test_agg_path_in_wholestage_codegen(spark):
+    df = _query(spark, "pricing_summary")
+    df.collect()  # AQE finalizes codegen stages only on execution
+    plan = _executed(df)
+    # the `*(n)` prefix marks operators fused into a WholeStageCodegen
+    # stage in the simple plan string
+    assert "*(" in plan and "HashAggregate" in plan, (
+        "aggregate path fell out of codegen"
+    )
+
+
+def test_lsh_join_is_hash_based_not_cartesian(spark):
+    plan = _executed(_query(spark, "minhash_lsh_near_dups"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_not_cartesian(spark):
+    plan = _executed(_query(spark, "interval_join_click_view"))
+    assert "CartesianProduct" not in plan
+
+
+def test_events_scan_prunes_props(spark):
+    # top_busiest_hours touches only ts; the wide `props` payload
+    # column must not be read.
+    plan = _formatted(_query(spark, "top_busiest_hours"))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema, "events scan reads unused props column"
