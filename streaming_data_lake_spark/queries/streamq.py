@@ -124,3 +124,40 @@ _DEDUP_WM_ORACLE = "SELECT DISTINCT event_id, event_type FROM events"
 )
 def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.streaming_dedup_within_watermark(spark, sf_dir)
+
+
+_SESSIONIZE_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '120 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM o
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM s
+GROUP BY user_id, sess_id
+"""
+
+
+@register(
+    "streaming_sessionize",
+    _SESSIONIZE_ORACLE,
+    "Custom stateful operator via applyInPandasWithState: gap-based "
+    "sessionization with event-time timeouts (state bounded by open "
+    "sessions); converges to the batch gaps-and-islands result.",
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.streaming.sessionize import sessionize_replay
+
+    with pipelines._state_partitions(spark):
+        return sessionize_replay(spark, sf_dir, gap_minutes=120)
