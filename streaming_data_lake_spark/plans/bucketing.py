@@ -1,0 +1,62 @@
+"""Bucketed co-located joins — the pre-shuffle that removes the
+join Exchange entirely (SURVEY.md §4; the reference leaves physical
+layout to Iceberg partitioning, `iceberg/apply_tables.py:105-136`).
+
+Writing both fact tables bucketed by the join key means every future
+join on that key reads already-co-partitioned data: no Exchange on
+either side, which at 100 TB is the difference between a join that
+moves nothing and one that moves both tables across the network.
+Bucket counts must match (or divide evenly) for the bucket-join rule
+to fire; ``sortBy`` on the same key additionally allows the
+sort-merge join to skip its per-partition sort when each bucket is a
+single file.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from streaming_data_lake_spark.catalog import load_table
+
+_BUCKETS = 8
+_READY: set[tuple[str, str]] = set()
+
+
+def _safe_tag(sf_dir: str) -> str:
+    return re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+
+
+def bucketed_table(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> DataFrame:
+    """The table as a bucketed managed table (written once per
+    session per sf_dir), bucketed+sorted by ``key``."""
+    tbl = f"bkt_{name}_{_safe_tag(sf_dir)}"
+    if (sf_dir, name) not in _READY:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            load_table(spark, sf_dir, name)
+            .write.bucketBy(_BUCKETS, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+        _READY.add((sf_dir, name))
+    return spark.table(tbl)
+
+
+def bucketed_join(
+    spark: SparkSession, sf_dir: str, build: "callable"
+) -> DataFrame:
+    """Run ``build(orders, lineitem)`` over the bucketed copies. The
+    caller's join should carry a ``hint("merge")`` so the plan is the
+    co-located shuffle-free sort-merge join even where test-scale
+    stats would pick a broadcast (at real scale neither side
+    broadcasts — the hint makes the test plan the production plan)."""
+    orders = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    lineitem = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    return build(orders, lineitem)

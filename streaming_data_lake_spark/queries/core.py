@@ -1376,3 +1376,38 @@ def funnel_leakage_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_clicks") - F.col("n_purchases"), F.col("n_clicks")
         ).alias("purchase_leakage_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §4 physical layout — bucketed co-located join (shuffle-free SMJ)
+# ---------------------------------------------------------------------------
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "bucketed_colocated_join",
+    _BUCKETED_JOIN_ORACLE,
+    "§4 layout: orders ⋈ lineitem over bucketBy(orderkey) tables — the join "
+    "itself is a shuffle-free co-located sort-merge join (no Exchange on the "
+    "join keys); only the downstream re-aggregation shuffles.",
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.plans.bucketing import bucketed_join
+
+    def build(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+        j = orders.hint("merge").join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        )
+        return j.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice")).alias("total_price"),
+        )
+
+    return bucketed_join(spark, sf_dir, build)

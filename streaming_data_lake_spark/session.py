@@ -9,6 +9,7 @@ and cross-engine determinism), Arrow for the pandas-UDF slow path.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -48,6 +49,14 @@ def get_spark(app_name: str = "streaming_data_lake_spark", cpus: str | None = No
         # TIMESTAMP(NANOS), which Spark cannot represent natively;
         # read them as long nanos and convert in catalog.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Managed tables (bucketed copies) go to a per-process temp
+        # warehouse: the in-memory catalog dies with the session, so a
+        # persistent warehouse dir would leak orphan locations that
+        # block the next process's saveAsTable.
+        .config(
+            "spark.sql.warehouse.dir",
+            tempfile.mkdtemp(prefix="spark_warehouse_"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -94,3 +94,15 @@ def test_events_scan_prunes_props(spark):
     plan = _formatted(_query(spark, "top_busiest_hours"))
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "props" not in read_schema, "events scan reads unused props column"
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    df = _query(spark, "bucketed_colocated_join")
+    df.collect()
+    plan = _executed(df)
+    assert "SortMergeJoin" in plan
+    # bucketed layout satisfies the join's distribution requirement:
+    # no shuffle on either join key (the only Exchanges belong to the
+    # downstream groupBy re-aggregation)
+    assert "hashpartitioning(o_orderkey" not in plan
+    assert "hashpartitioning(l_orderkey" not in plan
