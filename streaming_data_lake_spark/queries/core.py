@@ -1411,3 +1411,43 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return bucketed_join(spark, sf_dir, build)
+
+
+# ---------------------------------------------------------------------------
+# S5 partition spec — day-partitioned layout + partition-pruned scan
+# ---------------------------------------------------------------------------
+
+_PRUNED_SCAN_ORACLE = """
+SELECT CAST(ts AS DATE) AS event_date,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "partition_pruned_scan",
+    _PRUNED_SCAN_ORACLE,
+    "S5 partition spec (days(ts)): day-partitioned layout; the date-range "
+    "filter prunes to 5 of ~30 day partitions at file listing, before any "
+    "I/O — the M2 lookback-repair access pattern at scale.",
+)
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.plans.layout import day_partitioned_events
+
+    ev = day_partitioned_events(spark, sf_dir)
+    return (
+        ev.filter(
+            F.col("event_date").between(
+                F.lit("2024-01-10").cast("date"), F.lit("2024-01-14").cast("date")
+            )
+        )
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+        )
+    )

@@ -106,3 +106,11 @@ def test_bucketed_join_has_no_join_exchange(spark):
     # downstream groupBy re-aggregation)
     assert "hashpartitioning(o_orderkey" not in plan
     assert "hashpartitioning(l_orderkey" not in plan
+
+
+def test_day_partition_pruning(spark):
+    plan = _formatted(_query(spark, "partition_pruned_scan"))
+    # the date-range predicate must land in PartitionFilters (pruned at
+    # file listing), not in PushedFilters/post-scan Filter
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "event_date" in pf and "2024-01-10" in pf
