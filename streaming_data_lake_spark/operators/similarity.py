@@ -52,11 +52,19 @@ def brute_force_knn(
     Output: (query_id, neighbor_id, rank, cosine_sim). Ties broken by
     neighbor id so ranking is total and deterministic.
     """
+    # Norms are precomputed once per side (Nq + Nc folds) instead of
+    # inside the pair expression (3·Nq·Nc folds); the arithmetic —
+    # dot/(√·√) with the same fold order — is unchanged, so results
+    # stay bit-identical to the oracle.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         F.broadcast(q)
@@ -64,7 +72,10 @@ def brute_force_knn(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -86,13 +97,22 @@ def ivf_assign(
     """Assign each vector to its nearest centroid by cosine (ties →
     smallest centroid id). Centroids are broadcast."""
     c = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cent_vec"),
+        norm(F.col(vec_col)).alias("cent_norm"),
     )
-    scored = corpus.crossJoin(F.broadcast(c)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("centroid_id"),
-        cosine(F.col(vec_col), F.col("cent_vec")).alias("sim"),
+    scored = (
+        corpus.withColumn("__v_norm", norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(c))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("centroid_id"),
+            (
+                dot(F.col(vec_col), F.col("cent_vec"))
+                / (F.col("__v_norm") * F.col("cent_norm"))
+            ).alias("sim"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
     return (
@@ -117,11 +137,13 @@ def ivf_knn(
     q = ivf_assign(queries, centroids, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
         "cluster_id",
     )
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
         F.col("cluster_id").alias("c_cluster"),
     )
     scored = (
@@ -134,7 +156,10 @@ def ivf_knn(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
