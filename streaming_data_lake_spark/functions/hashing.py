@@ -38,3 +38,34 @@ def duck_h32(expr: str) -> str:
 
 def duck_h32_seeded(expr: str, seed: int) -> str:
     return duck_h32(f"'{seed}:' || {expr}")
+
+
+# -- MinHash hash family: one md5 base per value, k affine mixes ------------
+#
+# Computing k independent md5 hashes per (doc, shingle) makes md5 the
+# hot instruction at scale. The standard universal-hashing fix: hash
+# each shingle ONCE, then derive the k functions as affine maps
+# h_i(x) = (a_i·base(x) + b_i) mod P over a Mersenne prime. base < 2³²
+# and a_i < 2³¹ keep every product inside a signed 64-bit long, so
+# Spark and DuckDB agree bit-for-bit with no overflow semantics in play.
+
+MIX_P = 2147483647  # 2^31 - 1
+
+
+def mix_consts(i: int) -> tuple[int, int]:
+    """Deterministic (aᵢ, bᵢ) for the i-th affine hash function."""
+    a = (1103515245 * (i + 1) + 12345) % MIX_P or 1
+    b = (69069 * (i + 1) + 1) % MIX_P
+    return a, b
+
+
+def minhash_mix(base: Column, i: int) -> Column:
+    a, b = mix_consts(i)
+    return (F.lit(a) * base + F.lit(b)) % F.lit(MIX_P)
+
+
+def duck_minhash_mix(expr: str, i: int) -> str:
+    """DuckDB SQL fragment equal to :func:`minhash_mix` applied to a
+    BIGINT base-hash expression."""
+    a, b = mix_consts(i)
+    return f"(({a} * {expr} + {b}) % {MIX_P})"

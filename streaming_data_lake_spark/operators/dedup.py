@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from streaming_data_lake_spark.functions.hashing import h32, h32_seeded
+from streaming_data_lake_spark.functions.hashing import h32, h32_seeded, minhash_mix
 
 
 def dedup_groupby_canonical(df: DataFrame, keys: list[str], aggs: dict[str, str]) -> DataFrame:
@@ -100,13 +100,16 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(shingle_arr: Column, num_hashes: int = 16) -> list[Column]:
-    """MinHash signature as per-row array expressions: per seed, the
-    min portable hash over the shingle set. Empty shingle sets get
-    NULL. Prefer :func:`minhash_signatures` (explode + groupBy-min)
-    in plans — these nested-lambda columns each embed a full copy of
-    the shingle expression, which defeats codegen at scale."""
+    """MinHash signature as per-row array expressions: per hash
+    function, the min over the shingle set of an affine mix of ONE
+    md5-derived base hash (k mixes share one md5 — md5 is the hot
+    instruction otherwise). Empty shingle sets get NULL. Prefer
+    :func:`minhash_signatures` (explode + groupBy-min) in plans —
+    these nested-lambda columns each embed a full copy of the shingle
+    expression, which defeats codegen at scale."""
+    bases = F.transform(shingle_arr, lambda s: h32(s))
     return [
-        F.array_min(F.transform(shingle_arr, lambda s, i=i: h32_seeded(s, i))).alias(f"mh_{i}")
+        F.array_min(F.transform(bases, lambda b, i=i: minhash_mix(b, i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
 
@@ -129,8 +132,12 @@ def minhash_signatures(
     to shingle drop out at the explode (empty array → no rows).
     """
     sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sng"))
-    return sh.groupBy(id_col).agg(
-        *[F.min(h32_seeded(F.col("sng"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
+    # One md5 per (doc, shingle), materialized in the projection so
+    # the k aggregate expressions reference the column instead of
+    # each embedding its own md5 — the mixes are two integer ops.
+    based = sh.select(F.col(id_col), h32(F.col("sng")).alias("base"))
+    return based.groupBy(id_col).agg(
+        *[F.min(minhash_mix(F.col("base"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
     )
 
 

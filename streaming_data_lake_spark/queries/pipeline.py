@@ -272,10 +272,14 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _duck_minhash_cols(num_hashes: int) -> str:
+    from streaming_data_lake_spark.functions.hashing import duck_minhash_mix
+
+    base = _DUCK_H32.format(x="x")
     cols = []
     for i in range(num_hashes):
-        h = _DUCK_H32.format(x=f"'{i}:' || x")
-        cols.append(f"list_min(list_transform(s, x -> {h})) AS mh_{i}")
+        cols.append(
+            f"list_min(list_transform(s, x -> {duck_minhash_mix(base, i)})) AS mh_{i}"
+        )
     return ",\n    ".join(cols)
 
 
