@@ -314,15 +314,24 @@ def embedding_cosine_near_dups(
 ) -> DataFrame:
     """Embedding near-dup pairs: sign-LSH candidates verified with
     exact cosine ≥ threshold. Returns (id_a, id_b, cosine_sim)."""
-    from streaming_data_lake_spark.operators.similarity import cosine
+    from streaming_data_lake_spark.operators.similarity import dot, norm
 
     cand = embedding_lsh_candidates(df, id_col, vec_col, dim, num_bits, bands)
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        norm(F.col(vec_col)).alias("n_a"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        norm(F.col(vec_col)).alias("n_b"),
+    )
+    sim = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine_sim"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 
