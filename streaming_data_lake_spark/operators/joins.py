@@ -63,3 +63,79 @@ def interval_join(
         & (F.col(f"{ra}.{right_ts}") <= F.col(f"{la}.{left_ts}") + F.expr(f"INTERVAL {upper_s} SECOND"))
     )
     return l.join(r, cond, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: dict[str, str],
+) -> DataFrame:
+    """As-of join: for each left row, the single most recent right
+    row with ``right_ts <= left_ts`` on the same key (no match →
+    dropped, i.e. inner as-of). An operator Spark lacks natively
+    (SURVEY.md §2.3 notes the reference has none either; this is the
+    training-pipeline point-in-time enrichment primitive).
+
+    Spark-first plan: NOT a range join (whose candidate fan-out is
+    |left| × |matching right| before picking the max) but a
+    union + running ``last_value(ignoreNulls)`` window:
+
+      1. tag both sides, union them into one stream of (key, ts, tag)
+      2. one shuffle on key, one sort on (ts, tag)
+      3. each left row reads the latest right payload carried forward
+
+    Cost at 100 TB: a single hash shuffle + per-partition sort —
+    the same price as any keyed window, with zero join fan-out.
+    Right rows are pre-deduped per (key, ts) keeping the max id so
+    the carried payload is deterministic under timestamp ties.
+    """
+    payload_src = list(right_cols.keys())
+    payload_dst = list(right_cols.values())
+    # deterministic winner under (key, ts) duplicates: max over the
+    # payload struct orders by the first payload column first
+    r = (
+        right.groupBy(F.col(key), F.col(right_ts).alias("__ts"))
+        .agg(F.max(F.struct(*[F.col(c) for c in payload_src])).alias("__p"))
+        .select(
+            F.col(key),
+            "__ts",
+            F.lit(0).alias("__tag"),
+            F.col("__p"),
+        )
+    )
+    l = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        F.struct("*").alias("__l"),
+    )
+    unioned = r.select(key, "__ts", "__tag", "__p", F.lit(None).cast(l.schema["__l"].dataType).alias("__l")).unionByName(l)
+
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__match", F.last(F.col("__p"), ignorenulls=True).over(w)
+    )
+    out_left = F.col("__l")
+    return (
+        carried.filter((F.col("__tag") == 1) & F.col("__match").isNotNull())
+        .select(
+            *[out_left.getField(f).alias(f) for f in left.columns],
+            F.col("__ts").alias("__left_ts_check"),
+            *[
+                F.col("__match").getField(src).alias(dst)
+                for src, dst in zip(payload_src, payload_dst)
+            ],
+            F.col("__match").alias("__m_struct"),
+        )
+        .drop("__left_ts_check", "__m_struct")
+    )

@@ -1451,3 +1451,51 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join — point-in-time enrichment (union + running-window plan)
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts AS view_ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+)
+SELECT p.purchase_id, p.user_id, p.purchase_ts, v.view_ts, v.view_id
+FROM p ASOF JOIN v
+  ON p.user_id = v.user_id AND p.purchase_ts >= v.view_ts
+"""
+
+
+@register(
+    "asof_latest_view_before_purchase",
+    _ASOF_ORACLE,
+    "As-of join (operator Spark lacks natively): each purchase enriched with "
+    "the most recent prior view by the same user — union + running "
+    "last_value window (one shuffle, zero join fan-out), vs DuckDB's native "
+    "ASOF JOIN as the oracle.",
+)
+def asof_latest_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    return asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_cols={"ts": "view_ts", "event_id": "view_id"},
+    )

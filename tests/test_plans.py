@@ -114,3 +114,15 @@ def test_day_partition_pruning(spark):
     # file listing), not in PushedFilters/post-scan Filter
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "event_date" in pf and "2024-01-10" in pf
+
+
+def test_asof_join_is_window_not_join(spark):
+    df = _query(spark, "asof_latest_view_before_purchase")
+    df.collect()
+    plan = _executed(df)
+    # the as-of plan is union + running window: no join operator, no
+    # candidate fan-out — just keyed exchanges and a Window
+    assert "Window" in plan
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join_op not in plan, f"as-of should not plan a {join_op}"
