@@ -139,3 +139,39 @@ def asof_join(
         )
         .drop("__left_ts_check", "__m_struct")
     )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    step: float = 20000.0,
+) -> DataFrame:
+    """Range-only join (value ∈ [lo, hi)) without a nested-loop plan —
+    a join class the reference never uses (SURVEY.md §2.3 notes its
+    absence) but a banding/classification pipeline needs.
+
+    Scale shape: a pure range condition gives Catalyst no equi-key,
+    so it plans a (broadcast) nested-loop — |left| × |bands|
+    comparisons. Bucketizing both sides restores an equi-key: the
+    left side maps each value to ``floor(value/step)``; each band
+    explodes to the buckets it covers (cheap: bands are dim-sized).
+    The join is then hash-based on the bucket with the range as a
+    residual filter, and scales like any keyed join. With
+    non-overlapping bands each value survives at most once, so no
+    dedup is needed.
+    """
+    lb = left.withColumn("__bucket", F.floor(F.col(value_col) / F.lit(step)))
+    bb = bands.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(step)),
+                F.floor(F.col(hi_col) / F.lit(step)),
+            )
+        ).alias("__bucket"),
+    )
+    residual = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return lb.join(F.broadcast(bb), "__bucket").filter(residual).drop("__bucket")

@@ -1499,3 +1499,47 @@ def asof_latest_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFr
         right_ts="ts",
         right_cols={"ts": "view_ts", "event_id": "view_id"},
     )
+
+
+# ---------------------------------------------------------------------------
+# Range-only join — bucketed banding (no nested-loop fan-out)
+# ---------------------------------------------------------------------------
+
+_PRICE_BANDS = [
+    ("B0_under_20k", 0.0, 20000.0),
+    ("B1_20k_40k", 20000.0, 40000.0),
+    ("B2_40k_60k", 40000.0, 60000.0),
+    ("B3_60k_80k", 60000.0, 80000.0),
+    ("B4_80k_plus", 80000.0, 200000.0),
+]
+
+_RANGE_BAND_ORACLE = f"""
+WITH bands(band_name, lo, hi) AS (VALUES
+  {", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _PRICE_BANDS)}
+)
+SELECT band_name,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM lineitem JOIN bands
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band_name
+"""
+
+
+@register(
+    "range_band_pricing",
+    _RANGE_BAND_ORACLE,
+    "Range-only join (absent from the reference; banding primitive): price "
+    "bands via bucketized equi-join + residual filter — hash join on the "
+    "bucket key instead of a |rows|×|bands| nested loop.",
+)
+def range_band_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.joins import range_join_bucketed
+
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band_name string, lo double, hi double")
+    banded = range_join_bucketed(li, bands, "l_extendedprice")
+    return banded.groupBy("band_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice")).alias("total_price"),
+    )

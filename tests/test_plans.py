@@ -126,3 +126,14 @@ def test_asof_join_is_window_not_join(spark):
     for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                     "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert join_op not in plan, f"as-of should not plan a {join_op}"
+
+
+def test_range_join_is_hash_based(spark):
+    df = _query(spark, "range_band_pricing")
+    df.collect()
+    plan = _executed(df)
+    # bucketization restores an equi-key: the range join must plan as
+    # a hash join on the bucket, never a nested loop over all bands
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
