@@ -93,9 +93,13 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid by cosine (ties →
-    smallest centroid id). Centroids are broadcast."""
+    """Assign each vector to its ``nprobe`` nearest centroids by
+    cosine (ties → smallest centroid id); one output row per probe.
+    Corpus vectors use nprobe=1 (each lives in one cluster); query
+    vectors probe nprobe clusters — the standard IVF recall/cost
+    dial. Centroids are broadcast."""
     c = centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("cent_vec"),
@@ -117,7 +121,7 @@ def ivf_assign(
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select(id_col, vec_col, F.col("centroid_id").alias("cluster_id"))
     )
 
@@ -129,12 +133,15 @@ def ivf_knn(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: search only the query's own cluster
-    (nprobe=1). Deterministic; recall < 1 by design — the approximate
-    scale path next to :func:`brute_force_knn`."""
+    """Approximate top-k: search the query's ``nprobe`` nearest
+    clusters. Deterministic; recall < 1 by design, rising with
+    nprobe — the approximate scale path next to
+    :func:`brute_force_knn`. Each corpus vector lives in exactly one
+    cluster, so multi-probe candidates are naturally duplicate-free."""
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    q = ivf_assign(queries, centroids, id_col, vec_col).select(
+    q = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),

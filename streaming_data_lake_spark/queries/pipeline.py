@@ -609,3 +609,60 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_fake_media(_t(spark, sf_dir, "documents"))
     return sample_frames(media, frame_chars=_FRAME_CHARS)
+
+
+# ---------------------------------------------------------------------------
+# IVF multi-probe (nprobe=2): the recall/cost dial
+# ---------------------------------------------------------------------------
+
+_KNN_IVF_MP_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id, embedding AS v,
+         sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
+scored_asg AS (
+  SELECT n.vec_id, n.v, n.nrm, cent.centroid_id,
+         row_number() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY {_DUCK_DOT.format(a='n.v', b='cent.cv')} / (n.nrm * cent.cnrm) DESC,
+                    cent.centroid_id ASC
+         ) AS rn
+  FROM n CROSS JOIN cent
+),
+asg AS (SELECT vec_id, v, nrm, centroid_id AS cluster_id FROM scored_asg WHERE rn = 1),
+q AS (SELECT vec_id, v, nrm, centroid_id AS cluster_id
+      FROM scored_asg WHERE rn <= 2 AND vec_id < 50),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DUCK_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) AS cosine_sim
+  FROM q JOIN asg c ON c.cluster_id = q.cluster_id AND c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
+FROM r WHERE rank <= 5
+"""
+
+
+@register(
+    "knn_ivf_multiprobe_cosine",
+    _KNN_IVF_MP_ORACLE,
+    "IVF multi-probe: queries search their 2 nearest clusters (nprobe=2) — "
+    "higher recall than nprobe=1 at 2× the probed candidates, still "
+    "cluster-pruned vs brute force.",
+)
+def knn_ivf_multiprobe_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_knn(
+        e,
+        e.filter(F.col("vec_id") < 50),
+        e.filter(F.col("vec_id") < 8),
+        k=5,
+        nprobe=2,
+    )
