@@ -72,10 +72,13 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: dict[str, str],
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single most recent right
     row with ``right_ts <= left_ts`` on the same key (no match →
-    dropped, i.e. inner as-of). An operator Spark lacks natively
+    dropped, i.e. inner as-of). With ``tolerance_s``, a match older
+    than the tolerance also drops the row — the bounded-staleness
+    point-in-time lookup. An operator Spark lacks natively
     (SURVEY.md §2.3 notes the reference has none either; this is the
     training-pipeline point-in-time enrichment primitive).
 
@@ -122,22 +125,31 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry (right ts, payload) forward so a tolerance bound can see
+    # how stale the match is
     carried = unioned.withColumn(
-        "__match", F.last(F.col("__p"), ignorenulls=True).over(w)
+        "__match",
+        F.last(
+            F.when(
+                F.col("__tag") == 0,
+                F.struct(F.col("__ts").alias("__rts"), F.col("__p").alias("__pp")),
+            ),
+            ignorenulls=True,
+        ).over(w),
     )
-    out_left = F.col("__l")
-    return (
-        carried.filter((F.col("__tag") == 1) & F.col("__match").isNotNull())
-        .select(
-            *[out_left.getField(f).alias(f) for f in left.columns],
-            F.col("__ts").alias("__left_ts_check"),
-            *[
-                F.col("__match").getField(src).alias(dst)
-                for src, dst in zip(payload_src, payload_dst)
-            ],
-            F.col("__match").alias("__m_struct"),
+    matched = carried.filter((F.col("__tag") == 1) & F.col("__match").isNotNull())
+    if tolerance_s is not None:
+        matched = matched.filter(
+            F.col("__match.__rts")
+            >= F.col("__ts") - F.expr(f"INTERVAL {int(tolerance_s)} SECOND")
         )
-        .drop("__left_ts_check", "__m_struct")
+    out_left = F.col("__l")
+    return matched.select(
+        *[out_left.getField(f).alias(f) for f in left.columns],
+        *[
+            F.col("__match.__pp").getField(src).alias(dst)
+            for src, dst in zip(payload_src, payload_dst)
+        ],
     )
 
 

@@ -1543,3 +1543,49 @@ def range_band_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum(F.col("l_extendedprice")).alias("total_price"),
     )
+
+
+_ASOF_TOL_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts AS view_ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+)
+, j AS MATERIALIZED (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts, v.view_ts, v.view_id
+  FROM p ASOF JOIN v
+    ON p.user_id = v.user_id AND p.purchase_ts >= v.view_ts
+)
+SELECT * FROM j WHERE view_ts >= purchase_ts - INTERVAL '6 hours'
+"""
+
+
+@register(
+    "asof_view_within_6h",
+    _ASOF_TOL_ORACLE,
+    "Tolerance-bounded as-of join: latest prior view only if within 6 hours "
+    "of the purchase (bounded-staleness point-in-time lookup).",
+)
+def asof_view_within_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    return asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_cols={"ts": "view_ts", "event_id": "view_id"},
+        tolerance_s=6 * 3600,
+    )
