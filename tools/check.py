@@ -2,7 +2,12 @@
 DuckDB oracle, compare row count, column names, and order-insensitive
 values. Usage:
 
-    python tools/check.py [sf_dir] [query ...]
+    python tools/check.py [--bare] [sf_dir] [query ...]
+
+``--bare`` builds the session like the driver's harness does — a
+plain builder with NO engine confs — so portability regressions
+(e.g. the round-1 nanosAsLong bug) show up locally instead of only
+in the driver's CORRECTNESS run.
 """
 
 from __future__ import annotations
@@ -47,10 +52,23 @@ def main() -> int:
     from streaming_data_lake_spark.queries import all_queries
     from streaming_data_lake_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    bare = "--bare" in argv
+    if bare:
+        argv = [a for a in argv if a != "--bare"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
-    spark = get_spark("check")
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
