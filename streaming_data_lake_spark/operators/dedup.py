@@ -169,6 +169,31 @@ def _self_join_band_pairs(banded: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def banded_minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Per-doc banded MinHash signature rows ``(id, band, band_key)``
+    — one row per band. ``band_key`` is the band's concatenated
+    signature slice; (band, band_key) together form the LSH bucket."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -185,19 +210,54 @@ def minhash_lsh_candidates(
     key is a hash bucket, so Catalyst uses a shuffled hash/sort-merge
     join on small buckets rather than any all-pairs comparison.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+    banded = banded_minhash_signatures(df, id_col, text_col, n, num_hashes, bands)
     return _self_join_band_pairs(banded, id_col)
+
+
+def minhash_lsh_candidates_materialized(
+    spark,
+    df: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    buckets: int = 8,
+) -> DataFrame:
+    """LSH candidates via a materialized signature table — the 100 TB
+    shape. :func:`minhash_lsh_candidates` recomputes the full
+    shingle+hash pipeline once per self-join side (Spark does not
+    share subplans across a join); here the banded signatures are
+    written ONCE as a managed table bucketed by the composite band
+    key, and the self-join reads co-located buckets: no signature
+    recompute, no join Exchange. At cluster scale the signature table
+    is the durable artifact every dedup run reuses.
+
+    The composite key ``bkey = band:band_key`` folds both logical
+    join columns into the single bucketing column, so bucket-join
+    co-location applies directly."""
+    from streaming_data_lake_spark.plans.bucketing import bucketed_frame
+
+    banded = banded_minhash_signatures(df, id_col, text_col, n, num_hashes, bands).select(
+        F.col(id_col),
+        F.concat_ws(":", F.col("band"), F.col("band_key")).alias("bkey"),
+    )
+    sig = bucketed_frame(spark, banded, table, "bkey", buckets=buckets)
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.hint("merge")
+        .join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(

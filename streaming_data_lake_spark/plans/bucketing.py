@@ -23,6 +23,7 @@ from streaming_data_lake_spark.catalog import load_table
 
 _BUCKETS = 8
 _READY: set[tuple[str, str]] = set()
+_FRAMES_READY: set[str] = set()
 
 
 def _safe_tag(sf_dir: str) -> str:
@@ -46,6 +47,27 @@ def bucketed_table(
             .saveAsTable(tbl)
         )
         _READY.add((sf_dir, name))
+    return spark.table(tbl)
+
+
+def bucketed_frame(
+    spark: SparkSession, df: DataFrame, tbl: str, key: str, buckets: int = _BUCKETS
+) -> DataFrame:
+    """Write an arbitrary frame as a managed table bucketed+sorted by
+    ``key`` (once per process per name) and read it back. Self-joins
+    on ``key`` over the returned frame are co-located: the expensive
+    subtree that produced ``df`` executes exactly once (at write
+    time), and the join needs no Exchange on either side."""
+    if tbl not in _FRAMES_READY:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            df.write.bucketBy(buckets, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+        _FRAMES_READY.add(tbl)
     return spark.table(tbl)
 
 

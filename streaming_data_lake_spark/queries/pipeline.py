@@ -329,8 +329,18 @@ JOIN sh sb ON sb.doc_id = id_b
     "MinHash-LSH (16 hashes, 4 bands) candidate pairs + exact Jaccard verification.",
 )
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.dedup import minhash_lsh_candidates_materialized
+    from streaming_data_lake_spark.plans.bucketing import _safe_tag
+
     d = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(d, num_hashes=16, bands=4)
+    # Materialized-signature path: the banded signature table is
+    # written once (bucketed by band key) and self-joined co-located —
+    # at scale this halves the dominant shingle+hash cost and removes
+    # the join shuffle. minhash_lsh_candidates remains the
+    # no-write-access variant.
+    cand = minhash_lsh_candidates_materialized(
+        spark, d, f"lsh_sig_{_safe_tag(sf_dir)}", num_hashes=16, bands=4
+    )
     sh = d.select(F.col("doc_id"), shingles(F.col("text"), 3).alias("s"))
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))

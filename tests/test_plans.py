@@ -162,3 +162,24 @@ def test_ivf_corpus_assignment_is_narrow_map(spark):
         e.filter(F.col("vec_id") < 50), e.filter(F.col("vec_id") < 8), nprobe=2
     )
     assert "Window" in _executed(probed)
+
+
+def test_lsh_materialized_band_join_is_colocated(spark):
+    """The materialized-signature LSH path must (a) never recompute
+    the shingle+hash pipeline in the join (signatures come from the
+    written table), and (b) join co-located buckets — no Exchange
+    under the join."""
+    from streaming_data_lake_spark.operators.dedup import (
+        minhash_lsh_candidates_materialized,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    cand = minhash_lsh_candidates_materialized(spark, d, "lsh_sig_plan_test")
+    plan = _formatted(cand)
+    assert "md5" not in plan, "signatures recomputed in join — should read the written table"
+    assert "SortMergeJoin" in plan, "band self-join should be the bucketed sort-merge join"
+    # Both scan nodes read the bucketed table; the join itself needs
+    # no hashpartitioning Exchange (distinct() above it may shuffle).
+    assert "Bucketed: true" in plan, "scan should report bucketed read"
+    before_join = plan.split("SortMergeJoin")[0]
+    assert "Exchange hashpartitioning" not in before_join, "band join must be co-located"
