@@ -42,3 +42,26 @@ def day_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _LAYOUTS[key] = path
     return spark.read.parquet(path)
+
+
+def time_ranged_events(
+    spark: SparkSession, sf_dir: str, start: str, end: str
+) -> DataFrame:
+    """Default read path for time-windowed events queries: the
+    day-partitioned layout restricted to ``[start, end)`` (dates as
+    ``YYYY-MM-DD``, end exclusive at midnight UTC).
+
+    Two predicates do two jobs: ``event_date`` prunes whole day
+    partitions at file listing (shows up as PartitionFilters in the
+    plan), and ``ts`` is the exact bound — and because the rewritten
+    copy stores real TIMESTAMP micros (not the raw TIMESTAMP(NANOS)
+    the source files carry), the ts predicate also reaches parquet
+    row-group statistics, which the nanos→timestamp conversion on
+    the direct read path defeats."""
+    ev = day_partitioned_events(spark, sf_dir)
+    return ev.filter(
+        (F.col("event_date") >= F.lit(start))
+        & (F.col("event_date") < F.lit(end))
+        & (F.col("ts") >= F.to_timestamp(F.lit(start)))
+        & (F.col("ts") < F.to_timestamp(F.lit(end)))
+    )

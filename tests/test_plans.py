@@ -183,3 +183,16 @@ def test_lsh_materialized_band_join_is_colocated(spark):
     assert "Bucketed: true" in plan, "scan should report bucketed read"
     before_join = plan.split("SortMergeJoin")[0]
     assert "Exchange hashpartitioning" not in before_join, "band join must be co-located"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["top_busiest_hours", "duplicate_rates_hourly", "event_quality_spine_hourly"],
+)
+def test_hourly_queries_prune_day_partitions(spark, name):
+    """The windowed hourly queries read the day-partitioned events
+    layout: the window's date bound must land in PartitionFilters
+    (pruned at file listing), not a post-scan Filter."""
+    plan = _formatted(_query(spark, name))
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "event_date" in pf and "2024-01-08" in pf and "2024-01-15" in pf
