@@ -35,8 +35,11 @@ HEADLINE = [
     "knn_bruteforce_cosine",    # ANN brute-force top-k
     "knn_ivf_cosine",           # ANN IVF-bucketed top-k
     "token_counts",             # text analysis
+    "asof_view_within_6h",      # tolerance-bounded as-of join
+    "bucketed_colocated_join",  # shuffle-free pre-bucketed join
     "streaming_upsert_hourly",  # streaming replay + MERGE upsert
     "streaming_funnel_daily",   # streaming interval-join funnel
+    "streaming_sessionize",     # stateful sessionization replay
     "materialize_incremental_clean_events",  # incremental materializer
 ]
 
