@@ -38,6 +38,27 @@ def strip_confluent_header(value_col: str = "value"):
     )
 
 
+def confluent_schema_id(value_col: str = "value"):
+    """Expression extracting the 4-byte big-endian schema id from a
+    Confluent-framed binary column (bytes 2-5, after the 0x0 magic
+    byte). Lets a consumer route or validate records against the
+    registry id without decoding the Avro payload."""
+    return F.expr(
+        f"cast(conv(hex(substring({value_col}, 2, 4)), 16, 10) as int)"
+    )
+
+
+def is_confluent_framed(value_col: str = "value"):
+    """Predicate: the binary value carries a well-formed Confluent
+    wire header (leading 0x0 magic byte and at least the 5 header
+    bytes). Malformed frames should be routed to a rejects sink, not
+    fed to ``from_avro`` (which would throw mid-stream)."""
+    return F.expr(
+        f"length({value_col}) >= {WIRE_HEADER_BYTES} "
+        f"AND substring({value_col}, 1, 1) = X'00'"
+    )
+
+
 def _require_avro(spark: SparkSession) -> None:
     try:
         from pyspark.sql.avro.functions import from_avro  # noqa: F401

@@ -61,3 +61,55 @@ def test_strip_confluent_header(spark):
         [(bytearray(b"\x00\x00\x00\x00\x01payload"),)], "value binary"
     ).select(strip_confluent_header().alias("p"))
     assert bytes(df.first()["p"]) == b"payload"
+
+
+def _frame(schema_id: int, payload: bytes) -> bytearray:
+    """Synthetic Confluent wire frame: magic 0x0 + 4-byte big-endian
+    schema id + Avro payload (the public wire format the reference's
+    registry topics use, create_tables.sql:74-82)."""
+    return bytearray(b"\x00" + schema_id.to_bytes(4, "big") + payload)
+
+
+def test_confluent_header_arithmetic(spark):
+    """Header strip + schema-id extraction over frames that stress
+    the arithmetic: zero/low/high schema ids, empty payload, and a
+    payload whose bytes collide with the header values."""
+    from streaming_data_lake_spark.sources.kafka_avro import (
+        confluent_schema_id,
+        strip_confluent_header,
+    )
+
+    cases = [
+        (0, b""),
+        (1, b"\x00\x00\x00\x00\x01"),  # payload mimics a header
+        (42, b"avro-bytes"),
+        (100_000, b"\xff" * 7),
+        (2**31 - 1, b"x"),  # max registry id stays a valid signed int
+    ]
+    df = spark.createDataFrame(
+        [(_frame(sid, p),) for sid, p in cases], "value binary"
+    ).select(
+        confluent_schema_id().alias("sid"),
+        strip_confluent_header().alias("payload"),
+    )
+    got = [(r["sid"], bytes(r["payload"] or b"")) for r in df.collect()]
+    assert got == [(sid, p) for sid, p in cases]
+
+
+def test_confluent_frame_validation(spark):
+    """is_confluent_framed accepts well-formed frames and rejects
+    short or wrong-magic values instead of letting them reach
+    from_avro."""
+    from streaming_data_lake_spark.sources.kafka_avro import is_confluent_framed
+
+    rows = [
+        (_frame(7, b"ok"), True),
+        (bytearray(b"\x00\x00\x00\x00\x07"), True),  # header only, empty payload
+        (bytearray(b"\x00\x00\x00"), False),  # too short
+        (bytearray(b"\x01\x00\x00\x00\x07oops"), False),  # wrong magic
+        (bytearray(b""), False),
+    ]
+    df = spark.createDataFrame(
+        [(v,) for v, _ in rows], "value binary"
+    ).select(is_confluent_framed().alias("ok"))
+    assert [r["ok"] for r in df.collect()] == [ok for _, ok in rows]
