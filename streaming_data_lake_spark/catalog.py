@@ -125,3 +125,65 @@ def check_drift(spark: SparkSession, sf_dir: str) -> dict[str, list[str]]:
         if msgs:
             drift[name] = msgs
     return drift
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: BACKWARD compatibility (SURVEY.md S5 follow-on)
+# ---------------------------------------------------------------------------
+
+#: Lossless type widenings a reader can apply to old data (the
+#: registry's promotion rules restated over Spark types). Key reads
+#: value: a column evolved old→new is compatible iff (old, new) is
+#: here or the types are equal.
+_WIDENINGS: frozenset[tuple[str, str]] = frozenset(
+    {
+        ("tinyint", "smallint"),
+        ("tinyint", "int"),
+        ("tinyint", "bigint"),
+        ("smallint", "int"),
+        ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("int", "double"),
+        ("bigint", "double"),
+        ("float", "double"),
+        ("date", "timestamp"),
+    }
+)
+
+
+def check_evolution(old_schema, new_schema) -> list[str]:
+    """BACKWARD-compatibility check for a proposed schema evolution:
+    can a reader of ``new_schema`` still consume data written under
+    ``old_schema``? Mirrors the registry compatibility mode the
+    reference enforces (scripts/setup.sh:47-52; evolution workflow
+    .design/adtech-data-playground.md:1004-1061).
+
+    Rules:
+      * adding a nullable column — compatible (old rows read as NULL);
+      * adding a non-nullable column — incompatible (old rows have no
+        value to supply);
+      * widening a column per ``_WIDENINGS`` — compatible;
+      * dropping a column — incompatible (downstream readers of the
+        table contract lose the field);
+      * narrowing or any other type change — incompatible;
+      * tightening nullability (nullable → required) — incompatible.
+
+    Returns a list of violation messages; empty list = compatible.
+    """
+    old_fields = {f.name: f for f in old_schema.fields}
+    new_fields = {f.name: f for f in new_schema.fields}
+    violations: list[str] = []
+    for name in old_fields.keys() - new_fields.keys():
+        violations.append(f"dropped column {name}")
+    for name in new_fields.keys() - old_fields.keys():
+        if not new_fields[name].nullable:
+            violations.append(f"added non-nullable column {name}")
+    for name in old_fields.keys() & new_fields.keys():
+        old_t = old_fields[name].dataType.simpleString()
+        new_t = new_fields[name].dataType.simpleString()
+        if old_t != new_t and (old_t, new_t) not in _WIDENINGS:
+            kind = "narrowed" if (new_t, old_t) in _WIDENINGS else "changed"
+            violations.append(f"{kind} column {name}: {old_t} -> {new_t}")
+        if old_fields[name].nullable and not new_fields[name].nullable:
+            violations.append(f"tightened nullability on {name}")
+    return violations

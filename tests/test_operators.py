@@ -169,3 +169,72 @@ def test_multimodal_resize_stub(spark):
     assert all(r["byte_len"] == 128 for r in feats)
     with pytest.raises(Exception, match="NotImplementedError|real media resize"):
         resize_media(media, 128, decode_stub=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# S5 follow-on: BACKWARD-compatible schema evolution rules
+# ---------------------------------------------------------------------------
+
+
+def _schema(ddl: str):
+    """Session-free mini DDL parser: "a bigint, b string" -> StructType."""
+    from pyspark.sql import types as T
+
+    atomic = {
+        "tinyint": T.ByteType(), "smallint": T.ShortType(), "int": T.IntegerType(),
+        "bigint": T.LongType(), "float": T.FloatType(), "double": T.DoubleType(),
+        "string": T.StringType(), "date": T.DateType(), "timestamp": T.TimestampType(),
+    }
+    fields = []
+    for part in ddl.split(","):
+        name, typ = part.split()
+        fields.append(T.StructField(name, atomic[typ]))
+    return T.StructType(fields)
+
+
+def _evo(old_ddl: str, new_ddl: str) -> list[str]:
+    from streaming_data_lake_spark.catalog import check_evolution
+
+    return check_evolution(_schema(old_ddl), _schema(new_ddl))
+
+
+def test_evolution_add_nullable_column_is_compatible():
+    assert _evo("a bigint", "a bigint, b string") == []
+
+
+def test_evolution_add_required_column_is_incompatible():
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from streaming_data_lake_spark.catalog import check_evolution
+
+    old = StructType([StructField("a", LongType())])
+    new = StructType(
+        [StructField("a", LongType()), StructField("b", StringType(), nullable=False)]
+    )
+    assert check_evolution(old, new) == ["added non-nullable column b"]
+
+
+def test_evolution_widening_is_compatible():
+    assert _evo("a int, b float, c date", "a bigint, b double, c timestamp") == []
+
+
+def test_evolution_drop_column_is_incompatible():
+    assert _evo("a bigint, b string", "a bigint") == ["dropped column b"]
+
+
+def test_evolution_narrowing_is_incompatible():
+    assert _evo("a bigint", "a int") == ["narrowed column a: bigint -> int"]
+
+
+def test_evolution_unrelated_change_is_incompatible():
+    assert _evo("a string", "a bigint") == ["changed column a: string -> bigint"]
+
+
+def test_evolution_tightened_nullability_is_incompatible():
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from streaming_data_lake_spark.catalog import check_evolution
+
+    old = StructType([StructField("a", LongType(), nullable=True)])
+    new = StructType([StructField("a", LongType(), nullable=False)])
+    assert check_evolution(old, new) == ["tightened nullability on a"]
