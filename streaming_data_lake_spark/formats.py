@@ -1,0 +1,249 @@
+"""Table-format adapter: one lake interface, pluggable backends.
+
+The reference's lake layer is Iceberg v2 — upsert tables with
+equality deletes (iceberg/tables/hourly_impressions_by_geo.yml:18-22),
+snapshot metadata / time travel (scripts/query-examples.sh:91-95) and
+a scheduled optimize/expire/orphan cycle (scripts/maintenance.sh).
+This engine re-expresses those operations (SURVEY.md S7/S10/T4/X1-X3)
+behind one interface so the storage format is a deployment choice,
+not something queries know about:
+
+ - :class:`ParquetEmulationFormat` — always available; delegates to
+   the atomic-swap parquet implementations in ``sources/upsert.py``,
+   ``sources/versioned.py`` and ``plans/maintenance.py``. This is the
+   backend exercised in this environment (no format jars ship here).
+ - :class:`DeltaFormat` — used when the ``delta-spark`` package and
+   its JVM classes are present: MERGE INTO for upsert, DESCRIBE
+   HISTORY for snapshots, ``versionAsOf`` for time travel, VACUUM for
+   expiry/orphans, OPTIMIZE for compaction.
+
+``resolve_format(spark)`` picks the best available backend; the env
+var ``SPARK_GRAFT_TABLE_FORMAT`` (``parquet`` | ``delta``) forces one.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableFormat:
+    """Uniform lake-table operations over one storage format.
+
+    A *table reference* is a filesystem path (both backends here are
+    path-addressed; a catalog-addressed backend would accept
+    ``db.table`` names in the same slot).
+    """
+
+    name: str = "abstract"
+
+    @classmethod
+    def available(cls, spark: SparkSession) -> bool:
+        raise NotImplementedError
+
+    # --- S7/T4: keyed upsert (MERGE) ---
+    def merge_upsert(
+        self, spark: SparkSession, table_ref: str, updates: DataFrame, keys: list[str]
+    ) -> None:
+        raise NotImplementedError
+
+    def foreach_batch_upsert(self, spark: SparkSession, table_ref: str, keys: list[str]):
+        """``foreachBatch`` hook running :meth:`merge_upsert` per
+        micro-batch (the streaming upsert sink, SURVEY.md T4)."""
+
+        def _fn(batch_df: DataFrame, batch_id: int) -> None:
+            self.merge_upsert(spark, table_ref, batch_df, keys)
+
+        return _fn
+
+    def read_table(self, spark: SparkSession, table_ref: str) -> DataFrame:
+        """Read the current contents of a (non-versioned) lake table,
+        e.g. an upsert sink target."""
+        raise NotImplementedError
+
+    # --- S10: snapshots + time travel ---
+    def commit_snapshot(
+        self, spark: SparkSession, table_ref: str, df: DataFrame, operation: str = "append"
+    ) -> int:
+        """Write a new table version; returns its version number."""
+        raise NotImplementedError
+
+    def read(
+        self, spark: SparkSession, table_ref: str, version: int | None = None
+    ) -> DataFrame:
+        raise NotImplementedError
+
+    def snapshots(self, spark: SparkSession, table_ref: str) -> DataFrame:
+        """(version, operation, n_rows) metadata table."""
+        raise NotImplementedError
+
+    # --- X1-X3: maintenance ---
+    def expire_snapshots(
+        self, spark: SparkSession, table_ref: str, keep_last: int = 1
+    ) -> list[int]:
+        raise NotImplementedError
+
+    def compact(self, spark: SparkSession, table_ref: str) -> int:
+        raise NotImplementedError
+
+    def remove_orphans(self, spark: SparkSession, lake_dir: str) -> list[str]:
+        raise NotImplementedError
+
+
+class ParquetEmulationFormat(TableFormat):
+    """Atomic-swap parquet backend (always available)."""
+
+    name = "parquet"
+
+    @classmethod
+    def available(cls, spark: SparkSession) -> bool:
+        return True
+
+    def merge_upsert(self, spark, table_ref, updates, keys):
+        from streaming_data_lake_spark.sources.upsert import merge_upsert
+
+        merge_upsert(spark, table_ref, updates, keys)
+
+    def read_table(self, spark, table_ref):
+        return spark.read.parquet(table_ref)
+
+    def _vt(self, spark, table_ref):
+        from streaming_data_lake_spark.sources.versioned import VersionedTable
+
+        return VersionedTable(spark, table_ref)
+
+    def commit_snapshot(self, spark, table_ref, df, operation="append"):
+        return self._vt(spark, table_ref).commit(df, operation)
+
+    def read(self, spark, table_ref, version=None):
+        return self._vt(spark, table_ref).read(version)
+
+    def snapshots(self, spark, table_ref):
+        return self._vt(spark, table_ref).snapshots()
+
+    def expire_snapshots(self, spark, table_ref, keep_last=1):
+        return self._vt(spark, table_ref).expire_snapshots(keep_last)
+
+    def compact(self, spark, table_ref):
+        from streaming_data_lake_spark.plans.maintenance import compact_parquet
+
+        return compact_parquet(spark, table_ref)
+
+    def remove_orphans(self, spark, lake_dir):
+        from streaming_data_lake_spark.plans.maintenance import remove_orphans
+
+        return remove_orphans(lake_dir)
+
+
+class DeltaFormat(TableFormat):
+    """Delta Lake backend — used when ``delta-spark`` + jars exist.
+
+    Not exercisable in this environment (no jars); every method is
+    the standard public Delta API call for the operation, selected
+    only after :meth:`available` has probed both the Python package
+    and the JVM class.
+    """
+
+    name = "delta"
+
+    @classmethod
+    def available(cls, spark: SparkSession) -> bool:
+        try:
+            import delta  # noqa: F401
+
+            spark._jvm.io.delta.tables.DeltaTable  # noqa: B018 — JVM probe
+            return True
+        except Exception:  # noqa: BLE001 — any missing layer means unavailable
+            return False
+
+    def _dt(self, spark, table_ref):
+        from delta.tables import DeltaTable
+
+        return DeltaTable.forPath(spark, table_ref)
+
+    def merge_upsert(self, spark, table_ref, updates, keys):
+        from delta.tables import DeltaTable
+
+        if not DeltaTable.isDeltaTable(spark, table_ref):
+            updates.write.format("delta").mode("overwrite").save(table_ref)
+            return
+        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+        (
+            self._dt(spark, table_ref)
+            .alias("t")
+            .merge(updates.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+
+    def read_table(self, spark, table_ref):
+        return spark.read.format("delta").load(table_ref)
+
+    def commit_snapshot(self, spark, table_ref, df, operation="append"):
+        mode = "overwrite" if operation == "overwrite" else "append"
+        df.write.format("delta").mode(mode).save(table_ref)
+        return int(self._dt(spark, table_ref).history(1).head()["version"])
+
+    def read(self, spark, table_ref, version=None):
+        reader = spark.read.format("delta")
+        if version is not None:
+            reader = reader.option("versionAsOf", version)
+        return reader.load(table_ref)
+
+    def snapshots(self, spark, table_ref):
+        from pyspark.sql import functions as F
+
+        return self._dt(spark, table_ref).history().select(
+            F.col("version").cast("int").alias("version"),
+            F.lower("operation").alias("operation"),
+            F.col("operationMetrics.numOutputRows").cast("long").alias("n_rows"),
+        )
+
+    def expire_snapshots(self, spark, table_ref, keep_last=1):
+        # Delta expires by retention age, not count; 0-hour vacuum
+        # drops everything unreferenced by the current version.
+        self._dt(spark, table_ref).vacuum(0)
+        return []
+
+    def compact(self, spark, table_ref):
+        self._dt(spark, table_ref).optimize().executeCompaction()
+        return len(self._dt(spark, table_ref).detail().head()["numFiles"] or [1])
+
+    def remove_orphans(self, spark, lake_dir):
+        removed = []
+        for entry in os.listdir(lake_dir):
+            path = os.path.join(lake_dir, entry)
+            if os.path.isdir(path):
+                try:
+                    self._dt(spark, path).vacuum(0)
+                    removed.append(entry)
+                except Exception:  # noqa: BLE001 — not a delta table
+                    continue
+        return removed
+
+
+#: Preference order when no override is given.
+BACKENDS: tuple[type[TableFormat], ...] = (DeltaFormat, ParquetEmulationFormat)
+
+
+def resolve_format(spark: SparkSession, prefer: str | None = None) -> TableFormat:
+    """Pick the lake backend: explicit ``prefer`` (or the
+    ``SPARK_GRAFT_TABLE_FORMAT`` env var) wins; otherwise the first
+    available backend in preference order (Delta when its jars ship,
+    else the parquet emulation)."""
+    choice = prefer or os.environ.get("SPARK_GRAFT_TABLE_FORMAT")
+    if choice:
+        for cls in BACKENDS:
+            if cls.name == choice:
+                if not cls.available(spark):
+                    raise RuntimeError(
+                        f"table format {choice!r} requested but not available"
+                    )
+                return cls()
+        raise ValueError(f"unknown table format {choice!r}")
+    for cls in BACKENDS:
+        if cls.available(spark):
+            return cls()
+    raise RuntimeError("no table format backend available")  # pragma: no cover

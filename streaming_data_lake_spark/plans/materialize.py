@@ -43,7 +43,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streaming_data_lake_spark.sources.upsert import merge_upsert
+from streaming_data_lake_spark.formats import resolve_format
 
 
 @dataclass(frozen=True)
@@ -104,7 +104,9 @@ class Materializer:
         updates = self.spark.createDataFrame(
             [(name, ts)], "table_name string, last_materialized_at timestamp"
         )
-        merge_upsert(self.spark, self.wm_dir, updates, ["table_name"])
+        resolve_format(self.spark).merge_upsert(
+            self.spark, self.wm_dir, updates, ["table_name"]
+        )
 
     # -- passes ----------------------------------------------------------
     def run(self, target: MatTarget, lookback_hours: int = 1) -> dict[str, str]:

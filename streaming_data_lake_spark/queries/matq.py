@@ -78,16 +78,17 @@ FROM events WHERE ts <= TIMESTAMP '{_TT_CUTOFF}'
     "version 1 (the pre-cutoff state) after version 2 superseded it.",
 )
 def time_travel_read_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streaming_data_lake_spark.sources.versioned import VersionedTable
+    from streaming_data_lake_spark.formats import resolve_format
 
+    fmt = resolve_format(spark)
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
     cutoff = F.lit(_TT_CUTOFF).cast("timestamp")
-    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_") + "/events_versioned")
-    vt.commit(events.filter(F.col("ts") <= cutoff), operation="append")
-    vt.commit(events, operation="overwrite")
-    return vt.read(version=1)
+    ref = tempfile.mkdtemp(prefix="vt_") + "/events_versioned"
+    fmt.commit_snapshot(spark, ref, events.filter(F.col("ts") <= cutoff), "append")
+    fmt.commit_snapshot(spark, ref, events, "overwrite")
+    return fmt.read(spark, ref, version=1)
 
 
 _SNAPSHOTS_ORACLE = f"""
@@ -104,14 +105,15 @@ SELECT 2 AS version, 'overwrite' AS operation, count(*) AS n_rows FROM events
     "S10: the table$snapshots metadata view over the versioned table.",
 )
 def snapshot_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streaming_data_lake_spark.sources.versioned import VersionedTable
+    from streaming_data_lake_spark.formats import resolve_format
 
+    fmt = resolve_format(spark)
     events = load_table(spark, sf_dir, "events").select("event_id", "ts")
     cutoff = F.lit(_TT_CUTOFF).cast("timestamp")
-    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_") + "/events_versioned")
-    vt.commit(events.filter(F.col("ts") <= cutoff), operation="append")
-    vt.commit(events, operation="overwrite")
-    return vt.snapshots()
+    ref = tempfile.mkdtemp(prefix="vt_") + "/events_versioned"
+    fmt.commit_snapshot(spark, ref, events.filter(F.col("ts") <= cutoff), "append")
+    fmt.commit_snapshot(spark, ref, events, "overwrite")
+    return fmt.snapshots(spark, ref)
 
 
 _COMPACTION_ORACLE = """
@@ -126,10 +128,9 @@ SELECT 64 AS n_files_before, 1 AS n_files_after, count(*) AS n_rows FROM events
     "atomic swap + orphan sweep; row count is preserved.",
 )
 def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streaming_data_lake_spark.plans.maintenance import (
-        compact_parquet,
-        remove_orphans,
-    )
+    from streaming_data_lake_spark.formats import resolve_format
+
+    fmt = resolve_format(spark)
 
     def parquet_files(d: str) -> int:
         return sum(
@@ -143,9 +144,9 @@ def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     events.repartition(64).write.mode("overwrite").parquet(tdir)
     before = parquet_files(tdir)
-    compact_parquet(spark, tdir)
+    fmt.compact(spark, tdir)
     after = parquet_files(tdir)
-    remove_orphans(lake)
+    fmt.remove_orphans(spark, lake)
     n_rows = spark.read.parquet(tdir).count()
     return spark.createDataFrame(
         [(before, after, n_rows)],

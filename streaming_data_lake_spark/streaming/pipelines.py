@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from streaming_data_lake_spark.functions.parity import dsum
 from streaming_data_lake_spark.operators.ingest import clean_events
 from streaming_data_lake_spark.sources.streams import stream_table
-from streaming_data_lake_spark.sources.upsert import foreach_batch_upsert
+from streaming_data_lake_spark.formats import resolve_format
 
 
 @contextlib.contextmanager
@@ -326,13 +326,14 @@ def streaming_upsert_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+    _fmt = resolve_format(spark)
     with _state_partitions(spark):
         q = (
             agg.writeStream.outputMode("update")
-            .foreachBatch(foreach_batch_upsert(spark, table_dir, ["hour_start", "event_type"]))
+            .foreachBatch(_fmt.foreach_batch_upsert(spark, table_dir, ["hour_start", "event_type"]))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(table_dir)
+    return _fmt.read_table(spark, table_dir)
