@@ -10,15 +10,17 @@ one session; a session closes when the next event is further than
 by the number of *open* sessions, never by history — the property
 that matters at 100 TB).
 
-Bounded replays can't rely on timeouts alone: a timed-out state only
-fires in a batch that *processes data* after the watermark has
-advanced. :func:`sessionize_replay` therefore stages the input as
-(events, sentinel₁, sentinel₂) files consumed one per micro-batch
-(``maxFilesPerTrigger=1`` under ``availableNow``): batch 1 folds all
-real events and emits every gap-closed session, batch 2's far-future
-sentinel advances the watermark past every open session, and batch 3
-delivers the timeout callbacks that flush them. In production the
-continuous arrival of new data plays the sentinels' role.
+Bounded replays can't rely on timeouts alone: a timer fires only
+against a watermark computed at the end of an *earlier* batch.
+:func:`sessionize_replay` therefore stages the input as (events,
+sentinel) files consumed one per micro-batch (``maxFilesPerTrigger=1``
+under ``availableNow``): batch 0 folds all real events and emits
+every gap-closed session, batch 1's far-future sentinel advances the
+watermark past every open session, and the final (empty) batch that
+``availableNow`` runs before terminating delivers the timeout
+callbacks that flush them — verified: one sentinel yields the exact
+batch gaps-and-islands row set. In production the continuous arrival
+of new data plays the sentinel's role.
 
 Numeric parity: per-session value totals are accumulated as exact
 integer cents (the inputs are 2-dp money), so emission order and
@@ -53,14 +55,15 @@ def sessionize(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
 
     gap_us = gap_minutes * 60_000_000
 
-    def _row(user_id: int, start_us: int, end_us: int, n: int, cents: int) -> pd.DataFrame:
+    def _emit(user_id: int, sessions: list[tuple[int, int, int, int]]) -> pd.DataFrame:
+        a = np.asarray(sessions, dtype="int64")
         return pd.DataFrame(
             {
-                "user_id": np.array([user_id], dtype="int64"),
-                "session_start": pd.to_datetime([start_us], unit="us"),
-                "session_end": pd.to_datetime([end_us], unit="us"),
-                "n_events": np.array([n], dtype="int64"),
-                "total_value": np.array([cents / 100.0], dtype="float64"),
+                "user_id": np.full(len(sessions), user_id, dtype="int64"),
+                "session_start": pd.to_datetime(a[:, 0], unit="us"),
+                "session_end": pd.to_datetime(a[:, 1], unit="us"),
+                "n_events": a[:, 2],
+                "total_value": a[:, 3] / 100.0,
             }
         )
 
@@ -71,37 +74,55 @@ def sessionize(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
         if state.hasTimedOut:
             start, end, n, cents = state.get
             state.remove()
-            yield _row(user_id, start, end, n, cents)
+            yield _emit(user_id, [(start, end, n, cents)])
             return
         if user_id == _SENTINEL_USER:
             return  # watermark carrier, not data
-        parts = [pdf[["ts", "value"]] for pdf in pdfs]
-        ev = pd.concat(parts).sort_values("ts")
-        if ev.empty:
+        parts = list(pdfs)
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
+        if pdf.empty:
             return
-        ts_us = (ev["ts"].astype("int64") // 1_000).to_numpy()
-        cents_arr = np.rint(ev["value"].to_numpy() * 100).astype("int64")
+        ts_us = (pdf["ts"].astype("int64") // 1_000).to_numpy()
+        cents_arr = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
+        order = np.argsort(ts_us, kind="stable")
+        ts_us, cents_arr = ts_us[order], cents_arr[order]
 
+        # Vectorized gaps-and-islands over the batch: a break wherever
+        # the gap is exceeded; per-segment (start, end, n, cents) via
+        # boundary indexing + reduceat — no per-row Python loop.
+        brk = np.flatnonzero(np.diff(ts_us) > gap_us) + 1
+        seg_lo = np.concatenate(([0], brk))
+        seg_hi = np.concatenate((brk, [ts_us.size]))
+        seg_cents = np.add.reduceat(cents_arr, seg_lo)
+        segments = [
+            (int(ts_us[lo]), int(ts_us[hi - 1]), int(hi - lo), int(c))
+            for lo, hi, c in zip(seg_lo, seg_hi, seg_cents)
+        ]
+
+        # Fold segments through the carried state (per-SEGMENT loop,
+        # at most a handful of iterations). The max-end merge keeps
+        # the late-data semantics: a state session whose end exceeds
+        # the batch's early timestamps can absorb the next segment.
         if state.exists:
-            start, end, n, cents = state.get
+            cur = tuple(state.get)
         else:
-            start = end = int(ts_us[0])
-            n, cents = 1, int(cents_arr[0])
-            ts_us, cents_arr = ts_us[1:], cents_arr[1:]
-
-        closed: list[pd.DataFrame] = []
-        for t, c in zip(ts_us, cents_arr):
-            if t - end > gap_us:
-                closed.append(_row(user_id, start, end, n, cents))
-                start, end, n, cents = t, t, 1, int(c)
+            cur, segments = segments[0], segments[1:]
+        closed: list[tuple[int, int, int, int]] = []
+        for seg in segments:
+            if seg[0] - cur[1] <= gap_us:
+                cur = (
+                    cur[0],
+                    max(cur[1], seg[1]),
+                    cur[2] + seg[2],
+                    cur[3] + seg[3],
+                )
             else:
-                end = max(end, int(t))
-                n += 1
-                cents += int(c)
-        state.update((int(start), int(end), int(n), int(cents)))
-        state.setTimeoutTimestamp((int(end) + gap_us) // 1000 + 1)
+                closed.append(cur)
+                cur = seg
+        state.update(cur)
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000 + 1)
         if closed:
-            yield pd.concat(closed)
+            yield _emit(user_id, closed)
 
     return (
         src.withWatermark("ts", "30 seconds")
@@ -117,9 +138,8 @@ def sessionize(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
 
 
 def _stage_with_sentinels(sf_dir: str) -> str:
-    """Stage (events, sentinel₁, sentinel₂) as three files with
-    strictly increasing mtimes so the file source replays them as
-    three ordered micro-batches."""
+    """Stage (events, sentinel) as two files with strictly increasing
+    mtimes so the file source replays them as ordered micro-batches."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -149,7 +169,6 @@ def _stage_with_sentinels(sf_dir: str) -> str:
         os.utime(path, (mtime, mtime))
 
     sentinel("b_sentinel1.parquet", "2030-01-01", base + 3600)
-    sentinel("c_sentinel2.parquet", "2035-01-01", base + 7200)
     return d
 
 
