@@ -169,6 +169,38 @@ def _self_join_band_pairs(banded: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _materialized_band_pairs(
+    spark, banded: DataFrame, table: str, id_col: str, buckets: int = 8
+) -> DataFrame:
+    """Candidate pairs via a signature table written ONCE, bucketed by
+    the composite band key, then self-joined co-located (no signature
+    recompute, no join Exchange) — the 100 TB shape for any banded
+    LSH family. ``bkey = band:band_key`` folds both logical join
+    columns into the single bucketing column so the bucket-join rule
+    applies directly."""
+    from streaming_data_lake_spark.plans.bucketing import bucketed_frame
+
+    keyed = banded.select(
+        F.col(id_col),
+        F.concat_ws(":", F.col("band"), F.col("band_key")).alias("bkey"),
+    )
+    sig = bucketed_frame(spark, keyed, table, "bkey", buckets=buckets)
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.hint("merge")
+        .join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def banded_minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -237,27 +269,8 @@ def minhash_lsh_candidates_materialized(
     The composite key ``bkey = band:band_key`` folds both logical
     join columns into the single bucketing column, so bucket-join
     co-location applies directly."""
-    from streaming_data_lake_spark.plans.bucketing import bucketed_frame
-
-    banded = banded_minhash_signatures(df, id_col, text_col, n, num_hashes, bands).select(
-        F.col(id_col),
-        F.concat_ws(":", F.col("band"), F.col("band_key")).alias("bkey"),
-    )
-    sig = bucketed_frame(spark, banded, table, "bkey", buckets=buckets)
-    a, b = sig.alias("a"), sig.alias("b")
-    return (
-        a.hint("merge")
-        .join(
-            b,
-            (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
+    banded = banded_minhash_signatures(df, id_col, text_col, n, num_hashes, bands)
+    return _materialized_band_pairs(spark, banded, table, id_col, buckets)
 
 
 def ngram_jaccard_pairs(
@@ -320,7 +333,7 @@ def rh_weights(num_bits: int, dim: int) -> list[list[float]]:
     ]
 
 
-def embedding_lsh_candidates(
+def banded_embedding_signatures(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -328,15 +341,10 @@ def embedding_lsh_candidates(
     num_bits: int = 16,
     bands: int = 2,
 ) -> DataFrame:
-    """Random-hyperplane (sign) LSH candidate pairs over an embedding
-    column: vectors sharing at least one band of sign bits.
-
-    Plan shape at scale: the signature is a narrow per-row projection
-    (num_bits dot products against broadcast literal weight arrays —
-    flat codegen, no shuffle), then explode to (band, key) and
-    self equi-join on the band bucket. Identical shape to
-    :func:`minhash_lsh_candidates`; no all-pairs comparison ever
-    materializes."""
+    """Per-vector banded random-hyperplane (sign) LSH signature rows
+    ``(id, band, band_key)``: num_bits dot products against broadcast
+    literal weight arrays — a narrow per-row projection, no shuffle —
+    then explode to one row per band."""
     from streaming_data_lake_spark.operators.similarity import dot
 
     weights = rh_weights(num_bits, dim)
@@ -357,10 +365,43 @@ def embedding_lsh_candidates(
         )
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+
+
+def embedding_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_bits: int = 16,
+    bands: int = 2,
+) -> DataFrame:
+    """Sign-LSH candidate pairs: vectors sharing >=1 band of sign
+    bits. Same self-join shape as :func:`minhash_lsh_candidates`; no
+    all-pairs comparison ever materializes."""
+    banded = banded_embedding_signatures(df, id_col, vec_col, dim, num_bits, bands)
     return _self_join_band_pairs(banded, id_col)
+
+
+def embedding_lsh_candidates_materialized(
+    spark,
+    df: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_bits: int = 16,
+    bands: int = 2,
+    buckets: int = 8,
+) -> DataFrame:
+    """Sign-LSH candidates via the materialized bucketed signature
+    table (see :func:`_materialized_band_pairs`): the hyperplane
+    signature projection runs once at write time instead of once per
+    self-join side."""
+    banded = banded_embedding_signatures(df, id_col, vec_col, dim, num_bits, bands)
+    return _materialized_band_pairs(spark, banded, table, id_col, buckets)
 
 
 def embedding_cosine_near_dups(
@@ -371,12 +412,21 @@ def embedding_cosine_near_dups(
     dim: int = 64,
     num_bits: int = 16,
     bands: int = 2,
+    spark=None,
+    table: str | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: sign-LSH candidates verified with
-    exact cosine ≥ threshold. Returns (id_a, id_b, cosine_sim)."""
+    exact cosine ≥ threshold. Returns (id_a, id_b, cosine_sim).
+    When ``spark`` and ``table`` are given, candidates come from the
+    materialized bucketed signature table (one signature pass)."""
     from streaming_data_lake_spark.operators.similarity import dot, norm
 
-    cand = embedding_lsh_candidates(df, id_col, vec_col, dim, num_bits, bands)
+    if spark is not None and table is not None:
+        cand = embedding_lsh_candidates_materialized(
+            spark, df, table, id_col, vec_col, dim, num_bits, bands
+        )
+    else:
+        cand = embedding_lsh_candidates(df, id_col, vec_col, dim, num_bits, bands)
     va = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("v_a"),

@@ -576,13 +576,19 @@ SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {_EMB_NEAR_DUP_THR
 )
 def embedding_cosine_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_lake_spark.operators.dedup import embedding_cosine_near_dups
+    from streaming_data_lake_spark.plans.bucketing import _safe_tag
 
+    # Materialized-signature path: the hyperplane signature projection
+    # runs once (written bucketed by band key), not once per self-join
+    # side — same discipline as minhash_lsh_near_dups.
     return embedding_cosine_near_dups(
         _t(spark, sf_dir, "embeddings"),
         threshold=_EMB_NEAR_DUP_THRESHOLD,
         dim=_EMB_DIM,
         num_bits=_EMB_BITS,
         bands=_EMB_BANDS,
+        spark=spark,
+        table=f"emb_sig_{_safe_tag(sf_dir)}",
     )
 
 

@@ -196,3 +196,22 @@ def test_hourly_queries_prune_day_partitions(spark, name):
     plan = _formatted(_query(spark, name))
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "event_date" in pf and "2024-01-08" in pf and "2024-01-15" in pf
+
+
+def test_embedding_lsh_materialized_band_join_is_colocated(spark):
+    """Same discipline for the sign-LSH family: signatures read from
+    the written bucketed table (no hyperplane dot products in the
+    join plan), band self-join co-located."""
+    from streaming_data_lake_spark.operators.dedup import (
+        embedding_lsh_candidates_materialized,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    cand = embedding_lsh_candidates_materialized(spark, e, "emb_sig_plan_test")
+    plan = _formatted(cand)
+    assert "zip_with" not in plan, (
+        "hyperplane signature recomputed in join — should read the written table"
+    )
+    assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+    before_join = plan.split("SortMergeJoin")[0]
+    assert "Exchange hashpartitioning" not in before_join, "band join must be co-located"
