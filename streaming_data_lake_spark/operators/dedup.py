@@ -479,3 +479,56 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         .cast("long")
         .alias("simhash")
     )
+
+
+def connected_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Union near-dup pairs into clusters: returns (doc_id,
+    cluster_id) where cluster_id is the minimum doc id reachable in
+    the pair graph — the canonical representative every dedup policy
+    keys on ("keep the lowest id of each duplicate cluster").
+
+    Iterative min-label propagation: each round is one equi-join of
+    the symmetric edge list with the current labels plus a map-side-
+    combinable ``min`` aggregate, converging in O(graph diameter)
+    rounds (near-dup graphs are shallow — chains of near-identical
+    docs). ``localCheckpoint`` cuts lineage per round so plans stay
+    flat; the only driver-side scalar is the convergence probe, the
+    same discipline as the materializer's count probes.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

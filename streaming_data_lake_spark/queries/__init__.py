@@ -124,6 +124,12 @@ _CERTIFICATION_ORDER = [
     "lang_id_heuristic",
     "simhash_fingerprints",
     "ngram_jaccard_near_dups",
+    # ---- new in round 2 (no driver verdict yet; rotate into the
+    # scored window next round) ----
+    "tfidf_top_terms",
+    "dup_clusters_connected",
+    "stratified_sample_by_lang",
+    "token_budget_packing",
 ]
 
 

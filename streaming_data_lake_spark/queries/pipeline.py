@@ -682,3 +682,189 @@ def knn_ivf_multiprobe_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         nprobe=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (rational smoothed idf — log-free for bit parity)
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+_TFIDF_ORACLE = rf"""
+WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+total AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term, tf, doc_freq,
+         CAST(tf AS DOUBLE)
+           * ((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(doc_freq AS DOUBLE) + 1.0))
+           AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN total
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+  ) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, doc_freq, tfidf, rank
+FROM r WHERE rank <= {_TFIDF_K}
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    _TFIDF_ORACLE,
+    "TF-IDF top-3 terms per doc (rational smoothed idf; term-shuffle join, "
+    "no vocabulary broadcast assumption).",
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.corpus import tfidf_top_terms
+
+    out = tfidf_top_terms(_t(spark, sf_dir, "documents"), k=_TFIDF_K)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: connected components over the Jaccard pair graph
+# ---------------------------------------------------------------------------
+
+_DUP_CLUSTERS_ORACLE = rf"""
+WITH RECURSIVE
+tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM tk
+),
+ex AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.sng = b.sng AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+        >= {_JACCARD_THRESHOLD}
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+)
+SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@register(
+    "dup_clusters_connected",
+    _DUP_CLUSTERS_ORACLE,
+    "Connected components over the near-dup pair graph (iterative min-label "
+    "propagation; cluster_id = min doc id reachable). Oracle: recursive CTE.",
+)
+def dup_clusters_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.dedup import connected_dup_clusters
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=_JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    return connected_dup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling by language
+# ---------------------------------------------------------------------------
+
+_STRATA_RATES = {"en": 60, "de": 30}
+_STRATA_DEFAULT = 10
+
+_STRATIFIED_ORACLE = f"""
+SELECT lang,
+       count(*) AS n_sampled,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM documents
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+      < CASE WHEN lang = 'de' THEN {_STRATA_RATES['de']}
+             WHEN lang = 'en' THEN {_STRATA_RATES['en']}
+             ELSE {_STRATA_DEFAULT} END
+GROUP BY lang
+"""
+
+
+@register(
+    "stratified_sample_by_lang",
+    _STRATIFIED_ORACLE,
+    "Deterministic hash-stratified sampling (en 60% / de 30% / rest 10%): "
+    "keep iff h32(doc_id) %% 100 < stratum rate — reproducible across runs "
+    "and engines, no shuffle.",
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.corpus import stratified_sample
+
+    sampled = stratified_sample(
+        _t(spark, sf_dir, "documents"), _STRATA_RATES, _STRATA_DEFAULT
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_CAPACITY = 512
+_PACK_GROUPS = 16
+
+_PACKING_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % {_PACK_GROUPS} AS pack_group,
+         len({_DUCK_TOKS}) AS n_tok
+  FROM documents
+),
+a AS (
+  SELECT pack_group, doc_id, n_tok,
+         sum(n_tok) OVER (
+           PARTITION BY pack_group ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM t
+)
+SELECT pack_group,
+       CAST(floor((cum - n_tok) / {_PACK_CAPACITY}) AS BIGINT) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM a
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "token_budget_packing",
+    _PACKING_ORACLE,
+    "Sequence packing: docs assigned (in id order) to 512-token shards, "
+    "windowed per hash pack-group so the running sum parallelizes.",
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.corpus import pack_token_budget
+
+    return pack_token_budget(
+        _t(spark, sf_dir, "documents"),
+        capacity=_PACK_CAPACITY,
+        n_groups=_PACK_GROUPS,
+    )

@@ -238,3 +238,54 @@ def test_evolution_tightened_nullability_is_incompatible():
     old = StructType([StructField("a", LongType(), nullable=True)])
     new = StructType([StructField("a", LongType(), nullable=False)])
     assert check_evolution(old, new) == ["tightened nullability on a"]
+
+
+# ---------------------------------------------------------------------------
+# Corpus-prep operators: connected components, packing, stratified sample
+# ---------------------------------------------------------------------------
+
+
+def test_connected_dup_clusters_chain_and_island(spark):
+    """A chain 1-2-3-4 (diameter > 1 forces multiple propagation
+    rounds) plus an island 10-11 collapse to min-id cluster labels."""
+    from streaming_data_lake_spark.operators.dedup import connected_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_dup_clusters(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_pack_token_budget_boundary(spark):
+    """Docs of 300 tokens each against capacity 512 in one group:
+    shard boundaries land at floor(before/512) = 0,0,1,1,2 ..."""
+    from streaming_data_lake_spark.operators.corpus import pack_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 300)) for i in range(5)], "doc_id long, text string"
+    )
+    out = pack_token_budget(docs, capacity=512, n_groups=1)
+    got = {
+        (r["shard_id"], r["n_docs"], r["n_tokens"]) for r in out.collect()
+    }
+    assert got == {(0, 2, 600), (1, 2, 600), (2, 1, 300)}
+
+
+def test_stratified_sample_deterministic(spark):
+    """Two runs produce identical row sets, and strata rates differ."""
+    from streaming_data_lake_spark.operators.corpus import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en" if i % 2 == 0 else "de") for i in range(500)],
+        "doc_id long, text string, lang string",
+    )
+    s1 = {r["doc_id"] for r in stratified_sample(docs, {"en": 60, "de": 10}, 0).collect()}
+    s2 = {r["doc_id"] for r in stratified_sample(docs, {"en": 60, "de": 10}, 0).collect()}
+    assert s1 == s2 and s1
+    en = sum(1 for i in s1 if i % 2 == 0)
+    de = len(s1) - en
+    assert en > de, "en stratum samples at 6x the de rate"
