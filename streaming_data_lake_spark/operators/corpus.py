@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from streaming_data_lake_spark.functions.hashing import h32
+from streaming_data_lake_spark.operators.dedup import shingles as tokens_shingles
 from streaming_data_lake_spark.operators.dedup import tokens
 
 
@@ -124,4 +125,36 @@ def pack_token_budget(
     return assigned.groupBy("pack_group", "shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark_ngrams: list[str],
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag documents containing any of the
+    benchmark's word n-grams. Returns (doc_id, n_matched_shingles)
+    for contaminated docs only.
+
+    Plan shape at scale: the benchmark shingle set is tiny → broadcast
+    hash join against the exploded corpus shingles, aggregated with a
+    map-side-combinable count. The 100 TB corpus is never shuffled on
+    content — only the matched rows reach the aggregate.
+    """
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    bench = F.broadcast(
+        spark.createDataFrame([(g,) for g in sorted(set(benchmark_ngrams))], "sng string")
+    )
+    sh = docs.select(
+        F.col(id_col), F.explode(tokens_shingles(F.col(text_col), n)).alias("sng")
+    )
+    return (
+        sh.join(bench, "sng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched_shingles"))
     )

@@ -228,3 +228,29 @@ def ivf_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    scale = max|x| / 127, q_i = floor(x_i/scale + 0.5) ∈ [-127, 127].
+
+    ``floor(x + 0.5)`` instead of ``round`` keeps the arithmetic in
+    IEEE-exact ops both engines implement identically. Zero vectors
+    quantize to all-zero with scale 0. A narrow per-row projection —
+    the 4× storage cut for an ANN corpus with no shuffle.
+    """
+    v = F.col(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = absmax / F.lit(127.0)
+    q = F.when(scale > 0, F.transform(
+        v, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")
+    )).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+    )

@@ -109,3 +109,77 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n
         F.array_max(hashes).alias("fp_max"),
         F.size(sh).cast("long").alias("n_shingles"),
     )
+
+
+# -- PII redaction ----------------------------------------------------------
+
+#: RE2-safe patterns (no backrefs/lookaround) so Spark's Java regex
+#: and DuckDB's RE2 match identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PHONE_RE = r"[0-9]{3}-[0-9]{2,}"
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Scrub emails and phone-shaped digit runs from a text column,
+    keeping redaction counts for observability. Pure regexp column
+    expressions — codegen'd, shuffle-free, safe to run as a narrow
+    map over a 100 TB corpus."""
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))).cast("long")
+    n_phones = F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+# -- Repetition signals (Gopher-style quality filters) ----------------------
+
+
+def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document repetition metrics used by web-corpus quality
+    filters: the fraction of tokens taken by the single most frequent
+    token, and the duplicate-2-gram fraction (1 − distinct/total).
+
+    Plan shape at scale: explode → groupBy(doc, token) → groupBy(doc)
+    max/sum — both aggregates map-side combinable; the 2-gram
+    distinct count rides the shingle array (per-row, no shuffle).
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(shingles(F.col(text_col), 2)).cast("long").alias("n_distinct_2grams"),
+    )
+    tok_counts = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_token_count"))
+    )
+    out = base.join(tok_counts, id_col, "left")
+    n_tok = F.col("n_tokens").cast("double")
+    total_2g = F.greatest(F.col("n_tokens") - 1, F.lit(0)).cast("double")
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.coalesce(F.col("top_token_count"), F.lit(0)).cast("double") / n_tok,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_token_frac"),
+        F.when(
+            total_2g > 0,
+            F.lit(1.0) - F.col("n_distinct_2grams").cast("double") / total_2g,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_frac"),
+    )

@@ -130,6 +130,10 @@ _CERTIFICATION_ORDER = [
     "dup_clusters_connected",
     "stratified_sample_by_lang",
     "token_budget_packing",
+    "pii_redaction",
+    "repetition_signals",
+    "benchmark_decontamination",
+    "embedding_int8_quantization",
 ]
 
 

@@ -868,3 +868,178 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         capacity=_PACK_CAPACITY,
         n_groups=_PACK_GROUPS,
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (synthetic deterministic PII appended, then scrubbed)
+# ---------------------------------------------------------------------------
+
+_PII_ORACLE = r"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555-01' || CAST(doc_id % 100 AS VARCHAR)
+           AS text
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2,}')) AS BIGINT) AS n_phones,
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+           '[0-9]{3}-[0-9]{2,}', '<PHONE>', 'g') AS r
+  FROM pii
+)
+SELECT doc_id, n_emails, n_phones, md5(r) AS redacted_md5,
+       CAST(length(r) AS BIGINT) AS redacted_len
+FROM red
+"""
+
+
+@register(
+    "pii_redaction",
+    _PII_ORACLE,
+    "PII scrubbing: emails + phone-shaped digit runs redacted with counts "
+    "(deterministic synthetic PII appended so the scrubber has real work); "
+    "narrow regexp projection, shuffle-free.",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-01"),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(d)
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = rf"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS top_token_count FROM cnt GROUP BY 1),
+g2 AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(list_transform(range(1, greatest(len(toks), 1)),
+                                          i -> toks[i] || ' ' || toks[i+1]))) AS n_d2
+  FROM tk
+)
+SELECT g2.doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN n_tokens > 0
+            THEN CAST(coalesce(top_token_count, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            ELSE 0.0 END AS top_token_frac,
+       CASE WHEN n_tokens - 1 > 0
+            THEN 1.0 - CAST(n_d2 AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE)
+            ELSE 0.0 END AS dup_2gram_frac
+FROM g2 LEFT JOIN top ON top.doc_id = g2.doc_id
+"""
+
+
+@register(
+    "repetition_signals",
+    _REPETITION_ORACLE,
+    "Repetition quality filters: top-token fraction + duplicate-2-gram "
+    "fraction per doc (map-side-combinable aggs).",
+)
+def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.text import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_BENCH_NGRAMS = (
+    "key agg row",
+    "fast table value",
+    "the line sort",
+    "value table part",
+    "row fast merge",
+    "spark a a",
+    "hash value table",
+    "batch part value",
+)
+
+_DECONTAM_ORACLE = rf"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM tk
+),
+ex AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+bench AS (
+  SELECT unnest([{", ".join(repr(g) for g in sorted(set(_BENCH_NGRAMS)))}]) AS sng
+)
+SELECT doc_id, count(*) AS n_matched_shingles
+FROM ex JOIN bench USING (sng)
+GROUP BY doc_id
+"""
+
+
+@register(
+    "benchmark_decontamination",
+    _DECONTAM_ORACLE,
+    "Decontamination: flag docs sharing any 3-gram with the benchmark set "
+    "(tiny broadcast join against exploded corpus shingles).",
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.corpus import decontaminate
+
+    return decontaminate(_t(spark, sf_dir, "documents"), list(_BENCH_NGRAMS))
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization
+# ---------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+         embedding
+  FROM embeddings
+),
+qq AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
+              ELSE list_transform(embedding, x -> 0) END AS qv
+  FROM q
+)
+SELECT vec_id, scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       list_min(qv) AS q_min,
+       list_max(qv) AS q_max
+FROM qq
+"""
+
+
+@register(
+    "embedding_int8_quantization",
+    _QUANT_ORACLE,
+    "Symmetric int8 quantization per vector (scale = max|x|/127, "
+    "floor(x/scale + 0.5)); narrow projection, IEEE-exact cross-engine.",
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.similarity import quantize_embeddings_int8
+
+    return quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
