@@ -215,3 +215,39 @@ def test_embedding_lsh_materialized_band_join_is_colocated(spark):
     assert "SortMergeJoin" in plan and "Bucketed: true" in plan
     before_join = plan.split("SortMergeJoin")[0]
     assert "Exchange hashpartitioning" not in before_join, "band join must be co-located"
+
+
+def test_decontamination_broadcasts_benchmark_set(spark):
+    """The benchmark shingle set is tiny: it must broadcast, never
+    shuffling the exploded corpus side on content."""
+    plan = _formatted(_query(spark, "benchmark_decontamination"))
+    assert "BroadcastHashJoin" in plan
+    before_join = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in before_join, (
+        "corpus side shuffled before the broadcast join"
+    )
+
+
+def test_token_packing_window_is_partitioned(spark):
+    """Packing's running sum must be a partitioned window (parallel
+    per pack group), not a single global-order sort."""
+    plan = _formatted(_query(spark, "token_budget_packing"))
+    assert "hashpartitioning(pack_group" in plan, (
+        "window should partition by pack_group"
+    )
+    assert "SinglePartition" not in plan, (
+        "global single-partition window would serialize the corpus"
+    )
+
+
+def test_tfidf_join_shapes(spark):
+    """The term join carries no hint: Catalyst picks broadcast at
+    test scale (the vocabulary is tiny) and would pick a shuffled
+    equi-join once stats exceed the threshold. What must hold at any
+    scale: the only cross join is the single-row corpus count, and
+    nothing degenerates into a cartesian over (doc, term) pairs."""
+    plan = _executed(_query(spark, "tfidf_top_terms"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, (
+        "exactly one nested-loop: the single-row n_docs cross join"
+    )
