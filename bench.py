@@ -35,6 +35,10 @@ HEADLINE = [
     "knn_bruteforce_cosine",    # ANN brute-force top-k
     "knn_ivf_cosine",           # ANN IVF-bucketed top-k
     "token_counts",             # text analysis
+    "tfidf_top_terms",          # TF-IDF top terms per doc
+    "dup_clusters_connected",   # iterative CC over near-dup graph
+    "token_budget_packing",     # sequence packing into token shards
+    "benchmark_decontamination",  # broadcast shingle decontamination
     "asof_view_within_6h",      # tolerance-bounded as-of join
     "bucketed_colocated_join",  # shuffle-free pre-bucketed join
     "streaming_upsert_hourly",  # streaming replay + MERGE upsert

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from streaming_data_lake_spark.functions.parity import dsum
 from streaming_data_lake_spark.operators.ingest import clean_events
 from streaming_data_lake_spark.sources.streams import stream_table
+from streaming_data_lake_spark.catalog import load_table
 from streaming_data_lake_spark.formats import resolve_format
 
 
@@ -229,22 +230,23 @@ def streaming_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.event_id").alias("purchase_id"),
         )
     )
-    # Start all three streaming stages, then await: they are
-    # independent queries and overlap fully.
+    # Start both streaming join stages, then await: they are
+    # independent queries and overlap fully. The views spine needs no
+    # stream — it is part of the batch assembly (same source table,
+    # no state), so it reads directly rather than paying a third
+    # stream's state-store setup.
     with _state_partitions(spark):
         q1, vc_res = _start_to_memory(vc, "append")
         q2, cp_res = _start_to_memory(cp, "append")
-        q3, views_res = _start_to_memory(
-            staged("view").select(
-                F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
-            ),
-            "append",
-        )
-    for q in (q1, q2, q3):
+    for q in (q1, q2):
         q.awaitTermination()
     vc_pairs = vc_res()
     cp_pairs = cp_res().withColumnRenamed("click_id", "cp_click_id")
-    views = views_res()
+    views = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id"))
+    )
     rows = views.join(vc_pairs, "view_id", "left").join(
         cp_pairs, F.col("click_id") == F.col("cp_click_id"), "left"
     )
