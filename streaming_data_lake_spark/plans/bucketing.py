@@ -15,6 +15,7 @@ single file.
 from __future__ import annotations
 
 import contextlib
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +31,30 @@ def _safe_tag(sf_dir: str) -> str:
     return re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
 
 
+def _write_bucketed(spark: SparkSession, df: DataFrame, tbl: str, key: str, buckets: int) -> None:
+    """Write ``df`` as an EXTERNAL bucketed+sorted table at a unique
+    per-process temp location. External (not managed) matters for
+    harness portability: a managed table's location is derived from
+    ``spark.sql.warehouse.dir``, which under a bare session is
+    cwd-relative — a second process with a fresh in-memory catalog
+    but the same cwd then hits LOCATION_ALREADY_EXISTS on the
+    leftover directory. A unique external path makes the write
+    correct under ANY session, and DROP TABLE IF EXISTS clears a
+    same-process catalog entry."""
+    import tempfile
+
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    path = os.path.join(tempfile.mkdtemp(prefix=f"bkt_{tbl}_"), tbl)
+    (
+        df.write.bucketBy(buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .saveAsTable(tbl)
+    )
+
+
 def bucketed_table(
     spark: SparkSession, sf_dir: str, name: str, key: str
 ) -> DataFrame:
@@ -37,15 +62,7 @@ def bucketed_table(
     session per sf_dir), bucketed+sorted by ``key``."""
     tbl = f"bkt_{name}_{_safe_tag(sf_dir)}"
     if (sf_dir, name) not in _READY:
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        (
-            load_table(spark, sf_dir, name)
-            .write.bucketBy(_BUCKETS, key)
-            .sortBy(key)
-            .mode("overwrite")
-            .format("parquet")
-            .saveAsTable(tbl)
-        )
+        _write_bucketed(spark, load_table(spark, sf_dir, name), tbl, key, _BUCKETS)
         _READY.add((sf_dir, name))
     return spark.table(tbl)
 
@@ -59,14 +76,7 @@ def bucketed_frame(
     subtree that produced ``df`` executes exactly once (at write
     time), and the join needs no Exchange on either side."""
     if tbl not in _FRAMES_READY:
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        (
-            df.write.bucketBy(buckets, key)
-            .sortBy(key)
-            .mode("overwrite")
-            .format("parquet")
-            .saveAsTable(tbl)
-        )
+        _write_bucketed(spark, df, tbl, key, buckets)
         _FRAMES_READY.add(tbl)
     return spark.table(tbl)
 

@@ -70,3 +70,45 @@ def test_bare_session_loads_all_tables_and_runs_events_queries():
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
     assert "BARE_SESSION_OK" in proc.stdout
+
+
+_BUCKETED_SCRIPT = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from streaming_data_lake_spark.queries import all_queries
+
+qs = all_queries()
+for name in ("minhash_lsh_near_dups", "bucketed_colocated_join"):
+    n = qs[name].fn(spark, {sf!r}).count()
+    assert n > 0, name
+print("BUCKETED_OK")
+"""
+
+
+def test_bare_session_bucketed_tables_survive_process_reruns(tmp_path):
+    """The saveAsTable-based queries must work when TWO bare-session
+    processes run from the SAME cwd: a managed-table write would leave
+    a warehouse directory the second process's fresh catalog trips
+    over (LOCATION_ALREADY_EXISTS) — writes must target unique
+    external locations."""
+    script = _BUCKETED_SCRIPT.format(repo=REPO, sf=SF_DIR)
+    for attempt in range(2):
+        proc = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd=tmp_path,
+        )
+        assert proc.returncode == 0, (
+            f"attempt {attempt}:\nstdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
+        )
+        assert "BUCKETED_OK" in proc.stdout
