@@ -134,6 +134,7 @@ _CERTIFICATION_ORDER = [
     "repetition_signals",
     "benchmark_decontamination",
     "embedding_int8_quantization",
+    "multimodal_resize",
 ]
 
 

@@ -1043,3 +1043,36 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_lake_spark.operators.similarity import quantize_embeddings_int8
 
     return quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal resize (1→1 payload transformation)
+# ---------------------------------------------------------------------------
+
+_RESIZE_BYTES = 128
+
+_RESIZE_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+       CAST({_RESIZE_BYTES} AS BIGINT) AS byte_len,
+       md5(rpad(substring(text, 1, {_RESIZE_BYTES}), {_RESIZE_BYTES}, chr(0)))
+         AS payload_md5
+FROM documents
+"""
+
+
+@register(
+    "multimodal_resize",
+    _RESIZE_ORACLE,
+    "Multimodal: 1-to-1 resize plumbing over mapInPandas (payload normalized "
+    "to a fixed byte budget; deterministic stub decode; the corpus text is "
+    "ASCII so the oracle reproduces the byte-level truncate+NUL-pad).",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.multimodal import resize_media
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    resized = resize_media(media, target_bytes=_RESIZE_BYTES)
+    return resized.select(
+        "doc_id", "media_type", "byte_len", F.md5("payload").alias("payload_md5")
+    )
