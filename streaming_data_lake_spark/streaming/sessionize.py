@@ -125,7 +125,11 @@ def sessionize(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
             yield _emit(user_id, closed)
 
     return (
-        src.withWatermark("ts", "30 seconds")
+        # Prune to the three columns the fold reads BEFORE the keyed
+        # shuffle: the wide props payload would otherwise ride every
+        # shuffle block and Arrow batch into the state operator.
+        src.select("user_id", "ts", "value")
+        .withWatermark("ts", "30 seconds")
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
