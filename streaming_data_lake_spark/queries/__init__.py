@@ -135,6 +135,7 @@ _CERTIFICATION_ORDER = [
     "benchmark_decontamination",
     "embedding_int8_quantization",
     "multimodal_resize",
+    "dedup_keep_best_quality",
 ]
 
 

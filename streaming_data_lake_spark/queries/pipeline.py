@@ -1076,3 +1076,61 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "doc_id", "media_type", "byte_len", F.md5("payload").alias("payload_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup policy composition: keep the best-quality doc per dup cluster
+# ---------------------------------------------------------------------------
+
+_KEEP_BEST_ORACLE = f"""
+WITH q AS ({_QUALITY_ORACLE}),
+j AS (
+  SELECT md5(d.text) AS content_hash, d.doc_id, q.quality_score
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+),
+r AS (
+  SELECT content_hash, doc_id, quality_score,
+         row_number() OVER (
+           PARTITION BY content_hash
+           ORDER BY quality_score DESC, doc_id ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY content_hash) AS n_dups
+  FROM j
+)
+SELECT content_hash,
+       doc_id AS kept_doc_id,
+       quality_score AS kept_quality,
+       CAST(n_dups AS BIGINT) AS n_dups
+FROM r WHERE rn = 1
+"""
+
+
+@register(
+    "dedup_keep_best_quality",
+    _KEEP_BEST_ORACLE,
+    "Dedup policy: within each exact-dup cluster keep the highest-quality "
+    "doc (ties -> lowest id) — dedup and quality operators composed; "
+    "single window over the content-hash shuffle.",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    q = text.quality_features(d).select("doc_id", "quality_score")
+    j = d.select(F.md5("text").alias("content_hash"), "doc_id").join(q, "doc_id")
+    w = Window.partitionBy("content_hash")
+    ranked = j.select(
+        "content_hash",
+        "doc_id",
+        "quality_score",
+        F.row_number()
+        .over(w.orderBy(F.desc("quality_score"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_dups"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "content_hash",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("quality_score").alias("kept_quality"),
+        "n_dups",
+    )
