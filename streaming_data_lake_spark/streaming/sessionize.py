@@ -207,3 +207,154 @@ def sessionize_replay(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def _require_tws() -> None:
+    """transformWithStateInPandas drives its state protocol over
+    protobuf; this container ships a broken google.protobuf (no
+    descriptor module), so the API fails at stream start with an
+    opaque worker crash. Probe up front and raise with guidance —
+    the same gating discipline as the Kafka/Avro source."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except Exception as exc:  # noqa: BLE001
+        raise RuntimeError(
+            "transformWithStateInPandas requires a working google.protobuf "
+            "(pip install protobuf); not available in this environment. "
+            "Use sessionize()/sessionize_replay() (applyInPandasWithState), "
+            "which implements identical semantics."
+        ) from exc
+
+
+def sessionize_tws(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
+    """Gap sessionization on ``transformWithStateInPandas`` — the
+    Spark 4 successor to ``applyInPandasWithState`` (typed state
+    variables + explicit per-key timers instead of a single opaque
+    state tuple). Same semantics as :func:`sessionize`; kept as a
+    parallel implementation so pipelines can migrate API-by-API.
+
+    State: one ValueState holding (start, end, n, cents). Timers: one
+    event-time timer per open session at ``end + gap``; re-arming on
+    new data deletes the stale timer (the old API's implicit
+    setTimeoutTimestamp overwrite, made explicit).
+
+    Requires a working ``google.protobuf`` (the TWS state protocol
+    transport); raises with guidance where absent."""
+    _require_tws()
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_minutes * 60_000_000
+
+    def _emit(user_id: int, sessions: list[tuple[int, int, int, int]]) -> pd.DataFrame:
+        a = np.asarray(sessions, dtype="int64")
+        return pd.DataFrame(
+            {
+                "user_id": np.full(len(sessions), user_id, dtype="int64"),
+                "session_start": pd.to_datetime(a[:, 0], unit="us"),
+                "session_end": pd.to_datetime(a[:, 1], unit="us"),
+                "n_events": a[:, 2],
+                "total_value": a[:, 3] / 100.0,
+            }
+        )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState("sess", _STATE_SCHEMA)
+
+        def close(self) -> None:
+            pass
+
+        def _rearm(self, end_us: int) -> None:
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer((end_us + gap_us) // 1000 + 1)
+
+        def handleInputRows(self, key, rows, timerValues):
+            user_id = key[0]
+            if user_id == _SENTINEL_USER:
+                return  # watermark carrier
+            parts = list(rows)
+            pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
+            if pdf.empty:
+                return
+            ts_us = (pdf["ts"].astype("int64") // 1_000).to_numpy()
+            cents_arr = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
+            order = np.argsort(ts_us, kind="stable")
+            ts_us, cents_arr = ts_us[order], cents_arr[order]
+            brk = np.flatnonzero(np.diff(ts_us) > gap_us) + 1
+            seg_lo = np.concatenate(([0], brk))
+            seg_hi = np.concatenate((brk, [ts_us.size]))
+            seg_cents = np.add.reduceat(cents_arr, seg_lo)
+            segments = [
+                (int(ts_us[lo]), int(ts_us[hi - 1]), int(hi - lo), int(c))
+                for lo, hi, c in zip(seg_lo, seg_hi, seg_cents)
+            ]
+            if self._sess.exists():
+                cur = tuple(self._sess.get())
+            else:
+                cur, segments = segments[0], segments[1:]
+            closed: list[tuple[int, int, int, int]] = []
+            for seg in segments:
+                if seg[0] - cur[1] <= gap_us:
+                    cur = (cur[0], max(cur[1], seg[1]), cur[2] + seg[2], cur[3] + seg[3])
+                else:
+                    closed.append(cur)
+                    cur = seg
+            self._sess.update(cur)
+            self._rearm(cur[1])
+            if closed:
+                yield _emit(user_id, closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._sess.exists():
+                start, end, n, cents = self._sess.get()
+                self._sess.clear()
+                yield _emit(key[0], [(int(start), int(end), int(n), int(cents))])
+
+    return (
+        src.select("user_id", "ts", "value")
+        .withWatermark("ts", "30 seconds")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionProcessor(),
+            outputStructType=SESSION_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
+
+
+def sessionize_tws_replay(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 120
+) -> DataFrame:
+    """Bounded replay of :func:`sessionize_tws` (same staging and
+    sentinel discipline as :func:`sessionize_replay`)."""
+    import uuid
+
+    from streaming_data_lake_spark.catalog import normalize_timestamps
+    from streaming_data_lake_spark.sources.streams import physical_schema
+
+    stage = _stage_with_sentinels(sf_dir)
+    raw = (
+        spark.readStream.schema(physical_schema(spark, sf_dir, "events"))
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+    )
+    sessions = sessionize_tws(normalize_timestamps(raw, "events"), gap_minutes)
+
+    name = f"sessions_tws_{uuid.uuid4().hex[:12]}"
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -113,3 +113,22 @@ def test_confluent_frame_validation(spark):
         [(v,) for v, _ in rows], "value binary"
     ).select(is_confluent_framed().alias("ok"))
     assert [r["ok"] for r in df.collect()] == [ok for _, ok in rows]
+
+
+def test_sessionize_tws_gate(spark):
+    """The transformWithStateInPandas sessionizer either builds a
+    valid stream (working protobuf) or raises the documented guidance
+    error — never the opaque driver-worker crash."""
+    import pytest as _pytest
+
+    from streaming_data_lake_spark.sources.streams import stream_table
+    from streaming_data_lake_spark.streaming.sessionize import sessionize_tws
+
+    src = stream_table(spark, SF_DIR, "events")
+    try:
+        df = sessionize_tws(src, 120)
+        assert df.isStreaming
+    except RuntimeError as exc:
+        assert "protobuf" in str(exc)
+    except Exception:
+        _pytest.fail("unexpected error type from sessionize_tws gate")
