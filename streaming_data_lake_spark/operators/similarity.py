@@ -254,3 +254,74 @@ def quantize_embeddings_int8(
         F.array_min(q).alias("q_min"),
         F.array_max(q).alias("q_max"),
     )
+
+
+def ivf_knn_materialized(
+    spark,
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    table: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    buckets: int = 8,
+) -> DataFrame:
+    """:func:`ivf_knn` with the index as a durable artifact: corpus
+    assignments + precomputed norms written ONCE as a table bucketed
+    by ``cluster_id``, and each search scanning only the probed
+    clusters' buckets.
+
+    Scale shape: the per-query work drops from "assign the whole
+    corpus, then scan it" to "read the buckets of the probed
+    clusters" — bucket pruning at file granularity, visible as
+    SelectedBucketsCount in the scan. The probed-cluster list is
+    collected driver-side, which is sound by construction: it is
+    bounded by the centroid count, and an IVF centroid table is
+    broadcast-small by definition."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_spark.plans.bucketing import bucketed_frame
+
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+        "cluster_id",
+    )
+    idx = bucketed_frame(spark, assigned, table, "cluster_id", buckets=buckets)
+    q = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        "cluster_id",
+    )
+    probed = sorted(
+        r["cluster_id"] for r in q.select("cluster_id").distinct().collect()
+    )
+    pruned = idx.filter(F.col("cluster_id").isin(probed))
+    scored = (
+        F.broadcast(q)
+        .join(
+            pruned,
+            (q["cluster_id"] == pruned["cluster_id"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )

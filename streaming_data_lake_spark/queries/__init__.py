@@ -136,6 +136,7 @@ _CERTIFICATION_ORDER = [
     "embedding_int8_quantization",
     "multimodal_resize",
     "dedup_keep_best_quality",
+    "knn_ivf_materialized_cosine",
 ]
 
 

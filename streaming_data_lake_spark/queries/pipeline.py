@@ -1134,3 +1134,29 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality_score").alias("kept_quality"),
         "n_dups",
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF with a materialized index (bucket-pruned probes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_ivf_materialized_cosine",
+    _KNN_IVF_ORACLE,
+    "IVF search over a durable index: assignments + norms written once, "
+    "bucketed by cluster; probes scan only the probed clusters' buckets "
+    "(SelectedBucketsCount pruning). Same results as knn_ivf_cosine.",
+)
+def knn_ivf_materialized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.plans.bucketing import _safe_tag
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_knn_materialized(
+        spark,
+        e,
+        e.filter(F.col("vec_id") < 50),
+        e.filter(F.col("vec_id") < 8),
+        table=f"ivf_idx_{_safe_tag(sf_dir)}",
+        k=5,
+    )

@@ -251,3 +251,15 @@ def test_tfidf_join_shapes(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1, (
         "exactly one nested-loop: the single-row n_docs cross join"
     )
+
+
+def test_ivf_materialized_index_prunes_buckets(spark):
+    """The materialized IVF search must read ONLY the probed
+    clusters' buckets (SelectedBucketsCount < total), and the probe
+    join must not recompute the corpus assignment (no centroid
+    argmax higher-order functions on the index side)."""
+    plan = _formatted(_query(spark, "knn_ivf_materialized_cosine"))
+    assert "Bucketed: true" in plan
+    sel = plan.split("SelectedBucketsCount:")[1].splitlines()[0]
+    chosen, total = [int(x) for x in sel.replace("(", " ").split() if x.isdigit()][:2]
+    assert chosen < total, f"no bucket pruning: {sel}"
