@@ -51,16 +51,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    # Correctness must not depend on who built the session: a bare
-    # SparkSession (no engine confs) would otherwise throw
-    # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS) files, and a non-UTC
-    # host TZ would shift every hour/day bucket boundary away from
-    # the (TZ-naive) oracle. Both confs are runtime-settable, so pin
-    # them here, idempotently, at every read.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     return normalize_timestamps(df, name)
+
+
+def pin_session_confs(spark: SparkSession) -> None:
+    """Correctness must not depend on who built the session: a bare
+    SparkSession (no engine confs) would otherwise throw
+    PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS) testdata files, and a
+    non-UTC host TZ would shift every hour/day bucket boundary away
+    from the (TZ-naive) oracle. Both confs are runtime-settable, so
+    every raw-testdata reader (batch ``load_table``, streaming
+    ``physical_schema``) pins them idempotently before reading."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def normalize_timestamps(df: DataFrame, name: str) -> DataFrame:

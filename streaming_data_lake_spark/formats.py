@@ -182,34 +182,51 @@ class DeltaFormat(TableFormat):
         return spark.read.format("delta").load(table_ref)
 
     def commit_snapshot(self, spark, table_ref, df, operation="append"):
+        # The adapter contract numbers versions 1..N (the parquet
+        # emulation's convention); Delta numbers its own commits from
+        # 0, so expose version = delta_version + 1 and read() maps
+        # back. The logical operation label rides userMetadata (a
+        # path-mode Delta write logs operation=WRITE regardless).
         mode = "overwrite" if operation == "overwrite" else "append"
-        df.write.format("delta").mode(mode).save(table_ref)
-        return int(self._dt(spark, table_ref).history(1).head()["version"])
+        (
+            df.write.format("delta")
+            .mode(mode)
+            .option("userMetadata", operation)
+            .save(table_ref)
+        )
+        return int(self._dt(spark, table_ref).history(1).head()["version"]) + 1
 
     def read(self, spark, table_ref, version=None):
         reader = spark.read.format("delta")
         if version is not None:
-            reader = reader.option("versionAsOf", version)
+            reader = reader.option("versionAsOf", version - 1)
         return reader.load(table_ref)
 
     def snapshots(self, spark, table_ref):
         from pyspark.sql import functions as F
 
         return self._dt(spark, table_ref).history().select(
-            F.col("version").cast("int").alias("version"),
-            F.lower("operation").alias("operation"),
+            (F.col("version").cast("int") + 1).alias("version"),
+            F.coalesce(F.col("userMetadata"), F.lower("operation")).alias("operation"),
             F.col("operationMetrics.numOutputRows").cast("long").alias("n_rows"),
         )
 
     def expire_snapshots(self, spark, table_ref, keep_last=1):
-        # Delta expires by retention age, not count; 0-hour vacuum
-        # drops everything unreferenced by the current version.
-        self._dt(spark, table_ref).vacuum(0)
+        # Delta expires by retention age, not count; a 0-hour vacuum
+        # drops everything unreferenced by the current version, and
+        # needs the retention safety check scoped off around the call.
+        key = "spark.databricks.delta.retentionDurationCheck.enabled"
+        prev = spark.conf.get(key, "true")
+        spark.conf.set(key, "false")
+        try:
+            self._dt(spark, table_ref).vacuum(0)
+        finally:
+            spark.conf.set(key, prev)
         return []
 
     def compact(self, spark, table_ref):
         self._dt(spark, table_ref).optimize().executeCompaction()
-        return len(self._dt(spark, table_ref).detail().head()["numFiles"] or [1])
+        return int(self._dt(spark, table_ref).detail().head()["numFiles"] or 1)
 
     def remove_orphans(self, spark, lake_dir):
         removed = []

@@ -506,6 +506,7 @@ def connected_dup_clusters(
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     )
+    converged = False
     for _ in range(max_iters):
         nbr = (
             sym.join(labels, sym["dst"] == labels["id"])
@@ -530,5 +531,13 @@ def connected_dup_clusters(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Silently-wrong labels are worse than failure: a component
+        # with diameter > max_iters would keep multiple labels.
+        raise RuntimeError(
+            f"connected_dup_clusters did not converge in {max_iters} rounds; "
+            "raise max_iters (graph diameter exceeds it)"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

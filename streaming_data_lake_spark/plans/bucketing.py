@@ -70,11 +70,16 @@ def bucketed_table(
 def bucketed_frame(
     spark: SparkSession, df: DataFrame, tbl: str, key: str, buckets: int = _BUCKETS
 ) -> DataFrame:
-    """Write an arbitrary frame as a managed table bucketed+sorted by
-    ``key`` (once per process per name) and read it back. Self-joins
-    on ``key`` over the returned frame are co-located: the expensive
-    subtree that produced ``df`` executes exactly once (at write
-    time), and the join needs no Exchange on either side."""
+    """Write an arbitrary frame bucketed+sorted by ``key`` (once per
+    process per name) and read it back. Self-joins on ``key`` over
+    the returned frame are co-located: the expensive subtree that
+    produced ``df`` executes exactly once (at write time), and the
+    join needs no Exchange on either side.
+
+    The cache key is the table NAME: callers must encode everything
+    that changes the frame's content in ``tbl`` (the query layer
+    embeds the sf_dir tag; parameter variants need distinct names),
+    or the second call silently reads the first call's table."""
     if tbl not in _FRAMES_READY:
         _write_bucketed(spark, df, tbl, key, buckets)
         _FRAMES_READY.add(tbl)

@@ -93,7 +93,8 @@ class Materializer:
         if not os.path.exists(self.wm_dir):
             return None
         row = (
-            self.spark.read.parquet(self.wm_dir)
+            resolve_format(self.spark)
+            .read_table(self.spark, self.wm_dir)
             .filter(F.col("table_name") == name)
             .select("last_materialized_at")
             .collect()

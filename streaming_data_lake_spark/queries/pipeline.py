@@ -13,7 +13,6 @@ from streaming_data_lake_spark.catalog import load_table
 from streaming_data_lake_spark.operators import similarity, text
 from streaming_data_lake_spark.operators.dedup import (
     exact_text_dedup,
-    minhash_lsh_candidates,
     ngram_jaccard_pairs,
     shingles,
     simhash64,

@@ -20,14 +20,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from streaming_data_lake_spark.catalog import TABLES, normalize_timestamps, table_path
+from streaming_data_lake_spark.catalog import (
+    TABLES,
+    normalize_timestamps,
+    pin_session_confs,
+    table_path,
+)
 
 
 def physical_schema(spark: SparkSession, sf_dir: str, name: str) -> T.StructType:
     """Observed physical schema of the table's parquet files (the
     file stream source needs an explicit schema; timestamps may be
     long nanos or TIMESTAMP_NTZ depending on how the files were
-    written — probe with a batch footer read)."""
+    written — probe with a batch footer read). Pins the bare-session
+    confs first: a streaming query may be the FIRST read in a
+    process (the driver runs one query per process), so this probe
+    cannot assume load_table already ran."""
+    pin_session_confs(spark)
     return spark.read.parquet(table_path(sf_dir, name)).schema
 
 

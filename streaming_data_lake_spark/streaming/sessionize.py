@@ -49,23 +49,63 @@ _STATE_SCHEMA = "start long, end long, n long, cents long"
 _SENTINEL_USER = -1
 
 
+def _emit_sessions(user_id: int, sessions: list[tuple[int, int, int, int]]) -> pd.DataFrame:
+    """One output frame for a batch of closed (start, end, n, cents)
+    sessions of one user."""
+    a = np.asarray(sessions, dtype="int64")
+    return pd.DataFrame(
+        {
+            "user_id": np.full(len(sessions), user_id, dtype="int64"),
+            "session_start": pd.to_datetime(a[:, 0], unit="us"),
+            "session_end": pd.to_datetime(a[:, 1], unit="us"),
+            "n_events": a[:, 2],
+            "total_value": a[:, 3] / 100.0,
+        }
+    )
+
+
+def _fold_batch(pdf: pd.DataFrame, carried, gap_us: int):
+    """Shared gaps-and-islands fold for one user's micro-batch.
+
+    Vectorized segmentation (diff/flatnonzero breaks + add.reduceat
+    per-segment sums — no per-row Python loop), then a per-SEGMENT
+    fold through the carried state. The max-end merge keeps the
+    late-data semantics: a state session whose end exceeds the
+    batch's early timestamps can absorb the next segment.
+
+    Returns (closed_sessions, open_session) as (start, end, n, cents)
+    tuples; ``carried`` is the prior state tuple or None."""
+    ts_us = (pdf["ts"].astype("int64") // 1_000).to_numpy()
+    cents_arr = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
+    order = np.argsort(ts_us, kind="stable")
+    ts_us, cents_arr = ts_us[order], cents_arr[order]
+    brk = np.flatnonzero(np.diff(ts_us) > gap_us) + 1
+    seg_lo = np.concatenate(([0], brk))
+    seg_hi = np.concatenate((brk, [ts_us.size]))
+    seg_cents = np.add.reduceat(cents_arr, seg_lo)
+    segments = [
+        (int(ts_us[lo]), int(ts_us[hi - 1]), int(hi - lo), int(c))
+        for lo, hi, c in zip(seg_lo, seg_hi, seg_cents)
+    ]
+    if carried is not None:
+        cur = tuple(carried)
+    else:
+        cur, segments = segments[0], segments[1:]
+    closed: list[tuple[int, int, int, int]] = []
+    for seg in segments:
+        if seg[0] - cur[1] <= gap_us:
+            cur = (cur[0], max(cur[1], seg[1]), cur[2] + seg[2], cur[3] + seg[3])
+        else:
+            closed.append(cur)
+            cur = seg
+    return closed, cur
+
+
 def sessionize(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
     """Stateful sessionization over a watermarked event stream."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_minutes * 60_000_000
-
-    def _emit(user_id: int, sessions: list[tuple[int, int, int, int]]) -> pd.DataFrame:
-        a = np.asarray(sessions, dtype="int64")
-        return pd.DataFrame(
-            {
-                "user_id": np.full(len(sessions), user_id, dtype="int64"),
-                "session_start": pd.to_datetime(a[:, 0], unit="us"),
-                "session_end": pd.to_datetime(a[:, 1], unit="us"),
-                "n_events": a[:, 2],
-                "total_value": a[:, 3] / 100.0,
-            }
-        )
 
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -74,7 +114,7 @@ def sessionize(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
         if state.hasTimedOut:
             start, end, n, cents = state.get
             state.remove()
-            yield _emit(user_id, [(start, end, n, cents)])
+            yield _emit_sessions(user_id, [(start, end, n, cents)])
             return
         if user_id == _SENTINEL_USER:
             return  # watermark carrier, not data
@@ -82,47 +122,13 @@ def sessionize(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
         pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
         if pdf.empty:
             return
-        ts_us = (pdf["ts"].astype("int64") // 1_000).to_numpy()
-        cents_arr = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
-        order = np.argsort(ts_us, kind="stable")
-        ts_us, cents_arr = ts_us[order], cents_arr[order]
-
-        # Vectorized gaps-and-islands over the batch: a break wherever
-        # the gap is exceeded; per-segment (start, end, n, cents) via
-        # boundary indexing + reduceat — no per-row Python loop.
-        brk = np.flatnonzero(np.diff(ts_us) > gap_us) + 1
-        seg_lo = np.concatenate(([0], brk))
-        seg_hi = np.concatenate((brk, [ts_us.size]))
-        seg_cents = np.add.reduceat(cents_arr, seg_lo)
-        segments = [
-            (int(ts_us[lo]), int(ts_us[hi - 1]), int(hi - lo), int(c))
-            for lo, hi, c in zip(seg_lo, seg_hi, seg_cents)
-        ]
-
-        # Fold segments through the carried state (per-SEGMENT loop,
-        # at most a handful of iterations). The max-end merge keeps
-        # the late-data semantics: a state session whose end exceeds
-        # the batch's early timestamps can absorb the next segment.
-        if state.exists:
-            cur = tuple(state.get)
-        else:
-            cur, segments = segments[0], segments[1:]
-        closed: list[tuple[int, int, int, int]] = []
-        for seg in segments:
-            if seg[0] - cur[1] <= gap_us:
-                cur = (
-                    cur[0],
-                    max(cur[1], seg[1]),
-                    cur[2] + seg[2],
-                    cur[3] + seg[3],
-                )
-            else:
-                closed.append(cur)
-                cur = seg
+        closed, cur = _fold_batch(
+            pdf, tuple(state.get) if state.exists else None, gap_us
+        )
         state.update(cur)
         state.setTimeoutTimestamp((cur[1] + gap_us) // 1000 + 1)
         if closed:
-            yield _emit(user_id, closed)
+            yield _emit_sessions(user_id, closed)
 
     return (
         # Prune to the three columns the fold reads BEFORE the keyed
@@ -248,18 +254,6 @@ def sessionize_tws(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
 
     gap_us = gap_minutes * 60_000_000
 
-    def _emit(user_id: int, sessions: list[tuple[int, int, int, int]]) -> pd.DataFrame:
-        a = np.asarray(sessions, dtype="int64")
-        return pd.DataFrame(
-            {
-                "user_id": np.full(len(sessions), user_id, dtype="int64"),
-                "session_start": pd.to_datetime(a[:, 0], unit="us"),
-                "session_end": pd.to_datetime(a[:, 1], unit="us"),
-                "n_events": a[:, 2],
-                "total_value": a[:, 3] / 100.0,
-            }
-        )
-
     class SessionProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
@@ -281,39 +275,19 @@ def sessionize_tws(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
             pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
             if pdf.empty:
                 return
-            ts_us = (pdf["ts"].astype("int64") // 1_000).to_numpy()
-            cents_arr = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
-            order = np.argsort(ts_us, kind="stable")
-            ts_us, cents_arr = ts_us[order], cents_arr[order]
-            brk = np.flatnonzero(np.diff(ts_us) > gap_us) + 1
-            seg_lo = np.concatenate(([0], brk))
-            seg_hi = np.concatenate((brk, [ts_us.size]))
-            seg_cents = np.add.reduceat(cents_arr, seg_lo)
-            segments = [
-                (int(ts_us[lo]), int(ts_us[hi - 1]), int(hi - lo), int(c))
-                for lo, hi, c in zip(seg_lo, seg_hi, seg_cents)
-            ]
-            if self._sess.exists():
-                cur = tuple(self._sess.get())
-            else:
-                cur, segments = segments[0], segments[1:]
-            closed: list[tuple[int, int, int, int]] = []
-            for seg in segments:
-                if seg[0] - cur[1] <= gap_us:
-                    cur = (cur[0], max(cur[1], seg[1]), cur[2] + seg[2], cur[3] + seg[3])
-                else:
-                    closed.append(cur)
-                    cur = seg
+            closed, cur = _fold_batch(
+                pdf, tuple(self._sess.get()) if self._sess.exists() else None, gap_us
+            )
             self._sess.update(cur)
             self._rearm(cur[1])
             if closed:
-                yield _emit(user_id, closed)
+                yield _emit_sessions(user_id, closed)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             if self._sess.exists():
                 start, end, n, cents = self._sess.get()
                 self._sess.clear()
-                yield _emit(key[0], [(int(start), int(end), int(n), int(cents))])
+                yield _emit_sessions(key[0], [(int(start), int(end), int(n), int(cents))])
 
     return (
         src.select("user_id", "ts", "value")

@@ -5,7 +5,11 @@ under. Catches session-conf dependencies (round-1 nanos bug) and
 cross-process leftovers (round-2 managed-warehouse bug) that the
 get_spark-based tools/check.py cannot see.
 
-Usage: python tools/bare_sweep.py [sf_dir] [names...]
+Usage: python tools/bare_sweep.py [--per-query] [sf_dir] [names...]
+
+``--per-query`` runs EVERY query in its own fresh process (the
+driver's exact granularity — each query is the FIRST reader in its
+session); the default runs all queries in one process, twice.
 """
 
 from __future__ import annotations
@@ -48,15 +52,36 @@ sys.exit(1 if failed else 0)
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:]
-    script = _SCRIPT.format(repo=REPO, sf=sf, names=names)
+    args = sys.argv[1:]
+    per_query = "--per-query" in args
+    args = [a for a in args if a != "--per-query"]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    names = args[1:]
     cwd = tempfile.mkdtemp(prefix="bare_sweep_")
     rc = 0
-    for attempt in (1, 2):
-        print(f"=== bare-session process {attempt}/2 (cwd={cwd}) ===", flush=True)
-        proc = subprocess.run([sys.executable, "-c", script], cwd=cwd)
-        rc |= proc.returncode
+    if per_query:
+        if not names:
+            from streaming_data_lake_spark.queries import all_queries
+
+            names = list(all_queries())
+        for name in names:
+            script = _SCRIPT.format(repo=REPO, sf=sf, names=[name])
+            proc = subprocess.run(
+                [sys.executable, "-c", script], cwd=cwd, capture_output=True, text=True
+            )
+            line = [
+                ln for ln in proc.stdout.splitlines() if ln.startswith(("PASS", "FAIL"))
+            ]
+            print("\n".join(line) or f"FAIL {name} (no output)", flush=True)
+            if proc.returncode != 0:
+                print(proc.stderr[-2000:], flush=True)
+            rc |= proc.returncode
+    else:
+        script = _SCRIPT.format(repo=REPO, sf=sf, names=names)
+        for attempt in (1, 2):
+            print(f"=== bare-session process {attempt}/2 (cwd={cwd}) ===", flush=True)
+            proc = subprocess.run([sys.executable, "-c", script], cwd=cwd)
+            rc |= proc.returncode
     print("ALL OK" if rc == 0 else "FAILURES", flush=True)
     return rc
 
