@@ -48,6 +48,22 @@ _STATE_SCHEMA = "start long, end long, n long, cents long"
 
 _SENTINEL_USER = -1
 
+# The stateful fold helpers below are module-level (ONE implementation
+# shared by both stateful APIs), which means the closures shipped to
+# executors reference this module by name — and executor Python
+# workers only see the repo when the driver's cwd happens to be the
+# repo root. Register the module for BY-VALUE cloudpickle so the
+# shipped functions are self-contained, exactly like nested closures:
+# the engine then runs from any cwd with no executor-side install.
+try:
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001 — best-effort; repo-on-path still works
+    pass
+
 
 def _emit_sessions(user_id: int, sessions: list[tuple[int, int, int, int]]) -> pd.DataFrame:
     """One output frame for a batch of closed (start, end, n, cents)
