@@ -507,6 +507,11 @@ def connected_dup_clusters(
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     )
     converged = False
+    # Labels only ever decrease (min-propagation), so convergence is
+    # "sum(label) stopped falling" — a map-side-combinable aggregate
+    # over the checkpointed labels instead of a self-join probe.
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).first()[0]
     for _ in range(max_iters):
         nbr = (
             sym.join(labels, sym["dst"] == labels["id"])
@@ -523,16 +528,12 @@ def connected_dup_clusters(
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new.agg(_label_sum).first()[0]
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         # Silently-wrong labels are worse than failure: a component
         # with diameter > max_iters would keep multiple labels.
