@@ -1,0 +1,71 @@
+"""Property test for the shared sessionization fold: the vectorized
+gaps-and-islands + segment fold must equal a naive per-event fold for
+any event multiset and any carried state. Pure pandas/numpy — no
+Spark session — so hypothesis can run hundreds of cases."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from streaming_data_lake_spark.streaming.sessionize import _fold_batch
+
+GAP_US = 3_000_000  # 3 s in microseconds — tight gap to force many sessions
+
+
+def naive_fold(events, carried, gap_us):
+    """Reference: per-event loop, the pre-vectorization semantics
+    (end tracks max; merge while t - end <= gap)."""
+    ev = sorted(events)
+    closed = []
+    if carried is not None:
+        start, end, n, cents = carried
+    else:
+        (t0, c0), ev = ev[0], ev[1:]
+        start = end = t0
+        n, cents = 1, c0
+    for t, c in ev:
+        if t - end > gap_us:
+            closed.append((start, end, n, cents))
+            start, end, n, cents = t, t, 1, c
+        else:
+            end = max(end, t)
+            n += 1
+            cents += c
+    return closed, (start, end, n, cents)
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60_000_000),  # ts within a minute
+        st.integers(min_value=0, max_value=99_999),  # exact cents
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+carried_strategy = st.one_of(
+    st.none(),
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000_000),  # start
+        st.integers(min_value=0, max_value=20_000_000),  # end (may exceed early ts)
+        st.integers(min_value=1, max_value=10),
+        st.integers(min_value=0, max_value=1_000_000),
+    ).map(lambda t: (min(t[0], t[1]), max(t[0], t[1]), t[2], t[3])),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(events=events_strategy, carried=carried_strategy)
+def test_fold_batch_matches_naive(events, carried):
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([t for t, _ in events], unit="us"),
+            "value": [c / 100.0 for _, c in events],
+        }
+    )
+    got_closed, got_open = _fold_batch(pdf, carried, GAP_US)
+    want_closed, want_open = naive_fold(events, carried, GAP_US)
+    assert got_closed == want_closed
+    assert got_open == want_open
