@@ -145,8 +145,10 @@ _WIDENINGS: frozenset[tuple[str, str]] = frozenset(
         ("tinyint", "smallint"),
         ("tinyint", "int"),
         ("tinyint", "bigint"),
+        ("tinyint", "double"),
         ("smallint", "int"),
         ("smallint", "bigint"),
+        ("smallint", "double"),
         ("int", "bigint"),
         ("int", "double"),
         ("bigint", "double"),

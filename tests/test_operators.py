@@ -289,3 +289,15 @@ def test_stratified_sample_deterministic(spark):
     en = sum(1 for i in s1 if i % 2 == 0)
     de = len(s1) - en
     assert en > de, "en stratum samples at 6x the de rate"
+
+
+def test_evolution_widenings_are_transitively_closed():
+    """If a→b and b→c are legal widenings, a→c must be too: otherwise
+    two compatible single-step evolutions compose into an evolution
+    the checker rejects."""
+    from streaming_data_lake_spark.catalog import _WIDENINGS
+
+    for a, b in _WIDENINGS:
+        for b2, c in _WIDENINGS:
+            if b == b2 and a != c:
+                assert (a, c) in _WIDENINGS, f"missing transitive widening {a} -> {c}"
