@@ -147,6 +147,16 @@ class DeltaFormat(TableFormat):
 
     name = "delta"
 
+    #: Contract note: the 1-based version mapping and the
+    #: one-row-per-commit snapshots() parity hold while
+    #: ``commit_snapshot`` is the sole writer of a versioned table.
+    #: Maintenance operations (OPTIMIZE/VACUUM/MERGE) write their own
+    #: Delta commits, so interleaving them with snapshot commits on
+    #: the SAME table yields non-dense logical versions and extra
+    #: history rows — keep versioned tables and maintenance targets
+    #: separate (as every engine query does), or address snapshots by
+    #: timestamp instead.
+
     @classmethod
     def available(cls, spark: SparkSession) -> bool:
         try:

@@ -485,7 +485,7 @@ def connected_dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iters: int = 25,
+    max_iters: int = 50,
 ) -> DataFrame:
     """Union near-dup pairs into clusters: returns (doc_id,
     cluster_id) where cluster_id is the minimum doc id reachable in
@@ -536,9 +536,12 @@ def connected_dup_clusters(
         prev_sum = new_sum
     if not converged:
         # Silently-wrong labels are worse than failure: a component
-        # with diameter > max_iters would keep multiple labels.
+        # with diameter > max_iters would keep multiple labels. Note
+        # the bound counts the final no-change PROBE round too, so
+        # certifying convergence needs max_iters > graph diameter
+        # (set it with one round of headroom).
         raise RuntimeError(
-            f"connected_dup_clusters did not converge in {max_iters} rounds; "
-            "raise max_iters (graph diameter exceeds it)"
+            f"connected_dup_clusters did not certify convergence in {max_iters} "
+            "rounds; raise max_iters (it must exceed the graph diameter by one)"
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -61,6 +61,7 @@ def main() -> int:
     rc = 0
     if per_query:
         if not names:
+            sys.path.insert(0, REPO)
             from streaming_data_lake_spark.queries import all_queries
 
             names = list(all_queries())
@@ -75,7 +76,9 @@ def main() -> int:
             print("\n".join(line) or f"FAIL {name} (no output)", flush=True)
             if proc.returncode != 0:
                 print(proc.stderr[-2000:], flush=True)
-            rc |= proc.returncode
+            # A clean exit without a PASS line is still a failure — the
+            # printed verdict and the exit code must agree.
+            rc |= proc.returncode or (0 if line else 1)
     else:
         script = _SCRIPT.format(repo=REPO, sf=sf, names=names)
         for attempt in (1, 2):
