@@ -545,3 +545,82 @@ def connected_dup_clusters(
             "rounds; raise max_iters (it must exceed the graph diameter by one)"
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def exact_substring_dups(
+    df: DataFrame,
+    window_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplicate pairs: documents sharing ANY
+    contiguous run of ``window_tokens`` tokens — the verbatim-overlap
+    dedup that hash/MinHash misses when a long copied passage hides
+    inside otherwise-different documents.
+
+    Plan shape at scale: the window shingle array is one per-row
+    higher-order projection (same machinery as :func:`shingles`, just
+    a longer n); candidate pairs come from the shared-window
+    equi-join, so cost scales with window-hash bucket occupancy, not
+    n². Returns (id_a, id_b, n_shared_windows)."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), window_tokens)).alias("w")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    n: int = 3,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash all
+    word ``n``-grams in order, then keep the minimum hash of every
+    sliding window of ``window`` consecutive n-gram hashes; the
+    distinct selected hashes are the document's fingerprint set.
+    Guarantees any shared run of ``n + window - 1`` tokens yields at
+    least one shared fingerprint, with ~2/(window+1) selection density.
+
+    Entirely JVM-side higher-order functions: ORDERED (non-distinct)
+    n-grams → portable hashes → per-window array_min via slice —
+    one narrow projection, no shuffle, no UDF. Returns one row per
+    (doc, fingerprint)."""
+    toks = tokens(F.col(text_col))
+    k = F.size(toks) - (n - 1)  # number of ordered n-grams
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+    )
+    grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, gram)
+    )
+    hashes = F.transform(grams, lambda g: h32(g))
+
+    # Bind the computed hash array ONCE via the single-element-array
+    # trick: referencing `hashes` directly inside the window lambdas
+    # would re-evaluate the whole gram+md5 pipeline per element
+    # (O(n^2) md5 calls; measured 53s -> <1s at sf0.01).
+    def _select(hs):
+        m = F.size(hs) - (window - 1)
+        widx = F.sequence(F.lit(0), F.greatest(m - 1, F.lit(0)))
+        return F.when(m <= 0, F.array_distinct(hs)).otherwise(
+            F.array_distinct(
+                F.transform(widx, lambda i: F.array_min(F.slice(hs, i + 1, window)))
+            )
+        )
+
+    selected = F.element_at(F.transform(F.array(hashes), _select), 1)
+    return df.select(F.col(id_col), F.explode(selected).alias("fingerprint"))

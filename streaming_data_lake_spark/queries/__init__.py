@@ -137,6 +137,8 @@ _CERTIFICATION_ORDER = [
     "multimodal_resize",
     "dedup_keep_best_quality",
     "knn_ivf_materialized_cosine",
+    "exact_substring_dups",
+    "winnowing_fingerprints",
 ]
 
 

@@ -1159,3 +1159,89 @@ def knn_ivf_materialized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         table=f"ivf_idx_{_safe_tag(sf_dir)}",
         k=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (verbatim 20-token overlap)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_WINDOW = 20
+
+_SUBSTR_GRAM = " || ' ' || ".join(f"toks[i+{j}]" for j in range(_SUBSTR_WINDOW))
+
+_SUBSTR_ORACLE = rf"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - {_SUBSTR_WINDOW - 2}, 1)),
+           i -> {_SUBSTR_GRAM})) AS s
+  FROM tk
+),
+ex AS (SELECT doc_id, unnest(s) AS w FROM sh)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_windows
+FROM ex a JOIN ex b ON a.w = b.w AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "exact_substring_dups",
+    _SUBSTR_ORACLE,
+    "Exact-substring dedup: doc pairs sharing any verbatim 20-token window "
+    "(catches long copied passages MinHash dilutes); shared-window equi-join.",
+)
+def exact_substring_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.dedup import exact_substring_dups
+
+    return exact_substring_dups(
+        _t(spark, sf_dir, "documents"), window_tokens=_SUBSTR_WINDOW
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS windowed-min selection)
+# ---------------------------------------------------------------------------
+
+_WINNOW_N = 3
+_WINNOW_W = 4
+
+_WINNOW_ORACLE = rf"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - {_WINNOW_N - 1}, 0) + 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+  FROM tk
+),
+h AS (
+  SELECT doc_id,
+         list_transform(grams, x -> {_DUCK_H32.format(x='x')}) AS hs
+  FROM g
+),
+sel AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) - {_WINNOW_W - 1} <= 0 THEN list_distinct(hs)
+              ELSE list_distinct(list_transform(
+                     range(1, len(hs) - {_WINNOW_W - 1} + 1),
+                     i -> list_min(hs[i:i+{_WINNOW_W - 1}])))
+         END AS fps
+  FROM h
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM sel
+"""
+
+
+@register(
+    "winnowing_fingerprints",
+    _WINNOW_ORACLE,
+    "Winnowing (MOSS) fingerprints: min portable hash of each sliding window "
+    "of 4 consecutive ordered 3-gram hashes; guarantees shared runs of 6+ "
+    "tokens collide. Pure higher-order projection, no shuffle.",
+)
+def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), n=_WINNOW_N, window=_WINNOW_W
+    )
