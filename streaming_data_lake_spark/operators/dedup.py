@@ -518,6 +518,11 @@ def connected_dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # Lazy checkpoint + one action: the convergence-probe agg is
+        # the job that materializes the checkpoint, so each round
+        # runs ONE Spark job (propagate + probe fused) instead of an
+        # eager-checkpoint job followed by a separate agg job, while
+        # still truncating lineage so per-round plans stay flat.
         new = (
             labels.join(nbr, labels["id"] == nbr["src"], "left")
             .select(
@@ -526,7 +531,7 @@ def connected_dup_clusters(
                     labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = new.agg(_label_sum).first()[0]
         labels = new
