@@ -170,7 +170,12 @@ def _self_join_band_pairs(banded: DataFrame, id_col: str) -> DataFrame:
 
 
 def _materialized_band_pairs(
-    spark, banded: DataFrame, table: str, id_col: str, buckets: int = 8
+    spark,
+    banded: DataFrame,
+    table: str,
+    id_col: str,
+    buckets: int = 8,
+    inputs: list[str] | None = None,
 ) -> DataFrame:
     """Candidate pairs via a signature table written ONCE, bucketed by
     the composite band key, then self-joined co-located (no signature
@@ -184,7 +189,7 @@ def _materialized_band_pairs(
         F.col(id_col),
         F.concat_ws(":", F.col("band"), F.col("band_key")).alias("bkey"),
     )
-    sig = bucketed_frame(spark, keyed, table, "bkey", buckets=buckets)
+    sig = bucketed_frame(spark, keyed, table, "bkey", buckets=buckets, inputs=inputs)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.hint("merge")
@@ -256,6 +261,7 @@ def minhash_lsh_candidates_materialized(
     num_hashes: int = 16,
     bands: int = 4,
     buckets: int = 8,
+    inputs: list[str] | None = None,
 ) -> DataFrame:
     """LSH candidates via a materialized signature table — the 100 TB
     shape. :func:`minhash_lsh_candidates` recomputes the full
@@ -270,7 +276,7 @@ def minhash_lsh_candidates_materialized(
     join columns into the single bucketing column, so bucket-join
     co-location applies directly."""
     banded = banded_minhash_signatures(df, id_col, text_col, n, num_hashes, bands)
-    return _materialized_band_pairs(spark, banded, table, id_col, buckets)
+    return _materialized_band_pairs(spark, banded, table, id_col, buckets, inputs=inputs)
 
 
 def ngram_jaccard_pairs(
@@ -395,13 +401,14 @@ def embedding_lsh_candidates_materialized(
     num_bits: int = 16,
     bands: int = 2,
     buckets: int = 8,
+    inputs: list[str] | None = None,
 ) -> DataFrame:
     """Sign-LSH candidates via the materialized bucketed signature
     table (see :func:`_materialized_band_pairs`): the hyperplane
     signature projection runs once at write time instead of once per
     self-join side."""
     banded = banded_embedding_signatures(df, id_col, vec_col, dim, num_bits, bands)
-    return _materialized_band_pairs(spark, banded, table, id_col, buckets)
+    return _materialized_band_pairs(spark, banded, table, id_col, buckets, inputs=inputs)
 
 
 def embedding_cosine_near_dups(
@@ -414,6 +421,7 @@ def embedding_cosine_near_dups(
     bands: int = 2,
     spark=None,
     table: str | None = None,
+    inputs: list[str] | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: sign-LSH candidates verified with
     exact cosine ≥ threshold. Returns (id_a, id_b, cosine_sim).
@@ -423,7 +431,7 @@ def embedding_cosine_near_dups(
 
     if spark is not None and table is not None:
         cand = embedding_lsh_candidates_materialized(
-            spark, df, table, id_col, vec_col, dim, num_bits, bands
+            spark, df, table, id_col, vec_col, dim, num_bits, bands, inputs=inputs
         )
     else:
         cand = embedding_lsh_candidates(df, id_col, vec_col, dim, num_bits, bands)

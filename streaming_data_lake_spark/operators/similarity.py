@@ -267,6 +267,7 @@ def ivf_knn_materialized(
     vec_col: str = "embedding",
     nprobe: int = 1,
     buckets: int = 8,
+    inputs: list[str] | None = None,
 ) -> DataFrame:
     """:func:`ivf_knn` with the index as a durable artifact: corpus
     assignments + precomputed norms written ONCE as a table bucketed
@@ -290,7 +291,7 @@ def ivf_knn_materialized(
         norm(F.col(vec_col)).alias("c_norm"),
         "cluster_id",
     )
-    idx = bucketed_frame(spark, assigned, table, "cluster_id", buckets=buckets)
+    idx = bucketed_frame(spark, assigned, table, "cluster_id", buckets=buckets, inputs=inputs)
     q = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),

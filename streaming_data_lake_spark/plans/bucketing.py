@@ -10,79 +10,160 @@ Bucket counts must match (or divide evenly) for the bucket-join rule
 to fire; ``sortBy`` on the same key additionally allows the
 sort-merge join to skip its per-partition sort when each bucket is a
 single file.
+
+Bucketed copies are DURABLE artifacts (plans/artifacts.py): written
+once per (input data, key, bucket count) under the artifact cache and
+re-registered as external bucketed tables by any later session or
+process — the same one-time-setup / many-time-read split the
+reference gets from Iceberg table maintenance. Spark only applies the
+bucket-join rule to catalog tables with a bucket spec, so
+registration goes through ``CREATE TABLE ... CLUSTERED BY ... INTO n
+BUCKETS LOCATION ...`` over the cached files.
 """
 
 from __future__ import annotations
 
-import contextlib
+import json
 import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
 
 from streaming_data_lake_spark.catalog import load_table
+from streaming_data_lake_spark.plans import artifacts
 
 _BUCKETS = 8
-_READY: set[tuple[str, str]] = set()
-_FRAMES_READY: set[str] = set()
+
+# tbl name -> data dir registered in the CURRENT process. Guards the
+# common path; registration itself re-checks the session catalog so a
+# stopped-and-recreated session (fresh in-memory catalog) re-registers.
+_REGISTERED: dict[str, str] = {}
 
 
 def _safe_tag(sf_dir: str) -> str:
     return re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
 
 
-def _write_bucketed(spark: SparkSession, df: DataFrame, tbl: str, key: str, buckets: int) -> None:
-    """Write ``df`` as an EXTERNAL bucketed+sorted table at a unique
-    per-process temp location. External (not managed) matters for
-    harness portability: a managed table's location is derived from
-    ``spark.sql.warehouse.dir``, which under a bare session is
-    cwd-relative — a second process with a fresh in-memory catalog
-    but the same cwd then hits LOCATION_ALREADY_EXISTS on the
-    leftover directory. A unique external path makes the write
-    correct under ANY session, and DROP TABLE IF EXISTS clears a
-    same-process catalog entry."""
-    import tempfile
-
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    path = os.path.join(tempfile.mkdtemp(prefix=f"bkt_{tbl}_"), tbl)
+def _build_bucketed(
+    spark: SparkSession, df: DataFrame, tbl: str, key: str, buckets: int, tmp: str
+) -> None:
+    """Write ``df`` bucketed+sorted by ``key`` into ``tmp/data`` and
+    record its schema. Spark only writes bucketed layouts through
+    ``saveAsTable``, so the write goes through a throwaway catalog
+    name pointing at the artifact location (external: dropping the
+    name keeps the files)."""
+    os.makedirs(tmp, exist_ok=True)
+    data = os.path.join(tmp, "data")
+    scratch = f"{tbl}_build_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {scratch}")
     (
         df.write.bucketBy(buckets, key)
         .sortBy(key)
         .mode("overwrite")
         .format("parquet")
-        .option("path", path)
-        .saveAsTable(tbl)
+        .option("path", data)
+        .saveAsTable(scratch)
     )
+    schema = spark.table(scratch).schema
+    spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+    with open(os.path.join(tmp, "schema.json"), "w") as fh:
+        json.dump(schema.jsonValue(), fh)
+
+
+def _register(spark: SparkSession, tbl: str, art_dir: str, key: str, buckets: int) -> None:
+    """Register the cached bucketed files as an external bucketed
+    table in THIS session's catalog (idempotent; re-points the name
+    if a previous registration used a different artifact)."""
+    data = os.path.join(art_dir, "data")
+    if _REGISTERED.get(tbl) == data and spark.catalog.tableExists(tbl):
+        return
+    with open(os.path.join(art_dir, "schema.json")) as fh:
+        fields = json.load(fh)["fields"]
+    cols = ", ".join(f"`{f['name']}` {_ddl_type(f['type'])}" for f in fields)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} ({cols}) USING parquet "
+        f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {buckets} BUCKETS "
+        f"LOCATION '{data}'"
+    )
+    _REGISTERED[tbl] = data
+
+
+def _ddl_type(t) -> str:
+    """DDL type string from a schema.jsonValue() field type."""
+    from pyspark.sql.types import StructField
+
+    return StructField.fromJson(
+        {"name": "x", "type": t, "nullable": True, "metadata": {}}
+    ).dataType.simpleString()
+
+
+def _durable_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    tbl: str,
+    key: str,
+    buckets: int,
+    inputs: list[str],
+    params: dict,
+) -> DataFrame:
+    art = artifacts.ensure(
+        f"bkt_{tbl}",
+        inputs,
+        {"key": key, "buckets": buckets, **params},
+        lambda tmp: _build_bucketed(spark, df, tbl, key, buckets, tmp),
+    )
+    _register(spark, tbl, art, key, buckets)
+    return spark.table(tbl)
 
 
 def bucketed_table(
     spark: SparkSession, sf_dir: str, name: str, key: str
 ) -> DataFrame:
-    """The table as a bucketed managed table (written once per
-    session per sf_dir), bucketed+sorted by ``key``."""
+    """The source table as a durable bucketed+sorted artifact: built
+    once per (file fingerprint, key), reused by every later session
+    and process."""
     tbl = f"bkt_{name}_{_safe_tag(sf_dir)}"
-    if (sf_dir, name) not in _READY:
-        _write_bucketed(spark, load_table(spark, sf_dir, name), tbl, key, _BUCKETS)
-        _READY.add((sf_dir, name))
-    return spark.table(tbl)
+    return _durable_bucketed(
+        spark,
+        load_table(spark, sf_dir, name),
+        tbl,
+        key,
+        _BUCKETS,
+        [os.path.join(sf_dir, f"{name}.parquet")],
+        {"table": name},
+    )
 
 
 def bucketed_frame(
-    spark: SparkSession, df: DataFrame, tbl: str, key: str, buckets: int = _BUCKETS
+    spark: SparkSession,
+    df: DataFrame,
+    tbl: str,
+    key: str,
+    buckets: int = _BUCKETS,
+    inputs: list[str] | None = None,
 ) -> DataFrame:
-    """Write an arbitrary frame bucketed+sorted by ``key`` (once per
-    process per name) and read it back. Self-joins on ``key`` over
-    the returned frame are co-located: the expensive subtree that
-    produced ``df`` executes exactly once (at write time), and the
-    join needs no Exchange on either side.
+    """Write an arbitrary frame bucketed+sorted by ``key`` and read
+    it back. Self-joins on ``key`` over the returned frame are
+    co-located: the expensive subtree that produced ``df`` executes
+    exactly once (at write time), and the join needs no Exchange on
+    either side.
 
-    The cache key is the table NAME: callers must encode everything
-    that changes the frame's content in ``tbl`` (the query layer
-    embeds the sf_dir tag; parameter variants need distinct names),
-    or the second call silently reads the first call's table."""
-    if tbl not in _FRAMES_READY:
-        _write_bucketed(spark, df, tbl, key, buckets)
-        _FRAMES_READY.add(tbl)
+    With ``inputs`` (the source files the frame derives from) the
+    copy is a durable artifact shared across sessions and processes;
+    without, it is rebuilt once per process. Either way the cache key
+    includes the table NAME: callers must encode everything that
+    changes the frame's content in ``tbl`` (the query layer embeds
+    the sf_dir tag; parameter variants need distinct names), or a
+    second variant silently reads the first one's table."""
+    if inputs is not None:
+        return _durable_bucketed(spark, df, tbl, key, buckets, inputs, {"tbl": tbl})
+    if tbl not in _REGISTERED or not spark.catalog.tableExists(tbl):
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix=f"bkt_{tbl}_")
+        _build_bucketed(spark, df, tbl, key, buckets, tmp)
+        _register(spark, tbl, tmp, key, buckets)
     return spark.table(tbl)
 
 

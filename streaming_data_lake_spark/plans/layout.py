@@ -15,33 +15,35 @@ metadata-driven rather than directory-driven — semantics identical.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streaming_data_lake_spark.catalog import load_table
-
-_LAYOUTS: dict[tuple[str, str], str] = {}
+from streaming_data_lake_spark.plans import artifacts
 
 
 def day_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table rewritten day-partitioned (once per process);
-    reads carry an ``event_date`` partition column that time filters
-    prune on."""
-    key = (sf_dir, "events")
-    path = _LAYOUTS.get(key)
-    if path is None or not os.path.isdir(path):
-        path = os.path.join(tempfile.mkdtemp(prefix="layout_"), "events_by_day")
+    """The events table rewritten day-partitioned, as a DURABLE
+    artifact (plans/artifacts.py): built once per source-file
+    fingerprint and reused by every later session and process — the
+    lake-side layout the reference maintains in Iceberg, not a
+    per-run scratch copy. Reads carry an ``event_date`` partition
+    column that time filters prune on."""
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
         (
             load_table(spark, sf_dir, "events")
             .withColumn("event_date", F.to_date("ts"))
             .write.partitionBy("event_date")
             .mode("overwrite")
-            .parquet(path)
+            .parquet(os.path.join(tmp, "data"))
         )
-        _LAYOUTS[key] = path
-    return spark.read.parquet(path)
+
+    art = artifacts.ensure("events_by_day", [src], {}, _build)
+    return spark.read.parquet(os.path.join(art, "data"))
 
 
 def time_ranged_events(

@@ -6,6 +6,8 @@ MD5-based hash so even MinHash/SimHash values match bit-for-bit.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -338,7 +340,8 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the join shuffle. minhash_lsh_candidates remains the
     # no-write-access variant.
     cand = minhash_lsh_candidates_materialized(
-        spark, d, f"lsh_sig_{_safe_tag(sf_dir)}", num_hashes=16, bands=4
+        spark, d, f"lsh_sig_{_safe_tag(sf_dir)}", num_hashes=16, bands=4,
+        inputs=[os.path.join(sf_dir, "documents.parquet")],
     )
     sh = d.select(F.col("doc_id"), shingles(F.col("text"), 3).alias("s"))
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
@@ -588,6 +591,7 @@ def embedding_cosine_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_EMB_BANDS,
         spark=spark,
         table=f"emb_sig_{_safe_tag(sf_dir)}",
+        inputs=[os.path.join(sf_dir, "embeddings.parquet")],
     )
 
 
@@ -1158,6 +1162,7 @@ def knn_ivf_materialized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < 8),
         table=f"ivf_idx_{_safe_tag(sf_dir)}",
         k=5,
+        inputs=[os.path.join(sf_dir, "embeddings.parquet")],
     )
 
 
