@@ -57,8 +57,13 @@ def main() -> int:
     queries = all_queries()
 
     # Warm the JVM/codegen path once so per-query times measure the
-    # plan, not session startup.
+    # plan, not session startup: one scalar agg (codegen), one scan +
+    # shuffle over the smallest table (parquet reader + exchange
+    # classloading). Warms machinery only — no headline table data.
+    from streaming_data_lake_spark.catalog import load_table
+
     spark.range(1000).selectExpr("sum(id)").collect()
+    load_table(spark, sf_dir, "region").groupBy("r_regionkey").count().count()
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     per_query: dict[str, float] = {}

@@ -299,6 +299,13 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh")
     )
+    # Materialize the exploded shingles once: they feed BOTH sides of
+    # the self-join plus the per-doc size agg, and Spark does not
+    # share subplans across a join — without this the tokenize+
+    # shingle+explode pipeline runs three times. (At cluster scale
+    # the same role is played by writing the shingle table as a
+    # durable artifact, as the LSH signature path does.)
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
