@@ -38,31 +38,52 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver hash-checks the FIRST 50 registered queries per round.
-# With 70 registered, 20 get no verdict — so certification rotates:
-# queries the round-1 driver run already certified green (and whose
-# implementation is unchanged) sit after position 50, and everything
-# the round-1 run could not score — the nanos-blocked events/matq
-# queries plus the embedding/KNN/multimodal/skew/streaming families —
-# fills the scored window. Across rounds the union certifies the full
-# inventory.
+# Certification rotates: rounds 1+3 certified 83 queries between
+# them; round 4's window holds (a) the 9 new round-4 queries, (b) the
+# 13 round-2/3 additions that registered after position 50 last round
+# and so have NO driver verdict yet, (c) the 8 queries whose physical
+# read path changed this round (durable artifact cache / shingle
+# materialization) and need re-certification, and (d) the streaming +
+# materializer + skew families as the standing high-risk block.
+# Everything else was driver-certified green on an unchanged
+# implementation and rotates to 51+.
 _CERTIFICATION_ORDER = [
     # flagship
     "pricing_summary",
-    # embedding / KNN / multimodal / near-dup (unscored in round 1)
-    "knn_ivf_cosine",
-    "knn_ivf_multiprobe_cosine",
-    "knn_bruteforce_cosine",
-    "embedding_cosine_near_dups",
+    # ---- new in round 4 ----
+    "rollup_revenue_levels",
+    "price_quantiles_by_flag",
+    "user_event_gaps",
+    "running_revenue_by_nation",
+    "order_value_deciles",
+    "doc_chunks_overlap",
+    "semantic_dedup_centroid",
+    "hll_distinct_users_daily",
+    "cms_heavy_hitter_tokens",
+    # ---- round-2/3 additions with no driver verdict yet ----
+    "tfidf_top_terms",
+    "dup_clusters_connected",
+    "stratified_sample_by_lang",
+    "token_budget_packing",
+    "pii_redaction",
+    "repetition_signals",
+    "benchmark_decontamination",
+    "embedding_int8_quantization",
+    "multimodal_resize",
+    "dedup_keep_best_quality",
+    "knn_ivf_materialized_cosine",
+    "exact_substring_dups",
+    "winnowing_fingerprints",
+    # ---- physical path changed in round 4: re-certify ----
     "minhash_lsh_near_dups",
-    "multimodal_media_features",
-    "multimodal_frame_sample",
-    "embedding_label_stats",
-    # skew discipline + platform (unscored in round 1)
-    "salted_skew_aggregation",
-    "replicated_skew_join_rollup",
-    "sql_over_views_adhoc",
-    "seeded_dim_hierarchy_enrichment",
-    # streaming family (unscored in round 1)
+    "embedding_cosine_near_dups",
+    "bucketed_colocated_join",
+    "top_busiest_hours",
+    "partition_pruned_scan",
+    "duplicate_rates_hourly",
+    "event_quality_spine_hourly",
+    "ngram_jaccard_near_dups",
+    # ---- standing high-risk block: streaming / materializer / skew ----
     "streaming_clean_events",
     "streaming_hourly_metrics",
     "streaming_dedup_keys",
@@ -72,38 +93,41 @@ _CERTIFICATION_ORDER = [
     "streaming_upsert_hourly",
     "streaming_dedup_within_watermark",
     "streaming_sessionize",
-    # events-table queries (round-1 red: nanos session-conf bug, now fixed)
-    "events_clean",
-    "events_rejected",
-    "daily_distinct_users",
-    "conditional_distinct_users",
-    "events_dedup_canonical",
-    "user_engagement_ratios",
-    "event_quality_spine_hourly",
-    "user_daily_landscape",
-    "sliding_window_metrics",
-    "latest_event_per_user_type",
-    "top_busiest_hours",
-    "interval_join_click_view",
-    "funnel_conversion_daily",
-    "duplicate_rates_hourly",
-    "value_distribution_by_class",
-    "flag_distribution",
-    "avg_value_spread",
-    "funnel_leakage_daily",
-    "partition_pruned_scan",
-    "asof_latest_view_before_purchase",
-    "asof_view_within_6h",
-    "bucketed_colocated_join",
-    # materializer / snapshot family (round-1 red: same root cause)
     "materialize_incremental_clean_events",
     "time_travel_read_v1",
     "snapshot_metadata",
     "maintenance_compaction",
     "materialize_dim_change_repair",
     "materialize_funnel_exists_repair",
-    # ---- position 51+ : certified green by the round-1 driver run,
+    "salted_skew_aggregation",
+    "replicated_skew_join_rollup",
+    "sql_over_views_adhoc",
+    "seeded_dim_hierarchy_enrichment",
+    # ---- position 51+ : certified green by a previous driver run,
     # implementation unchanged since — rotated out of the window ----
+    "knn_ivf_cosine",
+    "knn_ivf_multiprobe_cosine",
+    "knn_bruteforce_cosine",
+    "multimodal_media_features",
+    "multimodal_frame_sample",
+    "embedding_label_stats",
+    "events_clean",
+    "events_rejected",
+    "daily_distinct_users",
+    "conditional_distinct_users",
+    "events_dedup_canonical",
+    "user_engagement_ratios",
+    "user_daily_landscape",
+    "sliding_window_metrics",
+    "latest_event_per_user_type",
+    "interval_join_click_view",
+    "funnel_conversion_daily",
+    "value_distribution_by_class",
+    "flag_distribution",
+    "avg_value_spread",
+    "funnel_leakage_daily",
+    "asof_latest_view_before_purchase",
+    "asof_view_within_6h",
     "revenue_by_region",
     "top_nations_by_customers",
     "customers_with_orders",
@@ -123,28 +147,13 @@ _CERTIFICATION_ORDER = [
     "quality_scores",
     "lang_id_heuristic",
     "simhash_fingerprints",
-    "ngram_jaccard_near_dups",
-    # ---- new in round 2 (no driver verdict yet; rotate into the
-    # scored window next round) ----
-    "tfidf_top_terms",
-    "dup_clusters_connected",
-    "stratified_sample_by_lang",
-    "token_budget_packing",
-    "pii_redaction",
-    "repetition_signals",
-    "benchmark_decontamination",
-    "embedding_int8_quantization",
-    "multimodal_resize",
-    "dedup_keep_best_quality",
-    "knn_ivf_materialized_cosine",
-    "exact_substring_dups",
-    "winnowing_fingerprints",
 ]
 
 
 def all_queries() -> dict[str, Query]:
     # Import side-effect modules that populate REGISTRY.
     from streaming_data_lake_spark.queries import (  # noqa: F401
+        analytics,
         core,
         matq,
         pipeline,

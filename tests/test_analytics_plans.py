@@ -1,0 +1,93 @@
+"""Plan-shape guards for the round-4 analytics/sketch queries."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from tests.conftest import SF_DIR
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _query(spark, name):
+    from streaming_data_lake_spark.queries import all_queries
+
+    return all_queries()[name].fn(spark, SF_DIR)
+
+
+def test_rollup_is_single_expand_aggregate(spark):
+    """ROLLUP computes all 3 levels in one Expand + two-phase agg —
+    not one scan per grouping level."""
+    plan = _executed(_query(spark, "rollup_revenue_levels"))
+    assert plan.count("Expand") >= 1
+    # one scan of orders only
+    assert plan.count("orders.parquet") == 1
+
+
+def test_chunking_is_narrow(spark):
+    """Overlapping chunk explode is per-row: zero Exchange."""
+    plan = _executed(_query(spark, "doc_chunks_overlap"))
+    assert "Exchange" not in plan, "chunking must not shuffle"
+    assert "Generate explode" in plan
+
+
+def test_hll_registers_partial_agg(spark):
+    """The register fold groupBy(day,bucket)+MAX must be two-phase
+    (map-side partial) — that is the whole point of a mergeable
+    sketch."""
+    plan = _executed(_query(spark, "hll_distinct_users_daily"))
+    assert "partial_max" in plan
+
+
+def test_cms_sketch_lookup_broadcasts(spark):
+    """The 1024-cell sketch is broadcast to the candidate probes —
+    never a shuffle join against the full token stream."""
+    plan = _executed(_query(spark, "cms_heavy_hitter_tokens"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_pairs_by_cluster_equijoin(spark):
+    """In-cluster pairing is an EQUI-join on cluster_id — never a
+    corpus cartesian. (A BroadcastNestedLoopJoin against a ONE-ROW
+    build side does appear: that is ivf_assign's collected centroid
+    array being attached to every corpus row — the zero-shuffle
+    narrow-map assignment, not a pair product.)"""
+    plan = _executed(_query(spark, "semantic_dedup_centroid"))
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), "pair join must be hash-based on cluster_id"
+
+
+def test_running_total_windows_over_preagg(spark):
+    """The window frame runs over the monthly rollup (small), and the
+    fact scan aggregates BEFORE the window — no window over raw
+    orders rows."""
+    plan = _executed(_query(spark, "running_revenue_by_nation"))
+    # Window appears after (above) the aggregate in the plan tree:
+    # the first Window line index is smaller than the scan line index.
+    assert "Window" in plan and "HashAggregate" in plan
+    w = plan.index("Window")
+    agg = plan.index("HashAggregate")
+    assert agg > w, "aggregate must feed the window, not vice versa"
+
+
+def test_gaps_single_shuffle_on_user(spark):
+    """LAG + per-user agg reuse ONE hash partitioning on user_id: the
+    window's Exchange is the only one over events."""
+    plan = _executed(_query(spark, "user_event_gaps"))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, (
+        "window and groupBy should share the user_id partitioning"
+    )

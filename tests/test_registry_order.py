@@ -9,23 +9,36 @@ from streaming_data_lake_spark.queries import all_queries
 
 WINDOW = 50
 
-# Judge-named round-2 certification targets (VERDICT.md "Next round"
-# item 2) plus one representative per previously-unscored family.
+# Round-4 window priorities: the new queries, the round-2/3
+# additions that have never received a driver verdict, and
+# representatives of the paths whose physical layout changed this
+# round (durable artifact cache).
 MUST_BE_IN_WINDOW = {
-    "knn_ivf_cosine",
-    "knn_ivf_multiprobe_cosine",
+    # new in round 4
+    "rollup_revenue_levels",
+    "price_quantiles_by_flag",
+    "user_event_gaps",
+    "running_revenue_by_nation",
+    "order_value_deciles",
+    "doc_chunks_overlap",
+    "semantic_dedup_centroid",
+    "hll_distinct_users_daily",
+    "cms_heavy_hitter_tokens",
+    # never driver-certified (registered 51+ in round 3)
+    "tfidf_top_terms",
+    "dup_clusters_connected",
+    "knn_ivf_materialized_cosine",
+    "exact_substring_dups",
+    "winnowing_fingerprints",
+    # physical read path changed in round 4
+    "minhash_lsh_near_dups",
     "embedding_cosine_near_dups",
-    "multimodal_frame_sample",
-    "multimodal_media_features",
-    "salted_skew_aggregation",
-    "replicated_skew_join_rollup",
-    "streaming_funnel_daily",
-    "streaming_upsert_hourly",
-    "streaming_sessionize",
-    # round-1 nanos-blocked representatives
-    "events_clean",
-    "asof_view_within_6h",
+    "bucketed_colocated_join",
+    "top_busiest_hours",
     "partition_pruned_scan",
+    # standing high-risk block
+    "streaming_funnel_daily",
+    "streaming_sessionize",
     "materialize_incremental_clean_events",
 }
 
