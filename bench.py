@@ -41,6 +41,11 @@ HEADLINE = [
     "benchmark_decontamination",  # broadcast shingle decontamination
     "asof_view_within_6h",      # tolerance-bounded as-of join
     "bucketed_colocated_join",  # shuffle-free pre-bucketed join
+    "rollup_revenue_levels",    # ROLLUP grouping sets, one pass
+    "hll_distinct_users_daily", # HyperLogLog mergeable registers
+    "cms_heavy_hitter_tokens",  # Count-Min sketch frequency estimates
+    "semantic_dedup_centroid",  # centroid-bucketed semantic dedup
+    "doc_chunks_overlap",       # overlapping-token training chunks
     "streaming_upsert_hourly",  # streaming replay + MERGE upsert
     "streaming_funnel_daily",   # streaming interval-join funnel
     "streaming_sessionize",     # stateful sessionization replay

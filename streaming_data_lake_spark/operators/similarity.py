@@ -326,3 +326,68 @@ def ivf_knn_materialized(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+def kmeans_recenter(
+    assigned: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """New centroids = exact per-dimension means of each cluster's
+    members. Each mean is an exact DECIMAL sum surfaced as double
+    divided by the member count (the ``davg`` parity discipline), so
+    the result is independent of aggregation order — the property
+    that lets a DuckDB oracle reproduce a distributed float mean
+    bit-for-bit. One map-side-combinable groupBy carries all ``dim``
+    sums; the shuffle moves one row per cluster."""
+    aggs = [
+        (
+            F.sum(
+                F.element_at(F.col(vec_col), d + 1)
+                .cast("double")
+                .cast("decimal(27,10)")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias(f"c{d}")
+        for d in range(dim)
+    ]
+    cent = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"), *aggs
+    )
+    return cent.select(
+        F.col("cluster_id").alias(id_col),
+        F.array(*[F.col(f"c{d}") for d in range(dim)]).alias(vec_col),
+        "n_members",
+    )
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus: deterministic init
+    (the first ``k`` vector ids, the same seed the IVF queries use),
+    then ``iters`` rounds of argmax-cosine assignment
+    (:func:`ivf_assign` — zero-shuffle narrow map with broadcast
+    centroids) and exact-decimal recentering. Returns the final
+    centroid table (id, vector, n_members).
+
+    Scale shape per round: the corpus never moves — assignment is a
+    narrow map, and recentering reduces it map-side to k wide rows.
+    That is the textbook distributed k-means cost: iters × (one scan
+    + one k-row shuffle). Clusters that lose all members drop out
+    (deterministically) rather than being re-seeded."""
+    cents = corpus.filter(F.col(id_col) < k).select(id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        # Checkpoint k rows per round: the centroid table is tiny,
+        # but leaving it lazy makes round i+1's plan embed (and
+        # re-execute) every previous round's full corpus scan — the
+        # same lineage-cut discipline as connected_dup_clusters.
+        cents = kmeans_recenter(assigned, dim, id_col, vec_col).localCheckpoint()
+    return cents

@@ -60,6 +60,7 @@ _CERTIFICATION_ORDER = [
     "semantic_dedup_centroid",
     "hll_distinct_users_daily",
     "cms_heavy_hitter_tokens",
+    "kmeans_train_centroids",
     # ---- round-2/3 additions with no driver verdict yet ----
     "tfidf_top_terms",
     "dup_clusters_connected",

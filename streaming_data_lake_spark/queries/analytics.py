@@ -609,3 +609,92 @@ def cms_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "true_n")
         .agg(F.min("cnt").alias("cms_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means training — 2 unrolled Lloyd iterations, exact-decimal means
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_DIM = 64
+
+_KM_ASSIGN = """
+s{it} AS (
+  SELECT n.vec_id, n.v,
+         row_number() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY {dot} / (n.nrm * c.cnrm) DESC, c.cluster_id ASC
+         ) AS rn,
+         c.cluster_id
+  FROM n CROSS JOIN c{prev}n c
+),
+a{it} AS (SELECT vec_id, v, cluster_id FROM s{it} WHERE rn = 1),
+m{it} AS (
+  SELECT cluster_id, CAST(t.i AS INTEGER) AS dim_idx,
+         CAST(sum(CAST(CAST(v[CAST(t.i AS INTEGER) + 1] AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS c_val
+  FROM a{it}, LATERAL unnest(range({dim})) AS t(i)
+  GROUP BY 1, 2
+),
+c{it} AS (SELECT cluster_id, list(c_val ORDER BY dim_idx) AS cv FROM m{it} GROUP BY 1),
+c{it}n AS (SELECT cluster_id, cv, sqrt({cvdot}) AS cnrm FROM c{it})
+"""
+
+_KMEANS_ORACLE = (
+    f"""
+WITH n AS (
+  SELECT vec_id, embedding AS v,
+         sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+c0n AS (
+  SELECT vec_id AS cluster_id, embedding AS cv,
+         sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS cnrm
+  FROM embeddings WHERE vec_id < {_KM_K}
+),
+"""
+    + ",\n".join(
+        _KM_ASSIGN.format(
+            it=i + 1,
+            prev=i,
+            dim=_KM_DIM,
+            dot=_DUCK_DOT.format(a="n.v", b="c.cv"),
+            cvdot=_DUCK_DOT.format(a="cv", b="cv"),
+        ).strip().lstrip()
+        for i in range(_KM_ITERS)
+    )
+    + f""",
+nm AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM a{_KM_ITERS} GROUP BY 1)
+SELECT m.cluster_id, m.dim_idx, nm.n_members,
+       round(m.c_val, 6) AS centroid_val
+FROM m{_KM_ITERS} m JOIN nm ON m.cluster_id = nm.cluster_id
+"""
+)
+
+
+@register(
+    "kmeans_train_centroids",
+    _KMEANS_ORACLE,
+    f"In-engine k-means training (k={_KM_K}, {_KM_ITERS} Lloyd iterations): "
+    "argmax-cosine assignment is a zero-shuffle narrow map (centroids "
+    "broadcast), recentering reduces the corpus map-side to k wide rows of "
+    "exact decimal sums — per round the corpus is scanned once and never "
+    "shuffled, the textbook distributed k-means cost. Trains the centroids "
+    "the IVF index consumes; oracle unrolls both iterations in SQL.",
+)
+def kmeans_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.similarity import kmeans_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_train(e, k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM)
+    return cents.select(
+        F.col("vec_id").alias("cluster_id"),
+        "n_members",
+        F.posexplode("embedding").alias("dim_idx", "centroid_val"),
+    ).select(
+        "cluster_id",
+        "dim_idx",
+        "n_members",
+        F.round("centroid_val", 6).alias("centroid_val"),
+    )
