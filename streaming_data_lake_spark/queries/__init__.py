@@ -61,6 +61,8 @@ _CERTIFICATION_ORDER = [
     "hll_distinct_users_daily",
     "cms_heavy_hitter_tokens",
     "kmeans_train_centroids",
+    "knn_ivf_trained_cosine",
+    "props_json_stats",
     # ---- round-2/3 additions with no driver verdict yet ----
     "tfidf_top_terms",
     "dup_clusters_connected",

@@ -698,3 +698,105 @@ def kmeans_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         F.round("centroid_val", 6).alias("centroid_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Typed JSON extraction over the props payload column
+# ---------------------------------------------------------------------------
+
+_PROPS_ORACLE = """
+WITH p AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE) AS avg_k
+FROM p
+GROUP BY event_type
+"""
+
+
+@register(
+    "props_json_stats",
+    _PROPS_ORACLE,
+    "Typed JSON extraction: from_json parses the props payload into a typed "
+    "struct ONCE per row (schema declared, JVM-side Jackson parse — not the "
+    "regexp fallback events_clean uses for its boolean flag), then plain "
+    "typed aggregation. At 100 TB the parse cost is the scan cost; a "
+    "semi-structured lake would materialize the struct column at ingest.",
+)
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    e = _t(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    p = e.select(
+        "event_type", F.from_json(F.col("props"), schema).getField("k").alias("k")
+    )
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        (F.sum("k").cast("double") / F.count("k").cast("double")).alias("avg_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF search over TRAINED centroids — kmeans feeding the index
+# ---------------------------------------------------------------------------
+
+_KM_SEARCH_TAIL = f"""
+corpus_scored AS (
+  SELECT n.vec_id, n.v, n.nrm,
+         row_number() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY {_DUCK_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) DESC,
+                    c.cluster_id ASC
+         ) AS rn,
+         c.cluster_id
+  FROM n CROSS JOIN c{_KM_ITERS}n c
+),
+asg AS (SELECT vec_id, v, nrm, cluster_id FROM corpus_scored WHERE rn = 1),
+q AS (SELECT * FROM asg WHERE vec_id < 50),
+pair_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DUCK_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) AS cosine_sim
+  FROM q JOIN asg c ON c.cluster_id = q.cluster_id AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+  ) AS rank
+  FROM pair_scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
+FROM ranked WHERE rank <= 5
+"""
+
+_KNN_TRAINED_ORACLE = (
+    _KMEANS_ORACLE.rsplit(",\nnm AS", 1)[0] + ",\n" + _KM_SEARCH_TAIL
+)
+
+
+@register(
+    "knn_ivf_trained_cosine",
+    _KNN_TRAINED_ORACLE,
+    "End-to-end ANN: IVF top-5 search over centroids TRAINED in-engine "
+    "(kmeans_train_centroids' 2 Lloyd iterations) instead of seed vectors — "
+    "the full index lifecycle (train -> assign -> cluster-pruned search) as "
+    "one declarative plan; oracle unrolls training + search in SQL.",
+)
+def knn_ivf_trained_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.similarity import ivf_knn, kmeans_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_train(e, k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM)
+    return ivf_knn(e, e.filter(F.col("vec_id") < 50), cents, k=5)

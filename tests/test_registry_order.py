@@ -24,6 +24,9 @@ MUST_BE_IN_WINDOW = {
     "semantic_dedup_centroid",
     "hll_distinct_users_daily",
     "cms_heavy_hitter_tokens",
+    "kmeans_train_centroids",
+    "knn_ivf_trained_cosine",
+    "props_json_stats",
     # never driver-certified (registered 51+ in round 3)
     "tfidf_top_terms",
     "dup_clusters_connected",
