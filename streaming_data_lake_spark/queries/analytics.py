@@ -457,7 +457,12 @@ exact AS (
   GROUP BY 1
 )
 SELECT e.event_day, exact.exact_users, e.n_buckets,
-       round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.denom, 4) AS hll_estimate
+       round(
+         CASE WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.denom <= 2.5 * {_HLL_M}
+                   AND e.n_buckets < {_HLL_M}
+              THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / ({_HLL_M} - e.n_buckets))
+              ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.denom
+         END, 4) AS hll_estimate
 FROM est e JOIN exact ON e.event_day = exact.event_day
 """
 
@@ -487,13 +492,21 @@ def hll_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.pow(F.lit(2.0), -F.col("m_j"))) + (F.lit(_HLL_M) - F.count(F.lit(1)))).alias("denom"),
     )
     exact = e.groupBy(day).agg(F.countDistinct("user_id").alias("exact_users"))
+    # Standard HLL small-range correction: below 2.5·m the raw
+    # harmonic estimate is biased high, so fall back to linear
+    # counting over the empty-bucket fraction (Flajolet et al. 2007).
+    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("denom")
+    corrected = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("n_buckets") < _HLL_M),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_buckets"))),
+    ).otherwise(raw)
     return (
         est.join(exact, "event_day")
         .select(
             "event_day",
             "exact_users",
             "n_buckets",
-            F.round(F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("denom"), 4).alias("hll_estimate"),
+            F.round(corrected, 4).alias("hll_estimate"),
         )
     )
 
