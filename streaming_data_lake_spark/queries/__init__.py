@@ -63,6 +63,9 @@ _CERTIFICATION_ORDER = [
     "kmeans_train_centroids",
     "knn_ivf_trained_cosine",
     "props_json_stats",
+    "keyset_intersect_except",
+    "orders_above_global_avg",
+    "supplier_name_near_matches",
     # ---- round-2/3 additions with no driver verdict yet ----
     "tfidf_top_terms",
     "dup_clusters_connected",

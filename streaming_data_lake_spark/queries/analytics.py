@@ -813,3 +813,120 @@ def knn_ivf_trained_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     cents = kmeans_train(e, k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM)
     return ivf_knn(e, e.filter(F.col("vec_id") < 50), cents, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Set operations — INTERSECT / EXCEPT (distinct semantics)
+# ---------------------------------------------------------------------------
+
+_SETOPS_ORACLE = """
+SELECT 'nations_with_both' AS tag, CAST(k AS BIGINT) AS key
+FROM (SELECT c_nationkey AS k FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier) t
+UNION ALL
+SELECT 'customers_no_orders' AS tag, CAST(k AS BIGINT) AS key
+FROM (SELECT c_custkey AS k FROM customer
+      EXCEPT
+      SELECT o_custkey FROM orders) t
+"""
+
+
+@register(
+    "keyset_intersect_except",
+    _SETOPS_ORACLE,
+    "ANSI set operations with distinct semantics: INTERSECT (nations present "
+    "on both the customer and supplier side) and EXCEPT (customers that never "
+    "ordered). Catalyst rewrites both into semi/anti joins over map-side-"
+    "distinct inputs — the same plan the explicit EXISTS queries get, so the "
+    "set-op surface costs nothing extra at scale.",
+)
+def keyset_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    both = (
+        c.select(F.col("c_nationkey").alias("key"))
+        .intersect(s.select(F.col("s_nationkey").alias("key")))
+        .select(F.lit("nations_with_both").alias("tag"), "key")
+    )
+    no_orders = (
+        c.select(F.col("c_custkey").alias("key"))
+        .subtract(o.select(F.col("o_custkey").alias("key")))
+        .select(F.lit("customers_no_orders").alias("tag"), "key")
+    )
+    return both.unionAll(no_orders)
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery — orders above the global average
+# ---------------------------------------------------------------------------
+
+_ABOVE_AVG_ORACLE = f"""
+WITH g AS (
+  SELECT {duck_davg("o_totalprice")} AS avg_price FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_above,
+       {duck_dsum("o_totalprice")} AS revenue_above
+FROM orders, g
+WHERE o_totalprice > g.avg_price
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "orders_above_global_avg",
+    _ABOVE_AVG_ORACLE,
+    "Scalar-subquery pattern: a one-row global aggregate joined (broadcast) "
+    "against the fact scan as the filter bound — two passes, no recompute "
+    "per row; the exact-decimal average keeps the comparison boundary "
+    "identical in both engines.",
+)
+def orders_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    g = o.agg(davg(F.col("o_totalprice")).alias("avg_price"))
+    return (
+        o.crossJoin(F.broadcast(g))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            dsum(F.col("o_totalprice")).alias("revenue_above"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching — Levenshtein near-match pairs over a dimension
+# ---------------------------------------------------------------------------
+
+_LEV_ORACLE = """
+SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS edit_distance
+FROM supplier a
+JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey
+ AND levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
+@register(
+    "supplier_name_near_matches",
+    _LEV_ORACLE,
+    "Fuzzy entity matching: supplier-name pairs within edit distance 1. "
+    "All-pairs is acceptable ONLY because a dimension table is broadcast-"
+    "small by definition; for fact-scale string dedup the engine's blocked "
+    "paths (MinHash bands, exact-substring windows) are the candidate "
+    "generators and Levenshtein is the verify stage.",
+)
+def supplier_name_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_suppkey").alias("key_a"), F.col("s_name").alias("name_a"))
+    b = s.select(F.col("s_suppkey").alias("key_b"), F.col("s_name").alias("name_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+        .filter(dist <= 1)
+        .select("key_a", "key_b", dist.cast("int").alias("edit_distance"))
+    )

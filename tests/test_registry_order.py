@@ -27,6 +27,9 @@ MUST_BE_IN_WINDOW = {
     "kmeans_train_centroids",
     "knn_ivf_trained_cosine",
     "props_json_stats",
+    "keyset_intersect_except",
+    "orders_above_global_avg",
+    "supplier_name_near_matches",
     # never driver-certified (registered 51+ in round 3)
     "tfidf_top_terms",
     "dup_clusters_connected",
