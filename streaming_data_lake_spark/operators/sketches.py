@@ -1,0 +1,67 @@
+"""Mergeable sketch constructions shared by batch and streaming.
+
+A sketch whose per-key state merges associatively (HLL registers
+merge by MAX, Count-Min cells by SUM) is exactly the shape that
+works in BOTH execution modes: batch computes it as one two-phase
+aggregate, streaming folds micro-batches into the same converged
+state through an upsert sink — and because the merge is associative
+and duplicate-insensitive (for HLL), the converged streaming table
+is bit-identical to the batch result, so one oracle certifies both
+paths. All expressions derive from the portable md5 ``h32``
+(functions/hashing.py) so DuckDB reproduces every register.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from streaming_data_lake_spark.functions.hashing import h32
+
+HLL_M = 64  # 2^6 buckets; h32 leaves 26 bits for the rank pattern
+HLL_ALPHA = 0.709  # standard alpha for m=64
+
+
+def hll_bucket_and_rho(key: Column) -> tuple[Column, Column]:
+    """(bucket, rho) for one hashed key: low 6 bits pick the
+    register, the remaining 26 bits' leading-zero rank is rho."""
+    hv = h32(key)
+    w = F.shiftright(hv, 6)
+    rho = F.when(w == 0, F.lit(27)).otherwise(
+        F.lit(27) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (hv % HLL_M).alias("bucket"), rho.alias("rho")
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], key: Column) -> DataFrame:
+    """Register table: one row per (group, bucket) holding MAX(rho).
+    Map-side combinable, duplicate-insensitive, and merge-associative
+    — the properties that make it both a cheap batch aggregate and a
+    valid streaming upsert state."""
+    bucket, rho = hll_bucket_and_rho(key)
+    return df.select(*group_cols, bucket, rho).groupBy(*group_cols, "bucket").agg(
+        F.max("rho").alias("m_j")
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Per-group cardinality estimate from a register table, with the
+    standard small-range linear-counting correction (Flajolet et al.
+    2007): below 2.5·m the raw harmonic estimate is biased high, so
+    fall back to counting empty buckets."""
+    est = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m_j")))
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+        ).alias("denom"),
+    )
+    raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M / F.col("denom")
+    corrected = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("n_buckets") < HLL_M),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / (F.lit(HLL_M) - F.col("n_buckets"))),
+    ).otherwise(raw)
+    return est.select(
+        *group_cols, "n_buckets", F.round(corrected, 4).alias("hll_estimate")
+    )

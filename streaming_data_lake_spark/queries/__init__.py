@@ -66,6 +66,7 @@ _CERTIFICATION_ORDER = [
     "keyset_intersect_except",
     "orders_above_global_avg",
     "supplier_name_near_matches",
+    "streaming_hll_daily_users",
     # ---- round-2/3 additions with no driver verdict yet ----
     "tfidf_top_terms",
     "dup_clusters_connected",

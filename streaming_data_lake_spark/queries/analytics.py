@@ -425,8 +425,10 @@ def semantic_dedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HyperLogLog distinct-user estimation — portable registers
 # ---------------------------------------------------------------------------
 
-_HLL_M = 64  # 2^6 buckets; h32 leaves 26 bits for the rank pattern
-_HLL_ALPHA = 0.709  # standard alpha for m=64
+from streaming_data_lake_spark.operators.sketches import (  # noqa: E402
+    HLL_ALPHA as _HLL_ALPHA,
+    HLL_M as _HLL_M,
+)
 
 _HLL_ORACLE = f"""
 WITH h AS (
@@ -477,37 +479,15 @@ FROM est e JOIN exact ON e.event_day = exact.event_day
     "to exhibit the estimation error.",
 )
 def hll_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.sketches import hll_estimate, hll_registers
+
     e = _t(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts")).alias("event_day")
-    hv = h32(F.col("user_id").cast("string"))
-    w = F.shiftright(hv, 6)
-    rho = F.when(w == 0, F.lit(27)).otherwise(F.lit(27) - F.length(F.conv(w.cast("string"), 10, 2)))
-    reg = (
-        e.select(day, (hv % _HLL_M).alias("bucket"), rho.alias("rho"))
-        .groupBy("event_day", "bucket")
-        .agg(F.max("rho").alias("m_j"))
-    )
-    est = reg.groupBy("event_day").agg(
-        F.count(F.lit(1)).alias("n_buckets"),
-        (F.sum(F.pow(F.lit(2.0), -F.col("m_j"))) + (F.lit(_HLL_M) - F.count(F.lit(1)))).alias("denom"),
-    )
+    reg = hll_registers(e.select(day, "user_id"), ["event_day"], F.col("user_id").cast("string"))
+    est = hll_estimate(reg, ["event_day"])
     exact = e.groupBy(day).agg(F.countDistinct("user_id").alias("exact_users"))
-    # Standard HLL small-range correction: below 2.5·m the raw
-    # harmonic estimate is biased high, so fall back to linear
-    # counting over the empty-bucket fraction (Flajolet et al. 2007).
-    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("denom")
-    corrected = F.when(
-        (raw <= 2.5 * _HLL_M) & (F.col("n_buckets") < _HLL_M),
-        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_buckets"))),
-    ).otherwise(raw)
-    return (
-        est.join(exact, "event_day")
-        .select(
-            "event_day",
-            "exact_users",
-            "n_buckets",
-            F.round(corrected, 4).alias("hll_estimate"),
-        )
+    return est.join(exact, "event_day").select(
+        "event_day", "exact_users", "n_buckets", "hll_estimate"
     )
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from streaming_data_lake_spark.queries import register
+from streaming_data_lake_spark.queries.analytics import _HLL_ORACLE as _STREAMING_HLL_ORACLE
 from streaming_data_lake_spark.queries.core import _EVENTS_CLEAN_ORACLE, _FUNNEL_ORACLE
 from streaming_data_lake_spark.streaming import pipelines
 
@@ -161,3 +162,15 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with pipelines._state_partitions(spark):
         return sessionize_replay(spark, sf_dir, gap_minutes=120)
+
+
+@register(
+    "streaming_hll_daily_users",
+    _STREAMING_HLL_ORACLE,
+    "Streaming mergeable sketch: HLL registers folded through an update-mode "
+    "aggregate + MERGE upsert sink; converged registers are bit-identical to "
+    "the batch sketch (max is merge-associative), so the SAME oracle "
+    "certifies the streaming path.",
+)
+def streaming_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.streaming_hll_daily_users(spark, sf_dir)

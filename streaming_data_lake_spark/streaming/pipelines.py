@@ -339,3 +339,50 @@ def streaming_upsert_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return _fmt.read_table(spark, table_dir)
+
+
+def streaming_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog (mergeable-sketch upsert): update-mode
+    (day, bucket) MAX(rho) registers MERGEd into a keyed table per
+    micro-batch. Register max is merge-associative and duplicate-
+    insensitive, so the converged table equals the batch registers
+    EXACTLY — the final estimate hash-matches the same DuckDB oracle
+    as the batch hll_distinct_users_daily query. This is the 100 TB
+    streaming-analytics shape: per-day distinct-user state is 64
+    fixed rows, not a distinct-key set that grows with traffic."""
+    from streaming_data_lake_spark.operators.sketches import hll_estimate, hll_registers
+
+    table_dir = tempfile.mkdtemp(prefix="hll_") + "/hll_registers"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    src = stream_table(spark, sf_dir, "events")
+    regs = hll_registers(
+        src.withWatermark("ts", "30 seconds").select(
+            F.date_trunc("day", F.col("ts")).alias("event_day"), "user_id"
+        ),
+        ["event_day"],
+        F.col("user_id").cast("string"),
+    )
+    _fmt = resolve_format(spark)
+    with _state_partitions(spark):
+        q = (
+            regs.writeStream.outputMode("update")
+            .foreachBatch(
+                _fmt.foreach_batch_upsert(spark, table_dir, ["event_day", "bucket"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    converged = _fmt.read_table(spark, table_dir)
+    est = hll_estimate(converged, ["event_day"])
+    from streaming_data_lake_spark.catalog import load_table
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("event_day"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return est.join(exact, "event_day").select(
+        "event_day", "exact_users", "n_buckets", "hll_estimate"
+    )

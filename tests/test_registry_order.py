@@ -30,6 +30,7 @@ MUST_BE_IN_WINDOW = {
     "keyset_intersect_except",
     "orders_above_global_avg",
     "supplier_name_near_matches",
+    "streaming_hll_daily_users",
     # never driver-certified (registered 51+ in round 3)
     "tfidf_top_terms",
     "dup_clusters_connected",
