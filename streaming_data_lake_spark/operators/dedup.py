@@ -176,6 +176,7 @@ def _materialized_band_pairs(
     id_col: str,
     buckets: int = 8,
     inputs: list[str] | None = None,
+    params: dict | None = None,
 ) -> DataFrame:
     """Candidate pairs via a signature table written ONCE, bucketed by
     the composite band key, then self-joined co-located (no signature
@@ -189,7 +190,9 @@ def _materialized_band_pairs(
         F.col(id_col),
         F.concat_ws(":", F.col("band"), F.col("band_key")).alias("bkey"),
     )
-    sig = bucketed_frame(spark, keyed, table, "bkey", buckets=buckets, inputs=inputs)
+    sig = bucketed_frame(
+        spark, keyed, table, "bkey", buckets=buckets, inputs=inputs, params=params
+    )
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.hint("merge")
@@ -276,7 +279,15 @@ def minhash_lsh_candidates_materialized(
     join columns into the single bucketing column, so bucket-join
     co-location applies directly."""
     banded = banded_minhash_signatures(df, id_col, text_col, n, num_hashes, bands)
-    return _materialized_band_pairs(spark, banded, table, id_col, buckets, inputs=inputs)
+    return _materialized_band_pairs(
+        spark,
+        banded,
+        table,
+        id_col,
+        buckets,
+        inputs=inputs,
+        params={"family": "minhash", "n": n, "num_hashes": num_hashes, "bands": bands},
+    )
 
 
 def ngram_jaccard_pairs(
@@ -415,7 +426,15 @@ def embedding_lsh_candidates_materialized(
     signature projection runs once at write time instead of once per
     self-join side."""
     banded = banded_embedding_signatures(df, id_col, vec_col, dim, num_bits, bands)
-    return _materialized_band_pairs(spark, banded, table, id_col, buckets, inputs=inputs)
+    return _materialized_band_pairs(
+        spark,
+        banded,
+        table,
+        id_col,
+        buckets,
+        inputs=inputs,
+        params={"family": "sign_lsh", "dim": dim, "num_bits": num_bits, "bands": bands},
+    )
 
 
 def embedding_cosine_near_dups(

@@ -268,6 +268,7 @@ def ivf_knn_materialized(
     nprobe: int = 1,
     buckets: int = 8,
     inputs: list[str] | None = None,
+    centroid_spec: str = "",
 ) -> DataFrame:
     """:func:`ivf_knn` with the index as a durable artifact: corpus
     assignments + precomputed norms written ONCE as a table bucketed
@@ -291,7 +292,18 @@ def ivf_knn_materialized(
         norm(F.col(vec_col)).alias("c_norm"),
         "cluster_id",
     )
-    idx = bucketed_frame(spark, assigned, table, "cluster_id", buckets=buckets, inputs=inputs)
+    idx = bucketed_frame(
+        spark,
+        assigned,
+        table,
+        "cluster_id",
+        buckets=buckets,
+        inputs=inputs,
+        # The index content depends on WHICH centroids assigned it;
+        # callers derive centroids from the same input files, so the
+        # centroid selection rule is the missing key ingredient.
+        params={"family": "ivf", "centroids": centroid_spec},
+    )
     q = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),

@@ -1,5 +1,12 @@
 """Mergeable sketch constructions shared by batch and streaming.
 
+Public-literature basis: HyperLogLog is Flajolet, Fusy, Gandouet,
+Meunier, "HyperLogLog: the analysis of a near-optimal cardinality
+estimation algorithm" (AofA 2007), including the small-range
+linear-counting fallback; Count-Min is Cormode & Muthukrishnan, "An
+improved data stream summary: the count-min sketch and its
+applications" (J. Algorithms 2005).
+
 A sketch whose per-key state merges associatively (HLL registers
 merge by MAX, Count-Min cells by SUM) is exactly the shape that
 works in BOTH execution modes: batch computes it as one two-phase

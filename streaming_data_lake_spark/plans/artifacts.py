@@ -105,11 +105,17 @@ def ensure(kind: str, inputs: list[str], params: dict, build) -> str:
             os.rename(tmp, final)
         except OSError:
             # Lost the publish race (or a stale complete artifact
-            # reappeared): keep the winner, drop our copy.
+            # reappeared): keep the winner, drop our copy below.
             if not is_complete(final):
                 raise
-            shutil.rmtree(tmp, ignore_errors=True)
+    except BaseException:
+        # Our build failed, but if a concurrent builder published a
+        # complete artifact meanwhile, the caller can use it — a
+        # loser's failure is moot once a winner exists.
+        if not is_complete(final):
+            raise
     finally:
-        if os.path.isdir(tmp) and not is_complete(final):
+        # Whatever happened, never leave a private tmp dir behind.
+        if os.path.isdir(tmp):
             shutil.rmtree(tmp, ignore_errors=True)
     return final

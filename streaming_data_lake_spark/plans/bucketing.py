@@ -142,6 +142,7 @@ def bucketed_frame(
     key: str,
     buckets: int = _BUCKETS,
     inputs: list[str] | None = None,
+    params: dict | None = None,
 ) -> DataFrame:
     """Write an arbitrary frame bucketed+sorted by ``key`` and read
     it back. Self-joins on ``key`` over the returned frame are
@@ -151,13 +152,17 @@ def bucketed_frame(
 
     With ``inputs`` (the source files the frame derives from) the
     copy is a durable artifact shared across sessions and processes;
-    without, it is rebuilt once per process. Either way the cache key
-    includes the table NAME: callers must encode everything that
-    changes the frame's content in ``tbl`` (the query layer embeds
-    the sf_dir tag; parameter variants need distinct names), or a
-    second variant silently reads the first one's table."""
+    without, it is rebuilt once per process. The durable cache key is
+    (table name, key, buckets, input fingerprints, ``params``):
+    callers MUST pass every generation parameter that changes the
+    frame's content (hash counts, band counts, dims, …) in
+    ``params`` — the durable cache outlives the process, so a
+    parameter change without a key change would silently serve the
+    old artifact to every future run."""
     if inputs is not None:
-        return _durable_bucketed(spark, df, tbl, key, buckets, inputs, {"tbl": tbl})
+        return _durable_bucketed(
+            spark, df, tbl, key, buckets, inputs, {"tbl": tbl, **(params or {})}
+        )
     if tbl not in _REGISTERED or not spark.catalog.tableExists(tbl):
         import tempfile
 

@@ -39,14 +39,16 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 # The driver hash-checks the FIRST 50 registered queries per round.
 # Certification rotates: rounds 1+3 certified 83 queries between
-# them; round 4's window holds (a) the 9 new round-4 queries, (b) the
-# 13 round-2/3 additions that registered after position 50 last round
-# and so have NO driver verdict yet, (c) the 8 queries whose physical
-# read path changed this round (durable artifact cache / shingle
-# materialization) and need re-certification, and (d) the streaming +
-# materializer + skew families as the standing high-risk block.
-# Everything else was driver-certified green on an unchanged
-# implementation and rotates to 51+.
+# them; round 4's window holds EXACTLY 50 names: (a) the 16 new
+# round-4 queries, (b) the 13 round-2/3 additions that registered
+# after position 50 last round and so have NO driver verdict yet,
+# (c) the 8 queries whose physical read path changed this round
+# (durable artifact cache / shingle materialization) and need
+# re-certification, and (d) the flagship + streaming family +
+# incremental materializer + versioned reads as the standing
+# high-risk block. Everything else was driver-certified green on an
+# unchanged implementation and rotates to 51+.
+# tests/test_registry_order.py asserts the window arithmetic.
 _CERTIFICATION_ORDER = [
     # flagship
     "pricing_summary",
@@ -103,6 +105,8 @@ _CERTIFICATION_ORDER = [
     "materialize_incremental_clean_events",
     "time_travel_read_v1",
     "snapshot_metadata",
+    # ---- position 51+ : certified green by a previous driver run,
+    # implementation unchanged since — rotated out of the window ----
     "maintenance_compaction",
     "materialize_dim_change_repair",
     "materialize_funnel_exists_repair",
@@ -110,8 +114,6 @@ _CERTIFICATION_ORDER = [
     "replicated_skew_join_rollup",
     "sql_over_views_adhoc",
     "seeded_dim_hierarchy_enrichment",
-    # ---- position 51+ : certified green by a previous driver run,
-    # implementation unchanged since — rotated out of the window ----
     "knn_ivf_cosine",
     "knn_ivf_multiprobe_cosine",
     "knn_bruteforce_cosine",

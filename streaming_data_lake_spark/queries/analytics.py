@@ -388,7 +388,8 @@ WHERE {_DUCK_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) >= {_SEM_THRESHOLD}
 @register(
     "semantic_dedup_centroid",
     _SEMDEDUP_ORACLE,
-    "SemDeDup-style semantic dedup: argmax-cosine centroid assignment "
+    "SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540): "
+    "argmax-cosine centroid assignment "
     "(zero-shuffle narrow map, centroids broadcast) buckets the corpus, then "
     "exact pairwise cosine runs only WITHIN each cluster — the cluster "
     "equi-join replaces the corpus cartesian, same pruning discipline as IVF.",
@@ -666,6 +667,25 @@ FROM m{_KM_ITERS} m JOIN nm ON m.cluster_id = nm.cluster_id
 )
 
 
+# Trained-centroid memo: kmeans_train runs its Lloyd iterations
+# EAGERLY (localCheckpoint per round), and two registered queries
+# need the identical centroids — without sharing, a bench or
+# certification pass pays the full training twice. Keyed by the
+# SparkContext applicationId so a stopped session's checkpointed
+# RDDs are never reused by a new session.
+_KM_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.similarity import kmeans_train
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KM_MEMO:
+        e = _t(spark, sf_dir, "embeddings")
+        _KM_MEMO[key] = kmeans_train(e, k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM)
+    return _KM_MEMO[key]
+
+
 @register(
     "kmeans_train_centroids",
     _KMEANS_ORACLE,
@@ -677,10 +697,7 @@ FROM m{_KM_ITERS} m JOIN nm ON m.cluster_id = nm.cluster_id
     "the IVF index consumes; oracle unrolls both iterations in SQL.",
 )
 def kmeans_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streaming_data_lake_spark.operators.similarity import kmeans_train
-
-    e = _t(spark, sf_dir, "embeddings")
-    cents = kmeans_train(e, k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM)
+    cents = _trained_centroids(spark, sf_dir)
     return cents.select(
         F.col("vec_id").alias("cluster_id"),
         "n_members",
@@ -788,10 +805,10 @@ _KNN_TRAINED_ORACLE = (
     "one declarative plan; oracle unrolls training + search in SQL.",
 )
 def knn_ivf_trained_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streaming_data_lake_spark.operators.similarity import ivf_knn, kmeans_train
+    from streaming_data_lake_spark.operators.similarity import ivf_knn
 
     e = _t(spark, sf_dir, "embeddings")
-    cents = kmeans_train(e, k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM)
+    cents = _trained_centroids(spark, sf_dir)
     return ivf_knn(e, e.filter(F.col("vec_id") < 50), cents, k=5)
 
 

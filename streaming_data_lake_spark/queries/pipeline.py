@@ -1163,6 +1163,7 @@ def knn_ivf_materialized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         table=f"ivf_idx_{_safe_tag(sf_dir)}",
         k=5,
         inputs=[os.path.join(sf_dir, "embeddings.parquet")],
+        centroid_spec="vec_id<8",
     )
 
 

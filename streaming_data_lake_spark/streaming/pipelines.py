@@ -355,10 +355,14 @@ def streaming_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_dir = tempfile.mkdtemp(prefix="hll_") + "/hll_registers"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
     src = stream_table(spark, sf_dir, "events")
+    # Deliberately UNWATERMARKED: converged-state equality with the
+    # batch sketch requires that no register row is ever evicted or
+    # dropped as late. Update mode + a keyed MERGE sink is valid
+    # without a watermark; state is bounded anyway (64 rows per day)
+    # — that boundedness is the sketch's whole point, where a
+    # watermark is how unbounded per-key state gets bounded.
     regs = hll_registers(
-        src.withWatermark("ts", "30 seconds").select(
-            F.date_trunc("day", F.col("ts")).alias("event_day"), "user_id"
-        ),
+        src.select(F.date_trunc("day", F.col("ts")).alias("event_day"), "user_id"),
         ["event_day"],
         F.col("user_id").cast("string"),
     )

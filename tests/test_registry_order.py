@@ -1,6 +1,6 @@
 """The driver certifies only the first 50 registered queries, so the
-registry order IS part of the correctness contract: every family the
-round-1 run could not score must sit inside the window, and the order
+registry order IS part of the correctness contract: every query that
+needs a round-4 verdict must sit inside the window, and the order
 list must stay in exact sync with the registry."""
 
 from __future__ import annotations
@@ -9,12 +9,8 @@ from streaming_data_lake_spark.queries import all_queries
 
 WINDOW = 50
 
-# Round-4 window priorities: the new queries, the round-2/3
-# additions that have never received a driver verdict, and
-# representatives of the paths whose physical layout changed this
-# round (durable artifact cache).
-MUST_BE_IN_WINDOW = {
-    # new in round 4
+# (a) New in round 4 — never seen by any driver run.
+NEW_R4 = {
     "rollup_revenue_levels",
     "price_quantiles_by_flag",
     "user_event_gaps",
@@ -31,23 +27,49 @@ MUST_BE_IN_WINDOW = {
     "orders_above_global_avg",
     "supplier_name_near_matches",
     "streaming_hll_daily_users",
-    # never driver-certified (registered 51+ in round 3)
+}
+
+# (b) Registered after position 50 in round 3 — no driver verdict yet.
+NEVER_CERTIFIED = {
     "tfidf_top_terms",
     "dup_clusters_connected",
+    "stratified_sample_by_lang",
+    "token_budget_packing",
+    "pii_redaction",
+    "repetition_signals",
+    "benchmark_decontamination",
+    "embedding_int8_quantization",
+    "multimodal_resize",
+    "dedup_keep_best_quality",
     "knn_ivf_materialized_cosine",
     "exact_substring_dups",
     "winnowing_fingerprints",
-    # physical read path changed in round 4
+}
+
+# (c) Physical read path changed in round 4 (durable artifact cache /
+# shingle materialization) — certified before, needs re-certification.
+CHANGED_R4 = {
     "minhash_lsh_near_dups",
     "embedding_cosine_near_dups",
     "bucketed_colocated_join",
     "top_busiest_hours",
     "partition_pruned_scan",
-    # standing high-risk block
-    "streaming_funnel_daily",
-    "streaming_sessionize",
-    "materialize_incremental_clean_events",
+    "duplicate_rates_hourly",
+    "event_quality_spine_hourly",
+    "ngram_jaccard_near_dups",
 }
+
+MUST_BE_IN_WINDOW = (
+    NEW_R4
+    | NEVER_CERTIFIED
+    | CHANGED_R4
+    | {
+        "pricing_summary",
+        "streaming_funnel_daily",
+        "streaming_sessionize",
+        "materialize_incremental_clean_events",
+    }
+)
 
 
 def test_order_in_sync_and_window_covers_uncertified_families():
@@ -57,6 +79,19 @@ def test_order_in_sync_and_window_covers_uncertified_families():
     window = set(names[:WINDOW])
     missing = MUST_BE_IN_WINDOW - window
     assert not missing, f"outside driver window: {sorted(missing)}"
+
+
+def test_window_has_room_for_the_priority_sets():
+    """Guard against silent displacement: the three priority groups
+    plus the flagship must fit in 50 with the remaining slots going
+    to explicitly chosen high-risk fillers — if a future round adds
+    queries without rebalancing, this fails before the driver
+    silently skips a query we claim is certified."""
+    assert len(MUST_BE_IN_WINDOW) <= WINDOW
+    # Groups must be disjoint (each name counted once).
+    assert not (NEW_R4 & NEVER_CERTIFIED)
+    assert not (NEW_R4 & CHANGED_R4)
+    assert not (NEVER_CERTIFIED & CHANGED_R4)
 
 
 def test_every_query_is_callable_and_oracle_typed():
