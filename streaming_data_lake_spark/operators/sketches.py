@@ -72,3 +72,52 @@ def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
     return est.select(
         *group_cols, "n_buckets", F.round(corrected, 4).alias("hll_estimate")
     )
+
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # buckets per row
+
+
+def _cms_seed_buckets(token: Column) -> Column:
+    """Array of (seed, bucket) structs — one per hash row."""
+    from streaming_data_lake_spark.functions.hashing import h32_seeded
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seed"),
+                (h32_seeded(token, s) % CMS_W).alias("bucket"),
+            )
+            for s in range(CMS_D)
+        ]
+    )
+
+
+def cms_cells(tok: DataFrame, token_col: str = "token") -> DataFrame:
+    """Count-Min grid from a token stream: one row per (seed, bucket)
+    holding the cell count. SUM-merged, map-side combinable — the
+    fixed-size (d×w) summary that works identically as a batch
+    aggregate and as a streaming upsert state."""
+    return (
+        tok.select(F.explode(_cms_seed_buckets(F.col(token_col))).alias("sb"))
+        .groupBy(F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_lookup(cand: DataFrame, cells: DataFrame, token_col: str = "token") -> DataFrame:
+    """Point-query the sketch for each candidate token: min over the
+    d rows' cells (the Count-Min estimate, always >= truth). The grid
+    is at most d×w rows — broadcast it."""
+    probes = cand.select(
+        "*", F.explode(_cms_seed_buckets(F.col(token_col))).alias("sb")
+    ).select(
+        *cand.columns,
+        F.col("sb.seed").alias("seed"),
+        F.col("sb.bucket").alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["seed", "bucket"])
+        .groupBy(*cand.columns)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )

@@ -69,6 +69,7 @@ _CERTIFICATION_ORDER = [
     "orders_above_global_avg",
     "supplier_name_near_matches",
     "streaming_hll_daily_users",
+    "streaming_cms_token_counts",
     # ---- round-2/3 additions with no driver verdict yet ----
     "tfidf_top_terms",
     "dup_clusters_connected",
@@ -104,9 +105,9 @@ _CERTIFICATION_ORDER = [
     "streaming_sessionize",
     "materialize_incremental_clean_events",
     "time_travel_read_v1",
-    "snapshot_metadata",
     # ---- position 51+ : certified green by a previous driver run,
     # implementation unchanged since — rotated out of the window ----
+    "snapshot_metadata",
     "maintenance_compaction",
     "materialize_dim_change_repair",
     "materialize_funnel_exists_repair",

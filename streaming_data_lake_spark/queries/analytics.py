@@ -567,42 +567,9 @@ def cms_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _CMS_TOPK)
         .drop("rn")
     )
-    seeded = tok.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("seed"),
-                        (h32_seeded(F.col("token"), s) % _CMS_W).alias("bucket"),
-                    )
-                    for s in _CMS_SEEDS
-                ]
-            )
-        ).alias("sb")
-    )
-    sketch = seeded.groupBy(
-        F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    probes = cand.select(
-        "token",
-        "true_n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("seed"),
-                        (h32_seeded(F.col("token"), s) % _CMS_W).alias("bucket"),
-                    )
-                    for s in _CMS_SEEDS
-                ]
-            )
-        ).alias("sb"),
-    ).select("token", "true_n", F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket"))
-    return (
-        probes.join(F.broadcast(sketch), ["seed", "bucket"])
-        .groupBy("token", "true_n")
-        .agg(F.min("cnt").alias("cms_estimate"))
-    )
+    from streaming_data_lake_spark.operators.sketches import cms_cells, cms_lookup
+
+    return cms_lookup(cand, cms_cells(tok))
 
 
 # ---------------------------------------------------------------------------

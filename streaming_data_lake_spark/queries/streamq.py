@@ -8,7 +8,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from streaming_data_lake_spark.queries import register
-from streaming_data_lake_spark.queries.analytics import _HLL_ORACLE as _STREAMING_HLL_ORACLE
+from streaming_data_lake_spark.queries.analytics import (
+    _CMS_ORACLE as _STREAMING_CMS_ORACLE,
+    _HLL_ORACLE as _STREAMING_HLL_ORACLE,
+)
 from streaming_data_lake_spark.queries.core import _EVENTS_CLEAN_ORACLE, _FUNNEL_ORACLE
 from streaming_data_lake_spark.streaming import pipelines
 
@@ -174,3 +177,15 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.streaming_hll_daily_users(spark, sf_dir)
+
+
+@register(
+    "streaming_cms_token_counts",
+    _STREAMING_CMS_ORACLE,
+    "Streaming Count-Min: the d x w cell grid folded through an update-mode "
+    "aggregate + MERGE upsert (SUM is merge-associative, update mode emits "
+    "cumulative per-key counts, MERGE replaces by key) — the converged grid "
+    "is bit-identical to the batch sketch, certified by the same oracle.",
+)
+def streaming_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.streaming_cms_token_counts(spark, sf_dir)

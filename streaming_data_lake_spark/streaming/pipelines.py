@@ -390,3 +390,46 @@ def streaming_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_day").select(
         "event_day", "exact_users", "n_buckets", "hll_estimate"
     )
+
+
+def streaming_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min (the SUM-merge twin of the HLL pipeline):
+    the documents stream folds into the fixed d×w cell grid via an
+    update-mode aggregate + MERGE upsert. Update mode emits each
+    key's CUMULATIVE count, and the MERGE replaces by (seed, bucket),
+    so the converged grid equals the batch sketch exactly — the
+    heavy-hitter lookup over it hash-matches the batch oracle. At
+    100 TB the streaming state is 1024 cells, period."""
+    from streaming_data_lake_spark.catalog import load_table
+    from streaming_data_lake_spark.operators.dedup import tokens as tok_fn
+    from streaming_data_lake_spark.operators.sketches import cms_cells, cms_lookup
+
+    table_dir = tempfile.mkdtemp(prefix="cms_") + "/cms_cells"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    src = stream_table(spark, sf_dir, "documents")
+    cells = cms_cells(src.select(F.explode(tok_fn(F.col("text"))).alias("token")))
+    _fmt = resolve_format(spark)
+    with _state_partitions(spark):
+        q = (
+            cells.writeStream.outputMode("update")
+            .foreachBatch(
+                _fmt.foreach_batch_upsert(spark, table_dir, ["seed", "bucket"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    converged = _fmt.read_table(spark, table_dir)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tok_fn(F.col("text"))).alias("token"))
+    truth = tok.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
+    from pyspark.sql.window import Window as W
+
+    wtop = W.orderBy(F.desc("true_n"), F.asc("token"))
+    cand = (
+        truth.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    return cms_lookup(cand, converged)

@@ -27,6 +27,7 @@ NEW_R4 = {
     "orders_above_global_avg",
     "supplier_name_near_matches",
     "streaming_hll_daily_users",
+    "streaming_cms_token_counts",
 }
 
 # (b) Registered after position 50 in round 3 — no driver verdict yet.
