@@ -353,6 +353,11 @@ def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the synthetic embeddings are near-orthogonal, so "semantically
 # close" sits around 0.4, not the 0.9+ a trained encoder would give.
 _SEM_THRESHOLD = 0.40
+# k scales with corpus size in SemDeDup (k ~ sqrt(n) in the paper's
+# setups): more clusters shrink the quadratic in-cluster pair work —
+# 32 centroids cut candidate pairs 4x vs 8 at sf0.1 with the same
+# verify semantics.
+_SEM_K = 32
 _DUCK_DOT = (
     "list_reduce(list_transform(list_zip({a}, {b}),"
     " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
@@ -364,7 +369,7 @@ WITH n AS (
          sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
   FROM embeddings
 ),
-cent AS (SELECT * FROM n WHERE vec_id < 8),
+cent AS (SELECT * FROM n WHERE vec_id < {_SEM_K}),
 scored AS (
   SELECT v.vec_id, v.v, v.nrm, c.vec_id AS cluster_id,
          row_number() OVER (
@@ -398,7 +403,7 @@ def semantic_dedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_lake_spark.operators.similarity import dot, ivf_assign, norm
 
     e = _t(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < 8)
+    cents = e.filter(F.col("vec_id") < _SEM_K)
     assigned = ivf_assign(e, cents).select(
         "vec_id", "embedding", "cluster_id", norm(F.col("embedding")).alias("nrm")
     )
