@@ -70,6 +70,8 @@ _CERTIFICATION_ORDER = [
     "supplier_name_near_matches",
     "streaming_hll_daily_users",
     "streaming_cms_token_counts",
+    "bigram_lm_quality",
+    "domain_mixture_resample",
     # ---- round-2/3 additions with no driver verdict yet ----
     "tfidf_top_terms",
     "dup_clusters_connected",
@@ -96,7 +98,6 @@ _CERTIFICATION_ORDER = [
     # ---- standing high-risk block: streaming / materializer / skew ----
     "streaming_clean_events",
     "streaming_hourly_metrics",
-    "streaming_dedup_keys",
     "streaming_interval_join_daily",
     "streaming_funnel_daily",
     "streaming_fanout_ingest",
@@ -104,9 +105,10 @@ _CERTIFICATION_ORDER = [
     "streaming_dedup_within_watermark",
     "streaming_sessionize",
     "materialize_incremental_clean_events",
-    "time_travel_read_v1",
     # ---- position 51+ : certified green by a previous driver run,
     # implementation unchanged since — rotated out of the window ----
+    "streaming_dedup_keys",
+    "time_travel_read_v1",
     "snapshot_metadata",
     "maintenance_compaction",
     "materialize_dim_change_repair",

@@ -899,3 +899,171 @@ def supplier_name_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 1)
         .select("key_a", "key_b", dist.cast("int").alias("edit_distance"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained bigram LM quality score (CCNet-style signal)
+# ---------------------------------------------------------------------------
+
+_LM_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+sized AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) >= 2),
+bg AS (
+  SELECT doc_id,
+         toks[CAST(t.i AS INTEGER) + 1] AS w1,
+         toks[CAST(t.i AS INTEGER) + 2] AS w2
+  FROM sized, LATERAL unnest(range(n - 1)) AS t(i)
+),
+c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT tok) AS vocab
+  FROM (SELECT unnest(toks) AS tok FROM tk)
+)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(CAST(
+          CAST(c12.n12 + 1 AS DOUBLE) / CAST(c1.n1 + v.vocab AS DOUBLE)
+          AS DECIMAL(27,18))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 12)
+         AS avg_bigram_p
+FROM bg
+JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+JOIN c1 ON bg.w1 = c1.w1
+CROSS JOIN v
+GROUP BY bg.doc_id
+"""
+
+
+@register(
+    "bigram_lm_quality",
+    _LM_ORACLE,
+    "Corpus-trained bigram LM quality score (the CCNet/KenLM signal class): "
+    "add-one-smoothed P(w2|w1) trained on the corpus itself, scored per doc "
+    "as the mean bigram probability. Bit-exact across engines WITHOUT "
+    "transcendentals: each probability is one IEEE double division of exact "
+    "integers, summed through decimal. Train = two map-side-combinable "
+    "groupBys; score = two equi-joins — at 100 TB the count tables are the "
+    "reusable model artifact.",
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.dedup import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sized = tk.withColumn("n", F.size("toks")).filter(F.col("n") >= 2)
+    bg = sized.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("toks"), 1, F.col("n") - 1),
+                lambda w, i: F.struct(
+                    w.alias("w1"),
+                    F.element_at(F.col("toks"), (i + 2).cast("int")).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    # One token pass feeds model training AND scoring.
+    bg = bg.localCheckpoint()
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = (
+        tk.select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    prob = (F.col("n12") + F.lit(1)).cast("double") / (
+        F.col("n1") + F.col("vocab")
+    ).cast("double")
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            # Rounded to 12 dp: the per-term double->decimal cast
+            # rounds differently across engines in the 18th digit.
+            F.round(
+                F.sum(prob.cast("decimal(27,18)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                12,
+            ).alias("avg_bigram_p"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic domain-mixture resampling (data mixing)
+# ---------------------------------------------------------------------------
+
+_MIX_TARGETS = {"en": 0.40, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+_MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in _MIX_TARGETS.items())
+
+_MIX_ORACLE = f"""
+WITH counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+targets(lang, share) AS (VALUES {_MIX_VALUES}),
+scale AS (
+  SELECT min(CAST(n AS DOUBLE) / share) AS s
+  FROM counts JOIN targets USING (lang)
+),
+rates AS (
+  SELECT c.lang, c.n,
+         CAST(round(1000000 * least(1.0, t.share * sc.s / CAST(c.n AS DOUBLE))) AS BIGINT) AS ppm
+  FROM counts c JOIN targets t ON c.lang = t.lang CROSS JOIN scale sc
+)
+SELECT r.lang,
+       r.n AS n_total,
+       r.ppm AS rate_ppm,
+       CAST(count(*) FILTER ({duck_h32("CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.ppm) AS BIGINT)
+         AS n_kept
+FROM documents d JOIN rates r ON d.lang = r.lang
+GROUP BY r.lang, r.n, r.ppm
+"""
+
+
+@register(
+    "domain_mixture_resample",
+    _MIX_ORACLE,
+    "Deterministic data mixing: downsample each domain (lang) by a "
+    "hash-threshold acceptance rate computed so the OUTPUT matches a target "
+    "mixture (largest feasible corpus, downsampling only). Two passes: a "
+    "k-row count aggregate derives per-domain ppm rates; the filter is then "
+    "a stateless hash compare — reproducible across runs, engines, and "
+    "cluster sizes, no shuffle of the kept data.",
+)
+def domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    targets = d.sparkSession.createDataFrame(
+        list(_MIX_TARGETS.items()), "lang string, share double"
+    )
+    joined = counts.join(targets, "lang")
+    scale = joined.agg(
+        F.min(F.col("n").cast("double") / F.col("share")).alias("s")
+    )
+    rates = (
+        joined.crossJoin(F.broadcast(scale))
+        .select(
+            "lang",
+            "n",
+            F.round(
+                1_000_000
+                * F.least(
+                    F.lit(1.0),
+                    F.col("share") * F.col("s") / F.col("n").cast("double"),
+                )
+            )
+            .cast("long")
+            .alias("ppm"),
+        )
+    )
+    keep = h32(F.col("doc_id").cast("string")) % 1_000_000 < F.col("ppm")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .groupBy("lang", F.col("n").alias("n_total"), F.col("ppm").alias("rate_ppm"))
+        .agg(F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"))
+        .select("lang", "n_total", "rate_ppm", "n_kept")
+    )

@@ -28,6 +28,8 @@ NEW_R4 = {
     "supplier_name_near_matches",
     "streaming_hll_daily_users",
     "streaming_cms_token_counts",
+    "bigram_lm_quality",
+    "domain_mixture_resample",
 }
 
 # (b) Registered after position 50 in round 3 — no driver verdict yet.
