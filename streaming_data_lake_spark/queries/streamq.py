@@ -163,7 +163,11 @@ GROUP BY user_id, sess_id
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_lake_spark.streaming.sessionize import sessionize_replay
 
-    with pipelines._state_partitions(spark):
+    # 16 state partitions, not the streaming default of 8: the
+    # sessionizer's per-partition work is Arrow + Python fold (not
+    # just state-store commits), so it profits from more parallelism
+    # (measured warm at sf0.1: 16 -> 3.8s vs 8 -> 4.3s).
+    with pipelines._state_partitions(spark, 16):
         return sessionize_replay(spark, sf_dir, gap_minutes=120)
 
 
