@@ -67,6 +67,13 @@ def exact_text_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+# Bump when tokenize/shingle/jaccard SEMANTICS change: it is part of
+# every durable artifact key derived from this module (e.g. the cached
+# jaccard pair list), so a semantic change invalidates cached data
+# instead of silently serving results computed by old code.
+PAIRS_GEN = 1
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization with empties removed."""
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")

@@ -121,3 +121,23 @@ def cms_lookup(cand: DataFrame, cells: DataFrame, token_col: str = "token") -> D
         .groupBy(*cand.columns)
         .agg(F.min("cnt").alias("cms_estimate"))
     )
+
+
+CMS_TOPK = 20  # candidate set size for heavy-hitter certification
+
+
+def cms_topk_candidates(tok: DataFrame, token_col: str = "token", k: int = CMS_TOPK) -> DataFrame:
+    """Exact top-k tokens with true counts (deterministic total order:
+    count desc, token asc) — the candidate set the sketch estimates
+    are exhibited against. Shared by the batch query and the
+    streaming pipeline so the candidate definition can never drift
+    from the oracle's."""
+    from pyspark.sql.window import Window
+
+    truth = tok.groupBy(token_col).agg(F.count(F.lit(1)).alias("true_n"))
+    w = Window.orderBy(F.desc("true_n"), F.asc(token_col))
+    return (
+        truth.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -39,7 +39,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 # The driver hash-checks the FIRST 50 registered queries per round.
 # Certification rotates: rounds 1+3 certified 83 queries between
-# them; round 4's window holds EXACTLY 50 names: (a) the 16 new
+# them; round 4's window holds EXACTLY 50 names: (a) the 19 new
 # round-4 queries, (b) the 13 round-2/3 additions that registered
 # after position 50 last round and so have NO driver verdict yet,
 # (c) the 8 queries whose physical read path changed this round

@@ -501,9 +501,11 @@ def hll_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Count-Min sketch — heavy-hitter token frequency estimation
 # ---------------------------------------------------------------------------
 
-_CMS_D = 4  # hash rows
-_CMS_W = 256  # buckets per row
-_CMS_TOPK = 20
+from streaming_data_lake_spark.operators.sketches import (  # noqa: E402
+    CMS_D as _CMS_D,
+    CMS_TOPK as _CMS_TOPK,
+    CMS_W as _CMS_W,
+)
 
 _CMS_SEEDS = list(range(_CMS_D))
 
@@ -565,16 +567,13 @@ def cms_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One pass is shared by truth + sketch: materialize the exploded
     # token stream once (same discipline as the jaccard shingles).
     tok = tok.localCheckpoint()
-    truth = tok.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
-    wtop = Window.orderBy(F.desc("true_n"), F.asc("token"))
-    cand = (
-        truth.withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") <= _CMS_TOPK)
-        .drop("rn")
+    from streaming_data_lake_spark.operators.sketches import (
+        cms_cells,
+        cms_lookup,
+        cms_topk_candidates,
     )
-    from streaming_data_lake_spark.operators.sketches import cms_cells, cms_lookup
 
-    return cms_lookup(cand, cms_cells(tok))
+    return cms_lookup(cms_topk_candidates(tok), cms_cells(tok))
 
 
 # ---------------------------------------------------------------------------
@@ -1040,7 +1039,10 @@ def domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     targets = d.sparkSession.createDataFrame(
         list(_MIX_TARGETS.items()), "lang string, share double"
     )
-    joined = counts.join(targets, "lang")
+    # Tiny after the aggregate (one row per domain): materialize it so
+    # the scale subquery and the rates projection read it once instead
+    # of re-running the counts scan under each join input.
+    joined = counts.join(targets, "lang").localCheckpoint()
     scale = joined.agg(
         F.min(F.col("n").cast("double") / F.col("share")).alias("s")
     )

@@ -789,13 +789,16 @@ def dup_clusters_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH signature tables: built once per (documents fingerprint,
     # shingle/threshold params), after which clustering pays only the
     # label-propagation rounds.
+    from streaming_data_lake_spark.operators.dedup import PAIRS_GEN
+
+    _N = 3
     pairs = cached_parquet(
         spark,
         "jaccard_pairs",
         [os.path.join(sf_dir, "documents.parquet")],
-        {"n": 3, "threshold": _JACCARD_THRESHOLD},
+        {"n": _N, "threshold": _JACCARD_THRESHOLD, "gen": PAIRS_GEN},
         lambda: ngram_jaccard_pairs(
-            _t(spark, sf_dir, "documents"), threshold=_JACCARD_THRESHOLD
+            _t(spark, sf_dir, "documents"), n=_N, threshold=_JACCARD_THRESHOLD
         ).select("id_a", "id_b"),
     )
     return connected_dup_clusters(pairs)

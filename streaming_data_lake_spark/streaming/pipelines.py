@@ -17,7 +17,9 @@ Pipelines:
 
 from __future__ import annotations
 
+import atexit
 import contextlib
+import shutil
 import tempfile
 import uuid
 
@@ -29,6 +31,18 @@ from streaming_data_lake_spark.operators.ingest import clean_events
 from streaming_data_lake_spark.sources.streams import stream_table
 from streaming_data_lake_spark.catalog import load_table
 from streaming_data_lake_spark.formats import resolve_format
+
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp whose directory is removed at process exit. Streaming
+    scratch (checkpoints, upsert table dirs) must outlive the
+    function that created it — the returned DataFrame is lazy and the
+    caller reads it later — but nothing needs it past the process, so
+    atexit cleanup is the correct lifetime: repeated driver sweeps
+    stop accumulating unbounded tmp state."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 @contextlib.contextmanager
@@ -54,7 +68,7 @@ def _start_to_memory(stream_df: DataFrame, mode: str):
     await them all — concurrent streams share the cluster instead of
     serializing their micro-batch scheduling."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = _scratch_dir("ckpt_")
     q = (
         stream_df.writeStream.outputMode(mode)
         .format("memory")
@@ -280,9 +294,9 @@ def streaming_fanout_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns per-sink row counts."""
     from streaming_data_lake_spark.operators.ingest import rejected_events
 
-    base = tempfile.mkdtemp(prefix="fanout_")
+    base = _scratch_dir("fanout_")
     clean_dir, rej_dir = f"{base}/events_clean", f"{base}/events_rejected"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = _scratch_dir("ckpt_")
 
     def fan_out(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
@@ -311,8 +325,8 @@ def streaming_upsert_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's upsert-sink pipeline (S7/T4): update-mode
     windowed aggregate fed through foreachBatch MERGE into a keyed
     parquet table; returns the converged table."""
-    table_dir = tempfile.mkdtemp(prefix="upsert_") + "/hourly_metrics"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    table_dir = _scratch_dir("upsert_") + "/hourly_metrics"
+    ckpt = _scratch_dir("ckpt_")
     src = stream_table(spark, sf_dir, "events")
     agg = (
         src.withWatermark("ts", "30 seconds")
@@ -352,8 +366,8 @@ def streaming_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed rows, not a distinct-key set that grows with traffic."""
     from streaming_data_lake_spark.operators.sketches import hll_estimate, hll_registers
 
-    table_dir = tempfile.mkdtemp(prefix="hll_") + "/hll_registers"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    table_dir = _scratch_dir("hll_") + "/hll_registers"
+    ckpt = _scratch_dir("ckpt_")
     src = stream_table(spark, sf_dir, "events")
     # Deliberately UNWATERMARKED: converged-state equality with the
     # batch sketch requires that no register row is ever evicted or
@@ -402,10 +416,14 @@ def streaming_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the streaming state is 1024 cells, period."""
     from streaming_data_lake_spark.catalog import load_table
     from streaming_data_lake_spark.operators.dedup import tokens as tok_fn
-    from streaming_data_lake_spark.operators.sketches import cms_cells, cms_lookup
+    from streaming_data_lake_spark.operators.sketches import (
+        cms_cells,
+        cms_lookup,
+        cms_topk_candidates,
+    )
 
-    table_dir = tempfile.mkdtemp(prefix="cms_") + "/cms_cells"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    table_dir = _scratch_dir("cms_") + "/cms_cells"
+    ckpt = _scratch_dir("ckpt_")
     src = stream_table(spark, sf_dir, "documents")
     cells = cms_cells(src.select(F.explode(tok_fn(F.col("text"))).alias("token")))
     _fmt = resolve_format(spark)
@@ -423,13 +441,6 @@ def streaming_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     converged = _fmt.read_table(spark, table_dir)
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(tok_fn(F.col("text"))).alias("token"))
-    truth = tok.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
-    from pyspark.sql.window import Window as W
-
-    wtop = W.orderBy(F.desc("true_n"), F.asc("token"))
-    cand = (
-        truth.withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") <= 20)
-        .drop("rn")
-    )
-    return cms_lookup(cand, converged)
+    # Candidate set comes from the SHARED helper (same k, same tie
+    # order) so it can never drift from the batch query's oracle.
+    return cms_lookup(cms_topk_candidates(tok), converged)

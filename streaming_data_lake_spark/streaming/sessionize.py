@@ -31,9 +31,16 @@ DuckDB oracle computes via decimal SUM.
 from __future__ import annotations
 
 import os
-import tempfile
+import tempfile  # noqa: F401  (kept for callers monkeypatching tmp roots)
 from collections.abc import Iterator
 from typing import Any
+
+
+def _scratch(prefix: str) -> str:
+    """Process-exit-cleaned scratch dir (see pipelines._scratch_dir)."""
+    from streaming_data_lake_spark.streaming.pipelines import _scratch_dir
+
+    return _scratch_dir(prefix)
 
 import numpy as np
 import pandas as pd
@@ -172,7 +179,7 @@ def _stage_with_sentinels(sf_dir: str) -> str:
     from streaming_data_lake_spark.catalog import table_path
 
     src = table_path(sf_dir, "events")
-    d = tempfile.mkdtemp(prefix="sessionize_")
+    d = _scratch("sessionize_")
     main = os.path.join(d, "a_events.parquet")
     os.symlink(src, main)
     schema = pq.read_schema(src)
@@ -223,7 +230,7 @@ def sessionize_replay(
         sessions.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _scratch("ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -342,7 +349,7 @@ def sessionize_tws_replay(
         sessions.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _scratch("ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
