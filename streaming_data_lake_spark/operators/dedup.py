@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from streaming_data_lake_spark.functions.hashing import h32, h32_seeded, minhash_mix
+from streaming_data_lake_spark.functions.hashing import h32, minhash_mix
 
 
 def dedup_groupby_canonical(df: DataFrame, keys: list[str], aggs: dict[str, str]) -> DataFrame:

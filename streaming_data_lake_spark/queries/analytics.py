@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from streaming_data_lake_spark.catalog import load_table
-from streaming_data_lake_spark.functions.hashing import duck_h32, duck_h32_seeded, h32, h32_seeded
+from streaming_data_lake_spark.functions.hashing import duck_h32, duck_h32_seeded, h32
 from streaming_data_lake_spark.functions.parity import davg, dsum, duck_davg, duck_dsum
 from streaming_data_lake_spark.queries import register
 

@@ -31,9 +31,12 @@ DuckDB oracle computes via decimal SUM.
 from __future__ import annotations
 
 import os
-import tempfile  # noqa: F401  (kept for callers monkeypatching tmp roots)
 from collections.abc import Iterator
 from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
 
 
 def _scratch(prefix: str) -> str:
@@ -41,10 +44,6 @@ def _scratch(prefix: str) -> str:
     from streaming_data_lake_spark.streaming.pipelines import _scratch_dir
 
     return _scratch_dir(prefix)
-
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
 
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
