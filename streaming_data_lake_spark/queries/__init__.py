@@ -39,7 +39,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 # The driver hash-checks the FIRST 50 registered queries per round.
 # Certification rotates: rounds 1+3 certified 83 queries between
-# them; round 4's window holds EXACTLY 50 names: (a) the 19 new
+# them; round 4's window holds EXACTLY 50 names: (a) the 21 new
 # round-4 queries, (b) the 13 round-2/3 additions that registered
 # after position 50 last round and so have NO driver verdict yet,
 # (c) the 8 queries whose physical read path changed this round
@@ -72,6 +72,8 @@ _CERTIFICATION_ORDER = [
     "streaming_cms_token_counts",
     "bigram_lm_quality",
     "domain_mixture_resample",
+    "batch_sessionize_windows",
+    "price_outliers_zscore",
     # ---- round-2/3 additions with no driver verdict yet ----
     "tfidf_top_terms",
     "dup_clusters_connected",
@@ -97,17 +99,17 @@ _CERTIFICATION_ORDER = [
     "ngram_jaccard_near_dups",
     # ---- standing high-risk block: streaming / materializer / skew ----
     "streaming_clean_events",
-    "streaming_hourly_metrics",
     "streaming_interval_join_daily",
     "streaming_funnel_daily",
     "streaming_fanout_ingest",
     "streaming_upsert_hourly",
-    "streaming_dedup_within_watermark",
     "streaming_sessionize",
     "materialize_incremental_clean_events",
     # ---- position 51+ : certified green by a previous driver run,
     # implementation unchanged since — rotated out of the window ----
+    "streaming_dedup_within_watermark",
     "streaming_dedup_keys",
+    "streaming_hourly_metrics",
     "time_travel_read_v1",
     "snapshot_metadata",
     "maintenance_compaction",

@@ -1069,3 +1069,70 @@ def domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"))
         .select("lang", "n_total", "rate_ppm", "n_kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical profiling — z-score outlier detection per group
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH stats AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean_price,
+         sqrt(
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE)
+           - pow(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 2)
+         ) AS sd_price
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT s.l_returnflag,
+       s.n_items,
+       round(s.mean_price, 4) AS mean_price,
+       round(s.sd_price, 4) AS sd_price,
+       CAST(count(*) FILTER (abs(l.l_extendedprice - s.mean_price)
+                             > 3 * s.sd_price) AS BIGINT) AS n_outliers
+FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+GROUP BY s.l_returnflag, s.n_items, s.mean_price, s.sd_price
+"""
+
+
+@register(
+    "price_outliers_zscore",
+    _ZSCORE_ORACLE,
+    "Statistical profiling: per-group mean/stddev from EXACT decimal sums "
+    "of x and x-squared (order-independent, so the distributed moments match "
+    "the oracle bit-for-bit; sqrt/divide are IEEE-deterministic), then a "
+    "3-sigma outlier count via a broadcast stats join — two scans, no sort.",
+)
+def price_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    xdec = F.col("l_extendedprice").cast("decimal(18,2)")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum(xdec).cast("double") / F.count(F.lit(1)).cast("double")).alias("mean_price"),
+        F.sqrt(
+            F.sum(xdec * xdec).cast("double") / F.count(F.lit(1)).cast("double")
+            - F.pow(
+                F.sum(xdec).cast("double") / F.count(F.lit(1)).cast("double"), 2
+            )
+        ).alias("sd_price"),
+    )
+    outlier = F.abs(F.col("l_extendedprice") - F.col("mean_price")) > 3 * F.col("sd_price")
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .groupBy("l_returnflag", "n_items", "mean_price", "sd_price")
+        .agg(F.sum(F.when(outlier, 1).otherwise(0)).cast("long").alias("n_outliers"))
+        .select(
+            "l_returnflag",
+            "n_items",
+            F.round("mean_price", 4).alias("mean_price"),
+            F.round("sd_price", 4).alias("sd_price"),
+            "n_outliers",
+        )
+    )

@@ -193,3 +193,44 @@ def streaming_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.streaming_cms_token_counts(spark, sf_dir)
+
+
+@register(
+    "batch_sessionize_windows",
+    _SESSIONIZE_ORACLE,
+    "Gap sessionization as a pure batch window plan (gaps-and-islands: LAG "
+    "gap flags -> running-sum session ids -> per-session agg), certified "
+    "against the SAME oracle as the stateful streaming sessionizer — the "
+    "two-path discipline the reference applies to its funnel (T6): batch is "
+    "the authoritative mirror of the streaming operator.",
+)
+def batch_sessionize_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from streaming_data_lake_spark.catalog import load_table
+    from streaming_data_lake_spark.functions.parity import dsum
+
+    gap_us = 120 * 60_000_000
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us), 1
+        ).otherwise(0),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("sess_id", F.sum("new_sess").over(wrun))
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+        )
+        .drop("sess_id")
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )

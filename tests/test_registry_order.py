@@ -30,6 +30,8 @@ NEW_R4 = {
     "streaming_cms_token_counts",
     "bigram_lm_quality",
     "domain_mixture_resample",
+    "batch_sessionize_windows",
+    "price_outliers_zscore",
 }
 
 # (b) Registered after position 50 in round 3 — no driver verdict yet.
