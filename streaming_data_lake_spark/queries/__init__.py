@@ -44,10 +44,15 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # after position 50 last round and so have NO driver verdict yet,
 # (c) the 8 queries whose physical read path changed this round
 # (durable artifact cache / shingle materialization) and need
-# re-certification, and (d) the flagship + streaming family +
-# incremental materializer + versioned reads as the standing
-# high-risk block. Everything else was driver-certified green on an
-# unchanged implementation and rotates to 51+.
+# re-certification, and (d) the flagship + the heavier streaming
+# pipelines + the incremental materializer as the standing high-risk
+# block. Three light streaming queries (hourly_metrics, dedup_keys,
+# dedup_within_watermark) rotate to 51+ this round: their only change
+# is the scratch-dir lifetime (checkpoint dirs now atexit-cleaned),
+# they were driver-certified green in round 3, and both the full
+# oracle check and the bare-session sweep re-verified them locally
+# this round. Everything else at 51+ was driver-certified green on an
+# unchanged implementation.
 # tests/test_registry_order.py asserts the window arithmetic.
 _CERTIFICATION_ORDER = [
     # flagship

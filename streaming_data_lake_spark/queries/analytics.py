@@ -1076,20 +1076,25 @@ def domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _ZSCORE_ORACLE = """
-WITH stats AS (
+WITH m AS (
   SELECT l_returnflag,
          CAST(count(*) AS BIGINT) AS n_items,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
            / CAST(count(*) AS DOUBLE) AS mean_price,
-         sqrt(
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE)
-           - pow(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                   / CAST(count(*) AS DOUBLE), 2)
-         ) AS sd_price
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean_sq
   FROM lineitem
   GROUP BY l_returnflag
+),
+stats AS (
+  -- mean*mean (IEEE multiply, deterministic) not pow(); variance
+  -- clamped at 0 so float cancellation on near-constant groups
+  -- cannot push sqrt's argument negative (Spark would yield NaN,
+  -- DuckDB would error -- diverging instead of failing together).
+  SELECT l_returnflag, n_items, mean_price,
+         sqrt(greatest(0.0, mean_sq - mean_price * mean_price)) AS sd_price
+  FROM m
 )
 SELECT s.l_returnflag,
        s.n_items,
@@ -1113,13 +1118,21 @@ GROUP BY s.l_returnflag, s.n_items, s.mean_price, s.sd_price
 def price_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     xdec = F.col("l_extendedprice").cast("decimal(18,2)")
-    stats = li.groupBy("l_returnflag").agg(
+    m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
-        (F.sum(xdec).cast("double") / F.count(F.lit(1)).cast("double")).alias("mean_price"),
+        davg(F.col("l_extendedprice")).alias("mean_price"),
+        (F.sum(xdec * xdec).cast("double") / F.count(F.lit(1)).cast("double")).alias("mean_sq"),
+    )
+    # mean*mean (IEEE multiply) not pow() — Math.pow vs libm pow can
+    # differ in the last ulp; greatest(0, var) guards the sqrt against
+    # cancellation on near-constant groups (see oracle comment).
+    stats = m.select(
+        "l_returnflag",
+        "n_items",
+        "mean_price",
         F.sqrt(
-            F.sum(xdec * xdec).cast("double") / F.count(F.lit(1)).cast("double")
-            - F.pow(
-                F.sum(xdec).cast("double") / F.count(F.lit(1)).cast("double"), 2
+            F.greatest(
+                F.lit(0.0), F.col("mean_sq") - F.col("mean_price") * F.col("mean_price")
             )
         ).alias("sd_price"),
     )

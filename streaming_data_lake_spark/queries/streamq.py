@@ -12,6 +12,11 @@ from streaming_data_lake_spark.queries.analytics import (
     _CMS_ORACLE as _STREAMING_CMS_ORACLE,
     _HLL_ORACLE as _STREAMING_HLL_ORACLE,
 )
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from streaming_data_lake_spark.catalog import load_table
+from streaming_data_lake_spark.functions.parity import dsum
 from streaming_data_lake_spark.queries.core import _EVENTS_CLEAN_ORACLE, _FUNNEL_ORACLE
 from streaming_data_lake_spark.streaming import pipelines
 
@@ -205,12 +210,6 @@ def streaming_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the authoritative mirror of the streaming operator.",
 )
 def batch_sessionize_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-
-    from streaming_data_lake_spark.catalog import load_table
-    from streaming_data_lake_spark.functions.parity import dsum
-
     gap_us = 120 * 60_000_000
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -231,6 +230,5 @@ def batch_sessionize_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
         )
-        .drop("sess_id")
         .select("user_id", "session_start", "session_end", "n_events", "total_value")
     )
