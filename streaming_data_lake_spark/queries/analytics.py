@@ -1149,3 +1149,111 @@ def price_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit pivot — wide per-category columns from a long aggregate
+# ---------------------------------------------------------------------------
+
+_PIVOT_FLAGS = ["A", "N", "R"]
+
+_PIVOT_ORACLE = """
+SELECT l_linestatus,
+       CAST(count(*) FILTER (l_returnflag = 'A') AS BIGINT) AS n_A,
+       CAST(count(*) FILTER (l_returnflag = 'N') AS BIGINT) AS n_N,
+       CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT) AS n_R,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (l_returnflag = 'A') AS DOUBLE) AS rev_A,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (l_returnflag = 'N') AS DOUBLE) AS rev_N,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (l_returnflag = 'R') AS DOUBLE) AS rev_R
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+@register(
+    "lineitem_flag_pivot",
+    _PIVOT_ORACLE,
+    "Explicit pivot: groupBy().pivot(col, values).agg(...) with the pivot "
+    "VALUES declared up front — declaring them keeps the plan a single "
+    "two-phase aggregate (no extra distinct-values job) and fixes the "
+    "output schema, which is what makes pivot safe at 100 TB.",
+)
+def lineitem_flag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", _PIVOT_FLAGS)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_extendedprice")).alias("rev"),
+        )
+    )
+    return wide.select(
+        "l_linestatus",
+        *[F.col(f"{v}_n").alias(f"n_{v}") for v in _PIVOT_FLAGS],
+        *[F.col(f"{v}_rev").alias(f"rev_{v}") for v in _PIVOT_FLAGS],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation from exact moments
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_items,
+       round(
+         (CAST(n_items AS DOUBLE) * sxy - sx * sy)
+         / sqrt(greatest(0.0, CAST(n_items AS DOUBLE) * sxx - sx * sx))
+         / sqrt(greatest(0.0, CAST(n_items AS DOUBLE) * syy - sy * sy)),
+         10) AS corr_qty_price
+FROM m
+"""
+
+
+@register(
+    "corr_quantity_price",
+    _CORR_ORACLE,
+    "Pearson correlation per group from EXACT decimal co-moments (sums of "
+    "x, y, xy, x-squared, y-squared): one map-side-combinable aggregate "
+    "carries five exact sums, then the correlation is a fixed IEEE "
+    "expression over them — the distributed-moments discipline that makes "
+    "a statistic both single-pass at 100 TB and bit-reproducible.",
+)
+def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n_items").cast("double")
+    corr = (
+        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(F.greatest(F.lit(0.0), n * F.col("sxx") - F.col("sx") * F.col("sx")))
+        / F.sqrt(F.greatest(F.lit(0.0), n * F.col("syy") - F.col("sy") * F.col("sy")))
+    )
+    return m.select(
+        "l_returnflag", "n_items", F.round(corr, 10).alias("corr_qty_price")
+    )

@@ -32,6 +32,8 @@ NEW_R4 = {
     "domain_mixture_resample",
     "batch_sessionize_windows",
     "price_outliers_zscore",
+    "lineitem_flag_pivot",
+    "corr_quantity_price",
 }
 
 # (b) Registered after position 50 in round 3 — no driver verdict yet.
