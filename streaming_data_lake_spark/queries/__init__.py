@@ -39,16 +39,16 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 # The driver hash-checks the FIRST 50 registered queries per round.
 # Certification rotates: rounds 1+3 certified 83 queries between
-# them; round 4's window holds EXACTLY 50 names: (a) the 23 new
+# them; round 4's window holds EXACTLY 50 names: (a) the 24 new
 # round-4 queries, (b) the 13 round-2/3 additions that registered
 # after position 50 last round and so have NO driver verdict yet,
 # (c) the 8 queries whose physical read path changed this round
 # (durable artifact cache / shingle materialization) and need
 # re-certification, and (d) the flagship + the heavier streaming
 # pipelines + the incremental materializer as the standing high-risk
-# block. Five light streaming queries (clean_events, fanout_ingest,
-# hourly_metrics, dedup_keys, dedup_within_watermark) rotate to 51+
-# this round: their only change
+# block. Six light streaming queries (clean_events, fanout_ingest,
+# interval_join_daily, hourly_metrics, dedup_keys,
+# dedup_within_watermark) rotate to 51+ this round: their only change
 # is the scratch-dir lifetime (checkpoint dirs now atexit-cleaned),
 # they were driver-certified green in round 3, and both the full
 # oracle check and the bare-session sweep re-verified them locally
@@ -82,6 +82,7 @@ _CERTIFICATION_ORDER = [
     "price_outliers_zscore",
     "lineitem_flag_pivot",
     "corr_quantity_price",
+    "priority_window_profile",
     # ---- round-2/3 additions with no driver verdict yet ----
     "tfidf_top_terms",
     "dup_clusters_connected",
@@ -106,13 +107,13 @@ _CERTIFICATION_ORDER = [
     "event_quality_spine_hourly",
     "ngram_jaccard_near_dups",
     # ---- standing high-risk block: streaming / materializer / skew ----
-    "streaming_interval_join_daily",
     "streaming_funnel_daily",
     "streaming_upsert_hourly",
     "streaming_sessionize",
     "materialize_incremental_clean_events",
     # ---- position 51+ : certified green by a previous driver run,
     # implementation unchanged since — rotated out of the window ----
+    "streaming_interval_join_daily",
     "streaming_clean_events",
     "streaming_fanout_ingest",
     "streaming_dedup_within_watermark",

@@ -1257,3 +1257,72 @@ def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag", "n_items", F.round(corr, 10).alias("corr_qty_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window breadth: first/last_value + percent_rank + cume_dist
+# ---------------------------------------------------------------------------
+
+_WINDOW_BREADTH_ORACLE = """
+WITH w AS (
+  SELECT o_orderpriority,
+         first_value(o_totalprice) OVER (
+           PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS first_price,
+         last_value(o_totalprice) OVER (
+           PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS last_price,
+         percent_rank() OVER (
+           PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+         ) AS pr,
+         cume_dist() OVER (
+           PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+         ) AS cd
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(first_price) AS DOUBLE) AS first_price,
+       CAST(min(last_price) AS DOUBLE) AS last_price,
+       CAST(count(*) FILTER (pr <= 0.25) AS BIGINT) AS n_bottom_quartile,
+       CAST(count(*) FILTER (cd <= 0.5) AS BIGINT) AS n_lower_half
+FROM w
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "priority_window_profile",
+    _WINDOW_BREADTH_ORACLE,
+    "Analytic-window breadth in one plan: first_value/last_value over an "
+    "explicit full frame (earliest/latest order price per priority) plus "
+    "percent_rank and cume_dist over a total order (ties broken by key, so "
+    "ranks are unique and both engines agree). Both windows share the "
+    "priority partitioning — one shuffle.",
+)
+def priority_window_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w_time = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_price = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    per_row = o.select(
+        "o_orderpriority",
+        F.first("o_totalprice").over(w_time).alias("first_price"),
+        F.last("o_totalprice").over(w_time).alias("last_price"),
+        F.percent_rank().over(w_price).alias("pr"),
+        F.cume_dist().over(w_price).alias("cd"),
+    )
+    return per_row.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("first_price").cast("double").alias("first_price"),
+        F.min("last_price").cast("double").alias("last_price"),
+        F.sum(F.when(F.col("pr") <= 0.25, 1).otherwise(0)).cast("long").alias("n_bottom_quartile"),
+        F.sum(F.when(F.col("cd") <= 0.5, 1).otherwise(0)).cast("long").alias("n_lower_half"),
+    )

@@ -34,6 +34,7 @@ NEW_R4 = {
     "price_outliers_zscore",
     "lineitem_flag_pivot",
     "corr_quantity_price",
+    "priority_window_profile",
 }
 
 # (b) Registered after position 50 in round 3 — no driver verdict yet.
