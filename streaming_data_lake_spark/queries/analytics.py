@@ -1191,9 +1191,13 @@ def lineitem_flag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice")).alias("rev"),
         )
     )
+    # coalesce the counts: an absent (status, flag) combo is NULL out
+    # of Spark's pivot but 0 from the oracle's count(*) FILTER — the
+    # testdata populates every combo today, but the parity must not
+    # depend on that.
     return wide.select(
         "l_linestatus",
-        *[F.col(f"{v}_n").alias(f"n_{v}") for v in _PIVOT_FLAGS],
+        *[F.coalesce(F.col(f"{v}_n"), F.lit(0)).alias(f"n_{v}") for v in _PIVOT_FLAGS],
         *[F.col(f"{v}_rev").alias(f"rev_{v}") for v in _PIVOT_FLAGS],
     )
 
@@ -1202,12 +1206,12 @@ def lineitem_flag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pearson correlation from exact moments
 # ---------------------------------------------------------------------------
 
-_CORR_ORACLE = """
+_CORR_ORACLE = f"""
 WITH m AS (
   SELECT l_returnflag,
          CAST(count(*) AS BIGINT) AS n_items,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         {duck_dsum('l_quantity')} AS sx,
+         {duck_dsum('l_extendedprice')} AS sy,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
@@ -1220,8 +1224,8 @@ WITH m AS (
 SELECT l_returnflag, n_items,
        round(
          (CAST(n_items AS DOUBLE) * sxy - sx * sy)
-         / sqrt(greatest(0.0, CAST(n_items AS DOUBLE) * sxx - sx * sx))
-         / sqrt(greatest(0.0, CAST(n_items AS DOUBLE) * syy - sy * sy)),
+         / nullif(sqrt(greatest(0.0, CAST(n_items AS DOUBLE) * sxx - sx * sx)), 0.0)
+         / nullif(sqrt(greatest(0.0, CAST(n_items AS DOUBLE) * syy - sy * sy)), 0.0),
          10) AS corr_qty_price
 FROM m
 """
@@ -1242,18 +1246,26 @@ def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = F.col("l_extendedprice").cast("decimal(18,2)")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
+        dsum(F.col("l_quantity")).alias("sx"),
+        dsum(F.col("l_extendedprice")).alias("sy"),
         F.sum(x * y).cast("double").alias("sxy"),
         F.sum(x * x).cast("double").alias("sxx"),
         F.sum(y * y).cast("double").alias("syy"),
     )
     n = F.col("n_items").cast("double")
-    corr = (
-        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
-        / F.sqrt(F.greatest(F.lit(0.0), n * F.col("sxx") - F.col("sx") * F.col("sx")))
-        / F.sqrt(F.greatest(F.lit(0.0), n * F.col("syy") - F.col("sy") * F.col("sy")))
+    # nullif'd denominators: a zero-variance group (all x equal) makes
+    # the sqrt exactly 0, where Spark's ANSI mode throws DIVIDE_BY_ZERO
+    # but DuckDB returns NULL — NULL correlation is also the right
+    # answer for an undefined statistic.
+    sdx = F.nullif(
+        F.sqrt(F.greatest(F.lit(0.0), n * F.col("sxx") - F.col("sx") * F.col("sx"))),
+        F.lit(0.0),
     )
+    sdy = F.nullif(
+        F.sqrt(F.greatest(F.lit(0.0), n * F.col("syy") - F.col("sy") * F.col("sy"))),
+        F.lit(0.0),
+    )
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / sdx / sdy
     return m.select(
         "l_returnflag", "n_items", F.round(corr, 10).alias("corr_qty_price")
     )
