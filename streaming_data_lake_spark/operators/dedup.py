@@ -197,8 +197,18 @@ def _materialized_band_pairs(
         F.col(id_col),
         F.concat_ws(":", F.col("band"), F.col("band_key")).alias("bkey"),
     )
+    # Every durable LSH artifact key carries the module generation:
+    # signature content derives from tokenize/shingle/hash semantics,
+    # so a PAIRS_GEN bump invalidates the cached signature tables too,
+    # not just the jaccard pair list.
     sig = bucketed_frame(
-        spark, keyed, table, "bkey", buckets=buckets, inputs=inputs, params=params
+        spark,
+        keyed,
+        table,
+        "bkey",
+        buckets=buckets,
+        inputs=inputs,
+        params={"gen": PAIRS_GEN, **(params or {})},
     )
     a, b = sig.alias("a"), sig.alias("b")
     return (

@@ -403,3 +403,36 @@ def kmeans_train(
         # same lineage-cut discipline as connected_dup_clusters.
         cents = kmeans_recenter(assigned, dim, id_col, vec_col).localCheckpoint()
     return cents
+
+
+def occupancy_shards(
+    assigned: DataFrame,
+    cluster_col: str = "cluster_id",
+    id_col: str = "vec_id",
+    max_occupancy: int = 4096,
+) -> DataFrame:
+    """Bound within-cluster all-pairs cost: deterministically split
+    any cluster larger than ``max_occupancy`` members into fixed-size
+    sub-shards (a ``shard`` column); pair generation joins on
+    (cluster, shard), so no shard ever produces more than
+    ``max_occupancy * (max_occupancy - 1) / 2`` pairs regardless of
+    assignment skew.
+
+    This is the occupancy guard SemDeDup needs at corpus scale: k is
+    chosen as ~corpus_size / target_occupancy, but a skewed centroid
+    can still swallow far more than the target, and the within-cluster
+    join is quadratic in whatever it swallows. Sub-sharding caps the
+    worst case at the price of missing pairs that straddle a shard
+    boundary inside an over-full cluster — the standard LSH-bucket-cap
+    trade. Membership is deterministic (row_number over ``id_col``),
+    so results are stable across runs.
+
+    Cost shape: the row_number window shuffles on ``cluster_col`` —
+    the same key the pair join shuffles on, so the guard adds a sort
+    within an exchange the plan already pays for, not a new shuffle.
+    Clusters at or under the cap get shard 0 for every member,
+    leaving small-scale results bit-identical to the unguarded join.
+    """
+    w = Window.partitionBy(cluster_col).orderBy(id_col)
+    shard = ((F.row_number().over(w) - F.lit(1)) / F.lit(max_occupancy)).cast("int")
+    return assigned.withColumn("shard", shard)

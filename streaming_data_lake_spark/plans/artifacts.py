@@ -14,8 +14,8 @@ property: every new driver process pays the full build again, which
 at 100 TB is exactly the cost the artifact exists to amortize.
 
 This module provides the lake-side analog: a content-keyed cache
-directory (default ``$TMPDIR/spark_graft_artifacts``, override with
-``$SPARK_GRAFT_ARTIFACTS``) where each artifact lives under a key
+directory (default ``$TMPDIR/spark_graft_artifacts-<user>``, override
+with ``$SPARK_GRAFT_ARTIFACTS``) where each artifact lives under a key
 derived from its KIND, its build PARAMETERS, and the size+mtime
 fingerprint of every INPUT file. Properties:
 
@@ -31,10 +31,24 @@ fingerprint of every INPUT file. Properties:
   SparkSession or a catalog; bucketed artifacts carry their schema as
   JSON so any fresh session can re-register them as external bucketed
   tables (see plans/bucketing.py).
+- **Private by default.** The default cache root is per-user and
+  created mode 0700; an existing artifact is only trusted if the
+  current user owns it, so another account on a shared host can
+  neither pre-create the root nor plant a poisoned "complete"
+  artifact at a computable key.
+
+Known staleness limitation (the classic make-style hole): inputs are
+fingerprinted by (relpath, size, mtime_ns), not content. Rewriting an
+input in place while preserving both size and mtime (``cp -p`` from a
+backup, ``rsync -t`` of an equal-length file) will serve the stale
+artifact. This is the same contract build systems accept for mtime
+mode; if that scenario is plausible for an input, point
+``$SPARK_GRAFT_ARTIFACTS`` at a fresh root or delete the cache.
 """
 
 from __future__ import annotations
 
+import getpass
 import hashlib
 import json
 import os
@@ -46,9 +60,40 @@ _ENV = "SPARK_GRAFT_ARTIFACTS"
 
 
 def cache_root() -> str:
-    return os.environ.get(_ENV) or os.path.join(
-        tempfile.gettempdir(), "spark_graft_artifacts"
-    )
+    override = os.environ.get(_ENV)
+    if override:
+        return override
+    try:
+        user = getpass.getuser()
+    except Exception:  # no passwd entry (containers)
+        user = str(os.getuid()) if hasattr(os, "getuid") else "user"
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_artifacts-{user}")
+
+
+def _owned_by_me(path: str) -> bool:
+    """True if ``path`` exists and belongs to the current uid (always
+    true on platforms without uids). Gate for trusting cache state."""
+    if not hasattr(os, "getuid"):
+        return os.path.exists(path)
+    try:
+        return os.stat(path).st_uid == os.getuid()
+    except OSError:
+        return False
+
+
+def _make_private_dir(path: str) -> None:
+    """mkdir -p with mode 0700 on the leaf, refusing a leaf owned by
+    someone else (pre-created by another account to collide/poison)."""
+    os.makedirs(path, mode=0o700, exist_ok=True)
+    if not _owned_by_me(path):
+        raise PermissionError(
+            f"artifact cache root {path!r} exists but is not owned by the "
+            f"current user; set ${_ENV} to a private location"
+        )
+    try:
+        os.chmod(path, 0o700)  # makedirs mode is umask-masked
+    except OSError:
+        pass
 
 
 def _input_fingerprint(path: str) -> list[tuple[str, int, int]]:
@@ -83,7 +128,11 @@ def artifact_path(kind: str, inputs: list[str], params: dict) -> str:
 
 
 def is_complete(path: str) -> bool:
-    return os.path.isfile(os.path.join(path, _MARKER))
+    """A complete artifact = marker present AND the directory is ours.
+    A foreign-owned directory at our key is never trusted (poisoning
+    on a shared host) — the builder will fail to replace it and raise
+    a clear error rather than silently read foreign data."""
+    return os.path.isfile(os.path.join(path, _MARKER)) and _owned_by_me(path)
 
 
 def ensure(kind: str, inputs: list[str], params: dict, build) -> str:
@@ -95,7 +144,7 @@ def ensure(kind: str, inputs: list[str], params: dict, build) -> str:
     final = artifact_path(kind, inputs, params)
     if is_complete(final):
         return final
-    os.makedirs(cache_root(), exist_ok=True)
+    _make_private_dir(cache_root())
     tmp = f"{final}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
     try:
         build(tmp)
@@ -108,7 +157,10 @@ def ensure(kind: str, inputs: list[str], params: dict, build) -> str:
             # reappeared): keep the winner, drop our copy below.
             if not is_complete(final):
                 raise
-    except BaseException:
+    except (KeyboardInterrupt, SystemExit):
+        # Never swallow a stop request, winner or not.
+        raise
+    except Exception:
         # Our build failed, but if a concurrent builder published a
         # complete artifact meanwhile, the caller can use it — a
         # loser's failure is moot once a winner exists.

@@ -26,6 +26,8 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -37,7 +39,11 @@ _BUCKETS = 8
 # tbl name -> data dir registered in the CURRENT process. Guards the
 # common path; registration itself re-checks the session catalog so a
 # stopped-and-recreated session (fresh in-memory catalog) re-registers.
+# _LOCK serializes catalog registration and the dict: concurrent
+# builds of different-param artifacts for the same tbl must not race
+# each other's CREATE/DROP.
 _REGISTERED: dict[str, str] = {}
+_LOCK = threading.Lock()
 
 
 def _safe_tag(sf_dir: str) -> str:
@@ -54,7 +60,10 @@ def _build_bucketed(
     name keeps the files)."""
     os.makedirs(tmp, exist_ok=True)
     data = os.path.join(tmp, "data")
-    scratch = f"{tbl}_build_{os.getpid()}"
+    # pid alone is not unique across threads of one process — a nonce
+    # keeps two in-flight builds for the same tbl from dropping each
+    # other's scratch name.
+    scratch = f"{tbl}_build_{os.getpid()}_{uuid.uuid4().hex[:8]}"
     spark.sql(f"DROP TABLE IF EXISTS {scratch}")
     (
         df.write.bucketBy(buckets, key)
@@ -75,18 +84,19 @@ def _register(spark: SparkSession, tbl: str, art_dir: str, key: str, buckets: in
     table in THIS session's catalog (idempotent; re-points the name
     if a previous registration used a different artifact)."""
     data = os.path.join(art_dir, "data")
-    if _REGISTERED.get(tbl) == data and spark.catalog.tableExists(tbl):
-        return
-    with open(os.path.join(art_dir, "schema.json")) as fh:
-        fields = json.load(fh)["fields"]
-    cols = ", ".join(f"`{f['name']}` {_ddl_type(f['type'])}" for f in fields)
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    spark.sql(
-        f"CREATE TABLE {tbl} ({cols}) USING parquet "
-        f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {buckets} BUCKETS "
-        f"LOCATION '{data}'"
-    )
-    _REGISTERED[tbl] = data
+    with _LOCK:
+        if _REGISTERED.get(tbl) == data and spark.catalog.tableExists(tbl):
+            return
+        with open(os.path.join(art_dir, "schema.json")) as fh:
+            fields = json.load(fh)["fields"]
+        cols = ", ".join(f"`{f['name']}` {_ddl_type(f['type'])}" for f in fields)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(
+            f"CREATE TABLE {tbl} ({cols}) USING parquet "
+            f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {buckets} BUCKETS "
+            f"LOCATION '{data}'"
+        )
+        _REGISTERED[tbl] = data
 
 
 def _ddl_type(t) -> str:

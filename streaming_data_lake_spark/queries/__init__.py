@@ -38,119 +38,26 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver hash-checks the FIRST 50 registered queries per round.
-# Certification rotates: rounds 1+3 certified 83 queries between
-# them; round 4's window holds EXACTLY 50 names: (a) the 24 new
-# round-4 queries, (b) the 13 round-2/3 additions that registered
-# after position 50 last round and so have NO driver verdict yet,
-# (c) the 8 queries whose physical read path changed this round
-# (durable artifact cache / shingle materialization) and need
-# re-certification, and (d) the flagship + the heavier streaming
-# pipelines + the incremental materializer as the standing high-risk
-# block. Six light streaming queries (clean_events, fanout_ingest,
-# interval_join_daily, hourly_metrics, dedup_keys,
-# dedup_within_watermark) rotate to 51+ this round: their only change
-# is the scratch-dir lifetime (checkpoint dirs now atexit-cleaned),
-# they were driver-certified green in round 3, and both the full
-# oracle check and the bare-session sweep re-verified them locally
-# this round. Everything else at 51+ was driver-certified green on an
-# unchanged implementation.
+# Certification rotates; round 5's window (tools/ledger.py enforces
+# the arithmetic) holds EXACTLY 50 names: (a) the 19 queries whose
+# ONLY driver verdict is round 1 — three refactor waves ago (the
+# sketch refactor, the durable artifact cache, the float-parity
+# waves) — the r4 verdict's top lead; (b) the six light streaming
+# queries whose scratch-dir lifetime changed in round 4 after their
+# round-3 certification; (c) the queries whose physical path changed
+# THIS round: the sessionize dispatch (transformWithState preferred),
+# the SemDeDup occupancy guard, and the six durable-artifact readers
+# whose cache keys changed (per-user cache root + PAIRS_GEN now in
+# the signature-table params); (d) the standing high-risk block
+# (flagship, heavy streaming, incremental materializer); and (e)
+# round-3-certified matq/platform/KNN fillers for the remaining
+# slots. Everything at 51+ was driver-certified green in round 3 or 4
+# on an implementation unchanged since.
 # tests/test_registry_order.py asserts the window arithmetic.
 _CERTIFICATION_ORDER = [
     # flagship
     "pricing_summary",
-    # ---- new in round 4 ----
-    "rollup_revenue_levels",
-    "price_quantiles_by_flag",
-    "user_event_gaps",
-    "running_revenue_by_nation",
-    "order_value_deciles",
-    "doc_chunks_overlap",
-    "semantic_dedup_centroid",
-    "hll_distinct_users_daily",
-    "cms_heavy_hitter_tokens",
-    "kmeans_train_centroids",
-    "knn_ivf_trained_cosine",
-    "props_json_stats",
-    "keyset_intersect_except",
-    "orders_above_global_avg",
-    "supplier_name_near_matches",
-    "streaming_hll_daily_users",
-    "streaming_cms_token_counts",
-    "bigram_lm_quality",
-    "domain_mixture_resample",
-    "batch_sessionize_windows",
-    "price_outliers_zscore",
-    "lineitem_flag_pivot",
-    "corr_quantity_price",
-    "priority_window_profile",
-    # ---- round-2/3 additions with no driver verdict yet ----
-    "tfidf_top_terms",
-    "dup_clusters_connected",
-    "stratified_sample_by_lang",
-    "token_budget_packing",
-    "pii_redaction",
-    "repetition_signals",
-    "benchmark_decontamination",
-    "embedding_int8_quantization",
-    "multimodal_resize",
-    "dedup_keep_best_quality",
-    "knn_ivf_materialized_cosine",
-    "exact_substring_dups",
-    "winnowing_fingerprints",
-    # ---- physical path changed in round 4: re-certify ----
-    "minhash_lsh_near_dups",
-    "embedding_cosine_near_dups",
-    "bucketed_colocated_join",
-    "top_busiest_hours",
-    "partition_pruned_scan",
-    "duplicate_rates_hourly",
-    "event_quality_spine_hourly",
-    "ngram_jaccard_near_dups",
-    # ---- standing high-risk block: streaming / materializer / skew ----
-    "streaming_funnel_daily",
-    "streaming_upsert_hourly",
-    "streaming_sessionize",
-    "materialize_incremental_clean_events",
-    # ---- position 51+ : certified green by a previous driver run,
-    # implementation unchanged since — rotated out of the window ----
-    "streaming_interval_join_daily",
-    "streaming_clean_events",
-    "streaming_fanout_ingest",
-    "streaming_dedup_within_watermark",
-    "streaming_dedup_keys",
-    "streaming_hourly_metrics",
-    "time_travel_read_v1",
-    "snapshot_metadata",
-    "maintenance_compaction",
-    "materialize_dim_change_repair",
-    "materialize_funnel_exists_repair",
-    "salted_skew_aggregation",
-    "replicated_skew_join_rollup",
-    "sql_over_views_adhoc",
-    "seeded_dim_hierarchy_enrichment",
-    "knn_ivf_cosine",
-    "knn_ivf_multiprobe_cosine",
-    "knn_bruteforce_cosine",
-    "multimodal_media_features",
-    "multimodal_frame_sample",
-    "embedding_label_stats",
-    "events_clean",
-    "events_rejected",
-    "daily_distinct_users",
-    "conditional_distinct_users",
-    "events_dedup_canonical",
-    "user_engagement_ratios",
-    "user_daily_landscape",
-    "sliding_window_metrics",
-    "latest_event_per_user_type",
-    "interval_join_click_view",
-    "funnel_conversion_daily",
-    "value_distribution_by_class",
-    "flag_distribution",
-    "avg_value_spread",
-    "funnel_leakage_daily",
-    "asof_latest_view_before_purchase",
-    "asof_view_within_6h",
+    # ---- (a) only driver verdict is round 1: re-certify ----
     "revenue_by_region",
     "top_nations_by_customers",
     "customers_with_orders",
@@ -170,6 +77,99 @@ _CERTIFICATION_ORDER = [
     "quality_scores",
     "lang_id_heuristic",
     "simhash_fingerprints",
+    # ---- (b) r4 scratch-dir lifetime change after r3 verdict ----
+    "streaming_clean_events",
+    "streaming_fanout_ingest",
+    "streaming_interval_join_daily",
+    "streaming_hourly_metrics",
+    "streaming_dedup_keys",
+    "streaming_dedup_within_watermark",
+    # ---- (c) physical path changed in round 5: re-certify ----
+    "streaming_sessionize",
+    "semantic_dedup_centroid",
+    "minhash_lsh_near_dups",
+    "embedding_cosine_near_dups",
+    "dup_clusters_connected",
+    "knn_ivf_materialized_cosine",
+    "bucketed_colocated_join",
+    "partition_pruned_scan",
+    # ---- (d) standing high-risk block ----
+    "streaming_funnel_daily",
+    "streaming_upsert_hourly",
+    "materialize_incremental_clean_events",
+    # ---- (e) r3-certified fillers for the remaining slots ----
+    "time_travel_read_v1",
+    "snapshot_metadata",
+    "maintenance_compaction",
+    "materialize_dim_change_repair",
+    "materialize_funnel_exists_repair",
+    "sql_over_views_adhoc",
+    "seeded_dim_hierarchy_enrichment",
+    "salted_skew_aggregation",
+    "replicated_skew_join_rollup",
+    "knn_ivf_cosine",
+    "knn_ivf_multiprobe_cosine",
+    "knn_bruteforce_cosine",
+    "multimodal_media_features",
+    # ---- position 51+ : certified green by a previous driver run
+    # (round 3 or 4), implementation unchanged since ----
+    "rollup_revenue_levels",
+    "price_quantiles_by_flag",
+    "user_event_gaps",
+    "running_revenue_by_nation",
+    "order_value_deciles",
+    "doc_chunks_overlap",
+    "hll_distinct_users_daily",
+    "cms_heavy_hitter_tokens",
+    "kmeans_train_centroids",
+    "knn_ivf_trained_cosine",
+    "props_json_stats",
+    "keyset_intersect_except",
+    "orders_above_global_avg",
+    "supplier_name_near_matches",
+    "streaming_hll_daily_users",
+    "streaming_cms_token_counts",
+    "bigram_lm_quality",
+    "domain_mixture_resample",
+    "batch_sessionize_windows",
+    "price_outliers_zscore",
+    "lineitem_flag_pivot",
+    "corr_quantity_price",
+    "priority_window_profile",
+    "tfidf_top_terms",
+    "stratified_sample_by_lang",
+    "token_budget_packing",
+    "pii_redaction",
+    "repetition_signals",
+    "benchmark_decontamination",
+    "embedding_int8_quantization",
+    "multimodal_resize",
+    "dedup_keep_best_quality",
+    "exact_substring_dups",
+    "winnowing_fingerprints",
+    "top_busiest_hours",
+    "duplicate_rates_hourly",
+    "event_quality_spine_hourly",
+    "ngram_jaccard_near_dups",
+    "multimodal_frame_sample",
+    "embedding_label_stats",
+    "events_clean",
+    "events_rejected",
+    "daily_distinct_users",
+    "conditional_distinct_users",
+    "events_dedup_canonical",
+    "user_engagement_ratios",
+    "user_daily_landscape",
+    "sliding_window_metrics",
+    "latest_event_per_user_type",
+    "interval_join_click_view",
+    "funnel_conversion_daily",
+    "value_distribution_by_class",
+    "flag_distribution",
+    "avg_value_spread",
+    "funnel_leakage_daily",
+    "asof_latest_view_before_purchase",
+    "asof_view_within_6h",
 ]
 
 

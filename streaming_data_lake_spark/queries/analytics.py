@@ -400,28 +400,50 @@ WHERE {_DUCK_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) >= {_SEM_THRESHOLD}
     "equi-join replaces the corpus cartesian, same pruning discipline as IVF.",
 )
 def semantic_dedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streaming_data_lake_spark.operators.similarity import dot, ivf_assign, norm
+    from streaming_data_lake_spark.operators.similarity import (
+        dot,
+        ivf_assign,
+        norm,
+        occupancy_shards,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
     cents = e.filter(F.col("vec_id") < _SEM_K)
-    assigned = ivf_assign(e, cents).select(
-        "vec_id", "embedding", "cluster_id", norm(F.col("embedding")).alias("nrm")
+    # Occupancy guard: a skewed centroid makes the within-cluster
+    # join quadratic in its occupancy; sub-sharding caps any cluster
+    # at 4096 members per pair group. The sf0.1 corpus (2000 vecs)
+    # can never exceed the cap, so shard == 0 everywhere and the
+    # result (and the unguarded oracle) are unchanged; at 100 TB the
+    # cap — together with k ~ corpus/target_occupancy — bounds the
+    # join. Property-tested in tests/test_analytics_plans.py.
+    assigned = occupancy_shards(
+        ivf_assign(e, cents).select(
+            "vec_id", "embedding", "cluster_id", norm(F.col("embedding")).alias("nrm")
+        ),
+        max_occupancy=4096,
     )
     a = assigned.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("v_a"),
         F.col("nrm").alias("n_a"),
         "cluster_id",
+        "shard",
     )
     b = assigned.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("v_b"),
         F.col("nrm").alias("n_b"),
         F.col("cluster_id").alias("cluster_id_b"),
+        F.col("shard").alias("shard_b"),
     )
     sim = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
-        a.join(b, (F.col("cluster_id") == F.col("cluster_id_b")) & (F.col("id_a") < F.col("id_b")))
+        a.join(
+            b,
+            (F.col("cluster_id") == F.col("cluster_id_b"))
+            & (F.col("shard") == F.col("shard_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
         .select("id_a", "id_b", F.col("cluster_id").cast("long").alias("cluster_id"), sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= _SEM_THRESHOLD)
     )

@@ -161,18 +161,26 @@ GROUP BY user_id, sess_id
 @register(
     "streaming_sessionize",
     _SESSIONIZE_ORACLE,
-    "Custom stateful operator via applyInPandasWithState: gap-based "
-    "sessionization with event-time timeouts (state bounded by open "
-    "sessions); converges to the batch gaps-and-islands result.",
+    "Custom stateful operator: gap-based sessionization with "
+    "event-time timeouts (state bounded by open sessions); converges "
+    "to the batch gaps-and-islands result. Prefers the JVM-protocol "
+    "transformWithStateInPandas when google.protobuf is available; "
+    "falls back to applyInPandasWithState (identical semantics).",
 )
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streaming_data_lake_spark.streaming.sessionize import sessionize_replay
+    from streaming_data_lake_spark.streaming.sessionize import (
+        sessionize_replay,
+        sessionize_tws_replay,
+        tws_available,
+    )
 
     # 16 state partitions, not the streaming default of 8: the
     # sessionizer's per-partition work is Arrow + Python fold (not
     # just state-store commits), so it profits from more parallelism
     # (measured warm at sf0.1: 16 -> 3.8s vs 8 -> 4.3s).
     with pipelines._state_partitions(spark, 16):
+        if tws_available():
+            return sessionize_tws_replay(spark, sf_dir, gap_minutes=120)
         return sessionize_replay(spark, sf_dir, gap_minutes=120)
 
 

@@ -237,21 +237,31 @@ def sessionize_replay(
     return spark.table(name)
 
 
-def _require_tws() -> None:
-    """transformWithStateInPandas drives its state protocol over
-    protobuf; this container ships a broken google.protobuf (no
-    descriptor module), so the API fails at stream start with an
-    opaque worker crash. Probe up front and raise with guidance —
-    the same gating discipline as the Kafka/Avro source."""
+def tws_available() -> bool:
+    """Whether the transformWithStateInPandas state protocol can run:
+    it is driven over protobuf, which this container lacks (round 5:
+    ``ModuleNotFoundError: No module named 'google'``; an earlier
+    image shipped protobuf without its descriptor module). Probed up
+    front because the failure otherwise surfaces at stream start as
+    an opaque worker crash."""
     try:
         from google.protobuf import descriptor  # noqa: F401
-    except Exception as exc:  # noqa: BLE001
+
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _require_tws() -> None:
+    """Raise with guidance when TWS cannot run — the same gating
+    discipline as the Kafka/Avro source."""
+    if not tws_available():
         raise RuntimeError(
             "transformWithStateInPandas requires a working google.protobuf "
             "(pip install protobuf); not available in this environment. "
             "Use sessionize()/sessionize_replay() (applyInPandasWithState), "
             "which implements identical semantics."
-        ) from exc
+        )
 
 
 def sessionize_tws(src: DataFrame, gap_minutes: int = 120) -> DataFrame:

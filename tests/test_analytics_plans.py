@@ -91,3 +91,45 @@ def test_gaps_single_shuffle_on_user(spark):
     assert plan.count("Exchange hashpartitioning(user_id") == 1, (
         "window and groupBy should share the user_id partitioning"
     )
+
+
+def test_occupancy_shards_bound_pair_counts(spark):
+    """Adversarial SemDeDup fixture: every vector lands in ONE
+    cluster. The occupancy guard must split it so no (cluster, shard)
+    pair group exceeds max_occupancy members — bounding the pair join
+    at cap*(cap-1)/2 per shard no matter how skewed assignment is —
+    while clusters at/under the cap keep shard == 0 (bit-identical
+    small-scale results)."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_spark.operators.similarity import occupancy_shards
+
+    n, cap = 97, 10
+    assigned = spark.range(n).select(
+        F.col("id").alias("vec_id"), F.lit(7).alias("cluster_id")
+    )
+    sharded = occupancy_shards(assigned, max_occupancy=cap)
+    sizes = sharded.groupBy("cluster_id", "shard").count().collect()
+    assert sum(r["count"] for r in sizes) == n
+    assert max(r["count"] for r in sizes) <= cap
+    # worst-case pair count across all shards is bounded
+    pairs = (
+        sharded.alias("a")
+        .join(
+            sharded.alias("b"),
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.shard") == F.col("b.shard"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .count()
+    )
+    import math
+
+    n_shards = math.ceil(n / cap)
+    assert pairs <= n_shards * cap * (cap - 1) // 2
+    # determinism: same input -> same shard assignment
+    again = occupancy_shards(assigned, max_occupancy=cap)
+    assert sharded.orderBy("vec_id").collect() == again.orderBy("vec_id").collect()
+    # under-cap cluster keeps shard 0 for every member
+    small = occupancy_shards(assigned.limit(cap), max_occupancy=cap)
+    assert small.agg(F.max("shard")).first()[0] == 0

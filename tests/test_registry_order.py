@@ -1,7 +1,9 @@
 """The driver certifies only the first 50 registered queries, so the
 registry order IS part of the correctness contract: every query that
-needs a round-4 verdict must sit inside the window, and the order
-list must stay in exact sync with the registry."""
+needs a round-5 verdict must sit inside the window, and the order
+list must stay in exact sync with the registry. tools/ledger.py
+additionally cross-references every CORRECTNESS_r*.json against this
+order (tests/test_ledger.py)."""
 
 from __future__ import annotations
 
@@ -9,72 +11,65 @@ from streaming_data_lake_spark.queries import all_queries
 
 WINDOW = 50
 
-# (a) New in round 4 — never seen by any driver run.
-NEW_R4 = {
-    "rollup_revenue_levels",
-    "price_quantiles_by_flag",
-    "user_event_gaps",
-    "running_revenue_by_nation",
-    "order_value_deciles",
-    "doc_chunks_overlap",
+# (a) Queries whose ONLY driver verdict is round 1 — three refactor
+# waves stale (sketch refactor, durable artifact cache, float-parity
+# waves). The round-4 verdict's top lead: re-certify all 19.
+R1_ONLY = {
+    "revenue_by_region",
+    "top_nations_by_customers",
+    "customers_with_orders",
+    "customers_without_orders",
+    "order_priority_rollup",
+    "monthly_nation_revenue",
+    "priority_decode_rollup",
+    "scd2_current_enrichment",
+    "top_tokens",
+    "like_pattern_source_classes",
+    "nested_double_unnest_roundtrip",
+    "currency_normalized_revenue",
+    "range_band_pricing",
+    "dedup_exact_text",
+    "doc_fingerprints",
+    "token_counts",
+    "quality_scores",
+    "lang_id_heuristic",
+    "simhash_fingerprints",
+}
+
+# (b) Certified in round 3, then their scratch-dir lifetime changed
+# in round 4 (checkpoint dirs atexit-cleaned) without a driver re-run.
+STREAM_R4_TOUCHED = {
+    "streaming_clean_events",
+    "streaming_fanout_ingest",
+    "streaming_interval_join_daily",
+    "streaming_hourly_metrics",
+    "streaming_dedup_keys",
+    "streaming_dedup_within_watermark",
+}
+
+# (c) Physical path changed in round 5: the sessionize dispatch
+# (transformWithState preferred when protobuf exists), the SemDeDup
+# occupancy guard, and the durable-artifact readers whose cache keys
+# changed (per-user cache root; PAIRS_GEN now in signature params).
+CHANGED_R5 = {
+    "streaming_sessionize",
     "semantic_dedup_centroid",
-    "hll_distinct_users_daily",
-    "cms_heavy_hitter_tokens",
-    "kmeans_train_centroids",
-    "knn_ivf_trained_cosine",
-    "props_json_stats",
-    "keyset_intersect_except",
-    "orders_above_global_avg",
-    "supplier_name_near_matches",
-    "streaming_hll_daily_users",
-    "streaming_cms_token_counts",
-    "bigram_lm_quality",
-    "domain_mixture_resample",
-    "batch_sessionize_windows",
-    "price_outliers_zscore",
-    "lineitem_flag_pivot",
-    "corr_quantity_price",
-    "priority_window_profile",
-}
-
-# (b) Registered after position 50 in round 3 — no driver verdict yet.
-NEVER_CERTIFIED = {
-    "tfidf_top_terms",
-    "dup_clusters_connected",
-    "stratified_sample_by_lang",
-    "token_budget_packing",
-    "pii_redaction",
-    "repetition_signals",
-    "benchmark_decontamination",
-    "embedding_int8_quantization",
-    "multimodal_resize",
-    "dedup_keep_best_quality",
-    "knn_ivf_materialized_cosine",
-    "exact_substring_dups",
-    "winnowing_fingerprints",
-}
-
-# (c) Physical read path changed in round 4 (durable artifact cache /
-# shingle materialization) — certified before, needs re-certification.
-CHANGED_R4 = {
     "minhash_lsh_near_dups",
     "embedding_cosine_near_dups",
+    "dup_clusters_connected",
+    "knn_ivf_materialized_cosine",
     "bucketed_colocated_join",
-    "top_busiest_hours",
     "partition_pruned_scan",
-    "duplicate_rates_hourly",
-    "event_quality_spine_hourly",
-    "ngram_jaccard_near_dups",
 }
 
 MUST_BE_IN_WINDOW = (
-    NEW_R4
-    | NEVER_CERTIFIED
-    | CHANGED_R4
+    R1_ONLY
+    | STREAM_R4_TOUCHED
+    | CHANGED_R5
     | {
         "pricing_summary",
         "streaming_funnel_daily",
-        "streaming_sessionize",
+        "streaming_upsert_hourly",
         "materialize_incremental_clean_events",
     }
 )
@@ -97,9 +92,9 @@ def test_window_has_room_for_the_priority_sets():
     silently skips a query we claim is certified."""
     assert len(MUST_BE_IN_WINDOW) <= WINDOW
     # Groups must be disjoint (each name counted once).
-    assert not (NEW_R4 & NEVER_CERTIFIED)
-    assert not (NEW_R4 & CHANGED_R4)
-    assert not (NEVER_CERTIFIED & CHANGED_R4)
+    assert not (R1_ONLY & STREAM_R4_TOUCHED)
+    assert not (R1_ONLY & CHANGED_R5)
+    assert not (STREAM_R4_TOUCHED & CHANGED_R5)
 
 
 def test_every_query_is_callable_and_oracle_typed():

@@ -1,0 +1,129 @@
+"""Certified-verdict ledger: which driver verdict vouches for each
+registered query, and is the CURRENT certification window enough to
+fix every hole?
+
+The driver hash-certifies only the first 50 names of
+``queries/__init__._CERTIFICATION_ORDER`` per round, so correctness
+coverage is a ledger across rounds: a query is *vouched* by the
+latest ``CORRECTNESS_r*.json`` that contains it, and that verdict
+goes stale as refactors land behind it. Judges cross-reference the
+files by hand (VERDICT r4 "Next round" #7); this tool is that
+cross-reference as a gate:
+
+- **fail** if any query's latest driver verdict is a FAILURE
+  (rows/schema/hash mismatch) — regressions must not hide behind
+  rotation;
+- **fail** if a query has NO verdict or a verdict staler than
+  ``--max-age`` rounds (default 2) AND is not scheduled in the
+  current first-50 window — i.e. the hole exists and this round's
+  rotation does not plug it. A stale-but-windowed query passes: the
+  plan fixes it, and the next driver run enforces it.
+
+Usage::
+
+    python tools/ledger.py [--report] [--max-age N] [--window K]
+
+``tests/test_ledger.py`` runs the gate in CI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def load_verdicts(repo: str = REPO) -> dict[str, tuple[int, bool, str]]:
+    """query -> (latest_round, passed, detail). ``passed`` means the
+    latest verdict is a full rows+schema+hash match (hash may be
+    absent for oracle-less queries: then rows_match is the bar, the
+    driver's weaker rows-only check)."""
+    out: dict[str, tuple[int, bool, str]] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as fh:
+            data = json.load(fh)
+        for name, v in data.items():
+            ok = bool(v.get("rows_match")) and v.get("err") in (None, "")
+            for k in ("schema_match", "hash_match"):
+                if k in v and v[k] is not None:
+                    ok = ok and bool(v[k])
+            detail = v.get("err") or ""
+            prev = out.get(name)
+            if prev is None or rnd >= prev[0]:
+                out[name] = (rnd, ok, detail)
+    return out
+
+
+def registry_order() -> list[str]:
+    sys.path.insert(0, REPO)
+    from streaming_data_lake_spark.queries import all_queries
+
+    return list(all_queries().keys())
+
+
+def audit(max_age: int = 2, window: int = WINDOW) -> tuple[list[str], list[dict]]:
+    """Returns (problems, rows). ``problems`` empty == ledger green."""
+    verdicts = load_verdicts()
+    order = registry_order()
+    latest_round = max((r for r, _ok, _d in verdicts.values()), default=0)
+    windowed = set(order[:window])
+    problems: list[str] = []
+    rows: list[dict] = []
+    for name in order:
+        rnd, ok, detail = verdicts.get(name, (None, None, ""))
+        status = "never-certified" if rnd is None else (
+            "FAILED" if not ok else (
+                "stale" if rnd < latest_round - max_age else "fresh"
+            )
+        )
+        scheduled = name in windowed
+        rows.append(
+            {"query": name, "latest_round": rnd, "status": status, "windowed": scheduled}
+        )
+        if status == "FAILED":
+            problems.append(
+                f"{name}: latest driver verdict (r{rnd}) FAILED ({detail or 'mismatch'})"
+            )
+        elif status in ("never-certified", "stale") and not scheduled:
+            where = "no driver verdict" if rnd is None else f"last verdict r{rnd}"
+            problems.append(
+                f"{name}: {where} (latest round r{latest_round}, max age "
+                f"{max_age}) and NOT in the first-{window} certification window"
+            )
+    return problems, rows
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--report", action="store_true", help="print the full ledger")
+    ap.add_argument("--max-age", type=int, default=2)
+    ap.add_argument("--window", type=int, default=WINDOW)
+    args = ap.parse_args(argv)
+    problems, rows = audit(args.max_age, args.window)
+    if args.report:
+        for r in rows:
+            rnd = f"r{r['latest_round']}" if r["latest_round"] else "-"
+            print(
+                f"{r['query']:45s} {rnd:>4s} {r['status']:16s}"
+                f"{' [windowed]' if r['windowed'] else ''}"
+            )
+        print()
+    for p in problems:
+        print(f"LEDGER: {p}")
+    print(f"LEDGER {'RED' if problems else 'GREEN'}: "
+          f"{len(rows)} queries, {len(problems)} problem(s)")
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
