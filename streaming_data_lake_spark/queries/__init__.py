@@ -84,7 +84,9 @@ _CERTIFICATION_ORDER = [
     "streaming_hourly_metrics",
     "streaming_dedup_keys",
     "streaming_dedup_within_watermark",
-    # ---- (c) physical path changed in round 5: re-certify ----
+    # ---- (c) new in round 5 ----
+    "schema_evolution_read",
+    # ---- (d) physical path changed in round 5: re-certify ----
     "streaming_sessionize",
     "semantic_dedup_centroid",
     "minhash_lsh_near_dups",
@@ -93,11 +95,11 @@ _CERTIFICATION_ORDER = [
     "knn_ivf_materialized_cosine",
     "bucketed_colocated_join",
     "partition_pruned_scan",
-    # ---- (d) standing high-risk block ----
+    # ---- (e) standing high-risk block ----
     "streaming_funnel_daily",
     "streaming_upsert_hourly",
     "materialize_incremental_clean_events",
-    # ---- (e) r3-certified fillers for the remaining slots ----
+    # ---- (f) r3-certified fillers for the remaining slots ----
     "time_travel_read_v1",
     "snapshot_metadata",
     "maintenance_compaction",
@@ -110,9 +112,9 @@ _CERTIFICATION_ORDER = [
     "knn_ivf_cosine",
     "knn_ivf_multiprobe_cosine",
     "knn_bruteforce_cosine",
-    "multimodal_media_features",
     # ---- position 51+ : certified green by a previous driver run
     # (round 3 or 4), implementation unchanged since ----
+    "multimodal_media_features",
     "rollup_revenue_levels",
     "price_quantiles_by_flag",
     "user_event_gaps",

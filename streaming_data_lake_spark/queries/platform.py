@@ -170,3 +170,81 @@ def replicated_skew_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, dim, key="segment_id", salt=salt_expr("event_id", 8), n_salts=8
     )
     return joined.groupBy("segment_name").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# S5 follow-on — schema evolution: BACKWARD-compatible read over a
+# two-generation table (reference iceberg/apply_tables.py:146-218;
+# evolution workflow .design/adtech-data-playground.md:1004-1061)
+# ---------------------------------------------------------------------------
+
+_EVOLVED_SPLIT = "2024-01-16 00:00:00"
+
+_SCHEMA_EVOLUTION_ORACLE = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(count(CASE WHEN ts >= TIMESTAMP '{_EVOLVED_SPLIT}' THEN 1 END) AS BIGINT)
+         AS n_evolved,
+       CAST(sum(CASE WHEN ts >= TIMESTAMP '{_EVOLVED_SPLIT}'
+                     THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+         AS evolved_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "schema_evolution_read",
+    _SCHEMA_EVOLUTION_ORACLE,
+    "S5 schema evolution: a two-generation table (gen1 written without "
+    "the `value` column, gen2 with it added as nullable) is gated by "
+    "check_evolution(BACKWARD) and read through the DECLARED v2 schema — "
+    "gen1 rows surface value=NULL, exactly the registry evolution "
+    "contract. The declared-schema read is also the 100 TB posture: "
+    "no schema inference/merge pass over the file listing.",
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from streaming_data_lake_spark.catalog import check_evolution, table_path
+    from streaming_data_lake_spark.plans import artifacts
+
+    v1 = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    v2 = T.StructType(v1.fields + [T.StructField("value", T.DoubleType())])
+    violations = check_evolution(v1, v2)
+    if violations:  # the gate the reference runs before ALTERing
+        raise ValueError(f"incompatible evolution: {violations}")
+
+    split = F.lit(_EVOLVED_SPLIT).cast("timestamp")
+
+    def build(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        base = ["event_id", "ts", "user_id", "event_type"]
+        ev.filter(F.col("ts") < split).select(*base).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "gen1"))
+        ev.filter(F.col("ts") >= split).select(*base, "value").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "gen2"))
+
+    art = artifacts.ensure(
+        "evolved_events",
+        [table_path(sf_dir, "events")],
+        {"split": _EVOLVED_SPLIT, "v": 1},
+        build,
+    )
+    evolved = spark.read.schema(v2).parquet(
+        os.path.join(art, "gen1"), os.path.join(art, "gen2")
+    )
+    return evolved.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("value").cast("long").alias("n_evolved"),
+        dsum(F.col("value"), "decimal(12,2)").alias("evolved_value"),
+    )

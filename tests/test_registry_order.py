@@ -62,10 +62,16 @@ CHANGED_R5 = {
     "partition_pruned_scan",
 }
 
+# (d) New queries this round — never seen by any driver run.
+NEW_R5 = {
+    "schema_evolution_read",
+}
+
 MUST_BE_IN_WINDOW = (
     R1_ONLY
     | STREAM_R4_TOUCHED
     | CHANGED_R5
+    | NEW_R5
     | {
         "pricing_summary",
         "streaming_funnel_daily",
