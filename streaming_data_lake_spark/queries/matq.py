@@ -15,7 +15,7 @@ Scenario (FIXTURES.md scenario 4 — out-of-order/late):
 from __future__ import annotations
 
 import os
-import tempfile
+from streaming_data_lake_spark.streaming.pipelines import _scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,7 +47,7 @@ def materialize_incremental_clean_events(spark: SparkSession, sf_dir: str) -> Da
     batch1 = events.filter((F.col("ts") <= cutoff) & ~late)
     batch2 = events.filter((F.col("ts") > cutoff) | late)
 
-    lake = tempfile.mkdtemp(prefix="lake_")
+    lake = _scratch_dir("lake_")
     src_dir = os.path.join(lake, "events_src")
     batch1.write.mode("overwrite").parquet(src_dir)
 
@@ -85,7 +85,7 @@ def time_travel_read_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value"
     )
     cutoff = F.lit(_TT_CUTOFF).cast("timestamp")
-    ref = tempfile.mkdtemp(prefix="vt_") + "/events_versioned"
+    ref = _scratch_dir("vt_") + "/events_versioned"
     fmt.commit_snapshot(spark, ref, events.filter(F.col("ts") <= cutoff), "append")
     fmt.commit_snapshot(spark, ref, events, "overwrite")
     return fmt.read(spark, ref, version=1)
@@ -110,7 +110,7 @@ def snapshot_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     fmt = resolve_format(spark)
     events = load_table(spark, sf_dir, "events").select("event_id", "ts")
     cutoff = F.lit(_TT_CUTOFF).cast("timestamp")
-    ref = tempfile.mkdtemp(prefix="vt_") + "/events_versioned"
+    ref = _scratch_dir("vt_") + "/events_versioned"
     fmt.commit_snapshot(spark, ref, events.filter(F.col("ts") <= cutoff), "append")
     fmt.commit_snapshot(spark, ref, events, "overwrite")
     return fmt.snapshots(spark, ref)
@@ -139,7 +139,7 @@ def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             if f.endswith(".parquet") or f.startswith("part-")
         )
 
-    lake = tempfile.mkdtemp(prefix="lake_")
+    lake = _scratch_dir("lake_")
     tdir = os.path.join(lake, "events_small_files")
     events = load_table(spark, sf_dir, "events")
     events.repartition(64).write.mode("overwrite").parquet(tdir)
@@ -187,7 +187,7 @@ def materialize_dim_change_repair(spark: SparkSession, sf_dir: str) -> DataFrame
     batch1 = events.filter(F.col("ts") <= cutoff)
     batch2 = events.filter(F.col("ts") > cutoff)
 
-    lake = tempfile.mkdtemp(prefix="lake_")
+    lake = _scratch_dir("lake_")
     src_dir = os.path.join(lake, "events_src")
     dim_dir = os.path.join(lake, "dim_tier")
     batch1.write.mode("overwrite").parquet(src_dir)
@@ -283,7 +283,7 @@ def materialize_funnel_exists_repair(spark: SparkSession, sf_dir: str) -> DataFr
     batch1 = events.filter((F.col("ts") <= cutoff) & ~late_clicks)
     batch2 = events.filter((F.col("ts") > cutoff) | late_clicks)
 
-    lake = tempfile.mkdtemp(prefix="lake_")
+    lake = _scratch_dir("lake_")
     src_dir = os.path.join(lake, "events_src")
     batch1.write.mode("overwrite").parquet(src_dir)
 

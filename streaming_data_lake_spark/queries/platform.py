@@ -6,7 +6,7 @@ each oracle-checked like every other registry entry.
 from __future__ import annotations
 
 import os
-import tempfile
+from streaming_data_lake_spark.streaming.pipelines import _scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -82,7 +82,7 @@ GROUP BY 1
 def seeded_dim_hierarchy_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_lake_spark.datagen import seed_dimensions
 
-    lake = tempfile.mkdtemp(prefix="dims_")
+    lake = _scratch_dir("dims_")
     log1 = seed_dimensions(spark, lake)
     log2 = seed_dimensions(spark, lake)  # idempotent second call
     assert log2 == {k: "skipped (non-empty)" for k in log1}

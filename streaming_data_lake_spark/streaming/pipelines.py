@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import atexit
 import contextlib
+import os
 import shutil
 import tempfile
 import uuid
@@ -33,6 +34,26 @@ from streaming_data_lake_spark.catalog import load_table
 from streaming_data_lake_spark.formats import resolve_format
 
 
+def _scratch_base() -> str | None:
+    """Base dir for bounded-replay scratch. Prefers RAM-backed tmpfs
+    (/dev/shm) when present: the HDFS-backed state store writes a
+    delta file per store per micro-batch commit into the checkpoint
+    dir, and on bounded availableNow replays that per-commit disk I/O
+    is pure floor — the checkpoints are atexit-deleted scratch that
+    nothing ever recovers from. A production deployment of the SAME
+    pipelines points checkpointLocation at durable object storage
+    (recovery is the point there); this only relocates the
+    replay-harness scratch, not the production contract. Override
+    with $SPARK_GRAFT_STREAM_SCRATCH."""
+    override = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
+    if override:
+        return override
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return shm
+    return None  # tempfile default
+
+
 def _scratch_dir(prefix: str) -> str:
     """mkdtemp whose directory is removed at process exit. Streaming
     scratch (checkpoints, upsert table dirs) must outlive the
@@ -40,20 +61,26 @@ def _scratch_dir(prefix: str) -> str:
     caller reads it later — but nothing needs it past the process, so
     atexit cleanup is the correct lifetime: repeated driver sweeps
     stop accumulating unbounded tmp state."""
-    d = tempfile.mkdtemp(prefix=prefix)
+    d = tempfile.mkdtemp(prefix=prefix, dir=_scratch_base())
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
 
 
 @contextlib.contextmanager
-def _state_partitions(spark: SparkSession, n: int = 8):
+def _state_partitions(spark: SparkSession, n: int | None = None):
     """Scope the shuffle-partition count around stream starts: the
     number of state-store instances per stateful operator is locked
     to ``spark.sql.shuffle.partitions`` at query start, and per-store
     setup cost dominates bounded local replays (measured 15.6s→10.3s
-    on the funnel at sf0.1 going 32→8). On a production cluster this
-    would be sized to executor count × cores, not lowered."""
+    on the funnel at sf0.1 going 32→8, and another ~2s going 8→4 —
+    state per partition is tiny here, commit overhead is not). On a
+    production cluster this would be sized to executor count × cores,
+    not lowered. Callers that measured a different optimum pass ``n``
+    explicitly (the sessionizer's Python fold wants 16);
+    ``$SPARK_GRAFT_STATE_PARTITIONS`` overrides the DEFAULT only."""
     key = "spark.sql.shuffle.partitions"
+    if n is None:
+        n = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "4"))
     prev = spark.conf.get(key)
     spark.conf.set(key, str(n))
     try:
