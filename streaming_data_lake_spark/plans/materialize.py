@@ -126,11 +126,17 @@ class Materializer:
                 raise RuntimeError(f"mat table {target.name} exists but no watermark")
             lo = wm - dt.timedelta(hours=lookback_hours)
 
-            # M2 — pass 0: lookback repair on count drift
+            # M2 — pass 0: lookback repair on count drift. Both
+            # window counts come from ONE job (union + tag + groupBy)
+            # instead of two sequential actions: at scale the two
+            # scans run as one stage over the pruned lookback window.
             in_window = (ts > F.lit(lo)) & (ts <= F.lit(wm))
-            view_cnt = view.filter(in_window).count()
             mat = self.read_mat(target.name)
-            mat_cnt = mat.filter(in_window).count()
+            tagged = view.filter(in_window).select(F.lit("v").alias("side")).unionAll(
+                mat.filter(in_window).select(F.lit("m").alias("side"))
+            )
+            counts = {r["side"]: r["count"] for r in tagged.groupBy("side").count().collect()}
+            view_cnt, mat_cnt = counts.get("v", 0), counts.get("m", 0)
             if view_cnt != mat_cnt:
                 repaired = mat.filter(~in_window).unionByName(view.filter(in_window))
                 self._overwrite(mat_dir, repaired)
@@ -157,11 +163,18 @@ class Materializer:
                 self._overwrite(mat_dir, keep.unionByName(reinsert))
                 log[f"M3:{dep.fact_fk}"] = "repaired changed keys"
 
-            # M4 — pass 2: append new facts
-            new_rows = view.filter(ts > F.lit(wm))
-            n_new = new_rows.count()
-            if n_new:
-                new_rows.write.mode("append").parquet(mat_dir)
+            # M4 — pass 2: append new facts. The increment is cached
+            # so the audit count and the append share one computation
+            # of the view transform (an increment is micro-batch
+            # sized by construction — safe to cache at any scale,
+            # unlike the full view).
+            new_rows = view.filter(ts > F.lit(wm)).cache()
+            try:
+                n_new = new_rows.count()
+                if n_new:
+                    new_rows.write.mode("append").parquet(mat_dir)
+            finally:
+                new_rows.unpersist()
             log["M4"] = f"appended {n_new}"
 
             # M5 — pass 3: EXISTS repair (funnel flag flips). A late
@@ -195,8 +208,14 @@ class Materializer:
                     self._overwrite(mat_dir, keep.unionByName(reinsert))
                     log["M5"] = "repaired flipped keys"
 
-        # M6 — watermark upsert
-        max_ts = view.agg(F.max(ts)).collect()[0][0]
+        # M6 — watermark upsert. After the passes above the mat table
+        # contains every view row newer than the old watermark (M4)
+        # plus repaired older windows, so max(ts) over the MAT table
+        # equals max(ts) over the view — one narrow column scan of
+        # already-materialized parquet (footer-stats friendly;
+        # Iceberg/Delta read this from manifest metadata) instead of
+        # recomputing the view transform a fourth time.
+        max_ts = self.read_mat(target.name).agg(F.max(ts)).collect()[0][0]
         if max_ts is not None:
             self._set_watermark(target.name, max_ts)
             log["M6"] = f"watermark={max_ts.isoformat()}"
