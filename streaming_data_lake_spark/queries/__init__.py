@@ -86,6 +86,7 @@ _CERTIFICATION_ORDER = [
     "streaming_dedup_within_watermark",
     # ---- (c) new in round 5 ----
     "schema_evolution_read",
+    "blocklist_filter_retention",
     # ---- (d) physical path changed in round 5: re-certify ----
     "streaming_sessionize",
     "semantic_dedup_centroid",
@@ -111,9 +112,9 @@ _CERTIFICATION_ORDER = [
     "replicated_skew_join_rollup",
     "knn_ivf_cosine",
     "knn_ivf_multiprobe_cosine",
-    "knn_bruteforce_cosine",
     # ---- position 51+ : certified green by a previous driver run
     # (round 3 or 4), implementation unchanged since ----
+    "knn_bruteforce_cosine",
     "multimodal_media_features",
     "rollup_revenue_levels",
     "price_quantiles_by_flag",

@@ -1268,3 +1268,63 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(
         _t(spark, sf_dir, "documents"), n=_WINNOW_N, window=_WINNOW_W
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist (C4-style "bad words") filtering with retention accounting
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ("slow", "merge", "skew")
+
+_BLOCKLIST_ORACLE = rf"""
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(count(CASE WHEN list_has_any(
+                string_split_regex(trim(text), '\s+'),
+                ['{"','".join(_BLOCKLIST)}']) THEN 1 END) AS BIGINT)
+         AS n_blocked,
+       CAST(count(*) - count(CASE WHEN list_has_any(
+                string_split_regex(trim(text), '\s+'),
+                ['{"','".join(_BLOCKLIST)}']) THEN 1 END) AS BIGINT)
+         AS n_kept,
+       CAST(count(*) - count(CASE WHEN list_has_any(
+                string_split_regex(trim(text), '\s+'),
+                ['{"','".join(_BLOCKLIST)}']) THEN 1 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS retention
+FROM documents
+GROUP BY source, lang
+"""
+
+
+@register(
+    "blocklist_filter_retention",
+    _BLOCKLIST_ORACLE,
+    "C4-style blocklist filter (Raffel et al. 2020 'bad words' pass): a doc "
+    "is dropped when ANY token hits the blocklist; per-(source, lang) "
+    "retention accounting — the per-shard audit every corpus filter ships "
+    "with. JVM-side: arrays_overlap against a literal array, no UDF, no "
+    "shuffle before the final small agg; the blocklist rides into every "
+    "task as a plan literal (at real scale: a broadcast set).",
+)
+def blocklist_filter_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.dedup import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    hit = F.arrays_overlap(
+        tokens(F.col("text")), F.array(*[F.lit(t) for t in _BLOCKLIST])
+    )
+    agg = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(hit, F.lit(1))).alias("n_blocked"),
+    )
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_blocked",
+        (F.col("n_docs") - F.col("n_blocked")).alias("n_kept"),
+        (
+            (F.col("n_docs") - F.col("n_blocked")).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("retention"),
+    )

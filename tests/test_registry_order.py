@@ -65,6 +65,7 @@ CHANGED_R5 = {
 # (d) New queries this round — never seen by any driver run.
 NEW_R5 = {
     "schema_evolution_read",
+    "blocklist_filter_retention",
 }
 
 MUST_BE_IN_WINDOW = (
