@@ -183,7 +183,8 @@ _EVOLVED_SPLIT = "2024-01-16 00:00:00"
 _SCHEMA_EVOLUTION_ORACLE = f"""
 SELECT event_type,
        count(*) AS n_events,
-       CAST(count(CASE WHEN ts >= TIMESTAMP '{_EVOLVED_SPLIT}' THEN 1 END) AS BIGINT)
+       CAST(count(CASE WHEN ts >= TIMESTAMP '{_EVOLVED_SPLIT}'
+                        AND value IS NOT NULL THEN 1 END) AS BIGINT)
          AS n_evolved,
        CAST(sum(CASE WHEN ts >= TIMESTAMP '{_EVOLVED_SPLIT}'
                      THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
