@@ -65,12 +65,19 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
-def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document quality features + a composite score.
 
     Features follow the standard web-corpus filters: length, mean
     token length, type-token ratio, stopword ratio. Single divisions
-    on exact integer counts → cross-engine-stable doubles.
+    on exact integer counts → cross-engine-stable doubles. ``keep``
+    carries extra source columns (e.g. lang for per-language
+    thresholds) through the narrow projection without a re-join.
     """
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks).cast("double")
@@ -89,6 +96,7 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.size(toks).cast("long").alias("n_tokens"),
         avg_tok_len.alias("avg_token_len"),
         ttr.alias("type_token_ratio"),

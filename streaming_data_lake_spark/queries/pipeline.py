@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streaming_data_lake_spark.catalog import load_table
+from streaming_data_lake_spark.functions.parity import dsum
 from streaming_data_lake_spark.operators import similarity, text
 from streaming_data_lake_spark.operators.dedup import (
     exact_text_dedup,
@@ -1327,4 +1328,67 @@ def blocklist_filter_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") - F.col("n_blocked")).cast("double")
             / F.col("n_docs").cast("double")
         ).alias("retention"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-percentile pruning (keep the top quintile per language)
+# ---------------------------------------------------------------------------
+
+_QUALITY_KEEP_FRAC = 0.2
+
+_QUALITY_PERCENTILE_ORACLE = f"""
+WITH qs AS ({_QUALITY_ORACLE}),
+j AS (
+  SELECT d.lang, qs.doc_id, qs.quality_score
+  FROM qs JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT lang, quality_score,
+         percent_rank() OVER (
+           PARTITION BY lang
+           ORDER BY quality_score DESC, doc_id
+         ) AS pr
+  FROM j
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(count(CASE WHEN pr <= {_QUALITY_KEEP_FRAC} THEN 1 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN pr <= {_QUALITY_KEEP_FRAC}
+                     THEN CAST(quality_score AS DECIMAL(12,2)) END) AS DOUBLE)
+         AS kept_score_sum
+FROM r
+GROUP BY lang
+"""
+
+
+@register(
+    "quality_percentile_filter",
+    _QUALITY_PERCENTILE_ORACLE,
+    "Quality pruning: keep the top 20% of documents PER LANGUAGE by the "
+    "composite quality score (percent_rank with a doc_id total-order "
+    "tie-break), reporting kept counts and kept-score mass per language — "
+    "the per-stratum threshold pass quality-filtered corpora use instead "
+    "of one global cutoff. One shuffle on lang for the window; the score "
+    "itself is a narrow JVM-side projection (no join — lang rides through "
+    "the feature projection).",
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from streaming_data_lake_spark.operators import text
+
+    qf = text.quality_features(_t(spark, sf_dir, "documents"), keep=("lang",))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    r = qf.select("lang", "doc_id", "quality_score", F.percent_rank().over(w).alias("pr"))
+    keep = F.col("pr") <= F.lit(_QUALITY_KEEP_FRAC)
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(keep, F.lit(1))).alias("n_kept"),
+        dsum(F.when(keep, F.col("quality_score")), "decimal(12,2)").alias(
+            "kept_score_sum"
+        ),
     )

@@ -66,6 +66,7 @@ CHANGED_R5 = {
 NEW_R5 = {
     "schema_evolution_read",
     "blocklist_filter_retention",
+    "quality_percentile_filter",
 }
 
 MUST_BE_IN_WINDOW = (
