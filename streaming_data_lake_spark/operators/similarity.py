@@ -427,11 +427,16 @@ def occupancy_shards(
     trade. Membership is deterministic (row_number over ``id_col``),
     so results are stable across runs.
 
-    Cost shape: the row_number window shuffles on ``cluster_col`` —
-    the same key the pair join shuffles on, so the guard adds a sort
-    within an exchange the plan already pays for, not a new shuffle.
-    Clusters at or under the cap get shard 0 for every member,
-    leaving small-scale results bit-identical to the unguarded join.
+    Cost shape: the row_number window shuffles on ``cluster_col``,
+    and the pair join then keys on (cluster, shard) — so the active
+    guard costs up to one extra corpus exchange versus the unguarded
+    cluster-only join. The alternative (hash-mod sharding against a
+    broadcast per-cluster occupancy table) saves that exchange but
+    makes the bound probabilistic (a hash shard can overshoot the
+    cap); the exact bound is worth one exchange on a pass whose
+    whole purpose is taming a quadratic. Clusters at or under the
+    cap get shard 0 for every member, leaving small-scale results
+    bit-identical to the unguarded join.
     """
     w = Window.partitionBy(cluster_col).orderBy(id_col)
     shard = ((F.row_number().over(w) - F.lit(1)) / F.lit(max_occupancy)).cast("int")

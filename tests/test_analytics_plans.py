@@ -133,3 +133,26 @@ def test_occupancy_shards_bound_pair_counts(spark):
     # under-cap cluster keeps shard 0 for every member
     small = occupancy_shards(assigned.limit(cap), max_occupancy=cap)
     assert small.agg(F.max("shard")).first()[0] == 0
+
+
+def test_blocklist_filter_no_preagg_shuffle(spark):
+    """The blocklist hit test is a narrow JVM-side projection
+    (arrays_overlap on a plan literal) — exactly one Exchange in the
+    whole plan: the final small (source, lang) aggregate. No UDF, no
+    join."""
+    plan = _executed(_query(spark, "blocklist_filter_retention"))
+    assert "arrays_overlap" in plan
+    assert plan.count("Exchange") == 1, plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_quality_percentile_single_lang_shuffle(spark):
+    """Per-language percent_rank: the corpus shuffles ONCE on lang
+    for the window; the final per-lang aggregate piggybacks on that
+    partitioning (no second corpus exchange). Feature extraction is
+    narrow — no join back to the source."""
+    plan = _executed(_query(spark, "quality_percentile_filter"))
+    assert "Window" in plan
+    assert "Join" not in plan, "lang must ride the projection, not a re-join"
+    # one exchange for the lang window; the groupBy(lang) reuses it
+    assert plan.count("Exchange") <= 2, plan
