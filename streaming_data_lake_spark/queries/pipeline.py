@@ -1392,3 +1392,77 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_score_sum"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate n-grams (RefinedWeb-style repeated spans)
+# ---------------------------------------------------------------------------
+
+_BOILER_N = 8  # shingle width: long enough that sharing is no accident
+_BOILER_MIN_DOCS = 2  # a span in >= this many docs is boilerplate
+
+_BOILER_GRAM = " || ' ' || ".join(f"toks[i+{j}]" for j in range(_BOILER_N))
+
+_BOILER_ORACLE = rf"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(toks) - {_BOILER_N - 2}, 1)),
+             i -> {_BOILER_GRAM})) AS s
+  FROM tk
+),
+ex AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+boiler AS (SELECT sng FROM ex GROUP BY sng HAVING count(*) >= {_BOILER_MIN_DOCS}),
+bo AS (
+  SELECT e.doc_id, count(*) AS n_boiler
+  FROM ex e JOIN boiler USING (sng)
+  GROUP BY e.doc_id
+)
+SELECT sh.doc_id,
+       CAST(len(s) AS BIGINT) AS n_shingles,
+       CAST(coalesce(bo.n_boiler, 0) AS BIGINT) AS n_boiler,
+       CAST(CASE WHEN 2 * coalesce(bo.n_boiler, 0) <= len(s)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM sh LEFT JOIN bo ON sh.doc_id = bo.doc_id
+"""
+
+
+@register(
+    "crossdoc_boilerplate_ngrams",
+    _BOILER_ORACLE,
+    "Cross-document boilerplate detection (the RefinedWeb/CCNet repeated-"
+    "span pass, re-expressed on token 8-grams since this corpus has no "
+    "line structure): a distinct 8-gram shared by >= 2 documents is "
+    "boilerplate; per-doc boilerplate-shingle counts plus an integer keep "
+    "flag (majority-original docs survive). Differs from the WITHIN-doc "
+    "Gopher repetition signals: the frequency table is global. Plan: one "
+    "explode + groupBy builds the shared-span table (map-side combinable "
+    "count), the small surviving boilerplate set joins back on the shingle "
+    "key (AQE broadcasts it when it fits); no all-pairs anywhere, so the "
+    "shape survives 100 TB the same way the MinHash band join does.",
+)
+def crossdoc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles(F.col("text"), _BOILER_N).alias("s"))
+    ex = sh.select("doc_id", F.explode("s").alias("sng"))
+    boiler = (
+        ex.groupBy("sng")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= _BOILER_MIN_DOCS)
+        .select("sng")
+    )
+    per_doc = ex.join(boiler, "sng").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_boiler")
+    )
+    base = sh.select("doc_id", F.size("s").cast("long").alias("n_shingles"))
+    n_boiler = F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long")
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_boiler.alias("n_boiler"),
+        F.when(F.lit(2) * n_boiler <= F.col("n_shingles"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep"),
+    )
