@@ -89,6 +89,7 @@ _CERTIFICATION_ORDER = [
     "blocklist_filter_retention",
     "quality_percentile_filter",
     "crossdoc_boilerplate_ngrams",
+    "bloom_semi_join_prune",
     # ---- (d) physical path changed in round 5: re-certify ----
     "streaming_sessionize",
     "semantic_dedup_centroid",
@@ -111,9 +112,9 @@ _CERTIFICATION_ORDER = [
     "sql_over_views_adhoc",
     "seeded_dim_hierarchy_enrichment",
     "salted_skew_aggregation",
-    "replicated_skew_join_rollup",
     # ---- position 51+ : certified green by a previous driver run
     # (round 3 or 4), implementation unchanged since ----
+    "replicated_skew_join_rollup",
     "knn_ivf_cosine",
     "knn_ivf_multiprobe_cosine",
     "knn_bruteforce_cosine",

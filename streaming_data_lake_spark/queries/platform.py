@@ -249,3 +249,55 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value").cast("long").alias("n_evolved"),
         dsum(F.col("value"), "decimal(12,2)").alias("evolved_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime Bloom-filter join pruning (dynamic-filter analog)
+# ---------------------------------------------------------------------------
+
+_BLOOM_SEGMENT = "BUILDING"
+
+_BLOOM_PRUNE_ORACLE = f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = '{_BLOOM_SEGMENT}')
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "bloom_semi_join_prune",
+    _BLOOM_PRUNE_ORACLE,
+    "Runtime-filter path (Trino dynamic filters / Spark "
+    "InjectRuntimeFilter analog): the filtered customer keys fold into a "
+    "2 KiB Bloom bitmap (one-row map<int,long>, bit_or aggregate) that "
+    "broadcasts to every orders task; orders are pruned MAP-SIDE before "
+    "the exact broadcast semi-join removes Bloom false positives. Result "
+    "is exactly the plain semi-join — the Bloom pass is plan-only, which "
+    "is the point: at 100 TB the shuffle/join input carries only probable "
+    "matches while the bitmap stays 2 KiB regardless of fact size.",
+)
+def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.bloom import bloom_bitmap, bloom_prefilter
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == _BLOOM_SEGMENT)
+        .select("c_custkey")
+    )
+    bitmap = bloom_bitmap(dim, "c_custkey")
+    candidates = bloom_prefilter(
+        load_table(spark, sf_dir, "orders"), "o_custkey", bitmap
+    )
+    exact = candidates.join(
+        F.broadcast(dim),
+        candidates["o_custkey"] == dim["c_custkey"],
+        "left_semi",
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )
