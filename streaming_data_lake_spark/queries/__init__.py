@@ -90,6 +90,8 @@ _CERTIFICATION_ORDER = [
     "quality_percentile_filter",
     "crossdoc_boilerplate_ngrams",
     "bloom_semi_join_prune",
+    "large_orders_having",
+    "cube_device_day_metrics",
     # ---- (d) physical path changed in round 5: re-certify ----
     "streaming_sessionize",
     "semantic_dedup_centroid",
@@ -109,11 +111,11 @@ _CERTIFICATION_ORDER = [
     "maintenance_compaction",
     "materialize_dim_change_repair",
     "materialize_funnel_exists_repair",
-    "sql_over_views_adhoc",
     "seeded_dim_hierarchy_enrichment",
-    "salted_skew_aggregation",
     # ---- position 51+ : certified green by a previous driver run
     # (round 3 or 4), implementation unchanged since ----
+    "sql_over_views_adhoc",
+    "salted_skew_aggregation",
     "replicated_skew_join_rollup",
     "knn_ivf_cosine",
     "knn_ivf_multiprobe_cosine",

@@ -1360,3 +1360,67 @@ def priority_window_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("pr") <= 0.25, 1).otherwise(0)).cast("long").alias("n_bottom_quartile"),
         F.sum(F.when(F.col("cd") <= 0.5, 1).otherwise(0)).cast("long").alias("n_lower_half"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets — all four (type, day) marginal levels in one pass
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+WITH base AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day,
+         user_id, value
+  FROM events
+)
+SELECT
+  CAST(grouping(event_type) AS INTEGER) AS g_type,
+  CAST(grouping(event_day) AS INTEGER) AS g_day,
+  coalesce(event_type, '<all>') AS event_type,
+  coalesce(CAST(event_day AS VARCHAR), '<all>') AS event_day,
+  count(*) AS n_events,
+  count(DISTINCT user_id) AS n_users,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM base
+GROUP BY CUBE(event_type, event_day)
+"""
+
+
+@register(
+    "cube_device_day_metrics",
+    _CUBE_ORACLE,
+    "CUBE grouping sets: (type, day) / (type) / (day) / () — BOTH "
+    "marginals plus the grand total in one aggregation pass with "
+    "GROUPING flags, completing the grouping-sets surface next to "
+    "ROLLUP's prefix levels. One shuffle computes all four levels via "
+    "partial aggs; the distinct-user count re-expands per level inside "
+    "the same exchange rather than four scans of the fact.",
+)
+def cube_device_day_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("event_day"),
+        "user_id",
+        "value",
+    )
+    return (
+        base.cube("event_type", "event_day")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("event_day").cast("int").alias("g_day"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+        )
+        .select(
+            "g_type",
+            "g_day",
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("event_day").cast("string"), F.lit("<all>")).alias(
+                "event_day"
+            ),
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )

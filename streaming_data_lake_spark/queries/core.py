@@ -1614,3 +1614,53 @@ def asof_view_within_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols={"ts": "view_ts", "event_id": "view_id"},
         tolerance_s=6 * 3600,
     )
+
+
+# ---------------------------------------------------------------------------
+# J-family follow-on — having-aggregate semi-join (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+
+_LARGE_ORDER_QTY = 250
+
+_LARGE_ORDERS_ORACLE = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey) s
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE sum_qty > {_LARGE_ORDER_QTY}
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register(
+    "large_orders_having",
+    _LARGE_ORDERS_ORACLE,
+    "Large-volume-order report (the TPC-H Q18 plan shape): aggregate "
+    "lineitem per order, HAVING-filter the aggregate, then join the "
+    "surviving tiny key set to orders and customer — the "
+    "aggregate-then-filter-then-join ordering that keeps the join input "
+    "proportional to qualifying orders, not lineitems. Decimal-exact "
+    "quantity sum; fully tie-broken ORDER BY + LIMIT so the returned SET "
+    "is deterministic. At 100 TB the partial aggregate combines map-side "
+    "and the filtered key set is small enough for AQE to broadcast.",
+)
+def large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), "decimal(18,2)").alias("sum_qty"))
+        .filter(F.col("sum_qty") > _LARGE_ORDER_QTY)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
