@@ -92,6 +92,8 @@ _CERTIFICATION_ORDER = [
     "bloom_semi_join_prune",
     "large_orders_having",
     "cube_device_day_metrics",
+    "value_histogram_quantiles",
+    "zorder_layout_keys",
     # ---- (d) physical path changed in round 5: re-certify ----
     "streaming_sessionize",
     "semantic_dedup_centroid",
@@ -110,11 +112,11 @@ _CERTIFICATION_ORDER = [
     "snapshot_metadata",
     "maintenance_compaction",
     "materialize_dim_change_repair",
-    "materialize_funnel_exists_repair",
-    "seeded_dim_hierarchy_enrichment",
     # ---- position 51+ : certified green by a previous driver run
     # (round 3 or 4), implementation unchanged since ----
+    "materialize_funnel_exists_repair",
     "sql_over_views_adhoc",
+    "seeded_dim_hierarchy_enrichment",
     "salted_skew_aggregation",
     "replicated_skew_join_rollup",
     "knn_ivf_cosine",

@@ -1424,3 +1424,170 @@ def cube_device_day_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram-sketch quantiles — mergeable one-pass P50/P95 estimates
+# ---------------------------------------------------------------------------
+
+# Bin math is exact cross-engine: 2-dp values -> integer cents via
+# round (never lands on .5), then floor(cents / 500.0) (double floor is
+# boundary-safe because exact multiples of 500 divide exactly).
+_HISTQ_BIN = (
+    "cast(floor(cast(round(value * 100) as bigint) / 500.0) as bigint)"
+)
+
+_HISTQ_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, {_HISTQ_BIN} AS bin FROM events
+),
+h AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY event_type, bin),
+c AS (
+  SELECT event_type, bin,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS total
+  FROM h
+)
+SELECT event_type,
+       CAST(max(total) AS BIGINT) AS n_events,
+       count(*) AS n_bins,
+       CAST((min(CASE WHEN cum >= (50 * total + 99) // 100 THEN bin END) + 1)
+            * 5.0 AS DOUBLE) AS p50_est,
+       CAST((min(CASE WHEN cum >= (95 * total + 99) // 100 THEN bin END) + 1)
+            * 5.0 AS DOUBLE) AS p95_est
+FROM c
+GROUP BY event_type
+"""
+
+
+@register(
+    "value_histogram_quantiles",
+    _HISTQ_ORACLE,
+    "Quantile estimation the way it survives 100 TB: a fixed-width "
+    "histogram sketch (one map-side-combinable groupBy into ~100 bins per "
+    "key) instead of a global sort — P50/P95 read off the cumulative bin "
+    "counts as upper bin edges, thresholds in pure integer arithmetic so "
+    "both engines agree bit-for-bit. The per-key window runs over bin "
+    "counts (tiny), never over events; histograms from different shards "
+    "merge by adding counts, which is what makes this the streaming/"
+    "backfill-compatible quantile path next to the exact "
+    "percentile_cont queries.",
+)
+def value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _t(spark, sf_dir, "events").select(
+        "event_type", F.expr(_HISTQ_BIN).alias("bin")
+    )
+    h = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    c = h.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_tot).alias("total"),
+    )
+    t50 = F.expr("(50 * total + 99) div 100")
+    t95 = F.expr("(95 * total + 99) div 100")
+    edge = lambda m: ((m + 1) * F.lit(5.0)).cast("double")  # noqa: E731
+    return c.groupBy("event_type").agg(
+        F.max("total").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_bins"),
+        edge(F.min(F.when(F.col("cum") >= t50, F.col("bin")))).alias("p50_est"),
+        edge(F.min(F.when(F.col("cum") >= t95, F.col("bin")))).alias("p95_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout keys — multi-dimensional clustering stats
+# ---------------------------------------------------------------------------
+
+# 16-bit -> 32-bit bit-spread, as plain `<< | &` SQL that parses
+# identically in Spark SQL and DuckDB. Applied stepwise via projected
+# columns so the expression text stays linear.
+_Z_SPREAD_STEPS = [(8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765)]
+
+_Z_X = "user_id % 1024"  # dimension 1: user bucket (10 bits)
+_Z_Y = "day(ts) * 24 + hour(ts)"  # dimension 2: corpus hour (10 bits)
+_Z_BUCKETS = 16
+
+
+def _z_step(col: str, shift: int, mask: int) -> str:
+    return f"(({col} | ({col} << {shift})) & {mask})"
+
+
+def _z_cte() -> str:
+    """DuckDB CTE chain computing zx/zy spreads and the Morton key."""
+    layers = [f"l0 AS (SELECT {_Z_X} AS zx, {_Z_Y} AS zy, user_id FROM events)"]
+    for i, (sh, mask) in enumerate(_Z_SPREAD_STEPS):
+        layers.append(
+            f"l{i + 1} AS (SELECT {_z_step('zx', sh, mask)} AS zx, "
+            f"{_z_step('zy', sh, mask)} AS zy, user_id FROM l{i})"
+        )
+    n = len(_Z_SPREAD_STEPS)
+    layers.append(
+        f"zed AS (SELECT (zx | (zy << 1)) AS zkey, user_id FROM l{n})"
+    )
+    return ",\n".join(layers)
+
+
+_ZORDER_ORACLE = f"""
+WITH {_z_cte()},
+m AS (SELECT max(zkey) AS maxz FROM zed)
+SELECT CAST((zkey * {_Z_BUCKETS}) // (maxz + 1) AS INTEGER) AS bucket,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(min(zkey) AS BIGINT) AS min_z,
+       CAST(max(zkey) AS BIGINT) AS max_z
+FROM zed, m
+GROUP BY 1
+"""
+
+
+@register(
+    "zorder_layout_keys",
+    _ZORDER_ORACLE,
+    "Z-order (Morton) clustering — the lakehouse OPTIMIZE ZORDER layout "
+    "path: (user bucket, corpus hour) bit-interleave into one key via "
+    "pure `<< | &` arithmetic (the SAME expression text runs in both "
+    "engines), then equal-width zkey ranges stand in for target files. "
+    "Per-range stats show the point: both dimensions stay bounded within "
+    "a range, so scans filtered on EITHER user or time prune files. "
+    "Scale shape: the interleave is map-side; range assignment needs only "
+    "a one-row max broadcast (at real scale: repartitionByRange(zkey) "
+    "before the write, same key, no extra shuffle beyond the layout's "
+    "own).",
+)
+def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    zed = _t(spark, sf_dir, "events").select(
+        F.expr(_Z_X).alias("zx"), F.expr(_Z_Y).alias("zy"), "user_id"
+    )
+    for sh, mask in _Z_SPREAD_STEPS:
+        zed = zed.select(
+            F.expr(_z_step("zx", sh, mask)).alias("zx"),
+            F.expr(_z_step("zy", sh, mask)).alias("zy"),
+            "user_id",
+        )
+    zed = zed.select(F.expr("zx | (zy << 1)").alias("zkey"), "user_id")
+    maxz = zed.agg(F.max("zkey").alias("maxz"))
+    return (
+        zed.crossJoin(F.broadcast(maxz))
+        .select(
+            F.expr(f"cast((zkey * {_Z_BUCKETS}) div (maxz + 1) as int)").alias(
+                "bucket"
+            ),
+            "zkey",
+            "user_id",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("zkey").cast("long").alias("min_z"),
+            F.max("zkey").cast("long").alias("max_z"),
+        )
+    )
