@@ -84,7 +84,7 @@ _CERTIFICATION_ORDER = [
     "streaming_hourly_metrics",
     "streaming_dedup_keys",
     "streaming_dedup_within_watermark",
-    # ---- (c) new in round 5 ----
+    # ---- (c) new in round 5: first driver verdict needed ----
     "schema_evolution_read",
     "blocklist_filter_retention",
     "quality_percentile_filter",
@@ -94,6 +94,9 @@ _CERTIFICATION_ORDER = [
     "cube_device_day_metrics",
     "value_histogram_quantiles",
     "zorder_layout_keys",
+    # (the six new slots displaced six r3-certified fillers to 51+,
+    # which stay fresh-enough through this round per the ledger's
+    # max-age-2 rule)
     # ---- (d) physical path changed in round 5: re-certify ----
     "streaming_sessionize",
     "semantic_dedup_centroid",
