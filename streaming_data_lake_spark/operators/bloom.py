@@ -4,23 +4,32 @@ InjectRuntimeFilter — reference queries prune fact scans through dim
 predicates, e.g. streaming/flink/sql/funnel_fast.sql's dim filters).
 
 Shape: the (filtered) dim side's join keys are folded into ONE
-fixed-size bitmap row — a ``map<int,long>`` of 64-bit words — which
-broadcasts to every fact task as a one-row crossJoin (the repo's
-scalar-subquery pattern: no driver collect on the data path). The
-fact side then tests its k hash positions map-side BEFORE any
-shuffle/join, so at 100 TB the shuffle carries only probable matches.
-The filter is semantically transparent: false positives are removed
-by the exact (semi-)join that follows, false negatives cannot occur —
-so correctness oracles are the plain join, and the Bloom pass is pure
+fixed-size bitmap of 64-bit words via a map-side-combinable ``bit_or``
+aggregate, then injected into the fact side as a PLAIN SCAN PREDICATE
+(a literal array in the filter expression). Because it is an ordinary
+predicate, Catalyst keeps it in the fact scan's Filter — BELOW any
+later shuffle or join — so at 100 TB the shuffle carries only probable
+matches. That is the point of the pattern, and it is why the bitmap is
+embedded as a literal rather than joined in declaratively: a one-row
+broadcast crossJoin variant was tried first, and Catalyst pushes the
+later exact semi-join below the cross join, inverting the
+prune-before-shuffle ordering (verified on the executed plan).
+
+The bitmap fetch is bounded control flow, not a data-path collect:
+``m_bits/8`` bytes (2 KiB at defaults) regardless of dim or fact size
+— the same class as the materializer's watermark probe and the IVF
+probe-id fetch.
+
+The filter is semantically transparent: false positives are removed by
+the exact (semi-)join that follows, false negatives cannot occur — so
+correctness oracles are the plain join, and the Bloom pass is pure
 plan optimization.
 
-Sizing: ``m_bits`` should be ~10× the expected dim-key cardinality
-for a ~1 % FP rate at k=3. The bitmap is m_bits/8 bytes (default
-16384 bits = 2 KiB) — broadcast cost is trivial; size m from the dim
-count at real scale.
+Sizing: ``m_bits`` should be ~10× the expected dim-key cardinality for
+a ~1 % FP rate at k=3. Size m from the dim count at real scale.
 
-Everything is JVM-side: md5-derived hashes (functions/hashing.h32),
-bit_or aggregation, shiftleft/shiftright bit tests — no UDFs.
+Everything per-row is JVM-side: md5-derived hashes (mirroring
+functions/hashing.h32_seeded), shiftright bit tests — no UDFs.
 """
 
 from __future__ import annotations
@@ -35,10 +44,20 @@ DEFAULT_K = 3
 
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
-    """The k bit positions of a key (hashed via the portable seeded
-    32-bit hash so build and probe agree across DataFrames)."""
+    """The k bit positions of a key (portable seeded 32-bit hash, so
+    build and probe agree)."""
     s = key.cast("string")
     return [h32_seeded(s, i) % F.lit(m_bits) for i in range(k)]
+
+
+def _pos_sql(key_col: str, seed: int, m_bits: int) -> str:
+    """SQL text of the i-th bit position of ``key_col`` — the exact
+    expression :func:`_positions` builds via the Column API (mirrors
+    functions.hashing.h32_seeded)."""
+    return (
+        f"(cast(conv(substring(md5(concat('{seed}:', "
+        f"cast({key_col} as string))), 1, 8), 16, 10) as bigint) % {m_bits})"
+    )
 
 
 def bloom_bitmap(
@@ -62,6 +81,24 @@ def bloom_bitmap(
     )
 
 
+def bloom_condition(
+    key_col: str, dense_words: list[int], m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K
+) -> Column:
+    """Membership-test predicate over a DENSE word list embedded as a
+    plan literal. All k bits must be set; missing/zero words fail the
+    test naturally."""
+    arr = "array(" + ", ".join(f"{int(w)}L" for w in dense_words) + ")"
+    cond = None
+    for i in range(k):
+        pos = _pos_sql(key_col, i, m_bits)
+        bit = F.expr(
+            f"(shiftright(element_at({arr}, cast({pos} div 64 as int) + 1), "
+            f"cast({pos} % 64 as int)) & 1) = 1"
+        )
+        cond = bit if cond is None else (cond & bit)
+    return cond
+
+
 def bloom_prefilter(
     fact: DataFrame,
     key_col: str,
@@ -69,19 +106,12 @@ def bloom_prefilter(
     m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
 ) -> DataFrame:
-    """Rows of ``fact`` whose key passes the Bloom membership test
-    (all k bits set). Map-side: the one-row bitmap rides in as a
-    broadcast crossJoin; absent words read as 0 via coalesce. May
-    keep false positives — follow with the exact join."""
-    probed = fact.crossJoin(F.broadcast(bitmap))
-    for i, p in enumerate(_positions(F.col(key_col), m_bits, k)):
-        probed = probed.withColumn(f"_bf_pos_{i}", p)
-    cond = None
-    for i in range(k):
-        bit = F.expr(
-            f"(shiftright(coalesce(element_at(bmap, "
-            f"cast(_bf_pos_{i} div 64 as int)), 0L), "
-            f"cast(_bf_pos_{i} % 64 as int)) & 1) = 1"
-        )
-        cond = bit if cond is None else (cond & bit)
-    return probed.filter(cond).drop("bmap", *[f"_bf_pos_{i}" for i in range(k)])
+    """Rows of ``fact`` whose key passes the Bloom membership test.
+    May keep false positives — follow with the exact join. The
+    bounded one-row bitmap fetch densifies into the scan predicate
+    (module docstring explains why injection beats a declarative
+    bitmap join here)."""
+    rows = bitmap.collect()
+    bmap = dict(rows[0].bmap) if rows and rows[0].bmap is not None else {}
+    dense = [int(bmap.get(w, 0)) for w in range(m_bits // 64)]
+    return fact.filter(bloom_condition(key_col, dense, m_bits, k))

@@ -273,11 +273,12 @@ GROUP BY o_orderpriority
     _BLOOM_PRUNE_ORACLE,
     "Runtime-filter path (Trino dynamic filters / Spark "
     "InjectRuntimeFilter analog): the filtered customer keys fold into a "
-    "2 KiB Bloom bitmap (one-row map<int,long>, bit_or aggregate) that "
-    "broadcasts to every orders task; orders are pruned MAP-SIDE before "
-    "the exact broadcast semi-join removes Bloom false positives. Result "
-    "is exactly the plain semi-join — the Bloom pass is plan-only, which "
-    "is the point: at 100 TB the shuffle/join input carries only probable "
+    "2 KiB Bloom bitmap (bit_or aggregate) that is INJECTED into the "
+    "orders scan as a literal predicate, so orders are pruned in the "
+    "scan's own Filter — below the exact semi-join that removes Bloom "
+    "false positives (plan-guarded in tests/test_plans.py). Result is "
+    "exactly the plain semi-join — the Bloom pass is plan-only, which is "
+    "the point: at 100 TB the shuffle/join input carries only probable "
     "matches while the bitmap stays 2 KiB regardless of fact size.",
 )
 def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,7 +294,7 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"), "o_custkey", bitmap
     )
     exact = candidates.join(
-        F.broadcast(dim),
+        dim,
         candidates["o_custkey"] == dim["c_custkey"],
         "left_semi",
     )

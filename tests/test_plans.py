@@ -263,3 +263,58 @@ def test_ivf_materialized_index_prunes_buckets(spark):
     sel = plan.split("SelectedBucketsCount:")[1].splitlines()[0]
     chosen, total = [int(x) for x in sel.replace("(", " ").split() if x.isdigit()][:2]
     assert chosen < total, f"no bucket pruning: {sel}"
+
+
+def test_bloom_prefilter_is_scan_predicate_below_semi_join(spark):
+    df = _query(spark, "bloom_semi_join_prune")
+    plan = _executed(df)
+    # The injected bitmap literal compiles to bit arithmetic in the
+    # fact side's own Filter, BELOW the exact semi join — the
+    # prune-before-shuffle ordering the runtime-filter pattern exists
+    # for. (A declarative one-row bitmap crossJoin inverts this:
+    # Catalyst pushes the semi join underneath it.)
+    assert "shiftright" in plan, "Bloom bit test missing from plan"
+    semi = plan.find("LeftSemi")
+    bloom_filter = plan.find("shiftright")
+    assert semi != -1 and bloom_filter != -1 and bloom_filter > semi, (
+        "Bloom filter should sit below (after in plan text) the semi join"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_joins_are_hash_based(spark):
+    plan = _executed(_query(spark, "crossdoc_boilerplate_ngrams"))
+    assert "CartesianProduct" not in plan
+    # shared-span frequency agg must combine map-side
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_large_orders_prunes_lineitem_columns(spark):
+    plan = _formatted(_query(spark, "large_orders_having"))
+    scans = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
+    li = [s for s in scans if "l_orderkey" in s]
+    assert li, "no lineitem scan found"
+    # the pre-join aggregate needs only (l_orderkey, l_quantity)
+    assert all("l_extendedprice" not in s and "l_shipdate" not in s for s in li), (
+        "lineitem scan reads columns the Q18 aggregate never uses"
+    )
+
+
+def test_cube_is_single_expand_pass(spark):
+    plan = _executed(_query(spark, "cube_device_day_metrics"))
+    assert plan.count("Expand") == 1, "CUBE should be one Expand, not N scans"
+
+
+def test_histogram_quantiles_agg_two_phase(spark):
+    plan = _executed(_query(spark, "value_histogram_quantiles"))
+    # the event->bin rollup must partial-aggregate before its shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_zorder_no_data_path_cartesian(spark):
+    plan = _executed(_query(spark, "zorder_layout_keys"))
+    # only the one-row max may ride in via broadcast nested loop
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
