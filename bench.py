@@ -46,6 +46,8 @@ HEADLINE = [
     "cms_heavy_hitter_tokens",  # Count-Min sketch frequency estimates
     "semantic_dedup_centroid",  # centroid-bucketed semantic dedup
     "doc_chunks_overlap",       # overlapping-token training chunks
+    "bloom_semi_join_prune",    # runtime Bloom filter + exact semi-join
+    "crossdoc_boilerplate_ngrams",  # global repeated-span table + joinback
     "streaming_upsert_hourly",  # streaming replay + MERGE upsert
     "streaming_funnel_daily",   # streaming interval-join funnel
     "streaming_sessionize",     # stateful sessionization replay

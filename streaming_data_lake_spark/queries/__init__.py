@@ -94,7 +94,8 @@ _CERTIFICATION_ORDER = [
     "cube_device_day_metrics",
     "value_histogram_quantiles",
     "zorder_layout_keys",
-    # (the six new slots displaced six r3-certified fillers to 51+,
+    "topn_customers_per_nation",
+    # (the new slots displaced r3-certified fillers to 51+,
     # which stay fresh-enough through this round per the ledger's
     # max-age-2 rule)
     # ---- (d) physical path changed in round 5: re-certify ----
@@ -114,9 +115,9 @@ _CERTIFICATION_ORDER = [
     "time_travel_read_v1",
     "snapshot_metadata",
     "maintenance_compaction",
-    "materialize_dim_change_repair",
     # ---- position 51+ : certified green by a previous driver run
     # (round 3 or 4), implementation unchanged since ----
+    "materialize_dim_change_repair",
     "materialize_funnel_exists_repair",
     "sql_over_views_adhoc",
     "seeded_dim_hierarchy_enrichment",

@@ -1664,3 +1664,51 @@ def large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# W-family follow-on — top-N per group via rank pushdown
+# ---------------------------------------------------------------------------
+
+_TOPN_PER_NATION = 3
+
+_TOPN_ORACLE = f"""
+SELECT nation_name, rnk, c_name, c_acctbal
+FROM (
+  SELECT n_name AS nation_name, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+WHERE rnk <= {_TOPN_PER_NATION}
+"""
+
+
+@register(
+    "topn_customers_per_nation",
+    _TOPN_ORACLE,
+    "Top-N per group: top 3 customers by balance per nation, total-order "
+    "tie-break. The rank predicate compiles to Spark's WindowGroupLimit "
+    "pushdown (plan-guarded): each shuffle partition keeps only its top "
+    "N rows BEFORE the window sort materializes, so at 100 TB the "
+    "exchange carries N rows per group, not the whole fact.",
+)
+def topn_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation_name"),
+            "c_name",
+            "c_acctbal",
+            "c_nationkey",
+            "c_custkey",
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPN_PER_NATION)
+        .select("nation_name", "rnk", "c_name", "c_acctbal")
+    )

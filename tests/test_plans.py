@@ -318,3 +318,10 @@ def test_zorder_no_data_path_cartesian(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_topn_rank_filter_uses_window_group_limit(spark):
+    plan = _executed(_query(spark, "topn_customers_per_nation"))
+    assert "WindowGroupLimit" in plan, (
+        "rank<=N filter should push down as WindowGroupLimit"
+    )
