@@ -441,3 +441,119 @@ def occupancy_shards(
     w = Window.partitionBy(cluster_col).orderBy(id_col)
     shard = ((F.row_number().over(w) - F.lit(1)) / F.lit(max_occupancy)).cast("int")
     return assigned.withColumn("shard", shard)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) search
+# ---------------------------------------------------------------------------
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Deterministic left-fold squared-L2 distance in double precision
+    (x*x, never pow — cross-engine bit parity)."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sub(vec: Column, m: int, dsub: int) -> Column:
+    """The m-th PQ subvector (1-based slice; m counts from 0)."""
+    return F.slice(vec, m * dsub + 1, dsub)
+
+
+def pq_codebook_row(
+    codebook: DataFrame, code_col: str = "code", vec_col: str = "cv"
+) -> DataFrame:
+    """Collapse a (code, vector) codebook into ONE broadcastable row
+    holding the code-ordered struct array — the same centroid-collapse
+    shape ivf_assign uses, so encoding and ADC scoring are pure narrow
+    maps with zero corpus shuffle. Codes must be 0..K-1."""
+    return codebook.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(code_col).alias("code"), F.col(vec_col).alias("cv")))
+        ).alias("cb")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook_row: DataFrame,
+    n_sub: int = 8,
+    dsub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode: per subspace m, the code of the nearest codebook
+    subvector by squared L2 (ties -> smallest code, via lexicographic
+    ``array_min`` over struct(dist, code) — exactly the oracle's ORDER
+    BY dist, code). Output: (vec_id, c0..c{n_sub-1}) — 8 small ints
+    replace a 64-float vector (64× compression at these defaults).
+    Narrow map over the corpus: the codebook rides in as one broadcast
+    row; zero shuffle, zero sort."""
+    vec = F.col(vec_col)
+
+    def code_m(m: int) -> Column:
+        best = F.array_min(
+            F.transform(
+                F.col("cb"),
+                lambda ct: F.struct(
+                    sq_l2(_sub(vec, m, dsub), _sub(ct["cv"], m, dsub)).alias("d"),
+                    ct["code"].alias("code"),
+                ),
+            )
+        )
+        return best["code"].alias(f"c{m}")
+
+    return corpus.crossJoin(F.broadcast(codebook_row)).select(
+        F.col(id_col), *[code_m(m) for m in range(n_sub)]
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebook_row: DataFrame,
+    k: int = 5,
+    n_sub: int = 8,
+    dsub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: the EXACT query subvectors score
+    against the corpus's RECONSTRUCTED (codebook) subvectors —
+    distance sums unroll over subspaces in fixed order, so both
+    engines fold identically. Output: (query_id, neighbor_id, rank,
+    adc_dist), ties broken by neighbor id.
+
+    Scale shape: the corpus side carries only its codes (bytes, not
+    vectors); queries and codebook broadcast; the per-pair work is
+    n_sub table lookups + tiny folds — the compressed-domain scan
+    that makes PQ the memory-bound-friendly ANN path. Compose with
+    IVF cluster pruning (knn_ivf_*) to cut the scanned fraction; the
+    certified query keeps the full scan so the oracle covers every
+    pair."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    pairs = codes.crossJoin(F.broadcast(codebook_row)).join(
+        F.broadcast(q), F.col(id_col) != F.col("query_id")
+    )
+    dist = None
+    for m in range(n_sub):
+        cv = F.element_at(F.col("cb"), F.col(f"c{m}").cast("int") + F.lit(1))["cv"]
+        d_m = sq_l2(_sub(F.col("qv"), m, dsub), _sub(cv, m, dsub))
+        dist = d_m if dist is None else (dist + d_m)
+    scored = pairs.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), dist.alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

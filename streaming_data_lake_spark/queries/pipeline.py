@@ -1466,3 +1466,112 @@ def crossdoc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + ADC search (compressed-domain ANN)
+# ---------------------------------------------------------------------------
+
+_PQ_NSUB = 8       # subspaces
+_PQ_DSUB = 8       # dims per subspace (8 x 8 = the 64-dim embedding)
+_PQ_K_CODES = 16   # codebook entries per subspace
+_PQ_QUERIES = 10   # vec_id < 10 are the query set
+_PQ_TOPK = 5
+
+
+def _duck_sq_l2(a: str, b: str) -> str:
+    """Left-fold squared L2 — mirrors operators.similarity.sq_l2
+    (x*x, never pow; same fold order -> bit-identical doubles)."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _pq_slice(expr: str, m: str | int) -> str:
+    return f"list_slice({expr}, {m}*{_PQ_DSUB} + 1, {m}*{_PQ_DSUB} + {_PQ_DSUB})"
+
+
+def _pq_oracle() -> str:
+    code_cols = ",\n         ".join(
+        f"max(CASE WHEN m = {m} THEN code END) AS c{m}" for m in range(_PQ_NSUB)
+    )
+    cb_joins = "\n  ".join(
+        f"JOIN cb cb{m} ON cb{m}.code = t.c{m}" for m in range(_PQ_NSUB)
+    )
+    adc = " + ".join(
+        f"({_duck_sq_l2(_pq_slice('q.qv', m), _pq_slice(f'cb{m}.cv', m))})"
+        for m in range(_PQ_NSUB)
+    )
+    return f"""
+WITH cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings
+            WHERE vec_id < {_PQ_K_CODES}),
+ms AS (SELECT unnest(range(0, {_PQ_NSUB})) AS m),
+enc AS (
+  SELECT e.vec_id, ms.m, cb.code,
+         row_number() OVER (
+           PARTITION BY e.vec_id, ms.m
+           ORDER BY {_duck_sq_l2(_pq_slice('e.embedding', 'ms.m'), _pq_slice('cb.cv', 'ms.m'))} ASC,
+                    cb.code ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN ms CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id,
+         {code_cols}
+  FROM enc WHERE rn = 1 GROUP BY vec_id
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {_PQ_QUERIES}),
+pair AS (
+  SELECT q.query_id, t.vec_id AS neighbor_id,
+         {adc} AS adc_dist
+  FROM codes t
+  JOIN q ON t.vec_id <> q.query_id
+  {cb_joins}
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC
+  ) AS rank
+  FROM pair
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adc_dist
+FROM r WHERE rank <= {_PQ_TOPK}
+"""
+
+
+@register(
+    "knn_pq_adc_l2",
+    _pq_oracle(),
+    "Product quantization + asymmetric-distance search: each 64-float "
+    "vector compresses to 8 codebook codes (8 subspaces x 16 entries, "
+    "sampled deterministic codebook — the k-means-seeding init; a "
+    "trained variant would reuse kmeans_train_centroids per subspace), "
+    "then queries scan the CODES, reconstructing distances from exact "
+    "query subvectors vs codebook subvectors. Completes the ANN ladder "
+    "next to brute-force and IVF: the corpus side of the scan carries "
+    "bytes instead of vectors (64x smaller at these parameters), which "
+    "is what makes the 100 TB memory-bound scan feasible; compose with "
+    "IVF bucket pruning to cut the scanned fraction. Encoding and "
+    "scoring are narrow maps (codebook broadcasts as one row, argmin "
+    "via lexicographic array_min); distance folds unroll per subspace "
+    "in fixed order for bit parity.",
+)
+def knn_pq_adc_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    cb_row = similarity.pq_codebook_row(
+        e.filter(F.col("vec_id") < _PQ_K_CODES).select(
+            F.col("vec_id").alias("code"), F.col("embedding").alias("cv")
+        )
+    )
+    codes = similarity.pq_encode(e, cb_row, n_sub=_PQ_NSUB, dsub=_PQ_DSUB)
+    return similarity.pq_adc_topk(
+        codes,
+        e.filter(F.col("vec_id") < _PQ_QUERIES),
+        cb_row,
+        k=_PQ_TOPK,
+        n_sub=_PQ_NSUB,
+        dsub=_PQ_DSUB,
+    )
