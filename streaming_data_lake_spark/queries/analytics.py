@@ -1591,3 +1591,47 @@ def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zkey").cast("long").alias("max_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (melt) — wide counters back to long metric series
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+_UNPIVOT_ORACLE = f"""
+WITH wide AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day,
+         {", ".join(
+             f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}"
+             for t in _UNPIVOT_TYPES
+         )}
+  FROM events GROUP BY 1
+)
+UNPIVOT wide ON {", ".join(_UNPIVOT_TYPES)}
+INTO NAME metric VALUE n_events
+"""
+
+
+@register(
+    "event_counters_unpivot",
+    _UNPIVOT_ORACLE,
+    "Unpivot/melt — the inverse of the declared-values pivot: per-day "
+    "wide counters (one pivot pass, fixed schema) relational-ized back "
+    "to (day, metric, value) rows, the normalization step that turns "
+    "wide telemetry into a long metric store. Spark's native unpivot "
+    "is a zero-shuffle Expand over the aggregated frame — rows grow "
+    "x5 AFTER aggregation (30 days x 5), never on the fact table.",
+)
+def event_counters_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        _t(spark, sf_dir, "events")
+        .select(F.date_trunc("day", F.col("ts")).alias("event_day"), "event_type")
+        .groupBy("event_day")
+        .pivot("event_type", _UNPIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _UNPIVOT_TYPES)
+    )
+    return wide.unpivot(
+        ["event_day"], _UNPIVOT_TYPES, "metric", "n_events"
+    )
