@@ -59,3 +59,19 @@ def seed_dimensions(spark: SparkSession, lake_dir: str) -> dict[str, str]:
         builder(spark).write.mode("overwrite").parquet(path)
         log[name] = "seeded"
     return log
+
+
+_FLIP = dt.datetime(2024, 1, 15)
+
+
+def build_dim_tier_history(spark: SparkSession) -> DataFrame:
+    """Two SCD2 versions per tier: labels flip `_v1` -> `_v2` at
+    2024-01-15 (mid-corpus, so facts span both validity windows).
+    Pure key arithmetic like the other seeds — any engine regenerates
+    it bit-for-bit, which is what lets the oracle reproduce the
+    point-in-time join without reading the dim."""
+    rows = []
+    for b in range(10):
+        rows.append((b, f"tier_{b}_v1", b % 3, _V0, _FLIP, False))
+        rows.append((b, f"tier_{b}_v2", b % 3, _FLIP, None, True))
+    return spark.createDataFrame(rows, TIER_SCHEMA)

@@ -97,6 +97,7 @@ _CERTIFICATION_ORDER = [
     "topn_customers_per_nation",
     "knn_pq_adc_l2",
     "event_counters_unpivot",
+    "scd2_point_in_time_enrichment",
     # (the new slots displaced r3-certified fillers to 51+,
     # which stay fresh-enough through this round per the ledger's
     # max-age-2 rule)
@@ -114,9 +115,9 @@ _CERTIFICATION_ORDER = [
     "streaming_upsert_hourly",
     "materialize_incremental_clean_events",
     # ---- (f) r3-certified fillers for the remaining slots ----
-    "time_travel_read_v1",
     # ---- position 51+ : certified green by a previous driver run
     # (round 3 or 4), implementation unchanged since ----
+    "time_travel_read_v1",
     "snapshot_metadata",
     "maintenance_compaction",
     "materialize_dim_change_repair",

@@ -302,3 +302,50 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time enrichment (historical-correctness dim join)
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+            THEN 'tier_' || CAST(user_id % 10 AS VARCHAR) || '_v1'
+            ELSE 'tier_' || CAST(user_id % 10 AS VARCHAR) || '_v2' END
+         AS tier_label,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register(
+    "scd2_point_in_time_enrichment",
+    _PIT_ORACLE,
+    "J6 historical variant — the PIT join is_current cannot express: "
+    "facts join the SCD2 version VALID AT EVENT TIME "
+    "(valid_from <= ts < valid_to, open-ended current row), so events "
+    "before the 2024-01-15 flip land on _v1 labels and later ones on "
+    "_v2 — as-reported history, not as-of-today. Plan: broadcast dim, "
+    "equi-join on the bucket with the validity range as residual "
+    "condition — no fact shuffle; at 100 TB the validity check rides "
+    "the broadcast hash probe.",
+)
+def scd2_point_in_time_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.datagen import build_dim_tier_history
+
+    dim = build_dim_tier_history(spark)
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "bucket", F.col("user_id") % 10
+    )
+    joined = e.join(
+        F.broadcast(dim),
+        (e["bucket"] == dim["bucket"])
+        & (e["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (e["ts"] < dim["valid_to"])),
+    )
+    return joined.groupBy("tier_label").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+    )
