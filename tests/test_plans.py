@@ -325,3 +325,38 @@ def test_topn_rank_filter_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, (
         "rank<=N filter should push down as WindowGroupLimit"
     )
+
+
+def test_pq_encode_is_narrow_map(spark):
+    """PQ encoding must never shuffle/sort the corpus: the codebook
+    collapses to one broadcast row and the per-subspace argmin runs in
+    higher-order functions."""
+    from streaming_data_lake_spark.operators import similarity
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    cb = similarity.pq_codebook_row(
+        e.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("code"), F.col("embedding").alias("cv")
+        )
+    )
+    plan = _formatted(similarity.pq_encode(e, cb))
+    assert "Window" not in plan and "SortAggregate" not in plan
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in corpus_side
+
+
+def test_pit_join_broadcasts_with_residual_range(spark):
+    plan = _executed(_query(spark, "scd2_point_in_time_enrichment"))
+    assert "BroadcastHashJoin" in plan, "PIT dim join should broadcast"
+    assert "SortMergeJoin" not in plan
+    assert "valid_from" in plan, "validity range should ride the probe as residual"
+
+
+def test_unpivot_expand_after_aggregate(spark):
+    plan = _executed(_query(spark, "event_counters_unpivot"))
+    assert plan.count("Expand") == 1
+    # Expand (unpivot) must sit ABOVE the aggregate in the tree =
+    # EARLIER in the plan text than the final HashAggregate pair.
+    assert plan.find("Expand") < plan.find("HashAggregate"), (
+        "unpivot should run on the aggregated frame, not the fact"
+    )
