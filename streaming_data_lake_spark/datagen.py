@@ -61,17 +61,26 @@ def seed_dimensions(spark: SparkSession, lake_dir: str) -> dict[str, str]:
     return log
 
 
-_FLIP = dt.datetime(2024, 1, 15)
+# TZ-aware UTC boundaries: createDataFrame converts NAIVE datetimes
+# through the driver OS timezone (TimestampType.toInternal), which
+# would shift a mid-corpus validity flip away from the TZ-naive
+# oracle literal on any non-UTC host. Aware-UTC datetimes pin the
+# internal micros regardless of host TZ; the parquet facts are
+# likewise fixed epoch values, so the PIT join is TZ-independent.
+# (_V0 in the single-version dims is latent-safe only because 2020
+# precedes every fact — the flip below sits INSIDE the fact range.)
+_FLIP = dt.datetime(2024, 1, 15, tzinfo=dt.timezone.utc)
+_V0_UTC = dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc)
 
 
 def build_dim_tier_history(spark: SparkSession) -> DataFrame:
     """Two SCD2 versions per tier: labels flip `_v1` -> `_v2` at
-    2024-01-15 (mid-corpus, so facts span both validity windows).
+    2024-01-15 UTC (mid-corpus, so facts span both validity windows).
     Pure key arithmetic like the other seeds — any engine regenerates
     it bit-for-bit, which is what lets the oracle reproduce the
     point-in-time join without reading the dim."""
     rows = []
     for b in range(10):
-        rows.append((b, f"tier_{b}_v1", b % 3, _V0, _FLIP, False))
+        rows.append((b, f"tier_{b}_v1", b % 3, _V0_UTC, _FLIP, False))
         rows.append((b, f"tier_{b}_v2", b % 3, _FLIP, None, True))
     return spark.createDataFrame(rows, TIER_SCHEMA)

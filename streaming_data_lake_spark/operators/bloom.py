@@ -28,8 +28,9 @@ plan optimization.
 Sizing: ``m_bits`` should be ~10× the expected dim-key cardinality for
 a ~1 % FP rate at k=3. Size m from the dim count at real scale.
 
-Everything per-row is JVM-side: md5-derived hashes (mirroring
-functions/hashing.h32_seeded), shiftright bit tests — no UDFs.
+Everything per-row is JVM-side: ONE md5-derived base hash with k
+affine mixes (the functions/hashing family), shiftright bit tests —
+no UDFs.
 """
 
 from __future__ import annotations
@@ -37,27 +38,38 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from streaming_data_lake_spark.functions.hashing import h32_seeded
+from streaming_data_lake_spark.functions.hashing import MIX_P, h32, minhash_mix, mix_consts
 
 DEFAULT_M_BITS = 16384
 DEFAULT_K = 3
 
+# The k hash functions are affine mixes of ONE md5 base (the
+# hashing.py family): hashing k independent md5s per fact row would
+# make md5 the hot instruction of the injected scan filter at scale —
+# the exact trap functions/hashing.py documents for MinHash. The base
+# expression still appears textually per conjunct in the injected
+# predicate, but whole-stage codegen's common-subexpression
+# elimination evaluates it once per row.
+
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
-    """The k bit positions of a key (portable seeded 32-bit hash, so
-    build and probe agree)."""
-    s = key.cast("string")
-    return [h32_seeded(s, i) % F.lit(m_bits) for i in range(k)]
+    """The k bit positions of a key: one portable 32-bit base hash,
+    k affine mixes. Build side; must stay in lockstep with
+    :func:`_pos_sql` (the no-false-negatives property test catches
+    drift)."""
+    base = h32(key.cast("string"))
+    return [minhash_mix(base, i) % F.lit(m_bits) for i in range(k)]
 
 
-def _pos_sql(key_col: str, seed: int, m_bits: int) -> str:
+def _pos_sql(key_col: str, i: int, m_bits: int) -> str:
     """SQL text of the i-th bit position of ``key_col`` — the exact
-    expression :func:`_positions` builds via the Column API (mirrors
-    functions.hashing.h32_seeded)."""
-    return (
-        f"(cast(conv(substring(md5(concat('{seed}:', "
-        f"cast({key_col} as string))), 1, 8), 16, 10) as bigint) % {m_bits})"
+    arithmetic :func:`_positions` builds via the Column API."""
+    a, b = mix_consts(i)
+    base = (
+        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 8), "
+        f"16, 10) as bigint)"
     )
+    return f"((({a} * {base} + {b}) % {MIX_P}) % {m_bits})"
 
 
 def bloom_bitmap(

@@ -1444,7 +1444,14 @@ FROM sh LEFT JOIN bo ON sh.doc_id = bo.doc_id
 )
 def crossdoc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", shingles(F.col("text"), _BOILER_N).alias("s"))
+    # The shingle table feeds THREE plan branches (per-doc sizes, the
+    # global frequency build, the per-doc probe side); materialize it
+    # once instead of re-running tokenize+shingle per branch — the
+    # dominant cost of the query (same precedent as the LSH verify
+    # stage above).
+    sh = d.select(
+        "doc_id", shingles(F.col("text"), _BOILER_N).alias("s")
+    ).localCheckpoint()
     ex = sh.select("doc_id", F.explode("s").alias("sng"))
     boiler = (
         ex.groupBy("sng")

@@ -64,9 +64,21 @@ CHANGED_R5 = {
 
 # (d) New queries this round — never seen by any driver run.
 NEW_R5 = {
+    # first wave
     "schema_evolution_read",
     "blocklist_filter_retention",
     "quality_percentile_filter",
+    # second wave
+    "crossdoc_boilerplate_ngrams",
+    "bloom_semi_join_prune",
+    "large_orders_having",
+    "cube_device_day_metrics",
+    "value_histogram_quantiles",
+    "zorder_layout_keys",
+    "topn_customers_per_nation",
+    "knn_pq_adc_l2",
+    "event_counters_unpivot",
+    "scd2_point_in_time_enrichment",
 }
 
 MUST_BE_IN_WINDOW = (
