@@ -301,3 +301,45 @@ def test_evolution_widenings_are_transitively_closed():
         for b2, c in _WIDENINGS:
             if b == b2 and a != c:
                 assert (a, c) in _WIDENINGS, f"missing transitive widening {a} -> {c}"
+
+
+def test_pq_adc_recall_beats_random(spark):
+    """PQ with a 16-entry sampled codebook on near-random synthetic
+    vectors is ANN's worst case — but ADC top-5 must still landslide
+    the random baseline (E[overlap] ~ 0.05/query vs >= 0.5 here), and
+    encoding must actually use the codebook (codes non-constant)."""
+    from streaming_data_lake_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook_row,
+        pq_encode,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cb = pq_codebook_row(
+        emb.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("code"), F.col("embedding").alias("cv")
+        )
+    )
+    codes = pq_encode(emb, cb)
+    assert codes.select("c0").distinct().count() > 1, "degenerate encoding"
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_adc_topk(codes, queries, cb, k=5).collect()
+    }
+    # Exact L2 top-5 via the same deterministic fold.
+    from streaming_data_lake_spark.operators.similarity import sq_l2
+    from pyspark.sql.window import Window
+
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    pairs = F.broadcast(q).join(emb, F.col("vec_id") != F.col("query_id"))
+    d = sq_l2(F.col("qv"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(d.asc(), F.col("vec_id").asc())
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    overlap = len(exact & approx)
+    assert overlap >= 5, f"ADC overlap with exact top-5 too low: {overlap}/50"

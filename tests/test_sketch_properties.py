@@ -134,3 +134,26 @@ def test_chunk_cover_and_overlap(n_tok):
     for _, lo, hi in ch:
         covered.update(range(lo, hi))
     assert covered == set(range(n_tok))
+
+
+def test_histogram_quantile_estimate_brackets_order_statistic(spark, duck):
+    """The histogram sketch's guarantee, asserted exactly: the
+    estimate is the upper edge of the bin holding the ceil(p*n)-th
+    order statistic x, so est - width < x <= est for every group and
+    both quantiles."""
+    from streaming_data_lake_spark.queries import all_queries
+    from tests.conftest import SF_DIR
+
+    est_rows = (
+        all_queries()["value_histogram_quantiles"].fn(spark, SF_DIR).collect()
+    )
+    width = 5.0
+    for r in est_rows:
+        for p, est in ((50, r.p50_est), (95, r.p95_est)):
+            t = (p * r.n_events + 99) // 100  # ceil(p*n/100), as in the query
+            x = duck.execute(
+                "SELECT value FROM events WHERE event_type = ? "
+                "ORDER BY value LIMIT 1 OFFSET ?",
+                [r.event_type, t - 1],
+            ).fetchone()[0]
+            assert est - width < x <= est, (r.event_type, p, x, est)
