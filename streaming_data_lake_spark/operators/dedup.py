@@ -208,7 +208,9 @@ def _materialized_band_pairs(
         "bkey",
         buckets=buckets,
         inputs=inputs,
-        params={"gen": PAIRS_GEN, **(params or {})},
+        # gen LAST so no caller-supplied key can shadow the module
+        # generation — it must stay authoritative for invalidation.
+        params={**(params or {}), "gen": PAIRS_GEN},
     )
     a, b = sig.alias("a"), sig.alias("b")
     return (

@@ -79,24 +79,31 @@ def _build_bucketed(
         json.dump(schema.jsonValue(), fh)
 
 
-def _register(spark: SparkSession, tbl: str, art_dir: str, key: str, buckets: int) -> None:
+def _register_and_read(
+    spark: SparkSession, tbl: str, art_dir: str, key: str, buckets: int
+) -> DataFrame:
     """Register the cached bucketed files as an external bucketed
     table in THIS session's catalog (idempotent; re-points the name
-    if a previous registration used a different artifact)."""
+    if a previous registration used a different artifact) and read it
+    back UNDER THE SAME LOCK: ``spark.table`` analyzes eagerly, so
+    resolving inside the lock binds THIS registration's location —
+    reading outside it would let a concurrent different-param build
+    re-point the name between register and read and hand back the
+    wrong artifact's data."""
     data = os.path.join(art_dir, "data")
     with _LOCK:
-        if _REGISTERED.get(tbl) == data and spark.catalog.tableExists(tbl):
-            return
-        with open(os.path.join(art_dir, "schema.json")) as fh:
-            fields = json.load(fh)["fields"]
-        cols = ", ".join(f"`{f['name']}` {_ddl_type(f['type'])}" for f in fields)
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        spark.sql(
-            f"CREATE TABLE {tbl} ({cols}) USING parquet "
-            f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {buckets} BUCKETS "
-            f"LOCATION '{data}'"
-        )
-        _REGISTERED[tbl] = data
+        if not (_REGISTERED.get(tbl) == data and spark.catalog.tableExists(tbl)):
+            with open(os.path.join(art_dir, "schema.json")) as fh:
+                fields = json.load(fh)["fields"]
+            cols = ", ".join(f"`{f['name']}` {_ddl_type(f['type'])}" for f in fields)
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING parquet "
+                f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {buckets} BUCKETS "
+                f"LOCATION '{data}'"
+            )
+            _REGISTERED[tbl] = data
+        return spark.table(tbl)
 
 
 def _ddl_type(t) -> str:
@@ -123,8 +130,7 @@ def _durable_bucketed(
         {"key": key, "buckets": buckets, **params},
         lambda tmp: _build_bucketed(spark, df, tbl, key, buckets, tmp),
     )
-    _register(spark, tbl, art, key, buckets)
-    return spark.table(tbl)
+    return _register_and_read(spark, tbl, art, key, buckets)
 
 
 def bucketed_table(
@@ -178,8 +184,12 @@ def bucketed_frame(
 
         tmp = tempfile.mkdtemp(prefix=f"bkt_{tbl}_")
         _build_bucketed(spark, df, tbl, key, buckets, tmp)
-        _register(spark, tbl, tmp, key, buckets)
-    return spark.table(tbl)
+        return _register_and_read(spark, tbl, tmp, key, buckets)
+    # Already registered in this process: re-resolve under the lock so
+    # a concurrent re-registration cannot re-point the name mid-read.
+    return _register_and_read(
+        spark, tbl, os.path.dirname(_REGISTERED[tbl]), key, buckets
+    )
 
 
 def bucketed_join(

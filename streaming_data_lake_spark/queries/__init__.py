@@ -39,21 +39,23 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 # The driver hash-checks the FIRST 50 registered queries per round.
 # Certification rotates; round 5's window (tools/ledger.py enforces
-# the arithmetic) holds EXACTLY 50 names: (a) the 19 queries whose
-# ONLY driver verdict is round 1 — three refactor waves ago (the
-# sketch refactor, the durable artifact cache, the float-parity
-# waves) — the r4 verdict's top lead; (b) the six light streaming
-# queries whose scratch-dir lifetime changed in round 4 after their
-# round-3 certification; (c) the queries whose physical path changed
-# THIS round: the sessionize dispatch (transformWithState preferred),
-# the SemDeDup occupancy guard, and the six durable-artifact readers
-# whose cache keys changed (per-user cache root + PAIRS_GEN now in
-# the signature-table params); (d) the standing high-risk block
-# (flagship, heavy streaming, incremental materializer); and (e)
-# round-3-certified matq/platform/KNN fillers for the remaining
-# slots. Everything at 51+ was driver-certified green in round 3 or 4
-# on an implementation unchanged since.
-# tests/test_registry_order.py asserts the window arithmetic.
+# the arithmetic) holds EXACTLY 50 names — section letters below
+# match the list markers: (a) the 19 queries whose ONLY driver
+# verdict is round 1 — three refactor waves ago (the sketch refactor,
+# the durable artifact cache, the float-parity waves) — the r4
+# verdict's top lead; (b) the six light streaming queries whose
+# scratch-dir lifetime changed in round 4 after their round-3
+# certification; (c) the round-5 NEW queries (both waves) — never
+# seen by any driver run; (d) the queries whose physical path changed
+# this round: the sessionize dispatch (transformWithState preferred),
+# the SemDeDup occupancy guard, and the durable-artifact readers
+# whose cache keys changed (per-user cache root + PAIRS_GEN in the
+# signature-table params); (e) the standing high-risk block
+# (flagship, heavy streaming, incremental materializer). The window
+# is exactly full — no filler slots remain. Everything at 51+ was
+# driver-certified green in round 3 or 4 on an implementation
+# unchanged since. tests/test_registry_order.py asserts the window
+# arithmetic.
 _CERTIFICATION_ORDER = [
     # flagship
     "pricing_summary",
@@ -114,7 +116,8 @@ _CERTIFICATION_ORDER = [
     "streaming_funnel_daily",
     "streaming_upsert_hourly",
     "materialize_incremental_clean_events",
-    # ---- (f) r3-certified fillers for the remaining slots ----
+    # (no filler section this round — the second wave's new queries
+    # consumed every remaining slot)
     # ---- position 51+ : certified green by a previous driver run
     # (round 3 or 4), implementation unchanged since ----
     "time_travel_read_v1",

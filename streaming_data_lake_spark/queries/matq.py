@@ -15,7 +15,7 @@ Scenario (FIXTURES.md scenario 4 — out-of-order/late):
 from __future__ import annotations
 
 import os
-from streaming_data_lake_spark.streaming.pipelines import _scratch_dir
+from streaming_data_lake_spark.scratch import scratch_dir as _scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -179,7 +179,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # just state-store commits), so it profits from more parallelism
     # (measured warm at sf0.1: 16 -> 3.8s vs 8 -> 4.3s).
     with pipelines._state_partitions(spark, 16):
-        if tws_available():
+        if tws_available(spark):  # driver AND executor-side probe
             return sessionize_tws_replay(spark, sf_dir, gap_minutes=120)
         return sessionize_replay(spark, sf_dir, gap_minutes=120)
 

@@ -17,11 +17,8 @@ Pipelines:
 
 from __future__ import annotations
 
-import atexit
 import contextlib
 import os
-import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,38 +29,14 @@ from streaming_data_lake_spark.operators.ingest import clean_events
 from streaming_data_lake_spark.sources.streams import stream_table
 from streaming_data_lake_spark.catalog import load_table
 from streaming_data_lake_spark.formats import resolve_format
+from streaming_data_lake_spark.scratch import scratch_dir
 
 
-def _scratch_base() -> str | None:
-    """Base dir for bounded-replay scratch. Prefers RAM-backed tmpfs
-    (/dev/shm) when present: the HDFS-backed state store writes a
-    delta file per store per micro-batch commit into the checkpoint
-    dir, and on bounded availableNow replays that per-commit disk I/O
-    is pure floor — the checkpoints are atexit-deleted scratch that
-    nothing ever recovers from. A production deployment of the SAME
-    pipelines points checkpointLocation at durable object storage
-    (recovery is the point there); this only relocates the
-    replay-harness scratch, not the production contract. Override
-    with $SPARK_GRAFT_STREAM_SCRATCH."""
-    override = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
-    if override:
-        return override
-    shm = "/dev/shm"
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return shm
-    return None  # tempfile default
-
-
-def _scratch_dir(prefix: str) -> str:
-    """mkdtemp whose directory is removed at process exit. Streaming
-    scratch (checkpoints, upsert table dirs) must outlive the
-    function that created it — the returned DataFrame is lazy and the
-    caller reads it later — but nothing needs it past the process, so
-    atexit cleanup is the correct lifetime: repeated driver sweeps
-    stop accumulating unbounded tmp state."""
-    d = tempfile.mkdtemp(prefix=prefix, dir=_scratch_base())
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
+# Scratch policy (shm preference + capacity gate + atexit lifetime)
+# lives in the shared module — matq/platform batch queries stage their
+# emulated-lake dirs through the same helper. The underscore alias is
+# the streaming modules' established internal name.
+_scratch_dir = scratch_dir
 
 
 @contextlib.contextmanager
@@ -80,7 +53,17 @@ def _state_partitions(spark: SparkSession, n: int | None = None):
     ``$SPARK_GRAFT_STATE_PARTITIONS`` overrides the DEFAULT only."""
     key = "spark.sql.shuffle.partitions"
     if n is None:
-        n = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "4"))
+        raw = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "4")
+        try:
+            n = int(raw)
+        except ValueError:
+            raise ValueError(
+                f"SPARK_GRAFT_STATE_PARTITIONS must be a positive integer, got {raw!r}"
+            ) from None
+        if n < 1:
+            raise ValueError(
+                f"SPARK_GRAFT_STATE_PARTITIONS must be >= 1, got {n}"
+            )
     prev = spark.conf.get(key)
     spark.conf.set(key, str(n))
     try:

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _scratch(prefix: str) -> str:
     """Process-exit-cleaned scratch dir (see pipelines._scratch_dir)."""
-    from streaming_data_lake_spark.streaming.pipelines import _scratch_dir
+    from streaming_data_lake_spark.scratch import scratch_dir as _scratch_dir
 
     return _scratch_dir(prefix)
 
@@ -237,25 +237,61 @@ def sessionize_replay(
     return spark.table(name)
 
 
-def tws_available() -> bool:
+# SparkSession id -> executor-side probe result; the probe is one
+# tiny job, cached per session.
+_TWS_EXEC_PROBE: dict[int, bool] = {}
+
+
+def tws_available(spark: SparkSession | None = None) -> bool:
     """Whether the transformWithStateInPandas state protocol can run:
     it is driven over protobuf, which this container lacks (round 5:
     ``ModuleNotFoundError: No module named 'google'``; an earlier
     image shipped protobuf without its descriptor module). Probed up
     front because the failure otherwise surfaces at stream start as
-    an opaque worker crash."""
+    an opaque worker crash.
+
+    Pass the session to ALSO probe an executor Python worker: on a
+    real cluster the driver venv and executor env can differ (the
+    driver having protobuf as a transitive dependency is common), and
+    a driver-only probe would dispatch TWS onto workers that crash at
+    stream start — the exact failure this gate exists to prevent. The
+    probe is one single-row mapInPandas job, cached per session;
+    local mode degenerates to the driver env."""
     try:
         from google.protobuf import descriptor  # noqa: F401
-
-        return True
     except Exception:  # noqa: BLE001
         return False
+    if spark is None:
+        return True
+    key = id(spark)
+    if key not in _TWS_EXEC_PROBE:
+        def probe(batches):
+            ok = 1
+            try:
+                from google.protobuf import descriptor  # noqa: F401,F811
+            except Exception:  # noqa: BLE001
+                ok = 0
+            for _ in batches:
+                pass
+            yield pd.DataFrame({"ok": [ok]})
+
+        try:
+            rows = (
+                spark.range(1)
+                .repartition(1)
+                .mapInPandas(probe, "ok int")
+                .collect()
+            )
+            _TWS_EXEC_PROBE[key] = bool(rows and rows[0][0] == 1)
+        except Exception:  # noqa: BLE001 — no pandas/arrow on workers etc.
+            _TWS_EXEC_PROBE[key] = False
+    return _TWS_EXEC_PROBE[key]
 
 
-def _require_tws() -> None:
+def _require_tws(spark: SparkSession | None = None) -> None:
     """Raise with guidance when TWS cannot run — the same gating
     discipline as the Kafka/Avro source."""
-    if not tws_available():
+    if not tws_available(spark):
         raise RuntimeError(
             "transformWithStateInPandas requires a working google.protobuf "
             "(pip install protobuf); not available in this environment. "
@@ -278,7 +314,7 @@ def sessionize_tws(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
 
     Requires a working ``google.protobuf`` (the TWS state protocol
     transport); raises with guidance where absent."""
-    _require_tws()
+    _require_tws(src.sparkSession)
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

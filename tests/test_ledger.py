@@ -6,9 +6,14 @@ judge's manual CORRECTNESS_r*.json cross-referencing (VERDICT r4
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo/tools")
+# Resolve tools/ relative to THIS checkout — a hardcoded path would
+# import (and audit) a different repo when the tests run elsewhere.
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
 
 import ledger  # noqa: E402
 

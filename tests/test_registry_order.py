@@ -111,10 +111,13 @@ def test_window_has_room_for_the_priority_sets():
     queries without rebalancing, this fails before the driver
     silently skips a query we claim is certified."""
     assert len(MUST_BE_IN_WINDOW) <= WINDOW
-    # Groups must be disjoint (each name counted once).
-    assert not (R1_ONLY & STREAM_R4_TOUCHED)
-    assert not (R1_ONLY & CHANGED_R5)
-    assert not (STREAM_R4_TOUCHED & CHANGED_R5)
+    # Groups must be pairwise disjoint (each name counted once) — a
+    # silent overlap would make the size check pass while the window
+    # holds fewer distinct obligations than the bookkeeping claims.
+    groups = [R1_ONLY, STREAM_R4_TOUCHED, CHANGED_R5, NEW_R5]
+    for i, g1 in enumerate(groups):
+        for g2 in groups[i + 1:]:
+            assert not (g1 & g2), sorted(g1 & g2)
 
 
 def test_every_query_is_callable_and_oracle_typed():
