@@ -106,3 +106,40 @@ def test_input_fingerprint_covers_directories(cache_env, tmp_path):
     key = json.dumps(fp)
     (d / "part-1").write_bytes(b"defg")
     assert json.dumps(artifacts._input_fingerprint(str(d))) != key
+
+
+def test_scratch_base_capacity_gate(monkeypatch):
+    """/dev/shm is used only when it has headroom: with an absurd
+    floor the base falls back to the tempfile default, and an
+    explicit override always wins."""
+    from streaming_data_lake_spark import scratch
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SCRATCH", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_SHM_MIN_BYTES", str(1 << 60))
+    assert scratch.scratch_base() is None
+    monkeypatch.setenv("SPARK_GRAFT_SHM_MIN_BYTES", "0")
+    import os
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        assert scratch.scratch_base() == "/dev/shm"
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SCRATCH", "/tmp/somewhere")
+    assert scratch.scratch_base() == "/tmp/somewhere"
+
+
+def test_state_partitions_env_validation(monkeypatch, spark):
+    import pytest as _pytest
+
+    from streaming_data_lake_spark.streaming.pipelines import _state_partitions
+
+    monkeypatch.setenv("SPARK_GRAFT_STATE_PARTITIONS", "auto")
+    with _pytest.raises(ValueError, match="positive integer"):
+        with _state_partitions(spark):
+            pass
+    monkeypatch.setenv("SPARK_GRAFT_STATE_PARTITIONS", "0")
+    with _pytest.raises(ValueError, match=">= 1"):
+        with _state_partitions(spark):
+            pass
+    monkeypatch.setenv("SPARK_GRAFT_STATE_PARTITIONS", "6")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with _state_partitions(spark):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "6"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
