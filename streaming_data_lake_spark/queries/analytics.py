@@ -416,12 +416,15 @@ def semantic_dedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # result (and the unguarded oracle) are unchanged; at 100 TB the
     # cap — together with k ~ corpus/target_occupancy — bounds the
     # join. Property-tested in tests/test_analytics_plans.py.
+    # The assignment feeds BOTH sides of the pair join; materialize it
+    # once (it is corpus-size, tiny next to the argmax work it saves —
+    # the centroid-cosine narrow map would otherwise execute twice).
     assigned = occupancy_shards(
         ivf_assign(e, cents).select(
             "vec_id", "embedding", "cluster_id", norm(F.col("embedding")).alias("nrm")
         ),
         max_occupancy=4096,
-    )
+    ).localCheckpoint()
     a = assigned.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("v_a"),
