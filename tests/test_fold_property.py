@@ -69,3 +69,65 @@ def test_fold_batch_matches_naive(events, carried):
     want_closed, want_open = naive_fold(events, carried, GAP_US)
     assert got_closed == want_closed
     assert got_open == want_open
+
+
+# ---------------------------------------------------------------------------
+# Morton (z-order) spread: pure-Python mirror of the SQL steps
+# ---------------------------------------------------------------------------
+
+
+def _py_spread(x: int) -> int:
+    from streaming_data_lake_spark.queries.analytics import _Z_SPREAD_STEPS
+
+    for sh, mask in _Z_SPREAD_STEPS:
+        x = (x | (x << sh)) & mask
+    return x
+
+
+def _py_unspread(x: int) -> int:
+    """Collect the even bit positions back into a compact int."""
+    out = 0
+    for i in range(16):
+        out |= ((x >> (2 * i)) & 1) << i
+    return out
+
+
+@given(st.integers(0, 65535), st.integers(0, 65535))
+@settings(max_examples=300, deadline=None)
+def test_morton_interleave_roundtrip(x, y):
+    """interleave(x, y) de-interleaves back to (x, y) and is
+    monotone-per-dimension on shared prefixes — the property the
+    SQL expression text encodes step-for-step."""
+    z = _py_spread(x) | (_py_spread(y) << 1)
+    assert _py_unspread(z) == x
+    assert _py_unspread(z >> 1) == y
+    assert 0 <= z < 1 << 32
+
+
+def test_morton_sql_matches_python(spark):
+    """The shared `<< | &` SQL expression text computes the same key
+    as the Python mirror for a boundary grid (0, 1, powers, maxima)."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_spark.queries.analytics import _Z_SPREAD_STEPS, _z_step
+
+    vals = [0, 1, 2, 255, 256, 1023, 21845, 65535]
+    df = spark.createDataFrame(
+        [(x, y) for x in vals for y in vals], "zx long, zy long"
+    )
+    expect = {
+        (x, y): _py_spread(x) | (_py_spread(y) << 1) for x in vals for y in vals
+    }
+    probe = df.withColumn("x0", F.col("zx")).withColumn("y0", F.col("zy"))
+    for sh, mask in _Z_SPREAD_STEPS:
+        probe = probe.select(
+            F.expr(_z_step("zx", sh, mask)).alias("zx"),
+            F.expr(_z_step("zy", sh, mask)).alias("zy"),
+            "x0",
+            "y0",
+        )
+    rows = probe.select(
+        "x0", "y0", F.expr("zx | (zy << 1)").alias("z")
+    ).collect()
+    for r in rows:
+        assert r.z == expect[(r.x0, r.y0)], (r.x0, r.y0)
