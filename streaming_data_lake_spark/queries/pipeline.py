@@ -1552,7 +1552,9 @@ FROM r WHERE rank <= {_PQ_TOPK}
 @register(
     "knn_pq_adc_l2",
     _pq_oracle(),
-    "Product quantization + asymmetric-distance search: each 64-float "
+    "Product quantization + asymmetric-distance search (Jegou, Douze, "
+    "Schmid 2011, 'Product Quantization for Nearest Neighbor Search', "
+    "IEEE TPAMI): each 64-float "
     "vector compresses to 8 codebook codes (8 subspaces x 16 entries, "
     "sampled deterministic codebook — the k-means-seeding init; a "
     "trained variant would reuse kmeans_train_centroids per subspace), "
