@@ -343,3 +343,35 @@ def test_pq_adc_recall_beats_random(spark):
     }
     overlap = len(exact & approx)
     assert overlap >= 5, f"ADC overlap with exact top-5 too low: {overlap}/50"
+
+
+def test_pit_join_boundary_event_lands_on_v2(spark):
+    """An event at EXACTLY the SCD2 flip instant joins the new
+    version (valid_from <= ts < valid_to: half-open intervals, no
+    double-match, no gap) — the parity corpus never hits the exact
+    boundary, so pin it here. Also: every event matches exactly one
+    version."""
+    import datetime as dt
+
+    from streaming_data_lake_spark.datagen import build_dim_tier_history
+
+    flip = dt.datetime(2024, 1, 15, tzinfo=dt.timezone.utc)
+    eps = dt.timedelta(microseconds=1)
+    events = spark.createDataFrame(
+        [
+            (1, flip - eps, 7),   # last instant of v1
+            (2, flip, 7),         # first instant of v2
+            (3, flip + eps, 7),
+        ],
+        "event_id long, ts timestamp, user_id long",
+    ).withColumn("bucket", F.col("user_id") % 10)
+    dim = build_dim_tier_history(spark)
+    joined = events.join(
+        dim,
+        (events["bucket"] == dim["bucket"])
+        & (events["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (events["ts"] < dim["valid_to"])),
+    ).select("event_id", "tier_label")
+    got = {r.event_id: r.tier_label for r in joined.collect()}
+    assert got == {1: "tier_7_v1", 2: "tier_7_v2", 3: "tier_7_v2"}
+    assert joined.count() == 3  # exactly one version per event
