@@ -132,3 +132,39 @@ def test_sessionize_tws_gate(spark):
         assert "protobuf" in str(exc)
     except Exception:
         _pytest.fail("unexpected error type from sessionize_tws gate")
+
+
+def test_confluent_wire_format_expressions(spark):
+    """The wire-header helpers are pure binary expressions — exercise
+    them without any Kafka/Avro jar: a frame built to the public
+    Confluent spec (0x0 magic + 4-byte big-endian schema id + payload)
+    must round-trip its payload and schema id; short or non-magic
+    frames must be rejected."""
+    import struct
+
+    from streaming_data_lake_spark.sources.kafka_avro import (
+        confluent_schema_id,
+        is_confluent_framed,
+        strip_confluent_header,
+    )
+
+    payload = b"\x02hi avro"  # arbitrary bytes, incl. non-ASCII path
+    framed = b"\x00" + struct.pack(">I", 4242) + payload
+    rows = (
+        spark.createDataFrame(
+            [(1, framed), (2, b"\x01" + framed[1:]), (3, b"\x00\x00")],
+            "id long, value binary",
+        )
+        .select(
+            "id",
+            is_confluent_framed().alias("ok"),
+            confluent_schema_id().alias("sid"),
+            strip_confluent_header().alias("payload"),
+        )
+        .collect()
+    )
+    by_id = {r.id: r for r in rows}
+    assert by_id[1].ok and by_id[1].sid == 4242
+    assert bytes(by_id[1].payload) == payload
+    assert not by_id[2].ok  # wrong magic byte
+    assert not by_id[3].ok  # too short for the 5-byte header
