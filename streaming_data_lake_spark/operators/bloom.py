@@ -125,5 +125,8 @@ def bloom_prefilter(
     bitmap join here)."""
     rows = bitmap.collect()
     bmap = dict(rows[0].bmap) if rows and rows[0].bmap is not None else {}
-    dense = [int(bmap.get(w, 0)) for w in range(m_bits // 64)]
+    # Ceil-divide: positions run to m_bits-1, so a non-multiple-of-64
+    # m needs the final partial word too — truncating it would turn
+    # true matches into false NEGATIVES (or an ANSI element_at error).
+    dense = [int(bmap.get(w, 0)) for w in range((m_bits + 63) // 64)]
     return fact.filter(bloom_condition(key_col, dense, m_bits, k))

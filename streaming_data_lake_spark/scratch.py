@@ -44,9 +44,13 @@ def scratch_base() -> str | None:
             free = st.f_bavail * st.f_frsize
         except OSError:
             return None
-        floor = int(
-            os.environ.get("SPARK_GRAFT_SHM_MIN_BYTES", _SHM_MIN_BYTES_DEFAULT)
-        )
+        raw = os.environ.get("SPARK_GRAFT_SHM_MIN_BYTES", "")
+        try:
+            floor = int(raw) if raw else _SHM_MIN_BYTES_DEFAULT
+        except ValueError:
+            raise ValueError(
+                f"SPARK_GRAFT_SHM_MIN_BYTES must be an integer byte count, got {raw!r}"
+            ) from None
         if free >= floor:
             return shm
     return None  # tempfile default (disk)

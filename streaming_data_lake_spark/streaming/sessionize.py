@@ -237,9 +237,10 @@ def sessionize_replay(
     return spark.table(name)
 
 
-# SparkSession id -> executor-side probe result; the probe is one
-# tiny job, cached per session.
-_TWS_EXEC_PROBE: dict[int, bool] = {}
+# applicationId -> executor-side probe result; the probe is one tiny
+# job, cached per Spark application (executor envs are per-context,
+# and id(spark) could alias a new session after GC).
+_TWS_EXEC_PROBE: dict[str, bool] = {}
 
 
 def tws_available(spark: SparkSession | None = None) -> bool:
@@ -263,7 +264,7 @@ def tws_available(spark: SparkSession | None = None) -> bool:
         return False
     if spark is None:
         return True
-    key = id(spark)
+    key = spark.sparkContext.applicationId
     if key not in _TWS_EXEC_PROBE:
         def probe(batches):
             ok = 1

@@ -51,3 +51,18 @@ def test_default_sizing_prunes(spark):
     n_cand = bloom_prefilter(fact, "k", bm).count()
     n_true = fact.join(dim, "k", "left_semi").count()
     assert n_true <= n_cand < fact.count()
+
+
+def test_non_multiple_of_64_bits_keeps_final_partial_word(spark):
+    """m_bits that is not a multiple of 64 (the docstring's 'size m
+    from the dim count' produces these) must not truncate the final
+    partial word — that would crash under ANSI element_at or, worse,
+    silently drop TRUE matches (false negatives the exact join cannot
+    recover)."""
+    dim, fact = _tables(spark)
+    bm = bloom_bitmap(dim, "k", m_bits=100, k=3)
+    cand = set(
+        r.id for r in bloom_prefilter(fact, "k", bm, m_bits=100, k=3).collect()
+    )
+    true = set(r.id for r in fact.join(dim, "k", "left_semi").collect())
+    assert true <= cand

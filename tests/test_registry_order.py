@@ -47,10 +47,11 @@ STREAM_R4_TOUCHED = {
     "streaming_dedup_within_watermark",
 }
 
-# (c) Physical path changed in round 5: the sessionize dispatch
+# (d) Physical path changed in round 5: the sessionize dispatch
 # (transformWithState preferred when protobuf exists), the SemDeDup
 # occupancy guard, and the durable-artifact readers whose cache keys
 # changed (per-user cache root; PAIRS_GEN now in signature params).
+# Letters match queries/__init__._CERTIFICATION_ORDER's markers.
 CHANGED_R5 = {
     "streaming_sessionize",
     "semantic_dedup_centroid",
@@ -62,7 +63,7 @@ CHANGED_R5 = {
     "partition_pruned_scan",
 }
 
-# (d) New queries this round — never seen by any driver run.
+# (c) New queries this round — never seen by any driver run.
 NEW_R5 = {
     # first wave
     "schema_evolution_read",
