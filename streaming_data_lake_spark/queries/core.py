@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from streaming_data_lake_spark.catalog import load_table
-from streaming_data_lake_spark.functions.parity import davg, dsum, duck_davg, duck_dsum
+from streaming_data_lake_spark.functions.parity import davg, dsum
 from streaming_data_lake_spark.functions.scalar import decode_priority, zero_guard_ratio
 from streaming_data_lake_spark.operators import ingest
 from streaming_data_lake_spark.operators.dedup import dedup_groupby_canonical, dedup_row_number
