@@ -94,10 +94,18 @@ def pack_token_budget(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Greedy sequence packing: assign documents (in deterministic
-    id order) to fixed token-budget shards of ``capacity`` whitespace
-    tokens; a document starts a new shard when the running total
-    would not have fit it at the shard boundary.
+    """Greedy sequence packing by START OFFSET: documents (in
+    deterministic id order) land in shard ``floor(prefix_tokens /
+    capacity)`` of their pack group. A document straddling a boundary
+    stays in the shard where it STARTS, so a shard can overflow
+    ``capacity`` by up to one document's tokens (and a doc longer
+    than capacity spans several ids) — the offset-bucketing variant
+    of packing, chosen because it is a pure running sum (no
+    sequential carry between rows beyond the prefix), which is what
+    keeps it a single partitioned window at scale. Consumers that
+    need a HARD cap truncate at read time. Text must be non-null
+    (the driver corpus guarantees it; a NULL text would diverge from
+    the oracle's NULL-propagating len()).
 
     Scale design: packing is a running sum, which is inherently
     sequential — so it runs *per pack group* (``h32(id) % n_groups``),

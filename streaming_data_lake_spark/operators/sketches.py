@@ -108,7 +108,13 @@ def cms_cells(tok: DataFrame, token_col: str = "token") -> DataFrame:
 def cms_lookup(cand: DataFrame, cells: DataFrame, token_col: str = "token") -> DataFrame:
     """Point-query the sketch for each candidate token: min over the
     d rows' cells (the Count-Min estimate, always >= truth). The grid
-    is at most d×w rows — broadcast it."""
+    is at most d×w rows — broadcast it.
+
+    LEFT join + coalesce(0): a cell no stream token ever hit is an
+    implicit zero in the grid, so a candidate OUTSIDE the sketched
+    stream correctly estimates 0 instead of vanishing from the output
+    (an inner join would silently drop it, and min over a partial set
+    of cells overestimates)."""
     probes = cand.select(
         "*", F.explode(_cms_seed_buckets(F.col(token_col))).alias("sb")
     ).select(
@@ -117,9 +123,9 @@ def cms_lookup(cand: DataFrame, cells: DataFrame, token_col: str = "token") -> D
         F.col("sb.bucket").alias("bucket"),
     )
     return (
-        probes.join(F.broadcast(cells), ["seed", "bucket"])
+        probes.join(F.broadcast(cells), ["seed", "bucket"], "left")
         .groupBy(*cand.columns)
-        .agg(F.min("cnt").alias("cms_estimate"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
     )
 
 
@@ -131,13 +137,12 @@ def cms_topk_candidates(tok: DataFrame, token_col: str = "token", k: int = CMS_T
     count desc, token asc) — the candidate set the sketch estimates
     are exhibited against. Shared by the batch query and the
     streaming pipeline so the candidate definition can never drift
-    from the oracle's."""
-    from pyspark.sql.window import Window
+    from the oracle's.
 
+    orderBy+limit, NOT a global row_number window: Spark plans the
+    former as a distributed TakeOrderedAndProject (each partition
+    keeps k rows, driver merges), while an un-partitioned window
+    would drag the whole vocabulary-sized truth table through one
+    task. Same deterministic result set."""
     truth = tok.groupBy(token_col).agg(F.count(F.lit(1)).alias("true_n"))
-    w = Window.orderBy(F.desc("true_n"), F.asc(token_col))
-    return (
-        truth.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return truth.orderBy(F.desc("true_n"), F.asc(token_col)).limit(k)

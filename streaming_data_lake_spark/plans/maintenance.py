@@ -9,8 +9,11 @@ engine's parquet tables.
    rewrite with an atomic swap.
  - X2/X3 snapshot/orphan cleanup: the parquet tables keep no
    snapshots, but the atomic-swap writers leave ``__tmp_``/``__old_``
-   directories behind on crash — :func:`remove_orphans` sweeps them
-   (maintenance.sh:72-79).
+   directories behind on crash — :func:`remove_orphans` RECOVERS
+   from them (maintenance.sh:72-79): an ``__old_`` whose base table
+   is missing is the only surviving copy of the data (the swap died
+   between its two renames), so it is renamed back, never deleted.
+   Scratch is deleted only when the base table exists.
 """
 
 from __future__ import annotations
@@ -18,6 +21,7 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import SparkSession
@@ -33,25 +37,82 @@ def dir_bytes(path: str) -> int:
     return total
 
 
-def compact_parquet(spark: SparkSession, table_dir: str, target_bytes: int = TARGET_FILE_BYTES) -> int:
-    """X1: rewrite ``table_dir`` into ceil(size/target) files.
-    Returns the resulting file count."""
+def _parquet_files(d: str) -> int:
+    return sum(
+        1 for f in os.listdir(d) if f.endswith(".parquet") or f.startswith("part-")
+    )
+
+
+def compact_parquet(
+    spark: SparkSession, table_dir: str, target_bytes: int = TARGET_FILE_BYTES
+) -> int:
+    """X1: rewrite ``table_dir`` into ~ceil(size/target) files.
+    Returns the ACTUAL resulting file count (``coalesce`` only merges
+    partitions — when the computed count exceeds the read partition
+    count, fewer files come out than the formula says)."""
     n_files = max(1, math.ceil(dir_bytes(table_dir) / target_bytes))
     df = spark.read.parquet(table_dir)
     tmp = f"{table_dir}__tmp_{uuid.uuid4().hex}"
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
     old = f"{table_dir}__old_{uuid.uuid4().hex}"
+    # Swap: after the first rename the ORIGINAL lives only in `old` —
+    # remove_orphans' recovery rule (restore `__old_` when the base is
+    # missing) covers a crash landing between the two renames.
     os.rename(table_dir, old)
     os.rename(tmp, table_dir)
     shutil.rmtree(old, ignore_errors=True)
-    return n_files
+    return _parquet_files(table_dir)
 
 
-def remove_orphans(lake_dir: str) -> list[str]:
-    """X2/X3: remove leftover atomic-swap scratch directories."""
-    removed = []
-    for entry in os.listdir(lake_dir):
-        if "__tmp_" in entry or "__old_" in entry:
-            shutil.rmtree(os.path.join(lake_dir, entry), ignore_errors=True)
+def remove_orphans(
+    lake_dir: str, min_age_s: float = 0.0
+) -> list[str]:
+    """X2/X3: recover-or-remove leftover atomic-swap scratch.
+
+    Per ``{base}__old_{hex}`` / ``{base}__tmp_{hex}`` entry:
+
+    - base table MISSING and entry is ``__old_``: the swap crashed
+      between its renames and this is the only full copy — RENAME it
+      back to the base (recovery, reported as ``restored:<entry>``).
+    - base table present: the entry is disposable scratch — remove.
+    - base missing and entry is ``__tmp_``: possibly incomplete
+      write; removed only after any ``__old_`` sibling was restored
+      first (the pass handles ``__old_`` before ``__tmp_``), so data
+      is never lost to the sweep.
+
+    ``min_age_s`` guards SCHEDULED sweeps against racing an in-flight
+    writer's live scratch: entries younger than this are skipped.
+    The default (0) preserves run-after-the-fact semantics for
+    single-process maintenance cycles; a cron-style deployment should
+    pass e.g. 3600.
+    """
+    removed: list[str] = []
+    now = time.time()
+
+    def entries(marker: str) -> list[str]:
+        return [e for e in sorted(os.listdir(lake_dir)) if marker in e]
+
+    def young(path: str) -> bool:
+        try:
+            return min_age_s > 0 and (now - os.path.getmtime(path)) < min_age_s
+        except OSError:
+            return True  # vanished mid-scan: leave it alone
+
+    for entry in entries("__old_"):
+        path = os.path.join(lake_dir, entry)
+        if young(path):
+            continue
+        base = os.path.join(lake_dir, entry.split("__old_")[0])
+        if not os.path.exists(base):
+            os.rename(path, base)
+            removed.append(f"restored:{entry}")
+        else:
+            shutil.rmtree(path, ignore_errors=True)
             removed.append(entry)
+    for entry in entries("__tmp_"):
+        path = os.path.join(lake_dir, entry)
+        if young(path):
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(entry)
     return removed

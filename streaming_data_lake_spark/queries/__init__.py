@@ -53,9 +53,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # signature-table params); (e) the standing high-risk block
 # (flagship, heavy streaming, incremental materializer). The window
 # is exactly full — no filler slots remain. Everything at 51+ was
-# driver-certified green in round 3 or 4 on an implementation
-# unchanged since. tests/test_registry_order.py asserts the window
-# arithmetic.
+# driver-certified green in round 3 or 4; the round-5 crash-safety /
+# plan fixes that touched some of their modules (maintenance swap
+# recovery, versioned-commit crash tolerance, CMS left-join lookup,
+# top-k without a global window) were verified result-identical
+# against the oracles post-change (CHANGELOG_r5 review pass 4), and
+# those queries lead the round-6 rotation. tests/test_registry_order
+# asserts the window arithmetic.
 _CERTIFICATION_ORDER = [
     # flagship
     "pricing_summary",

@@ -47,6 +47,37 @@ class VersionedTable:
         meta = self._read_meta()
         return meta[-1]["version"] if meta else 0
 
+    def _next_version(self) -> int:
+        """One past the highest version seen in metadata OR on disk.
+        Scanning disk too makes commit crash-safe: a crash between the
+        v{N} rename and the metadata append leaves an unrecorded v{N}
+        directory, and computing from metadata alone would re-collide
+        with it (ENOTEMPTY) on every later commit."""
+        disk = 0
+        for entry in os.listdir(self.table_dir):
+            if entry.startswith("v") and entry[1:].isdigit():
+                disk = max(disk, int(entry[1:]))
+        return max(self.latest_version(), disk) + 1
+
+    _SCRATCH_MIN_AGE_S = 3600.0
+
+    def _sweep_stale_scratch(self) -> None:
+        """Remove crash-leaked commit scratch (``__tmp_`` inside the
+        table dir — the lake-level orphan sweep never descends here).
+        Age-guarded so a concurrent writer's live scratch survives."""
+        import time
+
+        now = time.time()
+        for entry in os.listdir(self.table_dir):
+            if "__tmp_" not in entry:
+                continue
+            path = os.path.join(self.table_dir, entry)
+            try:
+                if now - os.path.getmtime(path) >= self._SCRATCH_MIN_AGE_S:
+                    shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                pass
+
     def commit(self, df: DataFrame, operation: str = "append") -> int:
         """Write a new immutable snapshot; returns its version number.
 
@@ -55,7 +86,8 @@ class VersionedTable:
         the FULL table contents (like an Iceberg snapshot's manifest
         closure), so readers need exactly one version directory.
         """
-        version = self.latest_version() + 1
+        self._sweep_stale_scratch()
+        version = self._next_version()
         tmp = os.path.join(self.table_dir, f"__tmp_{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
         n_rows = self.spark.read.parquet(tmp).count()
@@ -92,7 +124,15 @@ class VersionedTable:
         data directories (metadata rows are kept, as Iceberg keeps
         history of expired snapshots in the metadata log)."""
         versions = [m["version"] for m in self._read_meta()]
-        expired = versions[:-keep_last] if keep_last else versions
+        candidates = versions[:-keep_last] if keep_last else versions
+        # Report only versions whose data ACTUALLY existed — slicing
+        # the retained metadata history alone would re-report
+        # already-deleted versions on every later call.
+        expired = [
+            v
+            for v in candidates
+            if os.path.isdir(os.path.join(self.table_dir, f"v{v}"))
+        ]
         for v in expired:
             shutil.rmtree(os.path.join(self.table_dir, f"v{v}"), ignore_errors=True)
         return expired

@@ -146,3 +146,63 @@ def test_m5_exists_repair_flag_flip(spark, tmp_path):
         1: True, 2: False}
     # idempotent: a third run does nothing
     assert m.run(target)["M5"] == "no flag flips"
+
+
+def test_orphan_sweep_restores_interrupted_swap(spark, tmp_path):
+    """A swap that died between its two renames leaves the data ONLY
+    in `__old_`; the sweep must restore it, never delete it."""
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake, exist_ok=True)
+    spark.range(0, 100).write.parquet(os.path.join(lake, "t__old_deadbeef"))
+    # base "t" does not exist -> crash-between-renames state
+    removed = remove_orphans(lake)
+    assert removed == ["restored:t__old_deadbeef"]
+    assert spark.read.parquet(os.path.join(lake, "t")).count() == 100
+    # second sweep: nothing left to do
+    assert remove_orphans(lake) == []
+
+
+def test_orphan_sweep_age_guard(tmp_path):
+    lake = str(tmp_path / "lake")
+    os.makedirs(os.path.join(lake, "t"), exist_ok=True)
+    os.makedirs(os.path.join(lake, "t__tmp_live"), exist_ok=True)
+    assert remove_orphans(lake, min_age_s=3600) == []  # too young: skipped
+    assert remove_orphans(lake) == ["t__tmp_live"]  # default sweeps it
+
+
+def test_versioned_commit_survives_unrecorded_version(spark, tmp_path):
+    """Crash between the v{N} rename and the metadata append leaves an
+    unrecorded v{N}; the next commit must skip past it instead of
+    colliding (ENOTEMPTY) forever."""
+    from streaming_data_lake_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit(spark.range(0, 10).toDF("id"))
+    # simulate the crash: v2 exists on disk, metadata still says 1
+    spark.range(0, 5).toDF("id").write.parquet(str(tmp_path / "vt" / "v2"))
+    v = t.commit(spark.range(0, 7).toDF("id"))
+    assert v == 3
+    assert t.read(3).count() == 7
+    assert t.read(1).count() == 10
+
+
+def test_versioned_expire_reports_each_version_once(spark, tmp_path):
+    from streaming_data_lake_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt2"))
+    for n in (3, 4, 5):
+        t.commit(spark.range(0, n).toDF("id"))
+    assert t.expire_snapshots(keep_last=1) == [1, 2]
+    assert t.expire_snapshots(keep_last=1) == []  # nothing left to expire
+
+
+def test_cms_lookup_external_candidate_estimates_zero(spark):
+    from streaming_data_lake_spark.operators.sketches import cms_cells, cms_lookup
+
+    tok = spark.createDataFrame([("a",), ("a",), ("b",)], "token string")
+    cells = cms_cells(tok)
+    cand = spark.createDataFrame([("a",), ("never_seen_tok_xyz",)], "token string")
+    got = {r.token: r.cms_estimate for r in cms_lookup(cand, cells).collect()}
+    assert set(got) == {"a", "never_seen_tok_xyz"}  # nothing dropped
+    assert got["a"] >= 2  # CMS >= truth
+    assert got["never_seen_tok_xyz"] >= 0  # present with a (>=0) estimate
