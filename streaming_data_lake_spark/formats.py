@@ -87,7 +87,12 @@ class TableFormat:
     def compact(self, spark: SparkSession, table_ref: str) -> int:
         raise NotImplementedError
 
-    def remove_orphans(self, spark: SparkSession, lake_dir: str) -> list[str]:
+    def remove_orphans(
+        self, spark: SparkSession, lake_dir: str, min_age_s: float | None = None
+    ) -> list[str]:
+        """``min_age_s=None`` → the backend's concurrency-safe default
+        (skip scratch younger than ~1h); a single-process maintenance
+        cycle that knows no writer is in flight passes ``0.0``."""
         raise NotImplementedError
 
 
@@ -130,10 +135,12 @@ class ParquetEmulationFormat(TableFormat):
 
         return compact_parquet(spark, table_ref)
 
-    def remove_orphans(self, spark, lake_dir):
+    def remove_orphans(self, spark, lake_dir, min_age_s=None):
         from streaming_data_lake_spark.plans.maintenance import remove_orphans
 
-        return remove_orphans(lake_dir)
+        if min_age_s is None:
+            return remove_orphans(lake_dir)
+        return remove_orphans(lake_dir, min_age_s=min_age_s)
 
 
 class DeltaFormat(TableFormat):
@@ -238,13 +245,16 @@ class DeltaFormat(TableFormat):
         self._dt(spark, table_ref).optimize().executeCompaction()
         return int(self._dt(spark, table_ref).detail().head()["numFiles"] or 1)
 
-    def remove_orphans(self, spark, lake_dir):
+    def remove_orphans(self, spark, lake_dir, min_age_s=None):
+        # Delta VACUUM expresses the age guard in hours; None → the
+        # same 1h concurrency-safe default as the parquet backend.
+        retain_h = (3600.0 if min_age_s is None else min_age_s) / 3600.0
         removed = []
         for entry in os.listdir(lake_dir):
             path = os.path.join(lake_dir, entry)
             if os.path.isdir(path):
                 try:
-                    self._dt(spark, path).vacuum(0)
+                    self._dt(spark, path).vacuum(retain_h)
                     removed.append(entry)
                 except Exception:  # noqa: BLE001 — not a delta table
                     continue

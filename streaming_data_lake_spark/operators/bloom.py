@@ -98,17 +98,20 @@ def bloom_condition(
 ) -> Column:
     """Membership-test predicate over a DENSE word list embedded as a
     plan literal. All k bits must be set; missing/zero words fail the
-    test naturally."""
+    test naturally.
+
+    The bitmap array literal (``m_bits/64`` longs — 256 at defaults)
+    appears EXACTLY ONCE: the k bit tests are a ``forall`` lambda over
+    the array of k positions, so expression/codegen size is O(m + k)
+    rather than the k·m of chaining k standalone conjuncts each
+    re-embedding the array."""
     arr = "array(" + ", ".join(f"{int(w)}L" for w in dense_words) + ")"
-    cond = None
-    for i in range(k):
-        pos = _pos_sql(key_col, i, m_bits)
-        bit = F.expr(
-            f"(shiftright(element_at({arr}, cast({pos} div 64 as int) + 1), "
-            f"cast({pos} % 64 as int)) & 1) = 1"
-        )
-        cond = bit if cond is None else (cond & bit)
-    return cond
+    positions = ", ".join(_pos_sql(key_col, i, m_bits) for i in range(k))
+    return F.expr(
+        f"forall(array({positions}), p -> "
+        f"(shiftright(element_at({arr}, cast(p div 64 as int) + 1), "
+        f"cast(p % 64 as int)) & 1) = 1)"
+    )
 
 
 def bloom_prefilter(

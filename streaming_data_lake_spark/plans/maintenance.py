@@ -64,8 +64,11 @@ def compact_parquet(
     return _parquet_files(table_dir)
 
 
+ORPHAN_MIN_AGE_S = 3600.0
+
+
 def remove_orphans(
-    lake_dir: str, min_age_s: float = 0.0
+    lake_dir: str, min_age_s: float = ORPHAN_MIN_AGE_S
 ) -> list[str]:
     """X2/X3: recover-or-remove leftover atomic-swap scratch.
 
@@ -82,9 +85,11 @@ def remove_orphans(
 
     ``min_age_s`` guards SCHEDULED sweeps against racing an in-flight
     writer's live scratch: entries younger than this are skipped.
-    The default (0) preserves run-after-the-fact semantics for
-    single-process maintenance cycles; a cron-style deployment should
-    pass e.g. 3600.
+    The default (1h) is the safe value for concurrent deployments —
+    a sweep can never restore an ``__old_`` dir mid-swap (breaking
+    the writer's second rename) or delete live ``__tmp_`` scratch.
+    A single-process maintenance cycle that KNOWS no writer is in
+    flight passes 0 explicitly for run-after-the-fact semantics.
     """
     removed: list[str] = []
     now = time.time()

@@ -146,7 +146,10 @@ def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = parquet_files(tdir)
     fmt.compact(spark, tdir)
     after = parquet_files(tdir)
-    fmt.remove_orphans(spark, lake)
+    # Single-process cycle: the compact above has completed, no other
+    # writer touches this scratch lake — age-guard 0 is safe here and
+    # gives run-after-the-fact sweep semantics.
+    fmt.remove_orphans(spark, lake, min_age_s=0.0)
     n_rows = spark.read.parquet(tdir).count()
     return spark.createDataFrame(
         [(before, after, n_rows)],

@@ -31,6 +31,7 @@ DuckDB oracle computes via decimal SUM.
 from __future__ import annotations
 
 import os
+import time
 from collections.abc import Iterator
 from typing import Any
 
@@ -237,10 +238,26 @@ def sessionize_replay(
     return spark.table(name)
 
 
-# applicationId -> executor-side probe result; the probe is one tiny
+# applicationId -> (probe result, probe time). The probe is one tiny
 # job, cached per Spark application (executor envs are per-context,
-# and id(spark) could alias a new session after GC).
-_TWS_EXEC_PROBE: dict[str, bool] = {}
+# and id(spark) could alias a new session after GC). Staleness: under
+# dynamic allocation over HETEROGENEOUS node images, a later executor
+# set can differ from the probed one — so entries expire after
+# _TWS_PROBE_TTL_S and `invalidate_tws_probe()` forces an immediate
+# re-probe (call it after changing executor images / pools).
+_TWS_EXEC_PROBE: dict[str, tuple[bool, float]] = {}
+_TWS_PROBE_TTL_S = 3600.0
+
+
+def invalidate_tws_probe(spark: SparkSession | None = None) -> None:
+    """Drop the cached executor-side protobuf probe (for ``spark``'s
+    application, or all applications when ``None``) so the next
+    :func:`tws_available` call re-probes a possibly-changed executor
+    fleet."""
+    if spark is None:
+        _TWS_EXEC_PROBE.clear()
+    else:
+        _TWS_EXEC_PROBE.pop(spark.sparkContext.applicationId, None)
 
 
 def tws_available(spark: SparkSession | None = None) -> bool:
@@ -265,28 +282,32 @@ def tws_available(spark: SparkSession | None = None) -> bool:
     if spark is None:
         return True
     key = spark.sparkContext.applicationId
-    if key not in _TWS_EXEC_PROBE:
-        def probe(batches):
-            ok = 1
-            try:
-                from google.protobuf import descriptor  # noqa: F401,F811
-            except Exception:  # noqa: BLE001
-                ok = 0
-            for _ in batches:
-                pass
-            yield pd.DataFrame({"ok": [ok]})
+    cached = _TWS_EXEC_PROBE.get(key)
+    if cached is not None and (time.monotonic() - cached[1]) < _TWS_PROBE_TTL_S:
+        return cached[0]
 
+    def probe(batches):
+        ok = 1
         try:
-            rows = (
-                spark.range(1)
-                .repartition(1)
-                .mapInPandas(probe, "ok int")
-                .collect()
-            )
-            _TWS_EXEC_PROBE[key] = bool(rows and rows[0][0] == 1)
-        except Exception:  # noqa: BLE001 — no pandas/arrow on workers etc.
-            _TWS_EXEC_PROBE[key] = False
-    return _TWS_EXEC_PROBE[key]
+            from google.protobuf import descriptor  # noqa: F401,F811
+        except Exception:  # noqa: BLE001
+            ok = 0
+        for _ in batches:
+            pass
+        yield pd.DataFrame({"ok": [ok]})
+
+    try:
+        rows = (
+            spark.range(1)
+            .repartition(1)
+            .mapInPandas(probe, "ok int")
+            .collect()
+        )
+        result = bool(rows and rows[0][0] == 1)
+    except Exception:  # noqa: BLE001 — no pandas/arrow on workers etc.
+        result = False
+    _TWS_EXEC_PROBE[key] = (result, time.monotonic())
+    return result
 
 
 def _require_tws(spark: SparkSession | None = None) -> None:

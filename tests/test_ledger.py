@@ -25,11 +25,36 @@ def test_ledger_green_under_current_window():
 
 
 def test_ledger_detects_a_hole():
-    """Shrinking the window to 1 must surface the stale/never-
-    certified queries the full window covers — i.e. the gate actually
-    bites and GREEN is not vacuous."""
-    problems, _rows = ledger.audit(window=1)
-    assert problems, "gate did not fire with a 1-slot window"
+    """The gate must bite on synthetic fixtures: a stale verdict
+    outside the window, a never-certified query outside the window,
+    and a failed latest verdict are each problems; a stale-but-
+    windowed query is not. Fixtures (not live repo state) so the
+    test is green regardless of what the driver just wrote."""
+    order = ["fresh_q", "stale_windowed_q", "stale_out_q", "never_q", "failed_q"]
+    verdicts = {
+        "fresh_q": (5, True, ""),
+        "stale_windowed_q": (1, True, ""),
+        "stale_out_q": (1, True, ""),
+        "failed_q": (5, False, "hash mismatch"),
+    }
+    problems, rows = ledger.audit(
+        max_age=2, window=2, verdicts=verdicts, order=order
+    )
+    assert len(rows) == 5
+    blamed = {p.split(":")[0] for p in problems}
+    assert blamed == {"stale_out_q", "never_q", "failed_q"}, problems
+
+
+def test_ledger_failed_verdict_fires_even_when_windowed():
+    """A windowed slot plugs staleness, not a recorded FAILURE —
+    regressions must not hide behind rotation."""
+    problems, _rows = ledger.audit(
+        max_age=2,
+        window=1,
+        verdicts={"bad_q": (5, False, "rows mismatch")},
+        order=["bad_q"],
+    )
+    assert problems and "bad_q" in problems[0]
 
 
 def test_every_verdict_name_is_a_registered_query():

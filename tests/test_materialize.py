@@ -102,7 +102,7 @@ def test_maintenance_compact_and_orphans(spark, tmp_path):
     assert spark.read.parquet(tbl).count() == 1000
 
     os.makedirs(os.path.join(lake, "t__tmp_dead"), exist_ok=True)
-    removed = remove_orphans(lake)
+    removed = remove_orphans(lake, min_age_s=0)
     assert removed == ["t__tmp_dead"]
 
 
@@ -155,19 +155,19 @@ def test_orphan_sweep_restores_interrupted_swap(spark, tmp_path):
     os.makedirs(lake, exist_ok=True)
     spark.range(0, 100).write.parquet(os.path.join(lake, "t__old_deadbeef"))
     # base "t" does not exist -> crash-between-renames state
-    removed = remove_orphans(lake)
+    removed = remove_orphans(lake, min_age_s=0)
     assert removed == ["restored:t__old_deadbeef"]
     assert spark.read.parquet(os.path.join(lake, "t")).count() == 100
     # second sweep: nothing left to do
-    assert remove_orphans(lake) == []
+    assert remove_orphans(lake, min_age_s=0) == []
 
 
 def test_orphan_sweep_age_guard(tmp_path):
     lake = str(tmp_path / "lake")
     os.makedirs(os.path.join(lake, "t"), exist_ok=True)
     os.makedirs(os.path.join(lake, "t__tmp_live"), exist_ok=True)
-    assert remove_orphans(lake, min_age_s=3600) == []  # too young: skipped
-    assert remove_orphans(lake) == ["t__tmp_live"]  # default sweeps it
+    assert remove_orphans(lake) == []  # default (1h guard): skipped
+    assert remove_orphans(lake, min_age_s=0) == ["t__tmp_live"]  # explicit opt-in
 
 
 def test_versioned_commit_survives_unrecorded_version(spark, tmp_path):

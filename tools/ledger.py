@@ -71,10 +71,24 @@ def registry_order() -> list[str]:
     return list(all_queries().keys())
 
 
-def audit(max_age: int = 2, window: int = WINDOW) -> tuple[list[str], list[dict]]:
-    """Returns (problems, rows). ``problems`` empty == ledger green."""
-    verdicts = load_verdicts()
-    order = registry_order()
+def audit(
+    max_age: int = 2,
+    window: int = WINDOW,
+    verdicts: dict[str, tuple[int, bool, str]] | None = None,
+    order: list[str] | None = None,
+) -> tuple[list[str], list[dict]]:
+    """Returns (problems, rows). ``problems`` empty == ledger green.
+
+    ``verdicts``/``order`` default to the live repo state; tests
+    inject synthetic fixtures so the gate's behavior is checked
+    independently of whatever CORRECTNESS file the driver last wrote
+    (a live-state meta-test goes vacuous the moment a fresh full-
+    window verdict lands — VERDICT r5 "What's wrong" #1).
+    """
+    if verdicts is None:
+        verdicts = load_verdicts()
+    if order is None:
+        order = registry_order()
     latest_round = max((r for r, _ok, _d in verdicts.values()), default=0)
     windowed = set(order[:window])
     problems: list[str] = []
