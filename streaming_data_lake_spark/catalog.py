@@ -102,31 +102,37 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def check_drift(spark: SparkSession, sf_dir: str) -> dict[str, list[str]]:
-    """Compare observed schemas against the declared contracts.
+def diff_schemas(declared, observed) -> list[str]:
+    """Drift messages for one table: declared contract vs observed
+    physical schema. Sorted within each category (set-difference
+    iteration order is not deterministic across processes, and the
+    messages feed certified query output). Mirrors the reference's
+    YAML-vs-catalog drift detector (iceberg/apply_tables.py:146-218)
+    — warn, never mutate."""
+    msgs: list[str] = []
+    obs_fields = {f.name: f for f in observed.fields}
+    dec_fields = {f.name: f for f in declared.fields}
+    for col in sorted(dec_fields.keys() - obs_fields.keys()):
+        msgs.append(f"missing column {col}")
+    for col in sorted(obs_fields.keys() - dec_fields.keys()):
+        msgs.append(f"unexpected column {col}")
+    for col in sorted(dec_fields.keys() & obs_fields.keys()):
+        if dec_fields[col].dataType != obs_fields[col].dataType:
+            msgs.append(
+                f"type drift on {col}: declared {dec_fields[col].dataType.simpleString()}"
+                f" observed {obs_fields[col].dataType.simpleString()}"
+            )
+    return msgs
 
-    Returns {table: [drift messages]}; empty dict means no drift.
-    Mirrors the reference's YAML-vs-catalog drift detector
-    (iceberg/apply_tables.py:146-218) — warn, never mutate.
-    """
+
+def check_drift(spark: SparkSession, sf_dir: str) -> dict[str, list[str]]:
+    """Compare every observed table schema against its declared
+    contract. Returns {table: [drift messages]}; empty == no drift."""
     from streaming_data_lake_spark.schemas import DECLARED_SCHEMAS
 
     drift: dict[str, list[str]] = {}
     for name, declared in DECLARED_SCHEMAS.items():
-        observed = load_table(spark, sf_dir, name).schema
-        msgs: list[str] = []
-        obs_fields = {f.name: f for f in observed.fields}
-        dec_fields = {f.name: f for f in declared.fields}
-        for col in dec_fields.keys() - obs_fields.keys():
-            msgs.append(f"missing column {col}")
-        for col in obs_fields.keys() - dec_fields.keys():
-            msgs.append(f"unexpected column {col}")
-        for col in dec_fields.keys() & obs_fields.keys():
-            if dec_fields[col].dataType != obs_fields[col].dataType:
-                msgs.append(
-                    f"type drift on {col}: declared {dec_fields[col].dataType.simpleString()}"
-                    f" observed {obs_fields[col].dataType.simpleString()}"
-                )
+        msgs = diff_schemas(declared, load_table(spark, sf_dir, name).schema)
         if msgs:
             drift[name] = msgs
     return drift

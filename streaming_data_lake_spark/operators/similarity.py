@@ -485,6 +485,7 @@ def pq_encode(
     dsub: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """PQ-encode: per subspace m, the code of the nearest codebook
     subvector by squared L2 (ties -> smallest code, via lexicographic
@@ -492,7 +493,9 @@ def pq_encode(
     BY dist, code). Output: (vec_id, c0..c{n_sub-1}) — 8 small ints
     replace a 64-float vector (64× compression at these defaults).
     Narrow map over the corpus: the codebook rides in as one broadcast
-    row; zero shuffle, zero sort."""
+    row; zero shuffle, zero sort. ``keep_cols`` pass through untouched
+    (e.g. an IVF ``cluster_id``), so IVF-assign → PQ-encode composes
+    into ONE narrow scan instead of a corpus-size self-join."""
     vec = F.col(vec_col)
 
     def code_m(m: int) -> Column:
@@ -508,7 +511,9 @@ def pq_encode(
         return best["code"].alias(f"c{m}")
 
     return corpus.crossJoin(F.broadcast(codebook_row)).select(
-        F.col(id_col), *[code_m(m) for m in range(n_sub)]
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        *[code_m(m) for m in range(n_sub)],
     )
 
 
@@ -541,13 +546,29 @@ def pq_adc_topk(
     pairs = codes.crossJoin(F.broadcast(codebook_row)).join(
         F.broadcast(q), F.col(id_col) != F.col("query_id")
     )
+    return _adc_rank(pairs, id_col, k, n_sub, dsub)
+
+
+def _adc_dist(n_sub: int, dsub: int) -> Column:
+    """Sum of per-subspace squared L2 between the exact query
+    subvector (``qv``) and the codebook reconstruction of code
+    ``c{m}`` (``cb`` array in scope); unrolled in fixed subspace
+    order for cross-engine fold parity."""
     dist = None
     for m in range(n_sub):
         cv = F.element_at(F.col("cb"), F.col(f"c{m}").cast("int") + F.lit(1))["cv"]
         d_m = sq_l2(_sub(F.col("qv"), m, dsub), _sub(cv, m, dsub))
         dist = d_m if dist is None else (dist + d_m)
+    return dist
+
+
+def _adc_rank(
+    pairs: DataFrame, id_col: str, k: int, n_sub: int, dsub: int
+) -> DataFrame:
     scored = pairs.select(
-        "query_id", F.col(id_col).alias("neighbor_id"), dist.alias("adc_dist")
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        _adc_dist(n_sub, dsub).alias("adc_dist"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
@@ -557,3 +578,49 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def ivf_pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook_row: DataFrame,
+    k: int = 5,
+    n_sub: int = 8,
+    dsub: int = 8,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF bucket pruning composed with the compressed-domain ADC
+    scan — the IVFPQ index of Jegou et al. 2011 §V re-expressed
+    declaratively (the composition knn_pq_adc_l2's docstring
+    promises).
+
+    Corpus path is ONE narrow scan: cosine argmax assignment
+    (:func:`ivf_assign`, nprobe=1) feeds :func:`pq_encode` via
+    ``keep_cols`` — no corpus self-join, no shuffle; the stored
+    index row is (id, cluster_id, c0..c{n_sub-1}): bytes, not
+    vectors. Queries probe their ``nprobe`` nearest clusters and ADC-
+    score ONLY codes in probed buckets — the scanned fraction drops
+    to ~nprobe/n_centroids of the full-scan :func:`pq_adc_topk`,
+    which is what makes the 100 TB path CPU- as well as memory-
+    feasible. Candidates stay duplicate-free (each corpus vector
+    lives in exactly one bucket). Recall < 1 by design, rising with
+    nprobe — same dial as :func:`ivf_knn`."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    codes = pq_encode(
+        assigned, codebook_row, n_sub, dsub, id_col, vec_col,
+        keep_cols=("cluster_id",),
+    )
+    q = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("cluster_id").alias("q_cluster"),
+    )
+    pairs = codes.crossJoin(F.broadcast(codebook_row)).join(
+        F.broadcast(q),
+        (F.col("cluster_id") == F.col("q_cluster"))
+        & (F.col(id_col) != F.col("query_id")),
+    )
+    return _adc_rank(pairs, id_col, k, n_sub, dsub)

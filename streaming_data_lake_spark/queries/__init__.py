@@ -38,92 +38,30 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver hash-checks the FIRST 50 registered queries per round.
-# Certification rotates; round 5's window (tools/ledger.py enforces
+# Certification rotates; round 6's window (tools/ledger.py enforces
 # the arithmetic) holds EXACTLY 50 names — section letters below
-# match the list markers: (a) the 19 queries whose ONLY driver
-# verdict is round 1 — three refactor waves ago (the sketch refactor,
-# the durable artifact cache, the float-parity waves) — the r4
-# verdict's top lead; (b) the six light streaming queries whose
-# scratch-dir lifetime changed in round 4 after their round-3
-# certification; (c) the round-5 NEW queries (both waves) — never
-# seen by any driver run; (d) the queries whose physical path changed
-# this round: the sessionize dispatch (transformWithState preferred),
-# the SemDeDup occupancy guard, and the durable-artifact readers
-# whose cache keys changed (per-user cache root + PAIRS_GEN in the
-# signature-table params); (e) the standing high-risk block
-# (flagship, heavy streaming, incremental materializer). The window
-# is exactly full — no filler slots remain. Everything at 51+ was
-# driver-certified green in round 3 or 4; the round-5 crash-safety /
-# plan fixes that touched some of their modules (maintenance swap
-# recovery, versioned-commit crash tolerance, CMS left-join lookup,
-# top-k without a global window) were verified result-identical
-# against the oracles post-change (CHANGELOG_r5 review pass 4), and
-# those queries lead the round-6 rotation. tests/test_registry_order
-# asserts the window arithmetic.
+# match the list markers: (a) the 32 queries whose latest driver
+# verdict is round 3 — they exceed the ledger's max-age-2 rule the
+# moment CORRECTNESS_r06 lands, the r5 verdict's top lead; (b) the
+# three r4-certified queries whose modules took review-pass-4
+# crash-safety/plan fixes AFTER their verdict (maintenance swap
+# recovery, CMS left-join lookup, top-k without a global window) —
+# verified result-identical locally, but the driver is the bar;
+# (c) queries whose code changed in round 6 (bloom_condition's
+# single-literal forall predicate; the pq_encode keep_cols /
+# _adc_rank refactor); (d) round-6 NEW queries — never seen by any
+# driver run; (e) the full streaming family: the round-6 replay-
+# harness perf work plus the TWS probe TTL change ride under them
+# (streaming_cms_token_counts sits in (b)); (f) the incremental
+# materializer, whose watermark literals the round-6 tz-hygiene
+# sweep touches. The window is exactly full — no filler slots.
+# Everything at 51+ was driver-certified green in round 4 or 5 and
+# its implementation is unchanged since (the datagen tz-hygiene
+# sweep was verified result-identical for the r5-certified scd2
+# queries; they lead the round-7 rotation with the rest of the r4
+# block). tests/test_registry_order asserts the window arithmetic.
 _CERTIFICATION_ORDER = [
-    # flagship
-    "pricing_summary",
-    # ---- (a) only driver verdict is round 1: re-certify ----
-    "revenue_by_region",
-    "top_nations_by_customers",
-    "customers_with_orders",
-    "customers_without_orders",
-    "order_priority_rollup",
-    "monthly_nation_revenue",
-    "priority_decode_rollup",
-    "scd2_current_enrichment",
-    "top_tokens",
-    "like_pattern_source_classes",
-    "nested_double_unnest_roundtrip",
-    "currency_normalized_revenue",
-    "range_band_pricing",
-    "dedup_exact_text",
-    "doc_fingerprints",
-    "token_counts",
-    "quality_scores",
-    "lang_id_heuristic",
-    "simhash_fingerprints",
-    # ---- (b) r4 scratch-dir lifetime change after r3 verdict ----
-    "streaming_clean_events",
-    "streaming_fanout_ingest",
-    "streaming_interval_join_daily",
-    "streaming_hourly_metrics",
-    "streaming_dedup_keys",
-    "streaming_dedup_within_watermark",
-    # ---- (c) new in round 5: first driver verdict needed ----
-    "schema_evolution_read",
-    "blocklist_filter_retention",
-    "quality_percentile_filter",
-    "crossdoc_boilerplate_ngrams",
-    "bloom_semi_join_prune",
-    "large_orders_having",
-    "cube_device_day_metrics",
-    "value_histogram_quantiles",
-    "zorder_layout_keys",
-    "topn_customers_per_nation",
-    "knn_pq_adc_l2",
-    "event_counters_unpivot",
-    "scd2_point_in_time_enrichment",
-    # (the new slots displaced r3-certified fillers to 51+,
-    # which stay fresh-enough through this round per the ledger's
-    # max-age-2 rule)
-    # ---- (d) physical path changed in round 5: re-certify ----
-    "streaming_sessionize",
-    "semantic_dedup_centroid",
-    "minhash_lsh_near_dups",
-    "embedding_cosine_near_dups",
-    "dup_clusters_connected",
-    "knn_ivf_materialized_cosine",
-    "bucketed_colocated_join",
-    "partition_pruned_scan",
-    # ---- (e) standing high-risk block ----
-    "streaming_funnel_daily",
-    "streaming_upsert_hourly",
-    "materialize_incremental_clean_events",
-    # (no filler section this round — the second wave's new queries
-    # consumed every remaining slot)
-    # ---- position 51+ : certified green by a previous driver run
-    # (round 3 or 4), implementation unchanged since ----
+    # ---- (a) latest verdict r3: stale at r6, re-certify all 32 ----
     "time_travel_read_v1",
     "snapshot_metadata",
     "maintenance_compaction",
@@ -137,44 +75,6 @@ _CERTIFICATION_ORDER = [
     "knn_ivf_multiprobe_cosine",
     "knn_bruteforce_cosine",
     "multimodal_media_features",
-    "rollup_revenue_levels",
-    "price_quantiles_by_flag",
-    "user_event_gaps",
-    "running_revenue_by_nation",
-    "order_value_deciles",
-    "doc_chunks_overlap",
-    "hll_distinct_users_daily",
-    "cms_heavy_hitter_tokens",
-    "kmeans_train_centroids",
-    "knn_ivf_trained_cosine",
-    "props_json_stats",
-    "keyset_intersect_except",
-    "orders_above_global_avg",
-    "supplier_name_near_matches",
-    "streaming_hll_daily_users",
-    "streaming_cms_token_counts",
-    "bigram_lm_quality",
-    "domain_mixture_resample",
-    "batch_sessionize_windows",
-    "price_outliers_zscore",
-    "lineitem_flag_pivot",
-    "corr_quantity_price",
-    "priority_window_profile",
-    "tfidf_top_terms",
-    "stratified_sample_by_lang",
-    "token_budget_packing",
-    "pii_redaction",
-    "repetition_signals",
-    "benchmark_decontamination",
-    "embedding_int8_quantization",
-    "multimodal_resize",
-    "dedup_keep_best_quality",
-    "exact_substring_dups",
-    "winnowing_fingerprints",
-    "top_busiest_hours",
-    "duplicate_rates_hourly",
-    "event_quality_spine_hourly",
-    "ngram_jaccard_near_dups",
     "multimodal_frame_sample",
     "embedding_label_stats",
     "events_clean",
@@ -194,6 +94,103 @@ _CERTIFICATION_ORDER = [
     "funnel_leakage_daily",
     "asof_latest_view_before_purchase",
     "asof_view_within_6h",
+    # ---- (b) r4 verdict, module changed post-cert (review pass 4) ----
+    "cms_heavy_hitter_tokens",
+    "streaming_cms_token_counts",
+    "token_budget_packing",
+    # ---- (c) code changed in round 6 ----
+    "bloom_semi_join_prune",
+    "knn_pq_adc_l2",
+    # ---- (d) new in round 6: first driver verdict needed ----
+    "knn_ivf_pq_adc",
+    "schema_drift_check",
+    # ---- (e) streaming family: round-6 perf/probe changes ----
+    "streaming_clean_events",
+    "streaming_fanout_ingest",
+    "streaming_interval_join_daily",
+    "streaming_hourly_metrics",
+    "streaming_dedup_keys",
+    "streaming_dedup_within_watermark",
+    "streaming_sessionize",
+    "streaming_hll_daily_users",
+    "streaming_funnel_daily",
+    "streaming_upsert_hourly",
+    # ---- (f) standing high-risk: incremental materializer ----
+    "materialize_incremental_clean_events",
+    # ---- position 51+ : driver-certified green in round 4 or 5,
+    # implementation unchanged since ----
+    "pricing_summary",
+    "revenue_by_region",
+    "top_nations_by_customers",
+    "customers_with_orders",
+    "customers_without_orders",
+    "order_priority_rollup",
+    "monthly_nation_revenue",
+    "priority_decode_rollup",
+    "scd2_current_enrichment",
+    "top_tokens",
+    "like_pattern_source_classes",
+    "nested_double_unnest_roundtrip",
+    "currency_normalized_revenue",
+    "range_band_pricing",
+    "dedup_exact_text",
+    "doc_fingerprints",
+    "token_counts",
+    "quality_scores",
+    "lang_id_heuristic",
+    "simhash_fingerprints",
+    "schema_evolution_read",
+    "blocklist_filter_retention",
+    "quality_percentile_filter",
+    "crossdoc_boilerplate_ngrams",
+    "large_orders_having",
+    "cube_device_day_metrics",
+    "value_histogram_quantiles",
+    "zorder_layout_keys",
+    "topn_customers_per_nation",
+    "event_counters_unpivot",
+    "scd2_point_in_time_enrichment",
+    "semantic_dedup_centroid",
+    "minhash_lsh_near_dups",
+    "embedding_cosine_near_dups",
+    "dup_clusters_connected",
+    "knn_ivf_materialized_cosine",
+    "bucketed_colocated_join",
+    "partition_pruned_scan",
+    "rollup_revenue_levels",
+    "price_quantiles_by_flag",
+    "user_event_gaps",
+    "running_revenue_by_nation",
+    "order_value_deciles",
+    "doc_chunks_overlap",
+    "hll_distinct_users_daily",
+    "kmeans_train_centroids",
+    "knn_ivf_trained_cosine",
+    "props_json_stats",
+    "keyset_intersect_except",
+    "orders_above_global_avg",
+    "supplier_name_near_matches",
+    "bigram_lm_quality",
+    "domain_mixture_resample",
+    "batch_sessionize_windows",
+    "price_outliers_zscore",
+    "lineitem_flag_pivot",
+    "corr_quantity_price",
+    "priority_window_profile",
+    "tfidf_top_terms",
+    "stratified_sample_by_lang",
+    "pii_redaction",
+    "repetition_signals",
+    "benchmark_decontamination",
+    "embedding_int8_quantization",
+    "multimodal_resize",
+    "dedup_keep_best_quality",
+    "exact_substring_dups",
+    "winnowing_fingerprints",
+    "top_busiest_hours",
+    "duplicate_rates_hourly",
+    "event_quality_spine_hourly",
+    "ngram_jaccard_near_dups",
 ]
 
 

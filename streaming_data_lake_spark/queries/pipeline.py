@@ -1584,3 +1584,112 @@ def knn_pq_adc_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_sub=_PQ_NSUB,
         dsub=_PQ_DSUB,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ: IVF bucket pruning composed with the ADC scan
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NCENT = 8   # IVF centroids (vec_id < 8, mirrors knn_ivf_cosine)
+_IVFPQ_NPROBE = 2
+
+
+def _ivfpq_oracle() -> str:
+    code_cols = ",\n         ".join(
+        f"max(CASE WHEN m = {m} THEN code END) AS c{m}" for m in range(_PQ_NSUB)
+    )
+    cb_joins = "\n  ".join(
+        f"JOIN cb cb{m} ON cb{m}.code = t.c{m}" for m in range(_PQ_NSUB)
+    )
+    adc = " + ".join(
+        f"({_duck_sq_l2(_pq_slice('q.qv', m), _pq_slice(f'cb{m}.cv', m))})"
+        for m in range(_PQ_NSUB)
+    )
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding AS v,
+         sqrt({dot.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm FROM n
+         WHERE vec_id < {_IVFPQ_NCENT}),
+asg_scored AS (
+  SELECT n.vec_id, n.v, cent.centroid_id,
+         row_number() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY {dot.format(a='n.v', b='cent.cv')} / (n.nrm * cent.cnrm) DESC,
+                    cent.centroid_id ASC
+         ) AS rn
+  FROM n CROSS JOIN cent
+),
+asg AS (SELECT vec_id, centroid_id AS cluster_id FROM asg_scored WHERE rn = 1),
+qasg AS (SELECT vec_id AS query_id, v AS qv, centroid_id AS cluster_id
+         FROM asg_scored WHERE vec_id < {_PQ_QUERIES} AND rn <= {_IVFPQ_NPROBE}),
+cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings
+       WHERE vec_id < {_PQ_K_CODES}),
+ms AS (SELECT unnest(range(0, {_PQ_NSUB})) AS m),
+enc AS (
+  SELECT e.vec_id, ms.m, cb.code,
+         row_number() OVER (
+           PARTITION BY e.vec_id, ms.m
+           ORDER BY {_duck_sq_l2(_pq_slice('e.embedding', 'ms.m'), _pq_slice('cb.cv', 'ms.m'))} ASC,
+                    cb.code ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN ms CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id,
+         {code_cols}
+  FROM enc WHERE rn = 1 GROUP BY vec_id
+),
+pair AS (
+  SELECT q.query_id, t.vec_id AS neighbor_id,
+         {adc} AS adc_dist
+  FROM codes t
+  JOIN asg a ON a.vec_id = t.vec_id
+  JOIN qasg q ON a.cluster_id = q.cluster_id AND t.vec_id <> q.query_id
+  {cb_joins}
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC
+  ) AS rank
+  FROM pair
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adc_dist
+FROM r WHERE rank <= {_PQ_TOPK}
+"""
+
+
+@register(
+    "knn_ivf_pq_adc",
+    _ivfpq_oracle(),
+    "IVFPQ (Jegou et al. 2011 SS-V): IVF cosine bucket assignment prunes the "
+    "corpus to the query's nprobe=2 nearest of 8 buckets, then the ADC scan "
+    "scores only codes in probed buckets. Index build is ONE narrow corpus "
+    "scan (assign feeds encode via keep_cols); stored rows are "
+    "(id, cluster_id, 8 codes) -- bytes, not vectors. The scanned fraction "
+    "drops to ~nprobe/n_centroids of knn_pq_adc_l2's full scan: the 100 TB "
+    "ANN serving path.",
+)
+def knn_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    cb_row = similarity.pq_codebook_row(
+        e.filter(F.col("vec_id") < _PQ_K_CODES).select(
+            F.col("vec_id").alias("code"), F.col("embedding").alias("cv")
+        )
+    )
+    return similarity.ivf_pq_adc_topk(
+        e,
+        e.filter(F.col("vec_id") < _PQ_QUERIES),
+        e.filter(F.col("vec_id") < _IVFPQ_NCENT),
+        cb_row,
+        k=_PQ_TOPK,
+        n_sub=_PQ_NSUB,
+        dsub=_PQ_DSUB,
+        nprobe=_IVFPQ_NPROBE,
+    )

@@ -349,3 +349,68 @@ def scd2_point_in_time_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema drift detection + declared-schema read-through (S5 drift path)
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+SELECT 'events' AS table_name,
+       'missing column props; unexpected column extra_tag' AS drift,
+       count(*) AS n_rows,
+       CAST(0 AS BIGINT) AS n_props,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+"""
+
+
+@register(
+    "schema_drift_check",
+    _DRIFT_ORACLE,
+    "S5 drift detection end-to-end (reference iceberg/apply_tables.py:"
+    "146-218): a physically drifted events table (writer dropped the "
+    "declared `props` column and added an undeclared `extra_tag`) is "
+    "diffed against the declared contract -- the detector WARNS (sorted "
+    "deterministic messages), never mutates -- and the read then goes "
+    "THROUGH the declared schema: the unexpected column is pruned at "
+    "the scan, the missing one surfaces as NULL. That declared-schema "
+    "read is the 100 TB posture (no inference/mergeSchema listing "
+    "pass), and the value aggregate proves the non-drifted columns "
+    "read intact.",
+)
+def schema_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.catalog import diff_schemas, table_path
+    from streaming_data_lake_spark.plans import artifacts
+    from streaming_data_lake_spark.schemas import DECLARED_SCHEMAS
+
+    declared = DECLARED_SCHEMAS["events"]
+
+    def build(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        drifted = ev.select(
+            "event_id", "ts", "user_id", "event_type", "value",
+            F.concat(F.lit("tag_"), (F.col("event_id") % 3).cast("string")).alias(
+                "extra_tag"
+            ),
+        )
+        drifted.write.mode("overwrite").parquet(os.path.join(tmp, "t"))
+
+    art = artifacts.ensure(
+        "drifted_events",
+        [table_path(sf_dir, "events")],
+        {"drop": "props", "add": "extra_tag", "v": 1},
+        build,
+    )
+    tdir = os.path.join(art, "t")
+    observed = spark.read.parquet(tdir).schema
+    msgs = diff_schemas(declared, observed)
+    # Read THROUGH the declared contract despite the drift.
+    through = spark.read.schema(declared).parquet(tdir)
+    return through.agg(
+        F.lit("events").alias("table_name"),
+        F.lit("; ".join(msgs)).alias("drift"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("props").cast("long").alias("n_props"),
+        dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+    )

@@ -375,3 +375,91 @@ def test_pit_join_boundary_event_lands_on_v2(spark):
     got = {r.event_id: r.tier_label for r in joined.collect()}
     assert got == {1: "tier_7_v1", 2: "tier_7_v2", 3: "tier_7_v2"}
     assert joined.count() == 3  # exactly one version per event
+
+
+def test_ivfpq_probing_all_buckets_equals_full_adc_scan(spark):
+    """With nprobe = n_centroids the IVF pruning is a no-op, so IVFPQ
+    must reproduce the full-scan ADC ranking exactly — the composition
+    changes WHAT is scanned, never how pairs are scored."""
+    from streaming_data_lake_spark.operators.similarity import (
+        ivf_pq_adc_topk,
+        pq_adc_topk,
+        pq_codebook_row,
+        pq_encode,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cb = pq_codebook_row(
+        emb.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("code"), F.col("embedding").alias("cv")
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = emb.filter(F.col("vec_id") < 4)
+    full = sorted(
+        map(tuple, pq_adc_topk(pq_encode(emb, cb), queries, cb, k=3).collect())
+    )
+    pruned = sorted(
+        map(
+            tuple,
+            ivf_pq_adc_topk(emb, queries, cents, cb, k=3, nprobe=4).collect(),
+        )
+    )
+    assert pruned == full
+
+
+def test_ivfpq_candidates_come_only_from_probed_buckets(spark):
+    """nprobe=1 results must be a subset of the query's own bucket —
+    the pruning actually prunes."""
+    from streaming_data_lake_spark.operators.similarity import (
+        ivf_assign,
+        ivf_pq_adc_topk,
+        pq_codebook_row,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cb = pq_codebook_row(
+        emb.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("code"), F.col("embedding").alias("cv")
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = emb.filter(F.col("vec_id") < 8)
+    bucket = {
+        r["vec_id"]: r["cluster_id"]
+        for r in ivf_assign(emb, cents).select("vec_id", "cluster_id").collect()
+    }
+    for r in ivf_pq_adc_topk(emb, queries, cents, cb, k=5, nprobe=1).collect():
+        assert bucket[r["neighbor_id"]] == bucket[r["query_id"]]
+
+
+def test_diff_schemas_messages_sorted_and_complete():
+    """Drift messages must be deterministic (sorted within category)
+    and cover missing/unexpected/type-drift — they feed certified
+    query output, so set-iteration order must never leak through."""
+    from pyspark.sql import types as T
+
+    from streaming_data_lake_spark.catalog import diff_schemas
+
+    dec = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("z", T.DoubleType()),
+        ]
+    )
+    obs = T.StructType(
+        [
+            T.StructField("b", T.IntegerType()),
+            T.StructField("d", T.StringType()),
+            T.StructField("c", T.StringType()),
+        ]
+    )
+    assert diff_schemas(dec, obs) == [
+        "missing column a",
+        "missing column z",
+        "unexpected column c",
+        "unexpected column d",
+        "type drift on b: declared string observed int",
+    ]
+    assert diff_schemas(dec, dec) == []

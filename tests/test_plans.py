@@ -360,3 +360,33 @@ def test_unpivot_expand_after_aggregate(spark):
     assert plan.find("Expand") < plan.find("HashAggregate"), (
         "unpivot should run on the aggregated frame, not the fact"
     )
+
+
+def test_ivfpq_corpus_narrow_and_bucket_join_broadcasts(spark):
+    """IVFPQ index build (assign -> encode) must stay ONE narrow
+    corpus scan — no Exchange before the query-side broadcast join —
+    and the bucket-pruned ADC join must be a BroadcastHashJoin keyed
+    on the cluster id (the id-inequality riding as residual), with the
+    per-query top-k pushed down as a partial WindowGroupLimit."""
+    plan = _executed(_query(spark, "knn_ivf_pq_adc"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # Exactly two hash shuffles, both on query-sized inputs: the final
+    # per-query rank and the query-side nprobe window. A third one
+    # means the corpus-side assign->encode composition regressed into
+    # a shuffle.
+    shuffles = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(shuffles) == 2, shuffles
+    assert any("query_id" in ln for ln in shuffles)
+    assert "WindowGroupLimit" in plan
+
+
+def test_drift_read_through_prunes_unexpected_column(spark):
+    """The declared-schema read must prune the drifted extra column at
+    the scan: ReadSchema carries only declared fields."""
+    plan = _formatted(_query(spark, "schema_drift_check"))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "extra_tag" not in read_schema, "undeclared column not pruned"
+    assert "value" in read_schema
