@@ -18,7 +18,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 SEGMENTS = {0: "casual", 1: "regular", 2: "power"}
-_V0 = dt.datetime(2020, 1, 1)
+# TZ-aware UTC: createDataFrame converts NAIVE datetimes through the
+# driver OS timezone (TimestampType.toInternal uses time.mktime), so
+# a naive literal writes a different instant on a non-UTC host even
+# when spark.sql.session.timeZone is pinned. Aware-UTC datetimes pin
+# the internal micros regardless of host TZ.
+_V0 = dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc)
 
 TIER_SCHEMA = (
     "bucket long, tier_label string, segment_id long, "
@@ -61,16 +66,11 @@ def seed_dimensions(spark: SparkSession, lake_dir: str) -> dict[str, str]:
     return log
 
 
-# TZ-aware UTC boundaries: createDataFrame converts NAIVE datetimes
-# through the driver OS timezone (TimestampType.toInternal), which
-# would shift a mid-corpus validity flip away from the TZ-naive
-# oracle literal on any non-UTC host. Aware-UTC datetimes pin the
-# internal micros regardless of host TZ; the parquet facts are
-# likewise fixed epoch values, so the PIT join is TZ-independent.
-# (_V0 in the single-version dims is latent-safe only because 2020
-# precedes every fact — the flip below sits INSIDE the fact range.)
+# The validity flip sits INSIDE the fact range, so its instant must
+# line up with the TZ-naive oracle literal against fixed parquet
+# epochs — same aware-UTC rule as _V0 above.
 _FLIP = dt.datetime(2024, 1, 15, tzinfo=dt.timezone.utc)
-_V0_UTC = dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc)
+_V0_UTC = _V0
 
 
 def build_dim_tier_history(spark: SparkSession) -> DataFrame:

@@ -45,6 +45,14 @@ from pyspark.sql import functions as F
 
 from streaming_data_lake_spark.formats import resolve_format
 
+_EPOCH_UTC = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _utc_from_micros(us: int) -> dt.datetime:
+    """Epoch micros -> aware-UTC datetime, with timedelta arithmetic
+    (``fromtimestamp`` would route through the OS timezone)."""
+    return _EPOCH_UTC + dt.timedelta(microseconds=int(us))
+
 
 @dataclass(frozen=True)
 class DimDependency:
@@ -90,16 +98,22 @@ class Materializer:
         return self.spark.read.parquet(self._mat_dir(name))
 
     def get_watermark(self, name: str) -> dt.datetime | None:
+        """Returns the watermark as an AWARE-UTC datetime. The stored
+        instant round-trips as epoch micros (``unix_micros``) rather
+        than a collected timestamp: Python-side timestamp conversion
+        goes through the driver OS timezone, where naive values shift
+        across DST boundaries when the lookback arithmetic re-enters
+        a plan literal. Epoch micros are TZ-free."""
         if not os.path.exists(self.wm_dir):
             return None
         row = (
             resolve_format(self.spark)
             .read_table(self.spark, self.wm_dir)
             .filter(F.col("table_name") == name)
-            .select("last_materialized_at")
+            .select(F.unix_micros(F.col("last_materialized_at")).alias("us"))
             .collect()
         )
-        return row[0][0] if row else None
+        return _utc_from_micros(row[0][0]) if row else None
 
     def _set_watermark(self, name: str, ts: dt.datetime) -> None:
         updates = self.spark.createDataFrame(
@@ -215,8 +229,13 @@ class Materializer:
         # already-materialized parquet (footer-stats friendly;
         # Iceberg/Delta read this from manifest metadata) instead of
         # recomputing the view transform a fourth time.
-        max_ts = self.read_mat(target.name).agg(F.max(ts)).collect()[0][0]
-        if max_ts is not None:
+        max_us = (
+            self.read_mat(target.name)
+            .agg(F.unix_micros(F.max(ts)).alias("us"))
+            .collect()[0][0]
+        )
+        if max_us is not None:
+            max_ts = _utc_from_micros(max_us)
             self._set_watermark(target.name, max_ts)
             log["M6"] = f"watermark={max_ts.isoformat()}"
         return log

@@ -195,7 +195,7 @@ def materialize_dim_change_repair(spark: SparkSession, sf_dir: str) -> DataFrame
     dim_dir = os.path.join(lake, "dim_tier")
     batch1.write.mode("overwrite").parquet(src_dir)
 
-    t0 = dt.datetime(2020, 1, 1)
+    t0 = dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc)
     dim_v1 = [(b, f"tier_{b}_v1", t0, None, True) for b in range(10)]
     dim_schema = (
         "bucket long, tier_label string, valid_from timestamp, "
@@ -229,7 +229,8 @@ def materialize_dim_change_repair(spark: SparkSession, sf_dir: str) -> DataFrame
 
     # SCD2 change: buckets 0-2 get a v2 version effective after the
     # watermark; the old version is closed out.
-    t1 = dt.datetime(2024, 1, 21, 0, 0, 0)
+    # Mid-corpus boundary: aware-UTC so the instant survives any host TZ.
+    t1 = dt.datetime(2024, 1, 21, tzinfo=dt.timezone.utc)
     dim_v2 = []
     for b in range(10):
         if b < 3:
