@@ -73,6 +73,9 @@ def main() -> int:
     load_table(spark, sf_dir, "region").groupBy("r_regionkey").count().count()
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    from streaming_data_lake_spark.plans import artifacts
+
+    misses_before = artifacts.STATS["misses"]
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -84,12 +87,20 @@ def main() -> int:
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
+    # warm=false ⇔ at least one durable artifact (bucketed layout,
+    # LSH signature table, IVF index, …) was built IN-LINE during the
+    # timed run — i.e. this is a fresh-container/cold-cache number
+    # that includes one-time build costs a steady-state deployment
+    # amortizes away. Rerunning immediately yields the warm figure.
+    artifact_builds = artifacts.STATS["misses"] - misses_before
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "warm": artifact_builds == 0,
+        "artifact_builds": artifact_builds,
     }))
     return 0
 

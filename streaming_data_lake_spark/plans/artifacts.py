@@ -58,6 +58,14 @@ import tempfile
 _MARKER = "_GRAFT_COMPLETE"
 _ENV = "SPARK_GRAFT_ARTIFACTS"
 
+#: Process-lifetime cache counters. A "miss" means ensure() had to
+#: run a build — i.e. the caller paid the artifact construction cost
+#: in-line. bench.py reads these to stamp its JSON with warm=true/
+#: false, so a recorded number self-describes whether it includes
+#: one-time artifact builds (the documented first-run-in-fresh-
+#: container effect the round-5 verdict had to adjudicate by hand).
+STATS = {"hits": 0, "misses": 0}
+
 
 def cache_root() -> str:
     override = os.environ.get(_ENV)
@@ -143,7 +151,9 @@ def ensure(kind: str, inputs: list[str], params: dict, build) -> str:
     partial artifact."""
     final = artifact_path(kind, inputs, params)
     if is_complete(final):
+        STATS["hits"] += 1
         return final
+    STATS["misses"] += 1
     _make_private_dir(cache_root())
     tmp = f"{final}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
     try:

@@ -28,6 +28,9 @@ from streaming_data_lake_spark.catalog import (
 )
 
 
+_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
+
+
 def physical_schema(spark: SparkSession, sf_dir: str, name: str) -> T.StructType:
     """Observed physical schema of the table's parquet files (the
     file stream source needs an explicit schema; timestamps may be
@@ -35,9 +38,22 @@ def physical_schema(spark: SparkSession, sf_dir: str, name: str) -> T.StructType
     written — probe with a batch footer read). Pins the bare-session
     confs first: a streaming query may be the FIRST read in a
     process (the driver runs one query per process), so this probe
-    cannot assume load_table already ran."""
+    cannot assume load_table already ran.
+
+    Cached per (sf_dir, table): a multi-stage pipeline (the funnel
+    opens four sides over events) would otherwise pay a driver-side
+    footer-read job per side for an answer that cannot change within
+    a process — the testdata tables are immutable inputs."""
+    # Pin on every call (cheap, idempotent): the cache is process-
+    # wide but sessions are not — a second session hitting a warm
+    # cache must still get the nanos conf before its stream starts.
     pin_session_confs(spark)
-    return spark.read.parquet(table_path(sf_dir, name)).schema
+    key = (sf_dir, name)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(table_path(sf_dir, name)).schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
 
 
 _STREAM_DIRS: dict[tuple[str, str], str] = {}
