@@ -65,3 +65,18 @@ def test_every_verdict_name_is_a_registered_query():
     seen = set(ledger.load_verdicts())
     orphans = seen - known
     assert not orphans, f"verdicts for unregistered queries: {sorted(orphans)}"
+
+
+def test_plan_next_lists_soon_stale_and_never_certified():
+    """--plan-next must name exactly the queries whose verdict goes
+    stale when one more round lands, plus never-certified ones."""
+    due = ledger.plan_next(
+        max_age=2,
+        verdicts={
+            "old_q": (3, True, ""),      # r3 at next=6 -> stale
+            "ok_q": (4, True, ""),       # r4 at next=6 -> still fresh
+            "fresh_q": (5, True, ""),
+        },
+        order=["old_q", "ok_q", "fresh_q", "new_q"],
+    )
+    assert due == [("old_q", 3), ("new_q", None)]

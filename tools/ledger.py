@@ -117,12 +117,52 @@ def audit(
     return problems, rows
 
 
+def plan_next(
+    max_age: int = 2,
+    verdicts: dict[str, tuple[int, bool, str]] | None = None,
+    order: list[str] | None = None,
+) -> list[tuple[str, int | None]]:
+    """The NEXT round's minimum must-window list: queries whose
+    current verdict exceeds ``max_age`` once one more round lands
+    (plus any never-certified names). This is the rotation planning
+    every verdict asks for, as a command instead of a hand
+    cross-reference — run it at round start to size the window before
+    spending slots on new queries."""
+    if verdicts is None:
+        verdicts = load_verdicts()
+    if order is None:
+        order = registry_order()
+    next_round = max((r for r, _ok, _d in verdicts.values()), default=0) + 1
+    out: list[tuple[str, int | None]] = []
+    for name in order:
+        rnd = verdicts.get(name, (None,))[0]
+        if rnd is None or rnd < next_round - max_age:
+            out.append((name, rnd))
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--report", action="store_true", help="print the full ledger")
+    ap.add_argument(
+        "--plan-next",
+        action="store_true",
+        help="list queries that MUST sit in the window next round "
+        "(their verdict goes stale when one more round lands)",
+    )
     ap.add_argument("--max-age", type=int, default=2)
     ap.add_argument("--window", type=int, default=WINDOW)
     args = ap.parse_args(argv)
+    if args.plan_next:
+        due = plan_next(args.max_age)
+        for name, rnd in due:
+            print(f"{name:45s} {'r' + str(rnd) if rnd else 'never-certified'}")
+        free = args.window - len(due)
+        print(
+            f"\nNEXT-ROUND PLAN: {len(due)} obligatory slot(s), "
+            f"{free} free of {args.window}"
+        )
+        return 0
     problems, rows = audit(args.max_age, args.window)
     if args.report:
         for r in rows:
