@@ -34,6 +34,7 @@ HEADLINE = [
     "embedding_cosine_near_dups",  # sign-LSH embedding near-dup
     "knn_bruteforce_cosine",    # ANN brute-force top-k
     "knn_ivf_cosine",           # ANN IVF-bucketed top-k
+    "knn_ivf_pq_adc",           # IVFPQ: bucket-pruned compressed-domain ADC
     "token_counts",             # text analysis
     "tfidf_top_terms",          # TF-IDF top terms per doc
     "dup_clusters_connected",   # iterative CC over near-dup graph

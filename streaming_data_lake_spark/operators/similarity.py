@@ -607,12 +607,58 @@ def ivf_pq_adc_topk(
     which is what makes the 100 TB path CPU- as well as memory-
     feasible. Candidates stay duplicate-free (each corpus vector
     lives in exactly one bucket). Recall < 1 by design, rising with
-    nprobe — same dial as :func:`ivf_knn`."""
+    nprobe — same dial as :func:`ivf_knn`.
+
+    Build-once deployments materialize :func:`ivf_pq_index` as a
+    durable table and call :func:`ivf_pq_adc_search` on it per query
+    batch (the certified query does exactly that through the artifact
+    cache); this convenience composition re-derives the index
+    in-line."""
+    codes = ivf_pq_index(
+        corpus, centroids, codebook_row, n_sub, dsub, id_col, vec_col
+    )
+    return ivf_pq_adc_search(
+        codes, queries, centroids, codebook_row, k, n_sub, dsub, nprobe,
+        id_col, vec_col,
+    )
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebook_row: DataFrame,
+    n_sub: int = 8,
+    dsub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVFPQ index table: (id, cluster_id, c0..c{n_sub-1}) in one
+    narrow corpus scan. This is the build-once product a deployment
+    persists (the reference pattern: setup jobs write index-shaped
+    tables the query layer reads, scripts/maintenance.sh)."""
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    codes = pq_encode(
+    return pq_encode(
         assigned, codebook_row, n_sub, dsub, id_col, vec_col,
         keep_cols=("cluster_id",),
     )
+
+
+def ivf_pq_adc_search(
+    codes: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook_row: DataFrame,
+    k: int = 5,
+    n_sub: int = 8,
+    dsub: int = 8,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over a prebuilt :func:`ivf_pq_index` table: the
+    corpus side carries only (id, cluster_id, codes); queries assign
+    to their ``nprobe`` buckets, broadcast onto the codes scan, and
+    only probed buckets are scored."""
     q = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),

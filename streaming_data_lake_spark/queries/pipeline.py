@@ -1670,23 +1670,42 @@ FROM r WHERE rank <= {_PQ_TOPK}
     _ivfpq_oracle(),
     "IVFPQ (Jegou et al. 2011 SS-V): IVF cosine bucket assignment prunes the "
     "corpus to the query's nprobe=2 nearest of 8 buckets, then the ADC scan "
-    "scores only codes in probed buckets. Index build is ONE narrow corpus "
-    "scan (assign feeds encode via keep_cols); stored rows are "
-    "(id, cluster_id, 8 codes) -- bytes, not vectors. The scanned fraction "
-    "drops to ~nprobe/n_centroids of knn_pq_adc_l2's full scan: the 100 TB "
-    "ANN serving path.",
+    "scores only codes in probed buckets. The index (id, cluster_id, 8 "
+    "codes -- bytes, not vectors) is built ONCE (one narrow corpus scan: "
+    "assign feeds encode via keep_cols) and persisted through the durable "
+    "artifact cache, the deployment shape: searches read codes, never "
+    "re-encode the corpus. Scanned fraction drops to ~nprobe/n_centroids "
+    "of knn_pq_adc_l2's full scan: the 100 TB ANN serving path.",
 )
 def knn_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.plans.artifacts import cached_parquet
+
     e = _t(spark, sf_dir, "embeddings")
     cb_row = similarity.pq_codebook_row(
         e.filter(F.col("vec_id") < _PQ_K_CODES).select(
             F.col("vec_id").alias("code"), F.col("embedding").alias("cv")
         )
     )
-    return similarity.ivf_pq_adc_topk(
-        e,
+    centroids = e.filter(F.col("vec_id") < _IVFPQ_NCENT)
+    codes = cached_parquet(
+        spark,
+        "ivfpq_index",
+        [os.path.join(sf_dir, "embeddings.parquet")],
+        {
+            "ncent": _IVFPQ_NCENT,
+            "k_codes": _PQ_K_CODES,
+            "n_sub": _PQ_NSUB,
+            "dsub": _PQ_DSUB,
+            "v": 1,
+        },
+        lambda: similarity.ivf_pq_index(
+            e, centroids, cb_row, n_sub=_PQ_NSUB, dsub=_PQ_DSUB
+        ),
+    )
+    return similarity.ivf_pq_adc_search(
+        codes,
         e.filter(F.col("vec_id") < _PQ_QUERIES),
-        e.filter(F.col("vec_id") < _IVFPQ_NCENT),
+        centroids,
         cb_row,
         k=_PQ_TOPK,
         n_sub=_PQ_NSUB,

@@ -362,19 +362,19 @@ def test_unpivot_expand_after_aggregate(spark):
     )
 
 
-def test_ivfpq_corpus_narrow_and_bucket_join_broadcasts(spark):
-    """IVFPQ index build (assign -> encode) must stay ONE narrow
-    corpus scan — no Exchange before the query-side broadcast join —
-    and the bucket-pruned ADC join must be a BroadcastHashJoin keyed
-    on the cluster id (the id-inequality riding as residual), with the
-    per-query top-k pushed down as a partial WindowGroupLimit."""
+def test_ivfpq_search_plan_shape(spark):
+    """The IVFPQ search must read the materialized codes table (no
+    corpus re-encode in the search plan) through a BroadcastHashJoin
+    keyed on the cluster id (the id-inequality riding as residual),
+    with the per-query top-k pushed down as a partial
+    WindowGroupLimit."""
     plan = _executed(_query(spark, "knn_ivf_pq_adc"))
+    assert "spark_graft_artifacts" in plan, "search should scan the index artifact"
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     # Exactly two hash shuffles, both on query-sized inputs: the final
     # per-query rank and the query-side nprobe window. A third one
-    # means the corpus-side assign->encode composition regressed into
-    # a shuffle.
+    # means the codes-side of the search regressed into a shuffle.
     shuffles = [
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
