@@ -70,7 +70,6 @@ def seed_dimensions(spark: SparkSession, lake_dir: str) -> dict[str, str]:
 # line up with the TZ-naive oracle literal against fixed parquet
 # epochs — same aware-UTC rule as _V0 above.
 _FLIP = dt.datetime(2024, 1, 15, tzinfo=dt.timezone.utc)
-_V0_UTC = _V0
 
 
 def build_dim_tier_history(spark: SparkSession) -> DataFrame:
@@ -81,6 +80,6 @@ def build_dim_tier_history(spark: SparkSession) -> DataFrame:
     point-in-time join without reading the dim."""
     rows = []
     for b in range(10):
-        rows.append((b, f"tier_{b}_v1", b % 3, _V0_UTC, _FLIP, False))
+        rows.append((b, f"tier_{b}_v1", b % 3, _V0, _FLIP, False))
         rows.append((b, f"tier_{b}_v2", b % 3, _FLIP, None, True))
     return spark.createDataFrame(rows, TIER_SCHEMA)

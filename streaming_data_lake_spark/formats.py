@@ -248,16 +248,27 @@ class DeltaFormat(TableFormat):
     def remove_orphans(self, spark, lake_dir, min_age_s=None):
         # Delta VACUUM expresses the age guard in hours; None → the
         # same 1h concurrency-safe default as the parquet backend.
+        # Any retention below Delta's 168h default trips the safety
+        # check and the resulting exception would be swallowed by the
+        # not-a-delta-table except below (silent no-op sweep) — scope
+        # the check off around the loop, exactly like
+        # expire_snapshots does for its 0-hour vacuum.
         retain_h = (3600.0 if min_age_s is None else min_age_s) / 3600.0
+        key = "spark.databricks.delta.retentionDurationCheck.enabled"
+        prev = spark.conf.get(key, "true")
+        spark.conf.set(key, "false")
         removed = []
-        for entry in os.listdir(lake_dir):
-            path = os.path.join(lake_dir, entry)
-            if os.path.isdir(path):
-                try:
-                    self._dt(spark, path).vacuum(retain_h)
-                    removed.append(entry)
-                except Exception:  # noqa: BLE001 — not a delta table
-                    continue
+        try:
+            for entry in os.listdir(lake_dir):
+                path = os.path.join(lake_dir, entry)
+                if os.path.isdir(path):
+                    try:
+                        self._dt(spark, path).vacuum(retain_h)
+                        removed.append(entry)
+                    except Exception:  # noqa: BLE001 — not a delta table
+                        continue
+        finally:
+            spark.conf.set(key, prev)
         return removed
 
 

@@ -80,3 +80,15 @@ def test_plan_next_lists_soon_stale_and_never_certified():
         order=["old_q", "ok_q", "fresh_q", "new_q"],
     )
     assert due == [("old_q", 3), ("new_q", None)]
+
+
+def test_plan_next_includes_fresh_failures():
+    """A regressed query is an obligatory slot no matter how fresh
+    its failing verdict is — the audit flags failures at any age, so
+    the plan must schedule the re-certification."""
+    due = ledger.plan_next(
+        max_age=2,
+        verdicts={"bad_q": (5, False, "hash mismatch"), "good_q": (5, True, "")},
+        order=["bad_q", "good_q"],
+    )
+    assert due == [("bad_q", 5)]

@@ -123,11 +123,13 @@ def plan_next(
     order: list[str] | None = None,
 ) -> list[tuple[str, int | None]]:
     """The NEXT round's minimum must-window list: queries whose
-    current verdict exceeds ``max_age`` once one more round lands
-    (plus any never-certified names). This is the rotation planning
-    every verdict asks for, as a command instead of a hand
-    cross-reference — run it at round start to size the window before
-    spending slots on new queries."""
+    current verdict exceeds ``max_age`` once one more round lands,
+    any never-certified names, and any query whose LATEST verdict is
+    a failure (a regression is obligatory re-certification no matter
+    how fresh the failing verdict is — the audit flags it at any
+    age). This is the rotation planning every verdict asks for, as a
+    command instead of a hand cross-reference — run it at round start
+    to size the window before spending slots on new queries."""
     if verdicts is None:
         verdicts = load_verdicts()
     if order is None:
@@ -135,8 +137,8 @@ def plan_next(
     next_round = max((r for r, _ok, _d in verdicts.values()), default=0) + 1
     out: list[tuple[str, int | None]] = []
     for name in order:
-        rnd = verdicts.get(name, (None,))[0]
-        if rnd is None or rnd < next_round - max_age:
+        rnd, ok = verdicts.get(name, (None, None))[:2]
+        if rnd is None or not ok or rnd < next_round - max_age:
             out.append((name, rnd))
     return out
 
