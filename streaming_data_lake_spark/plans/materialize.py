@@ -27,16 +27,33 @@ Passes per run:
 
 Row-level DELETE is emulated with read-filter-overwrite on parquet;
 on Delta/Iceberg the same passes map to ``DELETE FROM ... WHERE`` and
-``MERGE`` (the reference's Trino statements). At 100 TB the mat
-tables would be day-partitioned on the ts column so M2's
-delete+reinsert rewrites only the lookback partitions and M4 is a
-partition append — the pass structure is unchanged.
+``MERGE`` (the reference's Trino statements).
+
+Mat tables are DAY-PARTITIONED on the ts column (``day_pt=``), which
+is what makes the passes survive 100 TB:
+
+ - M2's repair REWRITES ONLY THE LOOKBACK-WINDOW PARTITIONS. The new
+   table version is published with the same single atomic directory
+   swap as before (keeping the crash-recovery contract), but its
+   unchanged day partitions are hard-linked from the previous
+   version instead of rewritten — the filesystem emulation of an
+   Iceberg overwrite snapshot that reuses every untouched manifest
+   and rewrites only the affected partition's files. Repair IO is
+   proportional to the lookback window, not the table.
+ - M2's mat-side count probe carries a partition predicate, so the
+   scan prunes to the lookback days.
+ - M4 appends new day partitions/files, touching nothing else.
+ - M3/M5 repairs key on FKs/flags that scatter across all
+   partitions (equality deletes, merge-on-read in Iceberg terms), so
+   they keep the full rewrite — same as the reference's contract.
 """
 
 from __future__ import annotations
 
 import datetime as dt
 import os
+import shutil
+import uuid
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -84,6 +101,13 @@ class MatTarget:
     exists_repair: ExistsRepair | None = None
 
 
+#: Partition column of materialized tables. Derived from the target's
+#: ts column at write time and dropped on read — an internal layout
+#: key, never part of the view contract. No leading underscore: Spark
+#: file listing hides `_`/`.`-prefixed paths.
+DAY_COL = "day_pt"
+
+
 class Materializer:
     def __init__(self, spark: SparkSession, lake_dir: str) -> None:
         self.spark = spark
@@ -94,8 +118,21 @@ class Materializer:
     def _mat_dir(self, name: str) -> str:
         return os.path.join(self.lake_dir, name)
 
-    def read_mat(self, name: str) -> DataFrame:
+    def _read_raw(self, name: str) -> DataFrame:
+        """The mat table WITH its day_pt partition column."""
         return self.spark.read.parquet(self._mat_dir(name))
+
+    def read_mat(self, name: str) -> DataFrame:
+        df = self._read_raw(name)
+        return df.drop(DAY_COL) if DAY_COL in df.columns else df
+
+    @staticmethod
+    def _with_day(df: DataFrame, ts_col: str) -> DataFrame:
+        # Session tz is pinned UTC by the engine session factory, and
+        # the derivation is only ever compared against values derived
+        # the same way in the same process — the column is a layout
+        # key, not a semantic output.
+        return df.withColumn(DAY_COL, F.to_date(F.col(ts_col)))
 
     def get_watermark(self, name: str) -> dt.datetime | None:
         """Returns the watermark as an AWARE-UTC datetime. The stored
@@ -132,28 +169,51 @@ class Materializer:
         ts = F.col(target.ts_col)
 
         if not os.path.exists(mat_dir):  # M1 full load
-            view.write.mode("overwrite").parquet(mat_dir)
+            self._with_day(view, target.ts_col).write.mode("overwrite").partitionBy(
+                DAY_COL
+            ).parquet(mat_dir)
             log["M1"] = "full load"
         else:
             wm = self.get_watermark(target.name)
             if wm is None:
                 raise RuntimeError(f"mat table {target.name} exists but no watermark")
             lo = wm - dt.timedelta(hours=lookback_hours)
+            # The lookback window's day partitions — pure arithmetic
+            # on the aware-UTC bounds, no job. Every windowed row's
+            # day lies in [date(lo), date(wm)].
+            days = []
+            d = lo.date()
+            while d <= wm.date():
+                days.append(d)
+                d += dt.timedelta(days=1)
+            day_in_window = F.col(DAY_COL).isin([str(x) for x in days])
 
             # M2 — pass 0: lookback repair on count drift. Both
             # window counts come from ONE job (union + tag + groupBy)
             # instead of two sequential actions: at scale the two
-            # scans run as one stage over the pruned lookback window.
+            # scans run as one stage — and the mat side carries the
+            # day-partition predicate, so it scans only the lookback
+            # partitions.
             in_window = (ts > F.lit(lo)) & (ts <= F.lit(wm))
-            mat = self.read_mat(target.name)
+            mat_raw = self._read_raw(target.name)
             tagged = view.filter(in_window).select(F.lit("v").alias("side")).unionAll(
-                mat.filter(in_window).select(F.lit("m").alias("side"))
+                mat_raw.filter(day_in_window)
+                .filter(in_window)
+                .select(F.lit("m").alias("side"))
             )
             counts = {r["side"]: r["count"] for r in tagged.groupBy("side").count().collect()}
             view_cnt, mat_cnt = counts.get("v", 0), counts.get("m", 0)
             if view_cnt != mat_cnt:
-                repaired = mat.filter(~in_window).unionByName(view.filter(in_window))
-                self._overwrite(mat_dir, repaired)
+                # Rewrite ONLY the lookback-day partitions: windowed
+                # view rows plus the same days' out-of-window remnant;
+                # every other partition is reused (hard-linked) into
+                # the new table version by _overwrite_partitions.
+                repaired = (
+                    mat_raw.filter(day_in_window)
+                    .filter(~in_window)
+                    .unionByName(self._with_day(view.filter(in_window), target.ts_col))
+                )
+                self._overwrite_partitions(mat_dir, repaired, days)
                 log["M2"] = f"repaired window ({mat_cnt}→{view_cnt} rows)"
             else:
                 log["M2"] = "no drift"
@@ -174,7 +234,7 @@ class Materializer:
                 reinsert = view.join(
                     F.broadcast(changed), on=dep.fact_fk, how="left_semi"
                 ).filter(ts <= F.lit(wm))
-                self._overwrite(mat_dir, keep.unionByName(reinsert))
+                self._overwrite(mat_dir, keep.unionByName(reinsert), target.ts_col)
                 log[f"M3:{dep.fact_fk}"] = "repaired changed keys"
 
             # M4 — pass 2: append new facts. The increment is cached
@@ -186,7 +246,9 @@ class Materializer:
             try:
                 n_new = new_rows.count()
                 if n_new:
-                    new_rows.write.mode("append").parquet(mat_dir)
+                    self._with_day(new_rows, target.ts_col).write.mode(
+                        "append"
+                    ).partitionBy(DAY_COL).parquet(mat_dir)
             finally:
                 new_rows.unpersist()
             log["M4"] = f"appended {n_new}"
@@ -219,7 +281,7 @@ class Materializer:
                 else:
                     keep = mat.join(changed, on=er.key_col, how="left_anti")
                     reinsert = view.join(changed, on=er.key_col, how="left_semi")
-                    self._overwrite(mat_dir, keep.unionByName(reinsert))
+                    self._overwrite(mat_dir, keep.unionByName(reinsert), target.ts_col)
                     log["M5"] = "repaired flipped keys"
 
         # M6 — watermark upsert. After the passes above the mat table
@@ -240,12 +302,51 @@ class Materializer:
             log["M6"] = f"watermark={max_ts.isoformat()}"
         return log
 
-    def _overwrite(self, path: str, df: DataFrame) -> None:
-        import shutil
-        import uuid
-
+    def _overwrite(self, path: str, df: DataFrame, ts_col: str) -> None:
+        """Full-table rewrite (M3/M5: keyed repairs scatter across all
+        partitions), republished day-partitioned so the layout — and
+        M2's partition-scoped repair — survives every pass. ``df``
+        carries view columns only; the day key is re-derived."""
         tmp = f"{path}__tmp_{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(tmp)
+        self._with_day(df, ts_col).write.mode("overwrite").partitionBy(
+            DAY_COL
+        ).parquet(tmp)
+        self._swap(path, tmp)
+
+    def _overwrite_partitions(
+        self, path: str, df: DataFrame, days: list[dt.date]
+    ) -> None:
+        """Publish a new table version that REWRITES only the ``days``
+        partitions (``df`` must hold exactly those days' rows, day
+        column included) and reuses every other partition from the
+        current version via hard links — the filesystem analog of an
+        Iceberg overwrite snapshot keeping untouched manifests. The
+        publish is the same single atomic swap as a full rewrite, so
+        the crash-recovery contract (remove_orphans' restore rule) is
+        unchanged."""
+        tmp = f"{path}__tmp_{uuid.uuid4().hex}"
+        df.write.mode("overwrite").partitionBy(DAY_COL).parquet(tmp)
+        rewritten = {f"{DAY_COL}={d.isoformat()}" for d in days}
+        for entry in os.listdir(path):
+            src = os.path.join(path, entry)
+            if (
+                not entry.startswith(f"{DAY_COL}=")
+                or entry in rewritten
+                or not os.path.isdir(src)
+            ):
+                continue
+            dst = os.path.join(tmp, entry)
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                sf = os.path.join(src, f)
+                if os.path.isfile(sf):
+                    try:
+                        os.link(sf, os.path.join(dst, f))
+                    except OSError:  # cross-device: fall back to copy
+                        shutil.copy2(sf, os.path.join(dst, f))
+        self._swap(path, tmp)
+
+    def _swap(self, path: str, tmp: str) -> None:
         old = f"{path}__old_{uuid.uuid4().hex}"
         os.rename(path, old)
         os.rename(tmp, path)

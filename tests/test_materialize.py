@@ -206,3 +206,66 @@ def test_cms_lookup_external_candidate_estimates_zero(spark):
     assert set(got) == {"a", "never_seen_tok_xyz"}  # nothing dropped
     assert got["a"] >= 2  # CMS >= truth
     assert got["never_seen_tok_xyz"] >= 0  # present with a (>=0) estimate
+
+
+def test_m2_repair_reuses_untouched_day_partitions(spark, tmp_path):
+    """The partition-scoped M2 repair must rewrite ONLY the lookback
+    days: an untouched day's data files survive into the new table
+    version as the SAME inodes (hard-linked, not rewritten) — the
+    filesystem proof that repair IO is proportional to the window."""
+    from streaming_data_lake_spark.plans.materialize import DAY_COL
+
+    lake = str(tmp_path / "lake")
+    src = os.path.join(lake, "src")
+    os.makedirs(lake, exist_ok=True)
+    # Two days of data; the watermark will sit on day 2, so day 1 is
+    # far outside any 2h lookback.
+    _write_events(spark, src, [(1, _ts("2024-01-01 10:00:00"), 1, 1.0),
+                               (2, _ts("2024-01-02 11:00:00"), 2, 2.0)])
+    target = MatTarget("mat", lambda s: s.read.parquet(src), "ts")
+    m = Materializer(spark, lake)
+    m.run(target, lookback_hours=2)
+    day1 = os.path.join(lake, "mat", f"{DAY_COL}=2024-01-01")
+    before = {
+        f: os.stat(os.path.join(day1, f)).st_ino
+        for f in os.listdir(day1)
+        if f.endswith(".parquet")
+    }
+    assert before, "day-1 partition missing after M1"
+
+    # Late row inside the lookback on day 2 -> M2 repair fires.
+    _write_events(spark, src, [(3, _ts("2024-01-02 10:30:00"), 3, 3.0)])
+    log = m.run(target, lookback_hours=2)
+    assert log["M2"].startswith("repaired")
+    after = {
+        f: os.stat(os.path.join(day1, f)).st_ino
+        for f in os.listdir(day1)
+        if f.endswith(".parquet")
+    }
+    assert after == before, "untouched day-1 partition was rewritten"
+    # And the repaired table is correct + still hides the layout key.
+    got = m.read_mat("mat")
+    assert DAY_COL not in got.columns
+    assert sorted(r["id"] for r in got.collect()) == [1, 2, 3]
+
+
+def test_m2_count_probe_prunes_to_lookback_partitions(spark, tmp_path):
+    """The mat-side M2 count scan must carry the day-partition
+    predicate (PartitionFilters pruning) — at 100 TB the probe reads
+    the lookback days, not the table."""
+    from streaming_data_lake_spark.plans.materialize import DAY_COL
+
+    lake = str(tmp_path / "lake")
+    src = os.path.join(lake, "src")
+    os.makedirs(lake, exist_ok=True)
+    _write_events(spark, src, [(1, _ts("2024-01-01 10:00:00"), 1, 1.0),
+                               (2, _ts("2024-01-02 11:00:00"), 2, 2.0)])
+    target = MatTarget("mat", lambda s: s.read.parquet(src), "ts")
+    m = Materializer(spark, lake)
+    m.run(target, lookback_hours=2)
+    raw = m._read_raw("mat")
+    pruned = raw.filter(F.col(DAY_COL).isin(["2024-01-02"]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert f"{DAY_COL}=2024-01-02" not in plan  # value lands in filters, not scan path
+    # partition pruning shows as a PartitionFilters entry on the scan
+    assert "PartitionFilters" in plan and DAY_COL in plan.split("PartitionFilters")[1][:200]
