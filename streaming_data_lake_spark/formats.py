@@ -111,7 +111,12 @@ class ParquetEmulationFormat(TableFormat):
         merge_upsert(spark, table_ref, updates, keys)
 
     def read_table(self, spark, table_ref):
-        return spark.read.parquet(table_ref)
+        # Upsert tables carry an internal key-hash bucket layout
+        # column; reading through the adapter hides it, like a real
+        # format hides its file/partition organization.
+        from streaming_data_lake_spark.sources.upsert import read_upsert
+
+        return read_upsert(spark, table_ref)
 
     def _vt(self, spark, table_ref):
         from streaming_data_lake_spark.sources.versioned import VersionedTable

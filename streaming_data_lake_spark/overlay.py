@@ -1,0 +1,75 @@
+"""Partition-overlay publication for the parquet table emulation.
+
+A table format (Iceberg/Delta) commits a partial rewrite as a new
+snapshot that REFERENCES every untouched data file and replaces only
+the rewritten partition's files. The parquet emulation reproduces
+that contract on a directory tree: the writer materializes ONLY the
+rewritten partitions into a private ``__tmp_`` table, this module
+hard-links every untouched partition directory from the live version
+into it, and the result is published with the same single atomic
+directory swap used for full rewrites — so readers never see a
+partial state and the crash-recovery rule stays one rule
+(``plans/maintenance.remove_orphans``: restore ``__old_`` when the
+base is missing).
+
+Hard links are the single-filesystem analog of manifest reuse: no
+data bytes move for untouched partitions. The fallback copy only
+triggers if scratch and table live on different filesystems (the
+engine stages both under one scratch root).
+
+Used by the incremental materializer (M2 lookback repair rewrites
+only the lookback-day partitions) and the keyed MERGE upsert sink
+(each micro-batch rewrites only the key-hash buckets it touches).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+
+def link_untouched_partitions(
+    live_dir: str, tmp_dir: str, partition_col: str, rewritten: set[str]
+) -> int:
+    """Hard-link every ``{partition_col}=value`` directory of
+    ``live_dir`` whose entry name is NOT in ``rewritten`` into
+    ``tmp_dir``. Returns the number of reused partitions."""
+    reused = 0
+    prefix = f"{partition_col}="
+    for entry in os.listdir(live_dir):
+        src = os.path.join(live_dir, entry)
+        if (
+            not entry.startswith(prefix)
+            or entry in rewritten
+            or not os.path.isdir(src)
+        ):
+            continue
+        dst = os.path.join(tmp_dir, entry)
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            sf = os.path.join(src, f)
+            if os.path.isfile(sf):
+                try:
+                    os.link(sf, os.path.join(dst, f))
+                except OSError:  # cross-device: fall back to copy
+                    shutil.copy2(sf, os.path.join(dst, f))
+        reused += 1
+    return reused
+
+
+def atomic_swap(path: str, tmp: str) -> None:
+    """Publish ``tmp`` as the new version of ``path``. After the
+    first rename the original lives only in ``__old_`` — the orphan
+    sweep's restore rule covers a crash between the renames."""
+    old = f"{path}__old_{uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def tmp_sibling(path: str) -> str:
+    """A private scratch dir name colocated with ``path`` (same
+    filesystem, so links work and the swap is atomic), following the
+    ``__tmp_`` naming the orphan sweep knows how to clean up."""
+    return f"{path}__tmp_{uuid.uuid4().hex}"

@@ -52,8 +52,6 @@ from __future__ import annotations
 
 import datetime as dt
 import os
-import shutil
-import uuid
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -61,6 +59,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streaming_data_lake_spark.formats import resolve_format
+from streaming_data_lake_spark.overlay import (
+    atomic_swap,
+    link_untouched_partitions,
+    tmp_sibling,
+)
 
 _EPOCH_UTC = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
 
@@ -307,11 +310,11 @@ class Materializer:
         partitions), republished day-partitioned so the layout — and
         M2's partition-scoped repair — survives every pass. ``df``
         carries view columns only; the day key is re-derived."""
-        tmp = f"{path}__tmp_{uuid.uuid4().hex}"
+        tmp = tmp_sibling(path)
         self._with_day(df, ts_col).write.mode("overwrite").partitionBy(
             DAY_COL
         ).parquet(tmp)
-        self._swap(path, tmp)
+        atomic_swap(path, tmp)
 
     def _overwrite_partitions(
         self, path: str, df: DataFrame, days: list[dt.date]
@@ -324,30 +327,9 @@ class Materializer:
         publish is the same single atomic swap as a full rewrite, so
         the crash-recovery contract (remove_orphans' restore rule) is
         unchanged."""
-        tmp = f"{path}__tmp_{uuid.uuid4().hex}"
+        tmp = tmp_sibling(path)
         df.write.mode("overwrite").partitionBy(DAY_COL).parquet(tmp)
-        rewritten = {f"{DAY_COL}={d.isoformat()}" for d in days}
-        for entry in os.listdir(path):
-            src = os.path.join(path, entry)
-            if (
-                not entry.startswith(f"{DAY_COL}=")
-                or entry in rewritten
-                or not os.path.isdir(src)
-            ):
-                continue
-            dst = os.path.join(tmp, entry)
-            os.makedirs(dst, exist_ok=True)
-            for f in os.listdir(src):
-                sf = os.path.join(src, f)
-                if os.path.isfile(sf):
-                    try:
-                        os.link(sf, os.path.join(dst, f))
-                    except OSError:  # cross-device: fall back to copy
-                        shutil.copy2(sf, os.path.join(dst, f))
-        self._swap(path, tmp)
-
-    def _swap(self, path: str, tmp: str) -> None:
-        old = f"{path}__old_{uuid.uuid4().hex}"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        link_untouched_partitions(
+            path, tmp, DAY_COL, {f"{DAY_COL}={d.isoformat()}" for d in days}
+        )
+        atomic_swap(path, tmp)

@@ -8,6 +8,17 @@ merge-on-read). On a real lake this is exactly
 runtime jars ship in this environment, so :func:`merge_upsert` gives
 the same semantics over plain parquet with an atomic directory swap.
 
+Layout: the table is partitioned into ``kb=N`` key-hash buckets
+(murmur3 of the key columns mod ``N_BUCKETS``). A MERGE batch
+rewrites ONLY the buckets its update keys hash into and hard-links
+the rest from the live version before one atomic swap
+(:mod:`streaming_data_lake_spark.overlay`) — the emulation of a real
+format's merge touching only the data files that contain matched
+keys. At 100 TB with processing-time triggers, a micro-batch updates
+recent keys only, so merge IO is proportional to the batch's key
+spread, not the table. The bucket column is an internal layout key:
+``read_upsert`` (and the format adapter's ``read_table``) drops it.
+
 Semantics: incoming rows win on key collision (last-writer-wins per
 micro-batch, like the reference's continuously-updated windows).
 Idempotent per batchId: replaying a batch converges to the same
@@ -17,10 +28,34 @@ table state.
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_lake_spark.overlay import (
+    atomic_swap,
+    link_untouched_partitions,
+    tmp_sibling,
+)
+
+#: Key-hash bucket count. A layout constant, not a tuning parameter
+#: per table: at real scale this maps to the format's file/partition
+#: granularity. Internal only — never part of a table's contract.
+N_BUCKETS = 16
+BUCKET_COL = "kb"
+
+
+def _with_bucket(df: DataFrame, keys: list[str]) -> DataFrame:
+    # Spark's hash() is seeded murmur3 — deterministic across
+    # sessions and processes, so an existing row and its update
+    # always land in the same bucket.
+    return df.withColumn(BUCKET_COL, F.pmod(F.hash(*keys), F.lit(N_BUCKETS)))
+
+
+def read_upsert(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The upsert table without its internal bucket column."""
+    df = spark.read.parquet(table_dir)
+    return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
 
 def merge_upsert(
@@ -30,22 +65,29 @@ def merge_upsert(
     keys: list[str],
 ) -> None:
     """MERGE ``updates`` into the parquet table at ``table_dir`` keyed
-    on ``keys``: matched rows are replaced, new rows inserted."""
-    if os.path.exists(table_dir):
-        current = spark.read.parquet(table_dir)
-        keep = current.join(updates.select(*keys), on=keys, how="left_anti")
-        merged = keep.unionByName(updates)
-    else:
-        merged = updates
-    tmp = f"{table_dir}__tmp_{uuid.uuid4().hex}"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(table_dir):
-        old = f"{table_dir}__old_{uuid.uuid4().hex}"
-        os.rename(table_dir, old)
-        os.rename(tmp, table_dir)
-        shutil.rmtree(old, ignore_errors=True)
-    else:
-        os.rename(tmp, table_dir)
+    on ``keys``: matched rows are replaced, new rows inserted. Only
+    the key-hash buckets touched by ``updates`` are rewritten."""
+    updates_b = _with_bucket(updates, keys)
+    if not os.path.exists(table_dir):
+        updates_b.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(table_dir)
+        return
+    # Bounded control-flow collect: at most N_BUCKETS small ints,
+    # independent of update or table size (the same class as the
+    # materializer's watermark probe).
+    touched = sorted(
+        r[0] for r in updates_b.select(BUCKET_COL).distinct().collect()
+    )
+    current = spark.read.parquet(table_dir)
+    keep = current.filter(F.col(BUCKET_COL).isin(touched)).join(
+        updates.select(*keys), on=keys, how="left_anti"
+    )
+    merged = keep.unionByName(updates_b)
+    tmp = tmp_sibling(table_dir)
+    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+    link_untouched_partitions(
+        table_dir, tmp, BUCKET_COL, {f"{BUCKET_COL}={b}" for b in touched}
+    )
+    atomic_swap(table_dir, tmp)
 
 
 def foreach_batch_upsert(spark: SparkSession, table_dir: str, keys: list[str]):

@@ -269,3 +269,47 @@ def test_m2_count_probe_prunes_to_lookback_partitions(spark, tmp_path):
     assert f"{DAY_COL}=2024-01-02" not in plan  # value lands in filters, not scan path
     # partition pruning shows as a PartitionFilters entry on the scan
     assert "PartitionFilters" in plan and DAY_COL in plan.split("PartitionFilters")[1][:200]
+
+
+def test_merge_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """A MERGE batch must rewrite only the key-hash buckets its
+    updates land in: files of untouched buckets survive as the SAME
+    inodes (hard-linked), and the reader never sees the bucket
+    column."""
+    from streaming_data_lake_spark.sources.upsert import (
+        BUCKET_COL,
+        merge_upsert,
+        read_upsert,
+    )
+
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "k long, v string"
+    )
+    merge_upsert(spark, t, base, ["k"])
+    buckets = [e for e in os.listdir(t) if e.startswith(f"{BUCKET_COL}=")]
+    assert 2 <= len(buckets) <= 16
+
+    def inodes(bucket):
+        d = os.path.join(t, bucket)
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    # One-key update: exactly one bucket is touched.
+    upd = spark.createDataFrame([(7, "NEW")], "k long, v string")
+    from pyspark.sql import functions as F
+    touched = f"{BUCKET_COL}=" + str(
+        upd.select(F.pmod(F.hash("k"), F.lit(16))).head()[0]
+    )
+    before = {b: inodes(b) for b in buckets if b != touched}
+    merge_upsert(spark, t, upd, ["k"])
+    after = {b: inodes(b) for b in buckets if b != touched}
+    assert after == before, "untouched buckets were rewritten"
+
+    got = read_upsert(spark, t)
+    assert BUCKET_COL not in got.columns
+    rows = {r["k"]: r["v"] for r in got.collect()}
+    assert rows[7] == "NEW" and len(rows) == 200 and rows[8] == "v8"
