@@ -172,9 +172,15 @@ class Materializer:
         ts = F.col(target.ts_col)
 
         if not os.path.exists(mat_dir):  # M1 full load
-            self._with_day(view, target.ts_col).write.mode("overwrite").partitionBy(
+            # sortWithinPartitions: no shuffle, but each task's rows
+            # cluster by day, so a task emits ~one file per day it
+            # covers instead of one per (task, day) — the standard
+            # partitioned-write small-file fix that also holds at
+            # scale (repartitioning BY day would serialize a whole
+            # day into one task).
+            self._with_day(view, target.ts_col).sortWithinPartitions(
                 DAY_COL
-            ).parquet(mat_dir)
+            ).write.mode("overwrite").partitionBy(DAY_COL).parquet(mat_dir)
             log["M1"] = "full load"
         else:
             wm = self.get_watermark(target.name)
@@ -249,9 +255,10 @@ class Materializer:
             try:
                 n_new = new_rows.count()
                 if n_new:
-                    self._with_day(new_rows, target.ts_col).write.mode(
-                        "append"
-                    ).partitionBy(DAY_COL).parquet(mat_dir)
+                    # Micro-batch-sized increment: one file per day.
+                    self._with_day(new_rows, target.ts_col).repartition(
+                        DAY_COL
+                    ).write.mode("append").partitionBy(DAY_COL).parquet(mat_dir)
             finally:
                 new_rows.unpersist()
             log["M4"] = f"appended {n_new}"
@@ -311,9 +318,9 @@ class Materializer:
         M2's partition-scoped repair — survives every pass. ``df``
         carries view columns only; the day key is re-derived."""
         tmp = tmp_sibling(path)
-        self._with_day(df, ts_col).write.mode("overwrite").partitionBy(
-            DAY_COL
-        ).parquet(tmp)
+        self._with_day(df, ts_col).sortWithinPartitions(DAY_COL).write.mode(
+            "overwrite"
+        ).partitionBy(DAY_COL).parquet(tmp)
         atomic_swap(path, tmp)
 
     def _overwrite_partitions(
@@ -328,7 +335,11 @@ class Materializer:
         the crash-recovery contract (remove_orphans' restore rule) is
         unchanged."""
         tmp = tmp_sibling(path)
-        df.write.mode("overwrite").partitionBy(DAY_COL).parquet(tmp)
+        # The repair set is window-sized: one task per rewritten day
+        # keeps the partition at one file.
+        df.repartition(DAY_COL).write.mode("overwrite").partitionBy(
+            DAY_COL
+        ).parquet(tmp)
         link_untouched_partitions(
             path, tmp, DAY_COL, {f"{DAY_COL}={d.isoformat()}" for d in days}
         )

@@ -69,7 +69,9 @@ def merge_upsert(
     the key-hash buckets touched by ``updates`` are rewritten."""
     updates_b = _with_bucket(updates, keys)
     if not os.path.exists(table_dir):
-        updates_b.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(table_dir)
+        updates_b.repartition(BUCKET_COL).write.mode("overwrite").partitionBy(
+            BUCKET_COL
+        ).parquet(table_dir)
         return
     # Bounded control-flow collect: at most N_BUCKETS small ints,
     # independent of update or table size (the same class as the
@@ -83,7 +85,12 @@ def merge_upsert(
     )
     merged = keep.unionByName(updates_b)
     tmp = tmp_sibling(table_dir)
-    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+    # One task per rewritten bucket -> one file per bucket: emulation-
+    # scale file hygiene (a real format's merge parallelizes within
+    # the rewritten file set instead).
+    merged.repartition(BUCKET_COL).write.mode("overwrite").partitionBy(
+        BUCKET_COL
+    ).parquet(tmp)
     link_untouched_partitions(
         table_dir, tmp, BUCKET_COL, {f"{BUCKET_COL}={b}" for b in touched}
     )
