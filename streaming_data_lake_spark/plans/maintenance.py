@@ -22,9 +22,10 @@ import math
 import os
 import shutil
 import time
-import uuid
 
 from pyspark.sql import SparkSession
+
+from streaming_data_lake_spark.overlay import atomic_swap, tmp_sibling
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # reference compaction target
 
@@ -38,9 +39,22 @@ def dir_bytes(path: str) -> int:
 
 
 def _parquet_files(d: str) -> int:
-    return sum(
-        1 for f in os.listdir(d) if f.endswith(".parquet") or f.startswith("part-")
-    )
+    """Data-file count, recursing into partition subdirectories."""
+    n = 0
+    for root, _dirs, files in os.walk(d):
+        n += sum(
+            1 for f in files if f.endswith(".parquet") or f.startswith("part-")
+        )
+    return n
+
+
+def _partition_col(table_dir: str) -> str | None:
+    """The hive-style partition column of ``table_dir``'s layout, if
+    any (first ``name=value`` directory seen)."""
+    for e in sorted(os.listdir(table_dir)):
+        if "=" in e and os.path.isdir(os.path.join(table_dir, e)):
+            return e.split("=", 1)[0]
+    return None
 
 
 def compact_parquet(
@@ -49,18 +63,32 @@ def compact_parquet(
     """X1: rewrite ``table_dir`` into ~ceil(size/target) files.
     Returns the ACTUAL resulting file count (``coalesce`` only merges
     partitions — when the computed count exceeds the read partition
-    count, fewer files come out than the formula says)."""
+    count, fewer files come out than the formula says).
+
+    PRESERVES a hive-partitioned layout: the engine's managed tables
+    (day-partitioned materializations, bucket-partitioned upsert
+    tables) rely on their partition dirs for partial rewrites — a
+    flat compaction would demote the layout column to data and the
+    next partition-scoped rewrite would have nothing to link (the
+    writers guard that case by falling back to a migrating full
+    rewrite, but compaction must not destroy the layout they would
+    then have to rebuild)."""
     n_files = max(1, math.ceil(dir_bytes(table_dir) / target_bytes))
+    part_col = _partition_col(table_dir)
     df = spark.read.parquet(table_dir)
-    tmp = f"{table_dir}__tmp_{uuid.uuid4().hex}"
-    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    old = f"{table_dir}__old_{uuid.uuid4().hex}"
+    tmp = tmp_sibling(table_dir)
+    if part_col is not None:
+        # Cluster the target file count by the partition key: each of
+        # the n_files tasks emits ~one file per partition it covers.
+        df.repartition(n_files).sortWithinPartitions(part_col).write.mode(
+            "overwrite"
+        ).partitionBy(part_col).parquet(tmp)
+    else:
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
     # Swap: after the first rename the ORIGINAL lives only in `old` —
     # remove_orphans' recovery rule (restore `__old_` when the base is
     # missing) covers a crash landing between the two renames.
-    os.rename(table_dir, old)
-    os.rename(tmp, table_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    atomic_swap(table_dir, tmp)
     return _parquet_files(table_dir)
 
 

@@ -61,6 +61,7 @@ from pyspark.sql import functions as F
 from streaming_data_lake_spark.formats import resolve_format
 from streaming_data_lake_spark.overlay import (
     atomic_swap,
+    has_partition_dirs,
     link_untouched_partitions,
     tmp_sibling,
 )
@@ -183,6 +184,21 @@ class Materializer:
             ).write.mode("overwrite").partitionBy(DAY_COL).parquet(mat_dir)
             log["M1"] = "full load"
         else:
+            if DAY_COL in view.columns:
+                raise ValueError(
+                    f"{DAY_COL!r} is a reserved layout column of "
+                    f"materialized tables; rename the view column"
+                )
+            if not has_partition_dirs(mat_dir, DAY_COL):
+                # Legacy/flattened table (e.g. written before the
+                # day layout, or compacted flat by a foreign tool):
+                # a partition-scoped M2 repair would have nothing to
+                # link and would drop everything outside the lookback
+                # window, and M4 appends would produce a mixed
+                # layout. Re-establish the layout with one atomic
+                # full rewrite first.
+                self._overwrite(mat_dir, self.read_mat(target.name), target.ts_col)
+                log["layout"] = "migrated to day partitions"
             wm = self.get_watermark(target.name)
             if wm is None:
                 raise RuntimeError(f"mat table {target.name} exists but no watermark")

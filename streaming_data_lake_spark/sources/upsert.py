@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from streaming_data_lake_spark.overlay import (
     atomic_swap,
+    has_partition_dirs,
     link_untouched_partitions,
     tmp_sibling,
 )
@@ -53,7 +54,11 @@ def _with_bucket(df: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def read_upsert(spark: SparkSession, table_dir: str) -> DataFrame:
-    """The upsert table without its internal bucket column."""
+    """The upsert table without its internal bucket column. ``kb`` is
+    a RESERVED name in managed upsert tables (merge_upsert rejects
+    updates carrying it), so the drop can never shadow a user column;
+    it applies whether the column is physical layout or was demoted
+    to a data column by a flat rewrite (e.g. compaction)."""
     df = spark.read.parquet(table_dir)
     return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
@@ -66,35 +71,76 @@ def merge_upsert(
 ) -> None:
     """MERGE ``updates`` into the parquet table at ``table_dir`` keyed
     on ``keys``: matched rows are replaced, new rows inserted. Only
-    the key-hash buckets touched by ``updates`` are rewritten."""
+    the key-hash buckets touched by ``updates`` are rewritten — when
+    the live table actually carries the bucket layout; a table whose
+    layout is flat (pre-layout legacy, or a foreign rewrite) is
+    migrated with one atomic full rewrite that establishes it."""
+    if BUCKET_COL in updates.columns:
+        raise ValueError(
+            f"{BUCKET_COL!r} is a reserved layout column of managed "
+            f"upsert tables; rename the update column"
+        )
     updates_b = _with_bucket(updates, keys)
     if not os.path.exists(table_dir):
+        # Atomic initial publish: Spark writing straight into the
+        # final dir would leave a half-written table on crash, which
+        # the next call would then try to MERGE into. foreachBatch is
+        # single-writer, so the rename cannot race another creator.
+        tmp = tmp_sibling(table_dir)
         updates_b.repartition(BUCKET_COL).write.mode("overwrite").partitionBy(
             BUCKET_COL
-        ).parquet(table_dir)
+        ).parquet(tmp)
+        os.rename(tmp, table_dir)
         return
-    # Bounded control-flow collect: at most N_BUCKETS small ints,
-    # independent of update or table size (the same class as the
-    # materializer's watermark probe).
-    touched = sorted(
-        r[0] for r in updates_b.select(BUCKET_COL).distinct().collect()
-    )
     current = spark.read.parquet(table_dir)
-    keep = current.filter(F.col(BUCKET_COL).isin(touched)).join(
-        updates.select(*keys), on=keys, how="left_anti"
-    )
-    merged = keep.unionByName(updates_b)
-    tmp = tmp_sibling(table_dir)
-    # One task per rewritten bucket -> one file per bucket: emulation-
-    # scale file hygiene (a real format's merge parallelizes within
-    # the rewritten file set instead).
-    merged.repartition(BUCKET_COL).write.mode("overwrite").partitionBy(
-        BUCKET_COL
-    ).parquet(tmp)
-    link_untouched_partitions(
-        table_dir, tmp, BUCKET_COL, {f"{BUCKET_COL}={b}" for b in touched}
-    )
-    atomic_swap(table_dir, tmp)
+    if BUCKET_COL not in current.columns or not has_partition_dirs(
+        table_dir, BUCKET_COL
+    ):
+        # Legacy/flattened layout: there are no bucket dirs to link,
+        # so a bucket-scoped rewrite would DROP everything outside
+        # the touched buckets. Migrate: merge + (re)bucket the whole
+        # table in one atomic swap; subsequent merges take the
+        # bucket-scoped path.
+        cur = (
+            current.drop(BUCKET_COL)
+            if BUCKET_COL in current.columns
+            else current
+        )
+        keep_all = cur.join(updates.select(*keys), on=keys, how="left_anti")
+        merged = _with_bucket(keep_all, keys).unionByName(updates_b)
+        tmp = tmp_sibling(table_dir)
+        merged.repartition(BUCKET_COL).write.mode("overwrite").partitionBy(
+            BUCKET_COL
+        ).parquet(tmp)
+        atomic_swap(table_dir, tmp)
+        return
+    # The micro-batch drives two jobs (touched-bucket probe + the
+    # merged write); cache it so the batch transform computes once.
+    updates_b = updates_b.cache()
+    try:
+        # Bounded control-flow collect: at most N_BUCKETS small ints,
+        # independent of update or table size (the same class as the
+        # materializer's watermark probe).
+        touched = sorted(
+            r[0] for r in updates_b.select(BUCKET_COL).distinct().collect()
+        )
+        keep = current.filter(F.col(BUCKET_COL).isin(touched)).join(
+            updates.select(*keys), on=keys, how="left_anti"
+        )
+        merged = keep.unionByName(updates_b)
+        tmp = tmp_sibling(table_dir)
+        # One task per rewritten bucket -> one file per bucket:
+        # emulation-scale file hygiene (a real format's merge
+        # parallelizes within the rewritten file set instead).
+        merged.repartition(BUCKET_COL).write.mode("overwrite").partitionBy(
+            BUCKET_COL
+        ).parquet(tmp)
+        link_untouched_partitions(
+            table_dir, tmp, BUCKET_COL, {f"{BUCKET_COL}={b}" for b in touched}
+        )
+        atomic_swap(table_dir, tmp)
+    finally:
+        updates_b.unpersist()
 
 
 def foreach_batch_upsert(spark: SparkSession, table_dir: str, keys: list[str]):

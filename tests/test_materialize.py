@@ -313,3 +313,96 @@ def test_merge_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     assert BUCKET_COL not in got.columns
     rows = {r["k"]: r["v"] for r in got.collect()}
     assert rows[7] == "NEW" and len(rows) == 200 and rows[8] == "v8"
+
+
+def test_compaction_preserves_partition_layout(spark, tmp_path):
+    """X1 on a partitioned table must keep the hive layout: flattening
+    it would demote the layout column to data and strand the
+    partial-rewrite writers."""
+    from streaming_data_lake_spark.sources.upsert import BUCKET_COL, merge_upsert
+
+    t = str(tmp_path / "t")
+    merge_upsert(
+        spark,
+        t,
+        spark.createDataFrame([(i, i * 1.0) for i in range(500)], "k long, v double"),
+        ["k"],
+    )
+    n = compact_parquet(spark, t)
+    assert n >= 1
+    entries = os.listdir(t)
+    assert any(e.startswith(f"{BUCKET_COL}=") for e in entries), (
+        "compaction flattened the bucket layout"
+    )
+    # and the table still merges bucket-scoped + reads clean
+    merge_upsert(spark, t, spark.createDataFrame([(7, 99.0)], "k long, v double"), ["k"])
+    from streaming_data_lake_spark.sources.upsert import read_upsert
+
+    rows = {r["k"]: r["v"] for r in read_upsert(spark, t).collect()}
+    assert rows[7] == 99.0 and len(rows) == 500
+
+
+def test_merge_upsert_migrates_flat_legacy_table(spark, tmp_path):
+    """A flat (pre-layout) table must not lose rows on merge: the
+    first merge migrates it to the bucket layout in one atomic full
+    rewrite."""
+    from streaming_data_lake_spark.sources.upsert import (
+        BUCKET_COL,
+        merge_upsert,
+        read_upsert,
+    )
+
+    t = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    ).write.parquet(t)  # flat legacy layout, no kb
+    merge_upsert(spark, t, spark.createDataFrame([(5, "NEW")], "k long, v string"), ["k"])
+    assert any(e.startswith(f"{BUCKET_COL}=") for e in os.listdir(t))
+    rows = {r["k"]: r["v"] for r in read_upsert(spark, t).collect()}
+    assert len(rows) == 100 and rows[5] == "NEW" and rows[6] == "v6"
+
+
+def test_merge_upsert_rejects_reserved_column(spark, tmp_path):
+    import pytest
+
+    from streaming_data_lake_spark.sources.upsert import merge_upsert
+
+    with pytest.raises(ValueError, match="reserved"):
+        merge_upsert(
+            spark,
+            str(tmp_path / "t"),
+            spark.createDataFrame([(1, 2)], "k long, kb long"),
+            ["k"],
+        )
+
+
+def test_materializer_migrates_flat_legacy_table(spark, tmp_path):
+    """A mat table without the day layout (legacy or foreign flat
+    rewrite) is re-partitioned in one atomic rewrite before any
+    partition-scoped pass can run against it."""
+    from streaming_data_lake_spark.plans.materialize import DAY_COL
+
+    lake = str(tmp_path / "lake")
+    src = os.path.join(lake, "src")
+    os.makedirs(lake, exist_ok=True)
+    _write_events(spark, src, [(1, _ts("2024-01-01 10:00:00"), 1, 1.0),
+                               (2, _ts("2024-01-02 11:00:00"), 2, 2.0)])
+    target = MatTarget("mat", lambda s: s.read.parquet(src), "ts")
+    m = Materializer(spark, lake)
+    m.run(target, lookback_hours=2)
+    # Simulate a legacy/flattened layout.
+    flat = m.read_mat("mat")
+    import shutil as _sh
+    tmp = os.path.join(lake, "flat_tmp")
+    flat.write.parquet(tmp)
+    _sh.rmtree(os.path.join(lake, "mat"))
+    os.rename(tmp, os.path.join(lake, "mat"))
+    assert not any(e.startswith(f"{DAY_COL}=") for e in os.listdir(os.path.join(lake, "mat")))
+
+    # Late row in lookback: repair must not lose day-1 history.
+    _write_events(spark, src, [(3, _ts("2024-01-02 10:30:00"), 3, 3.0)])
+    log = m.run(target, lookback_hours=2)
+    assert log.get("layout") == "migrated to day partitions"
+    got = sorted(r["id"] for r in m.read_mat("mat").collect())
+    assert got == [1, 2, 3]
+    assert any(e.startswith(f"{DAY_COL}=") for e in os.listdir(os.path.join(lake, "mat")))
