@@ -50,9 +50,21 @@ def _parquet_files(d: str) -> int:
 
 def _partition_col(table_dir: str) -> str | None:
     """The hive-style partition column of ``table_dir``'s layout, if
-    any (first ``name=value`` directory seen)."""
+    any (first ``name=value`` directory seen). Raises on a MULTI-level
+    layout: compacting it with a single-level partitionBy would
+    demote the deeper levels to data columns — the exact layout-
+    destruction class the single-level path exists to prevent."""
     for e in sorted(os.listdir(table_dir)):
-        if "=" in e and os.path.isdir(os.path.join(table_dir, e)):
+        path = os.path.join(table_dir, e)
+        if "=" in e and os.path.isdir(path):
+            for sub in os.listdir(path):
+                if "=" in sub and os.path.isdir(os.path.join(path, sub)):
+                    raise NotImplementedError(
+                        f"compact_parquet: {table_dir!r} has a multi-level "
+                        f"partition layout ({e}/{sub}); per-level compaction "
+                        f"is not implemented — compact each leaf partition "
+                        f"directory instead"
+                    )
             return e.split("=", 1)[0]
     return None
 
@@ -78,9 +90,17 @@ def compact_parquet(
     df = spark.read.parquet(table_dir)
     tmp = tmp_sibling(table_dir)
     if part_col is not None:
-        # Cluster the target file count by the partition key: each of
-        # the n_files tasks emits ~one file per partition it covers.
-        df.repartition(n_files).sortWithinPartitions(part_col).write.mode(
+        # Range-partition on the layout key: equal keys never split
+        # across tasks, so the write emits ONE file per partition
+        # value (per-partition OPTIMIZE — a plain repartition(n)
+        # round-robins every value across all n tasks and would emit
+        # n_files x n_partitions files, *increasing* the count).
+        # Known limit of the emulation: a single oversized partition
+        # compacts to one file; real OPTIMIZE splits within the
+        # partition by target size.
+        from pyspark.sql import functions as F
+
+        df.repartitionByRange(max(1, n_files), F.col(part_col)).write.mode(
             "overwrite"
         ).partitionBy(part_col).parquet(tmp)
     else:

@@ -169,6 +169,14 @@ class Materializer:
         """Run one maintenance cycle; returns {pass: action} audit log."""
         log: dict[str, str] = {}
         view = target.view(self.spark)
+        if DAY_COL in view.columns:
+            # Checked BEFORE M1 too: _with_day's withColumn would
+            # silently replace a user column of the same name on the
+            # initial load and wedge every later cycle.
+            raise ValueError(
+                f"{DAY_COL!r} is a reserved layout column of "
+                f"materialized tables; rename the view column"
+            )
         mat_dir = self._mat_dir(target.name)
         ts = F.col(target.ts_col)
 
@@ -184,11 +192,6 @@ class Materializer:
             ).write.mode("overwrite").partitionBy(DAY_COL).parquet(mat_dir)
             log["M1"] = "full load"
         else:
-            if DAY_COL in view.columns:
-                raise ValueError(
-                    f"{DAY_COL!r} is a reserved layout column of "
-                    f"materialized tables; rename the view column"
-                )
             if not has_partition_dirs(mat_dir, DAY_COL):
                 # Legacy/flattened table (e.g. written before the
                 # day layout, or compacted flat by a foreign tool):
@@ -197,7 +200,16 @@ class Materializer:
                 # window, and M4 appends would produce a mixed
                 # layout. Re-establish the layout with one atomic
                 # full rewrite first.
-                self._overwrite(mat_dir, self.read_mat(target.name), target.ts_col)
+                flat = self._read_raw(target.name)
+                if DAY_COL in flat.columns:
+                    # Demoted layout key or genuine user column? Not
+                    # decidable — refuse instead of silently dropping.
+                    raise ValueError(
+                        f"flat mat table {target.name!r} carries a "
+                        f"{DAY_COL!r} column; rebuild it before running "
+                        f"maintenance cycles against it"
+                    )
+                self._overwrite(mat_dir, flat, target.ts_col)
                 log["layout"] = "migrated to day partitions"
             wm = self.get_watermark(target.name)
             if wm is None:

@@ -93,20 +93,24 @@ def merge_upsert(
         os.rename(tmp, table_dir)
         return
     current = spark.read.parquet(table_dir)
-    if BUCKET_COL not in current.columns or not has_partition_dirs(
-        table_dir, BUCKET_COL
-    ):
+    if not has_partition_dirs(table_dir, BUCKET_COL):
         # Legacy/flattened layout: there are no bucket dirs to link,
         # so a bucket-scoped rewrite would DROP everything outside
         # the touched buckets. Migrate: merge + (re)bucket the whole
         # table in one atomic swap; subsequent merges take the
         # bucket-scoped path.
-        cur = (
-            current.drop(BUCKET_COL)
-            if BUCKET_COL in current.columns
-            else current
-        )
-        keep_all = cur.join(updates.select(*keys), on=keys, how="left_anti")
+        if BUCKET_COL in current.columns:
+            # Ambiguous: either a layout column demoted to data by a
+            # foreign flat rewrite, or a GENUINE user column in a
+            # table never written through this sink. Dropping would
+            # silently destroy the latter — refuse loudly.
+            raise ValueError(
+                f"flat table {table_dir!r} carries a {BUCKET_COL!r} "
+                f"column; cannot tell a demoted layout key from user "
+                f"data — rebuild the table (or rename the column) "
+                f"before merging"
+            )
+        keep_all = current.join(updates_b.select(*keys), on=keys, how="left_anti")
         merged = _with_bucket(keep_all, keys).unionByName(updates_b)
         tmp = tmp_sibling(table_dir)
         merged.repartition(BUCKET_COL).write.mode("overwrite").partitionBy(
@@ -124,8 +128,11 @@ def merge_upsert(
         touched = sorted(
             r[0] for r in updates_b.select(BUCKET_COL).distinct().collect()
         )
+        # Anti-join keys come off the CACHED updates_b plan — the raw
+        # `updates` plan would not match the cache and the batch
+        # transform would recompute in the write job.
         keep = current.filter(F.col(BUCKET_COL).isin(touched)).join(
-            updates.select(*keys), on=keys, how="left_anti"
+            updates_b.select(*keys), on=keys, how="left_anti"
         )
         merged = keep.unionByName(updates_b)
         tmp = tmp_sibling(table_dir)

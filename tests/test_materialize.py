@@ -406,3 +406,37 @@ def test_materializer_migrates_flat_legacy_table(spark, tmp_path):
     got = sorted(r["id"] for r in m.read_mat("mat").collect())
     assert got == [1, 2, 3]
     assert any(e.startswith(f"{DAY_COL}=") for e in os.listdir(os.path.join(lake, "mat")))
+
+
+def test_compaction_partitioned_table_one_file_per_partition(spark, tmp_path):
+    """Partitioned compaction with n_files > 1 must converge to ~one
+    file per partition value — a round-robin repartition would emit
+    n_files x n_partitions files, INCREASING the count."""
+    from streaming_data_lake_spark.plans.materialize import DAY_COL
+    from streaming_data_lake_spark.plans.maintenance import _parquet_files
+
+    t = str(tmp_path / "t")
+    rows = []
+    for d in (1, 2, 3):
+        rows += [(i, _ts(f"2024-01-0{d} 10:00:00"), i, 1.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, k int, v double")
+    from pyspark.sql import functions as F
+    df.withColumn(DAY_COL, F.to_date("ts")).repartition(8).write.partitionBy(
+        DAY_COL
+    ).parquet(t)
+    before = _parquet_files(t)
+    assert before > 3  # fragmented
+    # tiny target forces n_files > 1
+    n = compact_parquet(spark, t, target_bytes=1024)
+    assert n == 3, f"expected one file per day partition, got {n}"
+    assert spark.read.parquet(t).count() == 900
+
+
+def test_compaction_refuses_multilevel_layout(spark, tmp_path):
+    import pytest
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a", "x", 1.0)], "id long, a string, b string, v double")
+    df.write.partitionBy("a", "b").parquet(t)
+    with pytest.raises(NotImplementedError, match="multi-level"):
+        compact_parquet(spark, t)
