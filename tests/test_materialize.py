@@ -440,3 +440,34 @@ def test_compaction_refuses_multilevel_layout(spark, tmp_path):
     df.write.partitionBy("a", "b").parquet(t)
     with pytest.raises(NotImplementedError, match="multi-level"):
         compact_parquet(spark, t)
+
+
+def test_merge_upsert_multi_batch_matches_dict_model(spark, tmp_path):
+    """Ten deterministic pseudo-random MERGE batches (inserts,
+    overwrites, an empty batch) must leave the table exactly equal to
+    last-writer-wins dict semantics — the sink's contract, whatever
+    the bucket layout does underneath."""
+    import random
+
+    from streaming_data_lake_spark.sources.upsert import merge_upsert, read_upsert
+
+    rng = random.Random(42)
+    t = str(tmp_path / "t")
+    model: dict[int, str] = {}
+    for b in range(10):
+        n = 0 if b == 6 else rng.randint(1, 60)
+        batch = [(rng.randint(0, 150), f"b{b}_{i}") for i in range(n)]
+        # within one batch, last row per key wins in the model IF the
+        # batch itself is key-unique; dedupe like an update-mode agg
+        # emits (one row per key per micro-batch)
+        dedup = {k: v for k, v in batch}
+        rows = list(dedup.items())
+        df = (
+            spark.createDataFrame(rows, "k long, v string")
+            if rows
+            else spark.createDataFrame([], "k long, v string")
+        )
+        merge_upsert(spark, t, df, ["k"])
+        model.update(dedup)
+    got = {r["k"]: r["v"] for r in read_upsert(spark, t).collect()}
+    assert got == model
