@@ -161,27 +161,17 @@ GROUP BY user_id, sess_id
 @register(
     "streaming_sessionize",
     _SESSIONIZE_ORACLE,
-    "Custom stateful operator: gap-based sessionization with "
-    "event-time timeouts (state bounded by open sessions); converges "
-    "to the batch gaps-and-islands result. Prefers the JVM-protocol "
-    "transformWithStateInPandas when google.protobuf is available; "
-    "falls back to applyInPandasWithState (identical semantics).",
+    "Gap sessionization on the built-in JVM-side session_window "
+    "(SessionWindowStateStore aggregation, watermark-flushed append "
+    "mode); converges to the batch gaps-and-islands result. The "
+    "custom stateful implementations (applyInPandasWithState / "
+    "transformWithStateInPandas) share this oracle as operator tests.",
 )
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streaming_data_lake_spark.streaming.sessionize import (
-        sessionize_replay,
-        sessionize_tws_replay,
-        tws_available,
-    )
+    from streaming_data_lake_spark.streaming.sessionize import sessionize_native_replay
 
-    # 16 state partitions, not the streaming default of 8: the
-    # sessionizer's per-partition work is Arrow + Python fold (not
-    # just state-store commits), so it profits from more parallelism
-    # (measured warm at sf0.1: 16 -> 3.8s vs 8 -> 4.3s).
-    with pipelines._state_partitions(spark, 16):
-        if tws_available(spark):  # driver AND executor-side probe
-            return sessionize_tws_replay(spark, sf_dir, gap_minutes=120)
-        return sessionize_replay(spark, sf_dir, gap_minutes=120)
+    with pipelines._state_partitions(spark):
+        return sessionize_native_replay(spark, sf_dir, gap_minutes=120)
 
 
 @register(

@@ -1,7 +1,19 @@
-"""Custom stateful streaming operator: gap-based sessionization via
-``applyInPandasWithState`` — the Spark construct for operators the
-built-in streaming surface lacks (SURVEY.md §2.7; the reference's
-closest analog is its continuously-updated keyed aggregates, T4).
+"""Gap-based streaming sessionization, three ways.
+
+The PRODUCTION path is :func:`sessionize_native`: Spark's built-in
+``session_window`` (3.2+) computes gap sessions entirely JVM-side —
+SessionWindowStateStore aggregation inside whole-stage-codegen'd
+stages, no Python worker in the loop. The certified query rides it.
+
+The custom stateful operators (:func:`sessionize` on
+``applyInPandasWithState``, :func:`sessionize_tws` on
+``transformWithStateInPandas``) implement the SAME semantics by hand
+and are kept as the demonstration of Spark's arbitrary-stateful
+surface — the construct for operators the built-in streaming API
+genuinely lacks (SURVEY.md §2.7). Sessionization is deliberately the
+worked example: all three paths converge to one batch
+gaps-and-islands oracle, so the custom-state machinery is certified
+against a built-in it must agree with.
 
 Semantics: per user, consecutive events closer than ``gap`` belong to
 one session; a session closes when the next event is further than
@@ -168,6 +180,97 @@ def sessionize(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def sessionize_native(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
+    """Gap sessionization on the built-in ``session_window`` — the
+    JVM-side production path (the reference's closest analog is its
+    continuously-updated keyed aggregates, T4; Flink's
+    ``SESSION(ts, INTERVAL ...)``).
+
+    Two parity subtleties vs the batch gaps-and-islands oracle:
+
+    - **Boundary**: the oracle starts a new session when
+      ``diff > gap`` (events exactly ``gap`` apart merge); Spark's
+      session windows are half-open ``[ts, ts+gap)`` and merge only
+      on strict overlap (``diff < gap``). Passing ``gap + 1µs``
+      makes the strict-< merge equivalent to ``diff <= gap`` at
+      Spark's microsecond timestamp resolution.
+    - **Window vs data bounds**: ``session_window.end`` is
+      ``last_ts + gap``, not the last event time — so session_start/
+      session_end are MIN/MAX aggregates over the member events, the
+      columns the oracle defines.
+
+    Money is summed in decimal (see functions/parity.py) so the
+    double result is order-independent and bit-identical to the
+    oracle's decimal SUM.
+
+    NOTE for bounded replays: do NOT filter rows between
+    ``withWatermark`` and the aggregate. A deterministic filter gets
+    pushed below the EventTimeWatermark node into the scan, so a
+    filtered-out watermark-carrier row (the replay sentinel) would
+    never advance the watermark — measured: the last open sessions
+    are then never flushed. The sentinel instead flows INTO the
+    aggregate, forms its own (user -1, 2030) session whose window end
+    stays beyond the final watermark, and dies with the query's
+    state; callers drop ``user_id = -1`` from the sink if present.
+    """
+    from pyspark.sql import functions as F
+
+    gap = f"{gap_minutes * 60_000_000 + 1} microseconds"
+    return (
+        # Prune to the three columns the aggregate reads BEFORE the
+        # keyed shuffle (same rationale as the pandas path).
+        src.select("user_id", "ts", "value")
+        .withWatermark("ts", "30 seconds")
+        .groupBy("user_id", F.session_window(F.col("ts"), gap).alias("sw"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )
+
+
+def sessionize_native_replay(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 120
+) -> DataFrame:
+    """Bounded replay of :func:`sessionize_native` (same staging and
+    sentinel discipline as :func:`sessionize_replay`): batch 0 folds
+    the events, batch 1's far-future sentinel advances the watermark,
+    and the final no-data batch flushes every open session."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_spark.catalog import normalize_timestamps
+    from streaming_data_lake_spark.sources.streams import physical_schema
+
+    stage = _stage_with_sentinels(sf_dir)
+    raw = (
+        spark.readStream.schema(physical_schema(spark, sf_dir, "events"))
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+    )
+    sessions = sessionize_native(normalize_timestamps(raw, "events"), gap_minutes)
+
+    name = f"sessions_native_{uuid.uuid4().hex[:12]}"
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _scratch("ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # The sentinel session never flushes (its window end outruns the
+    # final watermark), but filter defensively: the sink is the
+    # certified result.
+    return spark.table(name).filter(F.col("user_id") != _SENTINEL_USER)
 
 
 def _stage_with_sentinels(sf_dir: str) -> str:
