@@ -29,12 +29,33 @@ import shutil
 import uuid
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Hard-link every regular file under ``src`` into ``dst``,
+    recursing into subdirectories — a multi-level hive layout
+    (``day_pt=D/device_category=C/part-*.parquet``) is reused
+    wholesale, not just its top-level files (a non-recursive link
+    would silently drop nested levels from the published version).
+    Cross-device falls back to a byte copy."""
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(src):
+        sf = os.path.join(src, f)
+        df = os.path.join(dst, f)
+        if os.path.isdir(sf):
+            _link_tree(sf, df)
+        elif os.path.isfile(sf):
+            try:
+                os.link(sf, df)
+            except OSError:  # cross-device: fall back to copy
+                shutil.copy2(sf, df)
+
+
 def link_untouched_partitions(
     live_dir: str, tmp_dir: str, partition_col: str, rewritten: set[str]
 ) -> int:
     """Hard-link every ``{partition_col}=value`` directory of
     ``live_dir`` whose entry name is NOT in ``rewritten`` into
-    ``tmp_dir``. Returns the number of reused partitions."""
+    ``tmp_dir`` (recursively: a two-level layout's sub-partition
+    dirs ride along). Returns the number of reused partitions."""
     reused = 0
     prefix = f"{partition_col}="
     for entry in os.listdir(live_dir):
@@ -45,15 +66,7 @@ def link_untouched_partitions(
             or not os.path.isdir(src)
         ):
             continue
-        dst = os.path.join(tmp_dir, entry)
-        os.makedirs(dst, exist_ok=True)
-        for f in os.listdir(src):
-            sf = os.path.join(src, f)
-            if os.path.isfile(sf):
-                try:
-                    os.link(sf, os.path.join(dst, f))
-                except OSError:  # cross-device: fall back to copy
-                    shutil.copy2(sf, os.path.join(dst, f))
+        _link_tree(src, os.path.join(tmp_dir, entry))
         reused += 1
     return reused
 

@@ -16,6 +16,8 @@ exactly like the batch catalog loader.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -48,12 +50,27 @@ def physical_schema(spark: SparkSession, sf_dir: str, name: str) -> T.StructType
     # wide but sessions are not — a second session hitting a warm
     # cache must still get the nanos conf before its stream starts.
     pin_session_confs(spark)
-    key = (sf_dir, name)
+    # realpath: relative/absolute/symlinked aliases of one sf_dir
+    # must share a cache entry rather than re-probing per spelling.
+    key = (os.path.realpath(sf_dir), name)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(table_path(sf_dir, name)).schema
         _SCHEMA_CACHE[key] = schema
     return schema
+
+
+def invalidate_schema_cache(sf_dir: str | None = None) -> None:
+    """Drop cached physical schemas (for one ``sf_dir``, or all) —
+    for the rare case where a testdata dir is replaced in-process,
+    which the immutable-input assumption otherwise caches through.
+    Mirrors ``sessionize.invalidate_tws_probe``."""
+    if sf_dir is None:
+        _SCHEMA_CACHE.clear()
+    else:
+        real = os.path.realpath(sf_dir)
+        for k in [k for k in _SCHEMA_CACHE if k[0] == real]:
+            del _SCHEMA_CACHE[k]
 
 
 _STREAM_DIRS: dict[tuple[str, str], str] = {}

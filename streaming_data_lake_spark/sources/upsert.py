@@ -54,13 +54,20 @@ def _with_bucket(df: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def read_upsert(spark: SparkSession, table_dir: str) -> DataFrame:
-    """The upsert table without its internal bucket column. ``kb`` is
-    a RESERVED name in managed upsert tables (merge_upsert rejects
-    updates carrying it), so the drop can never shadow a user column;
-    it applies whether the column is physical layout or was demoted
-    to a data column by a flat rewrite (e.g. compaction)."""
+    """The upsert table without its internal bucket column. The drop
+    applies ONLY when the table physically carries the ``kb=``
+    partition layout — that layout is this sink's signature, and
+    merge_upsert rejects updates with a ``kb`` column, so a
+    bucket-partitioned table's ``kb`` can never be user data. A FLAT
+    table with a ``kb`` column is the ambiguous case merge_upsert
+    refuses to merge into; reading returns it untouched (reads are
+    nondestructive — hiding a possibly-genuine user column is not).
+    The engine's own maintenance preserves the layout (compaction is
+    partition-aware), so managed tables never reach the flat case."""
     df = spark.read.parquet(table_dir)
-    return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+    if BUCKET_COL in df.columns and has_partition_dirs(table_dir, BUCKET_COL):
+        return df.drop(BUCKET_COL)
+    return df
 
 
 def merge_upsert(
@@ -128,6 +135,13 @@ def merge_upsert(
         touched = sorted(
             r[0] for r in updates_b.select(BUCKET_COL).distinct().collect()
         )
+        if not touched:
+            # Empty micro-batch (availableNow commonly schedules one):
+            # no bucket is touched, so the table state is unchanged —
+            # skip the write + link + swap publish cycle entirely
+            # rather than paying a full no-op publish with its
+            # non-atomic rename window.
+            return
         # Anti-join keys come off the CACHED updates_b plan — the raw
         # `updates` plan would not match the cache and the batch
         # transform would recompute in the write job.

@@ -471,3 +471,48 @@ def test_merge_upsert_multi_batch_matches_dict_model(spark, tmp_path):
         model.update(dedup)
     got = {r["k"]: r["v"] for r in read_upsert(spark, t).collect()}
     assert got == model
+
+
+def test_merge_upsert_empty_batch_is_noop(spark, tmp_path):
+    """An empty updates batch (availableNow schedules them) must not
+    run a publish cycle: no bucket is touched, so every file — and
+    the table root itself — survives untouched (ADVICE r6)."""
+    from streaming_data_lake_spark.sources.upsert import merge_upsert, read_upsert
+
+    t = str(tmp_path / "t")
+    merge_upsert(
+        spark,
+        t,
+        spark.createDataFrame([(i, f"v{i}") for i in range(50)], "k long, v string"),
+        ["k"],
+    )
+    root_ino = os.stat(t).st_ino
+    file_inos = {
+        os.path.join(dp, f): os.stat(os.path.join(dp, f)).st_ino
+        for dp, _, fs in os.walk(t)
+        for f in fs
+    }
+    empty = spark.createDataFrame([], "k long, v string")
+    merge_upsert(spark, t, empty, ["k"])
+    assert os.stat(t).st_ino == root_ino, "empty merge swapped the table dir"
+    assert {
+        os.path.join(dp, f): os.stat(os.path.join(dp, f)).st_ino
+        for dp, _, fs in os.walk(t)
+        for f in fs
+    } == file_inos
+    assert read_upsert(spark, t).count() == 50
+
+
+def test_read_upsert_keeps_flat_kb_user_column(spark, tmp_path):
+    """A FLAT table with a genuine 'kb' user column (never managed by
+    the upsert sink) must read back intact — the implicit drop applies
+    only to the physical kb= bucket layout (ADVICE r6)."""
+    from streaming_data_lake_spark.sources.upsert import read_upsert
+
+    t = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "kilobytes"), (2, "more-kb")], "id long, kb string"
+    ).write.parquet(t)
+    got = read_upsert(spark, t)
+    assert "kb" in got.columns
+    assert {r["kb"] for r in got.collect()} == {"kilobytes", "more-kb"}

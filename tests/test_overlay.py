@@ -62,3 +62,58 @@ def test_tmp_sibling_is_colocated_and_swept_namable(tmp_path):
     s = tmp_sibling(t)
     assert os.path.dirname(s) == os.path.dirname(t)
     assert "__tmp_" in os.path.basename(s)
+
+
+def test_link_tree_recurses_two_level_layout(tmp_path):
+    """A nested sub-partition level inside an untouched partition must
+    be linked wholesale, not silently dropped (ADVICE r6; the
+    reference's day(ts)+identity(col) two-level spec)."""
+    live = str(tmp_path / "t")
+    tmp = str(tmp_path / "t__tmp_x")
+    _mk(os.path.join(live, "day=2024-01-01", "cat=mobile", "a.parquet"))
+    _mk(os.path.join(live, "day=2024-01-01", "cat=desktop", "b.parquet"))
+    _mk(os.path.join(live, "day=2024-01-02", "cat=mobile", "c.parquet"))
+    _mk(os.path.join(tmp, "day=2024-01-02", "cat=mobile", "c2.parquet"))
+    n = link_untouched_partitions(live, tmp, "day", {"day=2024-01-02"})
+    assert n == 1
+    for sub in ("cat=mobile/a.parquet", "cat=desktop/b.parquet"):
+        src = os.path.join(live, "day=2024-01-01", sub)
+        dst = os.path.join(tmp, "day=2024-01-01", sub)
+        assert os.stat(src).st_ino == os.stat(dst).st_ino, sub
+
+
+def test_overlay_stress_many_partitions(tmp_path):
+    """O(100) day partitions with O(10) touched: link count and
+    rewrite IO stay proportional to the touched set, and a reader
+    holding the pre-swap version keeps a consistent snapshot through
+    the swap (the emulation's snapshot isolation)."""
+    live = str(tmp_path / "t")
+    tmp = str(tmp_path / "t__tmp_s")
+    days = [f"day=2024-{1 + i // 28:02d}-{1 + i % 28:02d}" for i in range(120)]
+    for d in days:
+        _mk(os.path.join(live, d, "part-0.parquet"), d.encode())
+    touched = set(days[50:60])
+    for d in touched:
+        _mk(os.path.join(tmp, d, "part-0.parquet"), b"rewritten")
+    n = link_untouched_partitions(live, tmp, "day", touched)
+    assert n == 110
+    untouched_inodes = {
+        d: os.stat(os.path.join(live, d, "part-0.parquet")).st_ino
+        for d in days
+        if d not in touched
+    }
+    # a reader opens a file of the LIVE version before the swap…
+    reader_day = days[0]
+    fh = open(os.path.join(live, reader_day, "part-0.parquet"), "rb")
+    atomic_swap(live, tmp)
+    # …and still reads its snapshot's bytes afterwards (the inode
+    # lives on through the hard link even though __old_ was removed).
+    assert fh.read() == reader_day.encode()
+    fh.close()
+    # untouched partitions: same inodes (zero data bytes moved)
+    for d, ino in untouched_inodes.items():
+        assert os.stat(os.path.join(live, d, "part-0.parquet")).st_ino == ino
+    # touched partitions carry the rewrite
+    for d in touched:
+        with open(os.path.join(live, d, "part-0.parquet"), "rb") as f2:
+            assert f2.read() == b"rewritten"
