@@ -48,25 +48,36 @@ def _parquet_files(d: str) -> int:
     return n
 
 
-def _partition_col(table_dir: str) -> str | None:
-    """The hive-style partition column of ``table_dir``'s layout, if
-    any (first ``name=value`` directory seen). Raises on a MULTI-level
-    layout: compacting it with a single-level partitionBy would
-    demote the deeper levels to data columns — the exact layout-
-    destruction class the single-level path exists to prevent."""
-    for e in sorted(os.listdir(table_dir)):
-        path = os.path.join(table_dir, e)
-        if "=" in e and os.path.isdir(path):
-            for sub in os.listdir(path):
-                if "=" in sub and os.path.isdir(os.path.join(path, sub)):
-                    raise NotImplementedError(
-                        f"compact_parquet: {table_dir!r} has a multi-level "
-                        f"partition layout ({e}/{sub}); per-level compaction "
-                        f"is not implemented — compact each leaf partition "
-                        f"directory instead"
-                    )
-            return e.split("=", 1)[0]
-    return None
+def _partition_cols(table_dir: str) -> list[str]:
+    """The hive-style partition columns of ``table_dir``'s layout,
+    outermost first — ``[]`` for a flat table, one entry per level
+    for partitioned layouts (e.g. ``['day_pt', 'device_category']``
+    for the reference's ``day(ts) + identity(col)`` two-level spec,
+    iceberg/tables/bid_requests_enriched.yml:59-63). Detection
+    recurses down the FIRST partition dir of each level; hive layouts
+    written by Spark are homogeneous, and a heterogeneous tree would
+    fail the subsequent read anyway. Raises beyond two levels: the
+    engine's layouts (and the reference's specs) never nest deeper,
+    so a third level indicates a foreign tree compaction should not
+    silently restructure."""
+    cols: list[str] = []
+    d = table_dir
+    while True:
+        nxt = None
+        for e in sorted(os.listdir(d)):
+            if "=" in e and os.path.isdir(os.path.join(d, e)):
+                nxt = e
+                break
+        if nxt is None:
+            return cols
+        cols.append(nxt.split("=", 1)[0])
+        if len(cols) > 2:
+            raise NotImplementedError(
+                f"compact_parquet: {table_dir!r} has a partition layout "
+                f"deeper than two levels ({'/'.join(cols)}...); compact "
+                f"each leaf partition directory instead"
+            )
+        d = os.path.join(d, nxt)
 
 
 def compact_parquet(
@@ -86,23 +97,26 @@ def compact_parquet(
     rewrite, but compaction must not destroy the layout they would
     then have to rebuild)."""
     n_files = max(1, math.ceil(dir_bytes(table_dir) / target_bytes))
-    part_col = _partition_col(table_dir)
+    part_cols = _partition_cols(table_dir)
     df = spark.read.parquet(table_dir)
     tmp = tmp_sibling(table_dir)
-    if part_col is not None:
-        # Range-partition on the layout key: equal keys never split
-        # across tasks, so the write emits ONE file per partition
-        # value (per-partition OPTIMIZE — a plain repartition(n)
-        # round-robins every value across all n tasks and would emit
-        # n_files x n_partitions files, *increasing* the count).
-        # Known limit of the emulation: a single oversized partition
-        # compacts to one file; real OPTIMIZE splits within the
-        # partition by target size.
+    if part_cols:
+        # Range-partition on the layout key(s): equal keys never split
+        # across tasks, so the write emits ONE file per (leaf)
+        # partition value (per-partition OPTIMIZE — a plain
+        # repartition(n) round-robins every value across all n tasks
+        # and would emit n_files x n_partitions files, *increasing*
+        # the count). A two-level layout ranges on BOTH columns, so
+        # each (outer, inner) leaf compacts to one file and
+        # partitionBy rebuilds the same two-level tree. Known limit
+        # of the emulation: a single oversized leaf compacts to one
+        # file; real OPTIMIZE splits within the partition by target
+        # size.
         from pyspark.sql import functions as F
 
-        df.repartitionByRange(max(1, n_files), F.col(part_col)).write.mode(
-            "overwrite"
-        ).partitionBy(part_col).parquet(tmp)
+        df.repartitionByRange(
+            max(1, n_files), *[F.col(c) for c in part_cols]
+        ).write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
     else:
         df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
     # Swap: after the first rename the ORIGINAL lives only in `old` —

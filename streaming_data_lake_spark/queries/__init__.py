@@ -38,35 +38,82 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver hash-checks the FIRST 50 registered queries per round.
-# Certification rotates; round 6's window (tools/ledger.py enforces
+# Certification rotates; round 7's window (tools/ledger.py enforces
 # the arithmetic) holds EXACTLY 50 names — section letters below
-# match the list markers: (a) the 32 queries whose latest driver
-# verdict is round 3 — they exceed the ledger's max-age-2 rule the
-# moment CORRECTNESS_r06 lands, the r5 verdict's top lead; (b) the
-# three r4-certified queries whose modules took review-pass-4
-# crash-safety/plan fixes AFTER their verdict (maintenance swap
-# recovery, CMS left-join lookup, top-k without a global window) —
-# verified result-identical locally, but the driver is the bar;
-# (c) queries whose code changed in round 6 (bloom_condition's
-# single-literal forall predicate; the pq_encode keep_cols /
-# _adc_rank refactor); (d) round-6 NEW queries — never seen by any
-# driver run; (e) the full streaming family: the round-6 replay-
-# harness perf work plus the TWS probe TTL change ride under them
-# (streaming_cms_token_counts sits in (b)); (f) the incremental
-# materializer, whose watermark literals the round-6 tz-hygiene
-# sweep touches. The window is exactly full — no filler slots.
-# Everything at 51+ was driver-certified green in round 4 or 5 and
-# its implementation is unchanged since (the datagen tz-hygiene
-# sweep was verified result-identical for the r5-certified scd2
-# queries; they lead the round-7 rotation with the rest of the r4
-# block). tests/test_registry_order asserts the window arithmetic.
+# match the list markers: (a) the 34 queries whose latest driver
+# verdict is round 4 — they exceed the ledger's max-age-2 rule the
+# moment CORRECTNESS_r07 lands (VERDICT r6 "Next round" #1);
+# (b) queries whose engine code changed in round 7: the sessionize
+# port to the built-in session_window, the upsert-sink family over
+# the round-7 overlay/merge changes (empty-batch no-op, recursive
+# linking, layout-scoped kb drop), the materializer passes over the
+# same overlay code, and compaction (two-level layout support);
+# (c) round-7 NEW query: the two-level day+identity overlay/
+# compaction cycle; (d) the rest of the streaming family — the
+# stream-source schema-cache keying changed under all of them. The
+# window is exactly full — no filler slots. Everything at 51+ was
+# driver-certified green in round 5 or 6 and its implementation is
+# unchanged since. tests/test_registry_order asserts the window
+# arithmetic.
 _CERTIFICATION_ORDER = [
-    # ---- (a) latest verdict r3: stale at r6, re-certify all 32 ----
-    "time_travel_read_v1",
-    "snapshot_metadata",
-    "maintenance_compaction",
+    # ---- (a) latest verdict r4: stale at r7, re-certify all 34 ----
+    "rollup_revenue_levels",
+    "price_quantiles_by_flag",
+    "user_event_gaps",
+    "running_revenue_by_nation",
+    "order_value_deciles",
+    "doc_chunks_overlap",
+    "hll_distinct_users_daily",
+    "kmeans_train_centroids",
+    "knn_ivf_trained_cosine",
+    "props_json_stats",
+    "keyset_intersect_except",
+    "orders_above_global_avg",
+    "supplier_name_near_matches",
+    "bigram_lm_quality",
+    "domain_mixture_resample",
+    "batch_sessionize_windows",
+    "price_outliers_zscore",
+    "lineitem_flag_pivot",
+    "corr_quantity_price",
+    "priority_window_profile",
+    "tfidf_top_terms",
+    "stratified_sample_by_lang",
+    "pii_redaction",
+    "repetition_signals",
+    "benchmark_decontamination",
+    "embedding_int8_quantization",
+    "multimodal_resize",
+    "dedup_keep_best_quality",
+    "exact_substring_dups",
+    "winnowing_fingerprints",
+    "top_busiest_hours",
+    "duplicate_rates_hourly",
+    "event_quality_spine_hourly",
+    "ngram_jaccard_near_dups",
+    # ---- (b) engine code changed in round 7 ----
+    "streaming_sessionize",
+    "streaming_upsert_hourly",
+    "streaming_hll_daily_users",
+    "streaming_cms_token_counts",
+    "materialize_incremental_clean_events",
     "materialize_dim_change_repair",
     "materialize_funnel_exists_repair",
+    "maintenance_compaction",
+    # ---- (c) new in round 7: first driver verdict needed ----
+    "two_level_overlay_maintenance",
+    # ---- (d) streaming family: stream-source cache keying changed ----
+    "streaming_clean_events",
+    "streaming_fanout_ingest",
+    "streaming_interval_join_daily",
+    "streaming_hourly_metrics",
+    "streaming_dedup_keys",
+    "streaming_dedup_within_watermark",
+    "streaming_funnel_daily",
+    # ---- position 51+ : driver-certified green in round 5 or 6,
+    # implementation unchanged since ----
+    "time_travel_read_v1",
+    "snapshot_metadata",
     "sql_over_views_adhoc",
     "seeded_dim_hierarchy_enrichment",
     "salted_skew_aggregation",
@@ -94,31 +141,12 @@ _CERTIFICATION_ORDER = [
     "funnel_leakage_daily",
     "asof_latest_view_before_purchase",
     "asof_view_within_6h",
-    # ---- (b) r4 verdict, module changed post-cert (review pass 4) ----
     "cms_heavy_hitter_tokens",
-    "streaming_cms_token_counts",
     "token_budget_packing",
-    # ---- (c) code changed in round 6 ----
     "bloom_semi_join_prune",
     "knn_pq_adc_l2",
-    # ---- (d) new in round 6: first driver verdict needed ----
     "knn_ivf_pq_adc",
     "schema_drift_check",
-    # ---- (e) streaming family: round-6 perf/probe changes ----
-    "streaming_clean_events",
-    "streaming_fanout_ingest",
-    "streaming_interval_join_daily",
-    "streaming_hourly_metrics",
-    "streaming_dedup_keys",
-    "streaming_dedup_within_watermark",
-    "streaming_sessionize",
-    "streaming_hll_daily_users",
-    "streaming_funnel_daily",
-    "streaming_upsert_hourly",
-    # ---- (f) standing high-risk: incremental materializer ----
-    "materialize_incremental_clean_events",
-    # ---- position 51+ : driver-certified green in round 4 or 5,
-    # implementation unchanged since ----
     "pricing_summary",
     "revenue_by_region",
     "top_nations_by_customers",
@@ -157,40 +185,6 @@ _CERTIFICATION_ORDER = [
     "knn_ivf_materialized_cosine",
     "bucketed_colocated_join",
     "partition_pruned_scan",
-    "rollup_revenue_levels",
-    "price_quantiles_by_flag",
-    "user_event_gaps",
-    "running_revenue_by_nation",
-    "order_value_deciles",
-    "doc_chunks_overlap",
-    "hll_distinct_users_daily",
-    "kmeans_train_centroids",
-    "knn_ivf_trained_cosine",
-    "props_json_stats",
-    "keyset_intersect_except",
-    "orders_above_global_avg",
-    "supplier_name_near_matches",
-    "bigram_lm_quality",
-    "domain_mixture_resample",
-    "batch_sessionize_windows",
-    "price_outliers_zscore",
-    "lineitem_flag_pivot",
-    "corr_quantity_price",
-    "priority_window_profile",
-    "tfidf_top_terms",
-    "stratified_sample_by_lang",
-    "pii_redaction",
-    "repetition_signals",
-    "benchmark_decontamination",
-    "embedding_int8_quantization",
-    "multimodal_resize",
-    "dedup_keep_best_quality",
-    "exact_substring_dups",
-    "winnowing_fingerprints",
-    "top_busiest_hours",
-    "duplicate_rates_hourly",
-    "event_quality_spine_hourly",
-    "ngram_jaccard_near_dups",
 ]
 
 

@@ -321,3 +321,84 @@ def materialize_funnel_exists_repair(spark: SparkSession, sf_dir: str) -> DataFr
     batch2.write.mode("append").parquet(src_dir)
     mat.run(target)  # M4 appends post-cutoff views; M5 repairs flipped flags
     return mat.read_mat("mat_view_funnel_flags")
+
+
+# ---------------------------------------------------------------------------
+# Two-level (day + identity) partition layout: overlay repair + compaction
+# ---------------------------------------------------------------------------
+
+_REPAIR_DAY = "2024-01-15"
+
+_TWO_LEVEL_ORACLE = f"""
+SELECT CAST(count(DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) || '|' || event_type) AS INT) AS n_leaves,
+       CAST(count(DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) || '|' || event_type) AS INT) AS n_files_after,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN CAST(ts AS DATE) = DATE '{_REPAIR_DAY}'
+                     THEN CAST(value AS DECIMAL(12,2)) * 2
+                     ELSE CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS total_value
+FROM events
+"""
+
+
+@register(
+    "two_level_overlay_maintenance",
+    _TWO_LEVEL_ORACLE,
+    "X1 + M2 on a TWO-LEVEL layout — the reference's day(ts)+identity(col) "
+    "partition spec (iceberg/tables/bid_requests_enriched.yml:59-63): a "
+    "day-scoped overlay repair rewrites one day's subtree (its identity "
+    "sub-partitions ride the recursive hard-link), then compaction "
+    "converges to one file per (day, identity) leaf preserving both "
+    "levels. n_files_after == n_leaves certifies per-leaf compaction; "
+    "total_value certifies the repair (day's values corrected 2x).",
+)
+def two_level_overlay_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.formats import resolve_format
+    from streaming_data_lake_spark.functions.parity import dsum
+    from streaming_data_lake_spark.overlay import (
+        atomic_swap,
+        link_untouched_partitions,
+        tmp_sibling,
+    )
+    from streaming_data_lake_spark.plans.maintenance import _parquet_files
+    from streaming_data_lake_spark.plans.materialize import DAY_COL
+
+    fmt = resolve_format(spark)
+    lake = _scratch_dir("lake_")
+    t = os.path.join(lake, "events_day_type")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .withColumn(DAY_COL, F.to_date("ts"))
+    )
+    # Fragmented initial write: round-robin tasks scatter every leaf
+    # across 4 files — the small-file state maintenance exists to fix.
+    ev.repartition(4).write.mode("overwrite").partitionBy(DAY_COL, "event_type").parquet(t)
+
+    # Day-scoped overlay repair (M2 shape on the two-level layout):
+    # recompute ONE day with corrected values; the rewrite
+    # materializes only that day's subtree, every other day —
+    # including its nested identity sub-partitions — is hard-linked.
+    repaired = ev.filter(F.col(DAY_COL) == F.lit(_REPAIR_DAY).cast("date")).withColumn(
+        "value", F.col("value") * 2
+    )
+    tmp = tmp_sibling(t)
+    repaired.repartition(4).write.mode("overwrite").partitionBy(DAY_COL, "event_type").parquet(tmp)
+    link_untouched_partitions(t, tmp, DAY_COL, {f"{DAY_COL}={_REPAIR_DAY}"})
+    atomic_swap(t, tmp)
+
+    # X1: per-leaf compaction preserving the two-level tree, then the
+    # orphan sweep (single-process cycle: age guard 0 is safe).
+    fmt.compact(spark, t)
+    fmt.remove_orphans(spark, lake, min_age_s=0.0)
+
+    final = spark.read.parquet(t)
+    n_leaves = final.select(DAY_COL, "event_type").distinct().count()
+    n_files_after = _parquet_files(t)
+    row = final.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+    ).head()
+    return spark.createDataFrame(
+        [(n_leaves, n_files_after, row["n_rows"], row["total_value"])],
+        "n_leaves int, n_files_after int, n_rows long, total_value double",
+    )

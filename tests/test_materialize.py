@@ -432,13 +432,49 @@ def test_compaction_partitioned_table_one_file_per_partition(spark, tmp_path):
     assert spark.read.parquet(t).count() == 900
 
 
-def test_compaction_refuses_multilevel_layout(spark, tmp_path):
+def test_compaction_preserves_two_level_layout(spark, tmp_path):
+    """X1 on a two-level (day + identity) layout: one file per LEAF
+    partition, both levels of the tree rebuilt (the reference's
+    day(ts)+identity(device_category) spec)."""
+    from streaming_data_lake_spark.plans.maintenance import _parquet_files
+    from streaming_data_lake_spark.plans.materialize import DAY_COL
+
+    t = str(tmp_path / "t")
+    rows = []
+    for d in (1, 2, 3):
+        for cat in ("mobile", "desktop"):
+            rows += [
+                (i, _ts(f"2024-01-0{d} 10:00:00"), cat, 1.0) for i in range(200)
+            ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, cat string, v double")
+    from pyspark.sql import functions as F
+
+    df.withColumn(DAY_COL, F.to_date("ts")).repartition(8).write.partitionBy(
+        DAY_COL, "cat"
+    ).parquet(t)
+    assert _parquet_files(t) > 6  # fragmented
+    n = compact_parquet(spark, t, target_bytes=1024)
+    assert n == 6, f"expected one file per (day, cat) leaf, got {n}"
+    # both layout levels survive
+    day_dirs = [e for e in os.listdir(t) if e.startswith(f"{DAY_COL}=")]
+    assert len(day_dirs) == 3
+    for dd in day_dirs:
+        subs = [e for e in os.listdir(os.path.join(t, dd)) if e.startswith("cat=")]
+        assert sorted(subs) == ["cat=desktop", "cat=mobile"], dd
+    got = spark.read.parquet(t)
+    assert got.count() == 1200
+    assert set(got.columns) == {"id", "ts", "cat", "v", DAY_COL}
+
+
+def test_compaction_refuses_three_level_layout(spark, tmp_path):
     import pytest
 
     t = str(tmp_path / "t")
-    df = spark.createDataFrame([(1, "a", "x", 1.0)], "id long, a string, b string, v double")
-    df.write.partitionBy("a", "b").parquet(t)
-    with pytest.raises(NotImplementedError, match="multi-level"):
+    df = spark.createDataFrame(
+        [(1, "a", "x", "p", 1.0)], "id long, a string, b string, c string, v double"
+    )
+    df.write.partitionBy("a", "b", "c").parquet(t)
+    with pytest.raises(NotImplementedError, match="deeper than two"):
         compact_parquet(spark, t)
 
 
