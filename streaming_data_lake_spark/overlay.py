@@ -71,6 +71,40 @@ def link_untouched_partitions(
     return reused
 
 
+def link_untouched_subpartitions(
+    live_dir: str, tmp_dir: str, outer_col: str, inner_col: str, rewritten_inner: set[str]
+) -> int:
+    """Two-level overlay for INNER-keyed repairs (e.g. a keyed M3/M5
+    repair on a ``day_pt=/kb=`` table): for EVERY ``{outer_col}=``
+    partition of ``live_dir``, hard-link each ``{inner_col}=`` sub-
+    partition whose entry name is NOT in ``rewritten_inner`` into the
+    same outer dir of ``tmp_dir``. The rewritten inner values scatter
+    across all outer partitions (that is what makes the repair keyed),
+    so reuse is per-LEAF: IO stays proportional to the touched key
+    buckets, not the table. Top-level regular files of an outer
+    partition (none in practice — Spark writes leaves) are linked
+    along. Returns the number of reused leaf partitions."""
+    reused = 0
+    outer_prefix = f"{outer_col}="
+    inner_prefix = f"{inner_col}="
+    for outer in os.listdir(live_dir):
+        src_outer = os.path.join(live_dir, outer)
+        if not outer.startswith(outer_prefix) or not os.path.isdir(src_outer):
+            continue
+        dst_outer = os.path.join(tmp_dir, outer)
+        for inner in os.listdir(src_outer):
+            src_inner = os.path.join(src_outer, inner)
+            if (
+                not inner.startswith(inner_prefix)
+                or inner in rewritten_inner
+                or not os.path.isdir(src_inner)
+            ):
+                continue
+            _link_tree(src_inner, os.path.join(dst_outer, inner))
+            reused += 1
+    return reused
+
+
 def atomic_swap(path: str, tmp: str) -> None:
     """Publish ``tmp`` as the new version of ``path``. After the
     first rename the original lives only in ``__old_`` — the orphan

@@ -43,9 +43,15 @@ is what makes the passes survive 100 TB:
  - M2's mat-side count probe carries a partition predicate, so the
    scan prunes to the lookback days.
  - M4 appends new day partitions/files, touching nothing else.
- - M3/M5 repairs key on FKs/flags that scatter across all
-   partitions (equality deletes, merge-on-read in Iceberg terms), so
-   they keep the full rewrite — same as the reference's contract.
+ - M3/M5 repairs key on FKs/flags that scatter across all DAY
+   partitions (equality deletes, merge-on-read in Iceberg terms).
+   A target that declares ``bucket_col`` gets a TWO-LEVEL
+   ``day_pt=/kb=`` layout (the key-hash bucket scheme the MERGE
+   upsert sink uses): a keyed repair then rewrites only the (day ×
+   touched-bucket) leaves its changed keys hash into and hard-links
+   every other leaf — repair IO proportional to the touched key
+   buckets, not the table. Without ``bucket_col`` the repairs keep
+   the full rewrite — the reference's own contract.
 """
 
 from __future__ import annotations
@@ -63,6 +69,7 @@ from streaming_data_lake_spark.overlay import (
     atomic_swap,
     has_partition_dirs,
     link_untouched_partitions,
+    link_untouched_subpartitions,
     tmp_sibling,
 )
 
@@ -103,6 +110,13 @@ class MatTarget:
     ts_col: str
     dims: tuple[DimDependency, ...] = field(default_factory=tuple)
     exists_repair: ExistsRepair | None = None
+    #: Stable key column for keyed (M3/M5) repairs. When set, the mat
+    #: layout adds a second ``kb=`` key-hash bucket level and keyed
+    #: repairs become bucket-scoped leaf rewrites instead of full
+    #: table rewrites. Pick the column the repairs key on (the M5
+    #: key_col / the dominant M3 fact_fk); repairs keyed on OTHER
+    #: columns fall back to the full rewrite.
+    bucket_col: str | None = None
 
 
 #: Partition column of materialized tables. Derived from the target's
@@ -110,6 +124,15 @@ class MatTarget:
 #: key, never part of the view contract. No leading underscore: Spark
 #: file listing hides `_`/`.`-prefixed paths.
 DAY_COL = "day_pt"
+
+#: Second-level key-hash bucket column for targets with bucket_col —
+#: deliberately the SAME reserved name and bucket count as the MERGE
+#: upsert sink's layout (sources/upsert.py): one reserved-name
+#: contract across all managed tables.
+from streaming_data_lake_spark.sources.upsert import (  # noqa: E402
+    BUCKET_COL as KB_COL,
+    N_BUCKETS,
+)
 
 
 class Materializer:
@@ -128,7 +151,36 @@ class Materializer:
 
     def read_mat(self, name: str) -> DataFrame:
         df = self._read_raw(name)
-        return df.drop(DAY_COL) if DAY_COL in df.columns else df
+        if DAY_COL in df.columns:
+            df = df.drop(DAY_COL)
+        # kb is dropped only when it is PHYSICALLY the second layout
+        # level (same layout-scoped rule as sources/upsert.read_upsert:
+        # a flat/day-only table with a genuine 'kb' data column reads
+        # back intact).
+        if KB_COL in df.columns and self._kb_is_layout(self._mat_dir(name)):
+            df = df.drop(KB_COL)
+        return df
+
+    @staticmethod
+    def _kb_is_layout(mat_dir: str) -> bool:
+        """Whether the table physically carries the ``kb=`` bucket
+        level under its day partitions."""
+        try:
+            for e in os.listdir(mat_dir):
+                d = os.path.join(mat_dir, e)
+                if e.startswith(f"{DAY_COL}=") and os.path.isdir(d):
+                    return has_partition_dirs(d, KB_COL)
+        except OSError:
+            pass
+        return False
+
+    def _has_layout(self, mat_dir: str, target: MatTarget) -> bool:
+        """Whether ``mat_dir`` physically matches the target's
+        declared layout (day partitions, plus the kb bucket level for
+        bucket_col targets)."""
+        if not has_partition_dirs(mat_dir, DAY_COL):
+            return False
+        return self._kb_is_layout(mat_dir) if target.bucket_col else True
 
     @staticmethod
     def _with_day(df: DataFrame, ts_col: str) -> DataFrame:
@@ -137,6 +189,22 @@ class Materializer:
         # the same way in the same process — the column is a layout
         # key, not a semantic output.
         return df.withColumn(DAY_COL, F.to_date(F.col(ts_col)))
+
+    @staticmethod
+    def _layout_cols(target: MatTarget) -> list[str]:
+        return [DAY_COL, KB_COL] if target.bucket_col else [DAY_COL]
+
+    def _with_layout(self, df: DataFrame, target: MatTarget) -> DataFrame:
+        """Derive the layout key column(s) for a write. The kb hash is
+        Spark's seeded murmur3 — deterministic across sessions, so a
+        row and any later repair keyed on the same value always land
+        in the same bucket (the upsert sink's invariant)."""
+        out = self._with_day(df, target.ts_col)
+        if target.bucket_col:
+            out = out.withColumn(
+                KB_COL, F.pmod(F.hash(F.col(target.bucket_col)), F.lit(N_BUCKETS))
+            )
+        return out
 
     def get_watermark(self, name: str) -> dt.datetime | None:
         """Returns the watermark as an AWARE-UTC datetime. The stored
@@ -169,39 +237,43 @@ class Materializer:
         """Run one maintenance cycle; returns {pass: action} audit log."""
         log: dict[str, str] = {}
         view = target.view(self.spark)
-        if DAY_COL in view.columns:
-            # Checked BEFORE M1 too: _with_day's withColumn would
-            # silently replace a user column of the same name on the
-            # initial load and wedge every later cycle.
-            raise ValueError(
-                f"{DAY_COL!r} is a reserved layout column of "
-                f"materialized tables; rename the view column"
-            )
+        for reserved in self._layout_cols(target):
+            if reserved in view.columns:
+                # Checked BEFORE M1 too: _with_layout's withColumn
+                # would silently replace a user column of the same
+                # name on the initial load and wedge every later cycle.
+                raise ValueError(
+                    f"{reserved!r} is a reserved layout column of "
+                    f"materialized tables; rename the view column"
+                )
         mat_dir = self._mat_dir(target.name)
         ts = F.col(target.ts_col)
+        layout = self._layout_cols(target)
 
         if not os.path.exists(mat_dir):  # M1 full load
             # sortWithinPartitions: no shuffle, but each task's rows
-            # cluster by day, so a task emits ~one file per day it
-            # covers instead of one per (task, day) — the standard
-            # partitioned-write small-file fix that also holds at
-            # scale (repartitioning BY day would serialize a whole
-            # day into one task).
-            self._with_day(view, target.ts_col).sortWithinPartitions(
-                DAY_COL
-            ).write.mode("overwrite").partitionBy(DAY_COL).parquet(mat_dir)
+            # cluster by layout key, so a task emits ~one file per
+            # leaf it covers instead of one per (task, leaf) — the
+            # standard partitioned-write small-file fix that also
+            # holds at scale (repartitioning BY the keys would
+            # serialize a whole leaf into one task).
+            self._with_layout(view, target).sortWithinPartitions(
+                *layout
+            ).write.mode("overwrite").partitionBy(*layout).parquet(mat_dir)
             log["M1"] = "full load"
         else:
-            if not has_partition_dirs(mat_dir, DAY_COL):
+            if not self._has_layout(mat_dir, target):
                 # Legacy/flattened table (e.g. written before the
-                # day layout, or compacted flat by a foreign tool):
-                # a partition-scoped M2 repair would have nothing to
-                # link and would drop everything outside the lookback
+                # day layout, compacted flat by a foreign tool, or a
+                # single-level table whose target newly declares
+                # bucket_col): a partition-scoped repair would have
+                # nothing to link and would drop rows outside its
                 # window, and M4 appends would produce a mixed
                 # layout. Re-establish the layout with one atomic
                 # full rewrite first.
-                flat = self._read_raw(target.name)
-                if DAY_COL in flat.columns:
+                flat = self.read_mat(target.name)
+                raw_cols = set(self._read_raw(target.name).columns)
+                if DAY_COL in raw_cols and not has_partition_dirs(mat_dir, DAY_COL):
                     # Demoted layout key or genuine user column? Not
                     # decidable — refuse instead of silently dropping.
                     raise ValueError(
@@ -209,8 +281,8 @@ class Materializer:
                         f"{DAY_COL!r} column; rebuild it before running "
                         f"maintenance cycles against it"
                     )
-                self._overwrite(mat_dir, flat, target.ts_col)
-                log["layout"] = "migrated to day partitions"
+                self._overwrite(mat_dir, flat, target)
+                log["layout"] = "migrated to " + "/".join(layout) + " partitions"
             wm = self.get_watermark(target.name)
             if wm is None:
                 raise RuntimeError(f"mat table {target.name} exists but no watermark")
@@ -248,9 +320,9 @@ class Materializer:
                 repaired = (
                     mat_raw.filter(day_in_window)
                     .filter(~in_window)
-                    .unionByName(self._with_day(view.filter(in_window), target.ts_col))
+                    .unionByName(self._with_layout(view.filter(in_window), target))
                 )
-                self._overwrite_partitions(mat_dir, repaired, days)
+                self._overwrite_partitions(mat_dir, repaired, days, target)
                 log["M2"] = f"repaired window ({mat_cnt}→{view_cnt} rows)"
             else:
                 log["M2"] = "no drift"
@@ -266,13 +338,19 @@ class Materializer:
                 if changed.isEmpty():
                     log[f"M3:{dep.fact_fk}"] = "no dim change"
                     continue
-                mat = self.read_mat(target.name)
-                keep = mat.join(changed, on=dep.fact_fk, how="left_anti")
                 reinsert = view.join(
                     F.broadcast(changed), on=dep.fact_fk, how="left_semi"
                 ).filter(ts <= F.lit(wm))
-                self._overwrite(mat_dir, keep.unionByName(reinsert), target.ts_col)
-                log[f"M3:{dep.fact_fk}"] = "repaired changed keys"
+                if target.bucket_col == dep.fact_fk:
+                    # Keyed repair on the bucket column: rewrite only
+                    # the (day × touched-kb) leaves.
+                    n = self._repair_keys(mat_dir, target, changed, dep.fact_fk, reinsert)
+                    log[f"M3:{dep.fact_fk}"] = f"repaired changed keys ({n} buckets)"
+                else:
+                    mat = self.read_mat(target.name)
+                    keep = mat.join(changed, on=dep.fact_fk, how="left_anti")
+                    self._overwrite(mat_dir, keep.unionByName(reinsert), target)
+                    log[f"M3:{dep.fact_fk}"] = "repaired changed keys"
 
             # M4 — pass 2: append new facts. The increment is cached
             # so the audit count and the append share one computation
@@ -283,10 +361,10 @@ class Materializer:
             try:
                 n_new = new_rows.count()
                 if n_new:
-                    # Micro-batch-sized increment: one file per day.
-                    self._with_day(new_rows, target.ts_col).repartition(
-                        DAY_COL
-                    ).write.mode("append").partitionBy(DAY_COL).parquet(mat_dir)
+                    # Micro-batch-sized increment: one file per leaf.
+                    self._with_layout(new_rows, target).repartition(
+                        *[F.col(c) for c in layout]
+                    ).write.mode("append").partitionBy(*layout).parquet(mat_dir)
             finally:
                 new_rows.unpersist()
             log["M4"] = f"appended {n_new}"
@@ -317,10 +395,16 @@ class Materializer:
                 if changed.isEmpty():
                     log["M5"] = "no flag flips"
                 else:
-                    keep = mat.join(changed, on=er.key_col, how="left_anti")
                     reinsert = view.join(changed, on=er.key_col, how="left_semi")
-                    self._overwrite(mat_dir, keep.unionByName(reinsert), target.ts_col)
-                    log["M5"] = "repaired flipped keys"
+                    if target.bucket_col == er.key_col:
+                        n = self._repair_keys(
+                            mat_dir, target, changed, er.key_col, reinsert
+                        )
+                        log["M5"] = f"repaired flipped keys ({n} buckets)"
+                    else:
+                        keep = mat.join(changed, on=er.key_col, how="left_anti")
+                        self._overwrite(mat_dir, keep.unionByName(reinsert), target)
+                        log["M5"] = "repaired flipped keys"
 
         # M6 — watermark upsert. After the passes above the mat table
         # contains every view row newer than the old watermark (M4)
@@ -340,35 +424,82 @@ class Materializer:
             log["M6"] = f"watermark={max_ts.isoformat()}"
         return log
 
-    def _overwrite(self, path: str, df: DataFrame, ts_col: str) -> None:
-        """Full-table rewrite (M3/M5: keyed repairs scatter across all
-        partitions), republished day-partitioned so the layout — and
-        M2's partition-scoped repair — survives every pass. ``df``
-        carries view columns only; the day key is re-derived."""
+    def _overwrite(self, path: str, df: DataFrame, target: MatTarget) -> None:
+        """Full-table rewrite (keyed repairs without a matching
+        bucket_col scatter across all partitions), republished with
+        the target's layout so it — and the partition-scoped repairs
+        — survives every pass. ``df`` carries view columns only; the
+        layout keys are re-derived."""
+        layout = self._layout_cols(target)
         tmp = tmp_sibling(path)
-        self._with_day(df, ts_col).sortWithinPartitions(DAY_COL).write.mode(
+        self._with_layout(df, target).sortWithinPartitions(*layout).write.mode(
             "overwrite"
-        ).partitionBy(DAY_COL).parquet(tmp)
+        ).partitionBy(*layout).parquet(tmp)
         atomic_swap(path, tmp)
 
     def _overwrite_partitions(
-        self, path: str, df: DataFrame, days: list[dt.date]
+        self, path: str, df: DataFrame, days: list[dt.date], target: MatTarget
     ) -> None:
         """Publish a new table version that REWRITES only the ``days``
-        partitions (``df`` must hold exactly those days' rows, day
-        column included) and reuses every other partition from the
+        partitions (``df`` must hold exactly those days' rows, layout
+        columns included) and reuses every other partition from the
         current version via hard links — the filesystem analog of an
-        Iceberg overwrite snapshot keeping untouched manifests. The
-        publish is the same single atomic swap as a full rewrite, so
-        the crash-recovery contract (remove_orphans' restore rule) is
-        unchanged."""
+        Iceberg overwrite snapshot keeping untouched manifests (a
+        bucket-layout target's kb sub-dirs ride the recursive link).
+        The publish is the same single atomic swap as a full rewrite,
+        so the crash-recovery contract (remove_orphans' restore rule)
+        is unchanged."""
+        layout = self._layout_cols(target)
         tmp = tmp_sibling(path)
-        # The repair set is window-sized: one task per rewritten day
-        # keeps the partition at one file.
-        df.repartition(DAY_COL).write.mode("overwrite").partitionBy(
-            DAY_COL
-        ).parquet(tmp)
+        # The repair set is window-sized: one task per rewritten leaf
+        # keeps it at one file.
+        df.repartition(*[F.col(c) for c in layout]).write.mode(
+            "overwrite"
+        ).partitionBy(*layout).parquet(tmp)
         link_untouched_partitions(
             path, tmp, DAY_COL, {f"{DAY_COL}={d.isoformat()}" for d in days}
         )
         atomic_swap(path, tmp)
+
+    def _repair_keys(
+        self,
+        path: str,
+        target: MatTarget,
+        changed: DataFrame,
+        key_col: str,
+        reinsert: DataFrame,
+    ) -> int:
+        """Keyed (M3/M5) repair on a bucket-layout table: delete +
+        re-insert the rows of ``changed`` keys by rewriting ONLY the
+        ``kb=`` buckets those keys hash into — in every day partition
+        — and hard-linking all other (day × kb) leaves. The emulation
+        of a format's equality-delete compaction touching only the
+        files that can contain matched keys. Returns the touched
+        bucket count (bounded by N_BUCKETS — the control-flow collect
+        is ≤16 ints, the upsert sink's own bound)."""
+        mat_raw = self.spark.read.parquet(path)
+        # Hash on the MAT column's exact type: murmur3 of int(7) and
+        # long(7) differ, so a dim key typed differently from the fact
+        # FK would probe the wrong buckets — the keep-filter would
+        # then never see the stale rows and the reinsert would
+        # duplicate them. Casting the changed keys pins both the
+        # bucket derivation and the anti-join to one type.
+        key_type = mat_raw.schema[key_col].dataType
+        changed = changed.select(F.col(key_col).cast(key_type).alias(key_col))
+        kb_of = F.pmod(F.hash(F.col(key_col)), F.lit(N_BUCKETS))
+        touched = sorted(
+            r[0] for r in changed.select(kb_of.alias("b")).distinct().collect()
+        )
+        keep = mat_raw.filter(F.col(KB_COL).isin(touched)).join(
+            F.broadcast(changed), on=key_col, how="left_anti"
+        )
+        df = keep.unionByName(self._with_layout(reinsert, target))
+        tmp = tmp_sibling(path)
+        df.repartition(F.col(DAY_COL), F.col(KB_COL)).write.mode(
+            "overwrite"
+        ).partitionBy(DAY_COL, KB_COL).parquet(tmp)
+        link_untouched_subpartitions(
+            path, tmp, DAY_COL, KB_COL, {f"{KB_COL}={b}" for b in touched}
+        )
+        atomic_swap(path, tmp)
+        return len(touched)

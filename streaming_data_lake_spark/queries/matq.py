@@ -223,6 +223,10 @@ def materialize_dim_change_repair(spark: SparkSession, sf_dir: str) -> DataFrame
                 fact_fk="user_bucket",
             ),
         ),
+        # Bucket the layout on the repair FK: the M3 pass rewrites
+        # only the kb= leaves the changed dim keys hash into instead
+        # of the whole table (equality-delete scoped IO).
+        bucket_col="user_bucket",
     )
     mat = Materializer(spark, lake)
     mat.run(target)  # M1 full load under dim v1
@@ -315,6 +319,9 @@ def materialize_funnel_exists_repair(spark: SparkSession, sf_dir: str) -> DataFr
         view=view,
         ts_col="ts",
         exists_repair=ExistsRepair(key_col="event_id", flag_cols=("has_click",)),
+        # Bucket the layout on the M5 repair key: flipped-flag repair
+        # rewrites only the touched kb= leaves, not the table.
+        bucket_col="event_id",
     )
     mat = Materializer(spark, lake)
     mat.run(target)  # M1: some has_click=false rows are wrong (clicks missing)

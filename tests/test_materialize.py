@@ -402,7 +402,7 @@ def test_materializer_migrates_flat_legacy_table(spark, tmp_path):
     # Late row in lookback: repair must not lose day-1 history.
     _write_events(spark, src, [(3, _ts("2024-01-02 10:30:00"), 3, 3.0)])
     log = m.run(target, lookback_hours=2)
-    assert log.get("layout") == "migrated to day partitions"
+    assert log.get("layout") == "migrated to day_pt partitions"
     got = sorted(r["id"] for r in m.read_mat("mat").collect())
     assert got == [1, 2, 3]
     assert any(e.startswith(f"{DAY_COL}=") for e in os.listdir(os.path.join(lake, "mat")))
@@ -552,3 +552,156 @@ def test_read_upsert_keeps_flat_kb_user_column(spark, tmp_path):
     got = read_upsert(spark, t)
     assert "kb" in got.columns
     assert {r["kb"] for r in got.collect()} == {"kilobytes", "more-kb"}
+
+
+def _leaf_inodes(t):
+    """(day_dir, kb_dir) -> {file: inode} map over a two-level table."""
+    out = {}
+    for dd in os.listdir(t):
+        dpath = os.path.join(t, dd)
+        if not (dd.startswith("day_pt=") and os.path.isdir(dpath)):
+            continue
+        for kd in os.listdir(dpath):
+            kpath = os.path.join(dpath, kd)
+            if not (kd.startswith("kb=") and os.path.isdir(kpath)):
+                continue
+            out[(dd, kd)] = {
+                f: os.stat(os.path.join(kpath, f)).st_ino
+                for f in os.listdir(kpath)
+                if f.endswith(".parquet")
+            }
+    return out
+
+
+def test_m3_bucket_scoped_repair_links_untouched_leaves(spark, tmp_path):
+    """An M3 dim-change repair on a bucket_col target rewrites ONLY
+    the kb= leaves the changed keys hash into: every other (day, kb)
+    leaf survives as the same inode (VERDICT r6 'Next round' #7)."""
+    from pyspark.sql import functions as F2
+    from streaming_data_lake_spark.plans.materialize import KB_COL, N_BUCKETS
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake, exist_ok=True)
+    src = os.path.join(lake, "src")
+    dim_dir = os.path.join(lake, "dim")
+    # facts over 3 days x 40 keys -> kb leaves well spread
+    rows = []
+    for d in (1, 2, 3):
+        rows += [
+            (d * 100 + i, _ts(f"2024-01-0{d} 10:{i:02d}:00"), i % 40, 1.0)
+            for i in range(60)
+        ]
+    _write_events(spark, src, rows)
+    dim_v1 = spark.createDataFrame(
+        [(k, f"lab_{k}_v1", _ts("2020-01-01 00:00:00"), True) for k in range(40)],
+        "k int, label string, valid_from timestamp, is_current boolean",
+    )
+    dim_v1.write.mode("overwrite").parquet(dim_dir)
+
+    def view(s):
+        facts = s.read.parquet(src)
+        dim = s.read.parquet(dim_dir).filter(F2.col("is_current"))
+        return facts.join(F2.broadcast(dim), "k", "left").select("id", "ts", "k", "label")
+
+    target = MatTarget(
+        "mat_b",
+        view,
+        "ts",
+        dims=(DimDependency(dim=lambda s: s.read.parquet(dim_dir), dim_key="k", fact_fk="k"),),
+        bucket_col="k",
+    )
+    m = Materializer(spark, lake)
+    m.run(target)
+    t = os.path.join(lake, "mat_b")
+    before = _leaf_inodes(t)
+    assert len({kd for (_, kd) in before}) > 2  # multiple buckets exist
+
+    # change ONE dim key after the watermark
+    changed_key = 7
+    dim_v2 = spark.createDataFrame(
+        [
+            (k, f"lab_{k}_v2" if k == changed_key else f"lab_{k}_v1",
+             _ts("2024-06-01 00:00:00") if k == changed_key else _ts("2020-01-01 00:00:00"),
+             True)
+            for k in range(40)
+        ],
+        "k int, label string, valid_from timestamp, is_current boolean",
+    )
+    dim_v2.write.mode("overwrite").parquet(dim_dir)
+    log = m.run(target)
+    assert log["M3:k"].startswith("repaired changed keys (1 buckets")
+
+    touched_kb = f"{KB_COL}=" + str(
+        spark.createDataFrame([(changed_key,)], "k int")
+        .select(F2.pmod(F2.hash("k"), F2.lit(N_BUCKETS)))
+        .head()[0]
+    )
+    after = _leaf_inodes(t)
+    for leaf, inos in before.items():
+        if leaf[1] == touched_kb:
+            continue
+        assert after.get(leaf) == inos, f"untouched leaf {leaf} was rewritten"
+    # and the repair took effect
+    labels = {r["k"]: r["label"] for r in m.read_mat("mat_b").collect()}
+    assert labels[changed_key] == f"lab_{changed_key}_v2"
+    assert labels[8] == "lab_8_v1"
+    # reader never sees layout columns
+    assert set(m.read_mat("mat_b").columns) == {"id", "ts", "k", "label"}
+
+
+def test_m5_bucket_scoped_exists_repair(spark, tmp_path):
+    """M5 flag-flip repair on a bucket_col target: only the flipped
+    key's bucket leaves are rewritten; results match the full-rewrite
+    semantics."""
+    from pyspark.sql import functions as F2
+    from streaming_data_lake_spark.plans.materialize import ExistsRepair, KB_COL, N_BUCKETS
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake, exist_ok=True)
+    src = os.path.join(lake, "src")
+    down = os.path.join(lake, "down")
+    _write_events(
+        spark, src,
+        [(i, _ts(f"2024-01-01 10:{i:02d}:00"), i, 1.0) for i in range(30)],
+    )
+    spark.createDataFrame([(99, 0)], "fact_id long, dummy int").write.mode(
+        "overwrite"
+    ).parquet(down)
+
+    def view(s):
+        ev = s.read.parquet(src)
+        d = s.read.parquet(down).select(
+            F2.col("fact_id").alias("id"), F2.lit(True).alias("has_down")
+        )
+        return ev.join(d, "id", "left").withColumn(
+            "has_down", F2.coalesce(F2.col("has_down"), F2.lit(False))
+        )
+
+    target = MatTarget(
+        "mat_f", view, "ts",
+        exists_repair=ExistsRepair(key_col="id", flag_cols=("has_down",)),
+        bucket_col="id",
+    )
+    m = Materializer(spark, lake)
+    m.run(target)
+    t = os.path.join(lake, "mat_f")
+    before = _leaf_inodes(t)
+
+    # downstream event for id=5 arrives late
+    spark.createDataFrame([(5, 0)], "fact_id long, dummy int").write.mode(
+        "append"
+    ).parquet(down)
+    log = m.run(target)
+    assert log["M5"].startswith("repaired flipped keys (1 buckets")
+    touched_kb = f"{KB_COL}=" + str(
+        spark.createDataFrame([(5,)], "id long")
+        .select(F2.pmod(F2.hash("id"), F2.lit(N_BUCKETS)))
+        .head()[0]
+    )
+    after = _leaf_inodes(t)
+    for leaf, inos in before.items():
+        if leaf[1] == touched_kb:
+            continue
+        assert after.get(leaf) == inos, f"untouched leaf {leaf} was rewritten"
+    flags = {r["id"]: r["has_down"] for r in m.read_mat("mat_f").collect()}
+    assert flags[5] is True and flags[6] is False and len(flags) == 30
