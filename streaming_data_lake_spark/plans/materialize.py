@@ -251,15 +251,9 @@ class Materializer:
         layout = self._layout_cols(target)
 
         if not os.path.exists(mat_dir):  # M1 full load
-            # sortWithinPartitions: no shuffle, but each task's rows
-            # cluster by layout key, so a task emits ~one file per
-            # leaf it covers instead of one per (task, leaf) — the
-            # standard partitioned-write small-file fix that also
-            # holds at scale (repartitioning BY the keys would
-            # serialize a whole leaf into one task).
-            self._with_layout(view, target).sortWithinPartitions(
-                *layout
-            ).write.mode("overwrite").partitionBy(*layout).parquet(mat_dir)
+            self._layout_write(self._with_layout(view, target), target).write.mode(
+                "overwrite"
+            ).partitionBy(*layout).parquet(mat_dir)
             log["M1"] = "full load"
         else:
             if not self._has_layout(mat_dir, target):
@@ -424,6 +418,24 @@ class Materializer:
             log["M6"] = f"watermark={max_ts.isoformat()}"
         return log
 
+    @staticmethod
+    def _layout_write(df: DataFrame, target: MatTarget) -> DataFrame:
+        """Arrange a full-table write for its partitioned layout.
+
+        Single-level (day) targets use sortWithinPartitions: no
+        shuffle, and each task's rows cluster by day so it emits ~one
+        file per day it covers — safe because loads are time-
+        clustered, and repartitioning BY day would serialize a whole
+        day into one task. Bucket-layout targets MUST shuffle on
+        (day, kb) instead: every task of an arbitrary source spans
+        all 16 buckets, so the no-shuffle write would emit up to
+        tasks × (days × buckets) files. The shuffle pins each leaf to
+        exactly one task → exactly one file per leaf, and day×16 leaf
+        groups keep parallelism bounded-skew at scale."""
+        if target.bucket_col:
+            return df.repartition(F.col(DAY_COL), F.col(KB_COL))
+        return df.sortWithinPartitions(DAY_COL)
+
     def _overwrite(self, path: str, df: DataFrame, target: MatTarget) -> None:
         """Full-table rewrite (keyed repairs without a matching
         bucket_col scatter across all partitions), republished with
@@ -432,7 +444,7 @@ class Materializer:
         layout keys are re-derived."""
         layout = self._layout_cols(target)
         tmp = tmp_sibling(path)
-        self._with_layout(df, target).sortWithinPartitions(*layout).write.mode(
+        self._layout_write(self._with_layout(df, target), target).write.mode(
             "overwrite"
         ).partitionBy(*layout).parquet(tmp)
         atomic_swap(path, tmp)

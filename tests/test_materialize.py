@@ -705,3 +705,27 @@ def test_m5_bucket_scoped_exists_repair(spark, tmp_path):
         assert after.get(leaf) == inos, f"untouched leaf {leaf} was rewritten"
     flags = {r["id"]: r["has_down"] for r in m.read_mat("mat_f").collect()}
     assert flags[5] is True and flags[6] is False and len(flags) == 30
+
+
+def test_bucket_layout_m1_one_file_per_leaf(spark, tmp_path):
+    """M1 on a bucket_col target from a MULTI-TASK source must emit
+    exactly one file per (day, kb) leaf — the no-shuffle
+    sortWithinPartitions write would emit up to tasks x leaves files
+    because every task of an arbitrary source spans all buckets."""
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake, exist_ok=True)
+    src = os.path.join(lake, "src")
+    rows = [
+        (i, _ts(f"2024-01-{1 + i % 3:02d} 10:00:00"), i % 50, 1.0)
+        for i in range(3000)
+    ]
+    spark.createDataFrame(rows, "id long, ts timestamp, k int, v double").repartition(
+        8
+    ).write.parquet(src)
+    target = MatTarget("mat_ff", lambda s: s.read.parquet(src), "ts", bucket_col="k")
+    Materializer(spark, lake).run(target)
+    t = os.path.join(lake, "mat_ff")
+    leaves = _leaf_inodes(t)
+    assert len(leaves) >= 6
+    for leaf, inos in leaves.items():
+        assert len(inos) == 1, f"leaf {leaf} has {len(inos)} files"
