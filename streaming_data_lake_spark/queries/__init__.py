@@ -51,10 +51,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # (c) round-7 NEW query: the two-level day+identity overlay/
 # compaction cycle; (d) the rest of the streaming family — the
 # stream-source schema-cache keying changed under all of them. The
-# window is exactly full — no filler slots. Everything at 51+ was
-# driver-certified green in round 5 or 6 and its implementation is
-# unchanged since. tests/test_registry_order asserts the window
-# arithmetic.
+# window is exactly full — no filler slots. Three streaming queries
+# (hourly_metrics, dedup_keys, dedup_within_watermark) hold fresh r6
+# verdicts and were displaced by the (c) additions; they ride only
+# the stream-source cache-keying change and lead the r8 rotation as
+# post-cert-change debt. Everything else at 51+ was driver-certified
+# green in round 5 or 6 and its implementation is unchanged since.
+# tests/test_registry_order asserts the window arithmetic.
 _CERTIFICATION_ORDER = [
     # ---- (a) latest verdict r4: stale at r7, re-certify all 34 ----
     "rollup_revenue_levels",
@@ -102,16 +105,20 @@ _CERTIFICATION_ORDER = [
     "maintenance_compaction",
     # ---- (c) new in round 7: first driver verdict needed ----
     "two_level_overlay_maintenance",
+    "user_rolling_7day_value",
+    "consistent_hash_sample",
+    "user_event_type_paths",
     # ---- (d) streaming family: stream-source cache keying changed ----
     "streaming_clean_events",
     "streaming_fanout_ingest",
     "streaming_interval_join_daily",
+    "streaming_funnel_daily",
+    # ---- position 51+ : driver-certified green in round 5 or 6,
+    # implementation unchanged since (except the three displaced
+    # streaming queries noted above, which lead the r8 window) ----
     "streaming_hourly_metrics",
     "streaming_dedup_keys",
     "streaming_dedup_within_watermark",
-    "streaming_funnel_daily",
-    # ---- position 51+ : driver-certified green in round 5 or 6,
-    # implementation unchanged since ----
     "time_travel_read_v1",
     "snapshot_metadata",
     "sql_over_views_adhoc",

@@ -1638,3 +1638,62 @@ def event_counters_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["event_day"], _UNPIVOT_TYPES, "metric", "n_events"
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE rolling window features (7-day user activity)
+# ---------------------------------------------------------------------------
+
+_ROLLING_7D_ORACLE = """
+WITH daily AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS epoch_day,
+         sum(CAST(value AS DECIMAL(12,2))) AS day_value,
+         count(*) AS day_events
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, epoch_day,
+       CAST(day_value AS DOUBLE) AS day_value,
+       CAST(sum(day_value) OVER w AS DOUBLE) AS rolling_7d_value,
+       CAST(sum(day_events) OVER w AS BIGINT) AS rolling_7d_events,
+       CAST(count(*) OVER w AS BIGINT) AS active_days_7d
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "user_rolling_7day_value",
+    _ROLLING_7D_ORACLE,
+    "Time-RANGE window frame (RANGE BETWEEN 6 PRECEDING) over per-day "
+    "pre-aggregates: the rolling-feature shape of behavioral feature "
+    "engineering. A RANGE frame on epoch day — unlike ROWS — is correct "
+    "under gaps (a user inactive for a week contributes nothing to the "
+    "window). Aggregate FIRST: the frame scans the (user, day) rollup, "
+    "never fact cardinality. Decimal-exact sums.",
+)
+def user_rolling_7day_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("epoch_day"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("day_value"),
+        F.count(F.lit(1)).alias("day_events"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "epoch_day",
+        F.col("day_value").cast("double").alias("day_value"),
+        F.sum("day_value").over(w).cast("double").alias("rolling_7d_value"),
+        F.sum("day_events").over(w).cast("long").alias("rolling_7d_events"),
+        F.count(F.lit(1)).over(w).cast("long").alias("active_days_7d"),
+    )

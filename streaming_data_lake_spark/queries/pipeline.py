@@ -1712,3 +1712,93 @@ def knn_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsub=_PQ_DSUB,
         nprobe=_IVFPQ_NPROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# Consistent (hash-ordered) sampling — reproducible subset selection
+# ---------------------------------------------------------------------------
+
+_CONSISTENT_SAMPLE_ORACLE = """
+SELECT event_type, event_id, md5_key FROM (
+  SELECT event_type, event_id,
+         md5(CAST(event_id AS VARCHAR)) AS md5_key,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         ) AS rn
+  FROM events
+) WHERE rn <= 100
+"""
+
+
+@register(
+    "consistent_hash_sample",
+    _CONSISTENT_SAMPLE_ORACLE,
+    "Reproducible sampling: top-k per group ordered by a PORTABLE content "
+    "hash (md5) instead of rand() — the same keys are selected on every "
+    "engine, every run, every cluster size, which is what makes training "
+    "subsets, eval holdouts, and A/B slices re-derivable. Executes as a "
+    "WindowGroupLimit top-k (rank filter pushed into the shuffle), not a "
+    "full sort.",
+)
+def consistent_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    key = F.md5(F.col("event_id").cast("string"))
+    w = Window.partitionBy("event_type").orderBy(key.asc(), F.col("event_id").asc())
+    return (
+        e.select("event_type", "event_id", key.alias("md5_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user event-sequence construction (behavioral LM training rows)
+# ---------------------------------------------------------------------------
+
+_EVENT_PATHS_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       array_to_string(
+         (list(event_type ORDER BY ts, event_id))[1:20], '>'
+       ) AS path20
+FROM events
+GROUP BY user_id
+"""
+
+
+@register(
+    "user_event_type_paths",
+    _EVENT_PATHS_ORACLE,
+    "Sequence construction: per user, the time-ordered event-type path "
+    "(capped at 20 steps) — the groupBy-collect shape that turns an event "
+    "log into behavioral training sequences. One shuffle on user_id; the "
+    "per-user sort happens inside array_sort on (ts, event_id) structs, "
+    "so ordering is deterministic and engine-independent. The cap bounds "
+    "the output row width, not the aggregation state, which at 100 TB "
+    "would instead use a windowed top-N pre-filter before the collect.",
+)
+def user_event_type_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    # Collect (ts, event_id, event_type) structs, sort once per user,
+    # project the type path: array_sort on the struct gives exactly
+    # the ORDER BY ts, event_id ordering.
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("seq"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.concat_ws(
+                ">", F.slice(F.transform("seq", lambda s: s["event_type"]), 1, 20)
+            ).alias("path20"),
+        )
+    )

@@ -390,3 +390,33 @@ def test_drift_read_through_prunes_unexpected_column(spark):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "extra_tag" not in read_schema, "undeclared column not pruned"
     assert "value" in read_schema
+
+
+def test_consistent_sample_uses_window_group_limit(spark):
+    """Hash-ordered sampling must run as a WindowGroupLimit top-k
+    (rank filter pushed into the shuffle), never a full per-group
+    sort + filter."""
+    plan = _executed(_query(spark, "consistent_hash_sample"))
+    assert "WindowGroupLimit" in plan
+
+
+def test_rolling_window_frames_over_preaggregate(spark):
+    """The 7-day RANGE frame must scan the (user, day) rollup — a
+    HashAggregate BELOW the Window — not fact-table cardinality, and
+    stay off any cartesian path."""
+    plan = _executed(_query(spark, "user_rolling_7day_value"))
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("HashAggregate"), (
+        "aggregate must run below the window frame"
+    )
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+
+
+def test_event_paths_single_shuffle_collect(spark):
+    """Sequence construction is ONE shuffle on user_id: a two-phase
+    ObjectHashAggregate carrying the collect_list, no sort-aggregate
+    fallback and no extra exchanges."""
+    plan = _executed(_query(spark, "user_event_type_paths"))
+    assert "ObjectHashAggregate" in plan
+    assert plan.count("Exchange") == 1, plan

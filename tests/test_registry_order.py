@@ -70,17 +70,20 @@ CHANGED_R7 = {
 # (c) New queries this round — never seen by any driver run.
 NEW_R7 = {
     "two_level_overlay_maintenance",
+    "user_rolling_7day_value",
+    "consistent_hash_sample",
+    "user_event_type_paths",
 }
 
 # (d) Rest of the streaming family: the stream-source physical-schema
-# cache keying (realpath) changed under all of them.
+# cache keying (realpath) changed under all of them. Three members
+# (hourly_metrics, dedup_keys, dedup_within_watermark) were displaced
+# to 51+ by the NEW_R7 additions — they hold fresh r6 verdicts, ride
+# only the cache-keying change, and lead the r8 rotation.
 STREAMING_R7 = {
     "streaming_clean_events",
     "streaming_fanout_ingest",
     "streaming_interval_join_daily",
-    "streaming_hourly_metrics",
-    "streaming_dedup_keys",
-    "streaming_dedup_within_watermark",
     "streaming_funnel_daily",
 }
 
