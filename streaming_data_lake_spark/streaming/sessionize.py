@@ -191,11 +191,11 @@ def sessionize_native(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
     Two parity subtleties vs the batch gaps-and-islands oracle:
 
     - **Boundary**: the oracle starts a new session when
-      ``diff > gap`` (events exactly ``gap`` apart merge); Spark's
-      session windows are half-open ``[ts, ts+gap)`` and merge only
-      on strict overlap (``diff < gap``). Passing ``gap + 1µs``
-      makes the strict-< merge equivalent to ``diff <= gap`` at
-      Spark's microsecond timestamp resolution.
+      ``diff > gap`` — events exactly ``gap`` apart merge. Spark's
+      session-window merge is INCLUSIVE on the window end (probed
+      empirically, test_sessionize_native_gap_boundary: diff == gap
+      merges, diff == gap+1µs splits), so the plain gap matches the
+      oracle with no epsilon adjustment.
     - **Window vs data bounds**: ``session_window.end`` is
       ``last_ts + gap``, not the last event time — so session_start/
       session_end are MIN/MAX aggregates over the member events, the
@@ -217,7 +217,7 @@ def sessionize_native(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    gap = f"{gap_minutes * 60_000_000 + 1} microseconds"
+    gap = f"{gap_minutes * 60_000_000} microseconds"
     return (
         # Prune to the three columns the aggregate reads BEFORE the
         # keyed shuffle (same rationale as the pandas path).

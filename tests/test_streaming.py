@@ -200,3 +200,50 @@ def test_sessionize_pandas_matches_native(spark):
         native = sessionize_native_replay(spark, SF_DIR, 120)
         pandas_path = sessionize_replay(spark, SF_DIR, 120)
     assert _rows(native, cols) == _rows(pandas_path, cols)
+
+
+def test_sessionize_native_gap_boundary(spark):
+    """Events EXACTLY gap apart must merge (the oracle's diff > gap
+    rule), and one microsecond past must split. Spark's session-
+    window merge is INCLUSIVE on the window end, so the PLAIN gap
+    reproduces the oracle boundary — this test pins that probed
+    semantic (an engine that switched to strict-overlap merging
+    would fail here, not silently drift on exact-gap data)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_spark.streaming.sessionize import sessionize_native
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    gap = dt.timedelta(minutes=120)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        # user 1: second event exactly gap after the first -> ONE session
+        (1, t0, 1.0),
+        (1, t0 + gap, 1.0),
+        # user 2: gap + 1µs -> TWO sessions
+        (2, t0, 1.0),
+        (2, t0 + gap + us, 1.0),
+        # user 3: just inside the gap -> ONE session
+        (3, t0, 1.0),
+        (3, t0 + gap - us, 1.0),
+    ]
+    src = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    # batch session_window shares the gap expression with streaming
+    gap_expr = f"{120 * 60_000_000} microseconds"
+    got = (
+        src.groupBy("user_id", F.session_window(F.col("ts"), gap_expr))
+        .count()
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n_sessions")
+    )
+    by_user = {r["user_id"]: r["n_sessions"] for r in got.collect()}
+    assert by_user == {1: 1, 2: 2, 3: 1}
+    # and the streaming builder uses that same +1µs derivation
+    stream_plan = sessionize_native(
+        spark.readStream.format("rate").load()
+        .selectExpr("value AS user_id", "timestamp AS ts", "CAST(value AS DOUBLE) AS value")
+    )._jdf.queryExecution().analyzed().toString()
+    assert "7200000000" in stream_plan
