@@ -729,3 +729,80 @@ def test_bucket_layout_m1_one_file_per_leaf(spark, tmp_path):
     assert len(leaves) >= 6
     for leaf, inos in leaves.items():
         assert len(inos) == 1, f"leaf {leaf} has {len(inos)} files"
+
+
+def test_bucket_repair_multi_cycle_fuzz_matches_recompute(spark, tmp_path):
+    """Five maintenance cycles over pseudo-random late facts + dim
+    changes on a bucket_col target must converge to the from-scratch
+    recompute after every cycle — the dict-model fuzz discipline of
+    the MERGE sink applied to the bucket-scoped M3 repair. The
+    lookback spans the whole fact range: late rows beyond the horizon
+    are OUT of the M1-M6 contract (the documented M7 gap), so the
+    recompute model is only valid inside it."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    rng = random.Random(7)
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake, exist_ok=True)
+    src = os.path.join(lake, "src")
+    dim_dir = os.path.join(lake, "dim")
+
+    def write_dim(version_of: dict[int, int]) -> None:
+        rows = [
+            (k, f"lab_{k}_v{v}",
+             _ts("2020-01-01 00:00:00") if v == 1 else _ts(f"2024-02-0{v} 00:00:00"),
+             True)
+            for k, v in version_of.items()
+        ]
+        spark.createDataFrame(
+            rows, "k int, label string, valid_from timestamp, is_current boolean"
+        ).write.mode("overwrite").parquet(dim_dir)
+
+    dim_versions = {k: 1 for k in range(20)}
+    write_dim(dim_versions)
+    next_id = [0]
+
+    def new_facts(n, lo_day, hi_day):
+        rows = []
+        for _ in range(n):
+            d = rng.randint(lo_day, hi_day)
+            h, mi = rng.randint(0, 23), rng.randint(0, 59)
+            next_id[0] += 1
+            rows.append(
+                (next_id[0], _ts(f"2024-01-{d:02d} {h:02d}:{mi:02d}:00"),
+                 rng.randint(0, 19), round(rng.uniform(0, 50), 2))
+            )
+        return rows
+
+    _write_events(spark, src, new_facts(200, 1, 10))
+
+    def view(s):
+        facts = s.read.parquet(src)
+        dim = s.read.parquet(dim_dir).filter(F2.col("is_current"))
+        return facts.join(F2.broadcast(dim), "k", "left").select(
+            "id", "ts", "k", "label"
+        )
+
+    target = MatTarget(
+        "mat_fz", view, "ts",
+        dims=(DimDependency(dim=lambda s: s.read.parquet(dim_dir), dim_key="k", fact_fk="k"),),
+        bucket_col="k",
+    )
+    m = Materializer(spark, lake)
+    m.run(target, lookback_hours=720)
+
+    for cycle in range(2, 7):
+        # new + late facts (late ones inside the 48h lookback)
+        _write_events(spark, src, new_facts(rng.randint(0, 80), max(1, cycle * 4 - 3), min(28, cycle * 4 + 4)))
+        # bump a random subset of dim keys to a new version
+        for k in rng.sample(range(20), rng.randint(0, 4)):
+            dim_versions[k] = min(9, dim_versions[k] + 1)
+        write_dim(dim_versions)
+        m.run(target, lookback_hours=720)
+        got = sorted(
+            (r["id"], r["k"], r["label"]) for r in m.read_mat("mat_fz").collect()
+        )
+        want = sorted((r["id"], r["k"], r["label"]) for r in view(spark).collect())
+        assert got == want, f"cycle {cycle}: mat diverged from recompute"
