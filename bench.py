@@ -42,6 +42,8 @@ HEADLINE = [
     "benchmark_decontamination",  # broadcast shingle decontamination
     "asof_view_within_6h",      # tolerance-bounded as-of join
     "bucketed_colocated_join",  # shuffle-free pre-bucketed join
+    "user_rolling_7day_value",  # time-RANGE rolling window features
+    "consistent_hash_sample",   # deterministic hash-ordered sampling
     "rollup_revenue_levels",    # ROLLUP grouping sets, one pass
     "hll_distinct_users_daily", # HyperLogLog mergeable registers
     "cms_heavy_hitter_tokens",  # Count-Min sketch frequency estimates
