@@ -806,3 +806,27 @@ def test_bucket_repair_multi_cycle_fuzz_matches_recompute(spark, tmp_path):
         )
         want = sorted((r["id"], r["k"], r["label"]) for r in view(spark).collect())
         assert got == want, f"cycle {cycle}: mat diverged from recompute"
+
+
+def test_single_level_table_migrates_when_bucket_col_added(spark, tmp_path):
+    """A day-partitioned mat table whose target NEWLY declares
+    bucket_col must migrate to the two-level layout in one atomic
+    rewrite before partition-scoped repairs run against it."""
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake, exist_ok=True)
+    src = os.path.join(lake, "src")
+    _write_events(spark, src, [(i, _ts(f"2024-01-{1 + i % 3:02d} 10:00:00"), i % 9, 1.0)
+                               for i in range(90)])
+    view = lambda s: s.read.parquet(src)  # noqa: E731
+    m = Materializer(spark, lake)
+    m.run(MatTarget("mat_mg", view, "ts"))  # single-level M1
+    t = os.path.join(lake, "mat_mg")
+    assert not _leaf_inodes(t)  # no kb level yet
+
+    _write_events(spark, src, [(1000, _ts("2024-01-03 11:00:00"), 3, 2.0)])
+    log = m.run(MatTarget("mat_mg", view, "ts", bucket_col="k"), lookback_hours=1)
+    assert log.get("layout") == "migrated to day_pt/kb partitions"
+    assert _leaf_inodes(t)  # two-level now
+    got = sorted(r["id"] for r in m.read_mat("mat_mg").collect())
+    assert len(got) == 91 and got[-1] == 1000
+    assert "kb" not in m.read_mat("mat_mg").columns
