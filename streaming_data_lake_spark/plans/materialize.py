@@ -299,27 +299,40 @@ class Materializer:
             # partitions.
             in_window = (ts > F.lit(lo)) & (ts <= F.lit(wm))
             mat_raw = self._read_raw(target.name)
-            tagged = view.filter(in_window).select(F.lit("v").alias("side")).unionAll(
-                mat_raw.filter(day_in_window)
-                .filter(in_window)
-                .select(F.lit("m").alias("side"))
-            )
-            counts = {r["side"]: r["count"] for r in tagged.groupBy("side").count().collect()}
-            view_cnt, mat_cnt = counts.get("v", 0), counts.get("m", 0)
-            if view_cnt != mat_cnt:
-                # Rewrite ONLY the lookback-day partitions: windowed
-                # view rows plus the same days' out-of-window remnant;
-                # every other partition is reused (hard-linked) into
-                # the new table version by _overwrite_partitions.
-                repaired = (
+            # The windowed view feeds TWO jobs when drift is found
+            # (the count probe, then the repair rewrite) — cache it so
+            # the view transform's source scan runs once. Safe at any
+            # scale: the cached set is lookback-window-sized by
+            # construction, like M4's increment.
+            win_view = view.filter(in_window).cache()
+            try:
+                tagged = win_view.select(F.lit("v").alias("side")).unionAll(
                     mat_raw.filter(day_in_window)
-                    .filter(~in_window)
-                    .unionByName(self._with_layout(view.filter(in_window), target))
+                    .filter(in_window)
+                    .select(F.lit("m").alias("side"))
                 )
-                self._overwrite_partitions(mat_dir, repaired, days, target)
-                log["M2"] = f"repaired window ({mat_cnt}→{view_cnt} rows)"
-            else:
-                log["M2"] = "no drift"
+                counts = {
+                    r["side"]: r["count"]
+                    for r in tagged.groupBy("side").count().collect()
+                }
+                view_cnt, mat_cnt = counts.get("v", 0), counts.get("m", 0)
+                if view_cnt != mat_cnt:
+                    # Rewrite ONLY the lookback-day partitions:
+                    # windowed view rows plus the same days'
+                    # out-of-window remnant; every other partition is
+                    # reused (hard-linked) into the new table version
+                    # by _overwrite_partitions.
+                    repaired = (
+                        mat_raw.filter(day_in_window)
+                        .filter(~in_window)
+                        .unionByName(self._with_layout(win_view, target))
+                    )
+                    self._overwrite_partitions(mat_dir, repaired, days, target)
+                    log["M2"] = f"repaired window ({mat_cnt}→{view_cnt} rows)"
+                else:
+                    log["M2"] = "no drift"
+            finally:
+                win_view.unpersist()
 
             # M3 — pass 1: dimension-change repair
             for dep in target.dims:
