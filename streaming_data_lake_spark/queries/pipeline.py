@@ -1775,30 +1775,36 @@ GROUP BY user_id
     _EVENT_PATHS_ORACLE,
     "Sequence construction: per user, the time-ordered event-type path "
     "(capped at 20 steps) — the groupBy-collect shape that turns an event "
-    "log into behavioral training sequences. One shuffle on user_id; the "
-    "per-user sort happens inside array_sort on (ts, event_id) structs, "
-    "so ordering is deterministic and engine-independent. The cap bounds "
-    "the output row width, not the aggregation state, which at 100 TB "
-    "would instead use a windowed top-N pre-filter before the collect.",
+    "log into behavioral training sequences. The cap is enforced INSIDE "
+    "the collect (collect_list over when(rank<=20, struct) — nulls are "
+    "skipped), so aggregation state is bounded at 20 structs per user: a "
+    "power user with 10M events contributes 20 rows to the collect, not "
+    "10M. n_events = max(rank) comes from the same pass, and the "
+    "aggregate reuses the window's user_id partitioning — ONE shuffle "
+    "end-to-end (plan-guarded). array_sort on (rank, type) makes "
+    "ordering deterministic and engine-independent.",
 )
 def user_event_type_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    # Collect (ts, event_id, event_type) structs, sort once per user,
-    # project the type path: array_sort on the struct gives exactly
-    # the ORDER BY ts, event_id ordering.
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = e.withColumn("rn", F.row_number().over(w))
     return (
-        e.groupBy("user_id")
+        ranked.groupBy("user_id")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
+            F.max("rn").cast("long").alias("n_events"),
             F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
+                F.collect_list(
+                    F.when(F.col("rn") <= 20, F.struct("rn", "event_type"))
+                )
             ).alias("seq"),
         )
         .select(
             "user_id",
             "n_events",
-            F.concat_ws(
-                ">", F.slice(F.transform("seq", lambda s: s["event_type"]), 1, 20)
-            ).alias("path20"),
+            F.concat_ws(">", F.transform("seq", lambda s: s["event_type"])).alias(
+                "path20"
+            ),
         )
     )

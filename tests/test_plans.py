@@ -413,10 +413,13 @@ def test_rolling_window_frames_over_preaggregate(spark):
         assert bad not in plan
 
 
-def test_event_paths_single_shuffle_collect(spark):
-    """Sequence construction is ONE shuffle on user_id: a two-phase
-    ObjectHashAggregate carrying the collect_list, no sort-aggregate
-    fallback and no extra exchanges."""
+def test_event_paths_single_shuffle_bounded_collect(spark):
+    """Sequence construction is ONE shuffle on user_id: the window
+    ranks, and the ObjectHashAggregate above it reuses the window's
+    partitioning (no second exchange). The collect itself is bounded
+    to 20 structs per user by the when(rn<=20) guard, so a power
+    user never blows the aggregation state."""
     plan = _executed(_query(spark, "user_event_type_paths"))
     assert "ObjectHashAggregate" in plan
+    assert "Window" in plan
     assert plan.count("Exchange") == 1, plan
