@@ -117,3 +117,66 @@ def test_overlay_stress_many_partitions(tmp_path):
     for d in touched:
         with open(os.path.join(live, d, "part-0.parquet"), "rb") as f2:
             assert f2.read() == b"rewritten"
+
+
+def test_subpartition_link_random_trees():
+    """Property: for random two-level trees and random touched-bucket
+    sets, link_untouched_subpartitions + the tmp's own rewrites
+    reconstruct exactly (live minus touched leaves) union (rewritten
+    leaves) — no leaf lost, none duplicated, inodes reused. Pure
+    filesystem, hypothesis-driven."""
+    import shutil
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from streaming_data_lake_spark.overlay import link_untouched_subpartitions
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        days=st.sets(st.integers(1, 9), min_size=1, max_size=5),
+        buckets_per_day=st.lists(
+            st.sets(st.integers(0, 7), min_size=1, max_size=4), min_size=5, max_size=5
+        ),
+        touched=st.sets(st.integers(0, 7), min_size=1, max_size=3),
+    )
+    def prop(days, buckets_per_day, touched):
+        root = tempfile.mkdtemp(prefix="ovl_prop_")
+        try:
+            live = os.path.join(root, "live")
+            tmp = os.path.join(root, "tmp")
+            day_list = sorted(days)
+            expected = {}  # (day, kb) -> content
+            for i, d in enumerate(day_list):
+                for b in buckets_per_day[i]:
+                    content = f"live-{d}-{b}".encode()
+                    _mk(os.path.join(live, f"day={d}", f"kb={b}", "f.parquet"), content)
+                    if b not in touched:
+                        expected[(d, b)] = content
+            # the rewrite produces rows only for SOME touched leaves
+            # (a repair can empty a bucket in a given day)
+            for i, d in enumerate(day_list):
+                for b in buckets_per_day[i] & touched:
+                    if (d + b) % 2 == 0:
+                        content = f"new-{d}-{b}".encode()
+                        _mk(os.path.join(tmp, f"day={d}", f"kb={b}", "f.parquet"), content)
+                        expected[(d, b)] = content
+            os.makedirs(tmp, exist_ok=True)
+            link_untouched_subpartitions(
+                live, tmp, "day", "kb", {f"kb={b}" for b in touched}
+            )
+            got = {}
+            for dd in os.listdir(tmp):
+                if not dd.startswith("day="):
+                    continue
+                for kd in os.listdir(os.path.join(tmp, dd)):
+                    if not kd.startswith("kb="):
+                        continue
+                    with open(os.path.join(tmp, dd, kd, "f.parquet"), "rb") as fh:
+                        got[(int(dd[4:]), int(kd[3:]))] = fh.read()
+            assert got == expected
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    prop()

@@ -247,3 +247,58 @@ def test_sessionize_native_gap_boundary(spark):
         .selectExpr("value AS user_id", "timestamp AS ts", "CAST(value AS DOUBLE) AS value")
     )._jdf.queryExecution().analyzed().toString()
     assert "7200000000" in stream_plan
+
+
+def test_fold_matches_native_session_window_random(spark):
+    """Unification property: the custom stateful fold (_fold_batch,
+    the pandas/TWS operators' engine) and the built-in session_window
+    aggregate must produce identical sessions for random event sets —
+    the two sessionization paths share one semantics by construction,
+    not by coincidence."""
+    import random
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_spark.streaming.sessionize import _fold_batch
+
+    rng = random.Random(11)
+    gap_us = 5_000_000  # 5s
+    base = 1_700_000_000_000_000  # epoch micros
+    for trial in range(10):
+        n = rng.randint(1, 60)
+        ts_us = sorted(
+            base + rng.randint(0, 400) * 1_000_000 + rng.randint(0, 999_999)
+            for _ in range(n)
+        )
+        cents = [rng.randint(0, 10_000) for _ in range(n)]
+        # custom fold (one batch, no carried state)
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime(ts_us, unit="us"), "value": [c / 100.0 for c in cents]}
+        )
+        closed, cur = _fold_batch(pdf, None, gap_us)
+        fold_sessions = sorted((s[0], s[1], s[2]) for s in closed + [cur])
+        # native session_window in batch mode
+        df = spark.createDataFrame(
+            [(pd.Timestamp(t, unit="us").to_pydatetime(), c / 100.0) for t, c in zip(ts_us, cents)],
+            "ts timestamp, value double",
+        )
+        got = (
+            df.groupBy(F.session_window(F.col("ts"), f"{gap_us} microseconds"))
+            .agg(
+                F.min("ts").alias("s"),
+                F.max("ts").alias("e"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        native_sessions = sorted(
+            (
+                int(r["s"].timestamp() * 1_000_000),
+                int(r["e"].timestamp() * 1_000_000),
+                r["n"],
+            )
+            for r in got
+        )
+        assert native_sessions == fold_sessions, f"trial {trial} diverged"
