@@ -830,3 +830,30 @@ def test_single_level_table_migrates_when_bucket_col_added(spark, tmp_path):
     got = sorted(r["id"] for r in m.read_mat("mat_mg").collect())
     assert len(got) == 91 and got[-1] == 1000
     assert "kb" not in m.read_mat("mat_mg").columns
+
+
+def test_bucket_layout_scan_prunes_days_and_buckets(spark, tmp_path):
+    """The claims behind the bucket-scoped designs are READ-side too:
+    on a day_pt=/kb= table, a day predicate prunes day partitions and
+    a kb isin() predicate (the _repair_keys keep-scan shape) prunes
+    bucket leaves — both must land in PartitionFilters, not a
+    post-scan Filter."""
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake, exist_ok=True)
+    src = os.path.join(lake, "src")
+    _write_events(spark, src, [(i, _ts(f"2024-01-{1 + i % 3:02d} 10:00:00"), i % 30, 1.0)
+                               for i in range(300)])
+    target = MatTarget("mat_pp", lambda s: s.read.parquet(src), "ts", bucket_col="k")
+    Materializer(spark, lake).run(target)
+    t = os.path.join(lake, "mat_pp")
+    raw = spark.read.parquet(t)
+
+    day_pruned = raw.filter(F.col("day_pt") == "2024-01-02")
+    plan = day_pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "day_pt" in plan.split("PartitionFilters")[1][:300]
+
+    kb_pruned = raw.filter(F.col("kb").isin([1, 5, 9]))
+    plan = kb_pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "kb" in plan.split("PartitionFilters")[1][:300]
