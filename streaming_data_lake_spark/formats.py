@@ -44,16 +44,33 @@ class TableFormat:
 
     # --- S7/T4: keyed upsert (MERGE) ---
     def merge_upsert(
-        self, spark: SparkSession, table_ref: str, updates: DataFrame, keys: list[str]
+        self,
+        spark: SparkSession,
+        table_ref: str,
+        updates: DataFrame,
+        keys: list[str],
+        ts_col: str | None = None,
     ) -> None:
+        """``ts_col`` (one of ``keys``) declares the table's time
+        dimension so the backend can lay it out day-partitioned and
+        keep a micro-batch's merge IO proportional to its day spread
+        (a real format expresses this as the table's partition spec —
+        ``day(ts)`` — which MERGE respects for free; the parquet
+        emulation needs it declared at the merge API)."""
         raise NotImplementedError
 
-    def foreach_batch_upsert(self, spark: SparkSession, table_ref: str, keys: list[str]):
+    def foreach_batch_upsert(
+        self,
+        spark: SparkSession,
+        table_ref: str,
+        keys: list[str],
+        ts_col: str | None = None,
+    ):
         """``foreachBatch`` hook running :meth:`merge_upsert` per
         micro-batch (the streaming upsert sink, SURVEY.md T4)."""
 
         def _fn(batch_df: DataFrame, batch_id: int) -> None:
-            self.merge_upsert(spark, table_ref, batch_df, keys)
+            self.merge_upsert(spark, table_ref, batch_df, keys, ts_col=ts_col)
 
         return _fn
 
@@ -105,10 +122,10 @@ class ParquetEmulationFormat(TableFormat):
     def available(cls, spark: SparkSession) -> bool:
         return True
 
-    def merge_upsert(self, spark, table_ref, updates, keys):
+    def merge_upsert(self, spark, table_ref, updates, keys, ts_col=None):
         from streaming_data_lake_spark.sources.upsert import merge_upsert
 
-        merge_upsert(spark, table_ref, updates, keys)
+        merge_upsert(spark, table_ref, updates, keys, ts_col=ts_col)
 
     def read_table(self, spark, table_ref):
         # Upsert tables carry an internal key-hash bucket layout
@@ -184,7 +201,11 @@ class DeltaFormat(TableFormat):
 
         return DeltaTable.forPath(spark, table_ref)
 
-    def merge_upsert(self, spark, table_ref, updates, keys):
+    def merge_upsert(self, spark, table_ref, updates, keys, ts_col=None):
+        # ts_col is not needed here: Delta MERGE already prunes
+        # matched files via per-file min/max stats on the key
+        # columns (data skipping), so a time-keyed table's merge
+        # touches only recent files without an explicit day layout.
         from delta.tables import DeltaTable
 
         if not DeltaTable.isDeltaTable(spark, table_ref):

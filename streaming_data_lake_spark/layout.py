@@ -1,0 +1,120 @@
+"""Managed-table layout metadata — the engine's partition-spec record.
+
+A real table format stores its partition spec (Iceberg: ``spec-id`` +
+fields in table metadata; Delta: ``partitionColumns`` in the log) so
+writers never have to GUESS how an existing table is bucketed. The
+parquet emulation previously inferred layout from the physical
+directory tree alone, which cannot distinguish "bucketed on column X
+with N buckets" from "bucketed on column Y with M buckets" — the
+exact hazard ADVICE r7 flagged for :mod:`plans.materialize`
+(``_has_layout``): a target whose ``bucket_col`` changed would probe
+buckets by the new column's hash while rows were laid out by the old
+one, silently missing stale rows.
+
+This module is that metadata: a ``_layout.json`` sidecar inside the
+table directory (underscore-prefixed, so Spark's file listing ignores
+it) recording the bucket column source, the bucket count and the
+optional outer day column. Writers compare the DECLARED layout
+against the RECORDED one and take the atomic full-rewrite migration
+path on any mismatch instead of corrupting the tree.
+
+The sidecar is only ever written into a not-yet-published directory
+(the ``__tmp_`` staging side of an atomic swap, or the initial-load
+staging dir), so readers never observe a half-updated spec — the
+same publication rule as the data itself.
+
+Bucket-count sizing (VERDICT r7 "Next round" #3): the count is not a
+constant but a function of table size, ``ceil_pow2(bytes_per_outer /
+TARGET_LEAF_BYTES)`` with a floor of 1 — at sf0.01 a keyed table gets
+1 bucket (30 leaves instead of 480, so toy-scale maintenance cycles
+stop paying fixed leaf-write overhead), at 100 TB the same rule
+yields hundreds of ~128 MB leaves per day. Growth is amortized:
+the keyed MERGE sink doubles the count with one full rewrite when
+the average leaf outgrows 2x the target (hash-table-resize
+economics), since ``pmod(hash(k), N)`` changes with N.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+#: Outer (day) partition column of managed two-level tables. No
+#: leading underscore: Spark file listing hides `_`/`.` paths.
+DAY_COL = "day_pt"
+
+#: Inner key-hash bucket column. Internal layout key, never part of
+#: a table's contract; readers drop it.
+BUCKET_COL = "kb"
+
+#: Design leaf size — the reference's optimize target
+#: (maintenance.sh:66-67). At emulation scale factors this keeps
+#: bucket counts at 1; at cluster scale it yields ~128 MB leaves.
+TARGET_LEAF_BYTES = 128 * 1024 * 1024
+
+#: Upper bound on bucket counts: beyond this, add outer granularity
+#: instead of more hash buckets (a 4096-way hash bucket level already
+#: gives ~512 GB/day of 128 MB leaves).
+MAX_BUCKETS = 4096
+
+LAYOUT_FILE = "_layout.json"
+
+
+def layout_path(table_dir: str) -> str:
+    return os.path.join(table_dir, LAYOUT_FILE)
+
+
+def write_layout_meta(table_dir: str, meta: dict) -> None:
+    """Record the layout spec. Call ONLY on unpublished (staging)
+    directories — publication of the spec rides the same atomic
+    rename as the data."""
+    with open(layout_path(table_dir), "w") as fh:
+        json.dump(meta, fh)
+        fh.write("\n")
+
+
+def read_layout_meta(table_dir: str) -> dict | None:
+    """The recorded layout spec, or None for tables written before
+    the sidecar existed (or by foreign tools) — writers treat None
+    as 'layout unknown' and migrate with a full rewrite."""
+    try:
+        with open(layout_path(table_dir)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def copy_layout_meta(src_dir: str, dst_dir: str) -> None:
+    """Carry the sidecar across a rewrite that did not change the
+    spec (e.g. compaction's atomic swap)."""
+    meta = read_layout_meta(src_dir)
+    if meta is not None:
+        write_layout_meta(dst_dir, meta)
+
+
+def count_partition_dirs(path: str, partition_col: str) -> int:
+    prefix = f"{partition_col}="
+    try:
+        return sum(
+            1
+            for e in os.listdir(path)
+            if e.startswith(prefix) and os.path.isdir(os.path.join(path, e))
+        )
+    except OSError:
+        return 0
+
+
+def size_buckets(
+    total_bytes: int,
+    n_outer: int,
+    target_bytes: int = TARGET_LEAF_BYTES,
+    cap: int = MAX_BUCKETS,
+) -> int:
+    """Smallest power-of-two bucket count keeping the average leaf
+    under ``target_bytes``, floor 1, capped. ``n_outer`` is the outer
+    partition count (1 for single-level layouts)."""
+    per_outer = total_bytes / max(1, n_outer)
+    n = 1
+    while n < cap and per_outer / n > target_bytes:
+        n *= 2
+    return n

@@ -94,9 +94,70 @@ def link_untouched_subpartitions(
         dst_outer = os.path.join(tmp_dir, outer)
         for inner in os.listdir(src_outer):
             src_inner = os.path.join(src_outer, inner)
+            if os.path.isfile(src_inner) and not inner.startswith((".", "_")):
+                # A regular data file directly under the outer dir
+                # (none in practice — Spark writes leaves) must ride
+                # the overlay too: skipping it would silently drop it
+                # from the published version.
+                os.makedirs(dst_outer, exist_ok=True)
+                dst_f = os.path.join(dst_outer, inner)
+                if not os.path.exists(dst_f):
+                    try:
+                        os.link(src_inner, dst_f)
+                    except OSError:
+                        shutil.copy2(src_inner, dst_f)
+                continue
             if (
                 not inner.startswith(inner_prefix)
                 or inner in rewritten_inner
+                or not os.path.isdir(src_inner)
+            ):
+                continue
+            _link_tree(src_inner, os.path.join(dst_outer, inner))
+            reused += 1
+    return reused
+
+
+def link_untouched_leaves(
+    live_dir: str,
+    tmp_dir: str,
+    outer_col: str,
+    inner_col: str,
+    rewritten: set[tuple[str, str]],
+) -> int:
+    """Two-level overlay scoped to exact ``(outer, inner)`` LEAF
+    pairs — the keyed MERGE sink's shape: a micro-batch touches
+    (recent day x its keys' hash buckets), so reuse must be decided
+    per pair, not per inner value across all days (a batch touching
+    ``kb=3`` today must not rewrite ``kb=3`` of every historical
+    day). ``rewritten`` holds ``("{outer_col}=v", "{inner_col}=v")``
+    entry-name pairs. Outer partitions with NO rewritten leaf are
+    linked wholesale (one recursive link, the common case for
+    historical days); within a touched outer dir, untouched leaves
+    link individually. Returns the number of reused leaves."""
+    reused = 0
+    outer_prefix = f"{outer_col}="
+    inner_prefix = f"{inner_col}="
+    touched_outers = {o for o, _i in rewritten}
+    for outer in os.listdir(live_dir):
+        src_outer = os.path.join(live_dir, outer)
+        if not outer.startswith(outer_prefix) or not os.path.isdir(src_outer):
+            continue
+        dst_outer = os.path.join(tmp_dir, outer)
+        if outer not in touched_outers:
+            _link_tree(src_outer, dst_outer)
+            reused += sum(
+                1
+                for e in os.listdir(src_outer)
+                if e.startswith(inner_prefix)
+                and os.path.isdir(os.path.join(src_outer, e))
+            )
+            continue
+        for inner in os.listdir(src_outer):
+            src_inner = os.path.join(src_outer, inner)
+            if (
+                not inner.startswith(inner_prefix)
+                or (outer, inner) in rewritten
                 or not os.path.isdir(src_inner)
             ):
                 continue

@@ -25,6 +25,7 @@ import time
 
 from pyspark.sql import SparkSession
 
+from streaming_data_lake_spark.layout import copy_layout_meta
 from streaming_data_lake_spark.overlay import atomic_swap, tmp_sibling
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # reference compaction target
@@ -119,6 +120,11 @@ def compact_parquet(
         ).write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
     else:
         df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    # The layout sidecar (bucket column + count — layout.py) rides
+    # the rewrite: compaction preserves the partition spec, so it
+    # must preserve the spec RECORD too, or the next keyed writer
+    # would see an unknown layout and pay a migrating full rewrite.
+    copy_layout_meta(table_dir, tmp)
     # Swap: after the first rename the ORIGINAL lives only in `old` —
     # remove_orphans' recovery rule (restore `__old_` when the base is
     # missing) covers a crash landing between the two renames.

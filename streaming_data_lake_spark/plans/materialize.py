@@ -58,6 +58,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import shutil
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -117,21 +118,32 @@ class MatTarget:
     #: key_col / the dominant M3 fact_fk); repairs keyed on OTHER
     #: columns fall back to the full rewrite.
     bucket_col: str | None = None
+    #: Bucket count for ``bucket_col`` layouts. ``None`` (default)
+    #: SIZES the count from the M1 load's bytes — floor 1, so toy
+    #: scale factors stop paying per-leaf write overhead for leaves
+    #: that would hold ~200 rows, while 100 TB loads get enough
+    #: buckets for ~128 MB leaves (layout.size_buckets). The chosen
+    #: count is recorded in the table's ``_layout.json`` sidecar and
+    #: honored by every later cycle; declaring a DIFFERENT explicit
+    #: count against an existing table is a layout change and takes
+    #: the migrating full rewrite.
+    n_buckets: int | None = None
 
 
-#: Partition column of materialized tables. Derived from the target's
-#: ts column at write time and dropped on read — an internal layout
-#: key, never part of the view contract. No leading underscore: Spark
-#: file listing hides `_`/`.`-prefixed paths.
-DAY_COL = "day_pt"
-
-#: Second-level key-hash bucket column for targets with bucket_col —
-#: deliberately the SAME reserved name and bucket count as the MERGE
-#: upsert sink's layout (sources/upsert.py): one reserved-name
-#: contract across all managed tables.
-from streaming_data_lake_spark.sources.upsert import (  # noqa: E402
+#: Partition/bucket column names are the SHARED reserved-name
+#: contract across all managed tables (layout.py hosts them; the
+#: MERGE upsert sink uses the same names). DAY_COL is derived from
+#: the target's ts column at write time and dropped on read — an
+#: internal layout key, never part of the view contract. No leading
+#: underscore: Spark file listing hides `_`/`.`-prefixed paths.
+from streaming_data_lake_spark.layout import (  # noqa: E402
     BUCKET_COL as KB_COL,
-    N_BUCKETS,
+    DAY_COL,
+    copy_layout_meta,
+    count_partition_dirs,
+    read_layout_meta,
+    size_buckets,
+    write_layout_meta,
 )
 
 
@@ -175,12 +187,58 @@ class Materializer:
         return False
 
     def _has_layout(self, mat_dir: str, target: MatTarget) -> bool:
-        """Whether ``mat_dir`` physically matches the target's
-        declared layout (day partitions, plus the kb bucket level for
-        bucket_col targets)."""
+        """Whether ``mat_dir`` matches the target's DECLARED layout:
+        physical day partitions (plus the physical kb level for
+        bucket_col targets) AND a ``_layout.json`` sidecar agreeing
+        on the bucket column identity. The sidecar is what makes
+        layout drift detectable in BOTH directions (ADVICE r7): a
+        target that DROPS bucket_col against a kb-layout table, or
+        CHANGES it to a different column (same physical tree, wrong
+        hash), is a mismatch and takes the migrating full rewrite —
+        physical checks alone cannot tell which column the buckets
+        were hashed on. A table with no sidecar (pre-sidecar legacy,
+        foreign rewrite) is layout-unknown: also migrate."""
         if not has_partition_dirs(mat_dir, DAY_COL):
             return False
-        return self._kb_is_layout(mat_dir) if target.bucket_col else True
+        meta = read_layout_meta(mat_dir)
+        if meta is None or meta.get("bucket_col") != target.bucket_col:
+            return False
+        if target.bucket_col:
+            if (
+                target.n_buckets is not None
+                and meta.get("n_buckets") != target.n_buckets
+            ):
+                return False
+            return self._kb_is_layout(mat_dir)
+        return not self._kb_is_layout(mat_dir)
+
+    def _resolve_buckets(self, mat_dir: str, target: MatTarget) -> int:
+        """The bucket count every pass of this cycle must use: the
+        RECORDED count of the existing table (the rows were hashed
+        with it). Only called after _has_layout verified agreement
+        with the declaration."""
+        if not target.bucket_col:
+            return 1
+        return int(read_layout_meta(mat_dir)["n_buckets"])
+
+    def _sized_buckets(self, mat_dir: str, target: MatTarget) -> int:
+        """Bucket count for a (re)build of ``mat_dir``: the explicit
+        declaration, else sized from the existing table's bytes
+        (layout.size_buckets; emulation-scale stat walk — a format
+        reads this from manifest statistics)."""
+        if target.n_buckets is not None:
+            return target.n_buckets
+        from streaming_data_lake_spark.plans.maintenance import dir_bytes
+
+        n_days = max(1, count_partition_dirs(mat_dir, DAY_COL))
+        return size_buckets(dir_bytes(mat_dir), n_days)
+
+    def _mat_meta(self, target: MatTarget, n_buckets: int) -> dict:
+        return {
+            "bucket_col": target.bucket_col,
+            "n_buckets": int(n_buckets) if target.bucket_col else None,
+            "ts_col": target.ts_col,
+        }
 
     @staticmethod
     def _with_day(df: DataFrame, ts_col: str) -> DataFrame:
@@ -194,15 +252,20 @@ class Materializer:
     def _layout_cols(target: MatTarget) -> list[str]:
         return [DAY_COL, KB_COL] if target.bucket_col else [DAY_COL]
 
-    def _with_layout(self, df: DataFrame, target: MatTarget) -> DataFrame:
+    def _with_layout(
+        self, df: DataFrame, target: MatTarget, n_buckets: int
+    ) -> DataFrame:
         """Derive the layout key column(s) for a write. The kb hash is
         Spark's seeded murmur3 — deterministic across sessions, so a
         row and any later repair keyed on the same value always land
-        in the same bucket (the upsert sink's invariant)."""
+        in the same bucket (the upsert sink's invariant), for a FIXED
+        bucket count: ``n_buckets`` MUST be the table's recorded
+        count (a rebuild may choose a new one — atomically, sidecar
+        and data in one swap)."""
         out = self._with_day(df, target.ts_col)
         if target.bucket_col:
             out = out.withColumn(
-                KB_COL, F.pmod(F.hash(F.col(target.bucket_col)), F.lit(N_BUCKETS))
+                KB_COL, F.pmod(F.hash(F.col(target.bucket_col)), F.lit(n_buckets))
             )
         return out
 
@@ -251,32 +314,39 @@ class Materializer:
         layout = self._layout_cols(target)
 
         if not os.path.exists(mat_dir):  # M1 full load
-            self._layout_write(self._with_layout(view, target), target).write.mode(
-                "overwrite"
-            ).partitionBy(*layout).parquet(mat_dir)
-            log["M1"] = "full load"
+            n = self._m1_full_load(view, target, mat_dir)
+            log["M1"] = f"full load ({n} buckets)" if target.bucket_col else "full load"
+            n_buckets = n
         else:
             if not self._has_layout(mat_dir, target):
                 # Legacy/flattened table (e.g. written before the
-                # day layout, compacted flat by a foreign tool, or a
-                # single-level table whose target newly declares
-                # bucket_col): a partition-scoped repair would have
-                # nothing to link and would drop rows outside its
-                # window, and M4 appends would produce a mixed
-                # layout. Re-establish the layout with one atomic
-                # full rewrite first.
+                # day layout, compacted flat by a foreign tool, a
+                # table whose target newly declares / drops / changes
+                # bucket_col, or one with no layout sidecar at all):
+                # a partition-scoped repair would probe the wrong
+                # leaves (or have nothing to link) and M4 appends
+                # would produce a mixed layout that breaks partition
+                # discovery. Re-establish the declared layout with
+                # one atomic full rewrite first.
                 flat = self.read_mat(target.name)
                 raw_cols = set(self._read_raw(target.name).columns)
-                if DAY_COL in raw_cols and not has_partition_dirs(mat_dir, DAY_COL):
-                    # Demoted layout key or genuine user column? Not
-                    # decidable — refuse instead of silently dropping.
-                    raise ValueError(
-                        f"flat mat table {target.name!r} carries a "
-                        f"{DAY_COL!r} column; rebuild it before running "
-                        f"maintenance cycles against it"
-                    )
-                self._overwrite(mat_dir, flat, target)
+                for col in (DAY_COL, KB_COL):
+                    if col in raw_cols and not (
+                        has_partition_dirs(mat_dir, col)
+                        or (col == KB_COL and self._kb_is_layout(mat_dir))
+                    ):
+                        # Demoted layout key or genuine user column?
+                        # Not decidable — refuse instead of silently
+                        # dropping.
+                        raise ValueError(
+                            f"flat mat table {target.name!r} carries a "
+                            f"{col!r} column; rebuild it before running "
+                            f"maintenance cycles against it"
+                        )
+                n = self._sized_buckets(mat_dir, target) if target.bucket_col else 1
+                self._overwrite(mat_dir, flat, target, n)
                 log["layout"] = "migrated to " + "/".join(layout) + " partitions"
+            n_buckets = self._resolve_buckets(mat_dir, target)
             wm = self.get_watermark(target.name)
             if wm is None:
                 raise RuntimeError(f"mat table {target.name} exists but no watermark")
@@ -325,7 +395,7 @@ class Materializer:
                     repaired = (
                         mat_raw.filter(day_in_window)
                         .filter(~in_window)
-                        .unionByName(self._with_layout(win_view, target))
+                        .unionByName(self._with_layout(win_view, target, n_buckets))
                     )
                     self._overwrite_partitions(mat_dir, repaired, days, target)
                     log["M2"] = f"repaired window ({mat_cnt}→{view_cnt} rows)"
@@ -351,12 +421,14 @@ class Materializer:
                 if target.bucket_col == dep.fact_fk:
                     # Keyed repair on the bucket column: rewrite only
                     # the (day × touched-kb) leaves.
-                    n = self._repair_keys(mat_dir, target, changed, dep.fact_fk, reinsert)
+                    n = self._repair_keys(
+                        mat_dir, target, changed, dep.fact_fk, reinsert, n_buckets
+                    )
                     log[f"M3:{dep.fact_fk}"] = f"repaired changed keys ({n} buckets)"
                 else:
                     mat = self.read_mat(target.name)
                     keep = mat.join(changed, on=dep.fact_fk, how="left_anti")
-                    self._overwrite(mat_dir, keep.unionByName(reinsert), target)
+                    self._overwrite(mat_dir, keep.unionByName(reinsert), target, n_buckets)
                     log[f"M3:{dep.fact_fk}"] = "repaired changed keys"
 
             # M4 — pass 2: append new facts. The increment is cached
@@ -369,7 +441,7 @@ class Materializer:
                 n_new = new_rows.count()
                 if n_new:
                     # Micro-batch-sized increment: one file per leaf.
-                    self._with_layout(new_rows, target).repartition(
+                    self._with_layout(new_rows, target, n_buckets).repartition(
                         *[F.col(c) for c in layout]
                     ).write.mode("append").partitionBy(*layout).parquet(mat_dir)
             finally:
@@ -405,12 +477,12 @@ class Materializer:
                     reinsert = view.join(changed, on=er.key_col, how="left_semi")
                     if target.bucket_col == er.key_col:
                         n = self._repair_keys(
-                            mat_dir, target, changed, er.key_col, reinsert
+                            mat_dir, target, changed, er.key_col, reinsert, n_buckets
                         )
                         log["M5"] = f"repaired flipped keys ({n} buckets)"
                     else:
                         keep = mat.join(changed, on=er.key_col, how="left_anti")
-                        self._overwrite(mat_dir, keep.unionByName(reinsert), target)
+                        self._overwrite(mat_dir, keep.unionByName(reinsert), target, n_buckets)
                         log["M5"] = "repaired flipped keys"
 
         # M6 — watermark upsert. After the passes above the mat table
@@ -441,25 +513,89 @@ class Materializer:
         clustered, and repartitioning BY day would serialize a whole
         day into one task. Bucket-layout targets MUST shuffle on
         (day, kb) instead: every task of an arbitrary source spans
-        all 16 buckets, so the no-shuffle write would emit up to
+        all buckets, so the no-shuffle write would emit up to
         tasks × (days × buckets) files. The shuffle pins each leaf to
-        exactly one task → exactly one file per leaf, and day×16 leaf
-        groups keep parallelism bounded-skew at scale."""
+        exactly one task → exactly one file per leaf, and day×bucket
+        leaf groups keep parallelism bounded-skew at scale."""
         if target.bucket_col:
             return df.repartition(F.col(DAY_COL), F.col(KB_COL))
         return df.sortWithinPartitions(DAY_COL)
 
-    def _overwrite(self, path: str, df: DataFrame, target: MatTarget) -> None:
+    def _m1_full_load(self, view: DataFrame, target: MatTarget, mat_dir: str) -> int:
+        """M1: atomic initial load under the declared layout; returns
+        the bucket count recorded in the table's sidecar (1 for
+        day-only targets). Auto-sized bucket targets (``n_buckets``
+        None) cannot know the right count before the bytes exist, so
+        the load STAGES day-partitioned parquet first, sizes from the
+        staged bytes (layout.size_buckets — floor 1), then
+        establishes the kb level: at toy scale (count 1) that is a
+        pure file move, no second job; a count > 1 pays one
+        re-bucketing pass over the staged COMPACT parquet (one
+        compaction cycle's cost, once per table lifetime — a
+        deployment that knows its scale declares ``n_buckets`` and
+        skips the staging rewrite)."""
+        if target.bucket_col is None or target.n_buckets is not None:
+            n = target.n_buckets if target.bucket_col else 1
+            staged = tmp_sibling(mat_dir)
+            self._layout_write(
+                self._with_layout(view, target, n), target
+            ).write.mode("overwrite").partitionBy(*self._layout_cols(target)).parquet(
+                staged
+            )
+            write_layout_meta(staged, self._mat_meta(target, n))
+            os.rename(staged, mat_dir)
+            return n
+        from streaming_data_lake_spark.plans.maintenance import dir_bytes
+
+        staged = tmp_sibling(mat_dir)
+        self._with_day(view, target.ts_col).sortWithinPartitions(
+            DAY_COL
+        ).write.mode("overwrite").partitionBy(DAY_COL).parquet(staged)
+        n_days = max(1, count_partition_dirs(staged, DAY_COL))
+        n = size_buckets(dir_bytes(staged), n_days)
+        if n == 1:
+            # kb is the constant 0: each day's files ARE its single
+            # leaf — move them under kb=0 without another Spark job
+            # (checksum companions move with their data files).
+            for e in os.listdir(staged):
+                d = os.path.join(staged, e)
+                if e.startswith(f"{DAY_COL}=") and os.path.isdir(d):
+                    leaf = os.path.join(d, f"{KB_COL}=0")
+                    os.makedirs(leaf)
+                    for f in os.listdir(d):
+                        p = os.path.join(d, f)
+                        if os.path.isfile(p):
+                            os.rename(p, os.path.join(leaf, f))
+        else:
+            rebucketed = tmp_sibling(mat_dir)
+            df = self.spark.read.parquet(staged).withColumn(
+                KB_COL, F.pmod(F.hash(F.col(target.bucket_col)), F.lit(n))
+            )
+            df.repartition(F.col(DAY_COL), F.col(KB_COL)).write.mode(
+                "overwrite"
+            ).partitionBy(DAY_COL, KB_COL).parquet(rebucketed)
+            shutil.rmtree(staged, ignore_errors=True)
+            staged = rebucketed
+        write_layout_meta(staged, self._mat_meta(target, n))
+        os.rename(staged, mat_dir)
+        return n
+
+    def _overwrite(
+        self, path: str, df: DataFrame, target: MatTarget, n_buckets: int
+    ) -> None:
         """Full-table rewrite (keyed repairs without a matching
         bucket_col scatter across all partitions), republished with
         the target's layout so it — and the partition-scoped repairs
         — survives every pass. ``df`` carries view columns only; the
-        layout keys are re-derived."""
+        layout keys are re-derived with ``n_buckets`` (the recorded
+        count, or the count a migration newly establishes — sidecar
+        and data publish in the same atomic swap)."""
         layout = self._layout_cols(target)
         tmp = tmp_sibling(path)
-        self._layout_write(self._with_layout(df, target), target).write.mode(
+        self._layout_write(self._with_layout(df, target, n_buckets), target).write.mode(
             "overwrite"
         ).partitionBy(*layout).parquet(tmp)
+        write_layout_meta(tmp, self._mat_meta(target, n_buckets))
         atomic_swap(path, tmp)
 
     def _overwrite_partitions(
@@ -484,6 +620,7 @@ class Materializer:
         link_untouched_partitions(
             path, tmp, DAY_COL, {f"{DAY_COL}={d.isoformat()}" for d in days}
         )
+        copy_layout_meta(path, tmp)
         atomic_swap(path, tmp)
 
     def _repair_keys(
@@ -493,6 +630,7 @@ class Materializer:
         changed: DataFrame,
         key_col: str,
         reinsert: DataFrame,
+        n_buckets: int,
     ) -> int:
         """Keyed (M3/M5) repair on a bucket-layout table: delete +
         re-insert the rows of ``changed`` keys by rewriting ONLY the
@@ -500,8 +638,10 @@ class Materializer:
         — and hard-linking all other (day × kb) leaves. The emulation
         of a format's equality-delete compaction touching only the
         files that can contain matched keys. Returns the touched
-        bucket count (bounded by N_BUCKETS — the control-flow collect
-        is ≤16 ints, the upsert sink's own bound)."""
+        bucket count (bounded by the table's recorded bucket count —
+        the control-flow collect is that many small ints, the upsert
+        sink's own bound). ``n_buckets`` MUST be the recorded count:
+        rows were bucketed with it."""
         mat_raw = self.spark.read.parquet(path)
         # Hash on the MAT column's exact type: murmur3 of int(7) and
         # long(7) differ, so a dim key typed differently from the fact
@@ -511,14 +651,14 @@ class Materializer:
         # bucket derivation and the anti-join to one type.
         key_type = mat_raw.schema[key_col].dataType
         changed = changed.select(F.col(key_col).cast(key_type).alias(key_col))
-        kb_of = F.pmod(F.hash(F.col(key_col)), F.lit(N_BUCKETS))
+        kb_of = F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets))
         touched = sorted(
             r[0] for r in changed.select(kb_of.alias("b")).distinct().collect()
         )
         keep = mat_raw.filter(F.col(KB_COL).isin(touched)).join(
             F.broadcast(changed), on=key_col, how="left_anti"
         )
-        df = keep.unionByName(self._with_layout(reinsert, target))
+        df = keep.unionByName(self._with_layout(reinsert, target, n_buckets))
         tmp = tmp_sibling(path)
         df.repartition(F.col(DAY_COL), F.col(KB_COL)).write.mode(
             "overwrite"
@@ -526,5 +666,6 @@ class Materializer:
         link_untouched_subpartitions(
             path, tmp, DAY_COL, KB_COL, {f"{KB_COL}={b}" for b in touched}
         )
+        copy_layout_meta(path, tmp)
         atomic_swap(path, tmp)
         return len(touched)

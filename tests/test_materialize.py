@@ -286,7 +286,9 @@ def test_merge_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     base = spark.createDataFrame(
         [(i, f"v{i}") for i in range(200)], "k long, v string"
     )
-    merge_upsert(spark, t, base, ["k"])
+    # Explicit bucket count: auto-sizing would give this toy table 1
+    # bucket (floor), and the scoping property needs several.
+    merge_upsert(spark, t, base, ["k"], n_buckets=16)
     buckets = [e for e in os.listdir(t) if e.startswith(f"{BUCKET_COL}=")]
     assert 2 <= len(buckets) <= 16
 
@@ -305,7 +307,7 @@ def test_merge_upsert_rewrites_only_touched_buckets(spark, tmp_path):
         upd.select(F.pmod(F.hash("k"), F.lit(16))).head()[0]
     )
     before = {b: inodes(b) for b in buckets if b != touched}
-    merge_upsert(spark, t, upd, ["k"])
+    merge_upsert(spark, t, upd, ["k"], n_buckets=16)
     after = {b: inodes(b) for b in buckets if b != touched}
     assert after == before, "untouched buckets were rewritten"
 
@@ -578,8 +580,9 @@ def test_m3_bucket_scoped_repair_links_untouched_leaves(spark, tmp_path):
     the kb= leaves the changed keys hash into: every other (day, kb)
     leaf survives as the same inode (VERDICT r6 'Next round' #7)."""
     from pyspark.sql import functions as F2
-    from streaming_data_lake_spark.plans.materialize import KB_COL, N_BUCKETS
+    from streaming_data_lake_spark.plans.materialize import KB_COL
 
+    N_BUCKETS = 16  # explicit: auto-sizing gives toy tables 1 bucket
     lake = str(tmp_path / "lake")
     os.makedirs(lake, exist_ok=True)
     src = os.path.join(lake, "src")
@@ -609,6 +612,7 @@ def test_m3_bucket_scoped_repair_links_untouched_leaves(spark, tmp_path):
         "ts",
         dims=(DimDependency(dim=lambda s: s.read.parquet(dim_dir), dim_key="k", fact_fk="k"),),
         bucket_col="k",
+        n_buckets=N_BUCKETS,
     )
     m = Materializer(spark, lake)
     m.run(target)
@@ -654,8 +658,9 @@ def test_m5_bucket_scoped_exists_repair(spark, tmp_path):
     key's bucket leaves are rewritten; results match the full-rewrite
     semantics."""
     from pyspark.sql import functions as F2
-    from streaming_data_lake_spark.plans.materialize import ExistsRepair, KB_COL, N_BUCKETS
+    from streaming_data_lake_spark.plans.materialize import ExistsRepair, KB_COL
 
+    N_BUCKETS = 16  # explicit: auto-sizing gives toy tables 1 bucket
     lake = str(tmp_path / "lake")
     os.makedirs(lake, exist_ok=True)
     src = os.path.join(lake, "src")
@@ -681,6 +686,7 @@ def test_m5_bucket_scoped_exists_repair(spark, tmp_path):
         "mat_f", view, "ts",
         exists_repair=ExistsRepair(key_col="id", flag_cols=("has_down",)),
         bucket_col="id",
+        n_buckets=N_BUCKETS,
     )
     m = Materializer(spark, lake)
     m.run(target)
@@ -722,7 +728,9 @@ def test_bucket_layout_m1_one_file_per_leaf(spark, tmp_path):
     spark.createDataFrame(rows, "id long, ts timestamp, k int, v double").repartition(
         8
     ).write.parquet(src)
-    target = MatTarget("mat_ff", lambda s: s.read.parquet(src), "ts", bucket_col="k")
+    target = MatTarget(
+        "mat_ff", lambda s: s.read.parquet(src), "ts", bucket_col="k", n_buckets=16
+    )
     Materializer(spark, lake).run(target)
     t = os.path.join(lake, "mat_ff")
     leaves = _leaf_inodes(t)
@@ -843,7 +851,9 @@ def test_bucket_layout_scan_prunes_days_and_buckets(spark, tmp_path):
     src = os.path.join(lake, "src")
     _write_events(spark, src, [(i, _ts(f"2024-01-{1 + i % 3:02d} 10:00:00"), i % 30, 1.0)
                                for i in range(300)])
-    target = MatTarget("mat_pp", lambda s: s.read.parquet(src), "ts", bucket_col="k")
+    target = MatTarget(
+        "mat_pp", lambda s: s.read.parquet(src), "ts", bucket_col="k", n_buckets=16
+    )
     Materializer(spark, lake).run(target)
     t = os.path.join(lake, "mat_pp")
     raw = spark.read.parquet(t)
@@ -857,3 +867,255 @@ def test_bucket_layout_scan_prunes_days_and_buckets(spark, tmp_path):
     plan = kb_pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "kb" in plan.split("PartitionFilters")[1][:300]
+
+
+# ---------------------------------------------------------------------------
+# r8: two-level (day x bucket) upsert sink + sized bucket counts
+# ---------------------------------------------------------------------------
+
+
+def _upsert_leaf_inodes(t):
+    out = {}
+    for dd in os.listdir(t):
+        dpath = os.path.join(t, dd)
+        if not (dd.startswith("day_pt=") and os.path.isdir(dpath)):
+            continue
+        for kd in os.listdir(dpath):
+            kpath = os.path.join(dpath, kd)
+            if not (kd.startswith("kb=") and os.path.isdir(kpath)):
+                continue
+            out[(dd, kd)] = {
+                f: os.stat(os.path.join(kpath, f)).st_ino
+                for f in os.listdir(kpath)
+                if f.endswith(".parquet")
+            }
+    return out
+
+
+def test_merge_upsert_day_layout_links_old_days(spark, tmp_path):
+    """A time-keyed upsert table (ts_col in keys) gets the two-level
+    day_pt=/kb= layout, and a MERGE touching only recent days reuses
+    every historical (day x kb) leaf as the same inode — merge IO
+    proportional to the batch's day x key spread, not the table
+    (VERDICT r7 'What's wrong' #1)."""
+    import datetime as dt
+
+    from streaming_data_lake_spark.sources.upsert import merge_upsert, read_upsert
+
+    t = str(tmp_path / "t")
+    rows = [
+        (dt.datetime(2024, 1, 1 + d, h), f"t{h % 3}", d * 100 + h)
+        for d in range(5)
+        for h in range(12)
+    ]
+    base = spark.createDataFrame(rows, "hour_start timestamp, event_type string, n long")
+    merge_upsert(spark, t, base, ["hour_start", "event_type"],
+                 ts_col="hour_start", n_buckets=4)
+    days = sorted(e for e in os.listdir(t) if e.startswith("day_pt="))
+    assert len(days) == 5
+    before = _upsert_leaf_inodes(t)
+
+    upd = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 5, 3), "t0", 9999)],
+        "hour_start timestamp, event_type string, n long",
+    )
+    merge_upsert(spark, t, upd, ["hour_start", "event_type"],
+                 ts_col="hour_start", n_buckets=4)
+    after = _upsert_leaf_inodes(t)
+    touched = [leaf for leaf in before if before[leaf] != after.get(leaf)]
+    # exactly one leaf rewritten, and it is in the updated day
+    assert len(touched) == 1 and touched[0][0] == "day_pt=2024-01-05"
+    got = read_upsert(spark, t)
+    assert set(got.columns) == {"hour_start", "event_type", "n"}
+    assert got.count() == 60
+    assert got.filter("n = 9999").count() == 1
+
+
+def test_merge_upsert_ts_col_must_be_a_key(spark, tmp_path):
+    """The day partition must be a function of the key (else a
+    matched row could live in a different day leaf than its update
+    and the scoped delete would miss it)."""
+    import pytest
+
+    from streaming_data_lake_spark.sources.upsert import merge_upsert
+
+    with pytest.raises(ValueError, match="must be one of the merge keys"):
+        merge_upsert(
+            spark,
+            str(tmp_path / "t"),
+            spark.createDataFrame([(1, None)], "k long, ts timestamp"),
+            ["k"],
+            ts_col="ts",
+        )
+
+
+def test_merge_upsert_sidecar_records_and_guards_layout(spark, tmp_path):
+    """The _layout.json sidecar records (keys, ts_col, n_buckets);
+    a merge whose DECLARATION disagrees (re-keyed, different bucket
+    count) migrates with a full rewrite instead of probing leaves by
+    the wrong hash — and converges to correct contents."""
+    from streaming_data_lake_spark.layout import read_layout_meta
+    from streaming_data_lake_spark.sources.upsert import merge_upsert, read_upsert
+
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, i % 5, f"v{i}") for i in range(50)], "k long, g long, v string"
+    )
+    merge_upsert(spark, t, base, ["k"], n_buckets=8)
+    assert read_layout_meta(t) == {"keys": ["k"], "ts_col": None, "n_buckets": 8}
+
+    # re-keyed merge: (k, g) — old rows were hashed on k alone
+    upd = spark.createDataFrame([(7, 2, "NEW")], "k long, g long, v string")
+    merge_upsert(spark, t, upd, ["k", "g"], n_buckets=8)
+    assert read_layout_meta(t)["keys"] == ["k", "g"]
+    rows = {(r["k"], r["g"]): r["v"] for r in read_upsert(spark, t).collect()}
+    assert len(rows) == 50 and rows[(7, 2)] == "NEW" and rows[(8, 3)] == "v8"
+
+    # repinned bucket count: also a migration, no dup / no loss
+    merge_upsert(
+        spark, t,
+        spark.createDataFrame([(9, 4, "NEW9")], "k long, g long, v string"),
+        ["k", "g"], n_buckets=2,
+    )
+    assert read_layout_meta(t)["n_buckets"] == 2
+    rows = {(r["k"], r["g"]): r["v"] for r in read_upsert(spark, t).collect()}
+    assert len(rows) == 50 and rows[(9, 4)] == "NEW9"
+
+
+def test_merge_upsert_legacy_table_without_sidecar_migrates(spark, tmp_path):
+    """A kb-partitioned table with NO sidecar (pre-r8 legacy / foreign
+    rewrite) is layout-unknown: one migrating full rewrite
+    re-establishes layout + sidecar, then scoped merges resume."""
+    from pyspark.sql import functions as F2
+
+    from streaming_data_lake_spark.layout import read_layout_meta
+    from streaming_data_lake_spark.sources.upsert import merge_upsert, read_upsert
+
+    t = str(tmp_path / "t")
+    # hand-built legacy single-level bucket layout, no _layout.json
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(40)], "k long, v string")
+    base.withColumn("kb", F2.pmod(F2.hash("k"), F2.lit(16))).write.partitionBy(
+        "kb"
+    ).parquet(t)
+    assert read_layout_meta(t) is None
+
+    merge_upsert(spark, t, spark.createDataFrame([(3, "NEW")], "k long, v string"), ["k"])
+    meta = read_layout_meta(t)
+    assert meta is not None and meta["keys"] == ["k"]
+    rows = {r["k"]: r["v"] for r in read_upsert(spark, t).collect()}
+    assert len(rows) == 40 and rows[3] == "NEW" and rows[4] == "v4"
+
+
+def test_merge_upsert_auto_bucket_count_grows_by_doubling(spark, tmp_path, monkeypatch):
+    """Auto-sized tables start at 1 bucket and the sink doubles the
+    count (amortized full rewrite) when the average leaf outgrows 2x
+    the target — contents converge across the resize and the sidecar
+    tracks the new count."""
+    import streaming_data_lake_spark.layout as layout_mod
+    from streaming_data_lake_spark.layout import read_layout_meta
+    from streaming_data_lake_spark.sources.upsert import merge_upsert, read_upsert
+
+    t = str(tmp_path / "t")
+    small = spark.createDataFrame([(i, "x" * 50) for i in range(10)], "k long, v string")
+    merge_upsert(spark, t, small, ["k"])
+    assert read_layout_meta(t)["n_buckets"] == 1
+
+    # shrink the target so the next merge sees an oversized leaf;
+    # incompressible payloads keep parquet bytes ~ data bytes so the
+    # sizing fixpoint is stable (per-file overhead stays marginal)
+    import random
+
+    rng = random.Random(11)
+    import streaming_data_lake_spark.sources.upsert as upsert_mod
+    monkeypatch.setattr(
+        upsert_mod, "size_buckets",
+        lambda total, n_outer, **kw: layout_mod.size_buckets(
+            total, n_outer, target_bytes=32 * 1024
+        ),
+    )
+    big = spark.createDataFrame(
+        [(i, "".join(rng.choices("abcdefghijklmnopqrstuvwxyz0123456789", k=200)))
+         for i in range(10, 2000)],
+        "k long, v string",
+    )
+    merge_upsert(spark, t, big, ["k"])
+    rows = {r["k"]: r["v"] for r in read_upsert(spark, t).collect()}
+    assert len(rows) == 2000 and rows[0] == "x" * 50 and len(rows[42]) == 200
+    # The growth check reads PRE-merge bytes (that is the
+    # amortization: a batch that makes the table oversized pays its
+    # resize on the NEXT merge, folded into that merge's rewrite).
+    # So the next merge grows the count; a further one keeps it
+    # (the sizing fixpoint is stable because leaf bytes are real
+    # data, not per-file overhead).
+    merge_upsert(spark, t, spark.createDataFrame([(5, "z")], "k long, v string"), ["k"])
+    settled = read_layout_meta(t)["n_buckets"]
+    assert settled > 1 and (settled & (settled - 1)) == 0
+    merge_upsert(spark, t, spark.createDataFrame([(6, "w")], "k long, v string"), ["k"])
+    assert read_layout_meta(t)["n_buckets"] == settled
+    got = read_upsert(spark, t)
+    assert got.filter("v = 'z'").count() == 1 and got.count() == 2000
+
+
+def test_compaction_preserves_layout_sidecar(spark, tmp_path):
+    """X1 compaction must carry _layout.json across its atomic swap —
+    losing it would force the next keyed writer into a migrating
+    full rewrite."""
+    from streaming_data_lake_spark.layout import read_layout_meta
+    from streaming_data_lake_spark.sources.upsert import merge_upsert
+
+    t = str(tmp_path / "t")
+    merge_upsert(
+        spark, t,
+        spark.createDataFrame([(i, float(i)) for i in range(300)], "k long, v double"),
+        ["k"], n_buckets=4,
+    )
+    meta = read_layout_meta(t)
+    compact_parquet(spark, t)
+    assert read_layout_meta(t) == meta
+
+
+def test_mat_target_bucket_col_dropped_or_changed_migrates(spark, tmp_path):
+    """ADVICE r7 (medium): a mat table whose target DROPS bucket_col
+    must not keep appending day-only files into a day_pt=/kb= tree
+    (mixed layout), and a CHANGED bucket_col must not probe buckets
+    by the new column's hash over rows laid out by the old one. Both
+    directions are layout mismatches -> atomic full-rewrite
+    migration, with contents converging to the recompute."""
+    from pyspark.sql import functions as F2
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake, exist_ok=True)
+    src = os.path.join(lake, "src")
+    _write_events(
+        spark, src,
+        [(i, _ts(f"2024-01-{1 + i % 3:02d} 10:00:00"), i % 9, 1.0) for i in range(90)],
+    )
+    view = lambda s: s.read.parquet(src)  # noqa: E731
+    m = Materializer(spark, lake)
+    t = os.path.join(lake, "mat_drop")
+
+    # built bucketed on k ...
+    m.run(MatTarget("mat_drop", view, "ts", bucket_col="k", n_buckets=8))
+    assert _leaf_inodes(t)
+
+    # ... target drops bucket_col: migrate to day-only, no kb dirs left
+    _write_events(spark, src, [(1000, _ts("2024-01-03 11:00:00"), 3, 2.0)])
+    log = m.run(MatTarget("mat_drop", view, "ts"), lookback_hours=1)
+    assert log.get("layout") == "migrated to day_pt partitions"
+    assert not _leaf_inodes(t)
+    got = m.read_mat("mat_drop")
+    assert got.count() == 91 and "kb" not in got.columns
+
+    # ... target re-adds bucketing on a DIFFERENT column: migrate again,
+    # repairs keyed on the new column stay correct afterwards
+    _write_events(spark, src, [(1001, _ts("2024-01-03 12:00:00"), 4, 2.0)])
+    log = m.run(MatTarget("mat_drop", view, "ts", bucket_col="id", n_buckets=8),
+                lookback_hours=1)
+    assert log.get("layout") == "migrated to day_pt/kb partitions"
+    # rows are now hashed on id: every row sits in the leaf its id hashes to
+    raw = spark.read.parquet(t)
+    bad = raw.filter(
+        F2.col("kb") != F2.pmod(F2.hash(F2.col("id")), F2.lit(8))
+    ).count()
+    assert bad == 0
+    assert m.read_mat("mat_drop").count() == 92

@@ -180,3 +180,112 @@ def test_subpartition_link_random_trees():
             shutil.rmtree(root, ignore_errors=True)
 
     prop()
+
+
+def test_subpartitions_links_stray_regular_files(tmp_path):
+    """A regular data file sitting directly under an outer partition
+    dir (not inside any inner leaf) must ride the overlay — skipping
+    it would drop it from the published version (ADVICE r7)."""
+    from streaming_data_lake_spark.overlay import link_untouched_subpartitions
+
+    live = str(tmp_path / "live")
+    tmp = str(tmp_path / "tmp")
+    _mk(os.path.join(live, "day=1", "kb=0", "a.parquet"), b"a")
+    _mk(os.path.join(live, "day=1", "stray.parquet"), b"s")
+    _mk(os.path.join(live, "day=1", "_meta.json"), b"m")  # hidden: skipped
+    _mk(os.path.join(tmp, "day=1", "kb=1", "new.parquet"), b"n")
+    link_untouched_subpartitions(live, tmp, "day", "kb", {"kb=1"})
+    assert os.path.isfile(os.path.join(tmp, "day=1", "stray.parquet"))
+    assert (
+        os.stat(os.path.join(tmp, "day=1", "stray.parquet")).st_ino
+        == os.stat(os.path.join(live, "day=1", "stray.parquet")).st_ino
+    )
+    assert os.path.isfile(os.path.join(tmp, "day=1", "kb=0", "a.parquet"))
+    assert not os.path.exists(os.path.join(tmp, "day=1", "_meta.json"))
+
+
+def test_link_untouched_leaves_pair_scoped(tmp_path):
+    """link_untouched_leaves reuses every (outer, inner) leaf NOT in
+    the rewritten pair set — including the same inner value under a
+    different outer (the upsert sink's shape: kb=3 of TODAY is
+    rewritten, kb=3 of history is linked)."""
+    from streaming_data_lake_spark.overlay import link_untouched_leaves
+
+    live = str(tmp_path / "live")
+    tmp = str(tmp_path / "tmp")
+    for d in (1, 2, 3):
+        for b in (0, 1):
+            _mk(os.path.join(live, f"day={d}", f"kb={b}", "f.parquet"), f"{d}-{b}".encode())
+    # batch rewrites only (day=3, kb=1)
+    _mk(os.path.join(tmp, "day=3", "kb=1", "new.parquet"), b"new")
+    n = link_untouched_leaves(live, tmp, "day", "kb", {("day=3", "kb=1")})
+    assert n == 5
+    for d in (1, 2, 3):
+        for b in (0, 1):
+            if (d, b) == (3, 1):
+                continue
+            src = os.path.join(live, f"day={d}", f"kb={b}", "f.parquet")
+            dst = os.path.join(tmp, f"day={d}", f"kb={b}", "f.parquet")
+            assert os.stat(src).st_ino == os.stat(dst).st_ino, (d, b)
+    assert not os.path.exists(os.path.join(tmp, "day=3", "kb=1", "f.parquet"))
+
+
+def test_link_untouched_leaves_random_trees():
+    """Property twin of test_subpartition_link_random_trees for the
+    PAIR-scoped linker: (live minus rewritten pairs) union (tmp's own
+    rewrites) — exact, no loss, no dupes."""
+    import shutil
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from streaming_data_lake_spark.overlay import link_untouched_leaves
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        days=st.sets(st.integers(1, 9), min_size=1, max_size=5),
+        buckets_per_day=st.lists(
+            st.sets(st.integers(0, 7), min_size=1, max_size=4), min_size=5, max_size=5
+        ),
+        touched=st.sets(
+            st.tuples(st.integers(1, 9), st.integers(0, 7)), min_size=1, max_size=5
+        ),
+    )
+    def prop(days, buckets_per_day, touched):
+        root = tempfile.mkdtemp(prefix="ovl_leaves_")
+        try:
+            live = os.path.join(root, "live")
+            tmp = os.path.join(root, "tmp")
+            day_list = sorted(days)
+            expected = {}
+            for i, d in enumerate(day_list):
+                for b in buckets_per_day[i]:
+                    content = f"live-{d}-{b}".encode()
+                    _mk(os.path.join(live, f"day={d}", f"kb={b}", "f.parquet"), content)
+                    if (d, b) not in touched:
+                        expected[(d, b)] = content
+            for (d, b) in touched:
+                if d in days and (d + b) % 2 == 0:
+                    content = f"new-{d}-{b}".encode()
+                    _mk(os.path.join(tmp, f"day={d}", f"kb={b}", "f.parquet"), content)
+                    expected[(d, b)] = content
+            os.makedirs(tmp, exist_ok=True)
+            link_untouched_leaves(
+                live, tmp, "day", "kb",
+                {(f"day={d}", f"kb={b}") for d, b in touched},
+            )
+            got = {}
+            for dd in os.listdir(tmp):
+                if not dd.startswith("day="):
+                    continue
+                for kd in os.listdir(os.path.join(tmp, dd)):
+                    if not kd.startswith("kb="):
+                        continue
+                    with open(os.path.join(tmp, dd, kd, "f.parquet"), "rb") as fh:
+                        got[(int(dd[4:]), int(kd[3:]))] = fh.read()
+            assert got == expected
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    prop()

@@ -241,7 +241,9 @@ def test_sessionize_native_gap_boundary(spark):
     )
     by_user = {r["user_id"]: r["n_sessions"] for r in got.collect()}
     assert by_user == {1: 1, 2: 2, 3: 1}
-    # and the streaming builder uses that same +1µs derivation
+    # and the streaming builder uses the same PLAIN-gap expression
+    # (no epsilon — the +1µs variant was reverted; see the module
+    # docstring on the inclusive merge boundary)
     stream_plan = sessionize_native(
         spark.readStream.format("rate").load()
         .selectExpr("value AS user_id", "timestamp AS ts", "CAST(value AS DOUBLE) AS value")
