@@ -38,122 +38,20 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver hash-checks the FIRST 50 registered queries per round.
-# Certification rotates; round 7's window (tools/ledger.py enforces
-# the arithmetic) holds EXACTLY 50 names — section letters below
-# match the list markers: (a) the 34 queries whose latest driver
-# verdict is round 4 — they exceed the ledger's max-age-2 rule the
-# moment CORRECTNESS_r07 lands (VERDICT r6 "Next round" #1);
-# (b) queries whose engine code changed in round 7: the sessionize
-# port to the built-in session_window, the upsert-sink family over
-# the round-7 overlay/merge changes (empty-batch no-op, recursive
-# linking, layout-scoped kb drop), the materializer passes over the
-# same overlay code, and compaction (two-level layout support);
-# (c) round-7 NEW query: the two-level day+identity overlay/
-# compaction cycle; (d) the rest of the streaming family — the
-# stream-source schema-cache keying changed under all of them. The
-# window is exactly full — no filler slots. Three streaming queries
-# (hourly_metrics, dedup_keys, dedup_within_watermark) hold fresh r6
-# verdicts and were displaced by the (c) additions; they ride only
-# the stream-source cache-keying change and lead the r8 rotation as
-# post-cert-change debt. Everything else at 51+ was driver-certified
-# green in round 5 or 6 and its implementation is unchanged since.
-# tests/test_registry_order asserts the window arithmetic.
+# Round 9 executes the certification DRAIN the r8 verdict mandates:
+# 76 queries go stale-obligatory when CORRECTNESS_r09 lands (38 r5
+# verdicts at age 4 + 38 r6 verdicts aging out), against a 50-slot
+# window — mathematically a two-round job. This window takes the 38
+# r5-stale names (every one outside the ledger's max-age-2 policy
+# TODAY) plus 12 r6 names; the remaining 26 r6 names are the
+# committed r10 window, written down in CHANGELOG_r9.md §"r10 drain"
+# and asserted by tests/test_registry_order.py so the next session
+# cannot repeat the r8 rotation miss. Section letters below match
+# the list markers. tests/test_registry_order.py asserts the window
+# arithmetic; tools/ledger.py cross-references the verdict files.
 _CERTIFICATION_ORDER = [
-    # ---- (a) latest verdict r4: stale at r7, re-certify all 34 ----
-    "rollup_revenue_levels",
-    "price_quantiles_by_flag",
-    "user_event_gaps",
-    "running_revenue_by_nation",
-    "order_value_deciles",
-    "doc_chunks_overlap",
-    "hll_distinct_users_daily",
-    "kmeans_train_centroids",
-    "knn_ivf_trained_cosine",
-    "props_json_stats",
-    "keyset_intersect_except",
-    "orders_above_global_avg",
-    "supplier_name_near_matches",
-    "bigram_lm_quality",
-    "domain_mixture_resample",
-    "batch_sessionize_windows",
-    "price_outliers_zscore",
-    "lineitem_flag_pivot",
-    "corr_quantity_price",
-    "priority_window_profile",
-    "tfidf_top_terms",
-    "stratified_sample_by_lang",
-    "pii_redaction",
-    "repetition_signals",
-    "benchmark_decontamination",
-    "embedding_int8_quantization",
-    "multimodal_resize",
-    "dedup_keep_best_quality",
-    "exact_substring_dups",
-    "winnowing_fingerprints",
-    "top_busiest_hours",
-    "duplicate_rates_hourly",
-    "event_quality_spine_hourly",
-    "ngram_jaccard_near_dups",
-    # ---- (b) engine code changed in round 7 ----
-    "streaming_sessionize",
-    "streaming_upsert_hourly",
-    "streaming_hll_daily_users",
-    "streaming_cms_token_counts",
-    "materialize_incremental_clean_events",
-    "materialize_dim_change_repair",
-    "materialize_funnel_exists_repair",
-    "maintenance_compaction",
-    # ---- (c) new in round 7: first driver verdict needed ----
-    "two_level_overlay_maintenance",
-    "user_rolling_7day_value",
-    "consistent_hash_sample",
-    "user_event_type_paths",
-    # ---- (d) streaming family: stream-source cache keying changed ----
-    "streaming_clean_events",
-    "streaming_fanout_ingest",
-    "streaming_interval_join_daily",
-    "streaming_funnel_daily",
-    # ---- position 51+ : driver-certified green in round 5 or 6,
-    # implementation unchanged since (except the three displaced
-    # streaming queries noted above, which lead the r8 window) ----
-    "streaming_hourly_metrics",
-    "streaming_dedup_keys",
-    "streaming_dedup_within_watermark",
-    "time_travel_read_v1",
-    "snapshot_metadata",
-    "sql_over_views_adhoc",
-    "seeded_dim_hierarchy_enrichment",
-    "salted_skew_aggregation",
-    "replicated_skew_join_rollup",
-    "knn_ivf_cosine",
-    "knn_ivf_multiprobe_cosine",
-    "knn_bruteforce_cosine",
-    "multimodal_media_features",
-    "multimodal_frame_sample",
-    "embedding_label_stats",
-    "events_clean",
-    "events_rejected",
-    "daily_distinct_users",
-    "conditional_distinct_users",
-    "events_dedup_canonical",
-    "user_engagement_ratios",
-    "user_daily_landscape",
-    "sliding_window_metrics",
-    "latest_event_per_user_type",
-    "interval_join_click_view",
-    "funnel_conversion_daily",
-    "value_distribution_by_class",
-    "flag_distribution",
-    "avg_value_spread",
-    "funnel_leakage_daily",
-    "asof_latest_view_before_purchase",
-    "asof_view_within_6h",
-    "cms_heavy_hitter_tokens",
-    "token_budget_packing",
-    "bloom_semi_join_prune",
-    "knn_pq_adc_l2",
-    "knn_ivf_pq_adc",
-    "schema_drift_check",
+    # ---- (a) latest verdict r5: age 3 at r8 (ledger RED) — the 38
+    # obligatory drain slots, re-certify ALL in round 9 ----
     "pricing_summary",
     "revenue_by_region",
     "top_nations_by_customers",
@@ -192,6 +90,106 @@ _CERTIFICATION_ORDER = [
     "knn_ivf_materialized_cosine",
     "bucketed_colocated_join",
     "partition_pruned_scan",
+    # ---- (b) round-9 code change: snapshots now hard-link unchanged
+    # partitions (sources/versioned.py) — certify on the new mechanism ----
+    "time_travel_read_v1",
+    "snapshot_metadata",
+    # ---- (c) r6-verdict drain, first half: 10 oldest/most-foundational
+    # of the 36 remaining r6 names (they all go stale when r9 lands;
+    # the other 26 are the documented r10 window — CHANGELOG_r9.md) ----
+    "events_clean",
+    "events_rejected",
+    "streaming_hourly_metrics",
+    "streaming_dedup_keys",
+    "streaming_dedup_within_watermark",
+    "sql_over_views_adhoc",
+    "schema_drift_check",
+    "seeded_dim_hierarchy_enrichment",
+    "daily_distinct_users",
+    "events_dedup_canonical",
+    # ---- position 51+ : NOT certified this round. First the 26
+    # r6-verdict names that MUST lead the r10 window (see
+    # CHANGELOG_r9.md "r10 drain"), then the r8-certified rest ----
+    "salted_skew_aggregation",
+    "replicated_skew_join_rollup",
+    "knn_ivf_cosine",
+    "knn_ivf_multiprobe_cosine",
+    "knn_bruteforce_cosine",
+    "multimodal_media_features",
+    "multimodal_frame_sample",
+    "embedding_label_stats",
+    "conditional_distinct_users",
+    "user_engagement_ratios",
+    "user_daily_landscape",
+    "sliding_window_metrics",
+    "latest_event_per_user_type",
+    "interval_join_click_view",
+    "funnel_conversion_daily",
+    "value_distribution_by_class",
+    "flag_distribution",
+    "avg_value_spread",
+    "funnel_leakage_daily",
+    "asof_latest_view_before_purchase",
+    "asof_view_within_6h",
+    "cms_heavy_hitter_tokens",
+    "token_budget_packing",
+    "bloom_semi_join_prune",
+    "knn_pq_adc_l2",
+    "knn_ivf_pq_adc",
+    # ---- r8-certified (fresh through r10); the upsert/materializer/
+    # overlay family here was code-touched in r9 (table-bytes sidecar
+    # cache, null-key guard, stray-file linking) and joins the 26
+    # above in the r10 window ----
+    "rollup_revenue_levels",
+    "price_quantiles_by_flag",
+    "user_event_gaps",
+    "running_revenue_by_nation",
+    "order_value_deciles",
+    "doc_chunks_overlap",
+    "hll_distinct_users_daily",
+    "kmeans_train_centroids",
+    "knn_ivf_trained_cosine",
+    "props_json_stats",
+    "keyset_intersect_except",
+    "orders_above_global_avg",
+    "supplier_name_near_matches",
+    "bigram_lm_quality",
+    "domain_mixture_resample",
+    "batch_sessionize_windows",
+    "price_outliers_zscore",
+    "lineitem_flag_pivot",
+    "corr_quantity_price",
+    "priority_window_profile",
+    "tfidf_top_terms",
+    "stratified_sample_by_lang",
+    "pii_redaction",
+    "repetition_signals",
+    "benchmark_decontamination",
+    "embedding_int8_quantization",
+    "multimodal_resize",
+    "dedup_keep_best_quality",
+    "exact_substring_dups",
+    "winnowing_fingerprints",
+    "top_busiest_hours",
+    "duplicate_rates_hourly",
+    "event_quality_spine_hourly",
+    "ngram_jaccard_near_dups",
+    "streaming_sessionize",
+    "streaming_upsert_hourly",
+    "streaming_hll_daily_users",
+    "streaming_cms_token_counts",
+    "materialize_incremental_clean_events",
+    "materialize_dim_change_repair",
+    "materialize_funnel_exists_repair",
+    "maintenance_compaction",
+    "two_level_overlay_maintenance",
+    "user_rolling_7day_value",
+    "consistent_hash_sample",
+    "user_event_type_paths",
+    "streaming_clean_events",
+    "streaming_fanout_ingest",
+    "streaming_interval_join_daily",
+    "streaming_funnel_daily",
 ]
 
 
