@@ -50,13 +50,18 @@ class TableFormat:
         updates: DataFrame,
         keys: list[str],
         ts_col: str | None = None,
+        n_buckets: int | None = None,
     ) -> None:
         """``ts_col`` (one of ``keys``) declares the table's time
         dimension so the backend can lay it out day-partitioned and
         keep a micro-batch's merge IO proportional to its day spread
         (a real format expresses this as the table's partition spec —
         ``day(ts)`` — which MERGE respects for free; the parquet
-        emulation needs it declared at the merge API)."""
+        emulation needs it declared at the merge API). ``n_buckets``
+        pins the emulation's key-hash bucket count (default:
+        auto-sized toward ~128 MB leaves with amortized growth);
+        backends whose format manages file sizing itself ignore it,
+        like ``ts_col`` (ADVICE r8 #4)."""
         raise NotImplementedError
 
     def foreach_batch_upsert(
@@ -65,12 +70,15 @@ class TableFormat:
         table_ref: str,
         keys: list[str],
         ts_col: str | None = None,
+        n_buckets: int | None = None,
     ):
         """``foreachBatch`` hook running :meth:`merge_upsert` per
         micro-batch (the streaming upsert sink, SURVEY.md T4)."""
 
         def _fn(batch_df: DataFrame, batch_id: int) -> None:
-            self.merge_upsert(spark, table_ref, batch_df, keys, ts_col=ts_col)
+            self.merge_upsert(
+                spark, table_ref, batch_df, keys, ts_col=ts_col, n_buckets=n_buckets
+            )
 
         return _fn
 
@@ -122,10 +130,10 @@ class ParquetEmulationFormat(TableFormat):
     def available(cls, spark: SparkSession) -> bool:
         return True
 
-    def merge_upsert(self, spark, table_ref, updates, keys, ts_col=None):
+    def merge_upsert(self, spark, table_ref, updates, keys, ts_col=None, n_buckets=None):
         from streaming_data_lake_spark.sources.upsert import merge_upsert
 
-        merge_upsert(spark, table_ref, updates, keys, ts_col=ts_col)
+        merge_upsert(spark, table_ref, updates, keys, ts_col=ts_col, n_buckets=n_buckets)
 
     def read_table(self, spark, table_ref):
         # Upsert tables carry an internal key-hash bucket layout
@@ -201,11 +209,12 @@ class DeltaFormat(TableFormat):
 
         return DeltaTable.forPath(spark, table_ref)
 
-    def merge_upsert(self, spark, table_ref, updates, keys, ts_col=None):
-        # ts_col is not needed here: Delta MERGE already prunes
-        # matched files via per-file min/max stats on the key
-        # columns (data skipping), so a time-keyed table's merge
-        # touches only recent files without an explicit day layout.
+    def merge_upsert(self, spark, table_ref, updates, keys, ts_col=None, n_buckets=None):
+        # ts_col and n_buckets are not needed here: Delta MERGE
+        # already prunes matched files via per-file min/max stats on
+        # the key columns (data skipping), so a time-keyed table's
+        # merge touches only recent files without an explicit day
+        # layout, and OPTIMIZE manages file sizing.
         from delta.tables import DeltaTable
 
         if not DeltaTable.isDeltaTable(spark, table_ref):

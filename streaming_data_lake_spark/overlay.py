@@ -155,6 +155,21 @@ def link_untouched_leaves(
             continue
         for inner in os.listdir(src_outer):
             src_inner = os.path.join(src_outer, inner)
+            if os.path.isfile(src_inner) and not inner.startswith((".", "_")):
+                # A regular data file directly under a TOUCHED outer
+                # dir (none in practice — Spark writes leaves) rides
+                # the overlay like any untouched data: untouched
+                # outers link it via _link_tree, so dropping it here
+                # would silently lose it from the published version
+                # (ADVICE r8 #3 — mirror of the subpartition case).
+                os.makedirs(dst_outer, exist_ok=True)
+                dst_f = os.path.join(dst_outer, inner)
+                if not os.path.exists(dst_f):
+                    try:
+                        os.link(src_inner, dst_f)
+                    except OSError:
+                        shutil.copy2(src_inner, dst_f)
+                continue
             if (
                 not inner.startswith(inner_prefix)
                 or (outer, inner) in rewritten

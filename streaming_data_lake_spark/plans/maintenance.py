@@ -25,7 +25,12 @@ import time
 
 from pyspark.sql import SparkSession
 
-from streaming_data_lake_spark.layout import copy_layout_meta
+from streaming_data_lake_spark.layout import (
+    copy_layout_meta,
+    dir_data_bytes as layout_dir_data_bytes,
+    read_layout_meta,
+    write_layout_meta,
+)
 from streaming_data_lake_spark.overlay import atomic_swap, tmp_sibling
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # reference compaction target
@@ -124,7 +129,13 @@ def compact_parquet(
     # the rewrite: compaction preserves the partition spec, so it
     # must preserve the spec RECORD too, or the next keyed writer
     # would see an unknown layout and pay a migrating full rewrite.
+    # The cached data_bytes is refreshed — compaction changes file
+    # sizes (merging + re-encoding), and the walk over tmp costs
+    # nothing against the rewrite that just produced it.
     copy_layout_meta(table_dir, tmp)
+    meta = read_layout_meta(tmp)
+    if meta is not None and "data_bytes" in meta:
+        write_layout_meta(tmp, {**meta, "data_bytes": layout_dir_data_bytes(tmp)})
     # Swap: after the first rename the ORIGINAL lives only in `old` —
     # remove_orphans' recovery rule (restore `__old_` when the base is
     # missing) covers a crash landing between the two renames.

@@ -70,3 +70,22 @@ def test_parquet_backend_versioning_roundtrip(spark):
     assert fmt.read(spark, ref).count() == 9
     with pytest.raises(ValueError, match="version 1"):
         fmt.read(spark, ref, version=1)
+
+
+def test_parquet_format_threads_n_buckets(spark, tmp_path):
+    """Format-level callers can pin the emulation's bucket count like
+    direct sources.upsert callers (ADVICE r8 #4); Delta would ignore
+    it the way it ignores ts_col."""
+    from streaming_data_lake_spark.formats import ParquetEmulationFormat
+    from streaming_data_lake_spark.layout import read_layout_meta
+
+    fmt = ParquetEmulationFormat()
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    fmt.merge_upsert(spark, t, df, ["k"], n_buckets=4)
+    assert read_layout_meta(t)["n_buckets"] == 4
+    hook = fmt.foreach_batch_upsert(spark, t, ["k"], n_buckets=4)
+    hook(spark.createDataFrame([(2, "B")], "k long, v string"), 1)
+    assert read_layout_meta(t)["n_buckets"] == 4
+    rows = {r["k"]: r["v"] for r in fmt.read_table(spark, t).collect()}
+    assert rows == {1: "a", 2: "B"}

@@ -289,3 +289,32 @@ def test_link_untouched_leaves_random_trees():
             shutil.rmtree(root, ignore_errors=True)
 
     prop()
+
+
+def test_leaves_links_stray_regular_files_in_touched_outer(tmp_path):
+    """A regular data file directly under a TOUCHED outer dir must
+    ride the overlay like any untouched data (ADVICE r8 #3): the
+    untouched-outer branch links it wholesale via _link_tree, so the
+    touched-outer branch dropping it would silently lose it from the
+    published version."""
+    from streaming_data_lake_spark.overlay import link_untouched_leaves
+
+    live = str(tmp_path / "live")
+    tmp = str(tmp_path / "tmp")
+    _mk(os.path.join(live, "day=1", "kb=0", "a.parquet"), b"a")
+    _mk(os.path.join(live, "day=1", "kb=1", "b.parquet"), b"b")
+    _mk(os.path.join(live, "day=1", "stray.parquet"), b"s")
+    _mk(os.path.join(live, "day=1", "_meta.json"), b"m")  # hidden: skipped
+    _mk(os.path.join(live, "day=2", "kb=0", "c.parquet"), b"c")
+    _mk(os.path.join(live, "day=2", "stray2.parquet"), b"s2")
+    _mk(os.path.join(tmp, "day=1", "kb=1", "new.parquet"), b"n")
+    n = link_untouched_leaves(live, tmp, "day", "kb", {("day=1", "kb=1")})
+    assert n == 2  # day=1/kb=0 individually + day=2/kb=0 wholesale
+    for rel in (("day=1", "stray.parquet"), ("day=2", "stray2.parquet"),
+                ("day=1", "kb=0", "a.parquet"), ("day=2", "kb=0", "c.parquet")):
+        assert (
+            os.stat(os.path.join(tmp, *rel)).st_ino
+            == os.stat(os.path.join(live, *rel)).st_ino
+        ), rel
+    assert not os.path.exists(os.path.join(tmp, "day=1", "_meta.json"))
+    assert not os.path.exists(os.path.join(tmp, "day=1", "kb=1", "b.parquet"))
