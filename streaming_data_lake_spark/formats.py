@@ -91,7 +91,14 @@ class TableFormat:
     def commit_snapshot(
         self, spark: SparkSession, table_ref: str, df: DataFrame, operation: str = "append"
     ) -> int:
-        """Write a new table version; returns its version number."""
+        """Write a new table version; returns its version number.
+
+        ``operation="append"``: ``df`` holds ONLY the rows to add —
+        the backend reuses the previous version's data (Delta appends
+        to the log; the parquet emulation hard-links the prior
+        version's files, its manifest-reuse analog) and commit IO is
+        proportional to the appended rows. ``"overwrite"``: ``df`` is
+        the full new contents."""
         raise NotImplementedError
 
     def read(
@@ -187,6 +194,10 @@ class DeltaFormat(TableFormat):
     #: Contract note: the 1-based version mapping and the
     #: one-row-per-commit snapshots() parity hold while
     #: ``commit_snapshot`` is the sole writer of a versioned table.
+    #: Known n_rows divergence: the parquet emulation records the
+    #: FULL table count at each version (Iceberg total-records);
+    #: Delta's history exposes numOutputRows = rows WRITTEN by the
+    #: commit, which differs on append commits to non-empty tables.
     #: Maintenance operations (OPTIMIZE/VACUUM/MERGE) write their own
     #: Delta commits, so interleaving them with snapshot commits on
     #: the SAME table yields non-dense logical versions and extra

@@ -74,8 +74,10 @@ FROM events WHERE ts <= TIMESTAMP '{_TT_CUTOFF}'
 @register(
     "time_travel_read_v1",
     _TIME_TRAVEL_ORACLE,
-    "S10: snapshot versioning + time travel — two commits, read back "
-    "version 1 (the pre-cutoff state) after version 2 superseded it.",
+    "S10: snapshot versioning + time travel — an append commit on top "
+    "of v1 reuses v1's data files via hard links (Iceberg manifest "
+    "reuse); reading version 1 back returns exactly the pre-cutoff "
+    "state after v2 superseded it.",
 )
 def time_travel_read_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_lake_spark.formats import resolve_format
@@ -86,8 +88,10 @@ def time_travel_read_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cutoff = F.lit(_TT_CUTOFF).cast("timestamp")
     ref = _scratch_dir("vt_") + "/events_versioned"
+    # Append semantics: each commit carries ONLY its new rows; v2
+    # hard-links v1's files instead of rewriting history.
     fmt.commit_snapshot(spark, ref, events.filter(F.col("ts") <= cutoff), "append")
-    fmt.commit_snapshot(spark, ref, events, "overwrite")
+    fmt.commit_snapshot(spark, ref, events.filter(F.col("ts") > cutoff), "append")
     return fmt.read(spark, ref, version=1)
 
 
@@ -95,14 +99,16 @@ _SNAPSHOTS_ORACLE = f"""
 SELECT 1 AS version, 'append' AS operation,
        count(*) FILTER (ts <= TIMESTAMP '{_TT_CUTOFF}') AS n_rows FROM events
 UNION ALL
-SELECT 2 AS version, 'overwrite' AS operation, count(*) AS n_rows FROM events
+SELECT 2 AS version, 'append' AS operation, count(*) AS n_rows FROM events
 """
 
 
 @register(
     "snapshot_metadata",
     _SNAPSHOTS_ORACLE,
-    "S10: the table$snapshots metadata view over the versioned table.",
+    "S10: the table$snapshots metadata view — n_rows is the FULL "
+    "table count at each version (Iceberg total-records), so the "
+    "linked-append v2 reports pre-cutoff + appended rows.",
 )
 def snapshot_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_lake_spark.formats import resolve_format
@@ -112,7 +118,7 @@ def snapshot_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit(_TT_CUTOFF).cast("timestamp")
     ref = _scratch_dir("vt_") + "/events_versioned"
     fmt.commit_snapshot(spark, ref, events.filter(F.col("ts") <= cutoff), "append")
-    fmt.commit_snapshot(spark, ref, events, "overwrite")
+    fmt.commit_snapshot(spark, ref, events.filter(F.col("ts") > cutoff), "append")
     return fmt.snapshots(spark, ref)
 
 

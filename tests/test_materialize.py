@@ -180,7 +180,7 @@ def test_versioned_commit_survives_unrecorded_version(spark, tmp_path):
     t.commit(spark.range(0, 10).toDF("id"))
     # simulate the crash: v2 exists on disk, metadata still says 1
     spark.range(0, 5).toDF("id").write.parquet(str(tmp_path / "vt" / "v2"))
-    v = t.commit(spark.range(0, 7).toDF("id"))
+    v = t.commit(spark.range(0, 7).toDF("id"), operation="overwrite")
     assert v == 3
     assert t.read(3).count() == 7
     assert t.read(1).count() == 10
@@ -191,7 +191,7 @@ def test_versioned_expire_reports_each_version_once(spark, tmp_path):
 
     t = VersionedTable(spark, str(tmp_path / "vt2"))
     for n in (3, 4, 5):
-        t.commit(spark.range(0, n).toDF("id"))
+        t.commit(spark.range(0, n).toDF("id"), operation="overwrite")
     assert t.expire_snapshots(keep_last=1) == [1, 2]
     assert t.expire_snapshots(keep_last=1) == []  # nothing left to expire
 
@@ -1305,3 +1305,41 @@ def test_merge_upsert_skewed_keys_converge_and_bound_documented(spark, tmp_path)
         for e in os.listdir(t) if e.startswith("kb=")
     }
     assert sizes["kb=0"] > 3 * max(v for e, v in sizes.items() if e != "kb=0")
+
+
+def test_versioned_append_links_previous_version_files(spark, tmp_path):
+    """Append commits reuse the previous version's data files via
+    hard links (Iceberg manifest reuse — VERDICT r8 "Next round" #6):
+    every data file of v1 appears in v2 with the SAME inode, v2 adds
+    only the appended rows' files, and expiring v1 does not disturb
+    v2 (links name shared bytes; the last reference keeps them)."""
+    from streaming_data_lake_spark.sources.versioned import VersionedTable
+
+    def data_files(d):
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if not f.startswith((".", "_"))
+        }
+
+    base = str(tmp_path / "vt")
+    t = VersionedTable(spark, base)
+    t.commit(spark.range(0, 100).toDF("id"))                      # v1: initial
+    t.commit(spark.range(100, 130).toDF("id"))                    # v2: +30 linked append
+    t.commit(spark.range(130, 140).toDF("id"))                    # v3: +10 linked append
+    assert t.read(1).count() == 100
+    assert t.read(2).count() == 130
+    assert t.read(3).count() == 140
+    v1 = data_files(os.path.join(base, "v1"))
+    v2 = data_files(os.path.join(base, "v2"))
+    v3 = data_files(os.path.join(base, "v3"))
+    # inode identity: v1's files ride v2 and v3 unchanged
+    for f, ino in v1.items():
+        assert v2.get(f) == ino and v3.get(f) == ino, f
+    assert set(v1) < set(v2) < set(v3)
+    # metadata records full-table counts (Iceberg total-records)
+    snaps = {r["version"]: r["n_rows"] for r in t.snapshots().collect()}
+    assert snaps == {1: 100, 2: 130, 3: 140}
+    # expiring old versions unlinks names, not shared bytes
+    assert t.expire_snapshots(keep_last=1) == [1, 2]
+    assert t.read(3).count() == 140
