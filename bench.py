@@ -58,6 +58,30 @@ HEADLINE = [
 ]
 
 
+def _round_seed() -> int:
+    """Deterministic per-round seed for the execution-order shuffle:
+    one past the highest CORRECTNESS_r{N} on disk (the round being
+    built), overridable via SPARK_GRAFT_BENCH_SEED. A FIXED order
+    let the slowest streaming entries always sit last and absorb
+    end-of-session GC pressure, confounding round-over-round
+    comparisons (VERDICT r8 "Next round" #7); per-round shuffling
+    decorrelates position from query identity while keeping any one
+    round's run reproducible."""
+    env = os.environ.get("SPARK_GRAFT_BENCH_SEED")
+    if env is not None:
+        return int(env)
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                        "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) if rounds else 0) + 1
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from streaming_data_lake_spark.queries import all_queries
@@ -84,12 +108,17 @@ def main() -> int:
     # every run and score the MINIMUM — the least-noise estimate of
     # the plan's cost. SPARK_GRAFT_BENCH_RUNS=1 restores single-run.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    import random
+
+    seed = _round_seed()
+    order = list(HEADLINE)
+    random.Random(seed).shuffle(order)
     per_query: dict[str, float] = {}
     per_query_runs: dict[str, list[float]] = {}
     builds_total = 0
     builds_in_best = 0
     total = 0.0
-    for name in HEADLINE:
+    for name in order:
         q = queries[name]
         times: list[float] = []
         builds: list[int] = []
@@ -123,6 +152,8 @@ def main() -> int:
         "queries": per_query,
         "query_runs": per_query_runs,
         "policy": f"best_of_{runs}",
+        "order_seed": seed,
+        "order": order,
         "sf": sf,
         "warm": builds_in_best == 0,
         "artifact_builds": builds_in_best,
