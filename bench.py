@@ -98,6 +98,37 @@ def main() -> int:
 
     spark.range(1000).selectExpr("sum(id)").collect()
     load_table(spark, sf_dir, "region").groupBy("r_regionkey").count().count()
+    # Warm the STREAMING engine too (MicroBatchExecution, file-stream
+    # source, state store, foreachBatch + in-batch parquet write):
+    # with the shuffled order a streaming query can land in slot 0,
+    # and without this its scored best-of-2 still carries
+    # first-stream class-loading (~3s) that the old fixed order hid
+    # by always running streaming entries late. Uses the 5-row
+    # region table — machinery only, no headline table data.
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_spark.scratch import scratch_dir
+    from streaming_data_lake_spark.sources.streams import stream_table
+    from streaming_data_lake_spark.sources.upsert import foreach_batch_upsert
+
+    warm_tbl = os.path.join(scratch_dir("bench_warm_out_"), "t")
+    (
+        stream_table(spark, sf_dir, "region")
+        .select(
+            F.timestamp_seconds(F.col("r_regionkey")).alias("wts"),
+            F.col("r_regionkey"),
+        )
+        .withWatermark("wts", "1 second")
+        .groupBy(F.window(F.col("wts"), "1 hour"))
+        .count()
+        .select(F.col("window.start").alias("wts"), "count")
+        .writeStream.outputMode("update")
+        .foreachBatch(foreach_batch_upsert(spark, warm_tbl, ["wts"], ts_col="wts"))
+        .option("checkpointLocation", scratch_dir("bench_warm_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     from streaming_data_lake_spark.plans import artifacts
