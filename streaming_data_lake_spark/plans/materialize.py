@@ -57,8 +57,10 @@ is what makes the passes survive 100 TB:
 from __future__ import annotations
 
 import datetime as dt
+import json
 import os
 import shutil
+import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -269,36 +271,114 @@ class Materializer:
             )
         return out
 
-    def get_watermark(self, name: str) -> dt.datetime | None:
-        """Returns the watermark as an AWARE-UTC datetime. The stored
-        instant round-trips as epoch micros (``unix_micros``) rather
-        than a collected timestamp: Python-side timestamp conversion
-        goes through the driver OS timezone, where naive values shift
-        across DST boundaries when the lookback arithmetic re-enters
-        a plan literal. Epoch micros are TZ-free."""
-        if not os.path.exists(self.wm_dir):
+    # Watermarks are per-table single-row CONTROL metadata, like the
+    # reference's ``materialization_watermarks`` (materialize.sh:66-71)
+    # — but running each 1-row update through the full MERGE publish
+    # machinery cost 2-3 Spark jobs per maintenance cycle (the pass
+    # timings showed M6 rivaling the data passes at toy scale). A
+    # real deployment keeps this in the catalog/metadata store, so
+    # the emulation stores it as a JSON sidecar with atomic rename —
+    # the same class as ``_layout.json``/``_snapshots.json``. Values
+    # are epoch micros: Python-side timestamp conversion goes through
+    # the driver OS timezone, where naive values shift across DST
+    # boundaries when the lookback arithmetic re-enters a plan
+    # literal; micros are TZ-free. Legacy parquet watermark tables
+    # (written by the pre-r9 MERGE path, possibly inside durable
+    # artifact lakes) are read once and migrated on the next set.
+
+    def _wm_json_path(self) -> str:
+        return os.path.join(self.wm_dir, "_watermarks.json")
+
+    def _read_wm_map(self) -> dict[str, int] | None:
+        """name -> epoch micros, or None when no JSON store exists
+        yet (absent lake, or a legacy parquet-only store)."""
+        try:
+            with open(self._wm_json_path()) as fh:
+                return {k: int(v) for k, v in json.load(fh).items()}
+        except (OSError, ValueError):
             return None
-        row = (
+
+    def _read_legacy_wm_table(self) -> dict[str, int]:
+        """The pre-r9 parquet watermark table, as a micros map."""
+        rows = (
             resolve_format(self.spark)
             .read_table(self.spark, self.wm_dir)
-            .filter(F.col("table_name") == name)
-            .select(F.unix_micros(F.col("last_materialized_at")).alias("us"))
+            .select(
+                "table_name",
+                F.unix_micros(F.col("last_materialized_at")).alias("us"),
+            )
             .collect()
         )
-        return _utc_from_micros(row[0][0]) if row else None
+        return {r["table_name"]: int(r["us"]) for r in rows}
+
+    def _has_legacy_wm_table(self) -> bool:
+        try:
+            return any(
+                not e.startswith((".", "_")) or e.startswith("_layout")
+                for e in os.listdir(self.wm_dir)
+                if e != "_watermarks.json"
+            )
+        except OSError:
+            return False
+
+    def get_watermark(self, name: str) -> dt.datetime | None:
+        """Returns the watermark as an AWARE-UTC datetime."""
+        m = self._read_wm_map()
+        if m is None:
+            if not self._has_legacy_wm_table():
+                return None
+            m = self._read_legacy_wm_table()
+        us = m.get(name)
+        return _utc_from_micros(us) if us is not None else None
 
     def _set_watermark(self, name: str, ts: dt.datetime) -> None:
-        updates = self.spark.createDataFrame(
-            [(name, ts)], "table_name string, last_materialized_at timestamp"
-        )
-        resolve_format(self.spark).merge_upsert(
-            self.spark, self.wm_dir, updates, ["table_name"]
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=dt.timezone.utc)
+        m = self._read_wm_map()
+        if m is None:
+            # First JSON write: fold in any legacy parquet rows so
+            # other targets' watermarks survive the migration.
+            m = self._read_legacy_wm_table() if self._has_legacy_wm_table() else {}
+        m[name] = (ts - _EPOCH_UTC) // dt.timedelta(microseconds=1)
+        os.makedirs(self.wm_dir, exist_ok=True)
+        tmp = self._wm_json_path() + f".tmp_{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+        os.rename(tmp, self._wm_json_path())
+
+    def watermarks(self) -> DataFrame:
+        """The watermark state as a queryable DataFrame — the
+        reference exposes ``materialization_watermarks`` as a table;
+        the JSON store keeps that surface available."""
+        m = self._read_wm_map()
+        if m is None:
+            m = self._read_legacy_wm_table() if self._has_legacy_wm_table() else {}
+        return self.spark.createDataFrame(
+            [(k, _utc_from_micros(v)) for k, v in sorted(m.items())],
+            "table_name string, last_materialized_at timestamp",
         )
 
     # -- passes ----------------------------------------------------------
     def run(self, target: MatTarget, lookback_hours: int = 1) -> dict[str, str]:
-        """Run one maintenance cycle; returns {pass: action} audit log."""
+        """Run one maintenance cycle; returns {pass: action} audit log.
+
+        Wall-clock per pass is recorded in ``self.last_timings``
+        (pass key → seconds) so perf regressions in a cycle can be
+        attributed to a PASS instead of re-litigated from aggregate
+        bench numbers (the r8→r9 layout-overhead question took a
+        dedicated A/B harness to answer; this makes the next one a
+        one-look read)."""
         log: dict[str, str] = {}
+        timings: dict[str, float] = {}
+        self.last_timings = timings
+        _t = time.time()
+
+        def _mark(key: str) -> None:
+            nonlocal _t
+            now = time.time()
+            timings[key] = round(now - _t, 3)
+            _t = now
+
         view = target.view(self.spark)
         for reserved in self._layout_cols(target):
             if reserved in view.columns:
@@ -317,6 +397,7 @@ class Materializer:
             n = self._m1_full_load(view, target, mat_dir)
             log["M1"] = f"full load ({n} buckets)" if target.bucket_col else "full load"
             n_buckets = n
+            _mark("M1")
         else:
             if not self._has_layout(mat_dir, target):
                 # Legacy/flattened table (e.g. written before the
@@ -346,6 +427,7 @@ class Materializer:
                 n = self._sized_buckets(mat_dir, target) if target.bucket_col else 1
                 self._overwrite(mat_dir, flat, target, n)
                 log["layout"] = "migrated to " + "/".join(layout) + " partitions"
+                _mark("layout")
             n_buckets = self._resolve_buckets(mat_dir, target)
             wm = self.get_watermark(target.name)
             if wm is None:
@@ -403,6 +485,7 @@ class Materializer:
                     log["M2"] = "no drift"
             finally:
                 win_view.unpersist()
+            _mark("M2")
 
             # M3 — pass 1: dimension-change repair
             for dep in target.dims:
@@ -431,6 +514,8 @@ class Materializer:
                     self._overwrite(mat_dir, keep.unionByName(reinsert), target, n_buckets)
                     log[f"M3:{dep.fact_fk}"] = "repaired changed keys"
 
+            _mark("M3")
+
             # M4 — pass 2: append new facts. The increment is cached
             # so the audit count and the append share one computation
             # of the view transform (an increment is micro-batch
@@ -447,6 +532,7 @@ class Materializer:
             finally:
                 new_rows.unpersist()
             log["M4"] = f"appended {n_new}"
+            _mark("M4")
 
             # M5 — pass 3: EXISTS repair (funnel flag flips). A late
             # downstream event changes an already-materialized row's
@@ -485,6 +571,8 @@ class Materializer:
                         self._overwrite(mat_dir, keep.unionByName(reinsert), target, n_buckets)
                         log["M5"] = "repaired flipped keys"
 
+            _mark("M5")
+
         # M6 — watermark upsert. After the passes above the mat table
         # contains every view row newer than the old watermark (M4)
         # plus repaired older windows, so max(ts) over the MAT table
@@ -501,6 +589,7 @@ class Materializer:
             max_ts = _utc_from_micros(max_us)
             self._set_watermark(target.name, max_ts)
             log["M6"] = f"watermark={max_ts.isoformat()}"
+        _mark("M6")
         return log
 
     @staticmethod
