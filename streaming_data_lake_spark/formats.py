@@ -194,10 +194,10 @@ class DeltaFormat(TableFormat):
     #: Contract note: the 1-based version mapping and the
     #: one-row-per-commit snapshots() parity hold while
     #: ``commit_snapshot`` is the sole writer of a versioned table.
-    #: Known n_rows divergence: the parquet emulation records the
-    #: FULL table count at each version (Iceberg total-records);
-    #: Delta's history exposes numOutputRows = rows WRITTEN by the
-    #: commit, which differs on append commits to non-empty tables.
+    #: snapshots() reconstructs the contract's full-table n_rows
+    #: (Iceberg total-records) from Delta's per-commit numOutputRows
+    #: by running-summing appends within overwrite epochs — which is
+    #: exact under the same single-writer assumption.
     #: Maintenance operations (OPTIMIZE/VACUUM/MERGE) write their own
     #: Delta commits, so interleaving them with snapshot commits on
     #: the SAME table yields non-dense logical versions and extra
@@ -266,12 +266,33 @@ class DeltaFormat(TableFormat):
         return reader.load(table_ref)
 
     def snapshots(self, spark, table_ref):
+        # n_rows honors the adapter contract (FULL table count at
+        # each version — Iceberg total-records), not Delta's raw
+        # numOutputRows (rows written by the commit): under the
+        # single-writer commit_snapshot contract an overwrite resets
+        # the count and an append adds its written rows, so the full
+        # count is a running sum within overwrite "epochs". History
+        # frames are commit-count sized, so the windows are trivial.
+        from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        return self._dt(spark, table_ref).history().select(
+        h = self._dt(spark, table_ref).history().select(
             (F.col("version").cast("int") + 1).alias("version"),
             F.coalesce(F.col("userMetadata"), F.lower("operation")).alias("operation"),
-            F.col("operationMetrics.numOutputRows").cast("long").alias("n_rows"),
+            F.col("operationMetrics.numOutputRows").cast("long").alias("n_written"),
+        )
+        epoch = F.sum(
+            F.when(F.col("operation") == "overwrite", 1).otherwise(0)
+        ).over(Window.orderBy("version"))
+        return (
+            h.withColumn("_epoch", epoch)
+            .withColumn(
+                "n_rows",
+                F.sum("n_written").over(
+                    Window.partitionBy("_epoch").orderBy("version")
+                ),
+            )
+            .select("version", "operation", "n_rows")
         )
 
     def expire_snapshots(self, spark, table_ref, keep_last=1):

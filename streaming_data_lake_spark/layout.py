@@ -102,18 +102,20 @@ def copy_layout_meta(src_dir: str, dst_dir: str) -> None:
         write_layout_meta(dst_dir, meta)
 
 
-def dir_data_bytes(path: str) -> int:
+def dir_data_bytes(path: str, include_hidden: bool = False) -> int:
     """Total bytes of DATA files under ``path`` (hidden/underscore
-    sidecars excluded — they are metadata, not table size). The
-    emulation-scale stat walk a real format replaces with manifest
-    statistics; callers cache the result in the layout sidecar so
-    hot paths never re-walk whole tables."""
+    sidecars excluded by default — they are metadata, not table
+    size; ``include_hidden=True`` counts everything, the compaction
+    file-count estimator's convention). The emulation-scale stat
+    walk a real format replaces with manifest statistics; callers
+    cache the result in the layout sidecar so hot paths never
+    re-walk whole tables."""
     total = 0
     for root, _dirs, files in os.walk(path):
         total += sum(
             os.path.getsize(os.path.join(root, f))
             for f in files
-            if not f.startswith((".", "_"))
+            if include_hidden or not f.startswith((".", "_"))
         )
     return total
 

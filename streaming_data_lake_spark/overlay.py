@@ -29,13 +29,26 @@ import shutil
 import uuid
 
 
+def _link_file(src: str, dst: str) -> None:
+    """Hard-link one file (creating the parent dir), byte-copying on
+    cross-device EXDEV — the single primitive every overlay reuse
+    path shares. No-op if ``dst`` already exists (idempotent under
+    overlapping link passes)."""
+    if os.path.exists(dst):
+        return
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    try:
+        os.link(src, dst)
+    except OSError:  # cross-device: fall back to copy
+        shutil.copy2(src, dst)
+
+
 def _link_tree(src: str, dst: str) -> None:
     """Hard-link every regular file under ``src`` into ``dst``,
     recursing into subdirectories — a multi-level hive layout
     (``day_pt=D/device_category=C/part-*.parquet``) is reused
     wholesale, not just its top-level files (a non-recursive link
-    would silently drop nested levels from the published version).
-    Cross-device falls back to a byte copy."""
+    would silently drop nested levels from the published version)."""
     os.makedirs(dst, exist_ok=True)
     for f in os.listdir(src):
         sf = os.path.join(src, f)
@@ -43,10 +56,7 @@ def _link_tree(src: str, dst: str) -> None:
         if os.path.isdir(sf):
             _link_tree(sf, df)
         elif os.path.isfile(sf):
-            try:
-                os.link(sf, df)
-            except OSError:  # cross-device: fall back to copy
-                shutil.copy2(sf, df)
+            _link_file(sf, df)
 
 
 def link_untouched_partitions(
@@ -99,13 +109,7 @@ def link_untouched_subpartitions(
                 # (none in practice — Spark writes leaves) must ride
                 # the overlay too: skipping it would silently drop it
                 # from the published version.
-                os.makedirs(dst_outer, exist_ok=True)
-                dst_f = os.path.join(dst_outer, inner)
-                if not os.path.exists(dst_f):
-                    try:
-                        os.link(src_inner, dst_f)
-                    except OSError:
-                        shutil.copy2(src_inner, dst_f)
+                _link_file(src_inner, os.path.join(dst_outer, inner))
                 continue
             if (
                 not inner.startswith(inner_prefix)
@@ -162,13 +166,7 @@ def link_untouched_leaves(
                 # outers link it via _link_tree, so dropping it here
                 # would silently lose it from the published version
                 # (ADVICE r8 #3 — mirror of the subpartition case).
-                os.makedirs(dst_outer, exist_ok=True)
-                dst_f = os.path.join(dst_outer, inner)
-                if not os.path.exists(dst_f):
-                    try:
-                        os.link(src_inner, dst_f)
-                    except OSError:
-                        shutil.copy2(src_inner, dst_f)
+                _link_file(src_inner, os.path.join(dst_outer, inner))
                 continue
             if (
                 not inner.startswith(inner_prefix)

@@ -37,11 +37,10 @@ TARGET_FILE_BYTES = 128 * 1024 * 1024  # reference compaction target
 
 
 def dir_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            total += os.path.getsize(os.path.join(root, f))
-    return total
+    """All-files byte walk (sidecars included — the compaction
+    file-count estimate's historical convention); delegates to the
+    shared walker in layout.py so the two stat walks cannot drift."""
+    return layout_dir_data_bytes(path, include_hidden=True)
 
 
 def _parquet_files(d: str) -> int:

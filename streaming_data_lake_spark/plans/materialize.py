@@ -291,11 +291,17 @@ class Materializer:
 
     def _read_wm_map(self) -> dict[str, int] | None:
         """name -> epoch micros, or None when no JSON store exists
-        yet (absent lake, or a legacy parquet-only store)."""
+        yet (absent lake, or a legacy parquet-only store). A corrupt
+        file of the WRONG JSON shape (array/scalar at top level,
+        non-numeric values) is treated the same as malformed JSON —
+        absent — rather than crashing every maintenance cycle."""
         try:
             with open(self._wm_json_path()) as fh:
-                return {k: int(v) for k, v in json.load(fh).items()}
-        except (OSError, ValueError):
+                data = json.load(fh)
+            if not isinstance(data, dict):
+                return None
+            return {str(k): int(v) for k, v in data.items()}
+        except (OSError, ValueError, TypeError):
             return None
 
     def _read_legacy_wm_table(self) -> dict[str, int]:
@@ -312,11 +318,14 @@ class Materializer:
         return {r["table_name"]: int(r["us"]) for r in rows}
 
     def _has_legacy_wm_table(self) -> bool:
+        """Whether wm_dir holds pre-r9 parquet DATA (hidden entries
+        and sidecars alone don't count: a dir with only _layout.json
+        has nothing to read, and returning True would crash the
+        schema-less parquet read instead of yielding 'no
+        watermark')."""
         try:
             return any(
-                not e.startswith((".", "_")) or e.startswith("_layout")
-                for e in os.listdir(self.wm_dir)
-                if e != "_watermarks.json"
+                not e.startswith((".", "_")) for e in os.listdir(self.wm_dir)
             )
         except OSError:
             return False

@@ -1343,3 +1343,56 @@ def test_versioned_append_links_previous_version_files(spark, tmp_path):
     # expiring old versions unlinks names, not shared bytes
     assert t.expire_snapshots(keep_last=1) == [1, 2]
     assert t.read(3).count() == 140
+
+
+def test_watermark_legacy_parquet_table_migrates_to_json(spark, tmp_path):
+    """Pre-r9 watermark state lived in a parquet MERGE table; the
+    JSON metadata store must READ that legacy state (no watermark
+    loss on durable lakes) and FOLD IT IN on the first set so other
+    targets' watermarks survive the migration."""
+    from streaming_data_lake_spark.sources.upsert import merge_upsert
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake, exist_ok=True)
+    m = Materializer(spark, lake)
+    # the old writer's exact shape: a keyed MERGE table in wm_dir
+    legacy = spark.createDataFrame(
+        [("t_old", _ts("2024-02-01 10:00:00")), ("t_other", _ts("2024-02-02 12:00:00"))],
+        "table_name string, last_materialized_at timestamp",
+    )
+    merge_upsert(spark, m.wm_dir, legacy, ["table_name"])
+    assert not os.path.exists(m._wm_json_path())
+
+    got = m.get_watermark("t_old")
+    assert got is not None and got.isoformat().startswith("2024-02-01T10:00:00")
+    assert m.get_watermark("missing") is None
+
+    # first JSON write folds in ALL legacy rows
+    m._set_watermark("t_new", _ts("2024-03-01 00:00:00"))
+    assert os.path.exists(m._wm_json_path())
+    wm = {r["table_name"]: r["last_materialized_at"] for r in m.watermarks().collect()}
+    assert set(wm) == {"t_old", "t_other", "t_new"}
+    assert wm["t_other"].isoformat().startswith("2024-02-02T12:00:00")
+    # JSON now wins over the stale parquet leftovers
+    m._set_watermark("t_old", _ts("2024-04-01 00:00:00"))
+    assert m.get_watermark("t_old").isoformat().startswith("2024-04-01")
+
+
+def test_watermark_store_corrupt_or_sidecar_only_states(spark, tmp_path):
+    """A corrupt _watermarks.json (wrong JSON shape) and a wm_dir
+    holding only metadata sidecars must both degrade to 'no
+    watermark', never crash the maintenance cycle."""
+    lake = str(tmp_path / "lake")
+    m = Materializer(spark, lake)
+    os.makedirs(m.wm_dir, exist_ok=True)
+    # sidecar-only dir: no parquet data to read -> None, not a crash
+    with open(os.path.join(m.wm_dir, "_layout.json"), "w") as fh:
+        fh.write('{"keys": ["table_name"]}')
+    assert m.get_watermark("t") is None
+    # corrupt JSON store: valid JSON, wrong top-level shape
+    with open(m._wm_json_path(), "w") as fh:
+        fh.write("[1, 2, 3]")
+    assert m.get_watermark("t") is None
+    # recovery: a set rewrites a clean store
+    m._set_watermark("t", _ts("2024-05-01 00:00:00"))
+    assert m.get_watermark("t").isoformat().startswith("2024-05-01")
