@@ -85,6 +85,32 @@ def _partition_cols(table_dir: str) -> list[str]:
         d = os.path.join(d, nxt)
 
 
+def _leaf_sizes(
+    table_dir: str, part_cols: list[str]
+) -> list[tuple[tuple[str, ...], int]]:
+    """Per-leaf (partition value strings, data bytes) for a hive
+    layout — the walk compaction already pays for its file-count
+    estimate, kept per leaf so oversized leaves can be detected.
+    Values are hive-unquoted so they compare equal to the DataFrame's
+    partition columns cast to string."""
+    from urllib.parse import unquote
+
+    out: list[tuple[tuple[str, ...], int]] = []
+
+    def rec(d: str, depth: int, vals: list[str]) -> None:
+        if depth == len(part_cols):
+            out.append((tuple(vals), layout_dir_data_bytes(d)))
+            return
+        prefix = part_cols[depth] + "="
+        for e in os.listdir(d):
+            p = os.path.join(d, e)
+            if e.startswith(prefix) and os.path.isdir(p):
+                rec(p, depth + 1, vals + [unquote(e[len(prefix):])])
+
+    rec(table_dir, 0, [])
+    return out
+
+
 def compact_parquet(
     spark: SparkSession, table_dir: str, target_bytes: int = TARGET_FILE_BYTES
 ) -> int:
@@ -113,15 +139,56 @@ def compact_parquet(
         # and would emit n_files x n_partitions files, *increasing*
         # the count). A two-level layout ranges on BOTH columns, so
         # each (outer, inner) leaf compacts to one file and
-        # partitionBy rebuilds the same two-level tree. Known limit
-        # of the emulation: a single oversized leaf compacts to one
-        # file; real OPTIMIZE splits within the partition by target
-        # size.
+        # partitionBy rebuilds the same two-level tree.
+        #
+        # OVERSIZED leaves (a skewed key concentrating a table's
+        # bytes in one partition — the documented bound of the skew
+        # stress test) additionally get a per-leaf salt: each leaf
+        # bigger than the target splits into ceil(bytes/target)
+        # deterministic hash groups, so real-OPTIMIZE file sizing
+        # holds even under pathological skew, while every
+        # normal-sized leaf keeps salt 0 and still compacts to
+        # exactly one file. Hive null partitions are left unsplit
+        # (their rows cannot be re-derived from data columns).
         from pyspark.sql import functions as F
 
-        df.repartitionByRange(
-            max(1, n_files), *[F.col(c) for c in part_cols]
-        ).write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
+        sized = _leaf_sizes(table_dir, part_cols)
+        oversized = {
+            vals: math.ceil(b / target_bytes)
+            for vals, b in sized
+            if b > target_bytes and "__HIVE_DEFAULT_PARTITION__" not in vals
+        }
+        if oversized:
+            pv_cols = [f"__pv_{i}" for i in range(len(part_cols))]
+            stats = spark.createDataFrame(
+                [(*vals, k) for vals, k in oversized.items()],
+                ", ".join(f"`{c}` string" for c in pv_cols) + ", `__salt_k` int",
+            )
+            cond = None
+            for c, pv in zip(part_cols, pv_cols):
+                term = df[c].cast("string").eqNullSafe(stats[pv])
+                cond = term if cond is None else (cond & term)
+            data_cols = [c for c in df.columns if c not in part_cols]
+            out = (
+                df.join(F.broadcast(stats), cond, "left")
+                .withColumn(
+                    "__salt",
+                    F.pmod(
+                        F.hash(*[F.col(c) for c in data_cols]),
+                        F.coalesce(F.col("__salt_k"), F.lit(1)),
+                    ),
+                )
+                .drop(*pv_cols, "__salt_k")
+                .repartitionByRange(
+                    max(1, n_files), *[F.col(c) for c in part_cols], F.col("__salt")
+                )
+                .drop("__salt")
+            )
+        else:
+            out = df.repartitionByRange(
+                max(1, n_files), *[F.col(c) for c in part_cols]
+            )
+        out.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
     else:
         df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
     # The layout sidecar (bucket column + count — layout.py) rides

@@ -428,8 +428,15 @@ def test_compaction_partitioned_table_one_file_per_partition(spark, tmp_path):
     ).parquet(t)
     before = _parquet_files(t)
     assert before > 3  # fragmented
-    # tiny target forces n_files > 1
-    n = compact_parquet(spark, t, target_bytes=1024)
+    # target just above the largest leaf: n_files > 1 but no leaf is
+    # oversized, so each day converges to exactly one file (leaves
+    # above the target now SPLIT by design — see
+    # test_compaction_splits_oversized_leaf_by_target_size)
+    from streaming_data_lake_spark.layout import dir_data_bytes
+    from streaming_data_lake_spark.plans.maintenance import _leaf_sizes
+    target = max(b for _v, b in _leaf_sizes(t, [DAY_COL])) + 1
+    assert dir_data_bytes(t) > target  # n_files stays > 1
+    n = compact_parquet(spark, t, target_bytes=target)
     assert n == 3, f"expected one file per day partition, got {n}"
     assert spark.read.parquet(t).count() == 900
 
@@ -455,7 +462,9 @@ def test_compaction_preserves_two_level_layout(spark, tmp_path):
         DAY_COL, "cat"
     ).parquet(t)
     assert _parquet_files(t) > 6  # fragmented
-    n = compact_parquet(spark, t, target_bytes=1024)
+    from streaming_data_lake_spark.plans.maintenance import _leaf_sizes
+    target = max(b for _v, b in _leaf_sizes(t, [DAY_COL, "cat"])) + 1
+    n = compact_parquet(spark, t, target_bytes=target)
     assert n == 6, f"expected one file per (day, cat) leaf, got {n}"
     # both layout levels survive
     day_dirs = [e for e in os.listdir(t) if e.startswith(f"{DAY_COL}=")]
@@ -1260,8 +1269,10 @@ def test_merge_upsert_skewed_keys_converge_and_bound_documented(spark, tmp_path)
     because the sizing rule bounds the AVERAGE leaf at ~128 MB and a
     pathological key distribution degrades one task's size by at
     most the skew factor, not the table scan (readers still prune by
-    leaf). A real format splits oversized partitions by target file
-    size instead."""
+    leaf). The maintenance cycle closes even that bound: compaction
+    splits oversized leaves into ~target-size files via a per-leaf
+    salt (test_compaction_splits_oversized_leaf_by_target_size),
+    matching real OPTIMIZE semantics."""
     from pyspark.sql import functions as F2
 
     from streaming_data_lake_spark.layout import dir_data_bytes, read_layout_meta
@@ -1396,3 +1407,43 @@ def test_watermark_store_corrupt_or_sidecar_only_states(spark, tmp_path):
     # recovery: a set rewrites a clean store
     m._set_watermark("t", _ts("2024-05-01 00:00:00"))
     assert m.get_watermark("t").isoformat().startswith("2024-05-01")
+
+
+def test_compaction_splits_oversized_leaf_by_target_size(spark, tmp_path):
+    """Real-OPTIMIZE file sizing under skew (the skew stress test's
+    documented bound): a leaf holding far more than the target bytes
+    splits into ~ceil(bytes/target) files via a deterministic
+    per-leaf salt, while every normal-sized leaf still compacts to
+    exactly ONE file and the partition layout + contents survive."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    rng = random.Random(7)
+    t = str(tmp_path / "t")
+    # hot partition: ~1500 incompressible rows; cold ones: 20 each
+    rows = [(i, "hot", "".join(rng.choices("abcdefghij0123456789", k=200)))
+            for i in range(1500)]
+    rows += [(i, f"cold{j}", "x" * 50) for j in range(3) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, part string, payload string")
+    df.repartition(6).write.partitionBy("part").parquet(t)
+
+    target = 64 * 1024  # hot leaf ~300KB -> expect ~5 files
+    compact_parquet(spark, t, target_bytes=target)
+
+    def files_in(leaf):
+        d = os.path.join(t, f"part={leaf}")
+        return [f for f in os.listdir(d) if not f.startswith((".", "_"))]
+
+    hot = files_in("hot")
+    assert len(hot) >= 2, f"oversized leaf did not split: {hot}"
+    # each split file is in the target's ballpark, not one giant file
+    for f in hot:
+        assert os.path.getsize(os.path.join(t, "part=hot", f)) < 3 * target
+    for j in range(3):
+        assert len(files_in(f"cold{j}")) == 1, f"cold{j} leaf no longer single-file"
+    got = spark.read.parquet(t)
+    assert got.count() == 1500 + 60
+    assert got.filter(F2.col("part") == "hot").count() == 1500
+    assert {r["part"] for r in got.select("part").distinct().collect()} == {
+        "hot", "cold0", "cold1", "cold2"}
