@@ -304,3 +304,97 @@ def test_fold_matches_native_session_window_random(spark):
             for r in got
         )
         assert native_sessions == fold_sessions, f"trial {trial} diverged"
+
+
+def test_upsert_sink_converges_across_real_microbatch_boundaries(spark, tmp_path):
+    """W2/T4 depth: the update-mode windowed aggregate feeding the
+    MERGE sink must converge when the SAME window's rows arrive
+    across several real micro-batches (maxFilesPerTrigger=1) —
+    update mode re-emits each grown window and the keyed MERGE
+    replaces the stale row, the reference's continuously-updated
+    hourly window contract. Late rows stay inside the 30s watermark
+    of the following batch, so the converged table must equal the
+    plain batch aggregate EXACTLY."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_spark.functions.parity import dsum
+    from streaming_data_lake_spark.sources.upsert import merge_upsert, read_upsert
+
+    import os
+
+    def ts(s):
+        return dt.datetime.fromisoformat(f"2024-03-05 {s}")
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    batches = [
+        # batch 1: hour 10 only
+        [(1, ts("10:05:00"), "view", 1.0), (2, ts("10:59:00"), "click", 2.0)],
+        # batch 2: hour-10 LATE rows (watermark ~10:58:30 — window
+        # end 11:00 still open) + first hour-11 rows
+        [(3, ts("10:10:00"), "view", 4.0), (4, ts("11:15:00"), "view", 8.0)],
+        # batch 3: hour-11 late + hour 12
+        [(5, ts("11:20:00"), "view", 16.0), (6, ts("12:01:00"), "click", 32.0)],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+    table = str(tmp_path / "sink")
+    seen_batches = []
+
+    def on_batch(df, bid):
+        seen_batches.append(bid)
+        merge_upsert(
+            spark, table, df, ["hour_start", "event_type"], ts_col="hour_start"
+        )
+
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+        .withWatermark("ts", "30 seconds")
+        .groupBy(F.window(F.col("ts"), "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen_batches) >= 3, f"expected real micro-batches, got {seen_batches}"
+
+    expected = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], float(r["total_value"]))
+        for r in (
+            spark.createDataFrame([r for b in batches for r in b], schema)
+            .groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+            )
+            .collect()
+        )
+    }
+    got = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], float(r["total_value"]))
+        for r in read_upsert(spark, table).collect()
+    }
+    assert got == expected
