@@ -1447,3 +1447,52 @@ def test_compaction_splits_oversized_leaf_by_target_size(spark, tmp_path):
     assert got.filter(F2.col("part") == "hot").count() == 1500
     assert {r["part"] for r in got.select("part").distinct().collect()} == {
         "hot", "cold0", "cold1", "cold2"}
+
+
+def test_compaction_split_fuzz_preserves_contents_and_layout(spark, tmp_path):
+    """Seeded fuzz over awkward layouts for the oversized-leaf split
+    path: mixed leaf sizes (some far above the target), a NULL
+    partition value (hive default dir — never split, never lost),
+    and hive-escaped partition strings (space/colon — the stats join
+    must unquote dir names to match cast-to-string values). Contents
+    and the partition tree must survive exactly; oversized non-null
+    leaves must split."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        t = str(tmp_path / f"t{seed}")
+        parts = ["hot part", "p:colon", "small", None]
+        rows = []
+        sizes = {}
+        for p in parts:
+            n = rng.choice([900, 1200]) if p == "hot part" else rng.choice([15, 40])
+            sizes[p] = n
+            for i in range(n):
+                payload = "".join(rng.choices("abcdefgh01234567", k=160))
+                rows.append((i, p, payload))
+        spark.createDataFrame(rows, "id long, part string, payload string").repartition(
+            5
+        ).write.partitionBy("part").parquet(t)
+
+        target = 48 * 1024
+        compact_parquet(spark, t, target_bytes=target)
+
+        got = spark.read.parquet(t)
+        assert got.count() == len(rows), seed
+        by_part = {
+            r["part"]: r["n"]
+            for r in got.groupBy("part").agg(F2.count(F2.lit(1)).alias("n")).collect()
+        }
+        assert by_part == sizes, seed
+        # hot leaf split; small + escaped + null leaves stayed single-file
+        def leaf_files(dirname):
+            d = os.path.join(t, dirname)
+            return [f for f in os.listdir(d) if not f.startswith((".", "_"))]
+
+        assert len(leaf_files("part=hot part")) >= 2, seed
+        assert len(leaf_files("part=p%3Acolon")) == 1, seed
+        assert len(leaf_files("part=small")) == 1, seed
+        assert len(leaf_files("part=__HIVE_DEFAULT_PARTITION__")) == 1, seed
