@@ -8,13 +8,13 @@ with the near-dup family a 100 TB training-data pipeline needs:
  - :func:`dedup_row_number` — ROW_NUMBER()=1 idiom (W3 — the
    reference design doc's dedup pattern, .design:1136-1139).
  - :func:`exact_text_dedup` — hash-groupBy exact dedup.
- - :func:`shingles` / :func:`minhash_signature` / MinHash-LSH
+ - :func:`shingles` / :func:`minhash_signatures` / MinHash-LSH
    candidate generation — scalable near-dup (band-bucket join, no
    all-pairs shuffle).
  - :func:`ngram_jaccard_pairs` — exact shingle-set Jaccard via a
    shared-shingle equi-join (candidate pruning happens in the join:
    pairs with no common shingle never materialize).
- - :func:`simhash64` — 64-bit SimHash fingerprint from token hashes.
+ - :func:`simhash32` — 32-bit-vote SimHash fingerprint from token hashes.
 
 Scale notes: all paths are shuffle-on-key joins/aggregations over
 deterministic hashes — no driver collection, no all-pairs cartesian.
@@ -104,21 +104,6 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.element_at(
         F.transform(F.array(tokens(text)), lambda t: _shingles_of(t, n)), 1
     )
-
-
-def minhash_signature(shingle_arr: Column, num_hashes: int = 16) -> list[Column]:
-    """MinHash signature as per-row array expressions: per hash
-    function, the min over the shingle set of an affine mix of ONE
-    md5-derived base hash (k mixes share one md5 — md5 is the hot
-    instruction otherwise). Empty shingle sets get NULL. Prefer
-    :func:`minhash_signatures` (explode + groupBy-min) in plans —
-    these nested-lambda columns each embed a full copy of the shingle
-    expression, which defeats codegen at scale."""
-    bases = F.transform(shingle_arr, lambda s: h32(s))
-    return [
-        F.array_min(F.transform(bases, lambda b, i=i: minhash_mix(b, i))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
 
 
 def minhash_signatures(
@@ -499,8 +484,10 @@ def embedding_cosine_near_dups(
     )
 
 
-def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """SimHash fingerprint over whitespace tokens.
+def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash fingerprint over whitespace tokens (32 bit votes —
+    the width of the portable cross-engine hash; named for the vote
+    width so callers do not assume 64 bits of entropy).
 
     For each of 32 bit positions, sums +1/-1 votes from each token's
     portable hash bit and sets the bit when the vote is positive.

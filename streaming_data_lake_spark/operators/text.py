@@ -92,7 +92,12 @@ def quality_features(
         F.when((n_tok >= 20) & (n_tok <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
         + F.when((avg_tok_len >= 3.0) & (avg_tok_len <= 10.0), F.lit(0.2)).otherwise(F.lit(0.0))
         + F.when(ttr >= 0.3, F.lit(0.2)).otherwise(F.lit(0.0))
-        + F.when(stop_ratio <= 0.4, F.lit(0.2)).otherwise(F.lit(0.0))
+        # n_tok > 0 guard: an empty doc has stop_ratio 0.0 by the
+        # division default, which would otherwise award the "low
+        # stopword ratio" bonus to zero-content text — the one score
+        # branch whose empty-doc default PASSES its threshold (the
+        # other three fail theirs, so they need no guard).
+        + F.when((n_tok > 0) & (stop_ratio <= 0.4), F.lit(0.2)).otherwise(F.lit(0.0))
     )
     return df.select(
         F.col(id_col),

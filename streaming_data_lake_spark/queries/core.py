@@ -880,13 +880,12 @@ GROUP BY 1
 """
 
 
-@register(
-    "funnel_conversion_daily",
-    _FUNNEL_ORACLE,
-    "J4/J5/A9: chained LEFT interval joins (view→click≤10m→purchase≤60m) + "
-    "stage distinct counts + zero-guarded conversion rates.",
-)
-def funnel_conversion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _funnel_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day funnel stage counts over the chained LEFT interval
+    joins (view -> click <=10m -> purchase <=60m) — the shared core
+    of funnel_conversion_daily and funnel_leakage_daily (both
+    oracles read the same chain; keeping one copy means a window or
+    bound change cannot desynchronize the two queries)."""
     e = _t(spark, sf_dir, "events")
     v = e.filter(F.col("event_type") == "view").alias("v")
     c = e.filter(F.col("event_type") == "click").alias("c")
@@ -905,11 +904,21 @@ def funnel_conversion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 60 MINUTES")),
         "left",
     )
-    agg = vcp.groupBy(F.date_trunc("day", F.col("v.ts")).alias("event_day")).agg(
+    return vcp.groupBy(F.date_trunc("day", F.col("v.ts")).alias("event_day")).agg(
         F.countDistinct(F.col("v.event_id")).alias("n_views"),
         F.countDistinct(F.col("c.event_id")).alias("n_clicks"),
         F.countDistinct(F.col("p.event_id")).alias("n_purchases"),
     )
+
+
+@register(
+    "funnel_conversion_daily",
+    _FUNNEL_ORACLE,
+    "J4/J5/A9: chained LEFT interval joins (view→click≤10m→purchase≤60m) + "
+    "stage distinct counts + zero-guarded conversion rates.",
+)
+def funnel_conversion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = _funnel_daily_counts(spark, sf_dir)
     return agg.select(
         "event_day",
         "n_views",
@@ -1169,11 +1178,18 @@ def currency_normalized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "flag string, rate decimal(5,4)",
     )
+    # LEFT join + default 1.0: the oracle's CASE has an ELSE branch,
+    # so a flag outside the rates dim must normalize at 1.0, not be
+    # silently dropped (an inner join diverged on unknown flags —
+    # latent until schema drift adds one).
     return (
-        li.join(F.broadcast(rates), li.l_returnflag == rates.flag)
-        .groupBy("flag")
+        li.join(F.broadcast(rates), li.l_returnflag == rates.flag, "left")
+        .groupBy(F.col("l_returnflag").alias("flag"))
         .agg(
-            F.sum(F.col("l_extendedprice").cast(_DEC_PRICE) * F.col("rate"))
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC_PRICE)
+                * F.coalesce(F.col("rate"), F.lit(1.0).cast("decimal(5,4)"))
+            )
             .cast("double")
             .alias("normalized_revenue"),
             F.count(F.lit(1)).alias("n_items"),
@@ -1367,29 +1383,7 @@ GROUP BY 1
     "funnel join (A9 leakage).",
 )
 def funnel_leakage_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    v = e.filter(F.col("event_type") == "view").alias("v")
-    c = e.filter(F.col("event_type") == "click").alias("c")
-    p = e.filter(F.col("event_type") == "purchase").alias("p")
-    vc = v.join(
-        c,
-        (F.col("c.user_id") == F.col("v.user_id"))
-        & (F.col("c.ts") >= F.col("v.ts"))
-        & (F.col("c.ts") <= F.col("v.ts") + F.expr("INTERVAL 10 MINUTES")),
-        "left",
-    )
-    vcp = vc.join(
-        p,
-        (F.col("p.user_id") == F.col("c.user_id"))
-        & (F.col("p.ts") >= F.col("c.ts"))
-        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 60 MINUTES")),
-        "left",
-    )
-    agg = vcp.groupBy(F.date_trunc("day", F.col("v.ts")).alias("event_day")).agg(
-        F.countDistinct(F.col("v.event_id")).alias("n_views"),
-        F.countDistinct(F.col("c.event_id")).alias("n_clicks"),
-        F.countDistinct(F.col("p.event_id")).alias("n_purchases"),
-    )
+    agg = _funnel_daily_counts(spark, sf_dir)
     return agg.select(
         "event_day",
         (F.col("n_views") - F.col("n_clicks")).alias("views_no_click"),
@@ -1498,15 +1492,10 @@ FROM p ASOF JOIN v
 """
 
 
-@register(
-    "asof_latest_view_before_purchase",
-    _ASOF_ORACLE,
-    "As-of join (operator Spark lacks natively): each purchase enriched with "
-    "the most recent prior view by the same user — union + running "
-    "last_value window (one shuffle, zero join fan-out), vs DuckDB's native "
-    "ASOF JOIN as the oracle.",
-)
-def asof_latest_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _asof_purchase_view(spark: SparkSession, sf_dir: str, tolerance_s=None) -> DataFrame:
+    """Shared purchase/view projection + as-of join used by both
+    as-of queries (they differ only in the staleness bound; one copy
+    keeps the projections from drifting apart)."""
     from streaming_data_lake_spark.operators.joins import asof_join
 
     e = _t(spark, sf_dir, "events")
@@ -1523,7 +1512,20 @@ def asof_latest_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFr
         left_ts="purchase_ts",
         right_ts="ts",
         right_cols={"ts": "view_ts", "event_id": "view_id"},
+        tolerance_s=tolerance_s,
     )
+
+
+@register(
+    "asof_latest_view_before_purchase",
+    _ASOF_ORACLE,
+    "As-of join (operator Spark lacks natively): each purchase enriched with "
+    "the most recent prior view by the same user — union + running "
+    "last_value window (one shuffle, zero join fan-out), vs DuckDB's native "
+    "ASOF JOIN as the oracle.",
+)
+def asof_latest_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _asof_purchase_view(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -1596,24 +1598,7 @@ SELECT * FROM j WHERE view_ts >= purchase_ts - INTERVAL '6 hours'
     "of the purchase (bounded-staleness point-in-time lookup).",
 )
 def asof_view_within_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streaming_data_lake_spark.operators.joins import asof_join
-
-    e = _t(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        "user_id",
-        F.col("ts").alias("purchase_ts"),
-    )
-    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
-    return asof_join(
-        purchases,
-        views,
-        key="user_id",
-        left_ts="purchase_ts",
-        right_ts="ts",
-        right_cols={"ts": "view_ts", "event_id": "view_id"},
-        tolerance_s=6 * 3600,
-    )
+    return _asof_purchase_view(spark, sf_dir, tolerance_s=6 * 3600)
 
 
 # ---------------------------------------------------------------------------

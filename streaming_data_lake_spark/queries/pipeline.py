@@ -18,7 +18,7 @@ from streaming_data_lake_spark.operators.dedup import (
     exact_text_dedup,
     ngram_jaccard_pairs,
     shingles,
-    simhash64,
+    simhash32,
 )
 from streaming_data_lake_spark.operators.multimodal import attach_fake_media, extract_media_features
 from streaming_data_lake_spark.queries import register
@@ -225,7 +225,7 @@ GROUP BY doc_id
     "SimHash: 32-bit-vote fingerprint from portable token hashes.",
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash64(_t(spark, sf_dir, "documents"))
+    return simhash32(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

@@ -463,3 +463,23 @@ def test_diff_schemas_messages_sorted_and_complete():
         "type drift on b: declared string observed int",
     ]
     assert diff_schemas(dec, dec) == []
+
+
+def test_quality_score_empty_doc_gets_zero(spark):
+    """A zero-token document must score 0.0: the stopword-ratio
+    division default (0.0) would otherwise pass its <=0.4 threshold
+    and award 0.2 to empty text — the one score branch whose
+    empty-doc default PASSES, and a Spark/DuckDB parity divergence
+    (the oracle guards every branch with len(toks) > 0)."""
+    from streaming_data_lake_spark.operators.text import quality_features
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "the cat sat on the mat with a hat and a bat "
+                                  "plus twelve more plain words to clear twenty total ok")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["quality_score"])
+           for r in quality_features(df).collect()}
+    assert got[1] == (0, 0.0)
+    assert got[2] == (0, 0.0)
+    assert got[3][0] >= 20 and got[3][1] > 0.0
