@@ -134,27 +134,37 @@ def ivf_assign(
             ).alias("cents")
         )
         vec = F.col(vec_col)
+        # The bound struct carries BOTH the argmax and the vector's
+        # own norm: every caller needs the norm again for the cosine
+        # scoring join, and re-deriving it is a full O(d) fold per
+        # corpus row — emit it once as ``vec_norm`` instead.
         best = corpus.crossJoin(F.broadcast(cents)).select(
             F.col(id_col),
             vec,
             F.element_at(
                 F.transform(
                     F.array(norm(vec)),
-                    lambda vn: F.array_max(
-                        F.transform(
-                            F.col("cents"),
-                            lambda ct: F.struct(
-                                (dot(vec, ct["cv"]) / (vn * ct["cn"])).alias("sim"),
-                                (-ct["cid"]).alias("neg_cid"),
-                            ),
-                        )
+                    lambda vn: F.struct(
+                        vn.alias("vn"),
+                        F.array_max(
+                            F.transform(
+                                F.col("cents"),
+                                lambda ct: F.struct(
+                                    (dot(vec, ct["cv"]) / (vn * ct["cn"])).alias("sim"),
+                                    (-ct["cid"]).alias("neg_cid"),
+                                ),
+                            )
+                        ).alias("best"),
                     ),
                 ),
                 1,
-            ).alias("best"),
+            ).alias("bd"),
         )
         return best.select(
-            F.col(id_col), vec, (-F.col("best.neg_cid")).alias("cluster_id")
+            F.col(id_col),
+            vec,
+            F.col("bd.vn").alias("vec_norm"),
+            (-F.col("bd.best.neg_cid")).alias("cluster_id"),
         )
     scored = (
         corpus.withColumn("__v_norm", norm(F.col(vec_col)))
@@ -162,6 +172,7 @@ def ivf_assign(
         .select(
             F.col(id_col),
             F.col(vec_col),
+            F.col("__v_norm"),
             F.col("centroid_id"),
             (
                 dot(F.col(vec_col), F.col("cent_vec"))
@@ -173,7 +184,12 @@ def ivf_assign(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nprobe)
-        .select(id_col, vec_col, F.col("centroid_id").alias("cluster_id"))
+        .select(
+            id_col,
+            vec_col,
+            F.col("__v_norm").alias("vec_norm"),
+            F.col("centroid_id").alias("cluster_id"),
+        )
     )
 
 
@@ -195,13 +211,13 @@ def ivf_knn(
     q = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col)).alias("q_norm"),
+        F.col("vec_norm").alias("q_norm"),
         "cluster_id",
     )
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_norm"),
+        F.col("vec_norm").alias("c_norm"),
         F.col("cluster_id").alias("c_cluster"),
     )
     scored = (
@@ -244,9 +260,23 @@ def quantize_embeddings_int8(
     v = F.col(vec_col)
     absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     scale = absmax / F.lit(127.0)
-    q = F.when(scale > 0, F.transform(
-        v, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")
-    )).otherwise(F.transform(v, lambda x: F.lit(0)))
+    # Bind scale ONCE per row via the single-element-array transform
+    # (the ivf_assign/shingles trick): referencing the computed
+    # `scale` inside the per-element lambda re-evaluates its O(d)
+    # array_max for every element — O(d²) per row, the exact
+    # re-evaluation trap documented at the nprobe=1 assignment above.
+    q = F.element_at(
+        F.transform(
+            F.array(scale),
+            lambda s: F.when(
+                s > 0,
+                F.transform(
+                    v, lambda x: F.floor(x.cast("double") / s + F.lit(0.5)).cast("int")
+                ),
+            ).otherwise(F.transform(v, lambda x: F.lit(0))),
+        ),
+        1,
+    )
     return df.select(
         F.col(id_col),
         scale.alias("scale"),
@@ -289,7 +319,7 @@ def ivf_knn_materialized(
     assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_norm"),
+        F.col("vec_norm").alias("c_norm"),
         "cluster_id",
     )
     idx = bucketed_frame(
@@ -307,7 +337,7 @@ def ivf_knn_materialized(
     q = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col)).alias("q_norm"),
+        F.col("vec_norm").alias("q_norm"),
         "cluster_id",
     )
     probed = sorted(

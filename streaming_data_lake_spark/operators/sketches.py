@@ -20,6 +20,8 @@ paths. All expressions derive from the portable md5 ``h32``
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -27,6 +29,23 @@ from streaming_data_lake_spark.functions.hashing import h32
 
 HLL_M = 64  # 2^6 buckets; h32 leaves 26 bits for the rank pattern
 HLL_ALPHA = 0.709  # standard alpha for m=64
+
+#: Linear-counting values m*ln(m/(m-V)) for V = 1..m-1 occupied
+#: buckets, precomputed ONCE in Python and compiled as literals into
+#: both engines' plans (indexed 1-based by V). ``repr(float)``
+#: round-trips exactly, so the Spark literal and the oracle SQL
+#: literal denote the identical double — no runtime ln() anywhere.
+HLL_LC_TABLE = tuple(HLL_M * math.log(HLL_M / (HLL_M - v)) for v in range(1, HLL_M))
+
+
+def hll_lc_case_sql(v_expr: str) -> str:
+    """The linear-counting lookup as ANSI-SQL (a CASE over the m-1
+    possible occupied-bucket counts) for DuckDB oracles — the same
+    literals as the Spark plan, so parity is exact by construction."""
+    branches = " ".join(
+        f"WHEN {v} THEN {val!r}" for v, val in enumerate(HLL_LC_TABLE, start=1)
+    )
+    return f"CASE {v_expr} {branches} END"
 
 
 def hll_bucket_and_rho(key: Column) -> tuple[Column, Column]:
@@ -55,19 +74,32 @@ def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
     """Per-group cardinality estimate from a register table, with the
     standard small-range linear-counting correction (Flajolet et al.
     2007): below 2.5·m the raw harmonic estimate is biased high, so
-    fall back to counting empty buckets."""
+    fall back to counting empty buckets.
+
+    No transcendental is evaluated AT RUNTIME in either engine: the
+    linear-counting term m·ln(m/(m-V)) has only m-1 possible inputs,
+    so the values are precomputed in Python (:data:`HLL_LC_TABLE`)
+    and compiled as literals into both the Spark plan and the DuckDB
+    oracle — JVM ``Math.log`` and libm ``ln`` may differ in the last
+    ulp, the same cross-engine class as the banned ``pow()``
+    (verify-skill float rules). Likewise 2^-rho is an exact power of
+    two computed as ``1.0 / (1 << rho)`` (correctly-rounded division
+    by spec) instead of trusting each engine's ``pow``."""
     est = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_buckets"),
         (
-            F.sum(F.pow(F.lit(2.0), -F.col("m_j")))
+            # F.shiftleft takes only a literal shift amount; the SQL
+            # form accepts a column for it.
+            F.sum(F.expr("1.0 / cast(shiftleft(cast(1 as bigint), m_j) as double)"))
             + (F.lit(HLL_M) - F.count(F.lit(1)))
         ).alias("denom"),
     )
     raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M / F.col("denom")
     corrected = F.when(
         (raw <= 2.5 * HLL_M) & (F.col("n_buckets") < HLL_M),
-        F.lit(float(HLL_M))
-        * F.log(F.lit(float(HLL_M)) / (F.lit(HLL_M) - F.col("n_buckets"))),
+        F.element_at(
+            F.array(*[F.lit(x) for x in HLL_LC_TABLE]), F.col("n_buckets").cast("int")
+        ),
     ).otherwise(raw)
     return est.select(
         *group_cols, "n_buckets", F.round(corrected, 4).alias("hll_estimate")

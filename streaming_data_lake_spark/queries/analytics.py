@@ -379,13 +379,18 @@ scored AS (
          ) AS rn
   FROM n v JOIN cent c ON true
 ),
-assigned AS (SELECT vec_id, v, nrm, cluster_id FROM scored WHERE rn = 1)
+assigned AS (
+  SELECT vec_id, v, nrm, cluster_id,
+         CAST(floor((row_number() OVER (
+             PARTITION BY cluster_id ORDER BY vec_id) - 1) / 4096) AS INTEGER)
+           AS shard
+  FROM scored WHERE rn = 1)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        CAST(a.cluster_id AS BIGINT) AS cluster_id,
        {_DUCK_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) AS cosine_sim
 FROM assigned a
 JOIN assigned b
-  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  ON a.cluster_id = b.cluster_id AND a.shard = b.shard AND a.vec_id < b.vec_id
 WHERE {_DUCK_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) >= {_SEM_THRESHOLD}
 """
 
@@ -411,17 +416,20 @@ def semantic_dedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") < _SEM_K)
     # Occupancy guard: a skewed centroid makes the within-cluster
     # join quadratic in its occupancy; sub-sharding caps any cluster
-    # at 4096 members per pair group. The sf0.1 corpus (2000 vecs)
-    # can never exceed the cap, so shard == 0 everywhere and the
-    # result (and the unguarded oracle) are unchanged; at 100 TB the
-    # cap — together with k ~ corpus/target_occupancy — bounds the
-    # join. Property-tested in tests/test_analytics_plans.py.
+    # at 4096 members per pair group. The ORACLE replicates the exact
+    # shard rule (row_number over (cluster ORDER BY vec_id), floor-div
+    # 4096), so Spark/oracle parity holds even when a cluster exceeds
+    # the cap — previously the oracle joined on cluster alone and
+    # certification would have diverged on any over-full cluster. At
+    # sf0.1 (2000 vecs) shard == 0 everywhere; at 100 TB the cap —
+    # with k ~ corpus/target_occupancy — bounds the join.
+    # Property-tested in tests/test_analytics_plans.py.
     # The assignment feeds BOTH sides of the pair join; materialize it
     # once (it is corpus-size, tiny next to the argmax work it saves —
     # the centroid-cosine narrow map would otherwise execute twice).
     assigned = occupancy_shards(
         ivf_assign(e, cents).select(
-            "vec_id", "embedding", "cluster_id", norm(F.col("embedding")).alias("nrm")
+            "vec_id", "embedding", "cluster_id", F.col("vec_norm").alias("nrm")
         ),
         max_occupancy=4096,
     ).localCheckpoint()
@@ -459,6 +467,7 @@ def semantic_dedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 from streaming_data_lake_spark.operators.sketches import (  # noqa: E402
     HLL_ALPHA as _HLL_ALPHA,
     HLL_M as _HLL_M,
+    hll_lc_case_sql as _hll_lc_case_sql,
 )
 
 _HLL_ORACLE = f"""
@@ -479,7 +488,8 @@ reg AS (
 est AS (
   SELECT event_day,
          CAST(count(*) AS BIGINT) AS n_buckets,
-         sum(power(2.0, -m_j)) + ({_HLL_M} - count(*)) AS denom
+         sum(1.0 / CAST(CAST(1 AS BIGINT) << m_j AS DOUBLE))
+           + ({_HLL_M} - count(*)) AS denom
   FROM reg
   GROUP BY 1
 ),
@@ -493,7 +503,7 @@ SELECT e.event_day, exact.exact_users, e.n_buckets,
        round(
          CASE WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.denom <= 2.5 * {_HLL_M}
                    AND e.n_buckets < {_HLL_M}
-              THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / ({_HLL_M} - e.n_buckets))
+              THEN {_hll_lc_case_sql('e.n_buckets')}
               ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.denom
          END, 4) AS hll_estimate
 FROM est e JOIN exact ON e.event_day = exact.event_day
@@ -675,8 +685,14 @@ _KM_MEMO: dict[tuple[str, str], DataFrame] = {}
 def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_lake_spark.operators.similarity import kmeans_train
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     if key not in _KM_MEMO:
+        # Evict other sessions' entries: their DataFrame plans are
+        # bound to stopped SparkContexts and can never be reused, so
+        # keeping them just grows the dict for the process lifetime.
+        for stale in [k for k in _KM_MEMO if k[0] != app_id]:
+            del _KM_MEMO[stale]
         e = _t(spark, sf_dir, "embeddings")
         _KM_MEMO[key] = kmeans_train(e, k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM)
     return _KM_MEMO[key]

@@ -39,6 +39,27 @@ _NON_VIEW = {
     "streaming_funnel_daily",
     "streaming_fanout_ingest",
     "streaming_upsert_hourly",
+    "streaming_sessionize",
+    "streaming_hll_daily_users",
+    "streaming_cms_token_counts",
+    "two_level_overlay_maintenance",
+    # performs driver jobs during plan construction (localCheckpoint
+    # shared-pass materialization, Bloom bitmap collect, eager
+    # k-means training, durable index/fixture builds) — registering
+    # them as "views" would execute ~10 Spark jobs and disk writes
+    # before anything is queried (ADVICE-class finding, r9 review)
+    "bigram_lm_quality",
+    "cms_heavy_hitter_tokens",
+    "crossdoc_boilerplate_ngrams",
+    "domain_mixture_resample",
+    "minhash_lsh_near_dups",
+    "semantic_dedup_centroid",
+    "schema_drift_check",
+    "schema_evolution_read",
+    "bloom_semi_join_prune",
+    "kmeans_train_centroids",
+    "knn_ivf_trained_cosine",
+    "knn_ivf_materialized_cosine",
 }
 
 

@@ -483,3 +483,37 @@ def test_quality_score_empty_doc_gets_zero(spark):
     assert got[1] == (0, 0.0)
     assert got[2] == (0, 0.0)
     assert got[3][0] >= 20 and got[3][1] > 0.0
+
+
+def test_non_view_covers_every_eager_query_fn():
+    """register_views must stay lazy: a query whose fn performs
+    driver-side actions or writes DURING PLAN CONSTRUCTION
+    (collect/count/localCheckpoint/parquet writes, eager helpers like
+    k-means training or Bloom bitmap builds, streaming starts,
+    lifecycle drivers) must sit in views._NON_VIEW, or merely
+    registering temp views executes jobs. Static source scan so the
+    guard itself runs no Spark."""
+    import inspect
+    import re
+
+    from streaming_data_lake_spark import views
+    from streaming_data_lake_spark.queries import all_queries
+
+    eager_pat = re.compile(
+        r"\.(collect|isEmpty|localCheckpoint|first|toPandas)\(\)"
+        r"|\.count\(\)|\.head\(|\.write\.|\.start\(\)|awaitTermination"
+        r"|artifacts\.ensure\(|seed_dimensions\(|_trained_centroids\("
+        r"|ivf_knn_materialized\(|bloom_bitmap\(|Materializer\("
+        r"|commit_snapshot\(|pipelines\.|compact\("
+    )
+    offenders = []
+    for name, q in all_queries().items():
+        src = inspect.getsource(q.fn)
+        body = "\n".join(
+            ln for ln in src.splitlines() if not ln.strip().startswith("#")
+        )
+        if eager_pat.search(body) and name not in views._NON_VIEW:
+            offenders.append(name)
+    assert not offenders, (
+        f"eager-at-construction queries missing from views._NON_VIEW: {offenders}"
+    )
