@@ -63,10 +63,20 @@ def hll_registers(df: DataFrame, group_cols: list[str], key: Column) -> DataFram
     """Register table: one row per (group, bucket) holding MAX(rho).
     Map-side combinable, duplicate-insensitive, and merge-associative
     — the properties that make it both a cheap batch aggregate and a
-    valid streaming upsert state."""
+    valid streaming upsert state.
+
+    NULL keys are dropped BEFORE hashing: COUNT(DISTINCT key)
+    semantics ignore NULLs, and md5(NULL) = NULL would otherwise emit
+    a NULL-bucket register row that inflates n_buckets (skewing the
+    estimate) — and, on the streaming path, kills the MERGE sink
+    whose keys include the bucket (null-key contract,
+    sources/upsert.py). Oracles carry the same IS NOT NULL guard."""
     bucket, rho = hll_bucket_and_rho(key)
-    return df.select(*group_cols, bucket, rho).groupBy(*group_cols, "bucket").agg(
-        F.max("rho").alias("m_j")
+    return (
+        df.filter(key.isNotNull())
+        .select(*group_cols, bucket, rho)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("m_j"))
     )
 
 

@@ -127,7 +127,11 @@ def artifact_path(kind: str, inputs: list[str], params: dict) -> str:
         "kind": kind,
         "v": 1,
         "params": params,
-        "inputs": {os.path.abspath(p): _input_fingerprint(p) for p in inputs},
+        # realpath, not abspath: symlinked/relative aliases of one
+        # input must share a cache key (streams.py's realpath rule),
+        # or each spelling rebuilds and stores its own copy of an
+        # expensive artifact.
+        "inputs": {os.path.realpath(p): _input_fingerprint(p) for p in inputs},
     }
     digest = hashlib.md5(
         json.dumps(payload, sort_keys=True).encode()

@@ -29,7 +29,8 @@ import re
 import threading
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F, SparkSession
 
 from streaming_data_lake_spark.catalog import load_table
 from streaming_data_lake_spark.plans import artifacts
@@ -66,7 +67,14 @@ def _build_bucketed(
     scratch = f"{tbl}_build_{os.getpid()}_{uuid.uuid4().hex[:8]}"
     spark.sql(f"DROP TABLE IF EXISTS {scratch}")
     (
-        df.write.bucketBy(buckets, key)
+        # Repartition on the bucket key first: without it each of N
+        # upstream tasks writes its own file into every bucket, and
+        # Spark only trusts (and elides the SMJ sort for) a bucket's
+        # SORTED BY order when the bucket is a single file. With the
+        # shuffle, task i holds exactly bucket i -> one sorted file
+        # per bucket, so readers skip their per-partition sort.
+        df.repartition(buckets, F.col(key))
+        .write.bucketBy(buckets, key)
         .sortBy(key)
         .mode("overwrite")
         .format("parquet")
@@ -180,9 +188,9 @@ def bucketed_frame(
             spark, df, tbl, key, buckets, inputs, {"tbl": tbl, **(params or {})}
         )
     if tbl not in _REGISTERED or not spark.catalog.tableExists(tbl):
-        import tempfile
+        from streaming_data_lake_spark.scratch import scratch_dir
 
-        tmp = tempfile.mkdtemp(prefix=f"bkt_{tbl}_")
+        tmp = scratch_dir(f"bkt_{tbl}_")
         _build_bucketed(spark, df, tbl, key, buckets, tmp)
         return _register_and_read(spark, tbl, tmp, key, buckets)
     # Already registered in this process: re-resolve under the lock so

@@ -476,6 +476,7 @@ WITH h AS (
          user_id,
          {duck_h32("CAST(user_id AS VARCHAR)")} AS hv
   FROM events
+  WHERE user_id IS NOT NULL
 ),
 reg AS (
   SELECT event_day,

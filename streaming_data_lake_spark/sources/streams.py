@@ -78,14 +78,17 @@ _STREAM_DIRS: dict[tuple[str, str], str] = {}
 
 def _stream_dir(sf_dir: str, name: str) -> str:
     """The file stream source requires a *directory* to monitor;
-    stage one containing a symlink to the (read-only) parquet file."""
-    import os
-    import tempfile
+    stage one containing a symlink to the (read-only) parquet file.
+    Keyed by realpath (aliased spellings of one sf_dir share a
+    staging dir — same rule as the schema cache above) and staged
+    via scratch_dir so the dirs are atexit-cleaned instead of
+    accumulating in /tmp across runs."""
+    from streaming_data_lake_spark.scratch import scratch_dir
 
-    key = (sf_dir, name)
+    key = (os.path.realpath(sf_dir), name)
     d = _STREAM_DIRS.get(key)
     if d is None or not os.path.isdir(d):
-        d = tempfile.mkdtemp(prefix=f"stream_{name}_")
+        d = scratch_dir(f"stream_{name}_")
         os.symlink(table_path(sf_dir, name), os.path.join(d, f"{name}.parquet"))
         _STREAM_DIRS[key] = d
     return d

@@ -92,9 +92,30 @@ def _start_to_memory(stream_df: DataFrame, mode: str):
 
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     """Run a bounded streaming query to completion into a memory sink
-    and return the sink contents as a DataFrame."""
+    and return the sink contents as a DataFrame.
+
+    UPDATE-mode invariant, enforced: the memory sink only APPENDS,
+    so an update-mode key re-emitted across micro-batches leaves
+    stale+new rows side by side and the "sink equals the batch
+    aggregate" claim silently breaks. That cannot happen while the
+    bounded source replays as ONE micro-batch (single-file source,
+    no maxFilesPerTrigger) — but rather than rely on an unchecked
+    assumption, verify it and fail loudly; the multi-batch shape
+    belongs on the keyed MERGE sink (streaming_upsert_hourly;
+    tests/test_streaming.py drives it with maxFilesPerTrigger=1)."""
     q, result = _start_to_memory(stream_df, mode)
     q.awaitTermination()
+    if mode == "update":
+        data_batches = sum(
+            1 for p in q.recentProgress if (p["numInputRows"] or 0) > 0
+        )
+        if data_batches > 1:
+            raise RuntimeError(
+                f"update-mode memory sink processed {data_batches} data "
+                f"micro-batches; re-emitted keys would duplicate in the "
+                f"append-only sink — use the keyed MERGE sink for "
+                f"multi-batch update-mode streams"
+            )
     return result()
 
 
@@ -297,35 +318,54 @@ def streaming_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def streaming_fanout_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5: the reference's statement-set source fusion — ONE source
-    read fanned out to multiple sinks inside a single foreachBatch
-    (clean and rejected partitions land atomically per micro-batch).
-    Returns per-sink row counts."""
+def fanout_batch_writer(clean_dir: str, rej_dir: str):
+    """The fan-out ``foreachBatch`` hook, idempotent per batchId (the
+    foreachBatch exactly-once contract: the hook CAN be re-invoked
+    for a batch after a crash-restart, so it must converge): each
+    sink writes the batch into a ``bid={batch_id}`` partition dir
+    with OVERWRITE semantics — a replayed batch replaces its own
+    previous (possibly partial) output instead of blind-appending a
+    duplicate. Plain ``mode("append")`` would double the clean rows
+    on a restart that replays a committed batch (review r9 finding;
+    replay convergence is tested directly in tests/test_streaming)."""
     from streaming_data_lake_spark.operators.ingest import rejected_events
-
-    base = _scratch_dir("fanout_")
-    clean_dir, rej_dir = f"{base}/events_clean", f"{base}/events_rejected"
-    ckpt = _scratch_dir("ckpt_")
 
     def fan_out(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
-            clean_events(batch_df).write.mode("append").parquet(clean_dir)
-            rejected_events(batch_df).write.mode("append").parquet(rej_dir)
+            for out_dir, frame in (
+                (clean_dir, clean_events(batch_df)),
+                (rej_dir, rejected_events(batch_df)),
+            ):
+                frame.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, f"bid={batch_id}")
+                )
         finally:
             batch_df.unpersist()
 
+    return fan_out
+
+
+def streaming_fanout_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: the reference's statement-set source fusion — ONE source
+    read fanned out to multiple sinks inside a single foreachBatch
+    (:func:`fanout_batch_writer` — idempotent per batchId). Returns
+    per-sink row counts."""
+    base = _scratch_dir("fanout_")
+    clean_dir, rej_dir = f"{base}/events_clean", f"{base}/events_rejected"
+    ckpt = _scratch_dir("ckpt_")
     q = (
         stream_table(spark, sf_dir, "events")
-        .writeStream.foreachBatch(fan_out)
+        .writeStream.foreachBatch(fanout_batch_writer(clean_dir, rej_dir))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    clean_n = spark.read.parquet(clean_dir).count()
-    rej_n = spark.read.parquet(rej_dir).count()
+    # bid= is commit bookkeeping, not data: partition discovery
+    # surfaces it; drop it from the counted frames.
+    clean_n = spark.read.parquet(clean_dir).drop("bid").count()
+    rej_n = spark.read.parquet(rej_dir).drop("bid").count()
     return spark.createDataFrame(
         [("clean", clean_n), ("rejected", rej_n)], "sink string, n_rows long"
     )
@@ -415,7 +455,6 @@ def streaming_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     converged = _fmt.read_table(spark, table_dir)
     est = hll_estimate(converged, ["event_day"])
-    from streaming_data_lake_spark.catalog import load_table
 
     exact = (
         load_table(spark, sf_dir, "events")
@@ -435,7 +474,6 @@ def streaming_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the converged grid equals the batch sketch exactly — the
     heavy-hitter lookup over it hash-matches the batch oracle. At
     100 TB the streaming state is 1024 cells, period."""
-    from streaming_data_lake_spark.catalog import load_table
     from streaming_data_lake_spark.operators.dedup import tokens as tok_fn
     from streaming_data_lake_spark.operators.sketches import (
         cms_cells,
