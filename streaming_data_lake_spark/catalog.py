@@ -186,12 +186,14 @@ def check_evolution(old_schema, new_schema) -> list[str]:
     old_fields = {f.name: f for f in old_schema.fields}
     new_fields = {f.name: f for f in new_schema.fields}
     violations: list[str] = []
-    for name in old_fields.keys() - new_fields.keys():
+    # sorted: set-difference iteration order is not deterministic
+    # across processes (same rule as diff_schemas above)
+    for name in sorted(old_fields.keys() - new_fields.keys()):
         violations.append(f"dropped column {name}")
-    for name in new_fields.keys() - old_fields.keys():
+    for name in sorted(new_fields.keys() - old_fields.keys()):
         if not new_fields[name].nullable:
             violations.append(f"added non-nullable column {name}")
-    for name in old_fields.keys() & new_fields.keys():
+    for name in sorted(old_fields.keys() & new_fields.keys()):
         old_t = old_fields[name].dataType.simpleString()
         new_t = new_fields[name].dataType.simpleString()
         if old_t != new_t and (old_t, new_t) not in _WIDENINGS:

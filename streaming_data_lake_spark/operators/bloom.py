@@ -65,8 +65,13 @@ def _pos_sql(key_col: str, i: int, m_bits: int) -> str:
     """SQL text of the i-th bit position of ``key_col`` — the exact
     arithmetic :func:`_positions` builds via the Column API."""
     a, b = mix_consts(i)
+    # Backtick-quote the identifier: the Column-API build side handles
+    # any column name, so the SQL probe side must too or the
+    # build/probe lockstep silently holds only for identifier-safe
+    # names.
+    ident = f"`{key_col.replace('`', '``')}`"
     base = (
-        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 8), "
+        f"cast(conv(substring(md5(cast({ident} as string)), 1, 8), "
         f"16, 10) as bigint)"
     )
     return f"((({a} * {base} + {b}) % {MIX_P}) % {m_bits})"
@@ -83,7 +88,10 @@ def bloom_bitmap(
     with a map-side-combinable ``bit_or`` aggregate — the shuffle is
     at most ``m_bits/64`` rows regardless of dim size."""
     pos = F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias("pos")
-    words = dim.select(pos).select(
+    # NULL keys can never match the exact equi-join the Bloom pass
+    # pre-filters for, and md5(NULL)=NULL would crash map_from_entries
+    # with NULL_MAP_KEY — drop them before hashing.
+    words = dim.filter(F.col(key_col).isNotNull()).select(pos).select(
         F.expr("cast(pos div 64 as int)").alias("word_idx"),
         F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("mask"),
     )

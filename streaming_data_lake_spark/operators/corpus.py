@@ -152,9 +152,9 @@ def decontaminate(
     map-side-combinable count. The 100 TB corpus is never shuffled on
     content — only the matched rows reach the aggregate.
     """
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
+    # The input frame's own session — getActiveSession() is
+    # thread-local and can be None off the driver thread.
+    spark = docs.sparkSession
     bench = F.broadcast(
         spark.createDataFrame([(g,) for g in sorted(set(benchmark_ngrams))], "sng string")
     )

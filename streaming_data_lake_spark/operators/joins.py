@@ -28,13 +28,17 @@ def scd2_current(dim: DataFrame) -> DataFrame:
 
 def enrich(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str, cols: dict[str, str]) -> DataFrame:
     """LEFT broadcast-join a (small, current-filtered) dimension onto
-    a fact, projecting renamed dim attributes."""
+    a fact, projecting renamed dim attributes. The certified J6 path
+    (queries/core.scd2_current_enrichment) routes through here."""
     d = F.broadcast(
         scd2_current(dim).select(
             F.col(dim_key), *[F.col(src).alias(dst) for src, dst in cols.items()]
         )
     )
-    return fact.join(d, fact.__getattr__(fact_key) == d.__getattr__(dim_key), "left").drop(dim_key)
+    # Drop the DIM-side key by reference: drop(name) removes EVERY
+    # column of that name from the joined frame, so when fact_key ==
+    # dim_key it silently destroyed the fact's key column too.
+    return fact.join(d, fact[fact_key] == d[dim_key], "left").drop(d[dim_key])
 
 
 def interval_join(
@@ -97,6 +101,14 @@ def asof_join(
     """
     payload_src = list(right_cols.keys())
     payload_dst = list(right_cols.values())
+    # NULL guards on the RIGHT side: a NULL right_ts would sort
+    # nulls-first in the window and be carried forward as a spurious
+    # "match" for every left row until a real one appears (ASOF's
+    # right_ts <= left_ts is NULL for NULL ts → no match, as the
+    # DuckDB oracle behaves), and a NULL key must never pair with
+    # NULL-key left rows (equi-join semantics). Left rows with NULL
+    # key simply find no match — their partition has no right rows.
+    right = right.filter(F.col(right_ts).isNotNull() & F.col(key).isNotNull())
     # deterministic winner under (key, ts) duplicates: max over the
     # payload struct orders by the first payload column first
     r = (

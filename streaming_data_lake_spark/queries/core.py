@@ -982,9 +982,13 @@ def scd2_current_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = old.unionByName(cur)
     c = _t(spark, sf_dir, "customer")
-    d = F.broadcast(dim.filter(F.col("is_current")))
+    # Through the shared J6 helper (is_current filter + broadcast +
+    # LEFT join) — the same pattern previously re-implemented inline,
+    # which left the library operator dead and untested.
+    from streaming_data_lake_spark.operators.joins import enrich
+
     return (
-        c.join(d, c.c_nationkey == d.n_nationkey, "left")
+        enrich(c, dim, "c_nationkey", "n_nationkey", {"nation_label": "nation_label"})
         .groupBy("nation_label")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )

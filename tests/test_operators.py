@@ -517,3 +517,59 @@ def test_non_view_covers_every_eager_query_fn():
     assert not offenders, (
         f"eager-at-construction queries missing from views._NON_VIEW: {offenders}"
     )
+
+
+def test_asof_join_ignores_null_right_ts_and_keys(spark):
+    """A right row with NULL ts must never match (ASOF's right_ts <=
+    left_ts is NULL for NULL ts — it previously sorted nulls-first
+    and was carried forward as a spurious match for every left row),
+    and NULL keys must never pair (equi-join semantics)."""
+    from streaming_data_lake_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(7, 1, "2024-01-10 00:00:00"), (8, None, "2024-01-10 00:00:00")],
+        "purchase_id long, user_id long, purchase_ts string",
+    ).selectExpr("purchase_id", "user_id", "cast(purchase_ts as timestamp) purchase_ts")
+    right = spark.createDataFrame(
+        [(1, None, 99), (None, "2024-01-09 00:00:00", 98),
+         (1, "2024-01-08 00:00:00", 97)],
+        "user_id long, ts string, event_id long",
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "event_id")
+    got = {
+        (r["purchase_id"], r["view_id"])
+        for r in asof_join(
+            left, right, key="user_id", left_ts="purchase_ts", right_ts="ts",
+            right_cols={"ts": "view_ts", "event_id": "view_id"},
+        ).collect()
+    }
+    # only the real (user 1, ts 01-08) row matches purchase 7;
+    # NULL-ts and NULL-key right rows match nothing, NULL-key left drops
+    assert got == {(7, 97)}
+
+
+def test_enrich_keeps_fact_key_on_same_name(spark):
+    """enrich() must drop only the DIM side's key column: drop(name)
+    removed every column of that name, silently destroying the
+    fact's join key when both sides used the same name."""
+    from streaming_data_lake_spark.operators.joins import enrich
+
+    fact = spark.createDataFrame([(1, 10.0), (2, 20.0)], "custkey long, amt double")
+    dim = spark.createDataFrame(
+        [(1, "gold", True), (1, "old", False)],
+        "custkey long, tier string, is_current boolean",
+    )
+    out = enrich(fact, dim, "custkey", "custkey", {"tier": "tier_label"})
+    assert set(out.columns) == {"custkey", "amt", "tier_label"}
+    rows = {r["custkey"]: r["tier_label"] for r in out.collect()}
+    assert rows == {1: "gold", 2: None}
+
+
+def test_bloom_bitmap_ignores_null_dim_keys(spark):
+    """A NULL dim key previously crashed map_from_entries with
+    NULL_MAP_KEY; a plain semi-join just ignores NULLs, so the
+    'semantically transparent' Bloom pass must too."""
+    from streaming_data_lake_spark.operators.bloom import bloom_bitmap
+
+    dim = spark.createDataFrame([(1,), (None,)], "k long")
+    row = bloom_bitmap(dim, "k").collect()
+    assert len(row) == 1 and row[0]["bmap"]
