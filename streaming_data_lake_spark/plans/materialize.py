@@ -100,10 +100,18 @@ class ExistsRepair:
     """M5 spec: mat rows whose ``flag_cols`` were false at
     materialization time but have since flipped true in the view
     (a downstream event arrived late) are deleted and re-inserted —
-    the reference's funnel-repair pass (materialize.sh:243-321)."""
+    the reference's funnel-repair pass (materialize.sh:243-321).
+
+    ``value_cols`` extends the detection to VALUE drift: a late
+    downstream event can change a derived count without flipping any
+    flag (e.g. a second click on an already has_click=true view), so
+    rows whose compared values differ (null-safe) are repaired too —
+    without this, count columns certified next to the flags silently
+    go stale (r9 review finding)."""
 
     key_col: str
     flag_cols: tuple[str, ...]
+    value_cols: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -552,6 +560,12 @@ class Materializer:
                 mat = self.read_mat(target.name)
                 flips = [
                     (~F.col(f"m.{c}")) & F.col(f"v.{c}") for c in er.flag_cols
+                ]
+                # value drift: null-safe inequality (a late event can
+                # change a count without flipping any flag)
+                flips += [
+                    ~F.col(f"m.{c}").eqNullSafe(F.col(f"v.{c}"))
+                    for c in er.value_cols
                 ]
                 flip_any = flips[0]
                 for f in flips[1:]:

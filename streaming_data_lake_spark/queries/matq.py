@@ -123,7 +123,7 @@ def snapshot_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COMPACTION_ORACLE = """
-SELECT 64 AS n_files_before, 1 AS n_files_after, count(*) AS n_rows FROM events
+SELECT 64 AS n_files_before, 0 AS files_off_target, count(*) AS n_rows FROM events
 """
 
 
@@ -131,35 +131,44 @@ SELECT 64 AS n_files_before, 1 AS n_files_after, count(*) AS n_rows FROM events
     "maintenance_compaction",
     _COMPACTION_ORACLE,
     "X1-X3: small-file compaction (64 fragments -> 128MB-target files) with "
-    "atomic swap + orphan sweep; row count is preserved.",
+    "atomic swap + orphan sweep; row count is preserved. files_off_target "
+    "compares the resulting count against ceil(bytes/target), so the "
+    "certification holds at any scale factor (a fixed '1 file' oracle broke "
+    "the moment the table outgrew one target file).",
 )
 def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from streaming_data_lake_spark.formats import resolve_format
+    from streaming_data_lake_spark.plans.maintenance import (
+        TARGET_FILE_BYTES,
+        _parquet_files,
+        dir_bytes,
+    )
 
-    fmt = resolve_format(spark)
-
-    def parquet_files(d: str) -> int:
-        return sum(
-            1
-            for f in os.listdir(d)
-            if f.endswith(".parquet") or f.startswith("part-")
-        )
+    # The parquet emulation explicitly: this scenario stages a plain
+    # parquet directory and asserts swap-style compaction physics
+    # (file counts, orphan sweep of __tmp_ siblings) — running it
+    # through a Delta backend would DeltaTable.forPath a non-Delta
+    # dir and measure a log-based format against swap assumptions.
+    fmt = resolve_format(spark, prefer="parquet")
 
     lake = _scratch_dir("lake_")
     tdir = os.path.join(lake, "events_small_files")
     events = load_table(spark, sf_dir, "events")
     events.repartition(64).write.mode("overwrite").parquet(tdir)
-    before = parquet_files(tdir)
+    before = _parquet_files(tdir)
+    expected = max(1, math.ceil(dir_bytes(tdir) / TARGET_FILE_BYTES))
     fmt.compact(spark, tdir)
-    after = parquet_files(tdir)
+    after = _parquet_files(tdir)
     # Single-process cycle: the compact above has completed, no other
     # writer touches this scratch lake — age-guard 0 is safe here and
     # gives run-after-the-fact sweep semantics.
     fmt.remove_orphans(spark, lake, min_age_s=0.0)
     n_rows = spark.read.parquet(tdir).count()
     return spark.createDataFrame(
-        [(before, after, n_rows)],
-        "n_files_before int, n_files_after int, n_rows long",
+        [(before, after - expected, n_rows)],
+        "n_files_before int, files_off_target int, n_rows long",
     )
 
 
@@ -324,7 +333,13 @@ def materialize_funnel_exists_repair(spark: SparkSession, sf_dir: str) -> DataFr
         name="mat_view_funnel_flags",
         view=view,
         ts_col="ts",
-        exists_repair=ExistsRepair(key_col="event_id", flag_cols=("has_click",)),
+        # value_cols=n_clicks: a late SECOND click on a view whose
+        # has_click already flipped true changes the certified count
+        # without flipping the flag — flag-only detection left it
+        # stale (latent vs the oracle; r9 review finding).
+        exists_repair=ExistsRepair(
+            key_col="event_id", flag_cols=("has_click",), value_cols=("n_clicks",)
+        ),
         # Bucket the layout on the M5 repair key: flipped-flag repair
         # rewrites only the touched kb= leaves, not the table.
         bucket_col="event_id",
@@ -344,7 +359,7 @@ _REPAIR_DAY = "2024-01-15"
 
 _TWO_LEVEL_ORACLE = f"""
 SELECT CAST(count(DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) || '|' || event_type) AS INT) AS n_leaves,
-       CAST(count(DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) || '|' || event_type) AS INT) AS n_files_after,
+       0 AS files_off_target,
        count(*) AS n_rows,
        CAST(sum(CASE WHEN CAST(ts AS DATE) = DATE '{_REPAIR_DAY}'
                      THEN CAST(value AS DECIMAL(12,2)) * 2
@@ -375,7 +390,9 @@ def two_level_overlay_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     from streaming_data_lake_spark.plans.maintenance import _parquet_files
     from streaming_data_lake_spark.plans.materialize import DAY_COL
 
-    fmt = resolve_format(spark)
+    # parquet emulation explicitly: this scenario stages plain
+    # parquet and asserts swap-style overlay/compaction physics.
+    fmt = resolve_format(spark, prefer="parquet")
     lake = _scratch_dir("lake_")
     t = os.path.join(lake, "events_day_type")
     ev = (
@@ -404,14 +421,29 @@ def two_level_overlay_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     fmt.compact(spark, t)
     fmt.remove_orphans(spark, lake, min_age_s=0.0)
 
+    # Scale-robust file expectation: one file per leaf UNDER the
+    # 128 MB target, ceil(bytes/target) for oversized leaves (the
+    # salt-split path) — a fixed one-file-per-leaf oracle would
+    # break at scale factors where a leaf legitimately splits.
+    import math
+
+    from streaming_data_lake_spark.plans.maintenance import (
+        TARGET_FILE_BYTES,
+        _leaf_sizes,
+    )
+
+    expected_files = sum(
+        max(1, math.ceil(b / TARGET_FILE_BYTES))
+        for _vals, b in _leaf_sizes(t, [DAY_COL, "event_type"])
+    )
     final = spark.read.parquet(t)
     n_leaves = final.select(DAY_COL, "event_type").distinct().count()
-    n_files_after = _parquet_files(t)
+    files_off_target = _parquet_files(t) - expected_files
     row = final.agg(
         F.count(F.lit(1)).alias("n_rows"),
         dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
     ).head()
     return spark.createDataFrame(
-        [(n_leaves, n_files_after, row["n_rows"], row["total_value"])],
-        "n_leaves int, n_files_after int, n_rows long, total_value double",
+        [(n_leaves, files_off_target, row["n_rows"], row["total_value"])],
+        "n_leaves int, files_off_target int, n_rows long, total_value double",
     )

@@ -129,7 +129,17 @@ def _fold_batch(pdf: pd.DataFrame, carried, gap_us: int):
     closed: list[tuple[int, int, int, int]] = []
     for seg in segments:
         if seg[0] - cur[1] <= gap_us:
-            cur = (cur[0], max(cur[1], seg[1]), cur[2] + seg[2], cur[3] + seg[3])
+            # min-merge the start too: a LATE segment (inside the
+            # watermark) can begin before the carried session's start,
+            # and keeping only the carried start would emit a wrong
+            # session_start vs the batch gaps-and-islands oracle and
+            # session_window (both take min(ts) — r9 review finding).
+            cur = (
+                min(cur[0], seg[0]),
+                max(cur[1], seg[1]),
+                cur[2] + seg[2],
+                cur[3] + seg[3],
+            )
         else:
             closed.append(cur)
             cur = seg

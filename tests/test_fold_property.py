@@ -15,8 +15,13 @@ GAP_US = 3_000_000  # 3 s in microseconds — tight gap to force many sessions
 
 
 def naive_fold(events, carried, gap_us):
-    """Reference: per-event loop, the pre-vectorization semantics
-    (end tracks max; merge while t - end <= gap)."""
+    """Reference: per-event loop with the ORACLE's session bounds —
+    start = min(ts) and end = max(ts) over every merged member,
+    exactly the batch gaps-and-islands SQL and session_window. (The
+    pre-r9 reference kept the carried start fixed, which matched the
+    implementation's bug instead of the oracle: a late event inside
+    the watermark that precedes the carried session's start must pull
+    session_start back — r9 review finding.)"""
     ev = sorted(events)
     closed = []
     if carried is not None:
@@ -30,6 +35,7 @@ def naive_fold(events, carried, gap_us):
             closed.append((start, end, n, cents))
             start, end, n, cents = t, t, 1, c
         else:
+            start = min(start, t)
             end = max(end, t)
             n += 1
             cents += c

@@ -1496,3 +1496,51 @@ def test_compaction_split_fuzz_preserves_contents_and_layout(spark, tmp_path):
         assert len(leaf_files("part=p%3Acolon")) == 1, seed
         assert len(leaf_files("part=small")) == 1, seed
         assert len(leaf_files("part=__HIVE_DEFAULT_PARTITION__")) == 1, seed
+
+
+def test_m5_value_drift_repair(spark, tmp_path):
+    """ExistsRepair.value_cols: a late event that CHANGES a derived
+    count without flipping any flag must still be repaired — a view
+    with has_click already true gains a second click; flag-only
+    detection left n_clicks stale (r9 review finding)."""
+    from streaming_data_lake_spark.plans.materialize import ExistsRepair
+
+    lake = str(tmp_path / "lake")
+    src = os.path.join(lake, "src")
+    down = os.path.join(lake, "down")
+    os.makedirs(lake, exist_ok=True)
+    _write_events(spark, src, [(1, _ts("2024-01-01 10:00:00"), 1, 1.0)])
+    spark.createDataFrame([(1, 0)], "fact_id long, dummy int").write.mode(
+        "overwrite"
+    ).parquet(down)
+
+    def view(s):
+        ev = s.read.parquet(src)
+        d = s.read.parquet(down).groupBy(
+            F.col("fact_id").alias("id")
+        ).agg(F.count(F.lit(1)).alias("n_down"))
+        j = ev.join(d, "id", "left")
+        return j.withColumn("n_down", F.coalesce(F.col("n_down"), F.lit(0))).withColumn(
+            "has_down", F.col("n_down") > 0
+        )
+
+    target = MatTarget(
+        "mat_counts", view, "ts",
+        exists_repair=ExistsRepair(
+            key_col="id", flag_cols=("has_down",), value_cols=("n_down",)
+        ),
+    )
+    m = Materializer(spark, lake)
+    m.run(target)
+    assert {r["id"]: (r["has_down"], r["n_down"]) for r in m.read_mat("mat_counts").collect()} == {
+        1: (True, 1)}
+
+    # a SECOND late downstream event: flag stays true, count changes
+    spark.createDataFrame([(1, 0)], "fact_id long, dummy int").write.mode(
+        "append"
+    ).parquet(down)
+    log = m.run(target)
+    assert log["M5"] == "repaired flipped keys"
+    assert {r["id"]: (r["has_down"], r["n_down"]) for r in m.read_mat("mat_counts").collect()} == {
+        1: (True, 2)}
+    assert m.run(target)["M5"] == "no flag flips"  # idempotent
