@@ -115,3 +115,52 @@ def test_plan_next_includes_fresh_failures():
         order=["bad_q", "good_q"],
     )
     assert due == [("bad_q", 5)]
+
+
+def test_emit_order_obligatory_first_then_oldest_fills():
+    """--emit-order: obligatory names lead in registry order, free
+    window slots fill with the oldest-verdict survivors, the tail
+    stays oldest-first — and the result is always a permutation."""
+    order = ["a", "b", "c", "d", "e", "f"]
+    verdicts = {
+        "a": (5, True, ""),   # fresh
+        "b": (3, True, ""),   # stale at next=6 -> obligatory
+        "c": (4, True, ""),   # oldest survivor -> fill
+        "d": (5, False, ""),  # failed -> obligatory
+        "e": (5, True, ""),   # fresh
+        # f never certified  -> obligatory
+    }
+    new_order, notes = ledger.emit_order(
+        max_age=2, window=4, verdicts=verdicts, order=order
+    )
+    # obligatory in registry order: b, d, f; one free slot -> oldest
+    # survivor c; tail = a, e (r5, by position).
+    assert new_order == ["b", "d", "f", "c", "a", "e"]
+    assert sorted(new_order) == sorted(order)
+    assert notes and "fills" in notes[0]
+
+
+def test_emit_order_overflow_becomes_committed_drain():
+    """More obligatory names than window slots: the overflow leads
+    the tail (pure prefix rotation next round) and a DRAIN note
+    records the split — the r9 two-round-drain shape."""
+    order = ["a", "b", "c", "d"]
+    verdicts = {"d": (9, True, "")}  # a, b, c never certified
+    new_order, notes = ledger.emit_order(
+        max_age=2, window=2, verdicts=verdicts, order=order
+    )
+    assert new_order == ["a", "b", "c", "d"]
+    assert notes and notes[0].startswith("DRAIN: 3 obligatory > 2 slots")
+
+
+def test_emit_order_live_state_is_a_permutation():
+    """Over the real repo state the recommendation is a permutation
+    of the live registry that covers every currently-due name inside
+    the window (when they fit)."""
+    new_order, _notes = ledger.emit_order()
+    live = ledger.registry_order()
+    assert sorted(new_order) == sorted(live)
+    due = [n for n, _r in ledger.plan_next()]
+    window = new_order[: ledger.WINDOW]
+    for name in due[: ledger.WINDOW]:
+        assert name in window, name

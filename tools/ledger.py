@@ -143,6 +143,74 @@ def plan_next(
     return out
 
 
+def emit_order(
+    max_age: int = 2,
+    window: int = WINDOW,
+    verdicts: dict[str, tuple[int, bool, str]] | None = None,
+    order: list[str] | None = None,
+) -> tuple[list[str], list[str]]:
+    """Recommended ``_CERTIFICATION_ORDER`` for the NEXT round, as
+    (new_order, notes) — the r8 rotation miss (VERDICT r8 "What's
+    wrong" #1) happened because turning ``--plan-next``'s obligatory
+    list into an actual reordered registry was left as a hand step;
+    this emits the full paste-ready list instead.
+
+    Composition rules:
+
+    1. **Obligatory first** (:func:`plan_next`: goes-stale once the
+       next round lands, never-certified, or latest-verdict FAILED),
+       in current registry order. If they exceed the window, the
+       overflow LEADS the tail (positions window+1..) so the round
+       after next is a pure prefix rotation — the committed-drain
+       shape round 9 used — and a note records the drain size.
+    2. **Free slots fill with the oldest-verdict survivors**
+       (ascending verdict round, ties by current position): each
+       round retires the maximum re-certification debt, keeping the
+       ledger's freshness floor as high as the window allows.
+    3. **Tail** sorts the same way (oldest first after any drain
+       overflow), so truncation points stay meaningful.
+
+    The output is a RECOMMENDATION to paste into
+    ``queries/__init__._CERTIFICATION_ORDER`` *at round start* (the
+    driver certifies with whatever order is live at round end — never
+    rotate mid-round after the driver may have run). Window
+    composition tests (tests/test_registry_order.py) must be updated
+    to pin the new round's plan, exactly as r9 did.
+    """
+    if verdicts is None:
+        verdicts = load_verdicts()
+    if order is None:
+        order = registry_order()
+    pos = {name: i for i, name in enumerate(order)}
+    due = [name for name, _rnd in plan_next(max_age, verdicts, order)]
+    due_set = set(due)
+    notes: list[str] = []
+
+    def age_key(name: str):
+        rnd = verdicts.get(name, (None,))[0]
+        return (-1 if rnd is None else rnd, pos[name])
+
+    rest = sorted((n for n in order if n not in due_set), key=age_key)
+    if len(due) > window:
+        notes.append(
+            f"DRAIN: {len(due)} obligatory > {window} slots; "
+            f"{len(due) - window} overflow names lead the tail — commit "
+            f"them in writing as the following round's window (the r9 "
+            f"precedent: CHANGELOG_r9.md + tests/test_registry_order.py)"
+        )
+        new_order = due + rest
+    else:
+        fill = rest[: window - len(due)]
+        if fill:
+            notes.append(
+                f"{len(due)} obligatory + {len(fill)} oldest-verdict fills "
+                f"(through r{verdicts.get(fill[-1], (None,))[0]})"
+            )
+        new_order = due + fill + rest[len(fill):]
+    assert sorted(new_order) == sorted(order)  # permutation, always
+    return new_order, notes
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--report", action="store_true", help="print the full ledger")
@@ -152,9 +220,31 @@ def main(argv: list[str] | None = None) -> int:
         help="list queries that MUST sit in the window next round "
         "(their verdict goes stale when one more round lands)",
     )
+    ap.add_argument(
+        "--emit-order",
+        action="store_true",
+        help="print the full recommended next-round _CERTIFICATION_ORDER "
+        "(obligatory first, then oldest-verdict fills), paste-ready",
+    )
     ap.add_argument("--max-age", type=int, default=2)
     ap.add_argument("--window", type=int, default=WINDOW)
     args = ap.parse_args(argv)
+    if args.emit_order:
+        new_order, notes = emit_order(args.max_age, args.window)
+        verdicts = load_verdicts()
+        print("_CERTIFICATION_ORDER = [")
+        for i, name in enumerate(new_order):
+            if i == 0:
+                print(f"    # ---- certification window (first {args.window}) ----")
+            if i == args.window:
+                print(f"    # ---- position {args.window + 1}+ : NOT certified next round ----")
+            rnd = verdicts.get(name, (None,))[0]
+            tag = "never-certified" if rnd is None else f"r{rnd}"
+            print(f'    "{name}",  # {tag}')
+        print("]")
+        for n in notes:
+            print(f"# NOTE: {n}")
+        return 0
     if args.plan_next:
         due = plan_next(args.max_age)
         for name, rnd in due:
