@@ -1544,3 +1544,28 @@ def test_m5_value_drift_repair(spark, tmp_path):
     assert {r["id"]: (r["has_down"], r["n_down"]) for r in m.read_mat("mat_counts").collect()} == {
         1: (True, 2)}
     assert m.run(target)["M5"] == "no flag flips"  # idempotent
+
+
+def test_versioned_append_after_full_expiry_reseeds(spark, tmp_path):
+    """expire_snapshots(keep_last=0) drops every version's data; a
+    later append then has no previous version dir to link (the
+    os.path.isdir guard in commit) and must re-seed cleanly: the new
+    version holds exactly the appended rows — which IS the full
+    table now — instead of crashing on the missing link source."""
+    from streaming_data_lake_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit(spark.range(0, 50).toDF("id"))
+    t.commit(spark.range(50, 60).toDF("id"))
+    assert sorted(t.expire_snapshots(keep_last=0)) == [1, 2]
+    v3 = t.commit(spark.range(100, 110).toDF("id"))
+    assert v3 == 3
+    assert t.read().count() == 10
+    assert {r["id"] for r in t.read(3).collect()} == set(range(100, 110))
+    snaps = {r["version"]: r["n_rows"] for r in t.snapshots().collect()}
+    # history rows persist in metadata (Iceberg keeps expired
+    # snapshots in the metadata log); v3's count reflects the
+    # re-seeded table.
+    assert snaps == {1: 50, 2: 60, 3: 10}
+    # expire reports only versions whose data actually existed
+    assert t.expire_snapshots(keep_last=1) == []

@@ -573,3 +573,45 @@ def test_bloom_bitmap_ignores_null_dim_keys(spark):
     dim = spark.createDataFrame([(1,), (None,)], "k long")
     row = bloom_bitmap(dim, "k").collect()
     assert len(row) == 1 and row[0]["bmap"]
+
+
+def test_sample_frames_empty_payload_emits_one_empty_frame(spark):
+    """The max(len(s), 1) guard: an empty payload must surface as
+    exactly one zero-length frame (dropping the doc silently would
+    make frame counts disagree with doc counts downstream)."""
+    from streaming_data_lake_spark.operators.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [(1, "image/png", 0, bytearray(b""))],
+        "doc_id long, media_type string, byte_len long, payload binary",
+    )
+    rows = sample_frames(media, frame_chars=4).collect()
+    assert len(rows) == 1
+    assert (rows[0]["frame_idx"], rows[0]["frame_len"]) == (0, 0)
+
+
+def test_cms_lookup_unseen_candidate_estimates_zero(spark):
+    """A candidate token absent from the sketched stream must
+    estimate 0 via the LEFT join + coalesce path — an inner join
+    would drop it, and a partial min would overestimate."""
+    from streaming_data_lake_spark.operators.sketches import cms_cells, cms_lookup
+
+    tok = spark.createDataFrame([("a",), ("a",), ("b",)], "token string")
+    cells = cms_cells(tok)
+    cand = spark.createDataFrame([("a",), ("zz_unseen",)], "token string")
+    est = {r["token"]: r["cms_estimate"] for r in cms_lookup(cand, cells).collect()}
+    assert est["zz_unseen"] == 0
+    assert est["a"] >= 2  # CMS is always >= truth
+
+
+def test_lang_id_tie_breaks_alphabetically(spark):
+    """Equal marker scores resolve to the alphabetically-first
+    language (the array_min struct compare: lowest neg score, then
+    lang asc) — pinned so the oracle's CASE ordering cannot drift."""
+    from streaming_data_lake_spark.operators.text import lang_id
+
+    # "la" is a marker for both es and fr (score 1 each, others 0).
+    docs = spark.createDataFrame([(1, "la")], "doc_id long, text string")
+    row = lang_id(docs).collect()[0]
+    assert row["score_es"] == 1 and row["score_fr"] == 1
+    assert row["predicted_lang"] == "es"
