@@ -38,20 +38,109 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver hash-checks the FIRST 50 registered queries per round.
-# Round 9 executes the certification DRAIN the r8 verdict mandates:
-# 76 queries go stale-obligatory when CORRECTNESS_r09 lands (38 r5
-# verdicts at age 4 + 38 r6 verdicts aging out), against a 50-slot
-# window — mathematically a two-round job. This window takes the 38
-# r5-stale names (every one outside the ledger's max-age-2 policy
-# TODAY) plus 12 r6 names; the remaining 26 r6 names are the
-# committed r10 window, written down in CHANGELOG_r9.md §"r10 drain"
-# and asserted by tests/test_registry_order.py so the next session
-# cannot repeat the r8 rotation miss. Section letters below match
-# the list markers. tests/test_registry_order.py asserts the window
+# Round 10 completes the two-round certification DRAIN the r8
+# verdict mandated and r9 half-executed: the 26 r6-verdict names
+# deferred by CHANGELOG_r9.md §"r10 drain" go stale the moment
+# CORRECTNESS_r09 lands and take the first 26 slots here. Next come
+# the 10 queries whose observable behavior or oracle changed in the
+# r9 code reviews (upsert/materializer/maintenance family, plus the
+# sessionize/fanout/HLL names ADVICE r9 flagged as carrying verdicts
+# issued against a different implementation). The 14 remaining slots
+# pre-drain r11: of the 50 r8-certified names (stale at r11), 14
+# certify now and the other 26 sit contiguously at positions 51-76
+# as the committed r11 window — same mechanical-rotation shape as
+# the r9→r10 handoff. tests/test_registry_order.py asserts the
 # arithmetic; tools/ledger.py cross-references the verdict files.
 _CERTIFICATION_ORDER = [
-    # ---- (a) latest verdict r5: age 3 at r8 (ledger RED) — the 38
-    # obligatory drain slots, re-certify ALL in round 9 ----
+    # ---- (a) latest verdict r6: the 26 obligatory drain slots
+    # committed in CHANGELOG_r9.md — re-certify ALL in round 10 ----
+    "salted_skew_aggregation",
+    "replicated_skew_join_rollup",
+    "knn_ivf_cosine",
+    "knn_ivf_multiprobe_cosine",
+    "knn_bruteforce_cosine",
+    "multimodal_media_features",
+    "multimodal_frame_sample",
+    "embedding_label_stats",
+    "conditional_distinct_users",
+    "user_engagement_ratios",
+    "user_daily_landscape",
+    "sliding_window_metrics",
+    "latest_event_per_user_type",
+    "interval_join_click_view",
+    "funnel_conversion_daily",
+    "value_distribution_by_class",
+    "flag_distribution",
+    "avg_value_spread",
+    "funnel_leakage_daily",
+    "asof_latest_view_before_purchase",
+    "asof_view_within_6h",
+    "cms_heavy_hitter_tokens",
+    "token_budget_packing",
+    "bloom_semi_join_prune",
+    "knn_pq_adc_l2",
+    "knn_ivf_pq_adc",
+    # ---- (b) r9 code-touched: r8 verdicts certify code/oracles that
+    # changed in the r9 review passes (sidecar watermark store,
+    # compaction oracle rewrite, sessionize start min-merge, fanout
+    # bid= layout, HLL null-key + linear-counting path) ----
+    "streaming_upsert_hourly",
+    "materialize_incremental_clean_events",
+    "materialize_dim_change_repair",
+    "materialize_funnel_exists_repair",
+    "maintenance_compaction",
+    "two_level_overlay_maintenance",
+    "streaming_sessionize",
+    "streaming_fanout_ingest",
+    "streaming_hll_daily_users",
+    "hll_distinct_users_daily",
+    # ---- (c) r11 pre-drain: 14 of the 40 remaining r8-certified
+    # names (stale at r11), streaming family first since r9 touched
+    # streaming harness code ----
+    "streaming_clean_events",
+    "streaming_cms_token_counts",
+    "streaming_interval_join_daily",
+    "streaming_funnel_daily",
+    "kmeans_train_centroids",
+    "knn_ivf_trained_cosine",
+    "embedding_int8_quantization",
+    "ngram_jaccard_near_dups",
+    "winnowing_fingerprints",
+    "exact_substring_dups",
+    "dedup_keep_best_quality",
+    "multimodal_resize",
+    "top_busiest_hours",
+    "event_quality_spine_hourly",
+    # ---- position 51+ : NOT certified this round. First the 26
+    # r8-verdict names that MUST lead the r11 window (committed in
+    # CHANGELOG_r10.md "r11 drain"), then the r9-certified rest ----
+    "rollup_revenue_levels",
+    "price_quantiles_by_flag",
+    "user_event_gaps",
+    "running_revenue_by_nation",
+    "order_value_deciles",
+    "doc_chunks_overlap",
+    "props_json_stats",
+    "keyset_intersect_except",
+    "orders_above_global_avg",
+    "supplier_name_near_matches",
+    "bigram_lm_quality",
+    "domain_mixture_resample",
+    "batch_sessionize_windows",
+    "price_outliers_zscore",
+    "lineitem_flag_pivot",
+    "corr_quantity_price",
+    "priority_window_profile",
+    "tfidf_top_terms",
+    "stratified_sample_by_lang",
+    "pii_redaction",
+    "repetition_signals",
+    "benchmark_decontamination",
+    "duplicate_rates_hourly",
+    "user_rolling_7day_value",
+    "consistent_hash_sample",
+    "user_event_type_paths",
+    # ---- r9-certified (fresh through r11) ----
     "pricing_summary",
     "revenue_by_region",
     "top_nations_by_customers",
@@ -90,13 +179,8 @@ _CERTIFICATION_ORDER = [
     "knn_ivf_materialized_cosine",
     "bucketed_colocated_join",
     "partition_pruned_scan",
-    # ---- (b) round-9 code change: snapshots now hard-link unchanged
-    # partitions (sources/versioned.py) — certify on the new mechanism ----
     "time_travel_read_v1",
     "snapshot_metadata",
-    # ---- (c) r6-verdict drain, first half: 10 oldest/most-foundational
-    # of the 36 remaining r6 names (they all go stale when r9 lands;
-    # the other 26 are the documented r10 window — CHANGELOG_r9.md) ----
     "events_clean",
     "events_rejected",
     "streaming_hourly_metrics",
@@ -107,89 +191,6 @@ _CERTIFICATION_ORDER = [
     "seeded_dim_hierarchy_enrichment",
     "daily_distinct_users",
     "events_dedup_canonical",
-    # ---- position 51+ : NOT certified this round. First the 26
-    # r6-verdict names that MUST lead the r10 window (see
-    # CHANGELOG_r9.md "r10 drain"), then the r8-certified rest ----
-    "salted_skew_aggregation",
-    "replicated_skew_join_rollup",
-    "knn_ivf_cosine",
-    "knn_ivf_multiprobe_cosine",
-    "knn_bruteforce_cosine",
-    "multimodal_media_features",
-    "multimodal_frame_sample",
-    "embedding_label_stats",
-    "conditional_distinct_users",
-    "user_engagement_ratios",
-    "user_daily_landscape",
-    "sliding_window_metrics",
-    "latest_event_per_user_type",
-    "interval_join_click_view",
-    "funnel_conversion_daily",
-    "value_distribution_by_class",
-    "flag_distribution",
-    "avg_value_spread",
-    "funnel_leakage_daily",
-    "asof_latest_view_before_purchase",
-    "asof_view_within_6h",
-    "cms_heavy_hitter_tokens",
-    "token_budget_packing",
-    "bloom_semi_join_prune",
-    "knn_pq_adc_l2",
-    "knn_ivf_pq_adc",
-    # ---- r8-certified (fresh through r10); the upsert/materializer/
-    # overlay family here was code-touched in r9 (table-bytes sidecar
-    # cache, null-key guard, stray-file linking) and joins the 26
-    # above in the r10 window ----
-    "rollup_revenue_levels",
-    "price_quantiles_by_flag",
-    "user_event_gaps",
-    "running_revenue_by_nation",
-    "order_value_deciles",
-    "doc_chunks_overlap",
-    "hll_distinct_users_daily",
-    "kmeans_train_centroids",
-    "knn_ivf_trained_cosine",
-    "props_json_stats",
-    "keyset_intersect_except",
-    "orders_above_global_avg",
-    "supplier_name_near_matches",
-    "bigram_lm_quality",
-    "domain_mixture_resample",
-    "batch_sessionize_windows",
-    "price_outliers_zscore",
-    "lineitem_flag_pivot",
-    "corr_quantity_price",
-    "priority_window_profile",
-    "tfidf_top_terms",
-    "stratified_sample_by_lang",
-    "pii_redaction",
-    "repetition_signals",
-    "benchmark_decontamination",
-    "embedding_int8_quantization",
-    "multimodal_resize",
-    "dedup_keep_best_quality",
-    "exact_substring_dups",
-    "winnowing_fingerprints",
-    "top_busiest_hours",
-    "duplicate_rates_hourly",
-    "event_quality_spine_hourly",
-    "ngram_jaccard_near_dups",
-    "streaming_sessionize",
-    "streaming_upsert_hourly",
-    "streaming_hll_daily_users",
-    "streaming_cms_token_counts",
-    "materialize_incremental_clean_events",
-    "materialize_dim_change_repair",
-    "materialize_funnel_exists_repair",
-    "maintenance_compaction",
-    "two_level_overlay_maintenance",
-    "user_rolling_7day_value",
-    "consistent_hash_sample",
-    "user_event_type_paths",
-    "streaming_clean_events",
-    "streaming_fanout_ingest",
-    "streaming_interval_join_daily",
-    "streaming_funnel_daily",
 ]
 
 

@@ -19,15 +19,16 @@ import ledger  # noqa: E402
 
 
 def test_ledger_green_under_current_window_or_committed_drain():
-    """Green ledger, with ONE sanctioned exception: the r8 verdict
-    mandated a two-round certification drain (76 obligatory names vs
-    a 50-slot window), and the 26 deferred names are committed in
-    writing as the r10 window (CHANGELOG_r9.md, pinned by
-    tests/test_registry_order.R10_DRAIN). The moment CORRECTNESS_r09
-    lands, exactly those names go stale until the r10 rotation — so
-    staleness is excused for them and ONLY them. FAILED verdicts are
-    never excused: a regression must not hide behind the drain."""
-    from tests.test_registry_order import R10_DRAIN
+    """Green ledger, with ONE sanctioned exception: the 50 r8-
+    certified names all age out at r11 against a 50-slot window that
+    must also hold r10 code-touched queries — so 26 of them are
+    deferred, committed in writing as the r11 window leaders
+    (CHANGELOG_r10.md, pinned by tests/test_registry_order.R11_DRAIN).
+    The moment CORRECTNESS_r10 lands, exactly those names go stale
+    until the r11 rotation — staleness is excused for them and ONLY
+    them. FAILED verdicts are never excused: a regression must not
+    hide behind rotation."""
+    from tests.test_registry_order import R11_DRAIN
 
     problems, rows = ledger.audit()
     assert rows, "ledger saw no queries — registry import broken?"
@@ -38,11 +39,11 @@ def test_ledger_green_under_current_window_or_committed_drain():
         elif (
             row["status"] in ("stale", "never-certified")
             and not row["windowed"]
-            and row["query"] not in R10_DRAIN
+            and row["query"] not in R11_DRAIN
         ):
             unexcused.append(
                 f"{row['query']}: {row['status']} and outside both the "
-                f"window and the committed r10 drain"
+                f"window and the committed r11 drain"
             )
     assert not unexcused, "\n".join(unexcused)
 
