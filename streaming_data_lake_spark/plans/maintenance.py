@@ -111,6 +111,50 @@ def _leaf_sizes(
     return out
 
 
+def expected_files_after_compact(
+    table_dir: str, target_bytes: int = TARGET_FILE_BYTES
+) -> int:
+    """The file count ``compact_parquet`` commits to produce, computed
+    from the CURRENT (pre-compaction) state — the same sizes its salt
+    split keys on. Oracles must call this BEFORE compacting: deriving
+    the expectation from post-compaction bytes diverges whenever
+    re-encoding moves a leaf across the target boundary (the salt k
+    was chosen from the pre-compaction size), certifying an
+    off-by-one at scale factors where leaves sit near the target."""
+    part_cols = _partition_cols(table_dir)
+    if not part_cols:
+        return max(1, math.ceil(dir_bytes(table_dir) / target_bytes))
+    total = 0
+    for vals, b in _leaf_sizes(table_dir, part_cols):
+        if b > target_bytes and "__HIVE_DEFAULT_PARTITION__" not in vals:
+            total += math.ceil(b / target_bytes)
+        else:
+            total += 1
+    return max(1, total)
+
+
+def _flatten_salt_level(tmp: str, part_cols: list[str]) -> None:
+    """Remove the transient ``__salt=N`` directory level a salted
+    compaction write leaves under each leaf: data files move up into
+    the leaf dir (prefixed with their salt so names cannot collide),
+    the salt dirs are deleted. The salt rides ``partitionBy`` so the
+    writer — not repartitionByRange's sampled boundaries — guarantees
+    one file per (leaf, salt group); sampling skew under the old
+    drop-before-write scheme could co-locate a leaf's salt groups in
+    one task and emit a single oversized file."""
+    for dirpath, dirnames, _files in os.walk(tmp):
+        salt_dirs = [d for d in dirnames if d.startswith("__salt=")]
+        for sd in salt_dirs:
+            sdir = os.path.join(dirpath, sd)
+            salt_val = sd.split("=", 1)[1]
+            for f in os.listdir(sdir):
+                src = os.path.join(sdir, f)
+                if f.endswith(".parquet") and os.path.isfile(src):
+                    os.rename(src, os.path.join(dirpath, f"s{salt_val}-{f}"))
+            shutil.rmtree(sdir)
+        dirnames[:] = [d for d in dirnames if not d.startswith("__salt=")]
+
+
 def compact_parquet(
     spark: SparkSession, table_dir: str, target_bytes: int = TARGET_FILE_BYTES
 ) -> int:
@@ -182,13 +226,19 @@ def compact_parquet(
                 .repartitionByRange(
                     max(1, n_files), *[F.col(c) for c in part_cols], F.col("__salt")
                 )
-                .drop("__salt")
             )
+            # __salt stays through the write as a transient partition
+            # column: the WRITER then guarantees one file per (leaf,
+            # salt group) — repartitionByRange only balances tasks.
+            # The extra level is flattened off the tree before the
+            # swap, so the published layout is unchanged.
+            out.write.mode("overwrite").partitionBy(*part_cols, "__salt").parquet(tmp)
+            _flatten_salt_level(tmp, part_cols)
         else:
             out = df.repartitionByRange(
                 max(1, n_files), *[F.col(c) for c in part_cols]
             )
-        out.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
+            out.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
     else:
         df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
     # The layout sidecar (bucket column + count — layout.py) rides

@@ -137,13 +137,10 @@ SELECT 64 AS n_files_before, 0 AS files_off_target, count(*) AS n_rows FROM even
     "the moment the table outgrew one target file).",
 )
 def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     from streaming_data_lake_spark.formats import resolve_format
     from streaming_data_lake_spark.plans.maintenance import (
-        TARGET_FILE_BYTES,
         _parquet_files,
-        dir_bytes,
+        expected_files_after_compact,
     )
 
     # The parquet emulation explicitly: this scenario stages a plain
@@ -158,7 +155,7 @@ def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     events.repartition(64).write.mode("overwrite").parquet(tdir)
     before = _parquet_files(tdir)
-    expected = max(1, math.ceil(dir_bytes(tdir) / TARGET_FILE_BYTES))
+    expected = expected_files_after_compact(tdir)
     fmt.compact(spark, tdir)
     after = _parquet_files(tdir)
     # Single-process cycle: the compact above has completed, no other
@@ -416,26 +413,23 @@ def two_level_overlay_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     link_untouched_partitions(t, tmp, DAY_COL, {f"{DAY_COL}={_REPAIR_DAY}"})
     atomic_swap(t, tmp)
 
+    # Scale-robust file expectation: one file per leaf UNDER the
+    # 128 MB target, ceil(bytes/target) for oversized leaves (the
+    # salt-split path) — computed BEFORE compacting, from the same
+    # pre-compaction sizes the salt k keys on (a post-compaction
+    # read diverges when re-encoding moves a leaf across the target
+    # boundary — ADVICE r9).
+    from streaming_data_lake_spark.plans.maintenance import (
+        expected_files_after_compact,
+    )
+
+    expected_files = expected_files_after_compact(t)
+
     # X1: per-leaf compaction preserving the two-level tree, then the
     # orphan sweep (single-process cycle: age guard 0 is safe).
     fmt.compact(spark, t)
     fmt.remove_orphans(spark, lake, min_age_s=0.0)
 
-    # Scale-robust file expectation: one file per leaf UNDER the
-    # 128 MB target, ceil(bytes/target) for oversized leaves (the
-    # salt-split path) — a fixed one-file-per-leaf oracle would
-    # break at scale factors where a leaf legitimately splits.
-    import math
-
-    from streaming_data_lake_spark.plans.maintenance import (
-        TARGET_FILE_BYTES,
-        _leaf_sizes,
-    )
-
-    expected_files = sum(
-        max(1, math.ceil(b / TARGET_FILE_BYTES))
-        for _vals, b in _leaf_sizes(t, [DAY_COL, "event_type"])
-    )
     final = spark.read.parquet(t)
     n_leaves = final.select(DAY_COL, "event_type").distinct().count()
     files_off_target = _parquet_files(t) - expected_files

@@ -1449,6 +1449,42 @@ def test_compaction_splits_oversized_leaf_by_target_size(spark, tmp_path):
         "hot", "cold0", "cold1", "cold2"}
 
 
+def test_compaction_split_count_is_exact_and_deterministic(spark, tmp_path):
+    """The salt rides partitionBy through the write, so the WRITER —
+    not repartitionByRange's sampled boundaries — guarantees one file
+    per (leaf, salt group): the resulting file count must EQUAL
+    expected_files_after_compact computed pre-compaction (the same
+    sizes the salt k keys on), and repeating the compaction from an
+    identical staging must land the identical count (ADVICE r9: the
+    drop-salt-before-write scheme made the split best-effort)."""
+    import random
+
+    from streaming_data_lake_spark.plans.maintenance import (
+        _parquet_files,
+        expected_files_after_compact,
+    )
+
+    counts = []
+    for trial in range(2):
+        rng = random.Random(13)  # same seed: identical staging
+        t = str(tmp_path / f"t{trial}")
+        rows = [(i, "hot", "".join(rng.choices("abcdefghij0123456789", k=200)))
+                for i in range(1500)]
+        rows += [(i, f"cold{j}", "x" * 50) for j in range(3) for i in range(20)]
+        df = spark.createDataFrame(rows, "id long, part string, payload string")
+        df.repartition(6).write.partitionBy("part").parquet(t)
+
+        target = 64 * 1024
+        expected = expected_files_after_compact(t, target_bytes=target)
+        assert expected >= 2 + 3  # hot split + 3 cold singles
+        compact_parquet(spark, t, target_bytes=target)
+        got = _parquet_files(t)
+        assert got == expected, f"trial {trial}: {got} files, expected {expected}"
+        counts.append(got)
+        assert spark.read.parquet(t).count() == 1500 + 60
+    assert counts[0] == counts[1]
+
+
 def test_compaction_split_fuzz_preserves_contents_and_layout(spark, tmp_path):
     """Seeded fuzz over awkward layouts for the oversized-leaf split
     path: mixed leaf sizes (some far above the target), a NULL
