@@ -133,15 +133,44 @@ class VersionedTable:
         Either way every published ``v{N}`` dir is self-contained
         (readers need exactly one version directory) and ``n_rows``
         records the full table count at that version.
+
+        An append whose schema differs from the previous version is
+        REJECTED: a linked-append ``v{N}`` dir mixes files from
+        multiple writes, and a plain parquet read of a mixed-schema
+        dir resolves to one arbitrary footer's schema — an evolved
+        column would drop nondeterministically (ADVICE r9). Iceberg
+        likewise gates column changes behind explicit ALTER TABLE;
+        here the evolution path is an ``overwrite`` commit (which
+        materializes a uniform-schema version — see
+        ``schema_evolution_read`` for the mergeSchema read pattern
+        over heterogeneous HISTORY).
         """
         self._sweep_stale_scratch()
         version = self._next_version()
+        prev = os.path.join(self.table_dir, f"v{self.latest_version()}")
+        link_prev = (
+            operation == "append" and version > 1 and os.path.isdir(prev)
+        )
+        if link_prev:
+            prev_fields = {
+                (f.name, f.dataType.simpleString())
+                for f in self.spark.read.parquet(prev).schema.fields
+            }
+            new_fields = {
+                (f.name, f.dataType.simpleString()) for f in df.schema.fields
+            }
+            if prev_fields != new_fields:
+                raise ValueError(
+                    f"append schema differs from v{self.latest_version()} "
+                    f"(only in previous: {sorted(prev_fields - new_fields)}, "
+                    f"only in append: {sorted(new_fields - prev_fields)}); "
+                    f"a linked-append version dir must be schema-uniform — "
+                    f"commit the full evolved table with operation='overwrite'"
+                )
         tmp = os.path.join(self.table_dir, f"__tmp_{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
-        if operation == "append" and version > 1:
-            prev = os.path.join(self.table_dir, f"v{self.latest_version()}")
-            if os.path.isdir(prev):
-                self._link_data_files(prev, tmp)
+        if link_prev:
+            self._link_data_files(prev, tmp)
         n_rows = self.spark.read.parquet(tmp).count()
         final = os.path.join(self.table_dir, f"v{version}")
         os.rename(tmp, final)

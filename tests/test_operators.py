@@ -127,6 +127,35 @@ def test_versioned_table_lifecycle(spark, tmp_path):
         vt.read(version=1)
 
 
+def test_versioned_append_rejects_schema_drift(spark, tmp_path):
+    """A linked-append v{N} dir mixes files from multiple writes; a
+    plain parquet read of a mixed-schema dir resolves to one
+    arbitrary footer, silently dropping an evolved column. Appends
+    must therefore be schema-uniform with the previous version
+    (ADVICE r9); the evolution path is an overwrite commit."""
+    from pyspark.sql import functions as F2
+
+    from streaming_data_lake_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    df = load_table(spark, SF_DIR, "events").select("event_id", "value").limit(20)
+    vt.commit(df, operation="append")
+    evolved = df.withColumn("extra", F2.lit(1))
+    with pytest.raises(ValueError, match="schema-uniform|overwrite"):
+        vt.commit(evolved, operation="append")
+    # type change on an existing column is also drift
+    with pytest.raises(ValueError, match="schema-uniform|overwrite"):
+        vt.commit(df.withColumn("value", F2.col("value").cast("string")),
+                  operation="append")
+    assert vt.latest_version() == 1  # rejected appends publish nothing
+    # the sanctioned path: overwrite materializes a uniform evolved version
+    v2 = vt.commit(evolved, operation="overwrite")
+    assert v2 == 2 and "extra" in vt.read().columns
+    # same-schema append still works (column order irrelevant)
+    v3 = vt.commit(evolved.select("extra", "value", "event_id"), operation="append")
+    assert v3 == 3 and vt.read().count() == 40
+
+
 def test_embedding_lsh_candidates_subset_of_pairs(spark):
     from streaming_data_lake_spark.operators.dedup import (
         embedding_cosine_near_dups,
