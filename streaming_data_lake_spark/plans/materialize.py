@@ -113,6 +113,16 @@ class ExistsRepair:
     flag_cols: tuple[str, ...]
     value_cols: tuple[str, ...] = ()
 
+    def __post_init__(self) -> None:
+        # Value-only repair (flag_cols=()) is a supported shape; BOTH
+        # empty means there is nothing to detect — fail at
+        # construction, not as an IndexError deep inside run() (ADVICE
+        # r9).
+        if not self.flag_cols and not self.value_cols:
+            raise ValueError(
+                "ExistsRepair needs at least one of flag_cols/value_cols"
+            )
+
 
 @dataclass(frozen=True)
 class MatTarget:
@@ -349,19 +359,38 @@ class Materializer:
         return _utc_from_micros(us) if us is not None else None
 
     def _set_watermark(self, name: str, ts: dt.datetime) -> None:
+        """Upsert one target's watermark. The store is SHARED across
+        every target of a wm_dir, so the read-modify-write is
+        serialized with an flock on a sibling lock file — the atomic
+        rename alone only protects the write, and two concurrent
+        cycles for different targets could otherwise interleave
+        read→write and silently drop each other's update (ADVICE
+        r9). Where flock is unavailable the store degrades to the
+        documented single-writer-per-wm_dir assumption."""
         if ts.tzinfo is None:
             ts = ts.replace(tzinfo=dt.timezone.utc)
-        m = self._read_wm_map()
-        if m is None:
-            # First JSON write: fold in any legacy parquet rows so
-            # other targets' watermarks survive the migration.
-            m = self._read_legacy_wm_table() if self._has_legacy_wm_table() else {}
-        m[name] = (ts - _EPOCH_UTC) // dt.timedelta(microseconds=1)
         os.makedirs(self.wm_dir, exist_ok=True)
-        tmp = self._wm_json_path() + f".tmp_{os.getpid()}"
-        with open(tmp, "w") as fh:
-            json.dump(m, fh)
-        os.rename(tmp, self._wm_json_path())
+        try:
+            import fcntl
+
+            lock_fh = open(self._wm_json_path() + ".lock", "a")
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+        except (ImportError, OSError):
+            lock_fh = None
+        try:
+            m = self._read_wm_map()
+            if m is None:
+                # First JSON write: fold in any legacy parquet rows so
+                # other targets' watermarks survive the migration.
+                m = self._read_legacy_wm_table() if self._has_legacy_wm_table() else {}
+            m[name] = (ts - _EPOCH_UTC) // dt.timedelta(microseconds=1)
+            tmp = self._wm_json_path() + f".tmp_{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump(m, fh)
+            os.rename(tmp, self._wm_json_path())
+        finally:
+            if lock_fh is not None:
+                lock_fh.close()  # releases the flock
 
     def watermarks(self) -> DataFrame:
         """The watermark state as a queryable DataFrame — the

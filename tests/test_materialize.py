@@ -1409,6 +1409,47 @@ def test_watermark_store_corrupt_or_sidecar_only_states(spark, tmp_path):
     assert m.get_watermark("t").isoformat().startswith("2024-05-01")
 
 
+def _wm_hammer(args):
+    """Child-process worker for the watermark-concurrency test: each
+    process upserts ITS OWN key n times against the shared store.
+    Uses __new__ because _set_watermark's path never touches the
+    SparkSession (no legacy parquet present)."""
+    lake, name, n = args
+    from streaming_data_lake_spark.plans.materialize import Materializer
+
+    m = Materializer.__new__(Materializer)
+    m.wm_dir = os.path.join(lake, "_watermarks")
+    for i in range(n):
+        m._set_watermark(name, _ts(f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}"))
+    return name
+
+
+def test_watermark_store_concurrent_writers_lose_nothing(tmp_path):
+    """The shared _watermarks.json is a read-modify-write store; the
+    flock added for ADVICE r9 must make concurrent cycles for
+    DIFFERENT targets of one wm_dir lose no sibling key. Four
+    processes each hammer their own key; every key must survive with
+    its final value."""
+    import multiprocessing as mp
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake, exist_ok=True)
+    n = 150
+    names = [f"t{i}" for i in range(4)]
+    with mp.get_context("spawn").Pool(4) as pool:
+        pool.map(_wm_hammer, [(lake, name, n) for name in names])
+
+    from streaming_data_lake_spark.plans.materialize import Materializer
+
+    m = Materializer.__new__(Materializer)
+    m.wm_dir = os.path.join(lake, "_watermarks")
+    final = _ts(f"2024-01-01 00:{(n - 1) // 60:02d}:{(n - 1) % 60:02d}")
+    for name in names:
+        got = m.get_watermark(name)
+        assert got is not None, f"{name}: lost entirely"
+        assert got.replace(tzinfo=None) == final, f"{name}: lost final update"
+
+
 def test_compaction_splits_oversized_leaf_by_target_size(spark, tmp_path):
     """Real-OPTIMIZE file sizing under skew (the skew stress test's
     documented bound): a leaf holding far more than the target bytes
@@ -1539,6 +1580,8 @@ def test_m5_value_drift_repair(spark, tmp_path):
     count without flipping any flag must still be repaired — a view
     with has_click already true gains a second click; flag-only
     detection left n_clicks stale (r9 review finding)."""
+    import pytest
+
     from streaming_data_lake_spark.plans.materialize import ExistsRepair
 
     lake = str(tmp_path / "lake")
@@ -1580,6 +1623,23 @@ def test_m5_value_drift_repair(spark, tmp_path):
     assert {r["id"]: (r["has_down"], r["n_down"]) for r in m.read_mat("mat_counts").collect()} == {
         1: (True, 2)}
     assert m.run(target)["M5"] == "no flag flips"  # idempotent
+
+    # value-ONLY repair (flag_cols=()) is a supported shape: same
+    # lake, a target detecting purely on the count column
+    t2 = MatTarget(
+        "mat_counts_vonly", view, "ts",
+        exists_repair=ExistsRepair(key_col="id", flag_cols=(), value_cols=("n_down",)),
+    )
+    m.run(t2)
+    spark.createDataFrame([(1, 0)], "fact_id long, dummy int").write.mode(
+        "append"
+    ).parquet(down)
+    assert m.run(t2)["M5"] == "repaired flipped keys"
+    assert {r["id"]: r["n_down"] for r in m.read_mat("mat_counts_vonly").collect()} == {1: 3}
+
+    # both empty fails at construction, not deep inside run()
+    with pytest.raises(ValueError, match="at least one"):
+        ExistsRepair(key_col="id", flag_cols=(), value_cols=())
 
 
 def test_versioned_append_after_full_expiry_reseeds(spark, tmp_path):
