@@ -179,19 +179,31 @@ def main() -> int:
     # SCORED run — i.e. the headline number includes one-time build
     # costs a steady-state deployment amortizes away. With best-of-2,
     # a first-run build followed by a warm second run scores warm.
+    #
+    # Stdout carries ONLY the contract line, kept small enough to
+    # survive the driver's bounded tail capture whole — the r8/r9
+    # records landed with parsed:null because per-run detail bloated
+    # the line past the buffer. Full detail (every run, the shuffled
+    # order) goes to a sidecar the judge can read directly.
+    detail = {
+        "query_runs": per_query_runs,
+        "order_seed": seed,
+        "order": order,
+        "artifact_builds_all_runs": builds_total,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL_local.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
-        "query_runs": per_query_runs,
         "policy": f"best_of_{runs}",
         "order_seed": seed,
-        "order": order,
         "sf": sf,
         "warm": builds_in_best == 0,
         "artifact_builds": builds_in_best,
-        "artifact_builds_all_runs": builds_total,
     }))
     return 0
 
