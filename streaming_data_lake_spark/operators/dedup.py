@@ -56,9 +56,14 @@ def dedup_row_number(df: DataFrame, keys: list[str], order: list[Column]) -> Dat
 def exact_text_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup by content hash: one row per distinct text, keeping
     the smallest id as canonical and counting the duplicates.
-    Hash-groupBy: one shuffle on a 32-char key, map-side partial agg."""
+    Hash-groupBy: one shuffle on a 32-char key, map-side partial agg.
+    NULL-text docs are excluded — md5(NULL)=NULL would otherwise pool
+    every null doc into one group and report them as mutual
+    duplicates (the module's null-key discipline, cf. hll_registers /
+    bloom_bitmap dropping NULL keys before hashing)."""
     return (
-        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("canonical_id"),
@@ -224,6 +229,15 @@ def banded_minhash_signatures(
     """Per-doc banded MinHash signature rows ``(id, band, band_key)``
     — one row per band. ``band_key`` is the band's concatenated
     signature slice; (band, band_key) together form the LSH bucket."""
+    if bands <= 0 or num_hashes % bands != 0:
+        # bands > num_hashes would make every band_key '' (num_hashes
+        # // bands == 0 → zero-column concat) — every doc in ONE
+        # bucket, an O(N²) all-pairs join presented as LSH; a
+        # non-dividing bands silently drops trailing hashes and
+        # changes recall from what the parameters claim.
+        raise ValueError(
+            f"bands ({bands}) must positively divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     band_cols = [
@@ -375,6 +389,13 @@ def banded_embedding_signatures(
     then explode to one row per band."""
     from streaming_data_lake_spark.operators.similarity import dot
 
+    if bands <= 0 or num_bits % bands != 0:
+        # Same degeneracy as banded_minhash_signatures: zero-column
+        # concat makes one global '' bucket (all-pairs), non-dividing
+        # bands silently drop trailing bits.
+        raise ValueError(
+            f"bands ({bands}) must positively divide num_bits ({num_bits})"
+        )
     weights = rh_weights(num_bits, dim)
     # One F.lit per hyperplane (array literal), not one per component —
     # 16 driver→JVM calls instead of 1024.

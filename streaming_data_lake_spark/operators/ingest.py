@@ -56,13 +56,20 @@ def clean_events(df: DataFrame) -> DataFrame:
 
 def rejected_events(df: DataFrame) -> DataFrame:
     """Complement of :func:`clean_events` with a prioritized reject
-    reason (the `dq_rejected_events` analog; insert_jobs.sql:141-173)."""
+    reason (the `dq_rejected_events` analog; insert_jobs.sql:141-173).
+
+    The complement is NULL-total: a NULL ``value`` or ``event_type``
+    makes the clean predicate NULL, which ``filter`` treats as false
+    on BOTH sides — a bare ``~pred`` would drop such rows from the
+    pipeline entirely instead of rejecting them. ``coalesce(pred,
+    false)`` keeps the partition property exact: every input row is
+    in exactly one of clean/rejected."""
     reason = (
         F.when(F.col("event_type") == "error", "ERROR_EVENT")
         .when(F.col("value") <= 0, "NON_POSITIVE_VALUE")
         .otherwise("UNKNOWN")
     )
-    return df.filter(~_clean_pred()).select(
+    return df.filter(~F.coalesce(_clean_pred(), F.lit(False))).select(
         "event_id",
         "ts",
         "user_id",

@@ -96,8 +96,11 @@ def asof_join(
 
     Cost at 100 TB: a single hash shuffle + per-partition sort —
     the same price as any keyed window, with zero join fan-out.
-    Right rows are pre-deduped per (key, ts) keeping the max id so
-    the carried payload is deterministic under timestamp ties.
+    Right rows are pre-deduped per (key, ts) keeping the
+    lexicographically greatest payload struct (ordered by
+    ``right_cols`` order — the rule the certified oracles mirror),
+    so the carried payload is deterministic under timestamp ties;
+    the operator never sees a right-side id column to break ties on.
     """
     payload_src = list(right_cols.keys())
     payload_dst = list(right_cols.values())

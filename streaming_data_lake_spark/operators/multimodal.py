@@ -105,8 +105,18 @@ def resize_media(
                 raise NotImplementedError(
                     "real media resize requires PIL/ffmpeg; not available here"
                 )
+            # UTF-8-safe truncation: a raw byte slice can cut a
+            # multibyte codepoint in half, and downstream stub
+            # decoders (sample_frames) would then crash the stage
+            # with UnicodeDecodeError. decode(errors='ignore') drops
+            # any trailing partial sequence; NUL padding is valid
+            # UTF-8. Real media payloads would be re-encoded by a
+            # real codec here instead.
             resized = pdf["payload"].map(
-                lambda b: bytes(b)[:target_bytes].ljust(target_bytes, b"\0")
+                lambda b: bytes(b)[:target_bytes]
+                .decode("utf-8", errors="ignore")
+                .encode("utf-8")
+                .ljust(target_bytes, b"\0")
             )
             yield pd.DataFrame(
                 {

@@ -339,7 +339,9 @@ def ivf_knn_materialized(
         F.col(vec_col).alias("q_vec"),
         F.col("vec_norm").alias("q_norm"),
         "cluster_id",
-    )
+    ).localCheckpoint()  # assignment is collected below AND joined —
+    # without the lineage cut the O(k·d) argmax fold over every query
+    # runs twice (the module's usual recompute discipline)
     probed = sorted(
         r["cluster_id"] for r in q.select("cluster_id").distinct().collect()
     )
@@ -424,7 +426,14 @@ def kmeans_train(
     That is the textbook distributed k-means cost: iters × (one scan
     + one k-row shuffle). Clusters that lose all members drop out
     (deterministically) rather than being re-seeded."""
-    cents = corpus.filter(F.col(id_col) < k).select(id_col, vec_col)
+    # Seed = the k smallest ids, whatever the id domain. The earlier
+    # filter(id < k) shortcut assumed dense 0-based numeric ids:
+    # 1-based ids silently trained k-1 clusters, string ids trained
+    # ZERO (string<int coerces to null). orderBy+limit costs one
+    # top-k pass over (id, vec) and is identical on dense-0-based
+    # corpora — the k-row result broadcasts into ivf_assign either
+    # way.
+    cents = corpus.select(id_col, vec_col).orderBy(F.col(id_col)).limit(k)
     for _ in range(iters):
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
         # Checkpoint k rows per round: the centroid table is tiny,

@@ -60,7 +60,20 @@ def replicated_skew_join(
     """Skew-safe equi-join: dim rows are replicated once per salt via
     an explode (dim must be small — replication multiplies it), the
     fact side gets a deterministic salt, and the join key becomes
-    (key, salt) so hot keys spread across ``n_salts`` reducers."""
+    (key, salt) so hot keys spread across ``n_salts`` reducers.
+
+    Only fact-preserving ``how`` values are accepted: under a
+    right/full outer join an unmatched dim key would surface once
+    PER SALT (the dim side is replicated), silently multiplying its
+    row count by ``n_salts``. Flip the sides (dim as fact) or use an
+    unsalted join for dim-preserving semantics."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"replicated_skew_join: how={how!r} is dim-preserving; the "
+            f"replicated dim side would emit unmatched dim rows once per "
+            f"salt ({n_salts}x)"
+        )
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -139,10 +139,16 @@ def redact_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     map over a 100 TB corpus."""
     c = F.col(text_col)
     n_emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))).cast("long")
-    n_phones = F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))).cast("long")
-    redacted = F.regexp_replace(
-        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-    )
+    # Phones are counted on the EMAIL-REDACTED text — the same text
+    # the <PHONE> substitution runs on — so n_phones always equals
+    # the number of substitutions made. Counting on the original
+    # drifted whenever a phone-shaped run sat inside an email local
+    # part (the email pass consumes it first).
+    emails_gone = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(
+        F.regexp_extract_all(emails_gone, F.lit(PHONE_RE), F.lit(0))
+    ).cast("long")
+    redacted = F.regexp_replace(emails_gone, PHONE_RE, "<PHONE>")
     return df.select(
         F.col(id_col),
         n_emails.alias("n_emails"),

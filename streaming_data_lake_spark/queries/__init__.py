@@ -109,7 +109,7 @@ _CERTIFICATION_ORDER = [
     "exact_substring_dups",
     "dedup_keep_best_quality",
     "multimodal_resize",
-    "top_busiest_hours",
+    "pii_redaction",  # r10 oracle text changed (phone count on email-redacted text)
     "event_quality_spine_hourly",
     # ---- position 51+ : NOT certified this round. First the 26
     # r8-verdict names that MUST lead the r11 window (committed in
@@ -133,7 +133,7 @@ _CERTIFICATION_ORDER = [
     "priority_window_profile",
     "tfidf_top_terms",
     "stratified_sample_by_lang",
-    "pii_redaction",
+    "top_busiest_hours",
     "repetition_signals",
     "benchmark_decontamination",
     "duplicate_rates_hourly",

@@ -903,16 +903,23 @@ WITH pii AS (
            AS text
   FROM documents
 ),
-red AS (
+eg AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text,
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
-         CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2,}')) AS BIGINT) AS n_phones,
-         regexp_replace(
-           regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
-           '[0-9]{3}-[0-9]{2,}', '<PHONE>', 'g') AS r
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g')
+           AS emails_gone
   FROM pii
+),
+red AS (
+  -- phones counted on the email-redacted text, matching the engine:
+  -- n_phones always equals the number of <PHONE> substitutions
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(emails_gone, '[0-9]{3}-[0-9]{2,}')) AS BIGINT)
+           AS n_phones,
+         regexp_replace(emails_gone, '[0-9]{3}-[0-9]{2,}', '<PHONE>', 'g') AS r
+  FROM eg
 )
 SELECT doc_id, n_emails, n_phones, md5(r) AS redacted_md5,
        CAST(length(r) AS BIGINT) AS redacted_len

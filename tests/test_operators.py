@@ -644,3 +644,91 @@ def test_lang_id_tie_breaks_alphabetically(spark):
     row = lang_id(docs).collect()[0]
     assert row["score_es"] == 1 and row["score_fr"] == 1
     assert row["predicted_lang"] == "es"
+
+
+def test_review_r10_edge_contracts(spark):
+    """Round-10 review findings, pinned:
+
+    1. banded LSH signatures reject bands that don't divide the hash
+       count (bands > num_hashes used to emit one global '' bucket —
+       an all-pairs join presented as LSH; non-dividing bands
+       silently dropped trailing hashes).
+    2. clean/rejected partition is NULL-total: a NULL value or
+       event_type row lands in REJECTED (reason UNKNOWN), not
+       dropped from both sides.
+    3. exact_text_dedup excludes NULL-text docs instead of pooling
+       them into one md5(NULL) group of mutual 'duplicates'.
+    4. kmeans_train seeds from the k smallest ids in ANY id domain
+       (1-based ids used to train k-1 clusters silently).
+    5. resize_media truncation is UTF-8-safe, so sample_frames can
+       decode its output (multibyte chars used to crash the stage).
+    6. redact_pii counts phones on the email-redacted text, so
+       n_phones equals the number of <PHONE> substitutions even when
+       a phone-shaped run sits inside an email local part.
+    7. replicated_skew_join rejects dim-preserving join types (a
+       full/right outer would emit unmatched dim rows once per salt).
+    """
+    import pytest as pt
+
+    from streaming_data_lake_spark.operators.dedup import (
+        banded_embedding_signatures,
+        banded_minhash_signatures,
+        exact_text_dedup,
+    )
+    from streaming_data_lake_spark.operators.ingest import clean_events, rejected_events
+    from streaming_data_lake_spark.operators.multimodal import (
+        attach_fake_media,
+        resize_media,
+        sample_frames,
+    )
+    from streaming_data_lake_spark.operators.similarity import kmeans_train
+    from streaming_data_lake_spark.operators.skew import replicated_skew_join
+    from streaming_data_lake_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pt.raises(ValueError, match="divide"):
+        banded_minhash_signatures(docs, num_hashes=16, bands=32).collect()
+    with pt.raises(ValueError, match="divide"):
+        banded_minhash_signatures(docs, num_hashes=16, bands=5).collect()
+    emb1 = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id long, embedding array<double>")
+    with pt.raises(ValueError, match="divide"):
+        banded_embedding_signatures(emb1, num_bits=8, bands=3, dim=2).collect()
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10, "view", 5.0, "{}"),
+         (2, "2024-01-01 00:00:00", 10, None, 5.0, "{}"),
+         (3, "2024-01-01 00:00:00", 10, "view", None, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    n_clean, n_rej = clean_events(ev).count(), rejected_events(ev).count()
+    assert (n_clean, n_rej) == (1, 2), "partition must be NULL-total"
+    reasons = {r["event_id"]: r["reject_reason"] for r in rejected_events(ev).collect()}
+    assert reasons == {2: "UNKNOWN", 3: "UNKNOWN"}
+
+    nulldocs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)], "doc_id long, text string"
+    )
+    groups = exact_text_dedup(nulldocs).collect()
+    assert len(groups) == 1 and groups[0]["dup_count"] == 2
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 7)],  # 1-based ids
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_train(emb, k=3, iters=1, dim=2)
+    assert cents.count() == 3, "1-based ids must still seed k clusters"
+
+    media = attach_fake_media(spark.createDataFrame(
+        [(1, "café " * 40)], "doc_id long, text string"
+    ))
+    frames = sample_frames(resize_media(media, target_bytes=101), frame_chars=16)
+    assert frames.count() > 0  # used to raise UnicodeDecodeError
+
+    pii = spark.createDataFrame([(1, "call 555-1234@mail.com")], "doc_id long, text string")
+    row = redact_pii(pii).collect()[0]
+    assert row["n_emails"] == 1 and row["n_phones"] == 0
+
+    fact = spark.createDataFrame([(1, "x")], "k long, v string")
+    dim = spark.createDataFrame([(1, "d")], "k long, d string")
+    with pt.raises(ValueError, match="per\\s*salt|dim-preserving"):
+        replicated_skew_join(fact, dim, "k", F.lit(0), 4, how="full")

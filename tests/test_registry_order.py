@@ -92,7 +92,7 @@ R11_PREDRAIN = {
     "exact_substring_dups",
     "dedup_keep_best_quality",
     "multimodal_resize",
-    "top_busiest_hours",
+    "pii_redaction",
     "event_quality_spine_hourly",
 }
 
@@ -123,7 +123,7 @@ R11_DRAIN = {
     "priority_window_profile",
     "tfidf_top_terms",
     "stratified_sample_by_lang",
-    "pii_redaction",
+    "top_busiest_hours",
     "repetition_signals",
     "benchmark_decontamination",
     "duplicate_rates_hourly",
