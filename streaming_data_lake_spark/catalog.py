@@ -127,12 +127,60 @@ def diff_schemas(declared, observed) -> list[str]:
 
 def check_drift(spark: SparkSession, sf_dir: str) -> dict[str, list[str]]:
     """Compare every observed table schema against its declared
-    contract. Returns {table: [drift messages]}; empty == no drift."""
+    contract. Returns {table: [drift messages]}; empty == no drift.
+
+    The diff runs on the RAW physical schema, not load_table's
+    normalized one — normalize_timestamps rewrites any long column
+    declared as timestamp via nanos//1000, so a table that drifted to
+    millis-as-long (or plain int64) would report NO drift while every
+    timestamp read is off by 1000x (r10 review finding). A physical
+    long under a declared timestamp counts as conforming ONLY when
+    the parquet footer's logical type is timestamp[ns] — exactly the
+    encoding the normalization assumes."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
     from streaming_data_lake_spark.schemas import DECLARED_SCHEMAS
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover — pyarrow ships with pyspark
+        pq = None
 
     drift: dict[str, list[str]] = {}
     for name, declared in DECLARED_SCHEMAS.items():
-        msgs = diff_schemas(declared, load_table(spark, sf_dir, name).schema)
+        path = table_path(sf_dir, name)
+        raw = spark.read.parquet(path).schema
+        arrow_types = (
+            {f.name: str(f.type) for f in pq.read_schema(path)} if pq else {}
+        )
+        dec_by_name = {f.name: f for f in declared.fields}
+        adjusted = []
+        for f in raw.fields:
+            dec = dec_by_name.get(f.name)
+            conforming_encoding = dec is not None and isinstance(
+                dec.dataType, TimestampType
+            ) and (
+                # nanos surface as long under nanosAsLong — conforming
+                # ONLY when the footer really says timestamp[ns]
+                (
+                    isinstance(f.dataType, LongType)
+                    and arrow_types.get(f.name) == "timestamp[ns]"
+                )
+                # tz-naive micros/millis surface as timestamp_ntz and
+                # are tz-cast on load — also a conforming encoding
+                or isinstance(f.dataType, TimestampNTZType)
+            )
+            if conforming_encoding:
+                adjusted.append(StructField(f.name, TimestampType(), f.nullable))
+            else:
+                adjusted.append(f)
+        msgs = diff_schemas(declared, StructType(adjusted))
         if msgs:
             drift[name] = msgs
     return drift

@@ -50,11 +50,14 @@ def confluent_schema_id(value_col: str = "value"):
 
 def is_confluent_framed(value_col: str = "value"):
     """Predicate: the binary value carries a well-formed Confluent
-    wire header (leading 0x0 magic byte and at least the 5 header
-    bytes). Malformed frames should be routed to a rejects sink, not
-    fed to ``from_avro`` (which would throw mid-stream)."""
+    wire header (leading 0x0 magic byte, the 4-byte schema id, and a
+    NON-EMPTY Avro body). Malformed frames should be routed to a
+    rejects sink, not fed to ``from_avro`` (which would throw
+    mid-stream) — and a 5-byte header-only frame is malformed for
+    that purpose too: an empty Avro binary fails FAILFAST decoding
+    for any non-empty reader schema (r10 review finding)."""
     return F.expr(
-        f"length({value_col}) >= {WIRE_HEADER_BYTES} "
+        f"length({value_col}) > {WIRE_HEADER_BYTES} "
         f"AND substring({value_col}, 1, 1) = X'00'"
     )
 

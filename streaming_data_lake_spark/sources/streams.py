@@ -89,7 +89,13 @@ def _stream_dir(sf_dir: str, name: str) -> str:
     d = _STREAM_DIRS.get(key)
     if d is None or not os.path.isdir(d):
         d = scratch_dir(f"stream_{name}_")
-        os.symlink(table_path(sf_dir, name), os.path.join(d, f"{name}.parquet"))
+        # abspath the target: a RELATIVE sf_dir would otherwise
+        # resolve against the scratch dir, not the cwd — a dangling
+        # link the file source fails on (and the cache would pin).
+        os.symlink(
+            os.path.abspath(table_path(sf_dir, name)),
+            os.path.join(d, f"{name}.parquet"),
+        )
         _STREAM_DIRS[key] = d
     return d
 

@@ -192,6 +192,27 @@ def _leaf_predicate(pairs: list[tuple[object, int]]) -> Column:
     return pred
 
 
+def _last_writer_wins(updates: DataFrame, keys: list[str]) -> DataFrame:
+    """Collapse duplicate keys WITHIN one batch to a single
+    deterministic winner: the greatest payload struct in column order
+    (``ts_col`` is always one of ``keys``, so it cannot break ties).
+    One batch-sized window shuffle — bounded by the micro-batch, not
+    the table."""
+    from pyspark.sql.window import Window
+
+    payload = [c for c in updates.columns if c not in keys]
+    if not payload:
+        return updates.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(
+        F.struct(*[F.col(c) for c in payload]).desc_nulls_last()
+    )
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def merge_upsert(
     spark: SparkSession,
     table_dir: str,
@@ -212,6 +233,14 @@ def merge_upsert(
     ``keys`` (see module docstring). ``n_buckets`` pins the bucket
     count; the default sizes it from table bytes (starting at 1,
     doubling by amortized rewrite as the table grows).
+
+    A batch holding SEVERAL rows for one key (CDC batches routinely
+    do) is collapsed to one deterministic winner before merging (the
+    greatest payload struct) — the anti-join + union merge would
+    otherwise insert every version and silently break the table's
+    key-uniqueness invariant (Delta and Iceberg MERGE reject
+    multi-matching sources outright; collapsing deterministically is
+    kinder to streams).
     """
     for reserved in (BUCKET_COL, DAY_COL):
         if reserved in updates.columns:
@@ -225,6 +254,7 @@ def merge_upsert(
             f"day partition must be a function of the key, or a matched "
             f"row could live in a different day leaf than its update"
         )
+    updates = _last_writer_wins(updates, keys)
 
     def _check_null_keys() -> None:
         # Full-rewrite paths are rare (init/migration/resize), so a
@@ -234,6 +264,14 @@ def merge_upsert(
             _raise_null_keys(table_dir, keys)
 
     if not os.path.exists(table_dir):
+        if updates.isEmpty():
+            # An empty batch 0 (processingTime streams schedule them
+            # before data arrives) must NOT create the table: the
+            # partitioned write of an empty frame emits only _SUCCESS,
+            # and the resulting data-less dir (with a matching
+            # sidecar) wedges every later merge at
+            # spark.read.parquet with UNABLE_TO_INFER_SCHEMA.
+            return
         # Atomic initial publish: Spark writing straight into the
         # final dir would leave a half-written table on crash, which
         # the next call would then try to MERGE into. foreachBatch is

@@ -205,15 +205,31 @@ class VersionedTable:
         data directories (metadata rows are kept, as Iceberg keeps
         history of expired snapshots in the metadata log)."""
         versions = [m["version"] for m in self._read_meta()]
-        candidates = versions[:-keep_last] if keep_last else versions
-        # Report only versions whose data ACTUALLY existed — slicing
-        # the retained metadata history alone would re-report
-        # already-deleted versions on every later call.
-        expired = [
+        retained = set(versions[-keep_last:]) if keep_last else set()
+        # Candidates come from metadata AND the directory listing: a
+        # crash between the v{N} rename and the metadata append (the
+        # case _next_version numbers past) leaves a full UNRECORDED
+        # v{N} dir that metadata-only candidates would never expire —
+        # an unbounded storage leak (r10 review finding). An orphan
+        # NEWER than every recorded version is left alone (it may be
+        # a commit mid-recovery); older orphans expire with their
+        # recorded peers.
+        on_disk = set()
+        for e in os.listdir(self.table_dir):
+            if e.startswith("v") and e[1:].isdigit() and os.path.isdir(
+                os.path.join(self.table_dir, e)
+            ):
+                on_disk.add(int(e[1:]))
+        newest_recorded = max(versions, default=0)
+        candidates = sorted(
             v
-            for v in candidates
-            if os.path.isdir(os.path.join(self.table_dir, f"v{v}"))
-        ]
+            for v in (set(versions) | on_disk)
+            if v not in retained and v <= newest_recorded
+        )
+        # Report only versions whose data ACTUALLY existed — the
+        # retained metadata history alone would re-report
+        # already-deleted versions on every later call.
+        expired = [v for v in candidates if v in on_disk]
         for v in expired:
             shutil.rmtree(os.path.join(self.table_dir, f"v{v}"), ignore_errors=True)
         return expired

@@ -123,17 +123,22 @@ def _fold_batch(pdf: pd.DataFrame, carried, gap_us: int):
         for lo, hi, c in zip(seg_lo, seg_hi, seg_cents)
     ]
     if carried is not None:
-        cur = tuple(carried)
-    else:
-        cur, segments = segments[0], segments[1:]
+        # Fold the carried session in as ONE MORE interval and run a
+        # single ascending merge over the start-sorted list. Treating
+        # the carried state as the running accumulator instead was
+        # wrong twice over: it absorbed ANY earlier segment
+        # (seg_end << carried_start - gap is trivially
+        # seg_start - carried_end <= gap), merging sessions the batch
+        # gaps-and-islands oracle and session_window keep separate —
+        # and it kept late segments from merging with EACH OTHER
+        # before the carried session's span (r10 review finding; the
+        # r9 min-merge fix handled only the overlapping-start case).
+        segments.append(tuple(carried))
+        segments.sort(key=lambda s: (s[0], s[1]))
+    cur, segments = segments[0], segments[1:]
     closed: list[tuple[int, int, int, int]] = []
     for seg in segments:
         if seg[0] - cur[1] <= gap_us:
-            # min-merge the start too: a LATE segment (inside the
-            # watermark) can begin before the carried session's start,
-            # and keeping only the carried start would emit a wrong
-            # session_start vs the batch gaps-and-islands oracle and
-            # session_window (both take min(ts) — r9 review finding).
             cur = (
                 min(cur[0], seg[0]),
                 max(cur[1], seg[1]),
@@ -244,13 +249,20 @@ def sessionize_native(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
     )
 
 
-def sessionize_native_replay(
-    spark: SparkSession, sf_dir: str, gap_minutes: int = 120
+def _replay_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int,
+    build,
+    name_prefix: str,
+    drop_sentinel: bool = False,
 ) -> DataFrame:
-    """Bounded replay of :func:`sessionize_native` (same staging and
-    sentinel discipline as :func:`sessionize_replay`): batch 0 folds
-    the events, batch 1's far-future sentinel advances the watermark,
-    and the final no-data batch flushes every open session."""
+    """Shared bounded-replay harness for every sessionize variant:
+    sentinel-staged file stream -> variant -> memory sink, run to
+    completion. One implementation so the replay discipline (staging,
+    per-file triggers, checkpointing, sentinel filtering) cannot
+    drift between variants (r10 review: the three replays had
+    triplicated this block)."""
     import uuid
 
     from pyspark.sql import functions as F
@@ -265,9 +277,8 @@ def sessionize_native_replay(
         .option("maxFilesPerTrigger", 1)
         .load(stage)
     )
-    sessions = sessionize_native(normalize_timestamps(raw, "events"), gap_minutes)
-
-    name = f"sessions_native_{uuid.uuid4().hex[:12]}"
+    sessions = build(normalize_timestamps(raw, "events"), gap_minutes)
+    name = f"{name_prefix}_{uuid.uuid4().hex[:12]}"
     q = (
         sessions.writeStream.outputMode("append")
         .format("memory")
@@ -277,10 +288,26 @@ def sessionize_native_replay(
         .start()
     )
     q.awaitTermination()
-    # The sentinel session never flushes (its window end outruns the
-    # final watermark), but filter defensively: the sink is the
-    # certified result.
-    return spark.table(name).filter(F.col("user_id") != _SENTINEL_USER)
+    out = spark.table(name)
+    if drop_sentinel:
+        # The sentinel session never flushes (its window end outruns
+        # the final watermark), but filter defensively: the sink is
+        # the certified result.
+        out = out.filter(F.col("user_id") != _SENTINEL_USER)
+    return out
+
+
+def sessionize_native_replay(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 120
+) -> DataFrame:
+    """Bounded replay of :func:`sessionize_native` (same staging and
+    sentinel discipline as :func:`sessionize_replay`): batch 0 folds
+    the events, batch 1's far-future sentinel advances the watermark,
+    and the final no-data batch flushes every open session."""
+    return _replay_to_memory(
+        spark, sf_dir, gap_minutes, sessionize_native, "sessions_native",
+        drop_sentinel=True,
+    )
 
 
 def _stage_with_sentinels(sf_dir: str) -> str:
@@ -291,7 +318,10 @@ def _stage_with_sentinels(sf_dir: str) -> str:
 
     from streaming_data_lake_spark.catalog import table_path
 
-    src = table_path(sf_dir, "events")
+    # abspath: a relative sf_dir would make the symlink target
+    # resolve against the scratch dir (dangling link — same fix as
+    # sources/streams._stream_dir).
+    src = os.path.abspath(table_path(sf_dir, "events"))
     d = _scratch("sessionize_")
     main = os.path.join(d, "a_events.parquet")
     os.symlink(src, main)
@@ -324,31 +354,7 @@ def sessionize_replay(
     """Run sessionization over the bounded events table to completion
     (availableNow, one staged file per micro-batch) and return every
     emitted session."""
-    import uuid
-
-    from streaming_data_lake_spark.catalog import normalize_timestamps
-    from streaming_data_lake_spark.sources.streams import physical_schema
-
-    stage = _stage_with_sentinels(sf_dir)
-    raw = (
-        spark.readStream.schema(physical_schema(spark, sf_dir, "events"))
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(stage)
-    )
-    sessions = sessionize(normalize_timestamps(raw, "events"), gap_minutes)
-
-    name = f"sessions_{uuid.uuid4().hex[:12]}"
-    q = (
-        sessions.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", _scratch("ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _replay_to_memory(spark, sf_dir, gap_minutes, sessionize, "sessions")
 
 
 # applicationId -> (probe result, probe time). The probe is one tiny
@@ -510,28 +516,4 @@ def sessionize_tws_replay(
 ) -> DataFrame:
     """Bounded replay of :func:`sessionize_tws` (same staging and
     sentinel discipline as :func:`sessionize_replay`)."""
-    import uuid
-
-    from streaming_data_lake_spark.catalog import normalize_timestamps
-    from streaming_data_lake_spark.sources.streams import physical_schema
-
-    stage = _stage_with_sentinels(sf_dir)
-    raw = (
-        spark.readStream.schema(physical_schema(spark, sf_dir, "events"))
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(stage)
-    )
-    sessions = sessionize_tws(normalize_timestamps(raw, "events"), gap_minutes)
-
-    name = f"sessions_tws_{uuid.uuid4().hex[:12]}"
-    q = (
-        sessions.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", _scratch("ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _replay_to_memory(spark, sf_dir, gap_minutes, sessionize_tws, "sessions_tws")

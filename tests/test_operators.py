@@ -732,3 +732,39 @@ def test_review_r10_edge_contracts(spark):
     dim = spark.createDataFrame([(1, "d")], "k long, d string")
     with pt.raises(ValueError, match="per\\s*salt|dim-preserving"):
         replicated_skew_join(fact, dim, "k", F.lit(0), 4, how="full")
+
+
+def test_check_drift_detects_wrong_timestamp_encoding(spark, tmp_path):
+    """check_drift diffs the PHYSICAL schema: a long `ts` column is
+    conforming only when the parquet logical type is timestamp[ns]
+    (the encoding normalize_timestamps assumes). A table drifted to
+    plain int64 must REPORT drift — diffing the normalized schema
+    used to hide it while every timestamp read was off by 1000x."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streaming_data_lake_spark.catalog import check_drift, table_path
+    from streaming_data_lake_spark.schemas import DECLARED_SCHEMAS
+
+    fake_sf = str(tmp_path / "sf")
+    os.makedirs(fake_sf)
+    for name in DECLARED_SCHEMAS:
+        os.symlink(
+            os.path.abspath(table_path(SF_DIR, name)),
+            table_path(fake_sf, name),
+        )
+    assert check_drift(spark, fake_sf) == {}  # symlinked real data: clean
+
+    # drift events.ts to PLAIN int64 (no timestamp annotation)
+    src = pq.read_table(table_path(SF_DIR, "events"))
+    idx = src.schema.get_field_index("ts")
+    drifted = src.set_column(
+        idx, pa.field("ts", pa.int64()), src.column("ts").cast(pa.int64())
+    )
+    os.remove(table_path(fake_sf, "events"))
+    pq.write_table(drifted, table_path(fake_sf, "events"))
+    report = check_drift(spark, fake_sf)
+    assert "events" in report
+    assert any("type drift on ts" in m for m in report["events"])

@@ -104,7 +104,7 @@ def test_confluent_frame_validation(spark):
 
     rows = [
         (_frame(7, b"ok"), True),
-        (bytearray(b"\x00\x00\x00\x00\x07"), True),  # header only, empty payload
+        (bytearray(b"\x00\x00\x00\x00\x07"), False),  # header-only: empty Avro body would fail FAILFAST decode
         (bytearray(b"\x00\x00\x00"), False),  # too short
         (bytearray(b"\x01\x00\x00\x00\x07oops"), False),  # wrong magic
         (bytearray(b""), False),
@@ -431,3 +431,86 @@ def test_fanout_batch_replay_converges(spark, tmp_path):
     rej_n = spark.read.parquet(rej_dir).drop("bid").count()
     # each delivered batch contributes its rows exactly once
     assert (clean_n, rej_n) == (2, 2)
+
+
+def test_review_r10_source_contracts(spark, tmp_path):
+    """Round-10 review findings over sources/ + streaming/, pinned:
+
+    1. An EMPTY first micro-batch must not create the upsert table —
+       the data-less dir (only _SUCCESS + sidecar) used to wedge
+       every later merge with UNABLE_TO_INFER_SCHEMA.
+    2. A batch with several rows for one key collapses to one
+       deterministic winner (greatest payload struct) instead of
+       silently inserting every version and breaking key uniqueness.
+    3. _fold_batch: a late segment ending more than gap before the
+       carried session's start is a SEPARATE session (it used to be
+       absorbed — seg_start - carried_end <= gap is trivially true
+       for any earlier segment); late segments still merge with each
+       other.
+    4. Relative sf_dir staging: the stream symlink target is
+       absolute, so a caller cwd-relative sf_dir produces a working
+       staging dir, not a dangling link.
+    5. expire_snapshots reclaims a crash-orphaned unrecorded v{N}
+       dir (but never one newer than every recorded version).
+    """
+    import os
+
+    from streaming_data_lake_spark.sources.streams import _stream_dir
+    from streaming_data_lake_spark.sources.upsert import merge_upsert, read_upsert
+    from streaming_data_lake_spark.sources.versioned import VersionedTable
+    from streaming_data_lake_spark.streaming.sessionize import _fold_batch
+
+    # 1: empty creation batch
+    t = str(tmp_path / "up")
+    empty = spark.createDataFrame([], "k long, v long")
+    merge_upsert(spark, t, empty, keys=["k"])
+    assert not os.path.exists(t), "empty batch 0 must not create the table"
+    merge_upsert(spark, t, spark.createDataFrame([(1, 10)], "k long, v long"), keys=["k"])
+    merge_upsert(spark, t, spark.createDataFrame([(1, 20), (2, 5)], "k long, v long"), keys=["k"])
+    assert {(r["k"], r["v"]) for r in read_upsert(spark, t).collect()} == {(1, 20), (2, 5)}
+
+    # 2: duplicate keys within one batch -> single winner (greatest payload)
+    dup = spark.createDataFrame([(3, 1), (3, 9), (3, 4)], "k long, v long")
+    merge_upsert(spark, t, dup, keys=["k"])
+    rows = read_upsert(spark, t).filter("k = 3").collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(3, 9)]
+
+    # 3: carried-state fold semantics
+    import pandas as pd2
+
+    gap_us = 10_000_000  # 10s
+    late = pd2.DataFrame({"ts": pd2.to_datetime([50_000_000_000], unit="ns"),
+                          "value": [1.0]})  # t=50s
+    closed, cur = _fold_batch(late, (100_000_000, 100_000_000, 1, 100), gap_us)
+    assert closed == [(50_000_000, 50_000_000, 1, 100)], "late segment must close separately"
+    assert cur == (100_000_000, 100_000_000, 1, 100)
+    # two late segments within gap of each other merge together
+    late2 = pd2.DataFrame({"ts": pd2.to_datetime([50_000_000_000, 55_000_000_000], unit="ns"),
+                           "value": [1.0, 1.0]})
+    closed, cur = _fold_batch(late2, (100_000_000, 100_000_000, 1, 100), gap_us)
+    assert closed == [(50_000_000, 55_000_000, 2, 200)]
+    # a late segment within gap of the carried start still merges
+    near = pd2.DataFrame({"ts": pd2.to_datetime([95_000_000_000], unit="ns"),
+                          "value": [1.0]})
+    closed, cur = _fold_batch(near, (100_000_000, 100_000_000, 1, 100), gap_us)
+    assert closed == [] and cur == (95_000_000, 100_000_000, 2, 200)
+
+    # 4: relative sf_dir staging resolves
+    rel = os.path.relpath(SF_DIR, os.getcwd())
+    d = _stream_dir(rel, "region")
+    link = os.path.join(d, "region.parquet")
+    assert os.path.exists(link), "staged symlink must resolve for relative sf_dir"
+
+    # 5: orphaned version dir reclamation
+    vt = VersionedTable(spark, str(tmp_path / "vt"))
+    vt.commit(spark.range(0, 10).toDF("id"))
+    vt.commit(spark.range(10, 20).toDF("id"))
+    orphan = os.path.join(vt.table_dir, "v99")
+    os.makedirs(orphan)  # unrecorded dir NEWER than all recorded: kept
+    assert vt.expire_snapshots(keep_last=1) == [1]
+    assert os.path.isdir(orphan)
+    # an unrecorded dir BELOW the newest recorded version is reclaimed
+    old_orphan = os.path.join(vt.table_dir, "v1")
+    os.makedirs(old_orphan, exist_ok=True)
+    assert vt.expire_snapshots(keep_last=1) == [1]
+    assert not os.path.isdir(old_orphan)
