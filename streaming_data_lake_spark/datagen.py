@@ -58,9 +58,18 @@ def seed_dimensions(spark: SparkSession, lake_dir: str) -> dict[str, str]:
         ("dim_segment", build_dim_segment),
     ):
         path = os.path.join(lake_dir, name)
-        if os.path.isdir(path) and not spark.read.parquet(path).isEmpty():
-            log[name] = "skipped (non-empty)"
-            continue
+        if os.path.isdir(path):
+            try:
+                if not spark.read.parquet(path).isEmpty():
+                    log[name] = "skipped (non-empty)"
+                    continue
+            except Exception:  # noqa: BLE001
+                # A dir with no readable parquet (crashed mid-write:
+                # only _temporary/ or _SUCCESS inside) raises
+                # UNABLE_TO_INFER_SCHEMA — exactly the partial state
+                # an idempotent seeder must recover from, not crash
+                # on (r10 review finding). Fall through and reseed.
+                pass
         builder(spark).write.mode("overwrite").parquet(path)
         log[name] = "seeded"
     return log

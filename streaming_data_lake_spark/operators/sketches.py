@@ -139,9 +139,14 @@ def cms_cells(tok: DataFrame, token_col: str = "token") -> DataFrame:
     """Count-Min grid from a token stream: one row per (seed, bucket)
     holding the cell count. SUM-merged, map-side combinable — the
     fixed-size (d×w) summary that works identically as a batch
-    aggregate and as a streaming upsert state."""
+    aggregate and as a streaming upsert state. NULL tokens are
+    dropped — the same null-key discipline as hll_registers:
+    h32_seeded(NULL) is NULL, so a null token would occupy
+    (seed, NULL) cells that no lookup's equi-join can ever reach,
+    breaking the estimate >= truth invariant for it."""
     return (
-        tok.select(F.explode(_cms_seed_buckets(F.col(token_col))).alias("sb"))
+        tok.filter(F.col(token_col).isNotNull())
+        .select(F.explode(_cms_seed_buckets(F.col(token_col))).alias("sb"))
         .groupBy(F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -185,6 +190,12 @@ def cms_topk_candidates(tok: DataFrame, token_col: str = "token", k: int = CMS_T
     former as a distributed TakeOrderedAndProject (each partition
     keeps k rows, driver merges), while an un-partitioned window
     would drag the whole vocabulary-sized truth table through one
-    task. Same deterministic result set."""
-    truth = tok.groupBy(token_col).agg(F.count(F.lit(1)).alias("true_n"))
+    task. Same deterministic result set. NULL tokens are excluded to
+    match cms_cells' null-key discipline (a NULL candidate would
+    estimate 0 against any true_n)."""
+    truth = (
+        tok.filter(F.col(token_col).isNotNull())
+        .groupBy(token_col)
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
     return truth.orderBy(F.desc("true_n"), F.asc(token_col)).limit(k)

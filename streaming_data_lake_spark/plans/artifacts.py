@@ -54,6 +54,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 
 _MARKER = "_GRAFT_COMPLETE"
 _ENV = "SPARK_GRAFT_ARTIFACTS"
@@ -147,6 +148,36 @@ def is_complete(path: str) -> bool:
     return os.path.isfile(os.path.join(path, _MARKER)) and _owned_by_me(path)
 
 
+_TMP_REAP_AGE_S = 6 * 3600.0
+
+
+def _reap_stale_tmp(root: str) -> None:
+    """Reclaim crash-orphaned ``*.tmp-<pid>-<nonce>`` build dirs: a
+    SIGKILLed builder never reaches its finally-rmtree, and nothing
+    else sweeps the cache root (the name matches none of
+    remove_orphans' patterns), so dead build data accumulated forever
+    (r10 review finding). Age-guarded generously (6h — far beyond any
+    real build) so a live concurrent builder's tmp is never touched;
+    a tmp whose owning pid is demonstrably dead could go sooner, but
+    pid reuse makes the age bound the safer rule. Best-effort: runs
+    only on cache misses, where one listdir is noise next to the
+    build itself."""
+    try:
+        now = time.time()
+        for e in os.listdir(root):
+            if ".tmp-" not in e:
+                continue
+            p = os.path.join(root, e)
+            try:
+                st = os.stat(p)
+                if now - max(st.st_ctime, st.st_mtime) > _TMP_REAP_AGE_S:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    except OSError:
+        pass
+
+
 def ensure(kind: str, inputs: list[str], params: dict, build) -> str:
     """Return the directory of a complete artifact, building it via
     ``build(tmp_dir)`` if absent. ``build`` must create ``tmp_dir``
@@ -159,6 +190,7 @@ def ensure(kind: str, inputs: list[str], params: dict, build) -> str:
         return final
     STATS["misses"] += 1
     _make_private_dir(cache_root())
+    _reap_stale_tmp(cache_root())
     tmp = f"{final}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
     try:
         build(tmp)

@@ -212,15 +212,28 @@ def compact_parquet(
             for c, pv in zip(part_cols, pv_cols):
                 term = df[c].cast("string").eqNullSafe(stats[pv])
                 cond = term if cond is None else (cond & term)
-            data_cols = [c for c in df.columns if c not in part_cols]
+            from pyspark.sql.types import MapType
+
+            # F.hash rejects MapType columns; salt on the hashable
+            # subset. A table with NO hashable data column falls back
+            # to monotonically_increasing_id — the salt only picks
+            # which file a row lands in, never its content, so
+            # run-to-run assignment stability is not required there.
+            data_cols = [
+                f.name
+                for f in df.schema.fields
+                if f.name not in part_cols and not isinstance(f.dataType, MapType)
+            ]
+            salt_src = (
+                F.hash(*[F.col(c) for c in data_cols])
+                if data_cols
+                else F.monotonically_increasing_id()
+            )
             out = (
                 df.join(F.broadcast(stats), cond, "left")
                 .withColumn(
                     "__salt",
-                    F.pmod(
-                        F.hash(*[F.col(c) for c in data_cols]),
-                        F.coalesce(F.col("__salt_k"), F.lit(1)),
-                    ),
+                    F.pmod(salt_src, F.coalesce(F.col("__salt_k"), F.lit(1))),
                 )
                 .drop(*pv_cols, "__salt_k")
                 .repartitionByRange(
@@ -293,8 +306,27 @@ def remove_orphans(
         return [e for e in sorted(os.listdir(lake_dir)) if marker in e]
 
     def young(path: str) -> bool:
+        """Age from the newest of ctime/mtime over the entry AND its
+        immediate children. mtime alone is wrong for ``__old_``
+        entries: os.rename PRESERVES the directory's mtime, so a
+        table last published hours ago looks hours old one second
+        after being swapped aside — and the sweep would race the
+        swap's second rename (r10 review finding). rename updates the
+        inode's ctime, so ctime bounds the swap moment; children
+        cover long-running writes whose top-dir times go stale while
+        files stream into ``_temporary/``."""
+        if min_age_s <= 0:
+            return False
         try:
-            return min_age_s > 0 and (now - os.path.getmtime(path)) < min_age_s
+            st = os.stat(path)
+            newest = max(st.st_ctime, st.st_mtime)
+            for e in os.listdir(path):
+                try:
+                    cst = os.stat(os.path.join(path, e))
+                    newest = max(newest, cst.st_ctime, cst.st_mtime)
+                except OSError:
+                    continue
+            return (now - newest) < min_age_s
         except OSError:
             return True  # vanished mid-scan: leave it alone
 

@@ -348,6 +348,61 @@ class Materializer:
         except OSError:
             return False
 
+    # -- M4 append intent journal ---------------------------------------
+    #
+    # A plain mode("append") between two watermark states is
+    # at-least-once: any failure after the files land but before M6
+    # advances the watermark re-appends the same increment next cycle,
+    # and M2's lookback repair only covers the lookback window — so an
+    # increment older than that would duplicate PERMANENTLY (r10
+    # review finding). The append therefore stages its files, journals
+    # the destination list + the watermark it was computed against,
+    # moves the files in, and deletes the journal only after M6
+    # commits the new watermark. Recovery at cycle start: a journal
+    # whose watermark still matches means M6 never ran — delete any
+    # listed files (rollback; the same rows re-append this cycle); a
+    # stale watermark means the cycle completed — drop the journal.
+
+    def _m4_intent_path(self, name: str) -> str:
+        return os.path.join(self.wm_dir, f"_m4_inflight_{name}.json")
+
+    def _write_m4_intent(self, name: str, wm: dt.datetime, files: list[str]) -> None:
+        os.makedirs(self.wm_dir, exist_ok=True)
+        tmp = self._m4_intent_path(name) + f".tmp_{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"wm_us": (wm - _EPOCH_UTC) // dt.timedelta(microseconds=1),
+                 "files": files},
+                fh,
+            )
+        os.rename(tmp, self._m4_intent_path(name))
+
+    def _recover_m4(self, name: str, wm: dt.datetime, mat_dir: str) -> bool:
+        """Roll back (or retire) a crashed append's journal. Returns
+        True when files were rolled back."""
+        path = self._m4_intent_path(name)
+        if not os.path.exists(path):
+            return False
+        try:
+            with open(path) as fh:
+                intent = json.load(fh)
+            wm_us = (wm - _EPOCH_UTC) // dt.timedelta(microseconds=1)
+            rolled = False
+            if intent.get("wm_us") == wm_us:
+                for rel in intent.get("files", ()):
+                    f = os.path.join(mat_dir, rel)
+                    if os.path.exists(f):
+                        os.remove(f)
+                        rolled = True
+            os.remove(path)
+            return rolled
+        except (OSError, ValueError):
+            # Unreadable journal: safest is to keep it and surface the
+            # problem rather than guess at rollback.
+            raise RuntimeError(
+                f"unreadable M4 append journal {path!r}; inspect and remove"
+            )
+
     def get_watermark(self, name: str) -> dt.datetime | None:
         """Returns the watermark as an AWARE-UTC datetime."""
         m = self._read_wm_map()
@@ -440,6 +495,16 @@ class Materializer:
         layout = self._layout_cols(target)
 
         if not os.path.exists(mat_dir):  # M1 full load
+            if view.isEmpty():
+                # Loading an empty view would publish a zero-file mat
+                # dir with no watermark: read_mat then fails
+                # UNABLE_TO_INFER_SCHEMA and every later cycle hits
+                # the exists-branch's 'no watermark' error — a wedge
+                # only manual deletion cleared (r10 review finding).
+                # Leave the table nonexistent; the next cycle retries.
+                log["M1"] = "empty view, load deferred"
+                _mark("M1")
+                return log
             n = self._m1_full_load(view, target, mat_dir)
             log["M1"] = f"full load ({n} buckets)" if target.bucket_col else "full load"
             n_buckets = n
@@ -478,6 +543,8 @@ class Materializer:
             wm = self.get_watermark(target.name)
             if wm is None:
                 raise RuntimeError(f"mat table {target.name} exists but no watermark")
+            if self._recover_m4(target.name, wm, mat_dir):
+                log["M4:recovery"] = "rolled back crashed append"
             lo = wm - dt.timedelta(hours=lookback_hours)
             # The lookback window's day partitions — pure arithmetic
             # on the aware-UTC bounds, no job. Every windowed row's
@@ -533,54 +600,44 @@ class Materializer:
                 win_view.unpersist()
             _mark("M2")
 
-            # M3 — pass 1: dimension-change repair
+            # M3 — pass 1: dimension-change repair. The changed-key
+            # frame feeds the isEmpty probe AND the downstream joins
+            # (semi for reinsert, anti/_repair_keys for keep) — cache
+            # it so the dim scan runs once, not 2-3 times per cycle
+            # (bounded: it is the changed-key SET, like win_view).
             for dep in target.dims:
                 dim = dep.dim(self.spark)
                 changed = (
                     dim.filter(F.col(dep.valid_from_col) > F.lit(wm))
                     .select(F.col(dep.dim_key).alias(dep.fact_fk))
                     .distinct()
+                    .cache()
                 )
-                if changed.isEmpty():
-                    log[f"M3:{dep.fact_fk}"] = "no dim change"
-                    continue
-                reinsert = view.join(
-                    F.broadcast(changed), on=dep.fact_fk, how="left_semi"
-                ).filter(ts <= F.lit(wm))
-                if target.bucket_col == dep.fact_fk:
-                    # Keyed repair on the bucket column: rewrite only
-                    # the (day × touched-kb) leaves.
-                    n = self._repair_keys(
-                        mat_dir, target, changed, dep.fact_fk, reinsert, n_buckets
-                    )
-                    log[f"M3:{dep.fact_fk}"] = f"repaired changed keys ({n} buckets)"
-                else:
-                    mat = self.read_mat(target.name)
-                    keep = mat.join(changed, on=dep.fact_fk, how="left_anti")
-                    self._overwrite(mat_dir, keep.unionByName(reinsert), target, n_buckets)
-                    log[f"M3:{dep.fact_fk}"] = "repaired changed keys"
+                try:
+                    if changed.isEmpty():
+                        log[f"M3:{dep.fact_fk}"] = "no dim change"
+                        continue
+                    reinsert = view.join(
+                        F.broadcast(changed), on=dep.fact_fk, how="left_semi"
+                    ).filter(ts <= F.lit(wm))
+                    if target.bucket_col == dep.fact_fk:
+                        # Keyed repair on the bucket column: rewrite only
+                        # the (day × touched-kb) leaves.
+                        n = self._repair_keys(
+                            mat_dir, target, changed, dep.fact_fk, reinsert, n_buckets
+                        )
+                        log[f"M3:{dep.fact_fk}"] = f"repaired changed keys ({n} buckets)"
+                    else:
+                        mat = self.read_mat(target.name)
+                        keep = mat.join(changed, on=dep.fact_fk, how="left_anti")
+                        self._overwrite(mat_dir, keep.unionByName(reinsert), target, n_buckets)
+                        log[f"M3:{dep.fact_fk}"] = "repaired changed keys"
+                finally:
+                    changed.unpersist()
 
             _mark("M3")
 
-            # M4 — pass 2: append new facts. The increment is cached
-            # so the audit count and the append share one computation
-            # of the view transform (an increment is micro-batch
-            # sized by construction — safe to cache at any scale,
-            # unlike the full view).
-            new_rows = view.filter(ts > F.lit(wm)).cache()
-            try:
-                n_new = new_rows.count()
-                if n_new:
-                    # Micro-batch-sized increment: one file per leaf.
-                    self._with_layout(new_rows, target, n_buckets).repartition(
-                        *[F.col(c) for c in layout]
-                    ).write.mode("append").partitionBy(*layout).parquet(mat_dir)
-            finally:
-                new_rows.unpersist()
-            log["M4"] = f"appended {n_new}"
-            _mark("M4")
-
-            # M5 — pass 3: EXISTS repair (funnel flag flips). A late
+            # M5 — pass 2: EXISTS repair (funnel flag flips). A late
             # downstream event changes an already-materialized row's
             # CONTENT without changing the window's row count, so M2
             # never sees it; compare flags row-by-row instead.
@@ -599,6 +656,9 @@ class Materializer:
                 flip_any = flips[0]
                 for f in flips[1:]:
                     flip_any = flip_any | f
+                # The flip-detection join (mat × view) is the cycle's
+                # costliest plan; cache the bounded changed-key set so
+                # the probe and the repair joins run it ONCE.
                 changed = (
                     mat.alias("m")
                     .join(
@@ -608,22 +668,62 @@ class Materializer:
                     .filter(flip_any)
                     .select(F.col(f"m.{er.key_col}").alias(er.key_col))
                     .distinct()
+                    .cache()
                 )
-                if changed.isEmpty():
-                    log["M5"] = "no flag flips"
-                else:
-                    reinsert = view.join(changed, on=er.key_col, how="left_semi")
-                    if target.bucket_col == er.key_col:
-                        n = self._repair_keys(
-                            mat_dir, target, changed, er.key_col, reinsert, n_buckets
-                        )
-                        log["M5"] = f"repaired flipped keys ({n} buckets)"
+                try:
+                    if changed.isEmpty():
+                        log["M5"] = "no flag flips"
                     else:
-                        keep = mat.join(changed, on=er.key_col, how="left_anti")
-                        self._overwrite(mat_dir, keep.unionByName(reinsert), target, n_buckets)
-                        log["M5"] = "repaired flipped keys"
+                        reinsert = view.join(changed, on=er.key_col, how="left_semi")
+                        if target.bucket_col == er.key_col:
+                            n = self._repair_keys(
+                                mat_dir, target, changed, er.key_col, reinsert, n_buckets
+                            )
+                            log["M5"] = f"repaired flipped keys ({n} buckets)"
+                        else:
+                            keep = mat.join(changed, on=er.key_col, how="left_anti")
+                            self._overwrite(mat_dir, keep.unionByName(reinsert), target, n_buckets)
+                            log["M5"] = "repaired flipped keys"
+                finally:
+                    changed.unpersist()
 
             _mark("M5")
+
+            # M4 — LAST data pass: append new facts. Runs after
+            # M3/M5 deliberately: those passes rewrite the table, and
+            # the append's crash journal rolls back by FILE list — a
+            # rewrite between the append and the M6 watermark commit
+            # would absorb the appended rows into new files the
+            # journal cannot name. With M4 immediately before M6 the
+            # only crash window is file-move → watermark-commit,
+            # which _recover_m4 reverses exactly. (New rows are also
+            # not M3/M5 repair candidates by construction: they
+            # materialize fresh from the CURRENT view.) The staged
+            # write doubles as the audit count — no cache needed; the
+            # count reads staged footers only.
+            staged = tmp_sibling(mat_dir)
+            self._with_layout(view.filter(ts > F.lit(wm)), target, n_buckets).repartition(
+                *[F.col(c) for c in layout]
+            ).write.mode("overwrite").partitionBy(*layout).parquet(staged)
+            moved: list[str] = []
+            for root, _dirs, files in os.walk(staged):
+                for f in files:
+                    if not f.startswith((".", "_")):
+                        moved.append(
+                            os.path.relpath(os.path.join(root, f), staged)
+                        )
+            if moved:
+                n_new = self.spark.read.parquet(staged).count()
+                self._write_m4_intent(target.name, wm, moved)
+                for rel in moved:
+                    dst = os.path.join(mat_dir, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.rename(os.path.join(staged, rel), dst)
+            else:
+                n_new = 0
+            shutil.rmtree(staged, ignore_errors=True)
+            log["M4"] = f"appended {n_new}"
+            _mark("M4")
 
         # M6 — watermark upsert. After the passes above the mat table
         # contains every view row newer than the old watermark (M4)
@@ -641,6 +741,12 @@ class Materializer:
             max_ts = _utc_from_micros(max_us)
             self._set_watermark(target.name, max_ts)
             log["M6"] = f"watermark={max_ts.isoformat()}"
+        # The append journal retires only after the watermark commit:
+        # a crash anywhere above leaves (journal, old watermark) and
+        # the next cycle's _recover_m4 rolls the files back.
+        intent = self._m4_intent_path(target.name)
+        if os.path.exists(intent):
+            os.remove(intent)
         _mark("M6")
         return log
 

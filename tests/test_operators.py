@@ -768,3 +768,26 @@ def test_check_drift_detects_wrong_timestamp_encoding(spark, tmp_path):
     report = check_drift(spark, fake_sf)
     assert "events" in report
     assert any("type drift on ts" in m for m in report["events"])
+
+
+def test_cms_null_tokens_dropped(spark):
+    """CMS null-key discipline (r10 review): NULL tokens are dropped
+    from the grid and the candidate set — a NULL token occupied
+    (seed, NULL) cells no lookup's equi-join could reach, so its
+    estimate was 0 against a large true count, breaking the
+    Count-Min estimate >= truth invariant."""
+    from streaming_data_lake_spark.operators.sketches import (
+        cms_cells,
+        cms_lookup,
+        cms_topk_candidates,
+    )
+
+    tok = spark.createDataFrame(
+        [("a",)] * 3 + [(None,)] * 50 + [("b",)], "token string"
+    )
+    cells = cms_cells(tok)
+    assert cells.filter(F.col("bucket").isNull()).count() == 0
+    cand = cms_topk_candidates(tok, k=10)
+    assert cand.filter(F.col("token").isNull()).count() == 0
+    est = {r["token"]: r["cms_estimate"] for r in cms_lookup(cand, cells).collect()}
+    assert est["a"] >= 3 and est["b"] >= 1  # estimate >= truth holds
