@@ -289,7 +289,9 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_SIZE = 64
 _CHUNK_STRIDE = 48
 
-_DUCK_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
+from streaming_data_lake_spark.functions.duckql import DUCK_DOT, DUCK_TOKS
+
+_DUCK_TOKS = DUCK_TOKS
 
 _CHUNK_ORACLE = f"""
 WITH tk AS (
@@ -358,10 +360,7 @@ _SEM_THRESHOLD = 0.40
 # 32 centroids cut candidate pairs 4x vs 8 at sf0.1 with the same
 # verify semantics.
 _SEM_K = 32
-_DUCK_DOT = (
-    "list_reduce(list_transform(list_zip({a}, {b}),"
-    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
-)
+_DUCK_DOT = DUCK_DOT
 
 _SEMDEDUP_ORACLE = f"""
 WITH n AS (

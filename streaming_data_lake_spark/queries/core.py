@@ -120,7 +120,10 @@ SELECT
        WHEN event_type = 'signup' THEN 'Acquisition'
        WHEN event_type = 'error' THEN 'Fault'
        ELSE 'Unknown' END AS event_class,
-  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS prop_k
+  -- NULLIF: DuckDB regexp_extract yields '' on no match and CAST('')
+  -- raises; Spark yields NULL — NULLIF restores parity for props
+  -- without a "k" key (r10 review finding)
+  CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INTEGER) AS prop_k
 FROM events
 WHERE value > 0 AND event_type <> 'error'
 """
@@ -142,7 +145,10 @@ SELECT
        WHEN value <= 0 THEN 'NON_POSITIVE_VALUE'
        ELSE 'UNKNOWN' END AS reject_reason
 FROM events
-WHERE NOT (value > 0 AND event_type <> 'error')
+-- coalesce: the engine's complement is NULL-total (a NULL value or
+-- event_type row is REJECTED, reason UNKNOWN — r10 review finding);
+-- a bare NOT(pred) would drop such rows here while Spark keeps them
+WHERE NOT coalesce(value > 0 AND event_type <> 'error', false)
 """
 
 

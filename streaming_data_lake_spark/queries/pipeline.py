@@ -24,8 +24,10 @@ from streaming_data_lake_spark.operators.multimodal import attach_fake_media, ex
 from streaming_data_lake_spark.queries import register
 
 # Shared DuckDB fragments (kept in lockstep with the Spark operators).
-_DUCK_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
-_DUCK_H32 = "CAST('0x' || substring(md5({x}), 1, 8) AS BIGINT)"
+from streaming_data_lake_spark.functions.duckql import DUCK_DOT, DUCK_TOKS
+from streaming_data_lake_spark.functions.hashing import duck_h32
+
+_DUCK_TOKS = DUCK_TOKS
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -41,6 +43,9 @@ SELECT md5(text) AS content_hash,
        CAST(min(doc_id) AS BIGINT) AS canonical_id,
        count(*) AS dup_count
 FROM documents
+-- engine excludes NULL-text docs (md5(NULL) would pool them into one
+-- spurious duplicate group — r10 review finding); mirror it here
+WHERE text IS NOT NULL
 GROUP BY md5(text)
 """
 
@@ -67,8 +72,8 @@ sh AS (
   FROM tk
 )
 SELECT doc_id,
-       list_min(list_transform(s, x -> {_DUCK_H32.format(x='x')})) AS fp_min,
-       list_max(list_transform(s, x -> {_DUCK_H32.format(x='x')})) AS fp_max,
+       list_min(list_transform(s, x -> {duck_h32("x")})) AS fp_min,
+       list_max(list_transform(s, x -> {duck_h32("x")})) AS fp_max,
        CAST(len(s) AS BIGINT) AS n_shingles
 FROM sh
 """
@@ -204,7 +209,7 @@ _SIMHASH_ORACLE = rf"""
 WITH tok AS (
   SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM documents
 ),
-h AS (SELECT doc_id, {_DUCK_H32.format(x='t')} AS h FROM tok),
+h AS (SELECT doc_id, {duck_h32("t")} AS h FROM tok),
 bits AS (
   SELECT doc_id, b.bit,
          CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
@@ -276,7 +281,7 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_minhash_cols(num_hashes: int) -> str:
     from streaming_data_lake_spark.functions.hashing import duck_minhash_mix
 
-    base = _DUCK_H32.format(x="x")
+    base = duck_h32("x")
     cols = []
     for i in range(num_hashes):
         cols.append(
@@ -362,10 +367,7 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # KNN: brute-force exact and IVF approximate
 # ---------------------------------------------------------------------------
 
-_DUCK_DOT = (
-    "list_reduce(list_transform(list_zip({a}, {b}),"
-    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
-)
+_DUCK_DOT = DUCK_DOT
 
 _KNN_BF_ORACLE = f"""
 WITH n AS (
@@ -1247,7 +1249,7 @@ g AS (
 ),
 h AS (
   SELECT doc_id,
-         list_transform(grams, x -> {_DUCK_H32.format(x='x')}) AS hs
+         list_transform(grams, x -> {duck_h32("x")}) AS hs
   FROM g
 ),
 sel AS (
@@ -1612,10 +1614,7 @@ def _ivfpq_oracle() -> str:
         f"({_duck_sq_l2(_pq_slice('q.qv', m), _pq_slice(f'cb{m}.cv', m))})"
         for m in range(_PQ_NSUB)
     )
-    dot = (
-        "list_reduce(list_transform(list_zip({a}, {b}),"
-        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
-    )
+    dot = DUCK_DOT
     return f"""
 WITH n AS (
   SELECT vec_id, embedding AS v,

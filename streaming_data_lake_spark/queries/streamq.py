@@ -88,7 +88,8 @@ SELECT 'clean' AS sink, count(*) AS n_rows
 FROM events WHERE value > 0 AND event_type <> 'error'
 UNION ALL
 SELECT 'rejected' AS sink, count(*) AS n_rows
-FROM events WHERE NOT (value > 0 AND event_type <> 'error')
+-- coalesce: NULL-total complement, matching rejected_events (r10)
+FROM events WHERE NOT coalesce(value > 0 AND event_type <> 'error', false)
 """
 
 

@@ -60,6 +60,15 @@ _NON_VIEW = {
     "kmeans_train_centroids",
     "knn_ivf_trained_cosine",
     "knn_ivf_materialized_cosine",
+    # eager work hides INSIDE the operators these call (r10 review):
+    # ngram_jaccard_pairs localCheckpoints its shingle pass,
+    # dup_clusters_connected writes cached parquet + iterates with
+    # .first(), embedding_cosine_near_dups builds the durable
+    # signature table, knn_ivf_pq_adc builds the ivfpq index artifact
+    "ngram_jaccard_near_dups",
+    "dup_clusters_connected",
+    "embedding_cosine_near_dups",
+    "knn_ivf_pq_adc",
 }
 
 

@@ -133,6 +133,20 @@ R11_DRAIN = {
 }
 
 
+# Queries whose ORACLE TEXT or adjacent behavior changed in r10 while
+# carrying r9 verdicts (outputs on certified data verified unchanged):
+# the NULL-semantics oracle fixes and the versioned-append schema
+# guard. They MUST occupy r11 free slots next to R11_DRAIN so no
+# verdict certifies a query that no longer exists (ADVICE r9 class).
+R11_CODE_TOUCHED = {
+    "events_clean",
+    "events_rejected",
+    "dedup_exact_text",
+    "snapshot_metadata",
+    "time_travel_read_v1",
+}
+
+
 def test_order_in_sync_and_window_covers_obligatory_drain():
     qs = all_queries()
     names = list(qs)
@@ -180,6 +194,10 @@ def test_r11_drain_fits_after_r10_lands():
         f"missing={sorted(R11_DRAIN - due)}"
     )
     assert len(R11_DRAIN) + 24 == WINDOW
+    # The r10 code-touched names must fit the free slots with room
+    # for fresh r12 pre-drain.
+    assert not (R11_DRAIN & R11_CODE_TOUCHED)
+    assert len(R11_DRAIN | R11_CODE_TOUCHED) <= WINDOW
 
 
 def test_every_query_is_callable_and_oracle_typed():
