@@ -15,29 +15,29 @@ GAP_US = 3_000_000  # 3 s in microseconds — tight gap to force many sessions
 
 
 def naive_fold(events, carried, gap_us):
-    """Reference: per-event loop with the ORACLE's session bounds —
-    start = min(ts) and end = max(ts) over every merged member,
-    exactly the batch gaps-and-islands SQL and session_window. (The
-    pre-r9 reference kept the carried start fixed, which matched the
-    implementation's bug instead of the oracle: a late event inside
-    the watermark that precedes the carried session's start must pull
-    session_start back — r9 review finding.)"""
-    ev = sorted(events)
-    closed = []
+    """Reference: the carried session is ONE MORE interval in a
+    start-sorted ascending merge over per-event point intervals —
+    exactly the batch gaps-and-islands SQL and session_window on the
+    full replayed stream. (The pre-r10 reference treated the carried
+    state as the running accumulator, which absorbed ANY earlier
+    event — ``t - carried_end`` is negative, hence trivially within
+    gap — merging sessions the oracle keeps separate, and kept late
+    events from merging with each other before the carried span;
+    r10 review pass 2 fixed the implementation, and this reference
+    mirrors the corrected contract.)"""
+    segs = [(t, t, 1, c) for t, c in sorted(events)]
     if carried is not None:
-        start, end, n, cents = carried
-    else:
-        (t0, c0), ev = ev[0], ev[1:]
-        start = end = t0
-        n, cents = 1, c0
-    for t, c in ev:
-        if t - end > gap_us:
+        segs.append(tuple(carried))
+        segs.sort(key=lambda s: (s[0], s[1]))
+    closed = []
+    start, end, n, cents = segs[0]
+    for s, e, k, c in segs[1:]:
+        if s - end > gap_us:
             closed.append((start, end, n, cents))
-            start, end, n, cents = t, t, 1, c
+            start, end, n, cents = s, e, k, c
         else:
-            start = min(start, t)
-            end = max(end, t)
-            n += 1
+            end = max(end, e)
+            n += k
             cents += c
     return closed, (start, end, n, cents)
 
