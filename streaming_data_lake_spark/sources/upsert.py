@@ -196,20 +196,26 @@ def _last_writer_wins(updates: DataFrame, keys: list[str]) -> DataFrame:
     """Collapse duplicate keys WITHIN one batch to a single
     deterministic winner: the greatest payload struct in column order
     (``ts_col`` is always one of ``keys``, so it cannot break ties).
-    One batch-sized window shuffle — bounded by the micro-batch, not
-    the table."""
-    from pyspark.sql.window import Window
 
+    A hash aggregate, not a sort window: ``max(struct(payload))``
+    picks the same winner (aggregate max and sort both use the
+    type's natural struct ordering, and the struct expression itself
+    is never NULL), but partial aggregation collapses duplicates
+    MAP-SIDE — the per-batch shuffle carries one row per key instead
+    of every version, and for the common already-key-unique batch
+    (update-mode aggregate sinks) the combine is a no-op pass-through
+    rather than a full sort."""
     payload = [c for c in updates.columns if c not in keys]
     if not payload:
         return updates.dropDuplicates(keys)
-    w = Window.partitionBy(*keys).orderBy(
-        F.struct(*[F.col(c) for c in payload]).desc_nulls_last()
+    winner = updates.groupBy(*keys).agg(
+        F.max(F.struct(*[F.col(c) for c in payload])).alias("__p")
     )
-    return (
-        updates.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    return winner.select(
+        *[
+            F.col(c) if c in keys else F.col(f"__p.{c}").alias(c)
+            for c in updates.columns
+        ]
     )
 
 
