@@ -74,6 +74,12 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
 
     queries = all_queries()
+    unknown = only - set(queries)
+    if unknown:
+        # A typo'd subset name would otherwise be silently skipped and
+        # the run would still print ALL GREEN with nothing executed.
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 1
     failures = 0
     for name, q in sorted(queries.items()):
         if only and name not in only:
