@@ -474,6 +474,13 @@ def test_review_r10_source_contracts(spark, tmp_path):
     merge_upsert(spark, t, dup, keys=["k"])
     rows = read_upsert(spark, t).filter("k = 3").collect()
     assert [(r["k"], r["v"]) for r in rows] == [(3, 9)]
+    # NULL payload fields rank below any value in the struct ordering
+    # (max(struct) and the former sort window agree on this), so a
+    # NULL-carrying version loses to a concrete one.
+    dupn = spark.createDataFrame([(4, None), (4, 2), (4, None)], "k long, v long")
+    merge_upsert(spark, t, dupn, keys=["k"])
+    rows = read_upsert(spark, t).filter("k = 4").collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(4, 2)]
 
     # 3: carried-state fold semantics
     import pandas as pd2
