@@ -228,6 +228,15 @@ class DeltaFormat(TableFormat):
         # layout, and OPTIMIZE manages file sizing.
         from delta.tables import DeltaTable
 
+        from streaming_data_lake_spark.sources.upsert import _last_writer_wins
+
+        # Adapter semantics are backend-uniform: a batch holding
+        # several rows for one key collapses to the same deterministic
+        # winner the parquet emulation keeps — raw multi-matching
+        # sources would make Delta MERGE throw
+        # DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE where
+        # the emulation succeeds, a divergence queries can't paper over.
+        updates = _last_writer_wins(updates, keys)
         if not DeltaTable.isDeltaTable(spark, table_ref):
             updates.write.format("delta").mode("overwrite").save(table_ref)
             return
