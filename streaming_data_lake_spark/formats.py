@@ -228,7 +228,11 @@ class DeltaFormat(TableFormat):
         # layout, and OPTIMIZE manages file sizing.
         from delta.tables import DeltaTable
 
-        from streaming_data_lake_spark.sources.upsert import _last_writer_wins
+        from streaming_data_lake_spark.sources.upsert import (
+            _last_writer_wins,
+            _null_key_check_col,
+            _raise_null_keys,
+        )
 
         # Adapter semantics are backend-uniform: a batch holding
         # several rows for one key collapses to the same deterministic
@@ -236,6 +240,12 @@ class DeltaFormat(TableFormat):
         # sources would make Delta MERGE throw
         # DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE where
         # the emulation succeeds, a divergence queries can't paper over.
+        # NULL merge keys are rejected for the same uniformity: Delta's
+        # `t.k = s.k` never matches NULL, so a null-keyed update would
+        # silently INSERT a fresh duplicate per batch where the parquet
+        # emulation raises (Iceberg identifier_fields are non-null).
+        if updates.where(_null_key_check_col(keys)).limit(1).count():
+            _raise_null_keys(table_ref, keys)
         updates = _last_writer_wins(updates, keys)
         if not DeltaTable.isDeltaTable(spark, table_ref):
             updates.write.format("delta").mode("overwrite").save(table_ref)

@@ -208,12 +208,26 @@ def _last_writer_wins(updates: DataFrame, keys: list[str]) -> DataFrame:
     payload = [c for c in updates.columns if c not in keys]
     if not payload:
         return updates.dropDuplicates(keys)
-    winner = updates.groupBy(*keys).agg(
-        F.max(F.struct(*[F.col(c) for c in payload])).alias("__p")
+
+    # Every by-name reference must take the column name LITERALLY: a
+    # bare F.col("a.b") parses as a nested path, so dotted payload or
+    # key names would fail to resolve. Backtick-quote (`` escapes a
+    # literal backtick) on construction; getField on extraction.
+    def q(name: str) -> Column:
+        return F.col("`" + name.replace("`", "``") + "`")
+
+    # The aggregate alias must not collide with a key column (a key
+    # literally named "__p" would make the following select ambiguous)
+    # — extend with underscores until absent from the batch schema.
+    agg_name = "__p"
+    while agg_name in updates.columns:
+        agg_name += "_"
+    winner = updates.groupBy(*[q(k) for k in keys]).agg(
+        F.max(F.struct(*[q(c).alias(c) for c in payload])).alias(agg_name)
     )
     return winner.select(
         *[
-            F.col(c) if c in keys else F.col(f"__p.{c}").alias(c)
+            q(c) if c in keys else F.col(agg_name).getField(c).alias(c)
             for c in updates.columns
         ]
     )

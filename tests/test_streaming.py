@@ -521,3 +521,46 @@ def test_review_r10_source_contracts(spark, tmp_path):
     os.makedirs(old_orphan, exist_ok=True)
     assert vt.expire_snapshots(keep_last=1) == [1]
     assert not os.path.isdir(old_orphan)
+
+
+def test_review_r11_advice_contracts(spark):
+    """ADVICE r10 items, pinned:
+
+    1. `_last_writer_wins` payload extraction uses getField (literal
+       field name), so payload columns containing dots survive — a
+       dotted-string F.col("__p.a.b") would parse as a nested path.
+    2. The aggregate alias avoids colliding with a key column
+       literally named "__p" (previously an ambiguous-column
+       AnalysisException in the following select).
+    3. tools/check.py rejects unknown subset names BEFORE building a
+       Spark session (fast fail on typos).
+    """
+    from streaming_data_lake_spark.sources.upsert import _last_writer_wins
+
+    # 1: payload column with a dot in its name
+    dotted = spark.createDataFrame(
+        [(1, 5), (1, 9)], ["k", "v"]
+    ).withColumnRenamed("v", "a.b")
+    out = _last_writer_wins(dotted, ["k"]).collect()
+    assert [(r["k"], r["a.b"]) for r in out] == [(1, 9)]
+
+    # 2: key column literally named "__p" (and payload "__p_")
+    clash = spark.createDataFrame(
+        [(1, 2, 3), (1, 2, 7)], ["__p", "__p_", "v"]
+    )
+    out = _last_writer_wins(clash, ["__p"]).collect()
+    assert [(r["__p"], r["__p_"], r["v"]) for r in out] == [(1, 2, 7)]
+
+    # 3: unknown query name fails fast (no Spark session startup)
+    import subprocess
+    import sys as _sys
+    import time
+
+    t0 = time.monotonic()
+    p = subprocess.run(
+        [_sys.executable, "tools/check.py", "/root/testdata/sf0.001",
+         "definitely_not_a_query"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=60,
+    )
+    assert p.returncode == 1 and "unknown query name" in p.stdout
+    assert time.monotonic() - t0 < 30, "guard must run before session startup"

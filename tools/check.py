@@ -59,6 +59,15 @@ def main() -> int:
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
+    # Validate subset names BEFORE paying Spark session + DuckDB view
+    # startup (~30s): all_queries() needs no session, and a typo'd
+    # name would otherwise be silently skipped into an ALL GREEN.
+    queries = all_queries()
+    unknown = only - set(queries)
+    if unknown:
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 1
+
     if bare:
         from pyspark.sql import SparkSession
 
@@ -73,13 +82,6 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
 
-    queries = all_queries()
-    unknown = only - set(queries)
-    if unknown:
-        # A typo'd subset name would otherwise be silently skipped and
-        # the run would still print ALL GREEN with nothing executed.
-        print(f"FAIL unknown query name(s): {sorted(unknown)}")
-        return 1
     failures = 0
     for name, q in sorted(queries.items()):
         if only and name not in only:
