@@ -249,7 +249,7 @@ def sessionize_native(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
     )
 
 
-def _replay_to_memory(
+def _replay_to_parquet(
     spark: SparkSession,
     sf_dir: str,
     gap_minutes: int,
@@ -258,13 +258,15 @@ def _replay_to_memory(
     drop_sentinel: bool = False,
 ) -> DataFrame:
     """Shared bounded-replay harness for every sessionize variant:
-    sentinel-staged file stream -> variant -> memory sink, run to
-    completion. One implementation so the replay discipline (staging,
-    per-file triggers, checkpointing, sentinel filtering) cannot
-    drift between variants (r10 review: the three replays had
-    triplicated this block)."""
-    import uuid
-
+    sentinel-staged file stream -> variant -> durable scratch parquet
+    sink, run to completion. One implementation so the replay
+    discipline (staging, per-file triggers, checkpointing, sentinel
+    filtering) cannot drift between variants (r10 review: the three
+    replays had triplicated this block). The sink is parquet, not
+    memory: session rows grow with users × activity — fact-scale at
+    100× — so they land on storage via executor-written files, with
+    the file sink's ``_spark_metadata`` commit log making the
+    read-back exactly-once (VERDICT r10 "What's wrong" #1)."""
     from pyspark.sql import functions as F
 
     from streaming_data_lake_spark.catalog import normalize_timestamps
@@ -278,17 +280,17 @@ def _replay_to_memory(
         .load(stage)
     )
     sessions = build(normalize_timestamps(raw, "events"), gap_minutes)
-    name = f"{name_prefix}_{uuid.uuid4().hex[:12]}"
+    out_dir = _scratch(f"{name_prefix}_")
     q = (
         sessions.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
+        .format("parquet")
+        .option("path", out_dir)
         .option("checkpointLocation", _scratch("ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    out = spark.table(name)
+    out = spark.read.schema(sessions.schema).parquet(out_dir)
     if drop_sentinel:
         # The sentinel session never flushes (its window end outruns
         # the final watermark), but filter defensively: the sink is
@@ -304,7 +306,7 @@ def sessionize_native_replay(
     sentinel discipline as :func:`sessionize_replay`): batch 0 folds
     the events, batch 1's far-future sentinel advances the watermark,
     and the final no-data batch flushes every open session."""
-    return _replay_to_memory(
+    return _replay_to_parquet(
         spark, sf_dir, gap_minutes, sessionize_native, "sessions_native",
         drop_sentinel=True,
     )
@@ -354,7 +356,7 @@ def sessionize_replay(
     """Run sessionization over the bounded events table to completion
     (availableNow, one staged file per micro-batch) and return every
     emitted session."""
-    return _replay_to_memory(spark, sf_dir, gap_minutes, sessionize, "sessions")
+    return _replay_to_parquet(spark, sf_dir, gap_minutes, sessionize, "sessions")
 
 
 # applicationId -> (probe result, probe time). The probe is one tiny
@@ -516,4 +518,4 @@ def sessionize_tws_replay(
 ) -> DataFrame:
     """Bounded replay of :func:`sessionize_tws` (same staging and
     sentinel discipline as :func:`sessionize_replay`)."""
-    return _replay_to_memory(spark, sf_dir, gap_minutes, sessionize_tws, "sessions_tws")
+    return _replay_to_parquet(spark, sf_dir, gap_minutes, sessionize_tws, "sessions_tws")

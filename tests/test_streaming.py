@@ -564,3 +564,57 @@ def test_review_r11_advice_contracts(spark):
     )
     assert p.returncode == 1 and "unknown query name" in p.stdout
     assert time.monotonic() - t0 < 30, "guard must run before session startup"
+
+
+def test_memory_sink_sites_are_bounded_aggregates_only():
+    """VERDICT r10 #1 lint: the driver-memory sink materializes every
+    emitted row on the driver, so within the package it is reserved
+    for BOUNDED KEYED AGGREGATES — fact-scale intermediates (pair
+    sets, cleaned event streams, per-key dedup emissions, session
+    rows) must ride durable parquet sinks. Asserts (a) the only
+    `format("memory")` construction site in the package is
+    pipelines._start_to_memory, and (b) the only functions that call
+    into it are the approved bounded-aggregate list."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path("streaming_data_lake_spark")
+    mem_sites = [
+        p for p in pkg.rglob("*.py") if 'format("memory")' in p.read_text()
+    ]
+    assert mem_sites == [pkg / "streaming" / "pipelines.py"], mem_sites
+
+    src = (pkg / "streaming" / "pipelines.py").read_text()
+    assert src.count('format("memory")') == 1
+
+    # Which top-level functions reach _start_to_memory (directly or
+    # via _run_to_memory)?
+    tree = ast.parse(src)
+    callers: dict[str, set[str]] = {}
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef):
+            names = {
+                n.id
+                for n in ast.walk(node)
+                if isinstance(n, ast.Name) and isinstance(n.ctx, ast.Load)
+            }
+            callers[node.name] = names
+    reaches = {"_start_to_memory"}
+    changed = True
+    while changed:
+        changed = False
+        for fn, names in callers.items():
+            if fn not in reaches and names & reaches:
+                reaches.add(fn)
+                changed = True
+    approved = {
+        "_start_to_memory",
+        "_run_to_memory",
+        # hour × event-type keyed aggregate: bounded state, update
+        # mode (file sinks are append-only, MERGE sink is overkill).
+        "streaming_hourly_metrics",
+    }
+    assert reaches == approved, (
+        f"unapproved memory-sink reachers: {sorted(reaches - approved)}; "
+        f"fact-scale intermediates belong on _start_to_parquet"
+    )
