@@ -275,11 +275,18 @@ def streaming_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     (funnel_jobs.sql:54-63) re-expressed Spark-first as
     view → click (≤10 min) → purchase (≤60 min).
 
-    A literal chain of stream-stream LEFT joins is unsound in Spark:
-    the second join's event-time key (click ts) is NULL for unmatched
-    views, and NULL-event-time rows can never be watermark-evicted —
-    verified empirically: the outer state sits in the store forever
-    and only inner matches are ever emitted. The Spark-idiomatic
+    A literal chain of stream-stream LEFT joins is unsound in Spark —
+    re-verified empirically on Spark 4.1.2 (tools/
+    probe_chained_funnel.py, 2026-08-15), multiple-stateful-operator
+    support notwithstanding: the verbatim chain fails analysis with
+    "More than one event time columns are available" (the first
+    join's output carries both v.ts and c.ts as event-time), and the
+    closest expressible form (view ts's event-time metadata stripped
+    so only click ts stays watermarked) runs but emits 1 row where
+    the batch oracle has 30 days — the second join's event-time key
+    is NULL for unmatched views, NULL-event-time rows are never
+    watermark-evicted, and the outer state sits in the store
+    forever. The Spark-idiomatic
     decomposition runs the two INNER interval joins as streaming
     stages (inner matches emit within the micro-batch that completes
     them; no terminal-state problem), then assembles the LEFT
