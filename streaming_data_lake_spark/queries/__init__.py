@@ -38,82 +38,23 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver hash-checks the FIRST 50 registered queries per round.
-# Round 10 completes the two-round certification DRAIN the r8
-# verdict mandated and r9 half-executed: the 26 r6-verdict names
-# deferred by CHANGELOG_r9.md §"r10 drain" go stale the moment
-# CORRECTNESS_r09 lands and take the first 26 slots here. Next come
-# the 10 queries whose observable behavior or oracle changed in the
-# r9 code reviews (upsert/materializer/maintenance family, plus the
-# sessionize/fanout/HLL names ADVICE r9 flagged as carrying verdicts
-# issued against a different implementation). The 14 remaining slots
-# pre-drain r11: of the 50 r8-certified names (stale at r11), 14
-# certify now and the other 26 sit contiguously at positions 51-76
-# as the committed r11 window — same mechanical-rotation shape as
-# the r9→r10 handoff. tests/test_registry_order.py asserts the
+# Round 11 executes the rotation CHANGELOG_r10.md committed: the 26
+# r8-verdict names deferred by the r10 window (§"r11 drain") go
+# stale the moment CORRECTNESS_r10 lands and take the first 26 slots
+# here. Next come the 5 names the r10 review passes code-touched
+# while they carried r9 verdicts (NULL-semantics oracle text;
+# versioned-append schema guard), then the 9 names whose code
+# changed THIS round (the durable-parquet replay-sink conversion and
+# the upsert batch-collapse literal-column rewrite). The 10
+# remaining slots pre-drain r12: of the 50 r9-certified names (ALL
+# stale at r12), 17 certify now (the 5+2 code-touched above plus
+# these 10) and the other 33 sit contiguously at positions 51-83 as
+# the committed r12 window — same mechanical-rotation shape as the
+# r10→r11 handoff. tests/test_registry_order.py asserts the
 # arithmetic; tools/ledger.py cross-references the verdict files.
 _CERTIFICATION_ORDER = [
-    # ---- (a) latest verdict r6: the 26 obligatory drain slots
-    # committed in CHANGELOG_r9.md — re-certify ALL in round 10 ----
-    "salted_skew_aggregation",
-    "replicated_skew_join_rollup",
-    "knn_ivf_cosine",
-    "knn_ivf_multiprobe_cosine",
-    "knn_bruteforce_cosine",
-    "multimodal_media_features",
-    "multimodal_frame_sample",
-    "embedding_label_stats",
-    "conditional_distinct_users",
-    "user_engagement_ratios",
-    "user_daily_landscape",
-    "sliding_window_metrics",
-    "latest_event_per_user_type",
-    "interval_join_click_view",
-    "funnel_conversion_daily",
-    "value_distribution_by_class",
-    "flag_distribution",
-    "avg_value_spread",
-    "funnel_leakage_daily",
-    "asof_latest_view_before_purchase",
-    "asof_view_within_6h",
-    "cms_heavy_hitter_tokens",
-    "token_budget_packing",
-    "bloom_semi_join_prune",
-    "knn_pq_adc_l2",
-    "knn_ivf_pq_adc",
-    # ---- (b) r9 code-touched: r8 verdicts certify code/oracles that
-    # changed in the r9 review passes (sidecar watermark store,
-    # compaction oracle rewrite, sessionize start min-merge, fanout
-    # bid= layout, HLL null-key + linear-counting path) ----
-    "streaming_upsert_hourly",
-    "materialize_incremental_clean_events",
-    "materialize_dim_change_repair",
-    "materialize_funnel_exists_repair",
-    "maintenance_compaction",
-    "two_level_overlay_maintenance",
-    "streaming_sessionize",
-    "streaming_fanout_ingest",
-    "streaming_hll_daily_users",
-    "hll_distinct_users_daily",
-    # ---- (c) r11 pre-drain: 14 of the 40 remaining r8-certified
-    # names (stale at r11), streaming family first since r9 touched
-    # streaming harness code ----
-    "streaming_clean_events",
-    "streaming_cms_token_counts",
-    "streaming_interval_join_daily",
-    "streaming_funnel_daily",
-    "kmeans_train_centroids",
-    "knn_ivf_trained_cosine",
-    "embedding_int8_quantization",
-    "ngram_jaccard_near_dups",
-    "winnowing_fingerprints",
-    "exact_substring_dups",
-    "dedup_keep_best_quality",
-    "multimodal_resize",
-    "pii_redaction",  # r10 oracle text changed (phone count on email-redacted text)
-    "event_quality_spine_hourly",
-    # ---- position 51+ : NOT certified this round. First the 26
-    # r8-verdict names that MUST lead the r11 window (committed in
-    # CHANGELOG_r10.md "r11 drain"), then the r9-certified rest ----
+    # ---- (a) latest verdict r8: the 26 obligatory drain slots
+    # committed in CHANGELOG_r10.md — re-certify ALL in round 11 ----
     "rollup_revenue_levels",
     "price_quantiles_by_flag",
     "user_event_gaps",
@@ -140,8 +81,42 @@ _CERTIFICATION_ORDER = [
     "user_rolling_7day_value",
     "consistent_hash_sample",
     "user_event_type_paths",
-    # ---- r9-certified (fresh through r11) ----
+    # ---- (b) r10 code-touched while carrying r9 verdicts: the
+    # pass-4 NULL-semantics oracle-text fixes and the versioned-
+    # append schema guard (CHANGELOG_r10.md §"review pass 4") ----
+    "events_clean",
+    "events_rejected",
+    "dedup_exact_text",
+    "time_travel_read_v1",
+    "snapshot_metadata",
+    # ---- (c) r11 code-touched: the streaming replay harness moved
+    # fact-scale intermediates from driver-memory sinks to durable
+    # parquet sinks (VERDICT r10 #1), and the upsert sink's batch
+    # key-collapse gained literal-column handling (ADVICE r10) ----
+    "streaming_clean_events",
+    "streaming_interval_join_daily",
+    "streaming_funnel_daily",
+    "streaming_sessionize",
+    "streaming_dedup_keys",
+    "streaming_dedup_within_watermark",
+    "streaming_upsert_hourly",
+    "streaming_hll_daily_users",
+    "streaming_cms_token_counts",
+    # ---- (d) r12 pre-drain: 10 of the remaining r9-certified names
+    # (all stale at r12), memory-sink sibling + flagship first ----
+    "streaming_hourly_metrics",
     "pricing_summary",
+    "semantic_dedup_centroid",
+    "minhash_lsh_near_dups",
+    "embedding_cosine_near_dups",
+    "dup_clusters_connected",
+    "knn_ivf_materialized_cosine",
+    "bucketed_colocated_join",
+    "partition_pruned_scan",
+    "schema_drift_check",
+    # ---- position 51+ : NOT certified this round. First the 33
+    # r9-verdict names that MUST lead the r12 window (committed in
+    # CHANGELOG_r11.md "r12 drain"), then the r10-certified rest ----
     "revenue_by_region",
     "top_nations_by_customers",
     "customers_with_orders",
@@ -155,7 +130,6 @@ _CERTIFICATION_ORDER = [
     "nested_double_unnest_roundtrip",
     "currency_normalized_revenue",
     "range_band_pricing",
-    "dedup_exact_text",
     "doc_fingerprints",
     "token_counts",
     "quality_scores",
@@ -172,25 +146,54 @@ _CERTIFICATION_ORDER = [
     "topn_customers_per_nation",
     "event_counters_unpivot",
     "scd2_point_in_time_enrichment",
-    "semantic_dedup_centroid",
-    "minhash_lsh_near_dups",
-    "embedding_cosine_near_dups",
-    "dup_clusters_connected",
-    "knn_ivf_materialized_cosine",
-    "bucketed_colocated_join",
-    "partition_pruned_scan",
-    "time_travel_read_v1",
-    "snapshot_metadata",
-    "events_clean",
-    "events_rejected",
-    "streaming_hourly_metrics",
-    "streaming_dedup_keys",
-    "streaming_dedup_within_watermark",
     "sql_over_views_adhoc",
-    "schema_drift_check",
     "seeded_dim_hierarchy_enrichment",
     "daily_distinct_users",
     "events_dedup_canonical",
+    # ---- r10-certified (fresh through r12) ----
+    "salted_skew_aggregation",
+    "replicated_skew_join_rollup",
+    "knn_ivf_cosine",
+    "knn_ivf_multiprobe_cosine",
+    "knn_bruteforce_cosine",
+    "multimodal_media_features",
+    "multimodal_frame_sample",
+    "embedding_label_stats",
+    "conditional_distinct_users",
+    "user_engagement_ratios",
+    "user_daily_landscape",
+    "sliding_window_metrics",
+    "latest_event_per_user_type",
+    "interval_join_click_view",
+    "funnel_conversion_daily",
+    "value_distribution_by_class",
+    "flag_distribution",
+    "avg_value_spread",
+    "funnel_leakage_daily",
+    "asof_latest_view_before_purchase",
+    "asof_view_within_6h",
+    "cms_heavy_hitter_tokens",
+    "token_budget_packing",
+    "bloom_semi_join_prune",
+    "knn_pq_adc_l2",
+    "knn_ivf_pq_adc",
+    "materialize_incremental_clean_events",
+    "materialize_dim_change_repair",
+    "materialize_funnel_exists_repair",
+    "maintenance_compaction",
+    "two_level_overlay_maintenance",
+    "streaming_fanout_ingest",
+    "hll_distinct_users_daily",
+    "kmeans_train_centroids",
+    "knn_ivf_trained_cosine",
+    "embedding_int8_quantization",
+    "ngram_jaccard_near_dups",
+    "winnowing_fingerprints",
+    "exact_substring_dups",
+    "dedup_keep_best_quality",
+    "multimodal_resize",
+    "pii_redaction",
+    "event_quality_spine_hourly",
 ]
 
 

@@ -19,16 +19,16 @@ import ledger  # noqa: E402
 
 
 def test_ledger_green_under_current_window_or_committed_drain():
-    """Green ledger, with ONE sanctioned exception: the 50 r8-
-    certified names all age out at r11 against a 50-slot window that
-    must also hold r10 code-touched queries — so 26 of them are
-    deferred, committed in writing as the r11 window leaders
-    (CHANGELOG_r10.md, pinned by tests/test_registry_order.R11_DRAIN).
-    The moment CORRECTNESS_r10 lands, exactly those names go stale
-    until the r11 rotation — staleness is excused for them and ONLY
+    """Green ledger, with ONE sanctioned exception: the 50 r9-
+    certified names all age out at r12 against a 50-slot window that
+    must also hold r10/r11 code-touched queries — so 33 of them are
+    deferred, committed in writing as the r12 window leaders
+    (CHANGELOG_r11.md, pinned by tests/test_registry_order.R12_DRAIN).
+    The moment CORRECTNESS_r11 lands, exactly those names go stale
+    until the r12 rotation — staleness is excused for them and ONLY
     them. FAILED verdicts are never excused: a regression must not
     hide behind rotation."""
-    from tests.test_registry_order import R11_DRAIN
+    from tests.test_registry_order import R12_DRAIN
 
     problems, rows = ledger.audit()
     assert rows, "ledger saw no queries — registry import broken?"
@@ -39,11 +39,11 @@ def test_ledger_green_under_current_window_or_committed_drain():
         elif (
             row["status"] in ("stale", "never-certified")
             and not row["windowed"]
-            and row["query"] not in R11_DRAIN
+            and row["query"] not in R12_DRAIN
         ):
             unexcused.append(
                 f"{row['query']}: {row['status']} and outside both the "
-                f"window and the committed r11 drain"
+                f"window and the committed r12 drain"
             )
     assert not unexcused, "\n".join(unexcused)
 

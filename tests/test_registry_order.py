@@ -1,13 +1,14 @@
 """The driver certifies only the first 50 registered queries, so the
-registry order IS part of the correctness contract. Round 10 closes
-the two-round certification DRAIN the r8 verdict mandated: the 26
-r6-verdict names r9 deferred (CHANGELOG_r9.md §"r10 drain") are
-stale-obligatory now and lead the window. This module pins the r10
-window (26 drain + 10 r9-code-touched + 14 r11 pre-drain fills) AND
-the committed r11 remainder (26 r8-verdict names at positions
-51-76), so the next session cannot repeat the r8 rotation miss
-(VERDICT r8 "What's wrong" #1). tools/ledger.py cross-references
-every CORRECTNESS_r*.json against this order (tests/test_ledger.py)."""
+registry order IS part of the correctness contract. Round 11 executes
+the rotation CHANGELOG_r10.md committed: the 26 r8-verdict names the
+r10 window deferred (§"r11 drain") are stale-obligatory now and lead
+the window, followed by the 5 r10-code-touched names the changelog
+pinned for the free slots, this round's own 9 code-touched names, and
+10 r12 pre-drain fills. This module pins the r11 window AND the
+committed r12 remainder (33 r9-verdict names at positions 51-83), so
+the next session cannot repeat the r8 rotation miss (VERDICT r8
+"What's wrong" #1). tools/ledger.py cross-references every
+CORRECTNESS_r*.json against this order (tests/test_ledger.py)."""
 
 from __future__ import annotations
 
@@ -24,85 +25,10 @@ import ledger  # noqa: E402
 
 WINDOW = 50
 
-# (a) The 26 queries whose latest driver verdict is round 6 — the
-# committed r10 drain (CHANGELOG_r9.md). Every one goes stale the
-# moment CORRECTNESS_r09 lands; they take the first 26 slots
-# unconditionally.
-R10_DRAIN = {
-    "salted_skew_aggregation",
-    "replicated_skew_join_rollup",
-    "knn_ivf_cosine",
-    "knn_ivf_multiprobe_cosine",
-    "knn_bruteforce_cosine",
-    "multimodal_media_features",
-    "multimodal_frame_sample",
-    "embedding_label_stats",
-    "conditional_distinct_users",
-    "user_engagement_ratios",
-    "user_daily_landscape",
-    "sliding_window_metrics",
-    "latest_event_per_user_type",
-    "interval_join_click_view",
-    "funnel_conversion_daily",
-    "value_distribution_by_class",
-    "flag_distribution",
-    "avg_value_spread",
-    "funnel_leakage_daily",
-    "asof_latest_view_before_purchase",
-    "asof_view_within_6h",
-    "cms_heavy_hitter_tokens",
-    "token_budget_packing",
-    "bloom_semi_join_prune",
-    "knn_pq_adc_l2",
-    "knn_ivf_pq_adc",
-}
-
-# (b) Queries whose observable behavior or oracle changed in the r9
-# review passes, so their standing r8 verdicts certify code that no
-# longer exists: the upsert/materializer/maintenance family (sidecar
-# watermark store, compaction oracle rewrite) plus the four names
-# ADVICE r9 explicitly flagged (sessionize start min-merge, fanout
-# bid= sink layout, HLL null-key filter + linear-counting path).
-R9_CODE_TOUCHED = {
-    "streaming_upsert_hourly",
-    "materialize_incremental_clean_events",
-    "materialize_dim_change_repair",
-    "materialize_funnel_exists_repair",
-    "maintenance_compaction",
-    "two_level_overlay_maintenance",
-    "streaming_sessionize",
-    "streaming_fanout_ingest",
-    "streaming_hll_daily_users",
-    "hll_distinct_users_daily",
-}
-
-# (c) r11 pre-drain: 14 of the 40 remaining r8-certified names
-# (all 40 go stale at r11; these certify now so the r11 obligatory
-# set is exactly the 26 below — a window that fits).
-R11_PREDRAIN = {
-    "streaming_clean_events",
-    "streaming_cms_token_counts",
-    "streaming_interval_join_daily",
-    "streaming_funnel_daily",
-    "kmeans_train_centroids",
-    "knn_ivf_trained_cosine",
-    "embedding_int8_quantization",
-    "ngram_jaccard_near_dups",
-    "winnowing_fingerprints",
-    "exact_substring_dups",
-    "dedup_keep_best_quality",
-    "multimodal_resize",
-    "pii_redaction",
-    "event_quality_spine_hourly",
-}
-
-MUST_BE_IN_WINDOW = R10_DRAIN | R9_CODE_TOUCHED | R11_PREDRAIN
-
-# The committed r11 drain: the 26 r8-verdict names NOT certified in
-# r10. They go stale (age 3) the moment CORRECTNESS_r10 lands and
-# MUST lead the r11 window — positions 51-76 here so the r11
-# rotation is a pure list rotation, plus whatever r10 code changes
-# touch (tracked in CHANGELOG_r10.md as they land).
+# (a) The 26 queries whose latest driver verdict is round 8 — the
+# committed r11 drain (CHANGELOG_r10.md §"r11 drain"). Every one went
+# stale the moment CORRECTNESS_r10 landed; they take the first 26
+# slots unconditionally.
 R11_DRAIN = {
     "rollup_revenue_levels",
     "price_quantiles_by_flag",
@@ -132,18 +58,94 @@ R11_DRAIN = {
     "user_event_type_paths",
 }
 
-
-# Queries whose ORACLE TEXT or adjacent behavior changed in r10 while
-# carrying r9 verdicts (outputs on certified data verified unchanged):
-# the NULL-semantics oracle fixes and the versioned-append schema
-# guard. They MUST occupy r11 free slots next to R11_DRAIN so no
-# verdict certifies a query that no longer exists (ADVICE r9 class).
-R11_CODE_TOUCHED = {
+# (b) The 5 names the r10 review passes code-touched while they
+# carried r9 verdicts — NULL-semantics oracle-text fixes + the
+# versioned-append schema guard — committed to the r11 free slots by
+# CHANGELOG_r10.md §"review pass 4".
+R10_CODE_TOUCHED = {
     "events_clean",
     "events_rejected",
     "dedup_exact_text",
-    "snapshot_metadata",
     "time_travel_read_v1",
+    "snapshot_metadata",
+}
+
+# (c) Queries whose code changed in ROUND 11: the streaming replay
+# harness moved fact-scale intermediates from driver-memory sinks to
+# durable parquet sinks (VERDICT r10 "What's wrong" #1), and the
+# upsert sink's batch key-collapse gained literal-column handling
+# (ADVICE r10). Their r9/r10 verdicts certify the old sink path.
+R11_ROUND_CODE_TOUCHED = {
+    "streaming_clean_events",
+    "streaming_interval_join_daily",
+    "streaming_funnel_daily",
+    "streaming_sessionize",
+    "streaming_dedup_keys",
+    "streaming_dedup_within_watermark",
+    "streaming_upsert_hourly",
+    "streaming_hll_daily_users",
+    "streaming_cms_token_counts",
+}
+
+# (d) r12 pre-drain: 10 of the 50 r9-certified names (all stale at
+# r12; 7 others already certify via groups b/c, so the r12 obligatory
+# set is exactly the 33 below — a window that fits).
+R12_PREDRAIN = {
+    "streaming_hourly_metrics",
+    "pricing_summary",
+    "semantic_dedup_centroid",
+    "minhash_lsh_near_dups",
+    "embedding_cosine_near_dups",
+    "dup_clusters_connected",
+    "knn_ivf_materialized_cosine",
+    "bucketed_colocated_join",
+    "partition_pruned_scan",
+    "schema_drift_check",
+}
+
+MUST_BE_IN_WINDOW = (
+    R11_DRAIN | R10_CODE_TOUCHED | R11_ROUND_CODE_TOUCHED | R12_PREDRAIN
+)
+
+# The committed r12 drain: the 33 r9-verdict names NOT certified in
+# r11. They go stale (age 3) the moment CORRECTNESS_r11 lands and
+# MUST lead the r12 window — positions 51-83 here so the r12
+# rotation is a pure list rotation, plus whatever r11 code changes
+# touch (tracked in CHANGELOG_r11.md as they land).
+R12_DRAIN = {
+    "revenue_by_region",
+    "top_nations_by_customers",
+    "customers_with_orders",
+    "customers_without_orders",
+    "order_priority_rollup",
+    "monthly_nation_revenue",
+    "priority_decode_rollup",
+    "scd2_current_enrichment",
+    "top_tokens",
+    "like_pattern_source_classes",
+    "nested_double_unnest_roundtrip",
+    "currency_normalized_revenue",
+    "range_band_pricing",
+    "doc_fingerprints",
+    "token_counts",
+    "quality_scores",
+    "lang_id_heuristic",
+    "simhash_fingerprints",
+    "schema_evolution_read",
+    "blocklist_filter_retention",
+    "quality_percentile_filter",
+    "crossdoc_boilerplate_ngrams",
+    "large_orders_having",
+    "cube_device_day_metrics",
+    "value_histogram_quantiles",
+    "zorder_layout_keys",
+    "topn_customers_per_nation",
+    "event_counters_unpivot",
+    "scd2_point_in_time_enrichment",
+    "sql_over_views_adhoc",
+    "seeded_dim_hierarchy_enrichment",
+    "daily_distinct_users",
+    "events_dedup_canonical",
 }
 
 
@@ -157,47 +159,49 @@ def test_order_in_sync_and_window_covers_obligatory_drain():
 
 
 def test_window_is_exactly_the_drain_plan():
-    """The r10 window is exactly full — 26 + 10 + 14 with no filler —
-    and the 26-name r11 remainder sits contiguously at 51-76 so the
-    next rotation is mechanical."""
+    """The r11 window is exactly full — 26 + 5 + 9 + 10 with no
+    filler — and the 33-name r12 remainder sits contiguously at
+    51-83 so the next rotation is mechanical."""
     assert len(MUST_BE_IN_WINDOW) == WINDOW
     names = list(all_queries())
     assert set(names[:WINDOW]) == MUST_BE_IN_WINDOW
-    assert set(names[WINDOW : WINDOW + len(R11_DRAIN)]) == R11_DRAIN
+    assert set(names[WINDOW : WINDOW + len(R12_DRAIN)]) == R12_DRAIN
     # Groups pairwise disjoint — a silent overlap would make the
     # size check pass while the window holds fewer obligations.
-    groups = [R10_DRAIN, R9_CODE_TOUCHED, R11_PREDRAIN, R11_DRAIN]
+    groups = [
+        R11_DRAIN,
+        R10_CODE_TOUCHED,
+        R11_ROUND_CODE_TOUCHED,
+        R12_PREDRAIN,
+        R12_DRAIN,
+    ]
     for i, g1 in enumerate(groups):
         for g2 in groups[i + 1 :]:
             assert not (g1 & g2), sorted(g1 & g2)
 
 
-def test_r11_drain_fits_after_r10_lands():
-    """Forward simulation: pretend CORRECTNESS_r10 lands all-green
-    over this window. The resulting obligatory r11 set must be
-    exactly R11_DRAIN — and it must leave 24 free slots for r10
+def test_r12_drain_fits_after_r11_lands():
+    """Forward simulation: pretend CORRECTNESS_r11 lands all-green
+    over this window. The resulting obligatory r12 set must be
+    exactly R12_DRAIN — and it must leave 17 free slots for r11
     code-touched names and fresh pre-drain. The simulation base is
-    FROZEN at the r9 verdict state (later CORRECTNESS files are
+    FROZEN at the r10 verdict state (later CORRECTNESS files are
     ignored) so the assertion stays meaningful — and green — after
-    the real r10 verdict lands mid-/post-round."""
+    the real r11 verdict lands mid-/post-round."""
     verdicts = {
-        name: v for name, v in ledger.load_verdicts().items() if v[0] <= 9
+        name: v for name, v in ledger.load_verdicts().items() if v[0] <= 10
     }
-    assert verdicts, "no verdicts at or before r9 — baseline moved?"
+    assert verdicts, "no verdicts at or before r10 — baseline moved?"
     order = list(all_queries())
     simulated = dict(verdicts)
     for name in order[:WINDOW]:
-        simulated[name] = (10, True, "")
+        simulated[name] = (11, True, "")
     due = {name for name, _rnd in ledger.plan_next(max_age=2, verdicts=simulated, order=order)}
-    assert due == R11_DRAIN, (
-        f"unexpected r11 obligatory set: extra={sorted(due - R11_DRAIN)} "
-        f"missing={sorted(R11_DRAIN - due)}"
+    assert due == R12_DRAIN, (
+        f"unexpected r12 obligatory set: extra={sorted(due - R12_DRAIN)} "
+        f"missing={sorted(R12_DRAIN - due)}"
     )
-    assert len(R11_DRAIN) + 24 == WINDOW
-    # The r10 code-touched names must fit the free slots with room
-    # for fresh r12 pre-drain.
-    assert not (R11_DRAIN & R11_CODE_TOUCHED)
-    assert len(R11_DRAIN | R11_CODE_TOUCHED) <= WINDOW
+    assert len(R12_DRAIN) + 17 == WINDOW
 
 
 def test_every_query_is_callable_and_oracle_typed():

@@ -618,3 +618,20 @@ def test_memory_sink_sites_are_bounded_aggregates_only():
         f"unapproved memory-sink reachers: {sorted(reaches - approved)}; "
         f"fact-scale intermediates belong on _start_to_parquet"
     )
+
+
+def test_parquet_sink_zero_row_stream_reads_back_empty(spark):
+    """The durable replay sink must hand back an EMPTY frame (not an
+    inference error) when a bounded stream emits nothing — the sink
+    dir holds only the _spark_metadata commit log, and the read
+    supplies the stream's own schema."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_spark.sources.streams import stream_table
+    from streaming_data_lake_spark.streaming.pipelines import _run_to_parquet
+    from tests.conftest import SF_DIR
+
+    src = stream_table(spark, SF_DIR, "region")
+    out = _run_to_parquet(src.filter(F.col("r_name") == "NO_SUCH_REGION"))
+    assert out.count() == 0
+    assert out.columns == src.columns
