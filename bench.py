@@ -133,6 +133,22 @@ def main() -> int:
         .awaitTermination()
     )
 
+    # Host-state calibration: a fixed CPU-bound JVM job (no IO, no
+    # engine code) timed best-of-3. Round-over-round comparisons on
+    # this shared host chase 20-35% noise (r8-r11 records); dividing
+    # per-query times by the calibration ratio separates code effects
+    # from host effects. The probe is deliberately shuffle-free and
+    # data-independent so its only variable is available CPU.
+    # (id*id) % p keeps both the per-row product (max 4e16) and the
+    # running sum (≤ 2e14) inside long range — ANSI mode (Spark 4
+    # default) raises ARITHMETIC_OVERFLOW on a plain sum(id*id).
+    cal_times = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(1_000_000_000).selectExpr("sum((id * id) % 1000003) as s").collect()
+        cal_times.append(time.time() - t0)
+    calibration = round(min(cal_times), 3)
+
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     from streaming_data_lake_spark.plans import artifacts
 
@@ -204,6 +220,7 @@ def main() -> int:
         "sf": sf,
         "warm": builds_in_best == 0,
         "artifact_builds": builds_in_best,
+        "cpu_calibration_sec": calibration,
     }))
     return 0
 

@@ -18,10 +18,16 @@ Usage: python tools/round_gates.py [--skip pytest,sf01,sf1,bare,ledger,smoke]
 
 from __future__ import annotations
 
+import functools
 import os
 import subprocess
 import sys
 import time
+
+# Per-gate progress must be visible while later gates still run —
+# stdout is block-buffered under pipes, which holds every line until
+# exit and makes a 30-minute run look hung.
+print = functools.partial(print, flush=True)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -52,10 +58,19 @@ _SKIP_ALIASES = {"sf01": "check-sf0.01", "sf1": "check-sf0.1", "bare": "bare-swe
 
 def main() -> int:
     skip: set[str] = set()
-    for arg in sys.argv[1:]:
+    args = sys.argv[1:]
+    for i, arg in enumerate(args):
         if arg.startswith("--skip"):
-            raw = arg.split("=", 1)[1] if "=" in arg else ""
+            # accept both --skip=a,b and --skip a,b
+            raw = arg.split("=", 1)[1] if "=" in arg else (
+                args[i + 1] if i + 1 < len(args) else ""
+            )
             skip = {_SKIP_ALIASES.get(s, s) for s in raw.split(",") if s}
+    known = {name for name, _cmd, _needle in GATES}
+    unknown = skip - known
+    if unknown:
+        print(f"unknown gate name(s) in --skip: {sorted(unknown)}; known: {sorted(known)}")
+        return 2
     results: list[tuple[str, bool, float, str]] = []
     for name, cmd, needle in GATES:
         if name in skip:
