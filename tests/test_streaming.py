@@ -635,3 +635,50 @@ def test_parquet_sink_zero_row_stream_reads_back_empty(spark):
     out = _run_to_parquet(src.filter(F.col("r_name") == "NO_SUCH_REGION"))
     assert out.count() == 0
     assert out.columns == src.columns
+
+
+def test_last_writer_wins_property(spark):
+    """Property: for ANY column naming (dots, backticks, underscores,
+    collisions with the internal alias) and ANY duplicate-key batch,
+    `_last_writer_wins` keeps exactly the greatest payload struct per
+    key — verified against a pure-Python fold over the same rows.
+    Generalizes the two fixed ADVICE-r10 cases above."""
+    import random
+
+    from streaming_data_lake_spark.sources.upsert import _last_writer_wins
+
+    rng = random.Random(411)
+    name_pool = [
+        "k", "a.b", "a`b", "__p", "__p_", "with space", "UPPER",
+        "select", "列", "x.y.z", "_1",
+    ]
+    for trial in range(8):
+        names = rng.sample(name_pool, rng.randint(2, 5))
+        key_cols = names[: rng.randint(1, max(1, len(names) - 1))]
+        n = rng.randint(1, 40)
+        rows = [
+            tuple(rng.randint(0, 3) for _ in names) for _ in range(n)
+        ]
+        df = spark.createDataFrame(rows, names)
+        got = sorted(
+            tuple(r[c] for c in names)
+            for r in _last_writer_wins(df, key_cols).collect()
+        )
+        # Pure-Python reference: per key, the row whose payload tuple
+        # is greatest (ties collapse to one identical winner).
+        ki = [names.index(c) for c in key_cols]
+        pi = [i for i in range(len(names)) if names[i] not in key_cols]
+        best: dict[tuple, tuple] = {}
+        for row in rows:
+            key = tuple(row[i] for i in ki)
+            pay = tuple(row[i] for i in pi)
+            if key not in best or pay > best[key]:
+                best[key] = pay
+        want = sorted(
+            tuple(
+                (k[ki.index(i)] if i in ki else p[pi.index(i)])
+                for i in range(len(names))
+            )
+            for k, p in best.items()
+        )
+        assert got == want, (trial, names, key_cols)
