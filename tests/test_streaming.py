@@ -578,7 +578,7 @@ def test_memory_sink_sites_are_bounded_aggregates_only():
     import ast
     import pathlib
 
-    pkg = pathlib.Path("streaming_data_lake_spark")
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "streaming_data_lake_spark"
     mem_sites = [
         p for p in pkg.rglob("*.py") if 'format("memory")' in p.read_text()
     ]
