@@ -423,3 +423,17 @@ def test_event_paths_single_shuffle_bounded_collect(spark):
     assert "ObjectHashAggregate" in plan
     assert "Window" in plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_funnel_batch_assembly_plan_shape(spark):
+    """The streaming funnel's batch LEFT assembly (r11: pair sets now
+    read back from durable parquet sinks, not driver-memory tables)
+    must keep its scale properties: the views spine scan pushes the
+    event_type filter, and no join degenerates into a cartesian /
+    nested-loop product."""
+    from streaming_data_lake_spark.streaming.pipelines import streaming_funnel_daily
+
+    plan = _formatted(streaming_funnel_daily(spark, SF_DIR))
+    assert "EqualTo(event_type,view)" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
