@@ -682,3 +682,64 @@ def test_last_writer_wins_property(spark):
             for k, p in best.items()
         )
         assert got == want, (trial, names, key_cols)
+
+
+def test_parquet_sink_reads_only_committed_files(spark, tmp_path):
+    """Exactly-once read-back, pinned: the durable sink read lists
+    files through the file sink's _spark_metadata commit log, so
+    (a) a multi-micro-batch replay yields each row exactly once, and
+    (b) an orphan parquet file dropped into the sink dir by a crashed
+    or foreign writer is invisible — the property the sink conversion
+    claims (VERDICT r10 #1 fix)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from streaming_data_lake_spark.streaming.pipelines import _start_to_parquet
+
+    # Stage 3 single-file parquets -> 3 micro-batches under
+    # maxFilesPerTrigger=1 (the file stream source lists plain files,
+    # not Spark writer output dirs).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.table({"v": pa.array(range(i * 10, i * 10 + 10), pa.int64())}),
+            str(stage / f"f{i}.parquet"),
+        )
+    src = (
+        spark.readStream.schema("v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    q, result = _start_to_parquet(src.withColumn("v2", F.col("v") * 2))
+    q.awaitTermination()
+    assert q.lastProgress is not None
+    out_dir = None
+    # Recover the sink path from the query (the helper owns the dir).
+    out_dir = q.lastProgress["sink"]["description"]
+    out_dir = out_dir[out_dir.index("[") + 1 : out_dir.rindex("]")]
+    if out_dir.startswith("file:"):
+        out_dir = out_dir[len("file:"):]
+
+    got = sorted(r["v"] for r in result().collect())
+    assert got == list(range(30)), "each staged row exactly once"
+
+    # Drop an orphan data file the commit log knows nothing about.
+    spark.range(1000, 1010).toDF("v").withColumn(
+        "v2", F.col("v") * 2
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orphan"))
+    orphan_part = next(
+        f for f in os.listdir(tmp_path / "orphan") if f.endswith(".parquet")
+    )
+    import shutil
+
+    shutil.copy(
+        str(tmp_path / "orphan" / orphan_part),
+        os.path.join(out_dir, "part-orphan.parquet"),
+    )
+    again = sorted(r["v"] for r in result().collect())
+    assert again == list(range(30)), "uncommitted files must be invisible"
