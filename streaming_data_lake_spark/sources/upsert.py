@@ -91,6 +91,16 @@ def _layout_cols(ts_col: str | None) -> list[str]:
     return [DAY_COL, BUCKET_COL] if ts_col else [BUCKET_COL]
 
 
+def _qcol(name: str) -> Column:
+    """Column reference that takes ``name`` LITERALLY: a bare
+    F.col("a.b") parses as a nested path, so key/payload names
+    containing dots or backticks would misresolve. Backtick-quote
+    (`` escapes a literal backtick) at every by-name reference in the
+    merge path (ADVICE r10 class, extended from _last_writer_wins to
+    the whole sink)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def _with_layout(
     df: DataFrame, keys: list[str], ts_col: str | None, n_buckets: int
 ) -> DataFrame:
@@ -98,9 +108,9 @@ def _with_layout(
     # sessions and processes, so an existing row and its update
     # always land in the same bucket (for a FIXED bucket count;
     # resizes re-bucket the whole table).
-    out = df.withColumn(BUCKET_COL, F.pmod(F.hash(*keys), F.lit(n_buckets)))
+    out = df.withColumn(BUCKET_COL, F.pmod(F.hash(*[_qcol(k) for k in keys]), F.lit(n_buckets)))
     if ts_col:
-        out = out.withColumn(DAY_COL, F.to_date(F.col(ts_col)))
+        out = out.withColumn(DAY_COL, F.to_date(_qcol(ts_col)))
     return out
 
 
@@ -130,9 +140,9 @@ def _desired_buckets(
 
 
 def _null_key_check_col(keys: list[str]) -> Column:
-    pred = F.col(keys[0]).isNull()
+    pred = _qcol(keys[0]).isNull()
     for k in keys[1:]:
-        pred = pred | F.col(k).isNull()
+        pred = pred | _qcol(k).isNull()
     return pred
 
 
@@ -209,12 +219,9 @@ def _last_writer_wins(updates: DataFrame, keys: list[str]) -> DataFrame:
     if not payload:
         return updates.dropDuplicates(keys)
 
-    # Every by-name reference must take the column name LITERALLY: a
-    # bare F.col("a.b") parses as a nested path, so dotted payload or
-    # key names would fail to resolve. Backtick-quote (`` escapes a
-    # literal backtick) on construction; getField on extraction.
-    def q(name: str) -> Column:
-        return F.col("`" + name.replace("`", "``") + "`")
+    # Every by-name reference takes the column name LITERALLY
+    # (module rule, _qcol); getField on extraction.
+    q = _qcol
 
     # The aggregate alias must not collide with a key column (a key
     # literally named "__p" would make the following select ambiguous)
@@ -319,7 +326,7 @@ def merge_upsert(
         # whole table in one atomic swap.
         _check_null_keys()
         current = _read_sans_layout(spark, table_dir)
-        keep_all = current.join(updates.select(*keys), on=keys, how="left_anti")
+        keep_all = current.join(updates.select(*[_qcol(k) for k in keys]), on=keys, how="left_anti")
         merged = keep_all.unionByName(updates)
         n = n_buckets or (meta or {}).get("n_buckets") or 1
         _publish_full(spark, table_dir, merged, keys, ts_col, n, exists=True)
@@ -336,7 +343,7 @@ def merge_upsert(
             # with N, so growth is necessarily a full rewrite.
             _check_null_keys()
             current = _read_sans_layout(spark, table_dir)
-            keep_all = current.join(updates.select(*keys), on=keys, how="left_anti")
+            keep_all = current.join(updates.select(*[_qcol(k) for k in keys]), on=keys, how="left_anti")
             _publish_full(
                 spark, table_dir, keep_all.unionByName(updates), keys, ts_col,
                 desired, exists=True,
@@ -369,7 +376,7 @@ def merge_upsert(
             pairs = [(r[0], r[1]) for r in probe]
             keep = spark.read.parquet(table_dir).filter(
                 _leaf_predicate(pairs)
-            ).join(updates_b.select(*keys), on=keys, how="left_anti")
+            ).join(updates_b.select(*[_qcol(k) for k in keys]), on=keys, how="left_anti")
             rewritten = {
                 (f"{DAY_COL}={d}", f"{BUCKET_COL}={b}") for d, b in pairs
             }
@@ -392,7 +399,7 @@ def merge_upsert(
             touched = sorted(r[0] for r in probe)
             keep = spark.read.parquet(table_dir).filter(
                 F.col(BUCKET_COL).isin(touched)
-            ).join(updates_b.select(*keys), on=keys, how="left_anti")
+            ).join(updates_b.select(*[_qcol(k) for k in keys]), on=keys, how="left_anti")
             rewritten = {f"{BUCKET_COL}={b}" for b in touched}
             replaced_dirs = [os.path.join(table_dir, b) for b in rewritten]
         # Anti-join keys come off the CACHED updates_b plan — the raw

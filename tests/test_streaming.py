@@ -743,3 +743,30 @@ def test_parquet_sink_reads_only_committed_files(spark, tmp_path):
     )
     again = sorted(r["v"] for r in result().collect())
     assert again == list(range(30)), "uncommitted files must be invisible"
+
+
+def test_merge_upsert_literal_key_names(spark, tmp_path):
+    """The whole merge path (layout hash, null gate, anti-join keys,
+    day derivation) takes key names literally — dotted and backticked
+    keys merge end-to-end, single- and two-level layouts (extends the
+    _last_writer_wins ADVICE fix to the full sink)."""
+    import datetime as dt
+
+    from streaming_data_lake_spark.sources.upsert import merge_upsert, read_upsert
+
+    d1 = str(tmp_path / "t1")
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "v"]).withColumnRenamed("k", "a.b")  # noqa: E731
+    merge_upsert(spark, d1, mk([(1, 10), (2, 20)]), ["a.b"])
+    merge_upsert(spark, d1, mk([(2, 99), (3, 30)]), ["a.b"])
+    got = sorted((r["a.b"], r["v"]) for r in read_upsert(spark, d1).collect())
+    assert got == [(1, 10), (2, 99), (3, 30)]
+
+    d2 = str(tmp_path / "t2")
+    base = dt.datetime(2024, 1, 1)
+    mk_ts = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(base + dt.timedelta(days=k), v) for k, v in rows], ["k", "v"]
+    ).withColumnRenamed("k", "t.s")
+    merge_upsert(spark, d2, mk_ts([(1, 10), (2, 20)]), ["t.s"], ts_col="t.s")
+    merge_upsert(spark, d2, mk_ts([(2, 99), (3, 30)]), ["t.s"], ts_col="t.s")
+    got = sorted((r["t.s"].day, r["v"]) for r in read_upsert(spark, d2).collect())
+    assert got == [(2, 10), (3, 99), (4, 30)]
