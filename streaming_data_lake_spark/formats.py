@@ -250,7 +250,12 @@ class DeltaFormat(TableFormat):
         if not DeltaTable.isDeltaTable(spark, table_ref):
             updates.write.format("delta").mode("overwrite").save(table_ref)
             return
-        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+        # Quote each key literally (`` escapes a literal backtick) —
+        # same rule as the parquet path's _qcol.
+        def bq(k: str) -> str:
+            return "`" + k.replace("`", "``") + "`"
+
+        cond = " AND ".join(f"t.{bq(k)} = s.{bq(k)}" for k in keys)
         (
             self._dt(spark, table_ref)
             .alias("t")
