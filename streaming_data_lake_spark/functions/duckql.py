@@ -27,3 +27,21 @@ DUCK_DOT = (
     "list_reduce(list_transform(list_zip({a}, {b}),"
     " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
 )
+
+#: valid-embedding predicate ↔ ``operators.similarity.valid_vectors``:
+#: non-NULL, non-empty, no NULL elements, norm > 0. The self-dot is
+#: CASE-guarded because DuckDB's list_reduce ERRORS on an empty list
+#: where Spark's aggregate folds to the 0.0 seed; a NULL element makes
+#: the fold NULL and `NULL > 0` drops the row, same as Spark.
+DUCK_VALID_VEC = (
+    "({v} IS NOT NULL AND (CASE WHEN len({v}) > 0 THEN "
+    + DUCK_DOT.format(a="{v}", b="{v}")
+    + " END) > 0)"
+)
+
+#: drop-in FROM-clause source: the embeddings table restricted to
+#: valid vectors. Use as f"FROM {DUCK_EMB} AS embeddings" (or any
+#: alias) so downstream references are unchanged.
+DUCK_EMB = (
+    "(SELECT * FROM embeddings WHERE " + DUCK_VALID_VEC.format(v="embedding") + ")"
+)

@@ -79,6 +79,12 @@ def exact_text_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 PAIRS_GEN = 1
 
 
+def _valid_vec_gen() -> int:
+    from streaming_data_lake_spark.operators.similarity import VALID_VEC_GEN
+
+    return VALID_VEC_GEN
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization with empties removed."""
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
@@ -458,7 +464,16 @@ def embedding_lsh_candidates_materialized(
         id_col,
         buckets,
         inputs=inputs,
-        params={"family": "sign_lsh", "dim": dim, "num_bits": num_bits, "bands": bands},
+        params={
+            "family": "sign_lsh",
+            "dim": dim,
+            "num_bits": num_bits,
+            "bands": bands,
+            # versions the valid_vectors admission contract (see
+            # similarity.VALID_VEC_GEN) — signatures built before the
+            # degenerate-vector filter must not be served.
+            "admission": _valid_vec_gen(),
+        },
     )
 
 

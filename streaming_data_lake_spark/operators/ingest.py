@@ -30,8 +30,21 @@ from streaming_data_lake_spark.functions.scalar import event_class
 # (reference keeps the complement property between insert_jobs.sql:48-62
 # and :162-173; FIXTURES.md scenario 2). Built lazily — Column
 # construction needs an active SparkContext.
+#
+# A valid event time is part of the clean contract: a NULL ``ts``
+# cannot be watermarked (Spark never evicts NULL-event-time state —
+# see the r11 chained-funnel probe), cannot land in an hourly/day
+# partition, and would silently fall out of every watermark-bounded
+# incremental predicate (``ts <= wm`` is NULL-false — the edge sweep
+# caught the materializer losing exactly those rows). Such events go
+# to the reject path with their own reason instead of drifting
+# between pipelines.
 def _clean_pred():
-    return (F.col("value") > 0) & (F.col("event_type") != "error")
+    return (
+        F.col("ts").isNotNull()
+        & (F.col("value") > 0)
+        & (F.col("event_type") != "error")
+    )
 
 
 def clean_events(df: DataFrame) -> DataFrame:
@@ -49,7 +62,17 @@ def clean_events(df: DataFrame) -> DataFrame:
             F.date_trunc("hour", F.col("ts")).alias("event_hour"),
             (F.col("value") >= 20.0).alias("is_high_value"),
             event_class(F.col("event_type")).alias("event_class"),
-            F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int").alias("prop_k"),
+            # NULL-total extraction: regexp_extract yields '' (not
+            # NULL) on no match, and under ANSI ''.cast(int) aborts
+            # the whole job — one malformed props row would kill a
+            # 100 TB ingest. nullif restores NULL-on-no-match and
+            # try_cast NULLs digit runs that overflow INT; the oracle
+            # mirrors both (TRY_CAST(NULLIF(...))).
+            F.nullif(
+                F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1), F.lit("")
+            )
+            .try_cast("int")
+            .alias("prop_k"),
         )
     )
 
@@ -65,7 +88,8 @@ def rejected_events(df: DataFrame) -> DataFrame:
     false)`` keeps the partition property exact: every input row is
     in exactly one of clean/rejected."""
     reason = (
-        F.when(F.col("event_type") == "error", "ERROR_EVENT")
+        F.when(F.col("ts").isNull(), "MISSING_EVENT_TIME")
+        .when(F.col("event_type") == "error", "ERROR_EVENT")
         .when(F.col("value") <= 0, "NON_POSITIVE_VALUE")
         .otherwise("UNKNOWN")
     )

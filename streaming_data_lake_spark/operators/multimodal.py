@@ -36,9 +36,15 @@ FEATURE_SCHEMA = (
 def attach_fake_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Build a deterministic binary payload column from text (UTF-8
     bytes) with typed metadata — the ingestion shape a real pipeline
-    would get from a binary-file datasource."""
+    would get from a binary-file datasource.
+
+    NULL text produces no media row (a binary-file datasource emits
+    rows only for files that exist); without the filter a NULL
+    payload reaches the pandas workers and ``bytes(None)`` aborts the
+    whole stage — one bad document would kill a 100 TB extract job
+    (edge-sweep finding)."""
     payload = F.encode(F.col(text_col), "UTF-8")
-    return df.select(
+    return df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.when(F.col(id_col) % 2 == 0, "image/png").otherwise("audio/wav").alias("media_type"),
         F.length(payload).cast("long").alias("byte_len"),
@@ -89,15 +95,24 @@ FRAME_SCHEMA = (
 
 
 def resize_media(
-    media: DataFrame, target_bytes: int, decode_stub: bool = True
+    media: DataFrame, target_chars: int, decode_stub: bool = True
 ) -> DataFrame:
     """Resize step: 1→1 payload transformation over ``mapInPandas``.
 
     Real path (``decode_stub=False``) would decode, resample to the
     target resolution, and re-encode — not implemented here. The stub
-    keeps the plumbing real by truncating/zero-padding the payload to
-    exactly ``target_bytes`` and updating the metadata, so schemas,
-    batch shapes, and downstream feature extraction are exercised."""
+    keeps the plumbing real by normalizing every decoded payload to
+    exactly ``target_chars`` characters (truncate + NUL-pad) and
+    re-encoding, so schemas, batch shapes, and downstream feature
+    extraction are exercised.
+
+    The budget is CHARACTERS, not bytes: a fixed byte budget slices
+    multibyte codepoints in half (the decode(errors='ignore') repair
+    is not expressible in the SQL oracle, so byte semantics could
+    never be certified on non-ASCII corpora — edge-sweep finding),
+    and a real resize fixes the LOGICAL size (pixels/samples), of
+    which the re-encoded byte length is an output, not the target.
+    ``byte_len`` therefore varies per row on multibyte text."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -105,18 +120,11 @@ def resize_media(
                 raise NotImplementedError(
                     "real media resize requires PIL/ffmpeg; not available here"
                 )
-            # UTF-8-safe truncation: a raw byte slice can cut a
-            # multibyte codepoint in half, and downstream stub
-            # decoders (sample_frames) would then crash the stage
-            # with UnicodeDecodeError. decode(errors='ignore') drops
-            # any trailing partial sequence; NUL padding is valid
-            # UTF-8. Real media payloads would be re-encoded by a
-            # real codec here instead.
             resized = pdf["payload"].map(
-                lambda b: bytes(b)[:target_bytes]
-                .decode("utf-8", errors="ignore")
+                lambda b: bytes(b)
+                .decode("utf-8")[:target_chars]
+                .ljust(target_chars, "\0")
                 .encode("utf-8")
-                .ljust(target_bytes, b"\0")
             )
             yield pd.DataFrame(
                 {

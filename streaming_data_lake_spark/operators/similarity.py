@@ -40,6 +40,33 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+#: Version of the valid_vectors admission contract, threaded into
+#: every durable artifact built from admitted embeddings (IVF index,
+#: sign-LSH signatures, IVF-PQ codes) so caches built under an older
+#: admission rule are never served.
+VALID_VEC_GEN = 2
+
+
+def valid_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Drop degenerate embeddings: NULL, empty, zero-norm, or holding
+    NULL elements.
+
+    Any real 100 TB corpus carries a few of each (dead docs, encoder
+    failures, padding rows); under ANSI SQL a single zero-norm vector
+    turns every cosine into a job-aborting DIVIDE_BY_ZERO, so the
+    whole similarity family (KNN ladder, k-means, SemDeDup, sign-LSH)
+    admits only valid vectors — the same admission rule FAISS
+    enforces at add() time. One predicate covers all four shapes:
+    ``norm(v) > 0`` is 0 for empty/zero vectors and NULL for NULL /
+    NULL-element vectors (the fold propagates NULL), and a NULL or
+    false predicate drops the row. Oracles mirror it with
+    ``duckql.DUCK_VALID_VEC`` (CASE-guarded: DuckDB's list_reduce
+    errors on empty lists instead of folding to 0).
+    """
+    v = F.col(vec_col)
+    return df.filter(v.isNotNull() & (norm(v) > 0))
+
+
 def brute_force_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -332,7 +359,14 @@ def ivf_knn_materialized(
         # The index content depends on WHICH centroids assigned it;
         # callers derive centroids from the same input files, so the
         # centroid selection rule is the missing key ingredient.
-        params={"family": "ivf", "centroids": centroid_spec},
+        # "admission" versions the valid_vectors input contract — a
+        # cached index built before the degenerate-vector filter
+        # existed must not be served to a filtered caller.
+        params={
+            "family": "ivf",
+            "centroids": centroid_spec,
+            "admission": VALID_VEC_GEN,
+        },
     )
     q = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),

@@ -102,21 +102,27 @@ _CERTIFICATION_ORDER = [
     "streaming_upsert_hourly",
     "streaming_hll_daily_users",
     "streaming_cms_token_counts",
-    # ---- (d) r12 pre-drain: 10 of the remaining r9-certified names
-    # (all stale at r12), memory-sink sibling + flagship first ----
-    "streaming_hourly_metrics",
-    "pricing_summary",
+    # ---- (d) r11 edge-sweep code-touched: the embeddings admission
+    # contract (valid_vectors + DUCK_EMB in every similarity oracle),
+    # the multimodal NULL-text / char-budget contract, and the
+    # clean-events event-time contract (ts IS NOT NULL). The first
+    # three were already windowed as r12 pre-drain; the other seven
+    # displace the seven untouched pre-drain fills (now leading the
+    # r12 drain below) ----
     "semantic_dedup_centroid",
-    "minhash_lsh_near_dups",
     "embedding_cosine_near_dups",
-    "dup_clusters_connected",
     "knn_ivf_materialized_cosine",
-    "bucketed_colocated_join",
-    "partition_pruned_scan",
-    "schema_drift_check",
-    # ---- position 51+ : NOT certified this round. First the 33
-    # r9-verdict names that MUST lead the r12 window (committed in
-    # CHANGELOG_r11.md "r12 drain"), then the r10-certified rest ----
+    "materialize_incremental_clean_events",
+    "streaming_fanout_ingest",
+    "multimodal_media_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "embedding_label_stats",
+    "embedding_int8_quantization",
+    # ---- position 51+ : NOT certified this round. First the 40
+    # names that MUST lead the r12 window: the 33 r9-verdict names
+    # committed in CHANGELOG_r11.md "r12 drain" plus the 7 displaced
+    # r9-certified pre-drain fills (age 3 at r12 either way) ----
     "revenue_by_region",
     "top_nations_by_customers",
     "customers_with_orders",
@@ -150,15 +156,31 @@ _CERTIFICATION_ORDER = [
     "seeded_dim_hierarchy_enrichment",
     "daily_distinct_users",
     "events_dedup_canonical",
-    # ---- r10-certified (fresh through r12) ----
-    "salted_skew_aggregation",
-    "replicated_skew_join_rollup",
+    # the 7 displaced pre-drain fills (r9 verdicts, untouched code)
+    "streaming_hourly_metrics",
+    "pricing_summary",
+    "minhash_lsh_near_dups",
+    "dup_clusters_connected",
+    "bucketed_colocated_join",
+    "partition_pruned_scan",
+    "schema_drift_check",
+    # ---- r12 code-touched commitment: the r11 edge-sweep inserted
+    # DUCK_EMB into these oracles (and valid_vectors into the engine
+    # paths) but the r11 window had no free slots left for them;
+    # their r10 verdicts certify the pre-admission oracle text.
+    # Engine results on certified data are check.py-verified
+    # unchanged (CHANGELOG_r11 §edge sweep). MUST take r12 free
+    # slots — pinned by tests/test_registry_order.py ----
     "knn_ivf_cosine",
     "knn_ivf_multiprobe_cosine",
     "knn_bruteforce_cosine",
-    "multimodal_media_features",
-    "multimodal_frame_sample",
-    "embedding_label_stats",
+    "knn_pq_adc_l2",
+    "knn_ivf_pq_adc",
+    "kmeans_train_centroids",
+    "knn_ivf_trained_cosine",
+    # ---- r10-certified (fresh through r12) ----
+    "salted_skew_aggregation",
+    "replicated_skew_join_rollup",
     "conditional_distinct_users",
     "user_engagement_ratios",
     "user_daily_landscape",
@@ -175,23 +197,15 @@ _CERTIFICATION_ORDER = [
     "cms_heavy_hitter_tokens",
     "token_budget_packing",
     "bloom_semi_join_prune",
-    "knn_pq_adc_l2",
-    "knn_ivf_pq_adc",
-    "materialize_incremental_clean_events",
     "materialize_dim_change_repair",
     "materialize_funnel_exists_repair",
     "maintenance_compaction",
     "two_level_overlay_maintenance",
-    "streaming_fanout_ingest",
     "hll_distinct_users_daily",
-    "kmeans_train_centroids",
-    "knn_ivf_trained_cosine",
-    "embedding_int8_quantization",
     "ngram_jaccard_near_dups",
     "winnowing_fingerprints",
     "exact_substring_dups",
     "dedup_keep_best_quality",
-    "multimodal_resize",
     "pii_redaction",
     "event_quality_spine_hourly",
 ]

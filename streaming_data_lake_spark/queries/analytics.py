@@ -36,6 +36,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings restricted to valid vectors — the similarity
+    family's admission contract (similarity.valid_vectors; oracles
+    mirror it via DUCK_EMB)."""
+    from streaming_data_lake_spark.operators.similarity import valid_vectors
+
+    return valid_vectors(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # ROLLUP grouping sets — subtotal + grand-total levels in one pass
 # ---------------------------------------------------------------------------
@@ -289,7 +298,9 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_SIZE = 64
 _CHUNK_STRIDE = 48
 
-from streaming_data_lake_spark.functions.duckql import DUCK_DOT, DUCK_TOKS
+from streaming_data_lake_spark.functions.duckql import DUCK_DOT, DUCK_EMB, DUCK_TOKS
+
+_DUCK_EMB = DUCK_EMB
 
 _DUCK_TOKS = DUCK_TOKS
 
@@ -366,7 +377,7 @@ _SEMDEDUP_ORACLE = f"""
 WITH n AS (
   SELECT vec_id, embedding AS v,
          sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
-  FROM embeddings
+  FROM {_DUCK_EMB} embeddings
 ),
 cent AS (SELECT * FROM n WHERE vec_id < {_SEM_K}),
 scored AS (
@@ -411,7 +422,7 @@ def semantic_dedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         occupancy_shards,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     cents = e.filter(F.col("vec_id") < _SEM_K)
     # Occupancy guard: a skewed centroid makes the within-cluster
     # join quadratic in its occupancy; sub-sharding caps any cluster
@@ -646,12 +657,12 @@ _KMEANS_ORACLE = (
 WITH n AS (
   SELECT vec_id, embedding AS v,
          sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
-  FROM embeddings
+  FROM {_DUCK_EMB} embeddings
 ),
 c0n AS (
   SELECT vec_id AS cluster_id, embedding AS cv,
          sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS cnrm
-  FROM embeddings WHERE vec_id < {_KM_K}
+  FROM {_DUCK_EMB} embeddings WHERE vec_id < {_KM_K}
 ),
 """
     + ",\n".join(
@@ -693,7 +704,7 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         # keeping them just grows the dict for the process lifetime.
         for stale in [k for k in _KM_MEMO if k[0] != app_id]:
             del _KM_MEMO[stale]
-        e = _t(spark, sf_dir, "embeddings")
+        e = _emb(spark, sf_dir)
         _KM_MEMO[key] = kmeans_train(e, k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM)
     return _KM_MEMO[key]
 
@@ -728,8 +739,16 @@ def kmeans_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROPS_ORACLE = """
 WITH p AS (
+  -- Total over malformed payloads, mirroring Spark's PERMISSIVE
+  -- from_json: non-JSON props -> NULL (json_valid guard — DuckDB's
+  -- json_extract ERRORS on malformed input), a k that is not a JSON
+  -- integer -> NULL (json_type guard — Spark's LongType field nulls
+  -- on strings/fractions where a bare CAST would coerce or raise),
+  -- integer overflow -> NULL (TRY_CAST).
   SELECT event_type,
-         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+         CASE WHEN json_valid(props)
+                   AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+              THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k
   FROM events
 )
 SELECT event_type,
@@ -819,7 +838,7 @@ _KNN_TRAINED_ORACLE = (
 def knn_ivf_trained_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_lake_spark.operators.similarity import ivf_knn
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     cents = _trained_centroids(spark, sf_dir)
     return ivf_knn(e, e.filter(F.col("vec_id") < 50), cents, k=5)
 
@@ -1530,7 +1549,13 @@ def value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # columns so the expression text stays linear.
 _Z_SPREAD_STEPS = [(8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765)]
 
-_Z_X = "user_id % 1024"  # dimension 1: user bucket (10 bits)
+# dimension 1: user bucket (10 bits). The double-% is a sign-safe
+# modulus: both engines' % keeps the dividend's sign, and a negative
+# bucket feeding the bit-spread is undefined (DuckDB errors on
+# left-shifting negatives; Spark silently wraps two's-complement —
+# edge-sweep finding). A Morton input must be a non-negative bucket
+# index by construction.
+_Z_X = "((user_id % 1024) + 1024) % 1024"
 _Z_Y = "day(ts) * 24 + hour(ts)"  # dimension 2: corpus hour (10 bits)
 _Z_BUCKETS = 16
 

@@ -120,12 +120,17 @@ SELECT
        WHEN event_type = 'signup' THEN 'Acquisition'
        WHEN event_type = 'error' THEN 'Fault'
        ELSE 'Unknown' END AS event_class,
-  -- NULLIF: DuckDB regexp_extract yields '' on no match and CAST('')
-  -- raises; Spark yields NULL — NULLIF restores parity for props
-  -- without a "k" key (r10 review finding)
-  CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INTEGER) AS prop_k
+  -- NULLIF + TRY_CAST: BOTH engines' regexp_extract yield '' on no
+  -- match (the r10 comment wrongly claimed Spark gives NULL — the
+  -- edge sweep proved ''.cast(int) aborts under ANSI). NULLIF maps
+  -- no-match to NULL and TRY_CAST maps >INT_MAX digit runs to NULL,
+  -- mirroring the engine's nullif + try_cast exactly.
+  TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INTEGER) AS prop_k
 FROM events
-WHERE value > 0 AND event_type <> 'error'
+-- ts IS NOT NULL: a valid event time is part of the clean contract
+-- (NULL ts cannot be watermarked, partitioned, or incrementally
+-- materialized — see operators/ingest.py)
+WHERE value > 0 AND event_type <> 'error' AND ts IS NOT NULL
 """
 
 
@@ -141,14 +146,15 @@ def events_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENTS_REJECTED_ORACLE = """
 SELECT
   event_id, ts, user_id, event_type, value,
-  CASE WHEN event_type = 'error' THEN 'ERROR_EVENT'
+  CASE WHEN ts IS NULL THEN 'MISSING_EVENT_TIME'
+       WHEN event_type = 'error' THEN 'ERROR_EVENT'
        WHEN value <= 0 THEN 'NON_POSITIVE_VALUE'
        ELSE 'UNKNOWN' END AS reject_reason
 FROM events
 -- coalesce: the engine's complement is NULL-total (a NULL value or
 -- event_type row is REJECTED, reason UNKNOWN — r10 review finding);
 -- a bare NOT(pred) would drop such rows here while Spark keeps them
-WHERE NOT coalesce(value > 0 AND event_type <> 'error', false)
+WHERE NOT coalesce(value > 0 AND event_type <> 'error' AND ts IS NOT NULL, false)
 """
 
 

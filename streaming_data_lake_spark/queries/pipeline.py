@@ -24,14 +24,22 @@ from streaming_data_lake_spark.operators.multimodal import attach_fake_media, ex
 from streaming_data_lake_spark.queries import register
 
 # Shared DuckDB fragments (kept in lockstep with the Spark operators).
-from streaming_data_lake_spark.functions.duckql import DUCK_DOT, DUCK_TOKS
+from streaming_data_lake_spark.functions.duckql import DUCK_DOT, DUCK_EMB, DUCK_TOKS
 from streaming_data_lake_spark.functions.hashing import duck_h32
 
 _DUCK_TOKS = DUCK_TOKS
+_DUCK_EMB = DUCK_EMB
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings restricted to valid vectors — the similarity
+    family's admission contract (similarity.valid_vectors; oracles
+    mirror it via DUCK_EMB)."""
+    return similarity.valid_vectors(_t(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
@@ -373,7 +381,7 @@ _KNN_BF_ORACLE = f"""
 WITH n AS (
   SELECT vec_id, embedding AS v,
          sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
-  FROM embeddings
+  FROM {_DUCK_EMB} embeddings
 ),
 q AS (SELECT * FROM n WHERE vec_id < 50),
 scored AS (
@@ -398,7 +406,7 @@ FROM r WHERE rank <= 5
     "Similarity search baseline: exact brute-force cosine top-5 (queries = vec_id < 50).",
 )
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return similarity.brute_force_knn(e, e.filter(F.col("vec_id") < 50), k=5)
 
 
@@ -406,7 +414,7 @@ _KNN_IVF_ORACLE = f"""
 WITH n AS (
   SELECT vec_id, embedding AS v,
          sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
-  FROM embeddings
+  FROM {_DUCK_EMB} embeddings
 ),
 cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
 scored_asg AS (
@@ -443,7 +451,7 @@ FROM r WHERE rank <= 5
     "Similarity search scale path: IVF cluster-pruned cosine top-5 (8 centroids, nprobe=1).",
 )
 def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return similarity.ivf_knn(
         e,
         e.filter(F.col("vec_id") < 50),
@@ -459,7 +467,7 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_STATS_ORACLE = f"""
 WITH n AS (
   SELECT label, sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
-  FROM embeddings
+  FROM {_DUCK_EMB} embeddings
 )
 SELECT label, count(*) AS n_vectors,
        min(nrm) AS min_norm, max(nrm) AS max_norm
@@ -473,7 +481,7 @@ FROM n GROUP BY label
     "Embedding corpus profile: per-label counts and norm extrema.",
 )
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return (
         e.select("label", similarity.norm(F.col("embedding")).alias("nrm"))
         .groupBy("label")
@@ -497,6 +505,8 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS fake_width,
        CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS fake_height
 FROM documents
+-- NULL text produces no media row (attach_fake_media contract)
+WHERE text IS NOT NULL
 """
 
 
@@ -553,7 +563,7 @@ _EMB_NEAR_DUP_ORACLE = f"""
 WITH sig AS (
   SELECT vec_id,
     {_EMB_BIT_COLS}
-  FROM embeddings
+  FROM {_DUCK_EMB} embeddings
 ),
 bands AS (
 {_duck_emb_bands(_EMB_BITS, _EMB_BANDS)}
@@ -589,7 +599,7 @@ def embedding_cosine_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs once (written bucketed by band key), not once per self-join
     # side — same discipline as minhash_lsh_near_dups.
     return embedding_cosine_near_dups(
-        _t(spark, sf_dir, "embeddings"),
+        _emb(spark, sf_dir),
         threshold=_EMB_NEAR_DUP_THRESHOLD,
         dim=_EMB_DIM,
         num_bits=_EMB_BITS,
@@ -614,6 +624,8 @@ WITH frames AS (
   FROM documents,
        LATERAL unnest(range(CAST(ceil(CAST(greatest(length(text), 1) AS DOUBLE)
                                       / {_FRAME_CHARS}) AS BIGINT))) AS t(i)
+  -- NULL text produces no media row (attach_fake_media contract)
+  WHERE text IS NOT NULL
 )
 SELECT doc_id, frame_idx,
        CAST(length(chunk) AS BIGINT) AS frame_len,
@@ -643,7 +655,7 @@ _KNN_IVF_MP_ORACLE = f"""
 WITH n AS (
   SELECT vec_id, embedding AS v,
          sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
-  FROM embeddings
+  FROM {_DUCK_EMB} embeddings
 ),
 cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
 scored_asg AS (
@@ -682,7 +694,7 @@ FROM r WHERE rank <= 5
     "cluster-pruned vs brute force.",
 )
 def knn_ivf_multiprobe_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return similarity.ivf_knn(
         e,
         e.filter(F.col("vec_id") < 50),
@@ -1040,12 +1052,12 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding int8 quantization
 # ---------------------------------------------------------------------------
 
-_QUANT_ORACLE = """
+_QUANT_ORACLE = f"""
 WITH q AS (
   SELECT vec_id,
          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
          embedding
-  FROM embeddings
+  FROM {_DUCK_EMB} embeddings
 ),
 qq AS (
   SELECT vec_id, scale,
@@ -1072,22 +1084,28 @@ FROM qq
 def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_lake_spark.operators.similarity import quantize_embeddings_int8
 
-    return quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
+    return quantize_embeddings_int8(_emb(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
 # Multimodal resize (1→1 payload transformation)
 # ---------------------------------------------------------------------------
 
-_RESIZE_BYTES = 128
+_RESIZE_CHARS = 128
 
 _RESIZE_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id,
+         rpad(substring(text, 1, {_RESIZE_CHARS}), {_RESIZE_CHARS}, chr(0)) AS s
+  FROM documents
+  -- NULL text produces no media row (attach_fake_media contract)
+  WHERE text IS NOT NULL
+)
 SELECT doc_id,
        CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
-       CAST({_RESIZE_BYTES} AS BIGINT) AS byte_len,
-       md5(rpad(substring(text, 1, {_RESIZE_BYTES}), {_RESIZE_BYTES}, chr(0)))
-         AS payload_md5
-FROM documents
+       CAST(octet_length(encode(s)) AS BIGINT) AS byte_len,
+       md5(s) AS payload_md5
+FROM r
 """
 
 
@@ -1095,14 +1113,15 @@ FROM documents
     "multimodal_resize",
     _RESIZE_ORACLE,
     "Multimodal: 1-to-1 resize plumbing over mapInPandas (payload normalized "
-    "to a fixed byte budget; deterministic stub decode; the corpus text is "
-    "ASCII so the oracle reproduces the byte-level truncate+NUL-pad).",
+    "to a fixed CHARACTER budget — truncate + NUL-pad on the decoded text, "
+    "then re-encode; byte_len varies on multibyte text; deterministic stub "
+    "decode).",
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_lake_spark.operators.multimodal import resize_media
 
     media = attach_fake_media(_t(spark, sf_dir, "documents"))
-    resized = resize_media(media, target_bytes=_RESIZE_BYTES)
+    resized = resize_media(media, target_chars=_RESIZE_CHARS)
     return resized.select(
         "doc_id", "media_type", "byte_len", F.md5("payload").alias("payload_md5")
     )
@@ -1181,7 +1200,7 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_ivf_materialized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_lake_spark.plans.bucketing import _safe_tag
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return similarity.ivf_knn_materialized(
         spark,
         e,
@@ -1521,7 +1540,7 @@ def _pq_oracle() -> str:
         for m in range(_PQ_NSUB)
     )
     return f"""
-WITH cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings
+WITH cb AS (SELECT vec_id AS code, embedding AS cv FROM {_DUCK_EMB} embeddings
             WHERE vec_id < {_PQ_K_CODES}),
 ms AS (SELECT unnest(range(0, {_PQ_NSUB})) AS m),
 enc AS (
@@ -1531,14 +1550,14 @@ enc AS (
            ORDER BY {_duck_sq_l2(_pq_slice('e.embedding', 'ms.m'), _pq_slice('cb.cv', 'ms.m'))} ASC,
                     cb.code ASC
          ) AS rn
-  FROM embeddings e CROSS JOIN ms CROSS JOIN cb
+  FROM {_DUCK_EMB} e CROSS JOIN ms CROSS JOIN cb
 ),
 codes AS (
   SELECT vec_id,
          {code_cols}
   FROM enc WHERE rn = 1 GROUP BY vec_id
 ),
-q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM {_DUCK_EMB} embeddings
       WHERE vec_id < {_PQ_QUERIES}),
 pair AS (
   SELECT q.query_id, t.vec_id AS neighbor_id,
@@ -1578,7 +1597,7 @@ FROM r WHERE rank <= {_PQ_TOPK}
     "in fixed order for bit parity.",
 )
 def knn_pq_adc_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     cb_row = similarity.pq_codebook_row(
         e.filter(F.col("vec_id") < _PQ_K_CODES).select(
             F.col("vec_id").alias("code"), F.col("embedding").alias("cv")
@@ -1619,7 +1638,7 @@ def _ivfpq_oracle() -> str:
 WITH n AS (
   SELECT vec_id, embedding AS v,
          sqrt({dot.format(a='embedding', b='embedding')}) AS nrm
-  FROM embeddings
+  FROM {_DUCK_EMB} embeddings
 ),
 cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm FROM n
          WHERE vec_id < {_IVFPQ_NCENT}),
@@ -1635,7 +1654,7 @@ asg_scored AS (
 asg AS (SELECT vec_id, centroid_id AS cluster_id FROM asg_scored WHERE rn = 1),
 qasg AS (SELECT vec_id AS query_id, v AS qv, centroid_id AS cluster_id
          FROM asg_scored WHERE vec_id < {_PQ_QUERIES} AND rn <= {_IVFPQ_NPROBE}),
-cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings
+cb AS (SELECT vec_id AS code, embedding AS cv FROM {_DUCK_EMB} embeddings
        WHERE vec_id < {_PQ_K_CODES}),
 ms AS (SELECT unnest(range(0, {_PQ_NSUB})) AS m),
 enc AS (
@@ -1645,7 +1664,7 @@ enc AS (
            ORDER BY {_duck_sq_l2(_pq_slice('e.embedding', 'ms.m'), _pq_slice('cb.cv', 'ms.m'))} ASC,
                     cb.code ASC
          ) AS rn
-  FROM embeddings e CROSS JOIN ms CROSS JOIN cb
+  FROM {_DUCK_EMB} e CROSS JOIN ms CROSS JOIN cb
 ),
 codes AS (
   SELECT vec_id,
@@ -1686,7 +1705,7 @@ FROM r WHERE rank <= {_PQ_TOPK}
 def knn_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_lake_spark.plans.artifacts import cached_parquet
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     cb_row = similarity.pq_codebook_row(
         e.filter(F.col("vec_id") < _PQ_K_CODES).select(
             F.col("vec_id").alias("code"), F.col("embedding").alias("cv")
@@ -1702,7 +1721,9 @@ def knn_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k_codes": _PQ_K_CODES,
             "n_sub": _PQ_NSUB,
             "dsub": _PQ_DSUB,
-            "v": 1,
+            # v2: codes build from valid_vectors-admitted embeddings
+            # (similarity.VALID_VEC_GEN)
+            "v": 2,
         },
         lambda: similarity.ivf_pq_index(
             e, centroids, cb_row, n_sub=_PQ_NSUB, dsub=_PQ_DSUB

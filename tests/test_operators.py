@@ -189,9 +189,12 @@ def test_multimodal_resize_stub(spark):
     )
 
     media = attach_fake_media(load_table(spark, SF_DIR, "documents").limit(10))
-    resized = resize_media(media, target_bytes=128)
+    resized = resize_media(media, target_chars=128)
     rows = resized.collect()
     assert len(rows) == 10
+    # the test docs are ASCII, so 128 chars == 128 bytes here; the
+    # char-budget contract (multibyte text -> byte_len > 128) is
+    # pinned separately below with unicode text
     assert all(r["byte_len"] == 128 and len(bytes(r["payload"])) == 128 for r in rows)
     # resized payloads flow through downstream feature extraction
     feats = extract_media_features(resized).collect()
@@ -754,7 +757,7 @@ def test_review_r10_edge_contracts(spark):
     media = attach_fake_media(spark.createDataFrame(
         [(1, "café " * 40)], "doc_id long, text string"
     ))
-    frames = sample_frames(resize_media(media, target_bytes=101), frame_chars=16)
+    frames = sample_frames(resize_media(media, target_chars=101), frame_chars=16)
     assert frames.count() > 0  # used to raise UnicodeDecodeError
 
     pii = spark.createDataFrame([(1, "call 555-1234@mail.com")], "doc_id long, text string")
@@ -824,3 +827,25 @@ def test_cms_null_tokens_dropped(spark):
     assert cand.filter(F.col("token").isNull()).count() == 0
     est = {r["token"]: r["cms_estimate"] for r in cms_lookup(cand, cells).collect()}
     assert est["a"] >= 3 and est["b"] >= 1  # estimate >= truth holds
+
+
+def test_multimodal_char_budget_and_null_text_contract(spark):
+    """Edge-sweep pins: (1) NULL text produces NO media row (a NULL
+    payload used to reach the pandas workers and bytes(None) aborted
+    the stage); (2) the resize budget is CHARACTERS — multibyte text
+    re-encodes to MORE than target_chars bytes, by design."""
+    from streaming_data_lake_spark.operators.multimodal import (
+        attach_fake_media,
+        resize_media,
+    )
+
+    media = attach_fake_media(
+        spark.createDataFrame(
+            [(1, "é" * 10), (2, None)], "doc_id long, text string"
+        )
+    )
+    rows = resize_media(media, target_chars=16).collect()
+    assert len(rows) == 1, "NULL-text doc must not produce a media row"
+    expect = ("é" * 10).ljust(16, "\0")
+    assert bytes(rows[0]["payload"]).decode("utf-8") == expect
+    assert rows[0]["byte_len"] == len(expect.encode("utf-8")) == 26

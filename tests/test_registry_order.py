@@ -4,8 +4,9 @@ the rotation CHANGELOG_r10.md committed: the 26 r8-verdict names the
 r10 window deferred (§"r11 drain") are stale-obligatory now and lead
 the window, followed by the 5 r10-code-touched names the changelog
 pinned for the free slots, this round's own 9 code-touched names, and
-10 r12 pre-drain fills. This module pins the r11 window AND the
-committed r12 remainder (33 r9-verdict names at positions 51-83), so
+10 edge-sweep code-touched names. This module pins the r11 window AND
+the committed r12 remainder (40 drain + 7 code-touched names at
+positions 51-97), so
 the next session cannot repeat the r8 rotation miss (VERDICT r8
 "What's wrong" #1). tools/ledger.py cross-references every
 CORRECTNESS_r*.json against this order (tests/test_ledger.py)."""
@@ -87,32 +88,43 @@ R11_ROUND_CODE_TOUCHED = {
     "streaming_cms_token_counts",
 }
 
-# (d) r12 pre-drain: 10 of the 50 r9-certified names (all stale at
-# r12; 7 others already certify via groups b/c, so the r12 obligatory
-# set is exactly the 33 below — a window that fits).
-R12_PREDRAIN = {
-    "streaming_hourly_metrics",
-    "pricing_summary",
+# (d) r11 edge-sweep code-touched: the embeddings admission contract
+# (valid_vectors + DUCK_EMB oracle rewrites), the multimodal
+# NULL-text/char-budget contract, and the clean-events event-time
+# contract (ts IS NOT NULL — shared oracle fragment). Three of these
+# were already windowed as r12 pre-drain fills; the other seven
+# displaced the seven untouched fills (now in R12_DRAIN).
+R11_EDGE_CODE_TOUCHED = {
     "semantic_dedup_centroid",
-    "minhash_lsh_near_dups",
     "embedding_cosine_near_dups",
-    "dup_clusters_connected",
     "knn_ivf_materialized_cosine",
-    "bucketed_colocated_join",
-    "partition_pruned_scan",
-    "schema_drift_check",
+    "materialize_incremental_clean_events",
+    "streaming_fanout_ingest",
+    "multimodal_media_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "embedding_label_stats",
+    "embedding_int8_quantization",
 }
 
 MUST_BE_IN_WINDOW = (
-    R11_DRAIN | R10_CODE_TOUCHED | R11_ROUND_CODE_TOUCHED | R12_PREDRAIN
+    R11_DRAIN | R10_CODE_TOUCHED | R11_ROUND_CODE_TOUCHED | R11_EDGE_CODE_TOUCHED
 )
 
-# The committed r12 drain: the 33 r9-verdict names NOT certified in
-# r11. They go stale (age 3) the moment CORRECTNESS_r11 lands and
-# MUST lead the r12 window — positions 51-83 here so the r12
-# rotation is a pure list rotation, plus whatever r11 code changes
-# touch (tracked in CHANGELOG_r11.md as they land).
+# The committed r12 drain: the 40 r9-verdict names NOT certified in
+# r11 — the 33 committed in CHANGELOG_r11.md "r12 drain" plus the 7
+# pre-drain fills the edge-sweep rotation displaced. They go stale
+# (age 3) the moment CORRECTNESS_r11 lands and MUST lead the r12
+# window — positions 51-90 here so the r12 rotation is a pure list
+# rotation.
 R12_DRAIN = {
+    "streaming_hourly_metrics",
+    "pricing_summary",
+    "minhash_lsh_near_dups",
+    "dup_clusters_connected",
+    "bucketed_colocated_join",
+    "partition_pruned_scan",
+    "schema_drift_check",
     "revenue_by_region",
     "top_nations_by_customers",
     "customers_with_orders",
@@ -148,6 +160,21 @@ R12_DRAIN = {
     "events_dedup_canonical",
 }
 
+# r12 code-touched commitment: the r11 edge sweep rewrote these
+# oracles (DUCK_EMB admission) and engine paths (valid_vectors), but
+# the r11 window had no free slots left; their r10 verdicts certify
+# the pre-admission text. They MUST take r12 free slots, directly
+# after the drain (positions 91-97).
+R12_CODE_TOUCHED = {
+    "knn_ivf_cosine",
+    "knn_ivf_multiprobe_cosine",
+    "knn_bruteforce_cosine",
+    "knn_pq_adc_l2",
+    "knn_ivf_pq_adc",
+    "kmeans_train_centroids",
+    "knn_ivf_trained_cosine",
+}
+
 
 def test_order_in_sync_and_window_covers_obligatory_drain():
     qs = all_queries()
@@ -160,20 +187,24 @@ def test_order_in_sync_and_window_covers_obligatory_drain():
 
 def test_window_is_exactly_the_drain_plan():
     """The r11 window is exactly full — 26 + 5 + 9 + 10 with no
-    filler — and the 33-name r12 remainder sits contiguously at
-    51-83 so the next rotation is mechanical."""
+    filler — and the r12 obligations sit contiguously after it (the
+    40-name drain at 51-90, the 7 code-touched commitments at 91-97)
+    so the next rotation is mechanical."""
     assert len(MUST_BE_IN_WINDOW) == WINDOW
     names = list(all_queries())
     assert set(names[:WINDOW]) == MUST_BE_IN_WINDOW
     assert set(names[WINDOW : WINDOW + len(R12_DRAIN)]) == R12_DRAIN
+    r12_ct = slice(WINDOW + len(R12_DRAIN), WINDOW + len(R12_DRAIN) + len(R12_CODE_TOUCHED))
+    assert set(names[r12_ct]) == R12_CODE_TOUCHED
     # Groups pairwise disjoint — a silent overlap would make the
     # size check pass while the window holds fewer obligations.
     groups = [
         R11_DRAIN,
         R10_CODE_TOUCHED,
         R11_ROUND_CODE_TOUCHED,
-        R12_PREDRAIN,
+        R11_EDGE_CODE_TOUCHED,
         R12_DRAIN,
+        R12_CODE_TOUCHED,
     ]
     for i, g1 in enumerate(groups):
         for g2 in groups[i + 1 :]:
@@ -182,9 +213,9 @@ def test_window_is_exactly_the_drain_plan():
 
 def test_r12_drain_fits_after_r11_lands():
     """Forward simulation: pretend CORRECTNESS_r11 lands all-green
-    over this window. The resulting obligatory r12 set must be
-    exactly R12_DRAIN — and it must leave 17 free slots for r11
-    code-touched names and fresh pre-drain. The simulation base is
+    over this window. The resulting AGE-obligatory r12 set must be
+    exactly R12_DRAIN — and drain + code-touched commitments must
+    leave 3 free slots for fresh pre-drain. The simulation base is
     FROZEN at the r10 verdict state (later CORRECTNESS files are
     ignored) so the assertion stays meaningful — and green — after
     the real r11 verdict lands mid-/post-round."""
@@ -201,7 +232,7 @@ def test_r12_drain_fits_after_r11_lands():
         f"unexpected r12 obligatory set: extra={sorted(due - R12_DRAIN)} "
         f"missing={sorted(R12_DRAIN - due)}"
     )
-    assert len(R12_DRAIN) + 17 == WINDOW
+    assert len(R12_DRAIN) + len(R12_CODE_TOUCHED) + 3 == WINDOW
 
 
 def test_every_query_is_callable_and_oracle_typed():

@@ -1,0 +1,180 @@
+"""Adversarial-data parity sweep: mutate the driver's sf tables with
+edge-case values the generator never emits, then run the full
+Spark-vs-DuckDB registry parity over the mutated copy.
+
+The driver certifies at sf0.01 on well-behaved synthetic data; this
+sweep executes the same oracle contracts on data that exercises the
+NULL / collation / malformed-payload / degenerate-vector paths those
+rows never reach. A divergence here is a latent bug the CORRECTNESS
+gate cannot see.
+
+Mutations respect the tables' input contracts so findings are signal,
+not noise:
+
+- primary-key columns stay non-NULL and unique (duplicated rows are
+  re-keyed with fresh ids — realistic exact-duplicate CONTENT without
+  violating key uniqueness);
+- NULLs are injected into every non-key column, including foreign
+  keys (NULL join/group keys are legal inputs both engines must agree
+  on);
+- numeric edge values stay inside the domain the engine's decimal
+  parity casts declare (Decimal(12,2)), but include 0, -1, and -0.0;
+- string edge values: empty, whitespace, unicode, LIKE metachars,
+  quotes/backslashes, 2000-char blobs;
+- ``events.props`` gets malformed / non-object / wrong-typed JSON;
+- embeddings get a zero-norm vector, an empty vector, and a vector
+  with a NULL element — shapes that occur in any real 100 TB corpus.
+
+Usage:
+    python tools/edge_sweep.py [--gen-only] [--out DIR] [--src DIR] [query ...]
+
+Defaults: src=/root/testdata/sf0.001, out=/tmp/sdl_edge. Generation
+is deterministic (fixed seed per table); the parity run execs
+tools/check.py against the mutated dir.
+"""
+
+from __future__ import annotations
+
+import random
+import subprocess
+import sys
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC_DEFAULT = "/root/testdata/sf0.001"
+OUT_DEFAULT = "/tmp/sdl_edge"
+
+# Primary-key columns: never NULLed, never edge-overwritten; fresh
+# values on duplicated rows. lineitem's key is composite — keeping
+# both halves pristine and re-keying l_linenumber preserves pair
+# uniqueness.
+PK_COLS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+NULL_RATE = 0.03
+DUP_RATE = 0.02
+
+EDGE_STRINGS = [
+    "",
+    "   ",
+    " leading",
+    "trailing ",
+    "naïve🦆",
+    "percent%under_score",
+    'quote"back\\slash',
+    "UPPER lower MiXeD",
+    "x" * 2000,
+]
+
+EDGE_JSON = [
+    "",
+    "not json at all",
+    '{"k": "string-not-int"}',
+    '{"other": 1}',
+    '{"k": -5}',
+    '{"k": 999999}',
+]
+
+
+def _edge_numeric(pa_type):
+    if pa.types.is_floating(pa_type):
+        return [0.0, -1.5, -0.0, 123456.75]
+    return [0, -1, 999983]
+
+
+def mutate_table(name: str, table: pa.Table) -> pa.Table:
+    rng = random.Random(f"edge:{name}")
+    n = table.num_rows
+    pk = set(PK_COLS.get(name, ()))
+    cols = {}
+    for field in table.schema:
+        vals = table.column(field.name).to_pylist()
+        if field.name not in pk:
+            for i in range(n):
+                if rng.random() < NULL_RATE:
+                    vals[i] = None
+            if pa.types.is_string(field.type):
+                pool = EDGE_JSON if name == "events" and field.name == "props" else EDGE_STRINGS
+                for j, ev in enumerate(pool):
+                    vals[(j * 37 + 11) % n] = ev
+            if pa.types.is_integer(field.type) or pa.types.is_floating(field.type):
+                for j, ev in enumerate(_edge_numeric(field.type)):
+                    vals[(j * 53 + 29) % n] = ev
+            if pa.types.is_list(field.type):
+                dim = next((len(v) for v in vals if v), 8)
+                vals[17 % n] = [0.0] * dim          # zero-norm vector
+                vals[41 % n] = []                    # empty vector
+                row = [float(k) for k in range(dim)]
+                row[0] = None                        # NULL element
+                vals[59 % n] = row
+        cols[field.name] = pa.array(vals, type=field.type)
+    out = pa.table(cols, schema=table.schema)
+    # Duplicate-content rows: identical payload, FRESH primary key —
+    # exact-dup text/values without violating key uniqueness.
+    dup_idx = [i for i in range(n) if rng.random() < DUP_RATE]
+    if dup_idx:
+        dup = out.take(pa.array(dup_idx))
+        for key_col in pk:
+            base = max(
+                (v for v in table.column(key_col).to_pylist() if v is not None),
+                default=0,
+            )
+            fresh = pa.array(
+                [base + 1 + i for i in range(len(dup_idx))],
+                type=table.schema.field(key_col).type,
+            )
+            dup = dup.set_column(
+                dup.schema.get_field_index(key_col), key_col, fresh
+            )
+        out = pa.concat_tables([out, dup])
+    return out
+
+
+def generate(src: str, out: str) -> None:
+    outp = Path(out)
+    outp.mkdir(parents=True, exist_ok=True)
+    for p in sorted(Path(src).glob("*.parquet")):
+        t = pq.read_table(p)
+        m = mutate_table(p.stem, t)
+        pq.write_table(m, outp / p.name)
+        print(f"  {p.stem}: {t.num_rows} -> {m.num_rows} rows")
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    gen_only = "--gen-only" in argv
+    argv = [a for a in argv if a != "--gen-only"]
+
+    def _flag(name, default):
+        if name in argv:
+            i = argv.index(name)
+            v = argv[i + 1]
+            del argv[i : i + 2]
+            return v
+        return default
+
+    src = _flag("--src", SRC_DEFAULT)
+    out = _flag("--out", OUT_DEFAULT)
+    print(f"generating edge tables {src} -> {out}")
+    generate(src, out)
+    if gen_only:
+        return 0
+    cmd = [sys.executable, "tools/check.py", out, *argv]
+    print("running:", " ".join(cmd))
+    return subprocess.call(cmd, cwd="/root/repo")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
