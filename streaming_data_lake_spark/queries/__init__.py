@@ -178,13 +178,21 @@ _CERTIFICATION_ORDER = [
     "knn_ivf_pq_adc",
     "kmeans_train_centroids",
     "knn_ivf_trained_cosine",
+    # time-keyed admission contract (NULL event time): engine filter
+    # made explicit + oracle ts IS NOT NULL — same edge sweep, second
+    # pass. These take the last 3 free r12 slots (window exactly
+    # full; streaming_hourly_metrics / zorder_layout_keys /
+    # batch_sessionize_windows / props_json_stats are code-touched
+    # too but already sit in the r11 window or the r12 drain).
+    "sliding_window_metrics",
+    "asof_latest_view_before_purchase",
+    "asof_view_within_6h",
     # ---- r10-certified (fresh through r12) ----
     "salted_skew_aggregation",
     "replicated_skew_join_rollup",
     "conditional_distinct_users",
     "user_engagement_ratios",
     "user_daily_landscape",
-    "sliding_window_metrics",
     "latest_event_per_user_type",
     "interval_join_click_view",
     "funnel_conversion_daily",
@@ -192,8 +200,6 @@ _CERTIFICATION_ORDER = [
     "flag_distribution",
     "avg_value_spread",
     "funnel_leakage_daily",
-    "asof_latest_view_before_purchase",
-    "asof_view_within_6h",
     "cms_heavy_hitter_tokens",
     "token_budget_packing",
     "bloom_semi_join_prune",

@@ -682,6 +682,10 @@ SELECT
   count(*) AS n_events,
   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events CROSS JOIN range(5) t(i)
+-- time-keyed admission: HOP windows are defined only over
+-- timestamped rows (the engine filters explicitly; Spark's window()
+-- would drop them silently anyway — edge-sweep finding)
+WHERE ts IS NOT NULL
 GROUP BY 1, 2, 3
 """
 
@@ -692,7 +696,7 @@ GROUP BY 1, 2, 3
     "W1: HOP window (5 min size / 1 min hop) rolling metrics per event type.",
 )
 def sliding_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window(F.col("ts"), "5 minutes", "1 minute"), "event_type")
         .agg(
@@ -1494,12 +1498,16 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ASOF_ORACLE = """
 WITH p AS (
+  -- ts IS NOT NULL: time-keyed admission. DuckDB's ASOF JOIN
+  -- matches a NULL-ts probe against an arbitrary view (edge-sweep
+  -- finding) where the engine's union+window plan correctly emits
+  -- nothing — an "as of NULL" lookup is meaningless on both sides.
   SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
 ),
 v AS (
   SELECT user_id, ts AS view_ts, max(event_id) AS view_id
-  FROM events WHERE event_type = 'view'
+  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
   GROUP BY user_id, ts
 )
 SELECT p.purchase_id, p.user_id, p.purchase_ts, v.view_ts, v.view_id
@@ -1514,7 +1522,8 @@ def _asof_purchase_view(spark: SparkSession, sf_dir: str, tolerance_s=None) -> D
     keeps the projections from drifting apart)."""
     from streaming_data_lake_spark.operators.joins import asof_join
 
-    e = _t(spark, sf_dir, "events")
+    # time-keyed admission (see the oracle note on DuckDB ASOF + NULL)
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     purchases = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
@@ -1590,12 +1599,16 @@ def range_band_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ASOF_TOL_ORACLE = """
 WITH p AS (
+  -- ts IS NOT NULL: time-keyed admission. DuckDB's ASOF JOIN
+  -- matches a NULL-ts probe against an arbitrary view (edge-sweep
+  -- finding) where the engine's union+window plan correctly emits
+  -- nothing — an "as of NULL" lookup is meaningless on both sides.
   SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
 ),
 v AS (
   SELECT user_id, ts AS view_ts, max(event_id) AS view_id
-  FROM events WHERE event_type = 'view'
+  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
   GROUP BY user_id, ts
 )
 , j AS MATERIALIZED (

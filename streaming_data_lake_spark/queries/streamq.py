@@ -26,6 +26,10 @@ SELECT date_trunc('hour', ts) AS hour_start,
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events
+-- time-keyed admission: windowed aggregation is defined only over
+-- timestamped rows (the engine filters explicitly; Spark's window()
+-- would drop them silently anyway)
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -124,7 +128,12 @@ def streaming_upsert_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.streaming_upsert_hourly(spark, sf_dir)
 
 
-_DEDUP_WM_ORACLE = "SELECT DISTINCT event_id, event_type FROM events"
+# time-keyed admission: watermark-evicted dedup state requires an
+# event time (contrast streaming_dedup_keys, whose plain
+# dropDuplicates admits NULL-ts rows and whose oracle has no filter)
+_DEDUP_WM_ORACLE = (
+    "SELECT DISTINCT event_id, event_type FROM events WHERE ts IS NOT NULL"
+)
 
 
 @register(
@@ -144,6 +153,11 @@ WITH o AS (
                 OR ts - lag(ts) OVER w > INTERVAL '120 minutes'
               THEN 1 ELSE 0 END AS new_sess
   FROM events
+  -- time-keyed admission: sessions are gap-defined over event time,
+  -- so untimestamped rows cannot belong to any session (the
+  -- streaming session_window drops them; the batch twin filters
+  -- explicitly — edge-sweep finding)
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -211,7 +225,15 @@ def streaming_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def batch_sessionize_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap_us = 120 * 60_000_000
-    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    # time-keyed admission: untimestamped rows cannot belong to any
+    # gap-defined session (without the filter each NULL-ts row forged
+    # its own session — the streaming twin's session_window drops
+    # them, so the two paths diverged; edge-sweep finding)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "value", "event_id")
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     flagged = e.withColumn(

@@ -181,8 +181,13 @@ def streaming_hourly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregate in update mode — the
     continuously-updated keyed aggregate (W2/T4). With availableNow
     over a bounded input, the final sink state equals the batch
-    hourly aggregate."""
-    src = stream_table(spark, sf_dir, "events")
+    hourly aggregate.
+
+    Time-keyed admission, explicit: the windowed aggregate silently
+    drops NULL-event-time rows anyway (window(NULL) has no bucket);
+    stating the filter makes the contract visible and keeps the batch
+    oracle expressible (WHERE ts IS NOT NULL — edge-sweep finding)."""
+    src = stream_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     agg = (
         src.withWatermark("ts", "30 seconds")
         .groupBy(F.window(F.col("ts"), "1 hour"), "event_type")
@@ -221,8 +226,15 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     choice when duplicates arrive close together (the reference's
     duplicate injection is per-stage and immediate, T7). Emits one
     row per (event_id) duplicate cluster; on the bounded replay the
-    distinct event_id set equals the batch DISTINCT."""
-    src = stream_table(spark, sf_dir, "events")
+    distinct event_id set equals the batch DISTINCT.
+
+    Time-keyed admission, explicit: watermark-evicted dedup state is
+    keyed on event time, so NULL-ts rows never enter it (they are
+    dropped silently); the filter states the contract and keeps the
+    oracle's WHERE ts IS NOT NULL honest (edge-sweep finding). Note
+    the contrast with plain dropDuplicates above, which is NOT
+    time-keyed and admits NULL-ts rows."""
+    src = stream_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     deduped = (
         src.withWatermark("ts", "30 seconds")
         .dropDuplicatesWithinWatermark(["event_id"])

@@ -65,7 +65,12 @@ SESSION_SCHEMA = (
 
 _STATE_SCHEMA = "start long, end long, n long, cents long"
 
-_SENTINEL_USER = -1
+# Sentinel identity for replay watermark-carrier rows. int64 min, NOT
+# -1: real corpora plausibly contain user_id -1 (the edge sweep
+# planted one and its sessions vanished into the sentinel drop), so
+# the carrier must live at a value no generator emits. Reserved and
+# documented rather than theoretically impossible.
+_SENTINEL_USER = -(2**63)
 
 # The stateful fold helpers below are module-level (ONE implementation
 # shared by both stateful APIs), which means the closures shipped to
@@ -236,7 +241,13 @@ def sessionize_native(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
     return (
         # Prune to the three columns the aggregate reads BEFORE the
         # keyed shuffle (same rationale as the pandas path).
+        # Time-keyed admission, explicit: session_window(NULL) has no
+        # window and such rows are dropped silently — the filter
+        # states the contract (oracle: WHERE ts IS NOT NULL) and is
+        # safe against the pushdown NOTE above because a NULL ts is
+        # never a watermark carrier.
         src.select("user_id", "ts", "value")
+        .filter(F.col("ts").isNotNull())
         .withWatermark("ts", "30 seconds")
         .groupBy("user_id", F.session_window(F.col("ts"), gap).alias("sw"))
         .agg(
@@ -294,8 +305,10 @@ def _replay_to_parquet(
     if drop_sentinel:
         # The sentinel session never flushes (its window end outruns
         # the final watermark), but filter defensively: the sink is
-        # the certified result.
-        out = out.filter(F.col("user_id") != _SENTINEL_USER)
+        # the certified result. eqNullSafe: a bare != is NULL-false,
+        # and it silently swallowed every NULL-user session while
+        # claiming to drop only the sentinel (edge-sweep finding).
+        out = out.filter(~F.col("user_id").eqNullSafe(F.lit(_SENTINEL_USER)))
     return out
 
 

@@ -173,6 +173,10 @@ R12_CODE_TOUCHED = {
     "knn_ivf_pq_adc",
     "kmeans_train_centroids",
     "knn_ivf_trained_cosine",
+    # time-keyed admission contract (second edge-sweep pass)
+    "sliding_window_metrics",
+    "asof_latest_view_before_purchase",
+    "asof_view_within_6h",
 }
 
 
@@ -214,8 +218,8 @@ def test_window_is_exactly_the_drain_plan():
 def test_r12_drain_fits_after_r11_lands():
     """Forward simulation: pretend CORRECTNESS_r11 lands all-green
     over this window. The resulting AGE-obligatory r12 set must be
-    exactly R12_DRAIN — and drain + code-touched commitments must
-    leave 3 free slots for fresh pre-drain. The simulation base is
+    exactly R12_DRAIN — and drain + code-touched commitments fill
+    the r12 window exactly. The simulation base is
     FROZEN at the r10 verdict state (later CORRECTNESS files are
     ignored) so the assertion stays meaningful — and green — after
     the real r11 verdict lands mid-/post-round."""
@@ -232,7 +236,7 @@ def test_r12_drain_fits_after_r11_lands():
         f"unexpected r12 obligatory set: extra={sorted(due - R12_DRAIN)} "
         f"missing={sorted(R12_DRAIN - due)}"
     )
-    assert len(R12_DRAIN) + len(R12_CODE_TOUCHED) + 3 == WINDOW
+    assert len(R12_DRAIN) + len(R12_CODE_TOUCHED) == WINDOW
 
 
 def test_every_query_is_callable_and_oracle_typed():
