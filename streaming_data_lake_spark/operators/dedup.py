@@ -76,7 +76,9 @@ def exact_text_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 # every durable artifact key derived from this module (e.g. the cached
 # jaccard pair list), so a semantic change invalidates cached data
 # instead of silently serving results computed by old code.
-PAIRS_GEN = 1
+# gen 2: NULL-total shingle guard — NULL-text docs previously carried
+# one '' shingle and all-paired with Jaccard 1.0 (edge-sweep finding)
+PAIRS_GEN = 2
 
 
 def _valid_vec_gen() -> int:
@@ -91,8 +93,15 @@ def tokens(text: Column) -> Column:
 
 
 def _shingles_of(toks: Column, n: int) -> Column:
-    """Shingle array from an already-bound token-array column."""
-    k = F.size(toks) - (n - 1)
+    """Shingle array from an already-bound token-array column.
+
+    The short-doc guard must be NULL-total: for NULL text ``k`` is
+    NULL, a bare ``when(k <= 0)`` falls through, and
+    ``greatest(NULL - 1, 0)`` is 0 (greatest skips NULLs) — so every
+    NULL-text doc got ONE empty-string shingle and all of them paired
+    with Jaccard 1.0 (the edge sweep found C(16,2)=120 phantom
+    near-dup pairs). coalesce pins NULL to the empty branch."""
+    k = F.coalesce(F.size(toks) - (n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
@@ -680,7 +689,10 @@ def winnowing_fingerprints(
     one narrow projection, no shuffle, no UDF. Returns one row per
     (doc, fingerprint)."""
     toks = tokens(F.col(text_col))
-    k = F.size(toks) - (n - 1)  # number of ordered n-grams
+    # coalesce: NULL-total short-doc guard, same rationale as
+    # _shingles_of (NULL text otherwise yields one '' gram and a
+    # phantom fingerprint row per NULL doc — edge-sweep finding)
+    k = F.coalesce(F.size(toks) - (n - 1), F.lit(0))  # ordered n-grams
     idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]

@@ -61,7 +61,13 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return df.select(
         F.col(id_col),
         *[scores[lg].alias(f"score_{lg}") for lg in langs],
-        best["lang"].alias("predicted_lang"),
+        # NULL text -> NULL prediction. Without the guard the struct
+        # argmin compares (-NULL, lang) structs, NULL sorts first, and
+        # every NULL doc "predicts" the alphabetically-first language
+        # (edge-sweep finding; the oracle mirrors with a NULL branch).
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(best["lang"])
+        .alias("predicted_lang"),
     )
 
 

@@ -211,7 +211,7 @@ WITH monthly AS (
 SELECT nation_name, order_month,
        CAST(rev AS DOUBLE) AS month_revenue,
        CAST(sum(rev) OVER (
-         PARTITION BY nation_name ORDER BY order_month
+         PARTITION BY nation_name ORDER BY order_month NULLS FIRST
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        ) AS DOUBLE) AS cumulative_revenue
 FROM monthly
@@ -258,7 +258,10 @@ def running_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECILE_ORACLE = """
 WITH d AS (
   SELECT o_totalprice,
-         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+         -- NULLS FIRST: DuckDB defaults ASC to NULLS LAST where Spark
+         -- puts NULLS FIRST — unpinned, a NULL price lands in decile 10
+         -- there and decile 1 here (edge-sweep finding)
+         ntile(10) OVER (ORDER BY o_totalprice NULLS FIRST, o_orderkey) AS decile
   FROM orders
 )
 SELECT CAST(decile AS INTEGER) AS decile,
@@ -1339,18 +1342,24 @@ _WINDOW_BREADTH_ORACLE = """
 WITH w AS (
   SELECT o_orderpriority,
          first_value(o_totalprice) OVER (
-           PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+           PARTITION BY o_orderpriority
+           ORDER BY o_orderdate NULLS FIRST, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
          ) AS first_price,
          last_value(o_totalprice) OVER (
-           PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+           PARTITION BY o_orderpriority
+           ORDER BY o_orderdate NULLS FIRST, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
          ) AS last_price,
+         -- NULLS FIRST on every ORDER BY: Spark's ASC default (the
+         -- oracle pins DuckDB's NULLS-LAST default to match)
          percent_rank() OVER (
-           PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice NULLS FIRST, o_orderkey
          ) AS pr,
          cume_dist() OVER (
-           PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice NULLS FIRST, o_orderkey
          ) AS cd
   FROM orders
 )

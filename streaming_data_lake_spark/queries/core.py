@@ -175,7 +175,10 @@ _TOP_NATIONS_ORACLE = """
 SELECT n_name, count(*) AS n_customers
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
-ORDER BY n_customers DESC, n_name ASC
+-- NULLS FIRST: Spark's ASC default; DuckDB defaults to NULLS LAST,
+-- which flips which nation survives the LIMIT on a count tie with a
+-- NULL name (edge-sweep finding)
+ORDER BY n_customers DESC, n_name ASC NULLS FIRST
 LIMIT 10
 """
 

@@ -191,7 +191,9 @@ s AS (
   FROM tk
 )
 SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
-  CASE WHEN score_de >= greatest(score_en, score_es, score_fr, score_zh) THEN 'de'
+  -- NULL text (NULL scores) -> NULL prediction, mirroring the engine
+  CASE WHEN score_de IS NULL THEN NULL
+       WHEN score_de >= greatest(score_en, score_es, score_fr, score_zh) THEN 'de'
        WHEN score_en >= greatest(score_es, score_fr, score_zh) THEN 'en'
        WHEN score_es >= greatest(score_fr, score_zh) THEN 'es'
        WHEN score_fr >= score_zh THEN 'fr'
@@ -1793,6 +1795,10 @@ SELECT user_id,
          (list(event_type ORDER BY ts, event_id))[1:20], '>'
        ) AS path20
 FROM events
+-- time-keyed admission: a behavioral path is time-ordered, so
+-- untimestamped events can take no position in it (and the two
+-- engines disagree on where NULL ts sorts)
+WHERE ts IS NOT NULL
 GROUP BY user_id
 """
 
@@ -1814,7 +1820,11 @@ GROUP BY user_id
 def user_event_type_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ranked = e.withColumn("rn", F.row_number().over(w))
     return (
