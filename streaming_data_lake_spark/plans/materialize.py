@@ -481,6 +481,17 @@ class Materializer:
             _t = now
 
         view = target.view(self.spark)
+        # Event-time admission, explicit: mat tables are
+        # day-partitioned on ts_col and every incremental pass is
+        # watermark-predicated (ts <= wm, lookback windows) — a
+        # NULL-ts row satisfies NO window, so it would silently fall
+        # out of the full load AND every later append/repair while
+        # the declarative view kept it (edge-sweep finding: the
+        # materialized table lost every NULL-ts fact). Enforce the
+        # contract at the one choke point instead: rows without event
+        # time never enter a materialized table, same rule as the
+        # clean-events reject path (operators/ingest.py).
+        view = view.filter(F.col(target.ts_col).isNotNull())
         for reserved in self._layout_cols(target):
             if reserved in view.columns:
                 # Checked BEFORE M1 too: _with_layout's withColumn

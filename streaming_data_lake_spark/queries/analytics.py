@@ -1140,13 +1140,17 @@ def domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ZSCORE_ORACLE = """
 WITH m AS (
+  -- moments divide by count(l_extendedprice), NOT count(*): the sum
+  -- skips NULL prices, so dividing by the all-rows count mixes
+  -- populations and understates the mean the moment a NULL price
+  -- exists (edge-sweep finding; n_items stays count(*) by contract)
   SELECT l_returnflag,
          CAST(count(*) AS BIGINT) AS n_items,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-           / CAST(count(*) AS DOUBLE) AS mean_price,
+           / CAST(count(l_extendedprice) AS DOUBLE) AS mean_price,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-           / CAST(count(*) AS DOUBLE) AS mean_sq
+           / CAST(count(l_extendedprice) AS DOUBLE) AS mean_sq
   FROM lineitem
   GROUP BY l_returnflag
 ),
@@ -1184,7 +1188,9 @@ def price_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
         davg(F.col("l_extendedprice")).alias("mean_price"),
-        (F.sum(xdec * xdec).cast("double") / F.count(F.lit(1)).cast("double")).alias("mean_sq"),
+        # divide by the non-NULL count — davg's convention — so the
+        # variance is a moment of ONE population (see oracle note)
+        (F.sum(xdec * xdec).cast("double") / F.count(xdec).cast("double")).alias("mean_sq"),
     )
     # mean*mean (IEEE multiply) not pow() — Math.pow vs libm pow can
     # differ in the last ulp; greatest(0, var) guards the sqrt against
@@ -1486,7 +1492,9 @@ _HISTQ_BIN = (
 
 _HISTQ_ORACLE = f"""
 WITH b AS (
-  SELECT event_type, {_HISTQ_BIN} AS bin FROM events
+  -- value IS NOT NULL: a NULL value has no bin; the engines also
+  -- disagree on where a NULL bin sorts in the cumulative window
+  SELECT event_type, {_HISTQ_BIN} AS bin FROM events WHERE value IS NOT NULL
 ),
 h AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY event_type, bin),
 c AS (
@@ -1522,8 +1530,11 @@ GROUP BY event_type
     "percentile_cont queries.",
 )
 def value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _t(spark, sf_dir, "events").select(
-        "event_type", F.expr(_HISTQ_BIN).alias("bin")
+    # NULL values take no bin (oracle: WHERE value IS NOT NULL)
+    b = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.expr(_HISTQ_BIN).alias("bin"))
     )
     h = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("cnt"))
     w_cum = (

@@ -1064,7 +1064,11 @@ SELECT
        ELSE 'other' END AS source_class,
   count(*) AS n_docs,
   count(DISTINCT lang) AS n_langs,
-  min(split_part(trim(text), ' ', 1)) AS first_token_min
+  -- CASE guard: DuckDB's split_part maps NULL input to '' (which
+  -- then wins the min) where Spark's split keeps NULL (skipped by
+  -- min) — edge-sweep finding
+  min(CASE WHEN text IS NULL THEN NULL
+           ELSE split_part(trim(text), ' ', 1) END) AS first_token_min
 FROM documents
 GROUP BY 1
 """

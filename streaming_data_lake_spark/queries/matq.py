@@ -67,7 +67,8 @@ _TT_CUTOFF = "2024-01-20 00:00:00"
 
 _TIME_TRAVEL_ORACLE = f"""
 SELECT event_id, ts, user_id, event_type, value
-FROM events WHERE ts <= TIMESTAMP '{_TT_CUTOFF}'
+-- OR ts IS NULL: v1 carries the unknown-time rows (NULL-total split)
+FROM events WHERE ts <= TIMESTAMP '{_TT_CUTOFF}' OR ts IS NULL
 """
 
 
@@ -90,14 +91,21 @@ def time_travel_read_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = _scratch_dir("vt_") + "/events_versioned"
     # Append semantics: each commit carries ONLY its new rows; v2
     # hard-links v1's files instead of rewriting history.
-    fmt.commit_snapshot(spark, ref, events.filter(F.col("ts") <= cutoff), "append")
+    # NULL-total split: a bare <=/> pair drops NULL-ts rows from BOTH
+    # commits (edge-sweep finding). Versioned commits carry facts with
+    # or without event time — unlike the materializer, nothing here is
+    # time-partitioned — so unknown-time rows ride the v1 commit.
+    fmt.commit_snapshot(
+        spark, ref, events.filter((F.col("ts") <= cutoff) | F.col("ts").isNull()), "append"
+    )
     fmt.commit_snapshot(spark, ref, events.filter(F.col("ts") > cutoff), "append")
     return fmt.read(spark, ref, version=1)
 
 
 _SNAPSHOTS_ORACLE = f"""
 SELECT 1 AS version, 'append' AS operation,
-       count(*) FILTER (ts <= TIMESTAMP '{_TT_CUTOFF}') AS n_rows FROM events
+       count(*) FILTER (ts <= TIMESTAMP '{_TT_CUTOFF}' OR ts IS NULL) AS n_rows
+FROM events
 UNION ALL
 SELECT 2 AS version, 'append' AS operation, count(*) AS n_rows FROM events
 """
@@ -117,7 +125,10 @@ def snapshot_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select("event_id", "ts")
     cutoff = F.lit(_TT_CUTOFF).cast("timestamp")
     ref = _scratch_dir("vt_") + "/events_versioned"
-    fmt.commit_snapshot(spark, ref, events.filter(F.col("ts") <= cutoff), "append")
+    # NULL-total split — see time_travel_read_v1
+    fmt.commit_snapshot(
+        spark, ref, events.filter((F.col("ts") <= cutoff) | F.col("ts").isNull()), "append"
+    )
     fmt.commit_snapshot(spark, ref, events.filter(F.col("ts") > cutoff), "append")
     return fmt.snapshots(spark, ref)
 
@@ -175,10 +186,18 @@ def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DIM_REPAIR_ORACLE = """
 SELECT event_id, ts, user_id, user_id % 10 AS user_bucket,
-       CASE WHEN user_id % 10 < 3
+       -- the arithmetic shortcut only holds on the dim's actual key
+       -- domain (buckets 0-9); a negative or NULL user_id has no dim
+       -- row and the engine's LEFT join yields NULL — the unguarded
+       -- CASE fabricated 'tier_-1_v2' (edge-sweep finding)
+       CASE WHEN user_id % 10 NOT BETWEEN 0 AND 9 THEN NULL
+            WHEN user_id % 10 < 3
             THEN 'tier_' || CAST(user_id % 10 AS VARCHAR) || '_v2'
             ELSE 'tier_' || CAST(user_id % 10 AS VARCHAR) || '_v1' END AS tier_label
 FROM events
+-- event-time admission: mat tables are day-partitioned on ts, so
+-- rows without event time never enter them (Materializer enforces)
+WHERE ts IS NOT NULL
 """
 
 
@@ -266,7 +285,10 @@ def materialize_dim_change_repair(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 _EXISTS_REPAIR_ORACLE = """
-WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+-- v: ts IS NOT NULL — event-time admission; mat tables are
+-- day-partitioned on ts (Materializer enforces). Click-side NULL ts
+-- needs no filter: the interval predicate is NULL-false.
+WITH v AS (SELECT * FROM events WHERE event_type = 'view' AND ts IS NOT NULL),
      c AS (SELECT * FROM events WHERE event_type = 'click')
 SELECT v.event_id, v.ts, v.user_id,
        count(c.ts) AS n_clicks,
@@ -355,7 +377,16 @@ def materialize_funnel_exists_repair(spark: SparkSession, sf_dir: str) -> DataFr
 _REPAIR_DAY = "2024-01-15"
 
 _TWO_LEVEL_ORACLE = f"""
-SELECT CAST(count(DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) || '|' || event_type) AS INT) AS n_leaves,
+-- leaves are (day, partition KEY): short path-safe event_types
+-- partition as themselves, everything else by md5 (see the engine's
+-- etype_pt derivation); coalesce so NULL day/type leaves count too
+SELECT CAST(count(DISTINCT
+         coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '<null>') || '|' ||
+         coalesce(CASE WHEN event_type IS NOT NULL
+                        AND length(event_type) BETWEEN 1 AND 32
+                        AND regexp_matches(event_type, '^[A-Za-z0-9_-]*$')
+                   THEN event_type ELSE md5(event_type) END, '<null>')
+       ) AS INT) AS n_leaves,
        0 AS files_off_target,
        count(*) AS n_rows,
        CAST(sum(CASE WHEN CAST(ts AS DATE) = DATE '{_REPAIR_DAY}'
@@ -392,14 +423,33 @@ def two_level_overlay_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     fmt = resolve_format(spark, prefer="parquet")
     lake = _scratch_dir("lake_")
     t = os.path.join(lake, "events_day_type")
+    # Identity partitioning on a RAW string column is a scale trap:
+    # the value becomes a directory name, so one 2000-char (or
+    # path-hostile) event_type kills the whole write with an obscure
+    # Mkdirs failure — the edge sweep did exactly that. Partition on
+    # a BOUNDED path-safe derived key instead (the Iceberg-transform
+    # discipline: truncate/bucket, never raw identity on unbounded
+    # strings): short clean values partition as themselves, anything
+    # else by its md5. Empty string must NOT partition raw — Spark
+    # writes it as the default partition and reads back NULL
+    # (silent '' -> NULL corruption). The raw event_type column stays
+    # in the data files, so nothing is lost.
+    etype_pt = F.when(
+        F.col("event_type").isNotNull()
+        & (F.length("event_type") >= 1)
+        & (F.length("event_type") <= 32)
+        & F.col("event_type").rlike("^[A-Za-z0-9_-]*$"),
+        F.col("event_type"),
+    ).otherwise(F.md5("event_type"))
     ev = (
         load_table(spark, sf_dir, "events")
         .select("event_id", "ts", "event_type", "value")
         .withColumn(DAY_COL, F.to_date("ts"))
+        .withColumn("etype_pt", etype_pt)
     )
     # Fragmented initial write: round-robin tasks scatter every leaf
     # across 4 files — the small-file state maintenance exists to fix.
-    ev.repartition(4).write.mode("overwrite").partitionBy(DAY_COL, "event_type").parquet(t)
+    ev.repartition(4).write.mode("overwrite").partitionBy(DAY_COL, "etype_pt").parquet(t)
 
     # Day-scoped overlay repair (M2 shape on the two-level layout):
     # recompute ONE day with corrected values; the rewrite
@@ -409,7 +459,7 @@ def two_level_overlay_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         "value", F.col("value") * 2
     )
     tmp = tmp_sibling(t)
-    repaired.repartition(4).write.mode("overwrite").partitionBy(DAY_COL, "event_type").parquet(tmp)
+    repaired.repartition(4).write.mode("overwrite").partitionBy(DAY_COL, "etype_pt").parquet(tmp)
     link_untouched_partitions(t, tmp, DAY_COL, {f"{DAY_COL}={_REPAIR_DAY}"})
     atomic_swap(t, tmp)
 
@@ -431,7 +481,7 @@ def two_level_overlay_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     fmt.remove_orphans(spark, lake, min_age_s=0.0)
 
     final = spark.read.parquet(t)
-    n_leaves = final.select(DAY_COL, "event_type").distinct().count()
+    n_leaves = final.select(DAY_COL, "etype_pt").distinct().count()
     files_off_target = _parquet_files(t) - expected_files
     row = final.agg(
         F.count(F.lit(1)).alias("n_rows"),

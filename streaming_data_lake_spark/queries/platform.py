@@ -25,7 +25,9 @@ SELECT date_trunc('hour', ts) AS event_hour,
        count(*) AS n_purchases,
        count(DISTINCT user_id) AS n_buyers
 FROM events
-WHERE value > 0 AND event_type = 'purchase'
+-- mirrors the v_events_clean contract, including event-time
+-- admission (ts IS NOT NULL — operators/ingest.py)
+WHERE value > 0 AND event_type = 'purchase' AND ts IS NOT NULL
 GROUP BY 1
 ORDER BY n_purchases DESC, event_hour ASC
 LIMIT 15
@@ -72,6 +74,11 @@ SELECT CASE user_id % 10 % 3 WHEN 0 THEN 'casual'
        count(DISTINCT user_id % 10) AS n_tiers,
        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events
+-- dim key domain: the seeded hierarchy has buckets 0-9 only; a
+-- negative or NULL user_id has no dim row and the engine's inner
+-- enrichment join drops it — the unguarded CASE would invent a
+-- segment for it (NULL % lands in ELSE 'power'; edge-sweep finding)
+WHERE user_id % 10 BETWEEN 0 AND 9
 GROUP BY 1
 """
 
@@ -164,6 +171,10 @@ SELECT CASE user_id % 10 % 3 WHEN 0 THEN 'casual'
                              ELSE 'power' END AS segment_name,
        count(*) AS n_events
 FROM events
+-- dim key domain — see _SEEDED_DIM_ORACLE. The segment dim is keyed
+-- on user_id % 10 % 3 in {0,1,2}; negative/NULL users derive a key
+-- outside it and the engine's inner join drops them
+WHERE user_id % 10 % 3 BETWEEN 0 AND 2
 GROUP BY 1
 """
 
@@ -246,7 +257,10 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(tmp: str) -> None:
         ev = load_table(spark, sf_dir, "events")
         base = ["event_id", "ts", "user_id", "event_type"]
-        ev.filter(F.col("ts") < split).select(*base).write.mode(
+        # NULL-total split: unknown-time rows belong to gen1 (they
+        # predate the evolution by assumption); a bare </>= pair
+        # dropped them from BOTH generations (edge-sweep finding)
+        ev.filter((F.col("ts") < split) | F.col("ts").isNull()).select(*base).write.mode(
             "overwrite"
         ).parquet(os.path.join(tmp, "gen1"))
         ev.filter(F.col("ts") >= split).select(*base, "value").write.mode(
@@ -256,7 +270,7 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     art = artifacts.ensure(
         "evolved_events",
         [table_path(sf_dir, "events")],
-        {"split": _EVOLVED_SPLIT, "v": 1},
+        {"split": _EVOLVED_SPLIT, "v": 2},  # v2: NULL-total split
         build,
     )
     evolved = spark.read.schema(v2).parquet(
@@ -334,6 +348,11 @@ SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events
+-- dim key domain (buckets 0-9) AND event-time admission: a fact with
+-- no dim bucket or no event time matches no validity interval in the
+-- engine's PIT join — the unguarded CASE fabricated tier_-1 labels
+-- and routed NULL ts to the ELSE version (edge-sweep finding)
+WHERE user_id % 10 BETWEEN 0 AND 9 AND ts IS NOT NULL
 GROUP BY 1
 """
 

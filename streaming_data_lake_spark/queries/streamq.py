@@ -118,11 +118,29 @@ def streaming_fanout_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.streaming_fanout_ingest(spark, sf_dir)
 
 
+# The upsert twin of _HOURLY_ORACLE with keyed-MERGE admission:
+# event_type is a MERGE key, and key columns are non-null by contract
+# (the sink rejects NULL keys loudly — a NULL key would silently
+# re-insert its stale row every merge). streaming_hourly_metrics
+# (memory sink, no MERGE) keeps the NULL-type groups; this one
+# cannot.
+_UPSERT_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE ts IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 @register(
     "streaming_upsert_hourly",
-    _HOURLY_ORACLE,
+    _UPSERT_HOURLY_ORACLE,
     "S7/T4: foreachBatch keyed MERGE upsert sink; converged table equals the "
-    "batch hourly aggregate.",
+    "batch hourly aggregate over key-complete rows (MERGE keys are non-null "
+    "by contract).",
 )
 def streaming_upsert_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.streaming_upsert_hourly(spark, sf_dir)

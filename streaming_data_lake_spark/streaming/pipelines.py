@@ -452,7 +452,15 @@ def streaming_upsert_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet table; returns the converged table."""
     table_dir = _scratch_dir("upsert_") + "/hourly_metrics"
     ckpt = _scratch_dir("ckpt_")
-    src = stream_table(spark, sf_dir, "events")
+    # Keyed-upsert admission: MERGE keys are non-null by contract
+    # (the sink rejects NULL keys loudly — Iceberg identifier-fields
+    # / Flink upsert-kafka PK semantics), so the pipeline follows its
+    # own advice and filters key-incomplete rows upstream: ts feeds
+    # the hour_start key, event_type IS a key. The oracle carries the
+    # same predicates.
+    src = stream_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     agg = (
         src.withWatermark("ts", "30 seconds")
         .groupBy(F.window(F.col("ts"), "1 hour"), "event_type")
@@ -502,7 +510,11 @@ def streaming_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table_dir = _scratch_dir("hll_") + "/hll_registers"
     ckpt = _scratch_dir("ckpt_")
-    src = stream_table(spark, sf_dir, "events")
+    # Keyed-upsert admission: event_day derives from ts and is a
+    # MERGE key — NULL ts would feed the sink a NULL key (rejected
+    # loudly by contract). The shared oracle drops NULL days anyway
+    # via its est-to-exact equi-join.
+    src = stream_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     # Deliberately UNWATERMARKED: converged-state equality with the
     # batch sketch requires that no register row is ever evicted or
     # dropped as late. Update mode + a keyed MERGE sink is valid

@@ -849,3 +849,65 @@ def test_multimodal_char_budget_and_null_text_contract(spark):
     expect = ("é" * 10).ljust(16, "\0")
     assert bytes(rows[0]["payload"]).decode("utf-8") == expect
     assert rows[0]["byte_len"] == len(expect.encode("utf-8")) == 26
+
+
+def test_edge_sweep_contracts(spark):
+    """Pins for the r11 adversarial-data findings (CHANGELOG_r11
+    §edge sweep): each of these crashed a job or silently diverged
+    from the oracle before the fix."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_spark.operators.dedup import shingles
+    from streaming_data_lake_spark.operators.ingest import clean_events, rejected_events
+    from streaming_data_lake_spark.operators.similarity import valid_vectors
+
+    # 1. NULL text -> NO shingles (was: one '' shingle, pairing every
+    #    NULL doc with Jaccard 1.0).
+    d = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one"), (4, "a b c d")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["s"] for r in d.select("doc_id", shingles(F.col("text"), 3).alias("s")).collect()}
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["a b c", "b c d"]
+
+    # 2. Embeddings admission: NULL / empty / NULL-element / zero-norm
+    #    vectors are dropped (was: ANSI DIVIDE_BY_ZERO killed the whole
+    #    KNN/k-means/SemDeDup family on one zero-norm row).
+    e = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, None),
+            (3, []),
+            (4, [0.0, 0.0]),
+            (5, [None, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    assert [r["vec_id"] for r in valid_vectors(e).collect()] == [1]
+
+    # 3. Event-time contract: NULL ts routes to the reject path with
+    #    its own reason (was: silently lost by every watermark
+    #    predicate and day-partitioned write).
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, "click", 5.0, "{}"),
+            (2, None, 1, "click", 5.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert [r["event_id"] for r in clean_events(ev).collect()] == [1]
+    rej = {r["event_id"]: r["reject_reason"] for r in rejected_events(ev).collect()}
+    assert rej == {2: "MISSING_EVENT_TIME"}
+
+    # 4. prop_k extraction is total: no-match '' and >INT_MAX digit
+    #    runs yield NULL instead of an ANSI job abort.
+    ev2 = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, "click", 5.0, "not json"),
+            (2, "2024-01-01 00:00:00", 1, "click", 5.0, '{"k": 99999999999999999999}'),
+            (3, "2024-01-01 00:00:00", 1, "click", 5.0, '{"k": 7}'),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got2 = {r["event_id"]: r["prop_k"] for r in clean_events(ev2).collect()}
+    assert got2 == {1: None, 2: None, 3: 7}

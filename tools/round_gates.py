@@ -9,11 +9,15 @@ hide another):
   1. pytest              — full unit/contract suite
   2. check @ sf0.01      — full-registry oracle parity (driver scale)
   3. check @ sf0.1       — full-registry oracle parity at 10x
-  4. bare_sweep @ sf0.01 — bare-session portability, twice
-  5. ledger              — certification-window audit
-  6. driver smoke        — __spark_entry__ entry/queries/oracle_sql
+  4. edge-sweep          — full-registry parity on adversarially
+                           mutated tables (NULLs everywhere, edge
+                           strings, degenerate vectors — see
+                           tools/edge_sweep.py)
+  5. bare_sweep @ sf0.01 — bare-session portability, twice
+  6. ledger              — certification-window audit
+  7. driver smoke        — __spark_entry__ entry/queries/oracle_sql
 
-Usage: python tools/round_gates.py [--skip pytest,sf01,sf1,bare,ledger,smoke]
+Usage: python tools/round_gates.py [--skip pytest,sf01,sf1,edge,bare,ledger,smoke]
 """
 
 from __future__ import annotations
@@ -48,12 +52,18 @@ GATES: list[tuple[str, list[str], str]] = [
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"], "passed"),
     ("check-sf0.01", [sys.executable, "tools/check.py", "/root/testdata/sf0.01"], "ALL GREEN"),
     ("check-sf0.1", [sys.executable, "tools/check.py", "/root/testdata/sf0.1"], "ALL GREEN"),
+    ("edge-sweep", [sys.executable, "tools/edge_sweep.py"], "ALL GREEN"),
     ("bare-sweep", [sys.executable, "tools/bare_sweep.py", "/root/testdata/sf0.01"], "ALL OK"),
     ("ledger", [sys.executable, "tools/ledger.py"], "LEDGER GREEN"),
     ("smoke", [sys.executable, "-c", _SMOKE], "SMOKE OK"),
 ]
 
-_SKIP_ALIASES = {"sf01": "check-sf0.01", "sf1": "check-sf0.1", "bare": "bare-sweep"}
+_SKIP_ALIASES = {
+    "sf01": "check-sf0.01",
+    "sf1": "check-sf0.1",
+    "edge": "edge-sweep",
+    "bare": "bare-sweep",
+}
 
 
 def main() -> int:
