@@ -45,13 +45,15 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # while they carried r9 verdicts (NULL-semantics oracle text;
 # versioned-append schema guard), then the 9 names whose code
 # changed THIS round (the durable-parquet replay-sink conversion and
-# the upsert batch-collapse literal-column rewrite). The 10
-# remaining slots pre-drain r12: of the 50 r9-certified names (ALL
-# stale at r12), 17 certify now (the 5+2 code-touched above plus
-# these 10) and the other 33 sit contiguously at positions 51-83 as
-# the committed r12 window — same mechanical-rotation shape as the
-# r10→r11 handoff. tests/test_registry_order.py asserts the
-# arithmetic; tools/ledger.py cross-references the verdict files.
+# the upsert batch-collapse literal-column rewrite), then the 10
+# names the r11 adversarial edge sweep code-touched (embeddings
+# admission, multimodal contracts, clean-events event time). The
+# committed r12 window follows contiguously: a 40-name drain
+# (33 committed in CHANGELOG_r11 "r12 drain" + the 7 displaced
+# pre-drain fills) at 51-90 and 10 r12 code-touched commitments at
+# 91-100 — the r12 window is exactly full.
+# tests/test_registry_order.py asserts the arithmetic;
+# tools/ledger.py cross-references the verdict files.
 _CERTIFICATION_ORDER = [
     # ---- (a) latest verdict r8: the 26 obligatory drain slots
     # committed in CHANGELOG_r10.md — re-certify ALL in round 11 ----
