@@ -40,9 +40,17 @@ from streaming_data_lake_spark.functions.scalar import event_class
 # to the reject path with their own reason instead of drifting
 # between pipelines.
 def _clean_pred():
+    # Finiteness is part of the clean contract: NaN and +Infinity
+    # PASS `value > 0` in both engines (NaN sorts greatest), then
+    # abort every downstream decimal aggregate under ANSI — one
+    # non-finite event would kill a 100 TB hourly job. They belong on
+    # the reject path (NON_FINITE_VALUE), like every other DQ rule.
+    v = F.col("value")
+    finite = ~F.isnan(v) & (F.abs(v) < F.lit(float("inf")))
     return (
         F.col("ts").isNotNull()
-        & (F.col("value") > 0)
+        & (v > 0)
+        & finite
         & (F.col("event_type") != "error")
     )
 
@@ -87,10 +95,12 @@ def rejected_events(df: DataFrame) -> DataFrame:
     pipeline entirely instead of rejecting them. ``coalesce(pred,
     false)`` keeps the partition property exact: every input row is
     in exactly one of clean/rejected."""
+    v = F.col("value")
     reason = (
         F.when(F.col("ts").isNull(), "MISSING_EVENT_TIME")
         .when(F.col("event_type") == "error", "ERROR_EVENT")
-        .when(F.col("value") <= 0, "NON_POSITIVE_VALUE")
+        .when(F.isnan(v) | (F.abs(v) == F.lit(float("inf"))), "NON_FINITE_VALUE")
+        .when(v <= 0, "NON_POSITIVE_VALUE")
         .otherwise("UNKNOWN")
     )
     return df.filter(~F.coalesce(_clean_pred(), F.lit(False))).select(

@@ -130,7 +130,9 @@ FROM events
 -- ts IS NOT NULL: a valid event time is part of the clean contract
 -- (NULL ts cannot be watermarked, partitioned, or incrementally
 -- materialized — see operators/ingest.py)
-WHERE value > 0 AND event_type <> 'error' AND ts IS NOT NULL
+-- isfinite: NaN/+Inf pass `value > 0` in both engines and would
+-- abort downstream decimal aggregates — rejected as NON_FINITE_VALUE
+WHERE value > 0 AND isfinite(value) AND event_type <> 'error' AND ts IS NOT NULL
 """
 
 
@@ -148,13 +150,15 @@ SELECT
   event_id, ts, user_id, event_type, value,
   CASE WHEN ts IS NULL THEN 'MISSING_EVENT_TIME'
        WHEN event_type = 'error' THEN 'ERROR_EVENT'
+       WHEN NOT isfinite(value) THEN 'NON_FINITE_VALUE'
        WHEN value <= 0 THEN 'NON_POSITIVE_VALUE'
        ELSE 'UNKNOWN' END AS reject_reason
 FROM events
 -- coalesce: the engine's complement is NULL-total (a NULL value or
 -- event_type row is REJECTED, reason UNKNOWN — r10 review finding);
 -- a bare NOT(pred) would drop such rows here while Spark keeps them
-WHERE NOT coalesce(value > 0 AND event_type <> 'error' AND ts IS NOT NULL, false)
+WHERE NOT coalesce(value > 0 AND isfinite(value)
+                   AND event_type <> 'error' AND ts IS NOT NULL, false)
 """
 
 

@@ -89,12 +89,14 @@ def streaming_interval_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _FANOUT_ORACLE = """
 SELECT 'clean' AS sink, count(*) AS n_rows
-FROM events WHERE value > 0 AND event_type <> 'error' AND ts IS NOT NULL
+FROM events
+WHERE value > 0 AND isfinite(value) AND event_type <> 'error' AND ts IS NOT NULL
 UNION ALL
 SELECT 'rejected' AS sink, count(*) AS n_rows
 -- coalesce: NULL-total complement, matching rejected_events (r10)
 FROM events
-WHERE NOT coalesce(value > 0 AND event_type <> 'error' AND ts IS NOT NULL, false)
+WHERE NOT coalesce(value > 0 AND isfinite(value)
+                   AND event_type <> 'error' AND ts IS NOT NULL, false)
 """
 
 

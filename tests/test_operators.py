@@ -911,3 +911,30 @@ def test_edge_sweep_contracts(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     got2 = {r["event_id"]: r["prop_k"] for r in clean_events(ev2).collect()}
     assert got2 == {1: None, 2: None, 3: 7}
+
+
+def test_non_finite_values_route_to_reject_path(spark):
+    """NaN and +Inf PASS `value > 0` in both engines (NaN sorts
+    greatest), then abort every downstream decimal aggregate under
+    ANSI — they belong on the reject path. Partition property holds:
+    every row lands in exactly one of clean/rejected."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_spark.operators.ingest import clean_events, rejected_events
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, "click", float("nan"), "{}"),
+            (2, "2024-01-01 00:00:00", 1, "click", float("inf"), "{}"),
+            (3, "2024-01-01 00:00:00", 1, "click", float("-inf"), "{}"),
+            (4, "2024-01-01 00:00:00", 1, "click", 5.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert [r["event_id"] for r in clean_events(ev).collect()] == [4]
+    rej = {r["event_id"]: r["reject_reason"] for r in rejected_events(ev).collect()}
+    assert rej == {
+        1: "NON_FINITE_VALUE",
+        2: "NON_FINITE_VALUE",
+        3: "NON_FINITE_VALUE",
+    }
