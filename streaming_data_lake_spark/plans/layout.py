@@ -43,7 +43,19 @@ def day_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     art = artifacts.ensure("events_by_day", [src], {}, _build)
-    return spark.read.parquet(os.path.join(art, "data"))
+    # Declared-schema read: a partitionBy write of an EMPTY frame
+    # leaves a directory with no schema-carrying files, so an
+    # inference read dies UNABLE_TO_INFER_SCHEMA the moment a source
+    # day is empty (empty-input sweep finding) — and the declared
+    # read is the 100 TB posture anyway (no inference listing pass).
+    # Partition pruning is directory-driven and unaffected.
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        load_table(spark, sf_dir, "events").schema.fields
+        + [T.StructField("event_date", T.DateType())]
+    )
+    return spark.read.schema(schema).parquet(os.path.join(art, "data"))
 
 
 def time_ranged_events(

@@ -122,6 +122,8 @@ def expected_files_after_compact(
     was chosen from the pre-compaction size), certifying an
     off-by-one at scale factors where leaves sit near the target."""
     part_cols = _partition_cols(table_dir)
+    if _parquet_files(table_dir) == 0:
+        return 0  # empty-table compaction is a no-op (see compact_parquet)
     if not part_cols:
         return max(1, math.ceil(dir_bytes(table_dir) / target_bytes))
     total = 0
@@ -170,7 +172,14 @@ def compact_parquet(
     next partition-scoped rewrite would have nothing to link (the
     writers guard that case by falling back to a migrating full
     rewrite, but compaction must not destroy the layout they would
-    then have to rebuild)."""
+    then have to rebuild).
+
+    Compacting a table with NO data files is a no-op returning 0: an
+    inference read over it dies UNABLE_TO_INFER_SCHEMA, and an empty
+    table (fresh deployment, all-empty source) is a state, not an
+    error (empty-input sweep finding)."""
+    if _parquet_files(table_dir) == 0:
+        return 0
     n_files = max(1, math.ceil(dir_bytes(table_dir) / target_bytes))
     part_cols = _partition_cols(table_dir)
     df = spark.read.parquet(table_dir)

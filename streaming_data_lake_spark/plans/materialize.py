@@ -181,7 +181,20 @@ class Materializer:
         """The mat table WITH its day_pt partition column."""
         return self.spark.read.parquet(self._mat_dir(name))
 
-    def read_mat(self, name: str) -> DataFrame:
+    def read_mat(self, name: str, target: "MatTarget | None" = None) -> DataFrame:
+        """Read the materialized table's data columns.
+
+        When the table does not exist yet AND ``target`` is given,
+        return a correctly-typed EMPTY frame instead of crashing: M1
+        defers creation on an empty view (see run()), so an
+        all-empty source — a real state for a fresh deployment or an
+        empty backfill window — must read back as zero rows of the
+        view's schema, not PATH_NOT_FOUND (empty-input sweep
+        finding)."""
+        if target is not None and not os.path.exists(self._mat_dir(name)):
+            return self.spark.createDataFrame(
+                [], target.view(self.spark).schema
+            )
         df = self._read_raw(name)
         if DAY_COL in df.columns:
             df = df.drop(DAY_COL)

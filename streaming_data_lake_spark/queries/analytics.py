@@ -66,6 +66,13 @@ SELECT
   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM base
 GROUP BY ROLLUP(order_month, nation_name)
+-- HAVING: over an EMPTY input the SQL standard (and DuckDB) still
+-- emit the grand-total grouping set as one zero-count row, but
+-- Spark's rollup/cube emit nothing — empty grouping sets are not
+-- reported, by engine contract (empty-input sweep finding; on any
+-- non-empty input the grand total has count > 0, so certified
+-- results are unchanged)
+HAVING count(*) > 0
 """
 
 
@@ -1436,6 +1443,9 @@ SELECT
   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM base
 GROUP BY CUBE(event_type, event_day)
+-- HAVING: see _ROLLUP_ORACLE — Spark emits no rows for empty
+-- grouping sets where the standard emits the grand total
+HAVING count(*) > 0
 """
 
 

@@ -60,7 +60,7 @@ def materialize_incremental_clean_events(spark: SparkSession, sf_dir: str) -> Da
     mat.run(target, lookback_hours=4)  # M1 full load
     batch2.write.mode("append").parquet(src_dir)  # late + new facts arrive
     mat.run(target, lookback_hours=4)  # M2 repair + M4 append
-    return mat.read_mat("mat_events_clean")
+    return mat.read_mat("mat_events_clean", target)
 
 
 _TT_CUTOFF = "2024-01-20 00:00:00"
@@ -134,7 +134,11 @@ def snapshot_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COMPACTION_ORACLE = """
-SELECT 64 AS n_files_before, 0 AS files_off_target, count(*) AS n_rows FROM events
+-- CASE: repartition(64) of an EMPTY frame writes a single
+-- schema-carrying part file, not 64 (empty-input sweep finding)
+SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 64 END AS n_files_before,
+       0 AS files_off_target, count(*) AS n_rows
+FROM events
 """
 
 
@@ -277,7 +281,7 @@ def materialize_dim_change_repair(spark: SparkSession, sf_dir: str) -> DataFrame
     batch2.write.mode("append").parquet(src_dir)
 
     mat.run(target)  # M3 repairs buckets 0-2, M4 appends new facts
-    return mat.read_mat("mat_events_tiered")
+    return mat.read_mat("mat_events_tiered", target)
 
 
 # ---------------------------------------------------------------------------
@@ -367,7 +371,7 @@ def materialize_funnel_exists_repair(spark: SparkSession, sf_dir: str) -> DataFr
     mat.run(target)  # M1: some has_click=false rows are wrong (clicks missing)
     batch2.write.mode("append").parquet(src_dir)
     mat.run(target)  # M4 appends post-cutoff views; M5 repairs flipped flags
-    return mat.read_mat("mat_view_funnel_flags")
+    return mat.read_mat("mat_view_funnel_flags", target)
 
 
 # ---------------------------------------------------------------------------
@@ -480,7 +484,9 @@ def two_level_overlay_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     fmt.compact(spark, t)
     fmt.remove_orphans(spark, lake, min_age_s=0.0)
 
-    final = spark.read.parquet(t)
+    # Declared-schema read: an all-empty source leaves the table with
+    # no schema-carrying files (empty-input sweep finding).
+    final = spark.read.schema(ev.schema).parquet(t)
     n_leaves = final.select(DAY_COL, "etype_pt").distinct().count()
     files_off_target = _parquet_files(t) - expected_files
     row = final.agg(

@@ -494,6 +494,12 @@ def streaming_upsert_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    # Empty-input replay: no batch ever MERGEd, so the table was
+    # never created — read back as zero rows of the aggregate's own
+    # schema instead of PATH_NOT_FOUND (empty-input sweep finding; an
+    # empty backfill window is a real state, not an error).
+    if not os.path.isdir(table_dir):
+        return spark.createDataFrame([], agg.schema)
     return _fmt.read_table(spark, table_dir)
 
 
@@ -540,7 +546,11 @@ def streaming_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    converged = _fmt.read_table(spark, table_dir)
+    # Empty-input replay: see streaming_upsert_hourly.
+    if not os.path.isdir(table_dir):
+        converged = spark.createDataFrame([], regs.schema)
+    else:
+        converged = _fmt.read_table(spark, table_dir)
     est = hll_estimate(converged, ["event_day"])
 
     exact = (
@@ -588,7 +598,11 @@ def streaming_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    converged = _fmt.read_table(spark, table_dir)
+    # Empty-input replay: see streaming_upsert_hourly.
+    if not os.path.isdir(table_dir):
+        converged = spark.createDataFrame([], cells.schema)
+    else:
+        converged = _fmt.read_table(spark, table_dir)
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(tok_fn(F.col("text"))).alias("token"))
     # Candidate set comes from the SHARED helper (same k, same tie

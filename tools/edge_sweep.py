@@ -26,11 +26,15 @@ not noise:
   with a NULL element — shapes that occur in any real 100 TB corpus.
 
 Usage:
-    python tools/edge_sweep.py [--gen-only] [--out DIR] [--src DIR] [query ...]
+    python tools/edge_sweep.py [--gen-only] [--empty] [--out DIR] [--src DIR] [query ...]
 
 Defaults: src=/root/testdata/sf0.001, out=/tmp/sdl_edge. Generation
 is deterministic (fixed seed per table); the parity run execs
 tools/check.py against the mutated dir.
+
+``--empty`` generates zero-row tables (schema preserved) instead of
+mutated ones — the empty-partition/fresh-deployment state every
+operator must survive without crashing (out default /tmp/sdl_empty).
 """
 
 from __future__ import annotations
@@ -148,12 +152,12 @@ def mutate_table(name: str, table: pa.Table) -> pa.Table:
     return out
 
 
-def generate(src: str, out: str) -> None:
+def generate(src: str, out: str, empty: bool = False) -> None:
     outp = Path(out)
     outp.mkdir(parents=True, exist_ok=True)
     for p in sorted(Path(src).glob("*.parquet")):
         t = pq.read_table(p)
-        m = mutate_table(p.stem, t)
+        m = t.slice(0, 0) if empty else mutate_table(p.stem, t)
         pq.write_table(m, outp / p.name)
         print(f"  {p.stem}: {t.num_rows} -> {m.num_rows} rows")
 
@@ -161,7 +165,8 @@ def generate(src: str, out: str) -> None:
 def main() -> int:
     argv = sys.argv[1:]
     gen_only = "--gen-only" in argv
-    argv = [a for a in argv if a != "--gen-only"]
+    empty = "--empty" in argv
+    argv = [a for a in argv if a not in ("--gen-only", "--empty")]
 
     def _flag(name, default):
         if name in argv:
@@ -172,9 +177,9 @@ def main() -> int:
         return default
 
     src = _flag("--src", SRC_DEFAULT)
-    out = _flag("--out", OUT_DEFAULT)
-    print(f"generating edge tables {src} -> {out}")
-    generate(src, out)
+    out = _flag("--out", "/tmp/sdl_empty" if empty else OUT_DEFAULT)
+    print(f"generating {'empty' if empty else 'edge'} tables {src} -> {out}")
+    generate(src, out, empty=empty)
     if gen_only:
         return 0
     cmd = [sys.executable, "tools/check.py", out, *argv]

@@ -13,9 +13,11 @@ hide another):
                            mutated tables (NULLs everywhere, edge
                            strings, degenerate vectors — see
                            tools/edge_sweep.py)
-  5. bare_sweep @ sf0.01 — bare-session portability, twice
-  6. ledger              — certification-window audit
-  7. driver smoke        — __spark_entry__ entry/queries/oracle_sql
+  5. empty-sweep         — full-registry parity on zero-row tables
+                           (fresh-deployment / empty-partition state)
+  6. bare_sweep @ sf0.01 — bare-session portability, twice
+  7. ledger              — certification-window audit
+  8. driver smoke        — __spark_entry__ entry/queries/oracle_sql
 
 Usage: python tools/round_gates.py [--skip pytest,sf01,sf1,edge,bare,ledger,smoke]
 """
@@ -53,6 +55,7 @@ GATES: list[tuple[str, list[str], str]] = [
     ("check-sf0.01", [sys.executable, "tools/check.py", "/root/testdata/sf0.01"], "ALL GREEN"),
     ("check-sf0.1", [sys.executable, "tools/check.py", "/root/testdata/sf0.1"], "ALL GREEN"),
     ("edge-sweep", [sys.executable, "tools/edge_sweep.py"], "ALL GREEN"),
+    ("empty-sweep", [sys.executable, "tools/edge_sweep.py", "--empty"], "ALL GREEN"),
     ("bare-sweep", [sys.executable, "tools/bare_sweep.py", "/root/testdata/sf0.01"], "ALL OK"),
     ("ledger", [sys.executable, "tools/ledger.py"], "LEDGER GREEN"),
     ("smoke", [sys.executable, "-c", _SMOKE], "SMOKE OK"),
@@ -62,6 +65,7 @@ _SKIP_ALIASES = {
     "sf01": "check-sf0.01",
     "sf1": "check-sf0.1",
     "edge": "edge-sweep",
+    "empty": "empty-sweep",
     "bare": "bare-sweep",
 }
 
