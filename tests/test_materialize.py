@@ -1700,6 +1700,11 @@ def test_review_r10_materializer_contracts(spark, tmp_path):
     assert log["M1"] == "empty view, load deferred"
     assert not os.path.exists(m._mat_dir("mat_empty"))
     assert m.get_watermark("mat_empty") is None  # next cycle retries M1
+    # reading the deferred table with the target returns a TYPED
+    # empty frame, not PATH_NOT_FOUND (empty-input sweep finding)
+    got = m.read_mat("mat_empty", t_empty)
+    assert got.count() == 0
+    assert got.schema == empty_view(spark).schema
 
     # 2: M4 crash journal
     _write_events(spark, src, [(1, _ts("2024-01-01 10:00:00"), 1, 1.0)])
