@@ -35,6 +35,12 @@ tools/check.py against the mutated dir.
 ``--empty`` generates zero-row tables (schema preserved) instead of
 mutated ones — the empty-partition/fresh-deployment state every
 operator must survive without crashing (out default /tmp/sdl_empty).
+
+``--shuffle`` writes the UNCHANGED rows in a seeded random order
+(out default /tmp/sdl_shuffle): engine and oracle read the same
+permuted file, so any divergence is an ORDER-DEPENDENT result — a
+first()/collect_list/min_by-tie class nondeterminism bug that would
+also fire on any cluster repartition.
 """
 
 from __future__ import annotations
@@ -152,12 +158,19 @@ def mutate_table(name: str, table: pa.Table) -> pa.Table:
     return out
 
 
-def generate(src: str, out: str, empty: bool = False) -> None:
+def generate(src: str, out: str, empty: bool = False, shuffle: bool = False) -> None:
     outp = Path(out)
     outp.mkdir(parents=True, exist_ok=True)
     for p in sorted(Path(src).glob("*.parquet")):
         t = pq.read_table(p)
-        m = t.slice(0, 0) if empty else mutate_table(p.stem, t)
+        if empty:
+            m = t.slice(0, 0)
+        elif shuffle:
+            idx = list(range(t.num_rows))
+            random.Random(f"shuffle:{p.stem}").shuffle(idx)
+            m = t.take(pa.array(idx))
+        else:
+            m = mutate_table(p.stem, t)
         pq.write_table(m, outp / p.name)
         print(f"  {p.stem}: {t.num_rows} -> {m.num_rows} rows")
 
@@ -166,7 +179,8 @@ def main() -> int:
     argv = sys.argv[1:]
     gen_only = "--gen-only" in argv
     empty = "--empty" in argv
-    argv = [a for a in argv if a not in ("--gen-only", "--empty")]
+    shuffle = "--shuffle" in argv
+    argv = [a for a in argv if a not in ("--gen-only", "--empty", "--shuffle")]
 
     def _flag(name, default):
         if name in argv:
@@ -177,9 +191,10 @@ def main() -> int:
         return default
 
     src = _flag("--src", SRC_DEFAULT)
-    out = _flag("--out", "/tmp/sdl_empty" if empty else OUT_DEFAULT)
-    print(f"generating {'empty' if empty else 'edge'} tables {src} -> {out}")
-    generate(src, out, empty=empty)
+    kind = "empty" if empty else ("shuffle" if shuffle else "edge")
+    out = _flag("--out", {"empty": "/tmp/sdl_empty", "shuffle": "/tmp/sdl_shuffle", "edge": OUT_DEFAULT}[kind])
+    print(f"generating {kind} tables {src} -> {out}")
+    generate(src, out, empty=empty, shuffle=shuffle)
     if gen_only:
         return 0
     cmd = [sys.executable, "tools/check.py", out, *argv]
