@@ -938,3 +938,26 @@ def test_non_finite_values_route_to_reject_path(spark):
         2: "NON_FINITE_VALUE",
         3: "NON_FINITE_VALUE",
     }
+
+
+def test_edge_sweep_generator_is_deterministic(tmp_path):
+    """The adversarial generator is a GATE input (round_gates
+    edge/empty sweeps): two generations from the same source must be
+    byte-identical or gate results would not be reproducible."""
+    import hashlib
+    import pathlib
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import edge_sweep
+
+    def gen(d):
+        edge_sweep.generate("/root/testdata/sf0.001", str(d))
+        return {
+            p.name: hashlib.md5(p.read_bytes()).hexdigest()
+            for p in sorted(pathlib.Path(d).glob("*.parquet"))
+        }
+
+    a = gen(tmp_path / "a")
+    b = gen(tmp_path / "b")
+    assert a == b and len(a) == 10
