@@ -38,93 +38,20 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver hash-checks the FIRST 50 registered queries per round.
-# Round 11 executes the rotation CHANGELOG_r10.md committed: the 26
-# r8-verdict names deferred by the r10 window (§"r11 drain") go
-# stale the moment CORRECTNESS_r10 lands and take the first 26 slots
-# here. Next come the 5 names the r10 review passes code-touched
-# while they carried r9 verdicts (NULL-semantics oracle text;
-# versioned-append schema guard), then the 9 names whose code
-# changed THIS round (the durable-parquet replay-sink conversion and
-# the upsert batch-collapse literal-column rewrite), then the 10
-# names the r11 adversarial edge sweep code-touched (embeddings
-# admission, multimodal contracts, clean-events event time). The
-# committed r12 window follows contiguously: a 40-name drain
-# (33 committed in CHANGELOG_r11 "r12 drain" + the 7 displaced
-# pre-drain fills) at 51-90 and 10 r12 code-touched commitments at
-# 91-100 — the r12 window is exactly full.
-# tests/test_registry_order.py asserts the arithmetic;
-# tools/ledger.py cross-references the verdict files.
+# Round 12 executes the rotation CHANGELOG_r11.md committed, exactly
+# full with ZERO free slots: the 40-name drain (33 committed in
+# CHANGELOG_r11 "r12 drain" + the 7 displaced pre-drain fills — all
+# r9 verdicts, age 3 the moment CORRECTNESS_r11 landed) takes
+# positions 1-40, followed by the 10 r12 code-touched commitments
+# (7 KNN/kmeans DUCK_EMB oracle rewrites + the time-keyed admission
+# trio) at 41-50. The committed r13 window follows contiguously: the
+# 26 r10-verdict names (age 3 at r13 — this set CONTAINS all nine
+# late-r11 code-touched obligations CHANGELOG_r11 §r12-notes #2
+# lists) at 51-76, then any r12 code-touched names so r13 free slots
+# absorb them first. tests/test_registry_order.py asserts the
+# arithmetic; tools/ledger.py cross-references the verdict files.
 _CERTIFICATION_ORDER = [
-    # ---- (a) latest verdict r8: the 26 obligatory drain slots
-    # committed in CHANGELOG_r10.md — re-certify ALL in round 11 ----
-    "rollup_revenue_levels",
-    "price_quantiles_by_flag",
-    "user_event_gaps",
-    "running_revenue_by_nation",
-    "order_value_deciles",
-    "doc_chunks_overlap",
-    "props_json_stats",
-    "keyset_intersect_except",
-    "orders_above_global_avg",
-    "supplier_name_near_matches",
-    "bigram_lm_quality",
-    "domain_mixture_resample",
-    "batch_sessionize_windows",
-    "price_outliers_zscore",
-    "lineitem_flag_pivot",
-    "corr_quantity_price",
-    "priority_window_profile",
-    "tfidf_top_terms",
-    "stratified_sample_by_lang",
-    "top_busiest_hours",
-    "repetition_signals",
-    "benchmark_decontamination",
-    "duplicate_rates_hourly",
-    "user_rolling_7day_value",
-    "consistent_hash_sample",
-    "user_event_type_paths",
-    # ---- (b) r10 code-touched while carrying r9 verdicts: the
-    # pass-4 NULL-semantics oracle-text fixes and the versioned-
-    # append schema guard (CHANGELOG_r10.md §"review pass 4") ----
-    "events_clean",
-    "events_rejected",
-    "dedup_exact_text",
-    "time_travel_read_v1",
-    "snapshot_metadata",
-    # ---- (c) r11 code-touched: the streaming replay harness moved
-    # fact-scale intermediates from driver-memory sinks to durable
-    # parquet sinks (VERDICT r10 #1), and the upsert sink's batch
-    # key-collapse gained literal-column handling (ADVICE r10) ----
-    "streaming_clean_events",
-    "streaming_interval_join_daily",
-    "streaming_funnel_daily",
-    "streaming_sessionize",
-    "streaming_dedup_keys",
-    "streaming_dedup_within_watermark",
-    "streaming_upsert_hourly",
-    "streaming_hll_daily_users",
-    "streaming_cms_token_counts",
-    # ---- (d) r11 edge-sweep code-touched: the embeddings admission
-    # contract (valid_vectors + DUCK_EMB in every similarity oracle),
-    # the multimodal NULL-text / char-budget contract, and the
-    # clean-events event-time contract (ts IS NOT NULL). The first
-    # three were already windowed as r12 pre-drain; the other seven
-    # displace the seven untouched pre-drain fills (now leading the
-    # r12 drain below) ----
-    "semantic_dedup_centroid",
-    "embedding_cosine_near_dups",
-    "knn_ivf_materialized_cosine",
-    "materialize_incremental_clean_events",
-    "streaming_fanout_ingest",
-    "multimodal_media_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "embedding_label_stats",
-    "embedding_int8_quantization",
-    # ---- position 51+ : NOT certified this round. First the 40
-    # names that MUST lead the r12 window: the 33 r9-verdict names
-    # committed in CHANGELOG_r11.md "r12 drain" plus the 7 displaced
-    # r9-certified pre-drain fills (age 3 at r12 either way) ----
+    # ---- (a) the 40-name r12 drain: r9 verdicts, stale now ----
     "revenue_by_region",
     "top_nations_by_customers",
     "customers_with_orders",
@@ -166,13 +93,10 @@ _CERTIFICATION_ORDER = [
     "bucketed_colocated_join",
     "partition_pruned_scan",
     "schema_drift_check",
-    # ---- r12 code-touched commitment: the r11 edge-sweep inserted
-    # DUCK_EMB into these oracles (and valid_vectors into the engine
-    # paths) but the r11 window had no free slots left for them;
-    # their r10 verdicts certify the pre-admission oracle text.
-    # Engine results on certified data are check.py-verified
-    # unchanged (CHANGELOG_r11 §edge sweep). MUST take r12 free
-    # slots — pinned by tests/test_registry_order.py ----
+    # ---- (b) the 10 r12 code-touched commitments: the r11 edge
+    # sweep inserted DUCK_EMB into these oracles (and valid_vectors
+    # into the engine paths) but the r11 window had no free slots;
+    # their r10 verdicts certify the pre-admission oracle text ----
     "knn_ivf_cosine",
     "knn_ivf_multiprobe_cosine",
     "knn_bruteforce_cosine",
@@ -182,14 +106,13 @@ _CERTIFICATION_ORDER = [
     "knn_ivf_trained_cosine",
     # time-keyed admission contract (NULL event time): engine filter
     # made explicit + oracle ts IS NOT NULL — same edge sweep, second
-    # pass. These take the last 3 free r12 slots (window exactly
-    # full; streaming_hourly_metrics / zorder_layout_keys /
-    # batch_sessionize_windows / props_json_stats are code-touched
-    # too but already sit in the r11 window or the r12 drain).
+    # pass.
     "sliding_window_metrics",
     "asof_latest_view_before_purchase",
     "asof_view_within_6h",
-    # ---- r10-certified (fresh through r12) ----
+    # ---- position 51+ : NOT certified this round. First the 26
+    # r10-verdict names that MUST lead the r13 window (age 3 at r13;
+    # includes all nine late-r11 code-touched obligations) ----
     "salted_skew_aggregation",
     "replicated_skew_join_rollup",
     "conditional_distinct_users",
@@ -216,6 +139,58 @@ _CERTIFICATION_ORDER = [
     "dedup_keep_best_quality",
     "pii_redaction",
     "event_quality_spine_hourly",
+    # ---- r11-certified (fresh through r13). Any name here that r12
+    # code-touches must move directly after the r13 drain above ----
+    "rollup_revenue_levels",
+    "price_quantiles_by_flag",
+    "user_event_gaps",
+    "running_revenue_by_nation",
+    "order_value_deciles",
+    "doc_chunks_overlap",
+    "props_json_stats",
+    "keyset_intersect_except",
+    "orders_above_global_avg",
+    "supplier_name_near_matches",
+    "bigram_lm_quality",
+    "domain_mixture_resample",
+    "batch_sessionize_windows",
+    "price_outliers_zscore",
+    "lineitem_flag_pivot",
+    "corr_quantity_price",
+    "priority_window_profile",
+    "tfidf_top_terms",
+    "stratified_sample_by_lang",
+    "top_busiest_hours",
+    "repetition_signals",
+    "benchmark_decontamination",
+    "duplicate_rates_hourly",
+    "user_rolling_7day_value",
+    "consistent_hash_sample",
+    "user_event_type_paths",
+    "events_clean",
+    "events_rejected",
+    "dedup_exact_text",
+    "time_travel_read_v1",
+    "snapshot_metadata",
+    "streaming_clean_events",
+    "streaming_interval_join_daily",
+    "streaming_funnel_daily",
+    "streaming_sessionize",
+    "streaming_dedup_keys",
+    "streaming_dedup_within_watermark",
+    "streaming_upsert_hourly",
+    "streaming_hll_daily_users",
+    "streaming_cms_token_counts",
+    "semantic_dedup_centroid",
+    "embedding_cosine_near_dups",
+    "knn_ivf_materialized_cosine",
+    "materialize_incremental_clean_events",
+    "streaming_fanout_ingest",
+    "multimodal_media_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "embedding_label_stats",
+    "embedding_int8_quantization",
 ]
 
 

@@ -1,15 +1,17 @@
 """The driver certifies only the first 50 registered queries, so the
-registry order IS part of the correctness contract. Round 11 executes
-the rotation CHANGELOG_r10.md committed: the 26 r8-verdict names the
-r10 window deferred (§"r11 drain") are stale-obligatory now and lead
-the window, followed by the 5 r10-code-touched names the changelog
-pinned for the free slots, this round's own 9 code-touched names, and
-10 edge-sweep code-touched names. This module pins the r11 window AND
-the committed r12 remainder (40 drain + 7 code-touched names at
-positions 51-97), so
-the next session cannot repeat the r8 rotation miss (VERDICT r8
-"What's wrong" #1). tools/ledger.py cross-references every
-CORRECTNESS_r*.json against this order (tests/test_ledger.py)."""
+registry order IS part of the correctness contract. Round 12 executes
+the rotation CHANGELOG_r11.md committed, with ZERO free slots: the
+40-name drain (33 committed in CHANGELOG_r11 "r12 drain" + the 7
+displaced pre-drain fills — all r9 verdicts, age 3 the moment
+CORRECTNESS_r11 landed) at positions 1-40, then the 10 r12
+code-touched commitments (7 KNN/kmeans DUCK_EMB oracle rewrites + the
+time-keyed admission trio) at 41-50. This module pins the r12 window
+AND the committed r13 drain (the 26 r10-verdict names at positions
+51-76, which CONTAINS all nine late-r11 code-touched obligations from
+CHANGELOG_r11 §r12-notes #2), so the next session cannot repeat the
+r8 rotation miss (VERDICT r8 "What's wrong" #1). tools/ledger.py
+cross-references every CORRECTNESS_r*.json against this order
+(tests/test_ledger.py)."""
 
 from __future__ import annotations
 
@@ -26,97 +28,11 @@ import ledger  # noqa: E402
 
 WINDOW = 50
 
-# (a) The 26 queries whose latest driver verdict is round 8 — the
-# committed r11 drain (CHANGELOG_r10.md §"r11 drain"). Every one went
-# stale the moment CORRECTNESS_r10 landed; they take the first 26
-# slots unconditionally.
-R11_DRAIN = {
-    "rollup_revenue_levels",
-    "price_quantiles_by_flag",
-    "user_event_gaps",
-    "running_revenue_by_nation",
-    "order_value_deciles",
-    "doc_chunks_overlap",
-    "props_json_stats",
-    "keyset_intersect_except",
-    "orders_above_global_avg",
-    "supplier_name_near_matches",
-    "bigram_lm_quality",
-    "domain_mixture_resample",
-    "batch_sessionize_windows",
-    "price_outliers_zscore",
-    "lineitem_flag_pivot",
-    "corr_quantity_price",
-    "priority_window_profile",
-    "tfidf_top_terms",
-    "stratified_sample_by_lang",
-    "top_busiest_hours",
-    "repetition_signals",
-    "benchmark_decontamination",
-    "duplicate_rates_hourly",
-    "user_rolling_7day_value",
-    "consistent_hash_sample",
-    "user_event_type_paths",
-}
-
-# (b) The 5 names the r10 review passes code-touched while they
-# carried r9 verdicts — NULL-semantics oracle-text fixes + the
-# versioned-append schema guard — committed to the r11 free slots by
-# CHANGELOG_r10.md §"review pass 4".
-R10_CODE_TOUCHED = {
-    "events_clean",
-    "events_rejected",
-    "dedup_exact_text",
-    "time_travel_read_v1",
-    "snapshot_metadata",
-}
-
-# (c) Queries whose code changed in ROUND 11: the streaming replay
-# harness moved fact-scale intermediates from driver-memory sinks to
-# durable parquet sinks (VERDICT r10 "What's wrong" #1), and the
-# upsert sink's batch key-collapse gained literal-column handling
-# (ADVICE r10). Their r9/r10 verdicts certify the old sink path.
-R11_ROUND_CODE_TOUCHED = {
-    "streaming_clean_events",
-    "streaming_interval_join_daily",
-    "streaming_funnel_daily",
-    "streaming_sessionize",
-    "streaming_dedup_keys",
-    "streaming_dedup_within_watermark",
-    "streaming_upsert_hourly",
-    "streaming_hll_daily_users",
-    "streaming_cms_token_counts",
-}
-
-# (d) r11 edge-sweep code-touched: the embeddings admission contract
-# (valid_vectors + DUCK_EMB oracle rewrites), the multimodal
-# NULL-text/char-budget contract, and the clean-events event-time
-# contract (ts IS NOT NULL — shared oracle fragment). Three of these
-# were already windowed as r12 pre-drain fills; the other seven
-# displaced the seven untouched fills (now in R12_DRAIN).
-R11_EDGE_CODE_TOUCHED = {
-    "semantic_dedup_centroid",
-    "embedding_cosine_near_dups",
-    "knn_ivf_materialized_cosine",
-    "materialize_incremental_clean_events",
-    "streaming_fanout_ingest",
-    "multimodal_media_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "embedding_label_stats",
-    "embedding_int8_quantization",
-}
-
-MUST_BE_IN_WINDOW = (
-    R11_DRAIN | R10_CODE_TOUCHED | R11_ROUND_CODE_TOUCHED | R11_EDGE_CODE_TOUCHED
-)
-
-# The committed r12 drain: the 40 r9-verdict names NOT certified in
-# r11 — the 33 committed in CHANGELOG_r11.md "r12 drain" plus the 7
-# pre-drain fills the edge-sweep rotation displaced. They go stale
-# (age 3) the moment CORRECTNESS_r11 lands and MUST lead the r12
-# window — positions 51-90 here so the r12 rotation is a pure list
-# rotation.
+# (a) The 40 queries whose latest driver verdict is round 9 — the
+# committed r12 drain (CHANGELOG_r11.md §"r12 drain" 33 names + the 7
+# pre-drain fills the r11 edge-sweep rotation displaced). Every one
+# went stale the moment CORRECTNESS_r11 landed; they take the first
+# 40 slots unconditionally.
 R12_DRAIN = {
     "streaming_hourly_metrics",
     "pricing_summary",
@@ -160,11 +76,11 @@ R12_DRAIN = {
     "events_dedup_canonical",
 }
 
-# r12 code-touched commitment: the r11 edge sweep rewrote these
-# oracles (DUCK_EMB admission) and engine paths (valid_vectors), but
-# the r11 window had no free slots left; their r10 verdicts certify
-# the pre-admission text. They MUST take r12 free slots, directly
-# after the drain (positions 91-97).
+# (b) r12 code-touched commitment: the r11 edge sweep rewrote these
+# oracles (DUCK_EMB admission) and engine paths (valid_vectors /
+# ts IS NOT NULL) while they carried r10 verdicts, and the r11 window
+# had no free slots left. They take the 10 free r12 slots, directly
+# after the drain (positions 41-50).
 R12_CODE_TOUCHED = {
     "knn_ivf_cosine",
     "knn_ivf_multiprobe_cosine",
@@ -173,10 +89,61 @@ R12_CODE_TOUCHED = {
     "knn_ivf_pq_adc",
     "kmeans_train_centroids",
     "knn_ivf_trained_cosine",
-    # time-keyed admission contract (second edge-sweep pass)
     "sliding_window_metrics",
     "asof_latest_view_before_purchase",
     "asof_view_within_6h",
+}
+
+MUST_BE_IN_WINDOW = R12_DRAIN | R12_CODE_TOUCHED
+
+# The committed r13 drain: the 26 names whose latest verdict is r10
+# and which the r12 window cannot hold (it is exactly full). They go
+# stale (age 3) the moment CORRECTNESS_r12 lands and MUST lead the
+# r13 window — positions 51-76 here so the r13 rotation is a pure
+# list rotation. r13 then has 24 free slots.
+R13_DRAIN = {
+    "salted_skew_aggregation",
+    "replicated_skew_join_rollup",
+    "conditional_distinct_users",
+    "user_engagement_ratios",
+    "user_daily_landscape",
+    "latest_event_per_user_type",
+    "interval_join_click_view",
+    "funnel_conversion_daily",
+    "value_distribution_by_class",
+    "flag_distribution",
+    "avg_value_spread",
+    "funnel_leakage_daily",
+    "cms_heavy_hitter_tokens",
+    "token_budget_packing",
+    "bloom_semi_join_prune",
+    "materialize_dim_change_repair",
+    "materialize_funnel_exists_repair",
+    "maintenance_compaction",
+    "two_level_overlay_maintenance",
+    "hll_distinct_users_daily",
+    "ngram_jaccard_near_dups",
+    "winnowing_fingerprints",
+    "exact_substring_dups",
+    "dedup_keep_best_quality",
+    "pii_redaction",
+    "event_quality_spine_hourly",
+}
+
+# The nine late-r11 code-touched names carrying r10 verdicts that
+# CHANGELOG_r11 §r12-notes #2 obligates for r13. All nine are age-due
+# at r13 anyway; test_r13_obligations_inside_drain proves the window
+# arithmetic instead of trusting the prose.
+R13_CODE_TOUCHED_OBLIGATIONS = {
+    "ngram_jaccard_near_dups",
+    "exact_substring_dups",
+    "winnowing_fingerprints",
+    "materialize_dim_change_repair",
+    "materialize_funnel_exists_repair",
+    "two_level_overlay_maintenance",
+    "replicated_skew_join_rollup",
+    "event_quality_spine_hourly",
+    "maintenance_compaction",
 }
 
 
@@ -190,53 +157,55 @@ def test_order_in_sync_and_window_covers_obligatory_drain():
 
 
 def test_window_is_exactly_the_drain_plan():
-    """The r11 window is exactly full — 26 + 5 + 9 + 10 with no
-    filler — and the r12 obligations sit contiguously after it (the
-    40-name drain at 51-90, the 7 code-touched commitments at 91-97)
-    so the next rotation is mechanical."""
+    """The r12 window is exactly full — 40 drain + 10 code-touched
+    with no filler — and the r13 drain sits contiguously after it
+    (positions 51-76) so the next rotation is mechanical."""
     assert len(MUST_BE_IN_WINDOW) == WINDOW
     names = list(all_queries())
     assert set(names[:WINDOW]) == MUST_BE_IN_WINDOW
-    assert set(names[WINDOW : WINDOW + len(R12_DRAIN)]) == R12_DRAIN
-    r12_ct = slice(WINDOW + len(R12_DRAIN), WINDOW + len(R12_DRAIN) + len(R12_CODE_TOUCHED))
-    assert set(names[r12_ct]) == R12_CODE_TOUCHED
+    assert set(names[: len(R12_DRAIN)]) == R12_DRAIN
+    assert set(names[len(R12_DRAIN) : WINDOW]) == R12_CODE_TOUCHED
+    assert set(names[WINDOW : WINDOW + len(R13_DRAIN)]) == R13_DRAIN
     # Groups pairwise disjoint — a silent overlap would make the
     # size check pass while the window holds fewer obligations.
-    groups = [
-        R11_DRAIN,
-        R10_CODE_TOUCHED,
-        R11_ROUND_CODE_TOUCHED,
-        R11_EDGE_CODE_TOUCHED,
-        R12_DRAIN,
-        R12_CODE_TOUCHED,
-    ]
+    groups = [R12_DRAIN, R12_CODE_TOUCHED, R13_DRAIN]
     for i, g1 in enumerate(groups):
         for g2 in groups[i + 1 :]:
             assert not (g1 & g2), sorted(g1 & g2)
 
 
-def test_r12_drain_fits_after_r11_lands():
-    """Forward simulation: pretend CORRECTNESS_r11 lands all-green
-    over this window. The resulting AGE-obligatory r12 set must be
-    exactly R12_DRAIN — and drain + code-touched commitments fill
-    the r12 window exactly. The simulation base is
-    FROZEN at the r10 verdict state (later CORRECTNESS files are
-    ignored) so the assertion stays meaningful — and green — after
-    the real r11 verdict lands mid-/post-round."""
+def test_r13_drain_fits_after_r12_lands():
+    """Forward simulation: pretend CORRECTNESS_r12 lands all-green
+    over this window. The resulting AGE-obligatory r13 set must be
+    exactly R13_DRAIN — 26 obligatory + 24 free slots. The simulation
+    base is FROZEN at the r11 verdict state (later CORRECTNESS files
+    are ignored) so the assertion stays meaningful — and green —
+    after the real r12 verdict lands mid-/post-round."""
     verdicts = {
-        name: v for name, v in ledger.load_verdicts().items() if v[0] <= 10
+        name: v for name, v in ledger.load_verdicts().items() if v[0] <= 11
     }
-    assert verdicts, "no verdicts at or before r10 — baseline moved?"
+    assert verdicts, "no verdicts at or before r11 — baseline moved?"
     order = list(all_queries())
     simulated = dict(verdicts)
     for name in order[:WINDOW]:
-        simulated[name] = (11, True, "")
+        simulated[name] = (12, True, "")
     due = {name for name, _rnd in ledger.plan_next(max_age=2, verdicts=simulated, order=order)}
-    assert due == R12_DRAIN, (
-        f"unexpected r12 obligatory set: extra={sorted(due - R12_DRAIN)} "
-        f"missing={sorted(R12_DRAIN - due)}"
+    assert due == R13_DRAIN, (
+        f"unexpected r13 obligatory set: extra={sorted(due - R13_DRAIN)} "
+        f"missing={sorted(R13_DRAIN - due)}"
     )
-    assert len(R12_DRAIN) + len(R12_CODE_TOUCHED) == WINDOW
+    assert len(R13_DRAIN) <= WINDOW
+
+
+def test_r13_obligations_inside_drain():
+    """The nine late-r11 code-touched names (r10 verdicts, no r11/r12
+    slot) MUST land in the r13 window. They are a subset of the
+    age-due drain, so the obligation is automatic — this pins it as a
+    failing-if-violated fact (VERDICT r11 "Next round" #3) instead of
+    a changelog note."""
+    assert R13_CODE_TOUCHED_OBLIGATIONS <= R13_DRAIN, sorted(
+        R13_CODE_TOUCHED_OBLIGATIONS - R13_DRAIN
+    )
 
 
 def test_every_query_is_callable_and_oracle_typed():
