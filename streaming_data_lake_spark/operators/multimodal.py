@@ -112,7 +112,21 @@ def resize_media(
     never be certified on non-ASCII corpora — edge-sweep finding),
     and a real resize fixes the LOGICAL size (pixels/samples), of
     which the re-encoded byte length is an output, not the target.
-    ``byte_len`` therefore varies per row on multibyte text."""
+    ``byte_len`` therefore varies per row on multibyte text.
+
+    The stub "decoder" accepts only UTF-8 payloads (all
+    ``attach_fake_media`` ever emits). A payload that is not valid
+    UTF-8 is an undecodable input: it is SKIPPED (no output row),
+    exactly as a real resize skips a corrupt image, instead of
+    aborting the whole stage with UnicodeDecodeError — the
+    one-bad-row failure mode the engine rejects everywhere else
+    (ADVICE r11)."""
+
+    def decode_or_none(b) -> str | None:
+        try:
+            return bytes(b).decode("utf-8")
+        except UnicodeDecodeError:
+            return None
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -120,11 +134,11 @@ def resize_media(
                 raise NotImplementedError(
                     "real media resize requires PIL/ffmpeg; not available here"
                 )
-            resized = pdf["payload"].map(
-                lambda b: bytes(b)
-                .decode("utf-8")[:target_chars]
-                .ljust(target_chars, "\0")
-                .encode("utf-8")
+            decoded = pdf["payload"].map(decode_or_none)
+            ok = decoded.notna()
+            pdf, decoded = pdf[ok], decoded[ok]
+            resized = decoded.map(
+                lambda s: s[:target_chars].ljust(target_chars, "\0").encode("utf-8")
             )
             yield pd.DataFrame(
                 {
@@ -145,7 +159,11 @@ def sample_frames(
     payload yields one row per frame). Real path would demux video /
     window audio; the stub "decodes" the UTF-8 payload and windows it
     into fixed-size character frames — deterministic, so the DuckDB
-    oracle reproduces the exact frame checksums."""
+    oracle reproduces the exact frame checksums.
+
+    Same undecodable-input contract as :func:`resize_media`: a
+    payload that is not valid UTF-8 yields no frames (skip, don't
+    abort the stage)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -159,7 +177,10 @@ def sample_frames(
                 "doc_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                s = bytes(payload).decode("utf-8")
+                try:
+                    s = bytes(payload).decode("utf-8")
+                except UnicodeDecodeError:
+                    continue  # undecodable media: skip, don't abort
                 for i in range(0, max(len(s), 1), frame_chars):
                     chunk = s[i : i + frame_chars]
                     out["doc_id"].append(doc_id)

@@ -139,6 +139,13 @@ _CERTIFICATION_ORDER = [
     "dedup_keep_best_quality",
     "pii_redaction",
     "event_quality_spine_hourly",
+    # ---- r12 code-touched while carrying r11 verdicts: the stub
+    # decoders gained the undecodable-payload skip contract
+    # (ADVICE r11 — operators/multimodal.py). Certified-data results
+    # unchanged (payloads are attach_fake_media UTF-8); they take r13
+    # free slots directly after the drain ----
+    "multimodal_resize",
+    "multimodal_frame_sample",
     # ---- r11-certified (fresh through r13). Any name here that r12
     # code-touches must move directly after the r13 drain above ----
     "rollup_revenue_levels",
@@ -187,8 +194,6 @@ _CERTIFICATION_ORDER = [
     "materialize_incremental_clean_events",
     "streaming_fanout_ingest",
     "multimodal_media_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
     "embedding_label_stats",
     "embedding_int8_quantization",
 ]

@@ -26,8 +26,10 @@ SELECT date_trunc('hour', ts) AS event_hour,
        count(DISTINCT user_id) AS n_buyers
 FROM events
 -- mirrors the v_events_clean contract, including event-time
--- admission (ts IS NOT NULL — operators/ingest.py)
-WHERE value > 0 AND event_type = 'purchase' AND ts IS NOT NULL
+-- admission (ts IS NOT NULL) and value finiteness (NaN/+Inf pass
+-- `value > 0` in both engines but the clean contract routes them to
+-- NON_FINITE_VALUE — operators/ingest.py; ADVICE r11)
+WHERE value > 0 AND isfinite(value) AND event_type = 'purchase' AND ts IS NOT NULL
 GROUP BY 1
 ORDER BY n_purchases DESC, event_hour ASC
 LIMIT 15

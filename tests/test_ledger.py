@@ -19,16 +19,15 @@ import ledger  # noqa: E402
 
 
 def test_ledger_green_under_current_window_or_committed_drain():
-    """Green ledger, with ONE sanctioned exception: the 50 r9-
-    certified names all age out at r12 against a 50-slot window that
-    must also hold r10/r11 code-touched queries — so 33 of them are
-    deferred, committed in writing as the r12 window leaders
-    (CHANGELOG_r11.md, pinned by tests/test_registry_order.R12_DRAIN).
-    The moment CORRECTNESS_r11 lands, exactly those names go stale
-    until the r12 rotation — staleness is excused for them and ONLY
-    them. FAILED verdicts are never excused: a regression must not
-    hide behind rotation."""
-    from tests.test_registry_order import R12_DRAIN
+    """Green ledger, with ONE sanctioned exception: the exactly-full
+    r12 window cannot also hold the 26 r10-certified names, which go
+    stale (age 3) the moment CORRECTNESS_r12 lands — they are
+    committed in writing as the r13 window leaders (pinned by
+    tests/test_registry_order.R13_DRAIN). Staleness is excused for
+    them and ONLY them, so the gate stays green across the verdict
+    landing without loosening anything else. FAILED verdicts are
+    never excused: a regression must not hide behind rotation."""
+    from tests.test_registry_order import R13_DRAIN
 
     problems, rows = ledger.audit()
     assert rows, "ledger saw no queries — registry import broken?"
@@ -39,11 +38,11 @@ def test_ledger_green_under_current_window_or_committed_drain():
         elif (
             row["status"] in ("stale", "never-certified")
             and not row["windowed"]
-            and row["query"] not in R12_DRAIN
+            and row["query"] not in R13_DRAIN
         ):
             unexcused.append(
                 f"{row['query']}: {row['status']} and outside both the "
-                f"window and the committed r12 drain"
+                f"window and the committed r13 drain"
             )
     assert not unexcused, "\n".join(unexcused)
 
@@ -165,3 +164,28 @@ def test_emit_order_live_state_is_a_permutation():
     window = new_order[: ledger.WINDOW]
     for name in due[: ledger.WINDOW]:
         assert name in window, name
+
+
+def test_order_sensitive_subset_derivation():
+    """The shuffle-sweep gate runs on a DERIVED order-sensitive
+    subset (VERDICT r11 "Next round" #7). Pin the derivation's
+    recall on known-sensitive queries (window ranking, LIMIT ties,
+    folds, collected lists) and that it actually prunes — a subset
+    that silently grew to the full registry would erode the gate
+    budget, one that lost the ranking queries would erode coverage."""
+    import edge_sweep
+
+    names = set(edge_sweep.order_sensitive_names())
+    must_have = {
+        "topn_customers_per_nation",      # row_number + LIMIT ties
+        "latest_event_per_user_type",     # row_number dedup
+        "top_busiest_hours",              # ORDER BY + LIMIT
+        "value_histogram_quantiles",      # fold over histogram bins
+        "user_event_type_paths",          # collect_list path
+        "batch_sessionize_windows",       # lag-based sessionization
+    }
+    assert must_have <= names, sorted(must_have - names)
+    total = len(ledger.registry_order())
+    assert len(names) < total * 0.5, (
+        f"derived subset ({len(names)}) no longer prunes the registry ({total})"
+    )

@@ -655,6 +655,32 @@ def test_sample_frames_empty_payload_emits_one_empty_frame(spark):
     assert (rows[0]["frame_idx"], rows[0]["frame_len"]) == (0, 0)
 
 
+def test_multimodal_undecodable_payload_skipped_not_fatal(spark):
+    """A payload that is not valid UTF-8 must be SKIPPED by the stub
+    decoders (like a real decoder skips a corrupt image), never abort
+    the stage with UnicodeDecodeError — the one-bad-row failure mode
+    the engine rejects everywhere else (ADVICE r11). Valid rows in
+    the same batch must survive untouched."""
+    from streaming_data_lake_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "image/png", 5, bytearray(b"hello")),
+            (2, "image/png", 2, bytearray(b"\xff\xfe")),  # invalid UTF-8
+            (3, "audio/wav", 3, bytearray(b"abc")),
+        ],
+        "doc_id long, media_type string, byte_len long, payload binary",
+    )
+    resized = resize_media(media, target_chars=4).collect()
+    assert sorted(r["doc_id"] for r in resized) == [1, 3]
+    assert all(r["byte_len"] == 4 for r in resized)
+    frames = sample_frames(media, frame_chars=4).collect()
+    assert sorted({r["doc_id"] for r in frames}) == [1, 3]
+
+
 def test_cms_lookup_unseen_candidate_estimates_zero(spark):
     """A candidate token absent from the sketched stream must
     estimate 0 via the LEFT join + coalesce path — an inner join

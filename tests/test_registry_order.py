@@ -130,6 +130,17 @@ R13_DRAIN = {
     "event_quality_spine_hourly",
 }
 
+# Names code-touched DURING round 12 while carrying r11 verdicts —
+# they cannot enter the exactly-full r12 window, so they take r13
+# free slots directly after the drain (positions 77+). Every r12
+# session code-touch of a tail name MUST be appended here.
+R12_ROUND_CODE_TOUCHED = [
+    # stub decoders gained the undecodable-payload skip contract
+    # (ADVICE r11; operators/multimodal.py resize_media+sample_frames)
+    "multimodal_resize",
+    "multimodal_frame_sample",
+]
+
 # The nine late-r11 code-touched names carrying r10 verdicts that
 # CHANGELOG_r11 §r12-notes #2 obligates for r13. All nine are age-due
 # at r13 anyway; test_r13_obligations_inside_drain proves the window
@@ -166,9 +177,16 @@ def test_window_is_exactly_the_drain_plan():
     assert set(names[: len(R12_DRAIN)]) == R12_DRAIN
     assert set(names[len(R12_DRAIN) : WINDOW]) == R12_CODE_TOUCHED
     assert set(names[WINDOW : WINDOW + len(R13_DRAIN)]) == R13_DRAIN
+    # r12-session code-touches sit contiguously after the drain so
+    # the r13 window (26 drain + these + fills) is a prefix rotation.
+    ct = slice(WINDOW + len(R13_DRAIN), WINDOW + len(R13_DRAIN) + len(R12_ROUND_CODE_TOUCHED))
+    assert names[ct] == R12_ROUND_CODE_TOUCHED
+    assert len(R13_DRAIN) + len(R12_ROUND_CODE_TOUCHED) <= WINDOW, (
+        "r13 window overflow: committed drain + r12 code-touches exceed 50"
+    )
     # Groups pairwise disjoint — a silent overlap would make the
     # size check pass while the window holds fewer obligations.
-    groups = [R12_DRAIN, R12_CODE_TOUCHED, R13_DRAIN]
+    groups = [R12_DRAIN, R12_CODE_TOUCHED, R13_DRAIN, set(R12_ROUND_CODE_TOUCHED)]
     for i, g1 in enumerate(groups):
         for g2 in groups[i + 1 :]:
             assert not (g1 & g2), sorted(g1 & g2)

@@ -41,6 +41,15 @@ operator must survive without crashing (out default /tmp/sdl_empty).
 permuted file, so any divergence is an ORDER-DEPENDENT result — a
 first()/collect_list/min_by-tie class nondeterminism bug that would
 also fire on any cluster repartition.
+
+``--order-sensitive`` restricts the run to the queries whose oracle
+SQL or Spark source contains an order-sensitive construct (window
+ranking, LIMIT, first/last, positional folds, collected lists) — the
+subset is DERIVED from the registry at run time, never
+hand-maintained, so new queries join it automatically (VERDICT r11
+"Next round" #7). The full-registry --shuffle run stays available as
+the on-demand probe (ALL GREEN at r11); the subset is the cheap
+per-round gate.
 """
 
 from __future__ import annotations
@@ -175,12 +184,47 @@ def generate(src: str, out: str, empty: bool = False, shuffle: bool = False) -> 
         print(f"  {p.stem}: {t.num_rows} -> {m.num_rows} rows")
 
 
+# Lowercase markers of order-sensitive semantics. Window ranking and
+# analytic offsets, LIMIT (tie exposure), first/last and arg-min/max
+# picks, collected lists ("list(" also matches collect_list/
+# list_transform-free list() in DuckDB), string aggregation, and
+# positional folds (F.aggregate / DuckDB reduce). Matching BOTH the
+# oracle text and the query fn's own source keeps the derivation
+# two-sided: SQL-expressible sensitivity shows in the oracle,
+# Spark-side constructs (collect_list, F.first) show in the source.
+_ORDER_MARKERS = (
+    "row_number", "rank(", "ntile", "lag(", "lead(",
+    "limit", "first(", "last(", "min_by", "max_by", "arg_min",
+    "arg_max", "list(", "string_agg", "aggregate(", "reduce(",
+)
+
+
+def order_sensitive_names() -> list[str]:
+    """Derive the order-sensitive query subset from the live registry."""
+    import inspect
+
+    sys.path.insert(0, "/root/repo")
+    from streaming_data_lake_spark.queries import all_queries
+
+    out = []
+    for name, q in all_queries().items():
+        hay = (q.oracle or "").lower()
+        try:
+            hay += inspect.getsource(q.fn).lower()
+        except (OSError, TypeError):
+            pass
+        if any(m in hay for m in _ORDER_MARKERS):
+            out.append(name)
+    return out
+
+
 def main() -> int:
     argv = sys.argv[1:]
     gen_only = "--gen-only" in argv
     empty = "--empty" in argv
     shuffle = "--shuffle" in argv
-    argv = [a for a in argv if a not in ("--gen-only", "--empty", "--shuffle")]
+    order_sensitive = "--order-sensitive" in argv
+    argv = [a for a in argv if a not in ("--gen-only", "--empty", "--shuffle", "--order-sensitive")]
 
     def _flag(name, default):
         if name in argv:
@@ -197,6 +241,9 @@ def main() -> int:
     generate(src, out, empty=empty, shuffle=shuffle)
     if gen_only:
         return 0
+    if order_sensitive and not argv:
+        argv = sorted(order_sensitive_names())
+        print(f"order-sensitive subset ({len(argv)} derived): {' '.join(argv)}")
     cmd = [sys.executable, "tools/check.py", out, *argv]
     print("running:", " ".join(cmd))
     return subprocess.call(cmd, cwd="/root/repo")

@@ -4,8 +4,7 @@ a final GREEN/RED verdict. Promotes the sf0.1 full-registry parity
 run from an ad-hoc step to a structural gate (VERDICT r10 "Next
 round" #6) — a round is DONE only when this prints ALL GATES GREEN.
 
-Gates, in order (fail-fast off by default so one red gate doesn't
-hide another):
+Gates (fail-fast off: one red gate must not hide another):
   1. pytest              — full unit/contract suite
   2. check @ sf0.01      — full-registry oracle parity (driver scale)
   3. check @ sf0.1       — full-registry oracle parity at 10x
@@ -15,11 +14,29 @@ hide another):
                            tools/edge_sweep.py)
   5. empty-sweep         — full-registry parity on zero-row tables
                            (fresh-deployment / empty-partition state)
-  6. bare_sweep @ sf0.01 — bare-session portability, twice
-  7. ledger              — certification-window audit
-  8. driver smoke        — __spark_entry__ entry/queries/oracle_sql
+  6. shuffle-sweep       — row-order permutation parity on the
+                           order-sensitive query subset (windows,
+                           LIMIT ties, folds — tools/edge_sweep.py
+                           --shuffle --order-sensitive)
+  7. bare-sweep @ sf0.01 — bare-session portability, twice
+  8. ledger              — certification-window audit
+  9. driver smoke        — __spark_entry__ entry/queries/oracle_sql
 
-Usage: python tools/round_gates.py [--skip pytest,sf01,sf1,edge,bare,ledger,smoke]
+Gates run in three concurrent LANES (sequential within a lane) so
+the full suite fits the round budget without dropping coverage
+(VERDICT r11 "Next round" #8): gate processes share nothing mutable —
+per-process temp warehouses (session.py), atomic-rename artifact
+publication (plans/artifacts.py), per-process scratch dirs, and
+distinct sweep output dirs. Wall-clock = the slowest lane instead of
+the sum of all gates. ``--serial`` restores one-at-a-time execution
+for debugging.
+
+A gate that exceeds its timeout is recorded as FAIL with a timeout
+note and the runner continues (ADVICE r11: an uncaught
+TimeoutExpired would crash the runner and hide later gates).
+
+Usage: python tools/round_gates.py [--serial]
+           [--skip pytest,sf01,sf1,edge,empty,shuffle,bare,ledger,smoke]
 """
 
 from __future__ import annotations
@@ -28,6 +45,7 @@ import functools
 import os
 import subprocess
 import sys
+import threading
 import time
 
 # Per-gate progress must be visible while later gates still run —
@@ -36,6 +54,7 @@ import time
 print = functools.partial(print, flush=True)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GATE_TIMEOUT_SEC = 7200
 
 _SMOKE = """
 import sys
@@ -50,15 +69,19 @@ assert set(os_) <= set(qs), "oracle_sql keys not a subset of queries"
 print(f"SMOKE OK: entry={len(rows)} rows, {len(qs)} queries, {len(os_)} oracles")
 """ % (REPO,)
 
-GATES: list[tuple[str, list[str], str]] = [
-    ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"], "passed"),
-    ("check-sf0.01", [sys.executable, "tools/check.py", "/root/testdata/sf0.01"], "ALL GREEN"),
-    ("check-sf0.1", [sys.executable, "tools/check.py", "/root/testdata/sf0.1"], "ALL GREEN"),
-    ("edge-sweep", [sys.executable, "tools/edge_sweep.py"], "ALL GREEN"),
-    ("empty-sweep", [sys.executable, "tools/edge_sweep.py", "--empty"], "ALL GREEN"),
-    ("bare-sweep", [sys.executable, "tools/bare_sweep.py", "/root/testdata/sf0.01"], "ALL OK"),
-    ("ledger", [sys.executable, "tools/ledger.py"], "LEDGER GREEN"),
-    ("smoke", [sys.executable, "-c", _SMOKE], "SMOKE OK"),
+# (name, cmd, success-needle, lane). Lanes are balanced by measured
+# r11 gate times: pytest ~600s alone; oracle ~150+300+1+20s; sweeps
+# ~170+100+60+360s.
+GATES: list[tuple[str, list[str], str, str]] = [
+    ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"], "passed", "pytest"),
+    ("check-sf0.01", [sys.executable, "tools/check.py", "/root/testdata/sf0.01"], "ALL GREEN", "oracle"),
+    ("check-sf0.1", [sys.executable, "tools/check.py", "/root/testdata/sf0.1"], "ALL GREEN", "oracle"),
+    ("ledger", [sys.executable, "tools/ledger.py"], "LEDGER GREEN", "oracle"),
+    ("smoke", [sys.executable, "-c", _SMOKE], "SMOKE OK", "oracle"),
+    ("edge-sweep", [sys.executable, "tools/edge_sweep.py"], "ALL GREEN", "sweeps"),
+    ("empty-sweep", [sys.executable, "tools/edge_sweep.py", "--empty"], "ALL GREEN", "sweeps"),
+    ("shuffle-sweep", [sys.executable, "tools/edge_sweep.py", "--shuffle", "--order-sensitive"], "ALL GREEN", "sweeps"),
+    ("bare-sweep", [sys.executable, "tools/bare_sweep.py", "/root/testdata/sf0.01"], "ALL OK", "sweeps"),
 ]
 
 _SKIP_ALIASES = {
@@ -66,51 +89,94 @@ _SKIP_ALIASES = {
     "sf1": "check-sf0.1",
     "edge": "edge-sweep",
     "empty": "empty-sweep",
+    "shuffle": "shuffle-sweep",
     "bare": "bare-sweep",
 }
+
+_PRINT_LOCK = threading.Lock()
+
+
+def run_gate(name: str, cmd: list[str], needle: str) -> tuple[str, bool, float, str]:
+    t0 = time.monotonic()
+    try:
+        p = subprocess.run(
+            cmd, cwd=REPO, capture_output=True, text=True, timeout=GATE_TIMEOUT_SEC
+        )
+        stdout, returncode = p.stdout or "", p.returncode
+    except subprocess.TimeoutExpired as exc:
+        stdout = (
+            exc.stdout.decode(errors="replace")
+            if isinstance(exc.stdout, bytes)
+            else (exc.stdout or "")
+        )
+        stdout += f"\nGATE TIMEOUT after {GATE_TIMEOUT_SEC}s"
+        returncode = -1
+    dt = time.monotonic() - t0
+    tail = stdout.strip().splitlines()[-1:] or [""]
+    ok = returncode == 0 and needle in stdout
+    with _PRINT_LOCK:
+        print(f"[{'PASS' if ok else 'FAIL'}] {name:14s} {dt:7.1f}s  {tail[0][:100]}")
+        if not ok:
+            # Show enough context to act on, then keep going: one red
+            # gate must not hide another.
+            for line in stdout.splitlines()[-15:]:
+                print(f"    {line}")
+    return (name, ok, dt, tail[0][:100])
 
 
 def main() -> int:
     skip: set[str] = set()
+    serial = False
     args = sys.argv[1:]
     for i, arg in enumerate(args):
+        if arg == "--serial":
+            serial = True
         if arg.startswith("--skip"):
             # accept both --skip=a,b and --skip a,b
             raw = arg.split("=", 1)[1] if "=" in arg else (
                 args[i + 1] if i + 1 < len(args) else ""
             )
             skip = {_SKIP_ALIASES.get(s, s) for s in raw.split(",") if s}
-    known = {name for name, _cmd, _needle in GATES}
+    known = {name for name, _cmd, _needle, _lane in GATES}
     unknown = skip - known
     if unknown:
         print(f"unknown gate name(s) in --skip: {sorted(unknown)}; known: {sorted(known)}")
         return 2
     results: list[tuple[str, bool, float, str]] = []
-    for name, cmd, needle in GATES:
-        if name in skip:
-            results.append((name, True, 0.0, "SKIPPED"))
-            continue
-        t0 = time.monotonic()
-        p = subprocess.run(
-            cmd, cwd=REPO, capture_output=True, text=True, timeout=7200
-        )
-        dt = time.monotonic() - t0
-        tail = (p.stdout or "").strip().splitlines()[-1:] or [""]
-        ok = p.returncode == 0 and needle in (p.stdout or "")
-        results.append((name, ok, dt, tail[0][:100]))
-        print(f"[{'PASS' if ok else 'FAIL'}] {name:14s} {dt:7.1f}s  {tail[0][:100]}")
-        if not ok:
-            # Show enough context to act on, then keep going: one red
-            # gate must not hide another.
-            for line in (p.stdout or "").splitlines()[-15:]:
-                print(f"    {line}")
+    todo = [(n, c, nd, ln) for n, c, nd, ln in GATES if n not in skip]
+    for name in sorted(skip & known):
+        results.append((name, True, 0.0, "SKIPPED"))
+        print(f"[SKIP] {name}")
+    t_start = time.monotonic()
+    if serial:
+        for name, cmd, needle, _lane in todo:
+            results.append(run_gate(name, cmd, needle))
+    else:
+        lanes: dict[str, list[tuple[str, list[str], str]]] = {}
+        for name, cmd, needle, lane in todo:
+            lanes.setdefault(lane, []).append((name, cmd, needle))
+
+        def run_lane(gates: list[tuple[str, list[str], str]]) -> None:
+            for name, cmd, needle in gates:
+                results.append(run_gate(name, cmd, needle))
+
+        threads = [
+            threading.Thread(target=run_lane, args=(gates,), name=f"lane-{lane}")
+            for lane, gates in lanes.items()
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    wall = time.monotonic() - t_start
     print()
     red = [n for n, ok, _dt, _t in results if not ok]
     total = sum(dt for _n, _ok, dt, _t in results)
+    mode = "serial" if serial else f"{'1' if serial else str(len({g[3] for g in todo}))} lanes"
     if red:
-        print(f"GATES RED ({total:.0f}s): {', '.join(red)}")
+        print(f"GATES RED (wall {wall:.0f}s, cpu-serial {total:.0f}s, {mode}): {', '.join(red)}")
         return 1
-    print(f"ALL GATES GREEN ({total:.0f}s)")
+    print(f"ALL GATES GREEN (wall {wall:.0f}s, cpu-serial {total:.0f}s, {mode})")
     return 0
 
 
