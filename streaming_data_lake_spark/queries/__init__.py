@@ -146,6 +146,10 @@ _CERTIFICATION_ORDER = [
     # free slots directly after the drain ----
     "multimodal_resize",
     "multimodal_frame_sample",
+    # ---- NEW in r12 (never certified — the r12 window has zero free
+    # slots, so it takes an r13 slot; ledger reports it
+    # pending-next-window until then): ANN recall accounting ----
+    "knn_ivf_recall_at_k",
     # ---- r11-certified (fresh through r13). Any name here that r12
     # code-touches must move directly after the r13 drain above ----
     "rollup_revenue_levels",

@@ -1744,6 +1744,91 @@ def knn_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF recall accounting: recall@k of the approximate ladder vs exact
+# ---------------------------------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH brute AS ({_KNN_BF_ORACLE}),
+ivf AS ({_KNN_IVF_ORACLE}),
+pq AS ({_ivfpq_oracle()}),
+probes_ivf AS (SELECT DISTINCT query_id FROM brute),
+hits_ivf AS (
+  SELECT b.query_id, count(*) AS n
+  FROM brute b JOIN ivf a
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+),
+probes_pq AS (SELECT DISTINCT query_id FROM brute WHERE query_id < {_PQ_QUERIES}),
+hits_pq AS (
+  SELECT b.query_id, count(*) AS n
+  FROM brute b JOIN pq a
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+  WHERE b.query_id < {_PQ_QUERIES}
+  GROUP BY b.query_id
+)
+SELECT 'ivf_nprobe1' AS variant, p.query_id,
+       coalesce(h.n, 0) AS n_hits,
+       coalesce(h.n, 0) / {_PQ_TOPK}.0 AS recall_at_k
+FROM probes_ivf p LEFT JOIN hits_ivf h ON h.query_id = p.query_id
+UNION ALL
+SELECT 'ivfpq_nprobe2' AS variant, p.query_id,
+       coalesce(h.n, 0) AS n_hits,
+       coalesce(h.n, 0) / {_PQ_TOPK}.0 AS recall_at_k
+FROM probes_pq p LEFT JOIN hits_pq h ON h.query_id = p.query_id
+"""
+
+
+def _recall_at_k(approx: DataFrame, exact: DataFrame, variant: str) -> DataFrame:
+    """recall@k per probe: |approx top-k ∩ exact top-k| / k. Probes
+    come from the EXACT side so a probe whose approximate result is
+    empty (e.g. alone in its IVF cluster) still reports recall 0
+    instead of vanishing."""
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            F.lit(variant).alias("variant"),
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(_PQ_TOPK))).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+@register(
+    "knn_ivf_recall_at_k",
+    _RECALL_ORACLE,
+    "ANN quality accounting (VERDICT r11 'Next round' #6): recall@5 of "
+    "knn_ivf_cosine (nprobe=1) and knn_ivf_pq_adc (nprobe=2) against the "
+    "exact knn_bruteforce_cosine top-5 on each variant's own probe set. "
+    "Composes the three REGISTERED queries (the IVFPQ codes artifact is "
+    "reused, plan-guarded in tests/test_analytics_plans.py), so the recall "
+    "it certifies is the recall of the certified paths. At 100 TB nprobe "
+    "is the cost/recall dial; this query is what pins its quality.",
+)
+def knn_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The exact top-5 feeds both variants and is 250 rows — pin it
+    # instead of recomputing the full N x Q scoring per variant.
+    brute = knn_bruteforce_cosine(spark, sf_dir).localCheckpoint()
+    ivf = _recall_at_k(knn_ivf_cosine(spark, sf_dir), brute, "ivf_nprobe1")
+    pq = _recall_at_k(
+        knn_ivf_pq_adc(spark, sf_dir),
+        brute.filter(F.col("query_id") < _PQ_QUERIES),
+        "ivfpq_nprobe2",
+    )
+    return ivf.unionByName(pq)
+
+
+# ---------------------------------------------------------------------------
 # Consistent (hash-ordered) sampling — reproducible subset selection
 # ---------------------------------------------------------------------------
 

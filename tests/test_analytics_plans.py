@@ -156,3 +156,31 @@ def test_quality_percentile_single_lang_shuffle(spark):
     assert "Join" not in plan, "lang must ride the projection, not a re-join"
     # one exchange for the lang window; the groupBy(lang) reuses it
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_recall_query_reuses_ivfpq_artifact_and_checkpointed_brute(spark):
+    """knn_ivf_recall_at_k composes the three registered KNN queries;
+    its value is certifying the CERTIFIED paths' recall, so it must
+    (a) serve the IVFPQ codes from the durable artifact cache — zero
+    builds once knn_ivf_pq_adc has ever run — and (b) pin the exact
+    brute-force top-k once (localCheckpoint) instead of recomputing
+    the full N x Q scoring for the second variant."""
+    from streaming_data_lake_spark.plans import artifacts
+
+    # Warm the artifact (first-ever run on this machine may build).
+    _query(spark, "knn_ivf_pq_adc").count()
+    m0 = artifacts.STATS["misses"]
+    df = _query(spark, "knn_ivf_recall_at_k")
+    rows = df.collect()
+    assert artifacts.STATS["misses"] == m0, "recall query rebuilt the IVFPQ index"
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan
+    # Both variants present; recall in [0, 1]; IVF nprobe=1 cannot
+    # beat exact search.
+    by_variant: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 5 and 0.0 <= r["recall_at_k"] <= 1.0
+        by_variant.setdefault(r["variant"], []).append(r)
+    assert set(by_variant) == {"ivf_nprobe1", "ivfpq_nprobe2"}
+    assert len(by_variant["ivf_nprobe1"]) == 50
+    assert len(by_variant["ivfpq_nprobe2"]) == 10

@@ -52,8 +52,10 @@ def test_ledger_detects_a_hole():
     outside the window, a never-certified query outside the window,
     and a failed latest verdict are each problems; a stale-but-
     windowed query is not. Fixtures (not live repo state) so the
-    test is green regardless of what the driver just wrote."""
-    order = ["fresh_q", "stale_windowed_q", "stale_out_q", "never_q", "failed_q"]
+    test is green regardless of what the driver just wrote.
+    never_q sits BEYOND the committed-next region (2*window) so it is
+    a genuine hole, not a pending-next-window deferral."""
+    order = ["fresh_q", "stale_windowed_q", "stale_out_q", "failed_q", "never_q"]
     verdicts = {
         "fresh_q": (5, True, ""),
         "stale_windowed_q": (1, True, ""),
@@ -189,3 +191,26 @@ def test_order_sensitive_subset_derivation():
     assert len(names) < total * 0.5, (
         f"derived subset ({len(names)}) no longer prunes the registry ({total})"
     )
+
+
+def test_never_certified_pending_next_window_is_not_a_problem():
+    """A NEW query cannot earn a verdict when the current window is
+    exactly full; parked in the committed next-window region
+    (positions window..2*window) it reports pending-next-window and
+    passes. Outside that region it is still a hole, and a STALE or
+    FAILED verdict parked there gets no such grace."""
+    order = ["w1", "w2", "new_committed", "stale_parked", "new_far"]
+    verdicts = {
+        "w1": (5, True, ""),
+        "w2": (5, True, ""),
+        "stale_parked": (1, True, ""),
+    }
+    problems, rows = ledger.audit(
+        max_age=2, window=2, verdicts=verdicts, order=order
+    )
+    by_name = {r["query"]: r["status"] for r in rows}
+    assert by_name["new_committed"] == "pending-next-window"
+    assert by_name["stale_parked"] == "stale"
+    assert by_name["new_far"] == "never-certified"
+    blamed = {p.split(":")[0] for p in problems}
+    assert blamed == {"stale_parked", "new_far"}, problems

@@ -141,6 +141,14 @@ R12_ROUND_CODE_TOUCHED = [
     "multimodal_frame_sample",
 ]
 
+# Queries REGISTERED during round 12 (never certified): the r12
+# window has zero free slots, so they park directly after the
+# r12-code-touched block — inside the committed r13 window and inside
+# ledger.audit's pending-next-window region (positions 51-100).
+R12_NEW_QUERIES = [
+    "knn_ivf_recall_at_k",  # ANN recall accounting (VERDICT r11 #6)
+]
+
 # The nine late-r11 code-touched names carrying r10 verdicts that
 # CHANGELOG_r11 §r12-notes #2 obligates for r13. All nine are age-due
 # at r13 anyway; test_r13_obligations_inside_drain proves the window
@@ -177,16 +185,25 @@ def test_window_is_exactly_the_drain_plan():
     assert set(names[: len(R12_DRAIN)]) == R12_DRAIN
     assert set(names[len(R12_DRAIN) : WINDOW]) == R12_CODE_TOUCHED
     assert set(names[WINDOW : WINDOW + len(R13_DRAIN)]) == R13_DRAIN
-    # r12-session code-touches sit contiguously after the drain so
-    # the r13 window (26 drain + these + fills) is a prefix rotation.
-    ct = slice(WINDOW + len(R13_DRAIN), WINDOW + len(R13_DRAIN) + len(R12_ROUND_CODE_TOUCHED))
-    assert names[ct] == R12_ROUND_CODE_TOUCHED
-    assert len(R13_DRAIN) + len(R12_ROUND_CODE_TOUCHED) <= WINDOW, (
-        "r13 window overflow: committed drain + r12 code-touches exceed 50"
+    # r12-session code-touches and new registrations sit contiguously
+    # after the drain so the r13 window (26 drain + these + fills) is
+    # a prefix rotation — and new names stay inside ledger.audit's
+    # pending-next-window region.
+    r13_head = R12_ROUND_CODE_TOUCHED + R12_NEW_QUERIES
+    ct = slice(WINDOW + len(R13_DRAIN), WINDOW + len(R13_DRAIN) + len(r13_head))
+    assert names[ct] == r13_head
+    assert len(R13_DRAIN) + len(r13_head) <= WINDOW, (
+        "r13 window overflow: committed drain + r12 code-touches + new queries exceed 50"
     )
     # Groups pairwise disjoint — a silent overlap would make the
     # size check pass while the window holds fewer obligations.
-    groups = [R12_DRAIN, R12_CODE_TOUCHED, R13_DRAIN, set(R12_ROUND_CODE_TOUCHED)]
+    groups = [
+        R12_DRAIN,
+        R12_CODE_TOUCHED,
+        R13_DRAIN,
+        set(R12_ROUND_CODE_TOUCHED),
+        set(R12_NEW_QUERIES),
+    ]
     for i, g1 in enumerate(groups):
         for g2 in groups[i + 1 :]:
             assert not (g1 & g2), sorted(g1 & g2)
@@ -208,11 +225,12 @@ def test_r13_drain_fits_after_r12_lands():
     for name in order[:WINDOW]:
         simulated[name] = (12, True, "")
     due = {name for name, _rnd in ledger.plan_next(max_age=2, verdicts=simulated, order=order)}
-    assert due == R13_DRAIN, (
-        f"unexpected r13 obligatory set: extra={sorted(due - R13_DRAIN)} "
-        f"missing={sorted(R13_DRAIN - due)}"
+    expected = R13_DRAIN | set(R12_NEW_QUERIES)  # never-certified is always due
+    assert due == expected, (
+        f"unexpected r13 obligatory set: extra={sorted(due - expected)} "
+        f"missing={sorted(expected - due)}"
     )
-    assert len(R13_DRAIN) <= WINDOW
+    assert len(expected) <= WINDOW
 
 
 def test_r13_obligations_inside_drain():

@@ -91,6 +91,16 @@ def audit(
         order = registry_order()
     latest_round = max((r for r, _ok, _d in verdicts.values()), default=0)
     windowed = set(order[:window])
+    # A NEVER-certified query physically cannot earn a verdict when
+    # the current window is exactly full of obligatory slots (the r12
+    # state); parking it at the head of the NEXT window — positions
+    # window..2*window, the committed-drain region every rotation
+    # already uses — is the sanctioned deferral. Only never-certified
+    # names get this grace: a STALE or FAILED verdict parked there is
+    # still a problem (regressions and aging must not hide behind the
+    # next round's plan — the committed-drain excuse for those lives
+    # in tests/test_registry_order.py, pinned by explicit name).
+    committed_next = set(order[window : 2 * window])
     problems: list[str] = []
     rows: list[dict] = []
     for name in order:
@@ -101,6 +111,8 @@ def audit(
             )
         )
         scheduled = name in windowed
+        if status == "never-certified" and not scheduled and name in committed_next:
+            status = "pending-next-window"
         rows.append(
             {"query": name, "latest_round": rnd, "status": status, "windowed": scheduled}
         )
