@@ -69,6 +69,9 @@ _NON_VIEW = {
     "dup_clusters_connected",
     "embedding_cosine_near_dups",
     "knn_ivf_pq_adc",
+    # checkpoints the exact brute-force top-k once at construction
+    # (and composes knn_ivf_pq_adc's index build)
+    "knn_ivf_recall_at_k",
 }
 
 
