@@ -55,3 +55,23 @@ def lsum(c: Column) -> Column:
 
 def duck_lsum(expr: str) -> str:
     return f"CAST(sum({expr}) AS BIGINT)"
+
+
+def finite(c: Column) -> Column:
+    """Value-level finiteness guard: NaN/+Inf/-Inf → NULL, finite
+    values pass through unchanged (identity on clean data).
+
+    Queries that aggregate RAW ``events.value`` (not via the clean
+    contract, which rejects non-finite rows as NON_FINITE_VALUE)
+    treat a non-finite value as a data error excluded from value
+    aggregates: a single NaN row must not abort a 100 TB job in a
+    decimal/ANSI cast, and NULL-skipping SUM/AVG semantics are
+    identical across engines, unlike NaN propagation. The row itself
+    still exists for counts — value-level, not row-level, exclusion.
+    Mirror in oracles with :data:`~...duckql` ``DUCK_FINITE``.
+    """
+    return F.when(~F.isnan(c) & (F.abs(c) < F.lit(float("inf"))), c)
+
+
+#: DuckDB twin of :func:`finite` — format with the column expression.
+DUCK_FINITE = "(CASE WHEN isfinite({c}) THEN {c} END)"

@@ -141,11 +141,17 @@ _CERTIFICATION_ORDER = [
     "event_quality_spine_hourly",
     # ---- r12 code-touched while carrying r11 verdicts: the stub
     # decoders gained the undecodable-payload skip contract
-    # (ADVICE r11 — operators/multimodal.py). Certified-data results
-    # unchanged (payloads are attach_fake_media UTF-8); they take r13
-    # free slots directly after the drain ----
+    # (ADVICE r11 — operators/multimodal.py), and the raw-events
+    # finiteness contract landed engine+oracle (parity.finite /
+    # isfinite — r12 nonfinite-sweep findings). Certified-data
+    # results verified unchanged; they take r13 free slots directly
+    # after the drain ----
     "multimodal_resize",
     "multimodal_frame_sample",
+    "batch_sessionize_windows",
+    "streaming_sessionize",
+    "streaming_upsert_hourly",
+    "user_rolling_7day_value",
     # ---- NEW in r12 (never certified — the r12 window has zero free
     # slots, so it takes an r13 slot; ledger reports it
     # pending-next-window until then): ANN recall accounting ----
@@ -164,7 +170,6 @@ _CERTIFICATION_ORDER = [
     "supplier_name_near_matches",
     "bigram_lm_quality",
     "domain_mixture_resample",
-    "batch_sessionize_windows",
     "price_outliers_zscore",
     "lineitem_flag_pivot",
     "corr_quantity_price",
@@ -175,7 +180,6 @@ _CERTIFICATION_ORDER = [
     "repetition_signals",
     "benchmark_decontamination",
     "duplicate_rates_hourly",
-    "user_rolling_7day_value",
     "consistent_hash_sample",
     "user_event_type_paths",
     "events_clean",
@@ -186,10 +190,8 @@ _CERTIFICATION_ORDER = [
     "streaming_clean_events",
     "streaming_interval_join_daily",
     "streaming_funnel_daily",
-    "streaming_sessionize",
     "streaming_dedup_keys",
     "streaming_dedup_within_watermark",
-    "streaming_upsert_hourly",
     "streaming_hll_daily_users",
     "streaming_cms_token_counts",
     "semantic_dedup_centroid",

@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 
 from streaming_data_lake_spark.catalog import load_table
 from streaming_data_lake_spark.functions.hashing import duck_h32, duck_h32_seeded, h32
-from streaming_data_lake_spark.functions.parity import davg, dsum, duck_davg, duck_dsum
+from streaming_data_lake_spark.functions.parity import davg, dsum, duck_davg, duck_dsum, finite
 from streaming_data_lake_spark.queries import register
 
 
@@ -1440,7 +1440,10 @@ SELECT
   coalesce(CAST(event_day AS VARCHAR), '<all>') AS event_day,
   count(*) AS n_events,
   count(DISTINCT user_id) AS n_users,
-  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+  -- isfinite: non-finite value is a data error excluded from value
+  -- aggregates (rows still count) — raw-events finiteness contract,
+  -- parity.finite / DUCK_FINITE (nonfinite-sweep finding, r12)
+  CAST(sum(CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM base
 GROUP BY CUBE(event_type, event_day)
 -- HAVING: see _ROLLUP_ORACLE — Spark emits no rows for empty
@@ -1473,7 +1476,7 @@ def cube_device_day_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("event_day").cast("int").alias("g_day"),
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+            dsum(finite(F.col("value")), "decimal(12,2)").alias("total_value"),
         )
         .select(
             "g_type",
@@ -1502,9 +1505,11 @@ _HISTQ_BIN = (
 
 _HISTQ_ORACLE = f"""
 WITH b AS (
-  -- value IS NOT NULL: a NULL value has no bin; the engines also
-  -- disagree on where a NULL bin sorts in the cumulative window
-  SELECT event_type, {_HISTQ_BIN} AS bin FROM events WHERE value IS NOT NULL
+  -- isfinite: a NULL or non-finite value has no bin (the bin cast
+  -- aborts on NaN/Inf in BOTH engines; the engines also disagree on
+  -- where a NULL bin sorts in the cumulative window). isfinite(NULL)
+  -- is NULL, so one predicate covers both shapes.
+  SELECT event_type, {_HISTQ_BIN} AS bin FROM events WHERE isfinite(value)
 ),
 h AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY event_type, bin),
 c AS (
@@ -1540,10 +1545,11 @@ GROUP BY event_type
     "percentile_cont queries.",
 )
 def value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NULL values take no bin (oracle: WHERE value IS NOT NULL)
+    # NULL/non-finite values take no bin (oracle: WHERE isfinite) —
+    # the bin cast would abort the whole job on one NaN row
     b = (
         _t(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(finite(F.col("value")).isNotNull())
         .select("event_type", F.expr(_HISTQ_BIN).alias("bin"))
     )
     h = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1719,7 +1725,8 @@ _ROLLING_7D_ORACLE = """
 WITH daily AS (
   SELECT user_id,
          CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS epoch_day,
-         sum(CAST(value AS DECIMAL(12,2))) AS day_value,
+         -- isfinite: raw-events finiteness contract (see _CUBE_ORACLE)
+         sum(CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(12,2))) AS day_value,
          count(*) AS day_events
   FROM events GROUP BY 1, 2
 )
@@ -1752,7 +1759,7 @@ def user_rolling_7day_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("epoch_day"),
     ).agg(
-        F.sum(F.col("value").cast("decimal(12,2)")).alias("day_value"),
+        F.sum(finite(F.col("value")).cast("decimal(12,2)")).alias("day_value"),
         F.count(F.lit(1)).alias("day_events"),
     )
     w = (

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from streaming_data_lake_spark.catalog import load_table
-from streaming_data_lake_spark.functions.parity import davg, dsum
+from streaming_data_lake_spark.functions.parity import davg, dsum, finite
 from streaming_data_lake_spark.functions.scalar import decode_priority, zero_guard_ratio
 from streaming_data_lake_spark.operators import ingest
 from streaming_data_lake_spark.operators.dedup import dedup_groupby_canonical, dedup_row_number
@@ -422,7 +422,10 @@ SELECT
   event_type,
   CAST(min(event_id) AS BIGINT) AS first_event_id,
   max(ts) AS last_ts,
-  CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
+  -- isfinite: raw-events finiteness contract — a non-finite value is
+  -- a data error excluded from the canonical MAX (rows still dedup;
+  -- the decimal cast would abort on NaN in both engines)
+  CAST(max(CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(12,2))) AS DOUBLE) AS max_value
 FROM events
 GROUP BY user_id, event_type
 """
@@ -435,7 +438,7 @@ GROUP BY user_id, event_type
 )
 def events_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").withColumn(
-        "value", F.col("value").cast("decimal(12,2)")
+        "value", finite(F.col("value")).cast("decimal(12,2)")
     )
     out = dedup_groupby_canonical(
         e,
@@ -600,15 +603,20 @@ def event_quality_spine_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LANDSCAPE_ORACLE = """
+-- fvalue: raw-events finiteness contract (see _CUBE_ORACLE) — rows
+-- still count; non-finite values drop out of sum/max/avg and the
+-- avg denominator exactly like NULLs
 SELECT
   CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day,
   user_id,
   count(*) AS n_events,
   count(DISTINCT event_type) AS n_types,
-  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
-  CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value,
-  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(value) AS DOUBLE) AS avg_value
-FROM events
+  CAST(sum(CAST(fvalue AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+  CAST(max(CAST(fvalue AS DECIMAL(12,2))) AS DOUBLE) AS max_value,
+  CAST(sum(CAST(fvalue AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(fvalue) AS DOUBLE) AS avg_value
+FROM (SELECT ts, user_id, event_type,
+             (CASE WHEN isfinite(value) THEN value END) AS fvalue
+      FROM events)
 GROUP BY 1, 2
 """
 
@@ -620,14 +628,15 @@ GROUP BY 1, 2
 )
 def user_daily_landscape(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
+    fv = finite(F.col("value"))
     return (
         e.groupBy(F.date_trunc("day", F.col("ts")).alias("event_day"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("event_type").alias("n_types"),
-            dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
-            F.max(F.col("value").cast("decimal(12,2)")).cast("double").alias("max_value"),
-            davg(F.col("value"), "decimal(12,2)").alias("avg_value"),
+            dsum(fv, "decimal(12,2)").alias("total_value"),
+            F.max(fv.cast("decimal(12,2)")).cast("double").alias("max_value"),
+            davg(fv, "decimal(12,2)").alias("avg_value"),
         )
     )
 
@@ -687,7 +696,8 @@ SELECT
     + INTERVAL '5 minutes' AS window_end,
   event_type,
   count(*) AS n_events,
-  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+  -- isfinite: raw-events finiteness contract (see _CUBE_ORACLE)
+  CAST(sum(CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events CROSS JOIN range(5) t(i)
 -- time-keyed admission: HOP windows are defined only over
 -- timestamped rows (the engine filters explicitly; Spark's window()
@@ -708,7 +718,7 @@ def sliding_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window(F.col("ts"), "5 minutes", "1 minute"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+            dsum(finite(F.col("value")), "decimal(12,2)").alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -1276,14 +1286,19 @@ def duplicate_rates_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VALUE_DIST_ORACLE = """
+-- fvalue: raw-events finiteness contract (see _CUBE_ORACLE). Applied
+-- to min/max too: a distribution whose max is NaN describes nothing,
+-- and the engines' NaN orderings agreeing today is not a contract.
 SELECT
   event_type,
   count(*) AS n_events,
-  min(value) AS min_value,
-  max(value) AS max_value,
-  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(value) AS DOUBLE)
+  min(fvalue) AS min_value,
+  max(fvalue) AS max_value,
+  CAST(sum(CAST(fvalue AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(fvalue) AS DOUBLE)
     AS avg_value
-FROM events
+FROM (SELECT event_type,
+             (CASE WHEN isfinite(value) THEN value END) AS fvalue
+      FROM events)
 GROUP BY event_type
 """
 
@@ -1296,11 +1311,12 @@ GROUP BY event_type
 )
 def value_distribution_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
+    fv = finite(F.col("value"))
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
-        davg(F.col("value"), "decimal(12,2)").alias("avg_value"),
+        F.min(fv).alias("min_value"),
+        F.max(fv).alias("max_value"),
+        davg(fv, "decimal(12,2)").alias("avg_value"),
     )
 
 
@@ -1335,15 +1351,21 @@ def flag_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _VALUE_SPREAD_ORACLE = """
-WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
-     p AS (SELECT * FROM events WHERE event_type = 'purchase')
+-- fvalue: raw-events finiteness contract (see _CUBE_ORACLE); a pair
+-- whose either side is non-finite contributes no spread (NULL - x is
+-- NULL) but still counts as a pair, like every other value-level
+-- exclusion
+WITH f AS (SELECT *, (CASE WHEN isfinite(value) THEN value END) AS fvalue
+           FROM events),
+     c AS (SELECT * FROM f WHERE event_type = 'click'),
+     p AS (SELECT * FROM f WHERE event_type = 'purchase')
 SELECT
   CAST(date_trunc('day', c.ts) AS TIMESTAMP) AS event_day,
-  CAST(sum(CAST(c.value AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(c.value) AS DOUBLE)
+  CAST(sum(CAST(c.fvalue AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(c.fvalue) AS DOUBLE)
     AS avg_click_value,
-  CAST(sum(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(p.value) AS DOUBLE)
+  CAST(sum(CAST(p.fvalue AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(p.fvalue) AS DOUBLE)
     AS avg_purchase_value,
-  CAST(sum(CAST(p.value - c.value AS DECIMAL(12,2))) AS DOUBLE)
+  CAST(sum(CAST(p.fvalue - c.fvalue AS DECIMAL(12,2))) AS DOUBLE)
     / CAST(count(*) AS DOUBLE) AS avg_spread
 FROM c
 JOIN p ON p.user_id = c.user_id
@@ -1360,7 +1382,7 @@ GROUP BY 1
     "difference (J5 + A1; decimal parity for order-independent sums).",
 )
 def avg_value_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").withColumn("fvalue", finite(F.col("value")))
     c = e.filter(F.col("event_type") == "click").alias("c")
     p = e.filter(F.col("event_type") == "purchase").alias("p")
     joined = c.join(
@@ -1369,12 +1391,12 @@ def avg_value_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p.ts") >= F.col("c.ts"))
         & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 60 MINUTES")),
     )
-    spread = (F.col("p.value") - F.col("c.value")).cast("decimal(12,2)")
+    spread = (F.col("p.fvalue") - F.col("c.fvalue")).cast("decimal(12,2)")
     return joined.groupBy(
         F.date_trunc("day", F.col("c.ts")).alias("event_day")
     ).agg(
-        davg(F.col("c.value"), "decimal(12,2)").alias("avg_click_value"),
-        davg(F.col("p.value"), "decimal(12,2)").alias("avg_purchase_value"),
+        davg(F.col("c.fvalue"), "decimal(12,2)").alias("avg_click_value"),
+        davg(F.col("p.fvalue"), "decimal(12,2)").alias("avg_purchase_value"),
         (F.sum(spread).cast("double") / F.count(F.lit(1)).cast("double")).alias(
             "avg_spread"
         ),
@@ -1471,7 +1493,8 @@ _PRUNED_SCAN_ORACLE = """
 SELECT CAST(ts AS DATE) AS event_date,
        event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       -- isfinite: raw-events finiteness contract (see _CUBE_ORACLE)
+       CAST(sum(CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events
 WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
 GROUP BY 1, 2
@@ -1498,7 +1521,7 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_date", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+            dsum(finite(F.col("value")), "decimal(12,2)").alias("total_value"),
         )
     )
 

@@ -393,9 +393,11 @@ SELECT CAST(count(DISTINCT
        ) AS INT) AS n_leaves,
        0 AS files_off_target,
        count(*) AS n_rows,
+       -- isfinite: raw-events finiteness contract (value excluded
+       -- from the decimal sum, rows still count/partition)
        CAST(sum(CASE WHEN CAST(ts AS DATE) = DATE '{_REPAIR_DAY}'
-                     THEN CAST(value AS DECIMAL(12,2)) * 2
-                     ELSE CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS total_value
+                     THEN CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(12,2)) * 2
+                     ELSE CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(12,2)) END) AS DOUBLE) AS total_value
 FROM events
 """
 
@@ -413,7 +415,7 @@ FROM events
 )
 def two_level_overlay_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_lake_spark.formats import resolve_format
-    from streaming_data_lake_spark.functions.parity import dsum
+    from streaming_data_lake_spark.functions.parity import dsum, finite
     from streaming_data_lake_spark.overlay import (
         atomic_swap,
         link_untouched_partitions,
@@ -491,7 +493,7 @@ def two_level_overlay_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     files_off_target = _parquet_files(t) - expected_files
     row = final.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+        dsum(finite(F.col("value")), "decimal(12,2)").alias("total_value"),
     ).head()
     return spark.createDataFrame(
         [(n_leaves, files_off_target, row["n_rows"], row["total_value"])],

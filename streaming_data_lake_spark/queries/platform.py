@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streaming_data_lake_spark.catalog import load_table
-from streaming_data_lake_spark.functions.parity import dsum
+from streaming_data_lake_spark.functions.parity import dsum, finite
 from streaming_data_lake_spark.queries import register
 
 
@@ -74,7 +74,9 @@ SELECT CASE user_id % 10 % 3 WHEN 0 THEN 'casual'
                              ELSE 'power' END AS segment_name,
        count(*) AS n_events,
        count(DISTINCT user_id % 10) AS n_tiers,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       -- isfinite: raw-events finiteness contract (analytics.py
+       -- _CUBE_ORACLE note) — rows count, non-finite values don't
+       CAST(sum(CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events
 -- dim key domain: the seeded hierarchy has buckets 0-9 only; a
 -- negative or NULL user_id has no dim row and the engine's inner
@@ -130,7 +132,7 @@ def seeded_dim_hierarchy_enrichment(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("bucket").alias("n_tiers"),
-            dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+            dsum(finite(F.col("value")), "decimal(12,2)").alias("total_value"),
         )
     )
 
@@ -142,7 +144,8 @@ def seeded_dim_hierarchy_enrichment(spark: SparkSession, sf_dir: str) -> DataFra
 _SALTED_AGG_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       -- isfinite: raw-events finiteness contract
+       CAST(sum(CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY event_type
 """
@@ -163,7 +166,7 @@ def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         salt=salt_expr("event_id", 16),
         counts=[("n_events", "*")],
-        sums=[(F.col("value").cast("decimal(12,2)"), "total_value")],
+        sums=[(finite(F.col("value")).cast("decimal(12,2)"), "total_value")],
     ).withColumn("total_value", F.col("total_value").cast("double"))
 
 
@@ -212,13 +215,17 @@ def replicated_skew_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVOLVED_SPLIT = "2024-01-16 00:00:00"
 
 _SCHEMA_EVOLUTION_ORACLE = f"""
+-- isfinite: raw-events finiteness contract — a non-finite value is a
+-- data error treated as NULL at aggregation (n_evolved counts usable
+-- evolved values; the decimal sum would abort on NaN in both engines)
 SELECT event_type,
        count(*) AS n_events,
        CAST(count(CASE WHEN ts >= TIMESTAMP '{_EVOLVED_SPLIT}'
-                        AND value IS NOT NULL THEN 1 END) AS BIGINT)
+                        AND isfinite(value) THEN 1 END) AS BIGINT)
          AS n_evolved,
        CAST(sum(CASE WHEN ts >= TIMESTAMP '{_EVOLVED_SPLIT}'
-                     THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+                     THEN CAST((CASE WHEN isfinite(value) THEN value END)
+                               AS DECIMAL(12,2)) END) AS DOUBLE)
          AS evolved_value
 FROM events
 GROUP BY event_type
@@ -278,10 +285,11 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     evolved = spark.read.schema(v2).parquet(
         os.path.join(art, "gen1"), os.path.join(art, "gen2")
     )
+    fv = finite(F.col("value"))
     return evolved.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.count("value").cast("long").alias("n_evolved"),
-        dsum(F.col("value"), "decimal(12,2)").alias("evolved_value"),
+        F.count(fv).cast("long").alias("n_evolved"),
+        dsum(fv, "decimal(12,2)").alias("evolved_value"),
     )
 
 
@@ -348,7 +356,8 @@ SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
             ELSE 'tier_' || CAST(user_id % 10 AS VARCHAR) || '_v2' END
          AS tier_label,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       -- isfinite: raw-events finiteness contract
+       CAST(sum(CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events
 -- dim key domain (buckets 0-9) AND event-time admission: a fact with
 -- no dim bucket or no event time matches no validity interval in the
@@ -386,7 +395,7 @@ def scd2_point_in_time_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return joined.groupBy("tier_label").agg(
         F.count(F.lit(1)).alias("n_events"),
-        dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+        dsum(finite(F.col("value")), "decimal(12,2)").alias("total_value"),
     )
 
 
@@ -399,7 +408,8 @@ SELECT 'events' AS table_name,
        'missing column props; unexpected column extra_tag' AS drift,
        count(*) AS n_rows,
        CAST(0 AS BIGINT) AS n_props,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       -- isfinite: raw-events finiteness contract
+       CAST(sum(CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events
 """
 
@@ -451,5 +461,5 @@ def schema_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("; ".join(msgs)).alias("drift"),
         F.count(F.lit(1)).alias("n_rows"),
         F.count("props").cast("long").alias("n_props"),
-        dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+        dsum(finite(F.col("value")), "decimal(12,2)").alias("total_value"),
     )

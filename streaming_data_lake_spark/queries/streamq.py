@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from streaming_data_lake_spark.catalog import load_table
-from streaming_data_lake_spark.functions.parity import dsum
+from streaming_data_lake_spark.functions.parity import dsum, finite
 from streaming_data_lake_spark.queries.core import _EVENTS_CLEAN_ORACLE, _FUNNEL_ORACLE
 from streaming_data_lake_spark.streaming import pipelines
 
@@ -24,7 +24,8 @@ _HOURLY_ORACLE = """
 SELECT date_trunc('hour', ts) AS hour_start,
        event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       -- isfinite: raw-events finiteness contract (core/analytics)
+       CAST(sum(CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events
 -- time-keyed admission: windowed aggregation is defined only over
 -- timestamped rows (the engine filters explicitly; Spark's window()
@@ -130,7 +131,8 @@ _UPSERT_HOURLY_ORACLE = """
 SELECT date_trunc('hour', ts) AS hour_start,
        event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       -- isfinite: raw-events finiteness contract
+       CAST(sum(CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events
 WHERE ts IS NOT NULL AND event_type IS NOT NULL
 GROUP BY 1, 2
@@ -188,7 +190,8 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) AS session_end,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       -- isfinite: raw-events finiteness contract
+       CAST(sum(CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM s
 GROUP BY user_id, sess_id
 """
@@ -270,7 +273,7 @@ def batch_sessionize_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+            dsum(finite(F.col("value")), "decimal(12,2)").alias("total_value"),
         )
         .select("user_id", "session_start", "session_end", "n_events", "total_value")
     )

@@ -24,7 +24,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streaming_data_lake_spark.functions.parity import dsum
+from streaming_data_lake_spark.functions.parity import dsum, finite
 from streaming_data_lake_spark.operators.ingest import clean_events
 from streaming_data_lake_spark.sources.streams import stream_table
 from streaming_data_lake_spark.catalog import load_table
@@ -193,7 +193,7 @@ def streaming_hourly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window(F.col("ts"), "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+            dsum(finite(F.col("value")), "decimal(12,2)").alias("total_value"),
         )
         .select(
             F.col("window.start").alias("hour_start"),
@@ -466,7 +466,7 @@ def streaming_upsert_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window(F.col("ts"), "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+            dsum(finite(F.col("value")), "decimal(12,2)").alias("total_value"),
         )
         .select(
             F.col("window.start").alias("hour_start"),

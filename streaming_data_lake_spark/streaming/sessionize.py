@@ -51,6 +51,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from streaming_data_lake_spark.functions.parity import finite as _finite
+
 
 def _scratch(prefix: str) -> str:
     """Process-exit-cleaned scratch dir (see pipelines._scratch_dir)."""
@@ -116,7 +118,13 @@ def _fold_batch(pdf: pd.DataFrame, carried, gap_us: int):
     Returns (closed_sessions, open_session) as (start, end, n, cents)
     tuples; ``carried`` is the prior state tuple or None."""
     ts_us = (pdf["ts"].astype("int64") // 1_000).to_numpy()
-    cents_arr = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
+    # Finiteness contract, cents-domain form: NULL/NaN/Inf values
+    # contribute 0 cents (the decimal-SUM twins skip them as NULL; a
+    # NaN through rint().astype(int64) is undefined-garbage cents —
+    # INT64_MIN on most platforms — corrupting the whole session)
+    vals = pdf["value"].to_numpy(dtype="float64", na_value=float("nan"))
+    vals = np.where(np.isfinite(vals), vals, 0.0)
+    cents_arr = np.rint(vals * 100).astype("int64")
     order = np.argsort(ts_us, kind="stable")
     ts_us, cents_arr = ts_us[order], cents_arr[order]
     brk = np.flatnonzero(np.diff(ts_us) > gap_us) + 1
@@ -254,7 +262,7 @@ def sessionize_native(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+            F.sum(_finite(F.col("value")).cast("decimal(12,2)")).cast("double").alias("total_value"),
         )
         .select("user_id", "session_start", "session_end", "n_events", "total_value")
     )

@@ -987,3 +987,39 @@ def test_edge_sweep_generator_is_deterministic(tmp_path):
     a = gen(tmp_path / "a")
     b = gen(tmp_path / "b")
     assert a == b and len(a) == 10
+
+
+def test_finite_guard_value_level_exclusion(spark):
+    """parity.finite: NaN/+Inf/-Inf -> NULL, finite values (incl. 0,
+    -0.0, denormals) pass through identity — so decimal casts never
+    abort, sums skip the bad value, and counts still see the row.
+    The DuckDB twin (isfinite CASE) must agree cell-for-cell."""
+    import duckdb
+
+    from streaming_data_lake_spark.functions.parity import finite
+
+    vals = [1.5, 0.0, -0.0, float("nan"), float("inf"), float("-inf"), None, 5e-324]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    got = {
+        r["i"]: r["fv"]
+        for r in df.select("i", finite(F.col("v")).alias("fv")).collect()
+    }
+    assert got[0] == 1.5 and got[1] == 0.0 and got[2] == 0.0 and got[7] == 5e-324
+    assert got[3] is None and got[4] is None and got[5] is None and got[6] is None
+    # decimal aggregation over the guarded column must not abort and
+    # must equal the finite subset's sum
+    total = df.agg(
+        F.sum(finite(F.col("v")).cast("decimal(12,2)")).cast("double").alias("s")
+    ).first()["s"]
+    assert total == 1.5
+    # DuckDB twin agreement
+    con = duckdb.connect()
+    duck = {
+        i: fv
+        for i, fv in con.execute(
+            "SELECT i, (CASE WHEN isfinite(v) THEN v END) FROM "
+            "(SELECT unnest(range(8)) AS i, unnest([1.5, 0.0, -0.0, 'nan'::DOUBLE,"
+            " 'inf'::DOUBLE, '-inf'::DOUBLE, NULL, 5e-324]) AS v)"
+        ).fetchall()
+    }
+    assert duck == got

@@ -139,6 +139,13 @@ R12_ROUND_CODE_TOUCHED = [
     # (ADVICE r11; operators/multimodal.py resize_media+sample_frames)
     "multimodal_resize",
     "multimodal_frame_sample",
+    # raw-events finiteness contract (parity.finite + isfinite oracle
+    # text; r12 nonfinite-sweep findings). The other 14 touched names
+    # sit in the r12 window or the R13_DRAIN, both already obligatory.
+    "batch_sessionize_windows",
+    "streaming_sessionize",
+    "streaming_upsert_hourly",
+    "user_rolling_7day_value",
 ]
 
 # Queries REGISTERED during round 12 (never certified): the r12

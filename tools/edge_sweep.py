@@ -42,6 +42,15 @@ permuted file, so any divergence is an ORDER-DEPENDENT result — a
 first()/collect_list/min_by-tie class nondeterminism bug that would
 also fire on any cluster repartition.
 
+``--nonfinite`` (out default /tmp/sdl_nonfinite) injects NaN and
++/-Infinity into ``events.value`` ONLY — the one float column with a
+declared finiteness contract (clean events route non-finite values
+to NON_FINITE_VALUE rejects; ADVICE r11 found the sweep could not
+see an isfinite parity divergence because it never injected one).
+Scoped to the contracted column on purpose: un-contracted float
+columns (prices, discounts) have no defined non-finite semantics and
+both engines abort identically on them, which tests nothing.
+
 ``--order-sensitive`` restricts the run to the queries whose oracle
 SQL or Spark source contains an order-sensitive construct (window
 ranking, LIMIT, first/last, positional folds, collected lists) — the
@@ -167,7 +176,26 @@ def mutate_table(name: str, table: pa.Table) -> pa.Table:
     return out
 
 
-def generate(src: str, out: str, empty: bool = False, shuffle: bool = False) -> None:
+def inject_nonfinite(name: str, table: pa.Table) -> pa.Table:
+    """NaN / +Inf / -Inf into events.value at fixed rows; every other
+    table passes through untouched."""
+    if name != "events":
+        return table
+    vals = table.column("value").to_pylist()
+    n = len(vals)
+    for j, ev in enumerate((float("nan"), float("inf"), float("-inf"))):
+        for rep in range(7):  # a few of each, spread across the file
+            vals[(j * 101 + rep * 211 + 13) % n] = ev
+    idx = table.schema.get_field_index("value")
+    return table.set_column(
+        idx, "value", pa.array(vals, type=table.schema.field("value").type)
+    )
+
+
+def generate(
+    src: str, out: str, empty: bool = False, shuffle: bool = False,
+    nonfinite: bool = False,
+) -> None:
     outp = Path(out)
     outp.mkdir(parents=True, exist_ok=True)
     for p in sorted(Path(src).glob("*.parquet")):
@@ -178,6 +206,8 @@ def generate(src: str, out: str, empty: bool = False, shuffle: bool = False) -> 
             idx = list(range(t.num_rows))
             random.Random(f"shuffle:{p.stem}").shuffle(idx)
             m = t.take(pa.array(idx))
+        elif nonfinite:
+            m = inject_nonfinite(p.stem, t)
         else:
             m = mutate_table(p.stem, t)
         pq.write_table(m, outp / p.name)
@@ -223,8 +253,11 @@ def main() -> int:
     gen_only = "--gen-only" in argv
     empty = "--empty" in argv
     shuffle = "--shuffle" in argv
+    nonfinite = "--nonfinite" in argv
     order_sensitive = "--order-sensitive" in argv
-    argv = [a for a in argv if a not in ("--gen-only", "--empty", "--shuffle", "--order-sensitive")]
+    argv = [a for a in argv if a not in (
+        "--gen-only", "--empty", "--shuffle", "--nonfinite", "--order-sensitive"
+    )]
 
     def _flag(name, default):
         if name in argv:
@@ -235,10 +268,20 @@ def main() -> int:
         return default
 
     src = _flag("--src", SRC_DEFAULT)
-    kind = "empty" if empty else ("shuffle" if shuffle else "edge")
-    out = _flag("--out", {"empty": "/tmp/sdl_empty", "shuffle": "/tmp/sdl_shuffle", "edge": OUT_DEFAULT}[kind])
+    kind = (
+        "empty" if empty else
+        "shuffle" if shuffle else
+        "nonfinite" if nonfinite else
+        "edge"
+    )
+    out = _flag("--out", {
+        "empty": "/tmp/sdl_empty",
+        "shuffle": "/tmp/sdl_shuffle",
+        "nonfinite": "/tmp/sdl_nonfinite",
+        "edge": OUT_DEFAULT,
+    }[kind])
     print(f"generating {kind} tables {src} -> {out}")
-    generate(src, out, empty=empty, shuffle=shuffle)
+    generate(src, out, empty=empty, shuffle=shuffle, nonfinite=nonfinite)
     if gen_only:
         return 0
     if order_sensitive and not argv:

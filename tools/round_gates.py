@@ -18,9 +18,12 @@ Gates (fail-fast off: one red gate must not hide another):
                            order-sensitive query subset (windows,
                            LIMIT ties, folds — tools/edge_sweep.py
                            --shuffle --order-sensitive)
-  7. bare-sweep @ sf0.01 — bare-session portability, twice
-  8. ledger              — certification-window audit
-  9. driver smoke        — __spark_entry__ entry/queries/oracle_sql
+  7. nonfinite-sweep     — full-registry parity with NaN/±Inf
+                           injected into events.value (the raw-events
+                           finiteness contract, r12)
+  8. bare-sweep @ sf0.01 — bare-session portability, twice
+  9. ledger              — certification-window audit
+ 10. driver smoke        — __spark_entry__ entry/queries/oracle_sql
 
 Gates run in three concurrent LANES (sequential within a lane) so
 the full suite fits the round budget without dropping coverage
@@ -76,6 +79,7 @@ GATES: list[tuple[str, list[str], str, str]] = [
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"], "passed", "pytest"),
     ("check-sf0.01", [sys.executable, "tools/check.py", "/root/testdata/sf0.01"], "ALL GREEN", "oracle"),
     ("check-sf0.1", [sys.executable, "tools/check.py", "/root/testdata/sf0.1"], "ALL GREEN", "oracle"),
+    ("nonfinite-sweep", [sys.executable, "tools/edge_sweep.py", "--nonfinite"], "ALL GREEN", "oracle"),
     ("ledger", [sys.executable, "tools/ledger.py"], "LEDGER GREEN", "oracle"),
     ("smoke", [sys.executable, "-c", _SMOKE], "SMOKE OK", "oracle"),
     ("edge-sweep", [sys.executable, "tools/edge_sweep.py"], "ALL GREEN", "sweeps"),
@@ -90,6 +94,7 @@ _SKIP_ALIASES = {
     "edge": "edge-sweep",
     "empty": "empty-sweep",
     "shuffle": "shuffle-sweep",
+    "nonfinite": "nonfinite-sweep",
     "bare": "bare-sweep",
 }
 
