@@ -29,14 +29,19 @@ DUCK_DOT = (
 )
 
 #: valid-embedding predicate ↔ ``operators.similarity.valid_vectors``:
-#: non-NULL, non-empty, no NULL elements, norm > 0. The self-dot is
-#: CASE-guarded because DuckDB's list_reduce ERRORS on an empty list
-#: where Spark's aggregate folds to the 0.0 seed; a NULL element makes
-#: the fold NULL and `NULL > 0` drops the row, same as Spark.
+#: non-NULL, non-empty, no NULL elements, FINITE norm > 0. The
+#: self-dot is CASE-guarded because DuckDB's list_reduce ERRORS on an
+#: empty list where Spark's aggregate folds to the 0.0 seed; a NULL
+#: element makes the fold NULL and `NULL > 0` drops the row, same as
+#: Spark. isfinite: a NaN/Inf element passes a bare `norm > 0` in
+#: BOTH engines (NaN-greatest comparison semantics) and then emits
+#: NaN-similarity pairs against its whole cluster — FAISS-style
+#: admission excludes it (r12 probe; VALID_VEC_GEN 3).
 DUCK_VALID_VEC = (
-    "({v} IS NOT NULL AND (CASE WHEN len({v}) > 0 THEN "
+    "({v} IS NOT NULL AND (CASE WHEN len({v}) > 0 THEN CASE WHEN isfinite("
     + DUCK_DOT.format(a="{v}", b="{v}")
-    + " END) > 0)"
+    + ") THEN " + DUCK_DOT.format(a="{v}", b="{v}")
+    + " END END) > 0)"
 )
 
 #: drop-in FROM-clause source: the embeddings table restricted to

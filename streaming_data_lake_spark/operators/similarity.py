@@ -43,28 +43,36 @@ def cosine(a: Column, b: Column) -> Column:
 #: Version of the valid_vectors admission contract, threaded into
 #: every durable artifact built from admitted embeddings (IVF index,
 #: sign-LSH signatures, IVF-PQ codes) so caches built under an older
-#: admission rule are never served.
-VALID_VEC_GEN = 2
+#: admission rule are never served. GEN 3: non-finite-element
+#: exclusion (r12).
+VALID_VEC_GEN = 3
 
 
 def valid_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Drop degenerate embeddings: NULL, empty, zero-norm, or holding
-    NULL elements.
+    """Drop degenerate embeddings: NULL, empty, zero-norm, holding
+    NULL elements, or holding non-finite elements.
 
     Any real 100 TB corpus carries a few of each (dead docs, encoder
     failures, padding rows); under ANSI SQL a single zero-norm vector
     turns every cosine into a job-aborting DIVIDE_BY_ZERO, so the
     whole similarity family (KNN ladder, k-means, SemDeDup, sign-LSH)
     admits only valid vectors — the same admission rule FAISS
-    enforces at add() time. One predicate covers all four shapes:
-    ``norm(v) > 0`` is 0 for empty/zero vectors and NULL for NULL /
+    enforces at add() time. ``norm(v) > 0`` covers the first four
+    shapes: it is 0 for empty/zero vectors and NULL for NULL /
     NULL-element vectors (the fold propagates NULL), and a NULL or
-    false predicate drops the row. Oracles mirror it with
-    ``duckql.DUCK_VALID_VEC`` (CASE-guarded: DuckDB's list_reduce
-    errors on empty lists instead of folding to 0).
+    false predicate drops the row. It does NOT cover NaN/Inf
+    elements — both engines treat NaN as greater than any number, so
+    a NaN norm PASSES ``> 0`` and then poisons every cosine in its
+    cluster with NaN (r12 probe) — hence the explicit finite-norm
+    conjunct. Oracles mirror it with ``duckql.DUCK_VALID_VEC``
+    (CASE-guarded: DuckDB's list_reduce errors on empty lists instead
+    of folding to 0).
     """
     v = F.col(vec_col)
-    return df.filter(v.isNotNull() & (norm(v) > 0))
+    n = norm(v)
+    return df.filter(
+        v.isNotNull() & ~F.isnan(n) & (n < F.lit(float("inf"))) & (n > 0)
+    )
 
 
 def brute_force_knn(

@@ -152,6 +152,13 @@ _CERTIFICATION_ORDER = [
     "streaming_sessionize",
     "streaming_upsert_hourly",
     "user_rolling_7day_value",
+    # the GEN-3 similarity admission (non-finite-element exclusion —
+    # operators/similarity.valid_vectors + DUCK_VALID_VEC, r12)
+    "semantic_dedup_centroid",
+    "embedding_cosine_near_dups",
+    "knn_ivf_materialized_cosine",
+    "embedding_label_stats",
+    "embedding_int8_quantization",
     # ---- NEW in r12 (never certified — the r12 window has zero free
     # slots, so it takes an r13 slot; ledger reports it
     # pending-next-window until then): ANN recall accounting ----
@@ -194,14 +201,9 @@ _CERTIFICATION_ORDER = [
     "streaming_dedup_within_watermark",
     "streaming_hll_daily_users",
     "streaming_cms_token_counts",
-    "semantic_dedup_centroid",
-    "embedding_cosine_near_dups",
-    "knn_ivf_materialized_cosine",
     "materialize_incremental_clean_events",
     "streaming_fanout_ingest",
     "multimodal_media_features",
-    "embedding_label_stats",
-    "embedding_int8_quantization",
 ]
 
 

@@ -1723,9 +1723,10 @@ def knn_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k_codes": _PQ_K_CODES,
             "n_sub": _PQ_NSUB,
             "dsub": _PQ_DSUB,
-            # v2: codes build from valid_vectors-admitted embeddings
-            # (similarity.VALID_VEC_GEN)
-            "v": 2,
+            # codes build from valid_vectors-admitted embeddings —
+            # key on the admission generation itself so an admission
+            # change can never serve stale codes (was a hard v:2)
+            "admission": similarity.VALID_VEC_GEN,
         },
         lambda: similarity.ivf_pq_index(
             e, centroids, cb_row, n_sub=_PQ_NSUB, dsub=_PQ_DSUB

@@ -1023,3 +1023,36 @@ def test_finite_guard_value_level_exclusion(spark):
         ).fetchall()
     }
     assert duck == got
+
+
+def test_valid_vectors_excludes_nonfinite_elements(spark):
+    """VALID_VEC_GEN 3: NaN/Inf elements make the norm NaN/Inf, which
+    PASSES a bare `norm > 0` in both engines (NaN-greatest comparison
+    semantics) and then poisons every cosine in the cluster — the
+    admission must drop them, along with the four r11 shapes (NULL,
+    empty, zero-norm, NULL element). The DuckDB twin must agree."""
+    import duckdb
+
+    from streaming_data_lake_spark.functions.duckql import DUCK_VALID_VEC
+    from streaming_data_lake_spark.operators.similarity import valid_vectors
+
+    rows = [
+        (1, [1.0, 2.0]),            # valid
+        (2, None),                  # NULL vector
+        (3, []),                    # empty
+        (4, [0.0, 0.0]),            # zero norm
+        (5, [None, 1.0]),           # NULL element
+        (6, [float("nan"), 1.0]),   # NaN element
+        (7, [float("inf"), 1.0]),   # +Inf element
+        (8, [float("-inf"), 1.0]),  # -Inf element (norm = +Inf)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert [r["vec_id"] for r in valid_vectors(df).collect()] == [1]
+    con = duckdb.connect()
+    duck = con.execute(
+        "SELECT vec_id FROM (VALUES (1, [1.0,2.0]), (2, NULL), (3, CAST([] AS DOUBLE[])),"
+        " (4, [0.0,0.0]), (5, [NULL, 1.0]), (6, ['nan'::DOUBLE, 1.0]),"
+        " (7, ['inf'::DOUBLE, 1.0]), (8, ['-inf'::DOUBLE, 1.0])) t(vec_id, embedding)"
+        f" WHERE {DUCK_VALID_VEC.format(v='embedding')} ORDER BY vec_id"
+    ).fetchall()
+    assert duck == [(1,)]

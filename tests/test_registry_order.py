@@ -146,6 +146,14 @@ R12_ROUND_CODE_TOUCHED = [
     "streaming_sessionize",
     "streaming_upsert_hourly",
     "user_rolling_7day_value",
+    # GEN-3 similarity admission: non-finite-element exclusion
+    # (valid_vectors + DUCK_VALID_VEC + artifact-key GEN bump). The
+    # 7 windowed KNN/kmeans names absorb the same change in r12.
+    "semantic_dedup_centroid",
+    "embedding_cosine_near_dups",
+    "knn_ivf_materialized_cosine",
+    "embedding_label_stats",
+    "embedding_int8_quantization",
 ]
 
 # Queries REGISTERED during round 12 (never certified): the r12

@@ -153,6 +153,16 @@ def mutate_table(name: str, table: pa.Table) -> pa.Table:
                 row = [float(k) for k in range(dim)]
                 row[0] = None                        # NULL element
                 vals[59 % n] = row
+                # non-finite elements: pass a bare `norm > 0` in both
+                # engines (NaN-greatest comparisons) and poison every
+                # cosine in their cluster — the VALID_VEC_GEN 3
+                # admission must drop them (r12)
+                nanrow = [float(k) for k in range(dim)]
+                nanrow[1 % dim] = float("nan")
+                vals[71 % n] = nanrow
+                infrow = [float(k) for k in range(dim)]
+                infrow[2 % dim] = float("inf")
+                vals[83 % n] = infrow
         cols[field.name] = pa.array(vals, type=field.type)
     out = pa.table(cols, schema=table.schema)
     # Duplicate-content rows: identical payload, FRESH primary key —
