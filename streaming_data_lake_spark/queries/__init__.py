@@ -38,20 +38,118 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver hash-checks the FIRST 50 registered queries per round.
-# Round 12 executes the rotation CHANGELOG_r11.md committed, exactly
-# full with ZERO free slots: the 40-name drain (33 committed in
-# CHANGELOG_r11 "r12 drain" + the 7 displaced pre-drain fills — all
-# r9 verdicts, age 3 the moment CORRECTNESS_r11 landed) takes
-# positions 1-40, followed by the 10 r12 code-touched commitments
-# (7 KNN/kmeans DUCK_EMB oracle rewrites + the time-keyed admission
-# trio) at 41-50. The committed r13 window follows contiguously: the
-# 26 r10-verdict names (age 3 at r13 — this set CONTAINS all nine
-# late-r11 code-touched obligations CHANGELOG_r11 §r12-notes #2
-# lists) at 51-76, then any r12 code-touched names so r13 free slots
-# absorb them first. tests/test_registry_order.py asserts the
-# arithmetic; tools/ledger.py cross-references the verdict files.
+# Round 13 executes the rotation CHANGELOG_r12.md committed and
+# tests/test_registry_order.py (r12 revision) pinned: the 26-name
+# r10-verdict drain (age 3 the moment CORRECTNESS_r12 landed) at
+# positions 1-26, `knn_ivf_recall_at_k` (registered r12, never
+# certified — its ledger pending-next-window grace expires here) at
+# 27, the 11 R12_ROUND_CODE_TOUCHED names (multimodal skip-contract
+# pair, four finiteness-touched, five GEN-3 admission-touched) at
+# 28-38, and the 12 free slots filled oldest-r11-verdict-first
+# (`tools/ledger.py --emit-order`, ties by prior position) at 39-50
+# to pre-drain the r14 cliff. The committed r14 drain follows
+# contiguously: the 27 remaining r11-verdict names at 51-77 (age 3
+# at r14 → r14 = 27 obligatory + 23 free, pinned by forward
+# simulation in tests/test_registry_order.py). Rotated at round-13
+# start, before any driver run. tools/ledger.py cross-references the
+# verdict files.
 _CERTIFICATION_ORDER = [
-    # ---- (a) the 40-name r12 drain: r9 verdicts, stale now ----
+    # ---- (a) the 26-name r13 drain: r10 verdicts, stale the moment
+    # CORRECTNESS_r12 landed (includes all nine late-r11 code-touched
+    # obligations from CHANGELOG_r11 §r12-notes #2) ----
+    "salted_skew_aggregation",
+    "replicated_skew_join_rollup",
+    "conditional_distinct_users",
+    "user_engagement_ratios",
+    "user_daily_landscape",
+    "latest_event_per_user_type",
+    "interval_join_click_view",
+    "funnel_conversion_daily",
+    "value_distribution_by_class",
+    "flag_distribution",
+    "avg_value_spread",
+    "funnel_leakage_daily",
+    "cms_heavy_hitter_tokens",
+    "token_budget_packing",
+    "bloom_semi_join_prune",
+    "materialize_dim_change_repair",
+    "materialize_funnel_exists_repair",
+    "maintenance_compaction",
+    "two_level_overlay_maintenance",
+    "hll_distinct_users_daily",
+    "ngram_jaccard_near_dups",
+    "winnowing_fingerprints",
+    "exact_substring_dups",
+    "dedup_keep_best_quality",
+    "pii_redaction",
+    "event_quality_spine_hourly",
+    # ---- (b) registered r12, never certified: first driver verdict
+    # lands here (VERDICT r12 #2); the ledger's pending-next-window
+    # grace expires with this window either way ----
+    "knn_ivf_recall_at_k",
+    # ---- (c) the 11 R12_ROUND_CODE_TOUCHED commitments (r11
+    # verdicts certify pre-touch code): multimodal skip-contract
+    # pair, four raw-events-finiteness names, five GEN-3
+    # similarity-admission names ----
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "batch_sessionize_windows",
+    "streaming_sessionize",
+    "streaming_upsert_hourly",
+    "user_rolling_7day_value",
+    "semantic_dedup_centroid",
+    "embedding_cosine_near_dups",
+    "knn_ivf_materialized_cosine",
+    "embedding_label_stats",
+    "embedding_int8_quantization",
+    # ---- (d) the 12 free slots: oldest-verdict fills (all r11, ties
+    # by prior position — `tools/ledger.py --emit-order`), pre-
+    # draining the r14 cliff from 39 names to 27 ----
+    "rollup_revenue_levels",
+    "price_quantiles_by_flag",
+    "user_event_gaps",
+    "running_revenue_by_nation",
+    "order_value_deciles",
+    "doc_chunks_overlap",
+    "props_json_stats",
+    "keyset_intersect_except",
+    "orders_above_global_avg",
+    "supplier_name_near_matches",
+    "bigram_lm_quality",
+    "domain_mixture_resample",
+    # ---- position 51+ : NOT certified this round. First the
+    # committed r14 drain: the 27 remaining r11-verdict names (age 3
+    # at r14 → r14 window = 27 obligatory + 23 free; forward-
+    # simulated in tests/test_registry_order.py). Any name below that
+    # r13 code-touches must move directly after this drain ----
+    "price_outliers_zscore",
+    "lineitem_flag_pivot",
+    "corr_quantity_price",
+    "priority_window_profile",
+    "tfidf_top_terms",
+    "stratified_sample_by_lang",
+    "top_busiest_hours",
+    "repetition_signals",
+    "benchmark_decontamination",
+    "duplicate_rates_hourly",
+    "consistent_hash_sample",
+    "user_event_type_paths",
+    "events_clean",
+    "events_rejected",
+    "dedup_exact_text",
+    "time_travel_read_v1",
+    "snapshot_metadata",
+    "streaming_clean_events",
+    "streaming_interval_join_daily",
+    "streaming_funnel_daily",
+    "streaming_dedup_keys",
+    "streaming_dedup_within_watermark",
+    "streaming_hll_daily_users",
+    "streaming_cms_token_counts",
+    "materialize_incremental_clean_events",
+    "streaming_fanout_ingest",
+    "multimodal_media_features",
+    # ---- r12-certified (fresh through r14) ----
     "revenue_by_region",
     "top_nations_by_customers",
     "customers_with_orders",
@@ -85,7 +183,6 @@ _CERTIFICATION_ORDER = [
     "seeded_dim_hierarchy_enrichment",
     "daily_distinct_users",
     "events_dedup_canonical",
-    # the 7 displaced pre-drain fills (r9 verdicts, untouched code)
     "streaming_hourly_metrics",
     "pricing_summary",
     "minhash_lsh_near_dups",
@@ -93,10 +190,6 @@ _CERTIFICATION_ORDER = [
     "bucketed_colocated_join",
     "partition_pruned_scan",
     "schema_drift_check",
-    # ---- (b) the 10 r12 code-touched commitments: the r11 edge
-    # sweep inserted DUCK_EMB into these oracles (and valid_vectors
-    # into the engine paths) but the r11 window had no free slots;
-    # their r10 verdicts certify the pre-admission oracle text ----
     "knn_ivf_cosine",
     "knn_ivf_multiprobe_cosine",
     "knn_bruteforce_cosine",
@@ -104,106 +197,9 @@ _CERTIFICATION_ORDER = [
     "knn_ivf_pq_adc",
     "kmeans_train_centroids",
     "knn_ivf_trained_cosine",
-    # time-keyed admission contract (NULL event time): engine filter
-    # made explicit + oracle ts IS NOT NULL — same edge sweep, second
-    # pass.
     "sliding_window_metrics",
     "asof_latest_view_before_purchase",
     "asof_view_within_6h",
-    # ---- position 51+ : NOT certified this round. First the 26
-    # r10-verdict names that MUST lead the r13 window (age 3 at r13;
-    # includes all nine late-r11 code-touched obligations) ----
-    "salted_skew_aggregation",
-    "replicated_skew_join_rollup",
-    "conditional_distinct_users",
-    "user_engagement_ratios",
-    "user_daily_landscape",
-    "latest_event_per_user_type",
-    "interval_join_click_view",
-    "funnel_conversion_daily",
-    "value_distribution_by_class",
-    "flag_distribution",
-    "avg_value_spread",
-    "funnel_leakage_daily",
-    "cms_heavy_hitter_tokens",
-    "token_budget_packing",
-    "bloom_semi_join_prune",
-    "materialize_dim_change_repair",
-    "materialize_funnel_exists_repair",
-    "maintenance_compaction",
-    "two_level_overlay_maintenance",
-    "hll_distinct_users_daily",
-    "ngram_jaccard_near_dups",
-    "winnowing_fingerprints",
-    "exact_substring_dups",
-    "dedup_keep_best_quality",
-    "pii_redaction",
-    "event_quality_spine_hourly",
-    # ---- r12 code-touched while carrying r11 verdicts: the stub
-    # decoders gained the undecodable-payload skip contract
-    # (ADVICE r11 — operators/multimodal.py), and the raw-events
-    # finiteness contract landed engine+oracle (parity.finite /
-    # isfinite — r12 nonfinite-sweep findings). Certified-data
-    # results verified unchanged; they take r13 free slots directly
-    # after the drain ----
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "batch_sessionize_windows",
-    "streaming_sessionize",
-    "streaming_upsert_hourly",
-    "user_rolling_7day_value",
-    # the GEN-3 similarity admission (non-finite-element exclusion —
-    # operators/similarity.valid_vectors + DUCK_VALID_VEC, r12)
-    "semantic_dedup_centroid",
-    "embedding_cosine_near_dups",
-    "knn_ivf_materialized_cosine",
-    "embedding_label_stats",
-    "embedding_int8_quantization",
-    # ---- NEW in r12 (never certified — the r12 window has zero free
-    # slots, so it takes an r13 slot; ledger reports it
-    # pending-next-window until then): ANN recall accounting ----
-    "knn_ivf_recall_at_k",
-    # ---- r11-certified (fresh through r13). Any name here that r12
-    # code-touches must move directly after the r13 drain above ----
-    "rollup_revenue_levels",
-    "price_quantiles_by_flag",
-    "user_event_gaps",
-    "running_revenue_by_nation",
-    "order_value_deciles",
-    "doc_chunks_overlap",
-    "props_json_stats",
-    "keyset_intersect_except",
-    "orders_above_global_avg",
-    "supplier_name_near_matches",
-    "bigram_lm_quality",
-    "domain_mixture_resample",
-    "price_outliers_zscore",
-    "lineitem_flag_pivot",
-    "corr_quantity_price",
-    "priority_window_profile",
-    "tfidf_top_terms",
-    "stratified_sample_by_lang",
-    "top_busiest_hours",
-    "repetition_signals",
-    "benchmark_decontamination",
-    "duplicate_rates_hourly",
-    "consistent_hash_sample",
-    "user_event_type_paths",
-    "events_clean",
-    "events_rejected",
-    "dedup_exact_text",
-    "time_travel_read_v1",
-    "snapshot_metadata",
-    "streaming_clean_events",
-    "streaming_interval_join_daily",
-    "streaming_funnel_daily",
-    "streaming_dedup_keys",
-    "streaming_dedup_within_watermark",
-    "streaming_hll_daily_users",
-    "streaming_cms_token_counts",
-    "materialize_incremental_clean_events",
-    "streaming_fanout_ingest",
-    "multimodal_media_features",
 ]
 
 
