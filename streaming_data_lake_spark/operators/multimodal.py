@@ -68,6 +68,10 @@ def extract_media_features(media: DataFrame, decode_stub: bool = True) -> DataFr
                 raise NotImplementedError(
                     "real media decode requires PIL/soundfile; not available here"
                 )
+            # NULL payloads are undecodable media: skip the row, don't
+            # abort the stage on bytes(None)/len(None) (ADVICE r12 —
+            # same contract as resize_media/sample_frames).
+            pdf = pdf[pdf["payload"].notna()]
             checksums = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
             lens = pdf["payload"].map(len)
             yield pd.DataFrame(
@@ -123,6 +127,11 @@ def resize_media(
     (ADVICE r11)."""
 
     def decode_or_none(b) -> str | None:
+        # NULL payloads are undecodable too: bytes(None) raises
+        # TypeError, which would abort the stage and break the
+        # skip-don't-abort contract (ADVICE r12).
+        if b is None:
+            return None
         try:
             return bytes(b).decode("utf-8")
         except UnicodeDecodeError:
@@ -177,6 +186,8 @@ def sample_frames(
                 "doc_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL media: skip, don't abort (ADVICE r12)
                 try:
                     s = bytes(payload).decode("utf-8")
                 except UnicodeDecodeError:

@@ -65,7 +65,7 @@ SESSION_SCHEMA = (
     "n_events long, total_value double"
 )
 
-_STATE_SCHEMA = "start long, end long, n long, cents long"
+_STATE_SCHEMA = "start long, end long, n long, cents long, nfin long"
 
 # Sentinel identity for replay watermark-carrier rows. int64 min, NOT
 # -1: real corpora plausibly contain user_id -1 (the edge sweep
@@ -91,9 +91,14 @@ except Exception:  # noqa: BLE001 — best-effort; repo-on-path still works
     pass
 
 
-def _emit_sessions(user_id: int, sessions: list[tuple[int, int, int, int]]) -> pd.DataFrame:
-    """One output frame for a batch of closed (start, end, n, cents)
-    sessions of one user."""
+def _emit_sessions(
+    user_id: int, sessions: list[tuple[int, int, int, int, int]]
+) -> pd.DataFrame:
+    """One output frame for a batch of closed (start, end, n, cents,
+    nfin) sessions of one user. A session whose every value was
+    NULL/non-finite (nfin == 0) emits total_value NULL — matching the
+    NULL-skipping decimal SUM of the batch oracle and the certified
+    sessionize_native path, not 0.0 (ADVICE r12)."""
     a = np.asarray(sessions, dtype="int64")
     return pd.DataFrame(
         {
@@ -101,7 +106,11 @@ def _emit_sessions(user_id: int, sessions: list[tuple[int, int, int, int]]) -> p
             "session_start": pd.to_datetime(a[:, 0], unit="us"),
             "session_end": pd.to_datetime(a[:, 1], unit="us"),
             "n_events": a[:, 2],
-            "total_value": a[:, 3] / 100.0,
+            # masked (nullable) Float64, not NaN: Arrow carries the
+            # mask as a real null, a bare np.nan would stay NaN.
+            "total_value": pd.arrays.FloatingArray(
+                a[:, 3] / 100.0, mask=a[:, 4] == 0
+            ),
         }
     )
 
@@ -115,25 +124,31 @@ def _fold_batch(pdf: pd.DataFrame, carried, gap_us: int):
     late-data semantics: a state session whose end exceeds the
     batch's early timestamps can absorb the next segment.
 
-    Returns (closed_sessions, open_session) as (start, end, n, cents)
-    tuples; ``carried`` is the prior state tuple or None."""
+    Returns (closed_sessions, open_session) as (start, end, n, cents,
+    nfin) tuples; ``carried`` is the prior state tuple or None."""
     ts_us = (pdf["ts"].astype("int64") // 1_000).to_numpy()
     # Finiteness contract, cents-domain form: NULL/NaN/Inf values
     # contribute 0 cents (the decimal-SUM twins skip them as NULL; a
     # NaN through rint().astype(int64) is undefined-garbage cents —
-    # INT64_MIN on most platforms — corrupting the whole session)
+    # INT64_MIN on most platforms — corrupting the whole session).
+    # nfin counts the finite values per segment so an all-excluded
+    # session can emit total_value NULL like the decimal-SUM twins
+    # instead of 0.0 (ADVICE r12).
     vals = pdf["value"].to_numpy(dtype="float64", na_value=float("nan"))
-    vals = np.where(np.isfinite(vals), vals, 0.0)
+    fin = np.isfinite(vals)
+    vals = np.where(fin, vals, 0.0)
     cents_arr = np.rint(vals * 100).astype("int64")
+    nfin_arr = fin.astype("int64")
     order = np.argsort(ts_us, kind="stable")
-    ts_us, cents_arr = ts_us[order], cents_arr[order]
+    ts_us, cents_arr, nfin_arr = ts_us[order], cents_arr[order], nfin_arr[order]
     brk = np.flatnonzero(np.diff(ts_us) > gap_us) + 1
     seg_lo = np.concatenate(([0], brk))
     seg_hi = np.concatenate((brk, [ts_us.size]))
     seg_cents = np.add.reduceat(cents_arr, seg_lo)
+    seg_nfin = np.add.reduceat(nfin_arr, seg_lo)
     segments = [
-        (int(ts_us[lo]), int(ts_us[hi - 1]), int(hi - lo), int(c))
-        for lo, hi, c in zip(seg_lo, seg_hi, seg_cents)
+        (int(ts_us[lo]), int(ts_us[hi - 1]), int(hi - lo), int(c), int(k))
+        for lo, hi, c, k in zip(seg_lo, seg_hi, seg_cents, seg_nfin)
     ]
     if carried is not None:
         # Fold the carried session in as ONE MORE interval and run a
@@ -157,6 +172,7 @@ def _fold_batch(pdf: pd.DataFrame, carried, gap_us: int):
                 max(cur[1], seg[1]),
                 cur[2] + seg[2],
                 cur[3] + seg[3],
+                cur[4] + seg[4],
             )
         else:
             closed.append(cur)
@@ -175,9 +191,9 @@ def sessionize(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         user_id = key[0]
         if state.hasTimedOut:
-            start, end, n, cents = state.get
+            start, end, n, cents, nfin = state.get
             state.remove()
-            yield _emit_sessions(user_id, [(start, end, n, cents)])
+            yield _emit_sessions(user_id, [(start, end, n, cents, nfin)])
             return
         if user_id == _SENTINEL_USER:
             return  # watermark carrier, not data
@@ -517,9 +533,11 @@ def sessionize_tws(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             if self._sess.exists():
-                start, end, n, cents = self._sess.get()
+                start, end, n, cents, nfin = self._sess.get()
                 self._sess.clear()
-                yield _emit_sessions(key[0], [(int(start), int(end), int(n), int(cents))])
+                yield _emit_sessions(
+                    key[0], [(int(start), int(end), int(n), int(cents), int(nfin))]
+                )
 
     return (
         src.select("user_id", "ts", "value")

@@ -24,28 +24,33 @@ def naive_fold(events, carried, gap_us):
     gap — merging sessions the oracle keeps separate, and kept late
     events from merging with each other before the carried span;
     r10 review pass 2 fixed the implementation, and this reference
-    mirrors the corrected contract.)"""
-    segs = [(t, t, 1, c) for t, c in sorted(events)]
+    mirrors the corrected contract.) Events carry (ts, cents, finite):
+    a non-finite value contributes 0 cents and 0 to the session's
+    finite-value count (nfin), mirroring the NULL-skipping decimal
+    SUM contract."""
+    segs = [(t, t, 1, c if f else 0, 1 if f else 0) for t, c, f in sorted(events)]
     if carried is not None:
         segs.append(tuple(carried))
         segs.sort(key=lambda s: (s[0], s[1]))
     closed = []
-    start, end, n, cents = segs[0]
-    for s, e, k, c in segs[1:]:
+    start, end, n, cents, nfin = segs[0]
+    for s, e, k, c, f in segs[1:]:
         if s - end > gap_us:
-            closed.append((start, end, n, cents))
-            start, end, n, cents = s, e, k, c
+            closed.append((start, end, n, cents, nfin))
+            start, end, n, cents, nfin = s, e, k, c, f
         else:
             end = max(end, e)
             n += k
             cents += c
-    return closed, (start, end, n, cents)
+            nfin += f
+    return closed, (start, end, n, cents, nfin)
 
 
 events_strategy = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=60_000_000),  # ts within a minute
         st.integers(min_value=0, max_value=99_999),  # exact cents
+        st.booleans(),  # finite? False -> NaN value (excluded)
     ),
     min_size=1,
     max_size=60,
@@ -58,7 +63,8 @@ carried_strategy = st.one_of(
         st.integers(min_value=0, max_value=20_000_000),  # end (may exceed early ts)
         st.integers(min_value=1, max_value=10),
         st.integers(min_value=0, max_value=1_000_000),
-    ).map(lambda t: (min(t[0], t[1]), max(t[0], t[1]), t[2], t[3])),
+        st.integers(min_value=0, max_value=10),  # nfin (finite-value count)
+    ).map(lambda t: (min(t[0], t[1]), max(t[0], t[1]), t[2], t[3], min(t[4], t[2]))),
 )
 
 
@@ -67,14 +73,31 @@ carried_strategy = st.one_of(
 def test_fold_batch_matches_naive(events, carried):
     pdf = pd.DataFrame(
         {
-            "ts": pd.to_datetime([t for t, _ in events], unit="us"),
-            "value": [c / 100.0 for _, c in events],
+            "ts": pd.to_datetime([t for t, _, _ in events], unit="us"),
+            "value": [c / 100.0 if f else float("nan") for _, c, f in events],
         }
     )
     got_closed, got_open = _fold_batch(pdf, carried, GAP_US)
     want_closed, want_open = naive_fold(events, carried, GAP_US)
     assert got_closed == want_closed
     assert got_open == want_open
+
+
+def test_emit_sessions_all_excluded_total_is_null():
+    """A session whose every value was NULL/non-finite (nfin == 0)
+    emits total_value NULL, matching the NULL-skipping decimal SUM of
+    the batch oracle and the certified sessionize_native path — not
+    0.0 (ADVICE r12)."""
+    from streaming_data_lake_spark.streaming.sessionize import _emit_sessions
+
+    out = _emit_sessions(7, [(0, 10, 2, 0, 0), (20, 30, 3, 150, 2)])
+    assert out["total_value"].isna().tolist() == [True, False]
+    assert out["total_value"][1] == 1.5
+    # the mask must survive Arrow conversion as a NULL, not a NaN
+    import pyarrow as pa
+
+    col = pa.Table.from_pandas(out)["total_value"]
+    assert col.null_count == 1
 
 
 # ---------------------------------------------------------------------------

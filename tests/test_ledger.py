@@ -196,9 +196,10 @@ def test_order_sensitive_subset_derivation():
 def test_never_certified_pending_next_window_is_not_a_problem():
     """A NEW query cannot earn a verdict when the current window is
     exactly full; parked in the committed next-window region
-    (positions window..2*window) it reports pending-next-window and
-    passes. Outside that region it is still a hole, and a STALE or
-    FAILED verdict parked there gets no such grace."""
+    (positions window..2*window) with a PENDING_SINCE record of the
+    current round, it reports pending-next-window and passes. Outside
+    that region it is still a hole, and a STALE or FAILED verdict
+    parked there gets no such grace."""
     order = ["w1", "w2", "new_committed", "stale_parked", "new_far"]
     verdicts = {
         "w1": (5, True, ""),
@@ -206,7 +207,8 @@ def test_never_certified_pending_next_window_is_not_a_problem():
         "stale_parked": (1, True, ""),
     }
     problems, rows = ledger.audit(
-        max_age=2, window=2, verdicts=verdicts, order=order
+        max_age=2, window=2, verdicts=verdicts, order=order,
+        pending_since={"new_committed": 5},
     )
     by_name = {r["query"]: r["status"] for r in rows}
     assert by_name["new_committed"] == "pending-next-window"
@@ -214,3 +216,35 @@ def test_never_certified_pending_next_window_is_not_a_problem():
     assert by_name["new_far"] == "never-certified"
     blamed = {p.split(":")[0] for p in problems}
     assert blamed == {"stale_parked", "new_far"}, problems
+
+
+def test_pending_next_window_grace_is_age_bounded():
+    """The grace covers exactly one rotation (ADVICE r12): once a
+    LATER verdict round lands while the query is still never
+    certified, a committed-next parking spot no longer passes — and a
+    name with no PENDING_SINCE record gets no grace at all."""
+    order = ["w1", "w2", "new_committed", "unrecorded", "t1"]
+    verdicts = {"w1": (6, True, ""), "w2": (6, True, "")}
+    # pending since r5, latest round now r6 -> a full rotation passed
+    problems, rows = ledger.audit(
+        max_age=2, window=2, verdicts=verdicts, order=order,
+        pending_since={"new_committed": 5},
+    )
+    by_name = {r["query"]: r["status"] for r in rows}
+    assert by_name["new_committed"] == "never-certified"
+    assert by_name["unrecorded"] == "never-certified"
+    blamed = {p.split(":")[0] for p in problems}
+    assert {"new_committed", "unrecorded"} <= blamed, problems
+    assert any("grace EXPIRED" in p for p in problems), problems
+
+
+def test_live_pending_since_covers_live_never_certified():
+    """Every never-certified name in the LIVE registry must carry a
+    PENDING_SINCE record (the bound is meaningless for unrecorded
+    names — they are immediately red when parked)."""
+    verdicts = ledger.load_verdicts()
+    for name in ledger.registry_order():
+        if name not in verdicts:
+            assert name in ledger.PENDING_SINCE, (
+                f"{name} is never-certified but has no PENDING_SINCE entry"
+            )

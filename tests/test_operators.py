@@ -666,11 +666,14 @@ def test_multimodal_undecodable_payload_skipped_not_fatal(spark):
         sample_frames,
     )
 
+    from streaming_data_lake_spark.operators.multimodal import extract_media_features
+
     media = spark.createDataFrame(
         [
             (1, "image/png", 5, bytearray(b"hello")),
             (2, "image/png", 2, bytearray(b"\xff\xfe")),  # invalid UTF-8
             (3, "audio/wav", 3, bytearray(b"abc")),
+            (4, "image/png", 0, None),  # NULL payload (ADVICE r12)
         ],
         "doc_id long, media_type string, byte_len long, payload binary",
     )
@@ -679,6 +682,8 @@ def test_multimodal_undecodable_payload_skipped_not_fatal(spark):
     assert all(r["byte_len"] == 4 for r in resized)
     frames = sample_frames(media, frame_chars=4).collect()
     assert sorted({r["doc_id"] for r in frames}) == [1, 3]
+    feats = extract_media_features(media).collect()
+    assert sorted(r["doc_id"] for r in feats) == [1, 2, 3]
 
 
 def test_cms_lookup_unseen_candidate_estimates_zero(spark):

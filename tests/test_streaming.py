@@ -488,19 +488,19 @@ def test_review_r10_source_contracts(spark, tmp_path):
     gap_us = 10_000_000  # 10s
     late = pd2.DataFrame({"ts": pd2.to_datetime([50_000_000_000], unit="ns"),
                           "value": [1.0]})  # t=50s
-    closed, cur = _fold_batch(late, (100_000_000, 100_000_000, 1, 100), gap_us)
-    assert closed == [(50_000_000, 50_000_000, 1, 100)], "late segment must close separately"
-    assert cur == (100_000_000, 100_000_000, 1, 100)
+    closed, cur = _fold_batch(late, (100_000_000, 100_000_000, 1, 100, 1), gap_us)
+    assert closed == [(50_000_000, 50_000_000, 1, 100, 1)], "late segment must close separately"
+    assert cur == (100_000_000, 100_000_000, 1, 100, 1)
     # two late segments within gap of each other merge together
     late2 = pd2.DataFrame({"ts": pd2.to_datetime([50_000_000_000, 55_000_000_000], unit="ns"),
                            "value": [1.0, 1.0]})
-    closed, cur = _fold_batch(late2, (100_000_000, 100_000_000, 1, 100), gap_us)
-    assert closed == [(50_000_000, 55_000_000, 2, 200)]
+    closed, cur = _fold_batch(late2, (100_000_000, 100_000_000, 1, 100, 1), gap_us)
+    assert closed == [(50_000_000, 55_000_000, 2, 200, 2)]
     # a late segment within gap of the carried start still merges
     near = pd2.DataFrame({"ts": pd2.to_datetime([95_000_000_000], unit="ns"),
                           "value": [1.0]})
-    closed, cur = _fold_batch(near, (100_000_000, 100_000_000, 1, 100), gap_us)
-    assert closed == [] and cur == (95_000_000, 100_000_000, 2, 200)
+    closed, cur = _fold_batch(near, (100_000_000, 100_000_000, 1, 100, 1), gap_us)
+    assert closed == [] and cur == (95_000_000, 100_000_000, 2, 200, 2)
 
     # 4: relative sf_dir staging resolves
     rel = os.path.relpath(SF_DIR, os.getcwd())

@@ -64,6 +64,7 @@ per-round gate.
 from __future__ import annotations
 
 import random
+import re
 import subprocess
 import sys
 from pathlib import Path
@@ -224,18 +225,32 @@ def generate(
         print(f"  {p.stem}: {t.num_rows} -> {m.num_rows} rows")
 
 
-# Lowercase markers of order-sensitive semantics. Window ranking and
+# Regexes (word-boundary anchored, lowercase) of order-sensitive
+# semantics (ADVICE r12: plain substring matching over-matched words
+# like 'delimit'/'unlimited' and missed list/string aggregations
+# spelled array_agg/group_concat/listagg). Window ranking and
 # analytic offsets, LIMIT (tie exposure), first/last and arg-min/max
-# picks, collected lists ("list(" also matches collect_list/
-# list_transform-free list() in DuckDB), string aggregation, and
-# positional folds (F.aggregate / DuckDB reduce). Matching BOTH the
-# oracle text and the query fn's own source keeps the derivation
-# two-sided: SQL-expressible sensitivity shows in the oracle,
-# Spark-side constructs (collect_list, F.first) show in the source.
-_ORDER_MARKERS = (
-    "row_number", "rank(", "ntile", "lag(", "lead(",
-    "limit", "first(", "last(", "min_by", "max_by", "arg_min",
-    "arg_max", "list(", "string_agg", "aggregate(", "reduce(",
+# picks, collected lists (collect_list and DuckDB list()/array_agg),
+# string aggregation, and positional folds (F.aggregate / DuckDB
+# reduce). Matching BOTH the oracle text and the query fn's own
+# source keeps the derivation two-sided: SQL-expressible sensitivity
+# shows in the oracle, Spark-side constructs (collect_list, F.first)
+# show in the source.
+_ORDER_MARKERS = tuple(
+    re.compile(p)
+    for p in (
+        r"\brow_number\b", r"\brank\s*\(", r"\bntile\b", r"\blag\s*\(",
+        r"\blead\s*\(", r"\blimit\b", r"\bfirst\s*\(", r"\blast\s*\(",
+        r"\bmin_by\b", r"\bmax_by\b", r"\barg_min\b", r"\barg_max\b",
+        r"\b\w*list\w*\s*\(",  # list( / collect_list( / list_transform(
+        r"\barray_agg\b", r"\bgroup_concat\b", r"\blistagg\b",
+        r"\bstring_agg\b", r"\baggregate\s*\(", r"\breduce\s*\(",
+        # cumulative/running windows (the old list caught these only
+        # by the 'ntile'-in-'quantile' over-match): Spark rowsBetween
+        # / unboundedPreceding, SQL ROWS ... UNBOUNDED PRECEDING
+        r"\browsbetween\b", r"\bunboundedpreceding\b",
+        r"\bunbounded\s+preceding\b",
+    )
 )
 
 
@@ -253,7 +268,7 @@ def order_sensitive_names() -> list[str]:
             hay += inspect.getsource(q.fn).lower()
         except (OSError, TypeError):
             pass
-        if any(m in hay for m in _ORDER_MARKERS):
+        if any(m.search(hay) for m in _ORDER_MARKERS):
             out.append(name)
     return out
 

@@ -38,6 +38,18 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
+# Round in which each NEVER-certified query was registered (= the
+# round whose CORRECTNESS file first landed without it). The
+# pending-next-window grace in :func:`audit` is bounded by this map
+# (ADVICE r12): grace holds only while ``latest_round <= registered
+# round`` — one full rotation. A never-certified name with no entry
+# gets NO grace, so registering a new query while the window is full
+# requires recording it here (the red ledger is the reminder).
+# Certified names are inert here; prune entries when convenient.
+PENDING_SINCE: dict[str, int] = {
+    "knn_ivf_recall_at_k": 12,  # registered r12 (window was exactly full)
+}
+
 
 def load_verdicts(repo: str = REPO) -> dict[str, tuple[int, bool, str]]:
     """query -> (latest_round, passed, detail). ``passed`` means the
@@ -76,6 +88,7 @@ def audit(
     window: int = WINDOW,
     verdicts: dict[str, tuple[int, bool, str]] | None = None,
     order: list[str] | None = None,
+    pending_since: dict[str, int] | None = None,
 ) -> tuple[list[str], list[dict]]:
     """Returns (problems, rows). ``problems`` empty == ledger green.
 
@@ -89,6 +102,8 @@ def audit(
         verdicts = load_verdicts()
     if order is None:
         order = registry_order()
+    if pending_since is None:
+        pending_since = PENDING_SINCE
     latest_round = max((r for r, _ok, _d in verdicts.values()), default=0)
     windowed = set(order[:window])
     # A NEVER-certified query physically cannot earn a verdict when
@@ -99,7 +114,11 @@ def audit(
     # names get this grace: a STALE or FAILED verdict parked there is
     # still a problem (regressions and aging must not hide behind the
     # next round's plan — the committed-drain excuse for those lives
-    # in tests/test_registry_order.py, pinned by explicit name).
+    # in tests/test_registry_order.py, pinned by explicit name). The
+    # grace is AGE-BOUNDED (ADVICE r12): it holds only while
+    # ``latest_round <= PENDING_SINCE[name]`` — once one more
+    # CORRECTNESS file lands without the query, successive rotations
+    # can no longer keep deferring it.
     committed_next = set(order[window : 2 * window])
     problems: list[str] = []
     rows: list[dict] = []
@@ -111,8 +130,13 @@ def audit(
             )
         )
         scheduled = name in windowed
+        grace_expired = False
         if status == "never-certified" and not scheduled and name in committed_next:
-            status = "pending-next-window"
+            since = pending_since.get(name)
+            if since is not None and latest_round <= since:
+                status = "pending-next-window"
+            else:
+                grace_expired = since is not None
         rows.append(
             {"query": name, "latest_round": rnd, "status": status, "windowed": scheduled}
         )
@@ -122,9 +146,15 @@ def audit(
             )
         elif status in ("never-certified", "stale") and not scheduled:
             where = "no driver verdict" if rnd is None else f"last verdict r{rnd}"
+            extra = (
+                f"; pending-next-window grace EXPIRED (pending since "
+                f"r{pending_since[name]}, a full rotation has passed)"
+                if grace_expired
+                else ""
+            )
             problems.append(
                 f"{name}: {where} (latest round r{latest_round}, max age "
-                f"{max_age}) and NOT in the first-{window} certification window"
+                f"{max_age}) and NOT in the first-{window} certification window{extra}"
             )
     return problems, rows
 
