@@ -19,15 +19,14 @@ import ledger  # noqa: E402
 
 
 def test_ledger_green_under_current_window_or_committed_drain():
-    """Green ledger, with ONE sanctioned exception: the exactly-full
-    r12 window cannot also hold the 26 r10-certified names, which go
-    stale (age 3) the moment CORRECTNESS_r12 lands — they are
-    committed in writing as the r13 window leaders (pinned by
-    tests/test_registry_order.R13_DRAIN). Staleness is excused for
-    them and ONLY them, so the gate stays green across the verdict
-    landing without loosening anything else. FAILED verdicts are
-    never excused: a regression must not hide behind rotation."""
-    from tests.test_registry_order import R13_DRAIN
+    """Green ledger, with ONE sanctioned exception: names committed
+    in writing as the NEXT round's window leaders (pinned by
+    tests/test_registry_order.R14_DRAIN — 27 r11-verdict names the
+    r13 window cannot also hold). Staleness is excused for them and
+    ONLY them, so the gate stays green across the verdict landing
+    without loosening anything else. FAILED verdicts are never
+    excused: a regression must not hide behind rotation."""
+    from tests.test_registry_order import R14_DRAIN
 
     problems, rows = ledger.audit()
     assert rows, "ledger saw no queries — registry import broken?"
@@ -38,11 +37,11 @@ def test_ledger_green_under_current_window_or_committed_drain():
         elif (
             row["status"] in ("stale", "never-certified")
             and not row["windowed"]
-            and row["query"] not in R13_DRAIN
+            and row["query"] not in R14_DRAIN
         ):
             unexcused.append(
                 f"{row['query']}: {row['status']} and outside both the "
-                f"window and the committed r13 drain"
+                f"window and the committed r14 drain"
             )
     assert not unexcused, "\n".join(unexcused)
 
@@ -248,3 +247,63 @@ def test_live_pending_since_covers_live_never_certified():
             assert name in ledger.PENDING_SINCE, (
                 f"{name} is never-certified but has no PENDING_SINCE entry"
             )
+
+
+def test_skew_sweep_mutations_are_deterministic_and_hot():
+    """make_skew (tools/edge_sweep.py --skew, VERDICT r12 #5) must be
+    deterministic (two calls bit-identical), concentrate the declared
+    hot fractions, preserve primary keys and contracted value columns
+    untouched, and keep documents.n_chars consistent with text."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import edge_sweep
+
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    a = edge_sweep.make_skew("events", ev)
+    b = edge_sweep.make_skew("events", ev)
+    assert a.equals(b), "skew generation must be deterministic"
+    uid = collections.Counter(a.column("user_id").to_pylist())
+    assert uid.most_common(1)[0][1] / a.num_rows > 0.35, "hot user share"
+    # PKs and contracted value column untouched
+    assert a.column("event_id").equals(ev.column("event_id"))
+    assert a.column("value").equals(ev.column("value"))
+    assert a.column("ts").equals(ev.column("ts"))
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    d = edge_sweep.make_skew("documents", docs)
+    txt = d.column("text").to_pylist()
+    nch = d.column("n_chars").to_pylist()
+    assert all(t is None or len(t) == c for t, c in zip(txt, nch)), (
+        "n_chars must track mutated text"
+    )
+    hot_share = sum(1 for t in txt if t and t.endswith("zz hot token")) / len(txt)
+    assert hot_share > 0.2, hot_share
+
+    emb = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    e = edge_sweep.make_skew("embeddings", emb)
+    vecs = e.column("embedding").to_pylist()
+    hot = sum(1 for v in vecs if v and v[0] is not None and abs(v[0] - 1.0) < 0.02)
+    assert hot / len(vecs) > 0.12, "hot LSH/IVF direction share"
+    assert e.column("vec_id").equals(emb.column("vec_id"))
+
+
+def test_skew_runtime_blowup_regex_catches_slow_lines():
+    """The skew sweep's bounded-runtime parse must flag a query over
+    the bound on both PASS and FAIL lines and ignore fast ones."""
+    import re as _re
+
+    pat = _re.compile(r"^(PASS|FAIL) (\S+):.*\[([0-9.]+)s\]")
+    fast = pat.search("PASS top_tokens: 20 rows, 3 cols [0.7s]")
+    slow = pat.search("PASS minhash_lsh_near_dups: 9 rows, 3 cols [241.3s]")
+    failslow = pat.search("FAIL knn_ivf_cosine: rows 3 vs 4 [500.0s]")
+    assert fast and float(fast.group(3)) < edge_sweep_max()
+    assert slow and float(slow.group(3)) > edge_sweep_max()
+    assert failslow and float(failslow.group(3)) > edge_sweep_max()
+
+
+def edge_sweep_max() -> float:
+    import edge_sweep
+
+    return edge_sweep.SKEW_MAX_QUERY_SEC

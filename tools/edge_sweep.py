@@ -187,6 +187,116 @@ def mutate_table(name: str, table: pa.Table) -> pa.Table:
     return out
 
 
+def _set_col(table: pa.Table, cname: str, vals: list) -> pa.Table:
+    idx = table.schema.get_field_index(cname)
+    return table.set_column(
+        idx, cname, pa.array(vals, type=table.schema.field(cname).type)
+    )
+
+
+def _hot(vals: list):
+    """Deterministic in-domain hot value: the smallest non-NULL."""
+    return min(v for v in vals if v is not None)
+
+
+# Per-query wall-clock bound for the skew sweep (seconds). Normal
+# queries run < 5 s at sf0.001; a candidate-pair/occupancy blowup is
+# superlinear in the hot-key count and blows far past this.
+SKEW_MAX_QUERY_SEC = 120.0
+
+
+def make_skew(name: str, table: pa.Table) -> pa.Table:
+    """Zipf-ify the join/group/bucket keys (VERDICT r12 #5): values
+    move to in-domain hot keys, primary keys and contracted value
+    columns stay untouched, so every oracle contract still holds and
+    a divergence is a real order/skew bug, not noise.
+
+    - events: 40% of rows on ONE user + 20% on 10 warm users (the
+      hot-user shape behind salted_skew_aggregation and the
+      interval/funnel joins); 50% of rows on one event_type.
+    - orders: 40% of rows on one o_custkey (skewed fact->dim join).
+    - lineitem: 35%/30% on one l_suppkey/l_partkey.
+    - customer: 60% on one c_nationkey (skewed group-by fan-in).
+    - documents: 30% of texts share a hot-token tail (token-frequency
+      skew for top_tokens/CMS/TF-IDF/boilerplate); n_chars recomputed
+      so the stored-length invariant survives.
+    - embeddings: 20% of vectors share one direction (tiny
+      deterministic jitter) — LSH-bucket / IVF-cluster occupancy
+      skew; 60% of labels on one value.
+    """
+    rng = random.Random(f"skew:{name}")
+    n = table.num_rows
+    if n == 0:
+        return table
+    if name == "events":
+        uid = table.column("user_id").to_pylist()
+        pool = sorted({v for v in uid if v is not None})
+        hot, warm = pool[0], (pool[1:11] or pool[:1])
+        for i in range(n):
+            r = rng.random()
+            if r < 0.40:
+                uid[i] = hot
+            elif r < 0.60:
+                uid[i] = warm[int(r * 1e6) % len(warm)]
+        table = _set_col(table, "user_id", uid)
+        et = table.column("event_type").to_pylist()
+        hot_type = _hot(et)
+        for i in range(n):
+            if rng.random() < 0.50:
+                et[i] = hot_type
+        table = _set_col(table, "event_type", et)
+    elif name == "orders":
+        ck = table.column("o_custkey").to_pylist()
+        hot = _hot(ck)
+        for i in range(n):
+            if rng.random() < 0.40:
+                ck[i] = hot
+        table = _set_col(table, "o_custkey", ck)
+    elif name == "lineitem":
+        for cname, frac in (("l_suppkey", 0.35), ("l_partkey", 0.30)):
+            v = table.column(cname).to_pylist()
+            hot = _hot(v)
+            for i in range(n):
+                if rng.random() < frac:
+                    v[i] = hot
+            table = _set_col(table, cname, v)
+    elif name == "customer":
+        nk = table.column("c_nationkey").to_pylist()
+        hot = _hot(nk)
+        for i in range(n):
+            if rng.random() < 0.60:
+                nk[i] = hot
+        table = _set_col(table, "c_nationkey", nk)
+    elif name == "documents":
+        txt = table.column("text").to_pylist()
+        tail = " zz hot token" * 8
+        for i in range(n):
+            if txt[i] is not None and rng.random() < 0.30:
+                txt[i] = txt[i] + tail
+        table = _set_col(table, "text", txt)
+        nch = table.column("n_chars").to_pylist()
+        nch = [len(t) if t is not None else c for t, c in zip(txt, nch)]
+        table = _set_col(table, "n_chars", nch)
+    elif name == "embeddings":
+        emb = table.column("embedding").to_pylist()
+        dim = next((len(v) for v in emb if v), 8)
+        k = 0
+        for i in range(n):
+            if rng.random() < 0.20:
+                emb[i] = [
+                    1.0 + ((k * 37 + j) % 101) * 1e-4 for j in range(dim)
+                ]
+                k += 1
+        table = _set_col(table, "embedding", emb)
+        lbl = table.column("label").to_pylist()
+        hot = _hot(lbl)
+        for i in range(n):
+            if rng.random() < 0.60:
+                lbl[i] = hot
+        table = _set_col(table, "label", lbl)
+    return table
+
+
 def inject_nonfinite(name: str, table: pa.Table) -> pa.Table:
     """NaN / +Inf / -Inf into events.value at fixed rows; every other
     table passes through untouched."""
@@ -205,7 +315,7 @@ def inject_nonfinite(name: str, table: pa.Table) -> pa.Table:
 
 def generate(
     src: str, out: str, empty: bool = False, shuffle: bool = False,
-    nonfinite: bool = False,
+    nonfinite: bool = False, skew: bool = False,
 ) -> None:
     outp = Path(out)
     outp.mkdir(parents=True, exist_ok=True)
@@ -219,6 +329,8 @@ def generate(
             m = t.take(pa.array(idx))
         elif nonfinite:
             m = inject_nonfinite(p.stem, t)
+        elif skew:
+            m = make_skew(p.stem, t)
         else:
             m = mutate_table(p.stem, t)
         pq.write_table(m, outp / p.name)
@@ -279,9 +391,11 @@ def main() -> int:
     empty = "--empty" in argv
     shuffle = "--shuffle" in argv
     nonfinite = "--nonfinite" in argv
+    skew = "--skew" in argv
     order_sensitive = "--order-sensitive" in argv
     argv = [a for a in argv if a not in (
-        "--gen-only", "--empty", "--shuffle", "--nonfinite", "--order-sensitive"
+        "--gen-only", "--empty", "--shuffle", "--nonfinite", "--skew",
+        "--order-sensitive",
     )]
 
     def _flag(name, default):
@@ -297,16 +411,20 @@ def main() -> int:
         "empty" if empty else
         "shuffle" if shuffle else
         "nonfinite" if nonfinite else
+        "skew" if skew else
         "edge"
     )
     out = _flag("--out", {
         "empty": "/tmp/sdl_empty",
         "shuffle": "/tmp/sdl_shuffle",
         "nonfinite": "/tmp/sdl_nonfinite",
+        "skew": "/tmp/sdl_skew",
         "edge": OUT_DEFAULT,
     }[kind])
     print(f"generating {kind} tables {src} -> {out}")
-    generate(src, out, empty=empty, shuffle=shuffle, nonfinite=nonfinite)
+    generate(
+        src, out, empty=empty, shuffle=shuffle, nonfinite=nonfinite, skew=skew
+    )
     if gen_only:
         return 0
     if order_sensitive and not argv:
@@ -314,7 +432,31 @@ def main() -> int:
         print(f"order-sensitive subset ({len(argv)} derived): {' '.join(argv)}")
     cmd = [sys.executable, "tools/check.py", out, *argv]
     print("running:", " ".join(cmd))
-    return subprocess.call(cmd, cwd="/root/repo")
+    if not skew:
+        return subprocess.call(cmd, cwd="/root/repo")
+    # Skew sweep: parity AND bounded runtime. A hot key must not blow
+    # up candidate pairs / shard occupancy into a superlinear stage —
+    # the failure mode that kills a 100 TB job even when the answer
+    # would eventually be right. check.py prints per-query wall
+    # times; any query over SKEW_MAX_QUERY_SEC fails the sweep.
+    proc = subprocess.Popen(
+        cmd, cwd="/root/repo", stdout=subprocess.PIPE, text=True
+    )
+    slow: list[str] = []
+    assert proc.stdout is not None
+    for line in proc.stdout:
+        print(line, end="")
+        m = re.search(r"^(PASS|FAIL) (\S+):.*\[([0-9.]+)s\]", line)
+        if m and float(m.group(3)) > SKEW_MAX_QUERY_SEC:
+            slow.append(f"{m.group(2)} ({m.group(3)}s)")
+    rc = proc.wait()
+    if slow:
+        print(
+            f"SKEW RUNTIME BLOWUP: {len(slow)} query(ies) over "
+            f"{SKEW_MAX_QUERY_SEC}s on hot-key data: {', '.join(slow)}"
+        )
+        return 1
+    return rc
 
 
 if __name__ == "__main__":
