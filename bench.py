@@ -85,6 +85,65 @@ def _round_seed() -> int:
     return (max(rounds) if rounds else 0) + 1
 
 
+def _prev_bench(repo: str) -> tuple[dict | None, int | None]:
+    """The latest BENCH_r{N}.json's parsed payload (driver files wrap
+    the JSON line under "parsed"; a bare line parses as-is), or
+    (None, round) when unreadable."""
+    import glob
+    import re
+
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
+        if m := re.search(r"BENCH_r(\d+)\.json$", p):
+            rnd = int(m.group(1))
+            if best is None or rnd > best[0]:
+                best = (rnd, p)
+    if best is None:
+        return None, None
+    try:
+        with open(best[1]) as fh:
+            d = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None, best[0]
+    payload = d.get("parsed", d) if isinstance(d, dict) else None
+    if not isinstance(payload, dict) or not payload.get("queries"):
+        return None, best[0]
+    return payload, best[0]
+
+
+def find_regressions(
+    per_query: dict[str, float],
+    calibration: float,
+    prev: dict,
+    cal_baseline: float,
+    ratio_bar: float = 1.5,
+    abs_floor_sec: float = 0.2,
+) -> list[dict]:
+    """Per-query regression tripwire (VERDICT r12 "Next round" #6):
+    compare THIS run's calibration-normalized per-query times against
+    the previous round's artifact, normalized with ITS recorded
+    calibration, and flag any query over ``ratio_bar`` x. The
+    ``abs_floor_sec`` guard drops sub-second flapping (r12 saw 0.31 s
+    vs 0.23 s read as a spike) — a real regression at headline scale
+    moves the normalized time by far more than 0.2 s."""
+    prev_cal = prev.get("cpu_calibration_sec") or cal_baseline
+    out: list[dict] = []
+    for name, cur in sorted(per_query.items()):
+        p = prev["queries"].get(name)
+        if p is None:
+            continue
+        cur_n = cur * cal_baseline / calibration
+        prev_n = p * cal_baseline / prev_cal
+        if cur_n > ratio_bar * prev_n and cur_n - prev_n > abs_floor_sec:
+            out.append({
+                "query": name,
+                "prev_normalized": round(prev_n, 3),
+                "now_normalized": round(cur_n, 3),
+                "ratio": round(cur_n / prev_n, 2),
+            })
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from streaming_data_lake_spark.queries import all_queries
@@ -241,6 +300,15 @@ def main() -> int:
     # cpu_calibration_sec (0.273) — normalized totals are directly
     # comparable to BENCH_r11's raw 33.763 s.
     cal_baseline = 0.273
+    # Regression tripwire (VERDICT r12 #6): normalized per-query
+    # comparison against the previous round's recorded artifact, in
+    # the JSON line itself — perf claims stop being hand-assembled.
+    prev, prev_round = _prev_bench(os.path.dirname(os.path.abspath(__file__)))
+    regressions = (
+        find_regressions(per_query, calibration, prev, cal_baseline)
+        if prev
+        else []
+    )
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -256,6 +324,8 @@ def main() -> int:
         "io_calibration_sec": io_calibration,
         "io_calibration_runs": io_times,
         "value_normalized_r11cal": round(total * cal_baseline / calibration, 3),
+        "regressions": regressions,
+        "regression_baseline": f"BENCH_r{prev_round:02d}" if prev else None,
     }))
     return 0
 

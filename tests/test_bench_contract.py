@@ -52,3 +52,50 @@ def test_round_seed_tracks_correctness_files(monkeypatch):
         if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
     ]
     assert bench._round_seed() == (max(rounds) if rounds else 0) + 1
+
+
+def test_prev_bench_reads_driver_wrapper_and_bare_line(tmp_path):
+    """_prev_bench must unwrap the driver's {"parsed": {...}} file
+    shape, accept a bare JSON line, pick the HIGHEST round, and
+    return (None, round) for artifacts without per-query data."""
+    import json
+
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"queries": {"q": 1.0}, "cpu_calibration_sec": 0.3})
+    )
+    payload, rnd = bench._prev_bench(str(tmp_path))
+    assert rnd == 3 and payload["queries"] == {"q": 1.0}
+    (tmp_path / "BENCH_r10.json").write_text(
+        json.dumps({"n": 1, "parsed": {"queries": {"z": 2.0},
+                                       "cpu_calibration_sec": 0.25}})
+    )
+    payload, rnd = bench._prev_bench(str(tmp_path))
+    assert rnd == 10 and payload["queries"] == {"z": 2.0}
+    (tmp_path / "BENCH_r11.json").write_text(json.dumps({"n": 1, "tail": "x"}))
+    payload, rnd = bench._prev_bench(str(tmp_path))
+    assert rnd == 11 and payload is None
+
+
+def test_find_regressions_normalizes_and_applies_floor():
+    """The tripwire flags >1.5x NORMALIZED (host calibration divided
+    out on both sides) and ignores sub-floor absolute moves — the r12
+    phantom-spike class (VERDICT r12 "Next round" #6)."""
+    prev = {
+        "queries": {
+            "real_regression": 1.0,   # 1.0s at cal 0.273 -> 1.0 norm
+            "host_noise_only": 1.0,
+            "tiny_flap": 0.10,        # 0.1 -> 0.25 is 2.5x but sub-floor
+            "new_query": None,
+        },
+        "cpu_calibration_sec": 0.273,
+    }
+    prev["queries"].pop("new_query")
+    # current run measured on a 2x-loaded host (calibration 0.546):
+    # raw times double for host reasons; only real_regression ALSO
+    # doubled in normalized terms (raw 4.0 = 2x host x 2x code).
+    cur = {"real_regression": 4.0, "host_noise_only": 2.0,
+           "tiny_flap": 0.50, "brand_new": 9.9}
+    out = bench.find_regressions(cur, 0.546, prev, 0.273)
+    assert [r["query"] for r in out] == ["real_regression"]
+    assert out[0]["ratio"] == 2.0
+    assert out[0]["prev_normalized"] == 1.0 and out[0]["now_normalized"] == 2.0
