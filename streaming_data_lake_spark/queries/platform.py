@@ -200,8 +200,16 @@ def replicated_skew_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = spark.createDataFrame(
         [(s, n) for s, n in SEGMENTS.items()], "segment_id long, segment_name string"
     )
+    # shuffle_hash hint: without it the optimizer broadcasts the
+    # FACT-side projection at test scale (the ExistingRDD dim has no
+    # stats), so the certified plan never exercised the shuffled
+    # (key, salt) join this operator exists for. The hint pins the
+    # production shape — fact shuffled on (segment_id, __salt), hot
+    # keys spread across the 8 salts, tiny replicated dim as the hash
+    # build side (guarded in tests/test_window_plans_r12.py).
     joined = replicated_skew_join(
-        e, dim, key="segment_id", salt=salt_expr("event_id", 8), n_salts=8
+        e, dim.hint("shuffle_hash"), key="segment_id",
+        salt=salt_expr("event_id", 8), n_salts=8
     )
     return joined.groupBy("segment_name").agg(F.count(F.lit(1)).alias("n_events"))
 

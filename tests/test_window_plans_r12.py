@@ -104,3 +104,31 @@ def test_asof_join_no_nested_loop(spark):
     plan = _executed(spark, "asof_view_within_6h")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_agg_is_two_phase_with_salt_exchange(spark):
+    """salted_skew_aggregation (r13 window): the first Exchange must
+    partition on (event_type, __salt) — the hot-key fan-out that is
+    the operator's whole point — followed by a combine Exchange on
+    the bare key. Exactly these two shuffles, no join."""
+    plan = _executed(spark, "salted_skew_aggregation")
+    assert "Exchange hashpartitioning(event_type" in plan
+    assert "__salt" in plan.split("Exchange")[2], (
+        "salt column missing from the partial-aggregate shuffle"
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan
+
+
+def test_replicated_skew_join_shuffles_on_salted_key(spark):
+    """replicated_skew_join_rollup (r13 window): the join must be a
+    ShuffledHashJoin keyed on (segment_id, __salt) — the fact side
+    spread across the 8 salts. Without the shuffle_hash hint the
+    optimizer broadcast the FACT projection at test scale (stats-less
+    ExistingRDD dim), certifying a plan the operator never produces
+    at 100 TB."""
+    plan = _executed(spark, "replicated_skew_join_rollup")
+    assert "ShuffledHashJoin [segment_id" in plan
+    assert "__salt" in plan.split("ShuffledHashJoin")[1].splitlines()[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" not in plan
