@@ -75,3 +75,44 @@ def finite(c: Column) -> Column:
 
 #: DuckDB twin of :func:`finite` — format with the column expression.
 DUCK_FINITE = "(CASE WHEN isfinite({c}) THEN {c} END)"
+
+
+# ---------------------------------------------------------------------------
+# Event-time admission (the r13 time-edge contract)
+# ---------------------------------------------------------------------------
+
+#: Admissible event-time window, EXCLUSIVE on both ends. Epoch zero
+#: itself is excluded (the canonical parser-failure sentinel: a field
+#: that failed to parse lands at exactly 1970-01-01T00:00:00). The
+#: far bound caps watermark poisoning: ONE far-future row otherwise
+#: advances the watermark past every legitimate event and silently
+#: drops the rest of the stream (measured: the r13 time-edge sweep
+#: lost 2-3 rows per streaming query from a single year-9999 row).
+#: The near bound also keeps driver-side materialization total:
+#: pyspark's client datetime conversion aborts on timestamps that
+#: fall before year 1 / after year 9999 in the HOST timezone — one
+#: ancient row kills the collect of a 100 TB result.
+TS_VALID_MIN = "1970-01-01 00:00:00"
+TS_VALID_MAX = "2100-01-01 00:00:00"
+
+
+def admissible_ts(c: Column) -> Column:
+    """Boolean event-time admission: non-NULL and strictly inside
+    (epoch, 2100). The strict comparisons are NULL-safe in a filter
+    (NULL compares to NULL, which filter() treats as false); the
+    explicit isNotNull keeps the predicate reusable in reject-reason
+    CASE chains where three-valued logic matters. Mirror in oracles
+    with :data:`DUCK_TS_ADMISSIBLE`."""
+    return (
+        c.isNotNull()
+        & (c > F.lit(TS_VALID_MIN).cast("timestamp"))
+        & (c < F.lit(TS_VALID_MAX).cast("timestamp"))
+    )
+
+
+#: DuckDB twin of :func:`admissible_ts` — format with the column
+#: expression. NULL-excluding inside a WHERE (NULL > x is NULL).
+DUCK_TS_ADMISSIBLE = (
+    "({c} > TIMESTAMP '1970-01-01 00:00:00'"
+    " AND {c} < TIMESTAMP '2100-01-01 00:00:00')"
+)

@@ -36,10 +36,17 @@ from streaming_data_lake_spark.functions.scalar import event_class
 # see the r11 chained-funnel probe), cannot land in an hourly/day
 # partition, and would silently fall out of every watermark-bounded
 # incremental predicate (``ts <= wm`` is NULL-false — the edge sweep
-# caught the materializer losing exactly those rows). Such events go
-# to the reject path with their own reason instead of drifting
-# between pipelines.
+# caught the materializer losing exactly those rows). An OUT-OF-RANGE
+# event time (outside parity.admissible_ts's (epoch, 2100) window) is
+# just as toxic at 100 TB: one far-future row advances every
+# downstream watermark past the whole legitimate stream (silent total
+# data loss, measured by the r13 time-edge sweep), and one ancient
+# row aborts driver-side materialization in pyspark's client datetime
+# conversion. Both go to the reject path with their own reasons
+# instead of drifting between pipelines.
 def _clean_pred():
+    from streaming_data_lake_spark.functions.parity import admissible_ts
+
     # Finiteness is part of the clean contract: NaN and +Infinity
     # PASS `value > 0` in both engines (NaN sorts greatest), then
     # abort every downstream decimal aggregate under ANSI — one
@@ -48,7 +55,7 @@ def _clean_pred():
     v = F.col("value")
     finite = ~F.isnan(v) & (F.abs(v) < F.lit(float("inf")))
     return (
-        F.col("ts").isNotNull()
+        admissible_ts(F.col("ts"))
         & (v > 0)
         & finite
         & (F.col("event_type") != "error")
@@ -95,9 +102,13 @@ def rejected_events(df: DataFrame) -> DataFrame:
     pipeline entirely instead of rejecting them. ``coalesce(pred,
     false)`` keeps the partition property exact: every input row is
     in exactly one of clean/rejected."""
+    from streaming_data_lake_spark.functions.parity import admissible_ts
+
     v = F.col("value")
+    ts = F.col("ts")
     reason = (
-        F.when(F.col("ts").isNull(), "MISSING_EVENT_TIME")
+        F.when(ts.isNull(), "MISSING_EVENT_TIME")
+        .when(~admissible_ts(ts), "OUT_OF_RANGE_TS")
         .when(F.col("event_type") == "error", "ERROR_EVENT")
         .when(F.isnan(v) | (F.abs(v) == F.lit(float("inf"))), "NON_FINITE_VALUE")
         .when(v <= 0, "NON_POSITIVE_VALUE")
@@ -105,7 +116,13 @@ def rejected_events(df: DataFrame) -> DataFrame:
     )
     return df.filter(~F.coalesce(_clean_pred(), F.lit(False))).select(
         "event_id",
-        "ts",
+        # Output-safe event time: an out-of-range ts is garbage the
+        # driver client cannot even materialize (pyspark's datetime
+        # conversion aborts outside year 1..9999 in the host tz), so
+        # the reject RECORD carries NULL there — the reason column
+        # says why. In-range timestamps of otherwise-rejected rows
+        # pass through untouched.
+        F.when(admissible_ts(ts), ts).alias("ts"),
         "user_id",
         "event_type",
         "value",

@@ -500,11 +500,19 @@ class Materializer:
         # NULL-ts row satisfies NO window, so it would silently fall
         # out of the full load AND every later append/repair while
         # the declarative view kept it (edge-sweep finding: the
-        # materialized table lost every NULL-ts fact). Enforce the
-        # contract at the one choke point instead: rows without event
-        # time never enter a materialized table, same rule as the
-        # clean-events reject path (operators/ingest.py).
-        view = view.filter(F.col(target.ts_col).isNotNull())
+        # materialized table lost every NULL-ts fact). r13 extended
+        # the rule to the full time-edge admission window: an
+        # out-of-range ts would mint a garbage day_pt= partition, and
+        # a single far-future fact would pin max(ts) so every
+        # watermark-bounded later pass believes it is fully caught up
+        # (silent incremental wedge), while an ancient fact aborts
+        # driver-side reads of the materialized rows. Enforce at the
+        # one choke point: only admissible-event-time rows enter a
+        # materialized table, same rule as the clean-events reject
+        # path (operators/ingest.py).
+        from streaming_data_lake_spark.functions.parity import admissible_ts
+
+        view = view.filter(admissible_ts(F.col(target.ts_col)))
         for reserved in self._layout_cols(target):
             if reserved in view.columns:
                 # Checked BEFORE M1 too: _with_layout's withColumn

@@ -149,6 +149,16 @@ _CERTIFICATION_ORDER = [
     "materialize_incremental_clean_events",
     "streaming_fanout_ingest",
     "multimodal_media_features",
+    # ---- r13 code-touched while carrying r12 verdicts (the
+    # time-edge admission contract: engine filters and/or oracle
+    # text changed; certified-data results verified unchanged).
+    # They take r14 free slots directly after the drain ----
+    "sql_over_views_adhoc",
+    "scd2_point_in_time_enrichment",
+    "daily_distinct_users",
+    "event_counters_unpivot",
+    "sliding_window_metrics",
+    "streaming_hourly_metrics",
     # ---- r12-certified (fresh through r14) ----
     "revenue_by_region",
     "top_nations_by_customers",
@@ -177,13 +187,8 @@ _CERTIFICATION_ORDER = [
     "value_histogram_quantiles",
     "zorder_layout_keys",
     "topn_customers_per_nation",
-    "event_counters_unpivot",
-    "scd2_point_in_time_enrichment",
-    "sql_over_views_adhoc",
     "seeded_dim_hierarchy_enrichment",
-    "daily_distinct_users",
     "events_dedup_canonical",
-    "streaming_hourly_metrics",
     "pricing_summary",
     "minhash_lsh_near_dups",
     "dup_clusters_connected",
@@ -197,7 +202,6 @@ _CERTIFICATION_ORDER = [
     "knn_ivf_pq_adc",
     "kmeans_train_centroids",
     "knn_ivf_trained_cosine",
-    "sliding_window_metrics",
     "asof_latest_view_before_purchase",
     "asof_view_within_6h",
 ]

@@ -28,7 +28,18 @@ from pyspark.sql.window import Window
 
 from streaming_data_lake_spark.catalog import load_table
 from streaming_data_lake_spark.functions.hashing import duck_h32, duck_h32_seeded, h32
-from streaming_data_lake_spark.functions.parity import davg, dsum, duck_davg, duck_dsum, finite
+from streaming_data_lake_spark.functions.parity import (
+    DUCK_TS_ADMISSIBLE,
+    admissible_ts,
+    davg,
+    dsum,
+    duck_davg,
+    duck_dsum,
+    finite,
+)
+
+#: Event-time admission snippet on raw ``ts`` (r13 time-edge contract).
+_TS_ADM = DUCK_TS_ADMISSIBLE.format(c="ts")
 from streaming_data_lake_spark.queries import register
 
 
@@ -496,7 +507,9 @@ WITH h AS (
          user_id,
          {duck_h32("CAST(user_id AS VARCHAR)")} AS hv
   FROM events
-  WHERE user_id IS NOT NULL
+  -- admission (r13 time-edge contract): registers are keyed on the
+  -- day bucket; matches the streaming twin's pre-watermark filter
+  WHERE user_id IS NOT NULL AND {_TS_ADM}
 ),
 reg AS (
   SELECT event_day,
@@ -518,6 +531,7 @@ exact AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day,
          CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
   FROM events
+  WHERE {_TS_ADM}
   GROUP BY 1
 )
 SELECT e.event_day, exact.exact_users, e.n_buckets,
@@ -543,7 +557,8 @@ FROM est e JOIN exact ON e.event_day = exact.event_day
 def hll_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_lake_spark.operators.sketches import hll_estimate, hll_registers
 
-    e = _t(spark, sf_dir, "events")
+    # admission (r13 time-edge contract) — matches the streaming twin
+    e = _t(spark, sf_dir, "events").filter(admissible_ts(F.col("ts")))
     day = F.date_trunc("day", F.col("ts")).alias("event_day")
     reg = hll_registers(e.select(day, "user_id"), ["event_day"], F.col("user_id").cast("string"))
     est = hll_estimate(reg, ["event_day"])
@@ -1681,7 +1696,10 @@ _UNPIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 _UNPIVOT_ORACLE = f"""
 WITH wide AS (
-  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day,
+  -- bucket-safe day (r13 time-edge contract): out-of-range ts joins
+  -- the NULL-ts rows in the unknown-day group; rows still count
+  SELECT CASE WHEN {_TS_ADM}
+              THEN CAST(date_trunc('day', ts) AS TIMESTAMP) END AS event_day,
          {", ".join(
              f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}"
              for t in _UNPIVOT_TYPES
@@ -1704,9 +1722,11 @@ INTO NAME metric VALUE n_events
     "x5 AFTER aggregation (30 days x 5), never on the fact table.",
 )
 def event_counters_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bucket-safe day (r13 time-edge contract) — see the oracle
+    day = F.when(admissible_ts(F.col("ts")), F.date_trunc("day", F.col("ts")))
     wide = (
         _t(spark, sf_dir, "events")
-        .select(F.date_trunc("day", F.col("ts")).alias("event_day"), "event_type")
+        .select(day.alias("event_day"), "event_type")
         .groupBy("event_day")
         .pivot("event_type", _UNPIVOT_TYPES)
         .agg(F.count(F.lit(1)))

@@ -15,7 +15,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from streaming_data_lake_spark.catalog import load_table
-from streaming_data_lake_spark.functions.parity import davg, dsum, finite
+from streaming_data_lake_spark.functions.parity import (
+    DUCK_TS_ADMISSIBLE,
+    davg,
+    dsum,
+    finite,
+)
+
+#: Event-time admission snippet on the raw ``ts`` column — interpolate
+#: into oracles so every text stays lockstep with parity.admissible_ts.
+_TS_ADM = DUCK_TS_ADMISSIBLE.format(c="ts")
 from streaming_data_lake_spark.functions.scalar import decode_priority, zero_guard_ratio
 from streaming_data_lake_spark.operators import ingest
 from streaming_data_lake_spark.operators.dedup import dedup_groupby_canonical, dedup_row_number
@@ -110,7 +119,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # P6/P7/P9/P11 — clean-traffic ingestion transform
 # ---------------------------------------------------------------------------
 
-_EVENTS_CLEAN_ORACLE = r"""
+_EVENTS_CLEAN_ORACLE = rf"""
 SELECT
   event_id, ts, user_id, event_type, value,
   date_trunc('hour', ts) AS event_hour,
@@ -127,12 +136,14 @@ SELECT
   -- mirroring the engine's nullif + try_cast exactly.
   TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INTEGER) AS prop_k
 FROM events
--- ts IS NOT NULL: a valid event time is part of the clean contract
--- (NULL ts cannot be watermarked, partitioned, or incrementally
--- materialized — see operators/ingest.py)
+-- admissible ts: a valid event time is part of the clean contract —
+-- NULL ts cannot be watermarked, partitioned, or incrementally
+-- materialized, and an OUT-OF-RANGE ts poisons watermarks (far
+-- future) or aborts driver materialization (far past) — see
+-- operators/ingest.py (r13 time-edge contract)
 -- isfinite: NaN/+Inf pass `value > 0` in both engines and would
 -- abort downstream decimal aggregates — rejected as NON_FINITE_VALUE
-WHERE value > 0 AND isfinite(value) AND event_type <> 'error' AND ts IS NOT NULL
+WHERE value > 0 AND isfinite(value) AND event_type <> 'error' AND {_TS_ADM}
 """
 
 
@@ -145,10 +156,17 @@ def events_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.clean_events(_t(spark, sf_dir, "events"))
 
 
-_EVENTS_REJECTED_ORACLE = """
+_EVENTS_REJECTED_ORACLE = f"""
 SELECT
-  event_id, ts, user_id, event_type, value,
+  event_id,
+  -- output-safe ts: an out-of-range event time cannot be
+  -- materialized by the pyspark client (year <1 / >9999 in host tz
+  -- aborts the collect), so the reject record carries NULL there —
+  -- reject_reason says why (r13 time-edge contract)
+  CASE WHEN {_TS_ADM} THEN ts END AS ts,
+  user_id, event_type, value,
   CASE WHEN ts IS NULL THEN 'MISSING_EVENT_TIME'
+       WHEN NOT {_TS_ADM} THEN 'OUT_OF_RANGE_TS'
        WHEN event_type = 'error' THEN 'ERROR_EVENT'
        WHEN NOT isfinite(value) THEN 'NON_FINITE_VALUE'
        WHEN value <= 0 THEN 'NON_POSITIVE_VALUE'
@@ -158,7 +176,7 @@ FROM events
 -- event_type row is REJECTED, reason UNKNOWN — r10 review finding);
 -- a bare NOT(pred) would drop such rows here while Spark keeps them
 WHERE NOT coalesce(value > 0 AND isfinite(value)
-                   AND event_type <> 'error' AND ts IS NOT NULL, false)
+                   AND event_type <> 'error' AND {_TS_ADM}, false)
 """
 
 
@@ -353,9 +371,15 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A2/P15 — exact distinct counts per time bucket
 # ---------------------------------------------------------------------------
 
-_DAILY_DISTINCT_ORACLE = """
+_DAILY_DISTINCT_ORACLE = f"""
 SELECT
-  CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day,
+  -- bucket-safe day (r13 time-edge contract): an out-of-range ts is
+  -- garbage that joins the NULL-ts rows in the unknown-day group —
+  -- the ROW still counts (value-level exclusion, like the finiteness
+  -- contract), and the driver never materializes an unrepresentable
+  -- day bucket
+  CASE WHEN {_TS_ADM} THEN CAST(date_trunc('day', ts) AS TIMESTAMP) END
+    AS event_day,
   event_type,
   count(DISTINCT user_id) AS n_users,
   count(*) AS n_events
@@ -370,10 +394,13 @@ GROUP BY 1, 2
     "A2/P15: COUNT(DISTINCT) inside grouped agg + date_trunc bucketing.",
 )
 def daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.functions.parity import admissible_ts
+
     e = _t(spark, sf_dir, "events")
+    day = F.when(admissible_ts(F.col("ts")), F.date_trunc("day", F.col("ts")))
     return (
         e.groupBy(
-            F.date_trunc("day", F.col("ts")).alias("event_day"),
+            day.alias("event_day"),
             "event_type",
         )
         .agg(
@@ -602,12 +629,14 @@ def event_quality_spine_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A7 — landscape metrics per (day, user)
 # ---------------------------------------------------------------------------
 
-_LANDSCAPE_ORACLE = """
+_LANDSCAPE_ORACLE = f"""
 -- fvalue: raw-events finiteness contract (see _CUBE_ORACLE) — rows
 -- still count; non-finite values drop out of sum/max/avg and the
 -- avg denominator exactly like NULLs
 SELECT
-  CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day,
+  -- bucket-safe day — see _DAILY_DISTINCT_ORACLE (r13)
+  CASE WHEN {_TS_ADM} THEN CAST(date_trunc('day', ts) AS TIMESTAMP) END
+    AS event_day,
   user_id,
   count(*) AS n_events,
   count(DISTINCT event_type) AS n_types,
@@ -627,10 +656,13 @@ GROUP BY 1, 2
     "A7: per-(day,user) landscape metrics — counts, distincts, decimal sum/avg/max.",
 )
 def user_daily_landscape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.functions.parity import admissible_ts
+
     e = _t(spark, sf_dir, "events")
     fv = finite(F.col("value"))
+    day = F.when(admissible_ts(F.col("ts")), F.date_trunc("day", F.col("ts")))
     return (
-        e.groupBy(F.date_trunc("day", F.col("ts")).alias("event_day"), "user_id")
+        e.groupBy(day.alias("event_day"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("event_type").alias("n_types"),
@@ -688,7 +720,7 @@ def monthly_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # W1 — sliding (HOP) window: 5-minute windows, 1-minute hop
 # ---------------------------------------------------------------------------
 
-_SLIDING_ORACLE = """
+_SLIDING_ORACLE = f"""
 SELECT
   time_bucket(INTERVAL '1 minute', ts) - CAST(i AS INTEGER) * INTERVAL '1 minute'
     AS window_start,
@@ -699,10 +731,11 @@ SELECT
   -- isfinite: raw-events finiteness contract (see _CUBE_ORACLE)
   CAST(sum(CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events CROSS JOIN range(5) t(i)
--- time-keyed admission: HOP windows are defined only over
--- timestamped rows (the engine filters explicitly; Spark's window()
--- would drop them silently anyway — edge-sweep finding)
-WHERE ts IS NOT NULL
+-- time-keyed admission (r13 time-edge contract): HOP windows are
+-- defined only over in-range timestamped rows — the engine filters
+-- explicitly; Spark's window() drops NULL ts silently anyway, and an
+-- out-of-range window_start aborts driver materialization
+WHERE {_TS_ADM}
 GROUP BY 1, 2, 3
 """
 
@@ -713,7 +746,9 @@ GROUP BY 1, 2, 3
     "W1: HOP window (5 min size / 1 min hop) rolling metrics per event type.",
 )
 def sliding_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    from streaming_data_lake_spark.functions.parity import admissible_ts
+
+    e = _t(spark, sf_dir, "events").filter(admissible_ts(F.col("ts")))
     return (
         e.groupBy(F.window(F.col("ts"), "5 minutes", "1 minute"), "event_type")
         .agg(

@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streaming_data_lake_spark.catalog import load_table
+from streaming_data_lake_spark.functions.parity import DUCK_TS_ADMISSIBLE
 from streaming_data_lake_spark.operators.ingest import clean_events
+
+#: Event-time admission snippet on raw ``ts`` (r13 time-edge contract).
+_TS_ADM = DUCK_TS_ADMISSIBLE.format(c="ts")
 from streaming_data_lake_spark.plans.materialize import Materializer, MatTarget
 from streaming_data_lake_spark.queries import register
 from streaming_data_lake_spark.queries.core import _EVENTS_CLEAN_ORACLE
@@ -66,7 +70,13 @@ def materialize_incremental_clean_events(spark: SparkSession, sf_dir: str) -> Da
 _TT_CUTOFF = "2024-01-20 00:00:00"
 
 _TIME_TRAVEL_ORACLE = f"""
-SELECT event_id, ts, user_id, event_type, value
+-- output-safe ts: versioned STORAGE keeps whatever was committed
+-- (snapshots are history, nothing is dropped), but an out-of-range
+-- event time cannot be materialized by the pyspark client (year <1 /
+-- >9999 in host tz aborts the collect), so the certified read
+-- projects NULL there (r13 time-edge contract)
+SELECT event_id, CASE WHEN {_TS_ADM} THEN ts END AS ts,
+       user_id, event_type, value
 -- OR ts IS NULL: v1 carries the unknown-time rows (NULL-total split)
 FROM events WHERE ts <= TIMESTAMP '{_TT_CUTOFF}' OR ts IS NULL
 """
@@ -99,7 +109,14 @@ def time_travel_read_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, ref, events.filter((F.col("ts") <= cutoff) | F.col("ts").isNull()), "append"
     )
     fmt.commit_snapshot(spark, ref, events.filter(F.col("ts") > cutoff), "append")
-    return fmt.read(spark, ref, version=1)
+    # Output-safe ts (r13 time-edge contract): storage keeps the raw
+    # committed value; the certified read projects NULL for event
+    # times the pyspark client cannot materialize (oracle mirrors).
+    from streaming_data_lake_spark.functions.parity import admissible_ts
+
+    return fmt.read(spark, ref, version=1).withColumn(
+        "ts", F.when(admissible_ts(F.col("ts")), F.col("ts"))
+    )
 
 
 _SNAPSHOTS_ORACLE = f"""
@@ -188,7 +205,7 @@ def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # M3 — dimension-change repair
 # ---------------------------------------------------------------------------
 
-_DIM_REPAIR_ORACLE = """
+_DIM_REPAIR_ORACLE = f"""
 SELECT event_id, ts, user_id, user_id % 10 AS user_bucket,
        -- the arithmetic shortcut only holds on the dim's actual key
        -- domain (buckets 0-9); a negative or NULL user_id has no dim
@@ -199,9 +216,11 @@ SELECT event_id, ts, user_id, user_id % 10 AS user_bucket,
             THEN 'tier_' || CAST(user_id % 10 AS VARCHAR) || '_v2'
             ELSE 'tier_' || CAST(user_id % 10 AS VARCHAR) || '_v1' END AS tier_label
 FROM events
--- event-time admission: mat tables are day-partitioned on ts, so
--- rows without event time never enter them (Materializer enforces)
-WHERE ts IS NOT NULL
+-- event-time admission (r13 time-edge contract): mat tables are
+-- day-partitioned on ts, so only rows with an in-range event time
+-- enter them (Materializer enforces; an out-of-range ts would mint a
+-- garbage day partition / wedge the watermark / abort driver reads)
+WHERE {_TS_ADM}
 """
 
 
@@ -288,11 +307,13 @@ def materialize_dim_change_repair(spark: SparkSession, sf_dir: str) -> DataFrame
 # M5 — EXISTS repair (late downstream events flip funnel flags)
 # ---------------------------------------------------------------------------
 
-_EXISTS_REPAIR_ORACLE = """
--- v: ts IS NOT NULL — event-time admission; mat tables are
--- day-partitioned on ts (Materializer enforces). Click-side NULL ts
--- needs no filter: the interval predicate is NULL-false.
-WITH v AS (SELECT * FROM events WHERE event_type = 'view' AND ts IS NOT NULL),
+_EXISTS_REPAIR_ORACLE = f"""
+-- v: admissible ts — event-time admission (r13 time-edge contract);
+-- mat tables are day-partitioned on ts (Materializer enforces).
+-- Click-side ts needs no filter on either side: the interval
+-- predicate is NULL-false, and an out-of-range click ts can never
+-- fall inside [v.ts, v.ts + 10 min] of an ADMISSIBLE view ts.
+WITH v AS (SELECT * FROM events WHERE event_type = 'view' AND {_TS_ADM}),
      c AS (SELECT * FROM events WHERE event_type = 'click')
 SELECT v.event_id, v.ts, v.user_id,
        count(c.ts) AS n_clicks,

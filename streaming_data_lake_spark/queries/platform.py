@@ -12,7 +12,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streaming_data_lake_spark.catalog import load_table
-from streaming_data_lake_spark.functions.parity import dsum, finite
+from streaming_data_lake_spark.functions.parity import DUCK_TS_ADMISSIBLE, dsum, finite
+
+#: Event-time admission snippet on raw ``ts`` (r13 time-edge contract).
+_TS_ADM = DUCK_TS_ADMISSIBLE.format(c="ts")
 from streaming_data_lake_spark.queries import register
 
 
@@ -20,16 +23,18 @@ from streaming_data_lake_spark.queries import register
 # §3.3 — ad-hoc SQL over the registered view layer
 # ---------------------------------------------------------------------------
 
-_SQL_VIEWS_ORACLE = """
+_SQL_VIEWS_ORACLE = f"""
 SELECT date_trunc('hour', ts) AS event_hour,
        count(*) AS n_purchases,
        count(DISTINCT user_id) AS n_buyers
 FROM events
 -- mirrors the v_events_clean contract, including event-time
--- admission (ts IS NOT NULL) and value finiteness (NaN/+Inf pass
+-- admission (non-NULL AND in-range — the r13 time-edge contract,
+-- operators/ingest.py) and value finiteness (NaN/+Inf pass
 -- `value > 0` in both engines but the clean contract routes them to
--- NON_FINITE_VALUE — operators/ingest.py; ADVICE r11)
-WHERE value > 0 AND isfinite(value) AND event_type = 'purchase' AND ts IS NOT NULL
+-- NON_FINITE_VALUE — ADVICE r11)
+WHERE value > 0 AND isfinite(value) AND event_type = 'purchase'
+  AND {_TS_ADM}
 GROUP BY 1
 ORDER BY n_purchases DESC, event_hour ASC
 LIMIT 15
@@ -370,8 +375,12 @@ FROM events
 -- dim key domain (buckets 0-9) AND event-time admission: a fact with
 -- no dim bucket or no event time matches no validity interval in the
 -- engine's PIT join — the unguarded CASE fabricated tier_-1 labels
--- and routed NULL ts to the ELSE version (edge-sweep finding)
-WHERE user_id % 10 BETWEEN 0 AND 9 AND ts IS NOT NULL
+-- and routed NULL ts to the ELSE version (edge-sweep finding).
+-- ts >= dim-history start: the engine's validity join drops facts
+-- before the FIRST version's valid_from (2020-01-01, datagen._V0);
+-- the bare CASE would mislabel them _v1 (r13 time-edge finding — an
+-- ancient garbage timestamp fabricated a _v1 row here)
+WHERE user_id % 10 BETWEEN 0 AND 9 AND ts >= TIMESTAMP '2020-01-01 00:00:00'
 GROUP BY 1
 """
 

@@ -16,21 +16,30 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from streaming_data_lake_spark.catalog import load_table
-from streaming_data_lake_spark.functions.parity import dsum, finite
+from streaming_data_lake_spark.functions.parity import (
+    DUCK_TS_ADMISSIBLE,
+    admissible_ts,
+    dsum,
+    finite,
+)
+
+#: Event-time admission snippet on raw ``ts`` (r13 time-edge contract).
+_TS_ADM = DUCK_TS_ADMISSIBLE.format(c="ts")
 from streaming_data_lake_spark.queries.core import _EVENTS_CLEAN_ORACLE, _FUNNEL_ORACLE
 from streaming_data_lake_spark.streaming import pipelines
 
-_HOURLY_ORACLE = """
+_HOURLY_ORACLE = f"""
 SELECT date_trunc('hour', ts) AS hour_start,
        event_type,
        count(*) AS n_events,
        -- isfinite: raw-events finiteness contract (core/analytics)
        CAST(sum(CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events
--- time-keyed admission: windowed aggregation is defined only over
--- timestamped rows (the engine filters explicitly; Spark's window()
--- would drop them silently anyway)
-WHERE ts IS NOT NULL
+-- time-keyed admission (r13 time-edge contract): windowed
+-- aggregation is defined only over in-range timestamped rows — the
+-- engine filters explicitly; a far-future row would otherwise poison
+-- the watermark and an ancient one aborts driver materialization
+WHERE {_TS_ADM}
 GROUP BY 1, 2
 """
 
@@ -88,16 +97,17 @@ def streaming_interval_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     return pipelines.streaming_interval_join_daily(spark, sf_dir)
 
 
-_FANOUT_ORACLE = """
+_FANOUT_ORACLE = f"""
 SELECT 'clean' AS sink, count(*) AS n_rows
 FROM events
-WHERE value > 0 AND isfinite(value) AND event_type <> 'error' AND ts IS NOT NULL
+-- admission: the clean contract incl. the r13 time-edge window
+WHERE value > 0 AND isfinite(value) AND event_type <> 'error' AND {_TS_ADM}
 UNION ALL
 SELECT 'rejected' AS sink, count(*) AS n_rows
 -- coalesce: NULL-total complement, matching rejected_events (r10)
 FROM events
 WHERE NOT coalesce(value > 0 AND isfinite(value)
-                   AND event_type <> 'error' AND ts IS NOT NULL, false)
+                   AND event_type <> 'error' AND {_TS_ADM}, false)
 """
 
 
@@ -127,14 +137,15 @@ def streaming_fanout_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-insert its stale row every merge). streaming_hourly_metrics
 # (memory sink, no MERGE) keeps the NULL-type groups; this one
 # cannot.
-_UPSERT_HOURLY_ORACLE = """
+_UPSERT_HOURLY_ORACLE = f"""
 SELECT date_trunc('hour', ts) AS hour_start,
        event_type,
        count(*) AS n_events,
        -- isfinite: raw-events finiteness contract
        CAST(sum(CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events
-WHERE ts IS NOT NULL AND event_type IS NOT NULL
+-- admission: r13 time-edge contract on the hour_start key source
+WHERE {_TS_ADM} AND event_type IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -154,7 +165,8 @@ def streaming_upsert_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # event time (contrast streaming_dedup_keys, whose plain
 # dropDuplicates admits NULL-ts rows and whose oracle has no filter)
 _DEDUP_WM_ORACLE = (
-    "SELECT DISTINCT event_id, event_type FROM events WHERE ts IS NOT NULL"
+    # admission: r13 time-edge contract (watermark-evicted state)
+    f"SELECT DISTINCT event_id, event_type FROM events WHERE {_TS_ADM}"
 )
 
 
@@ -168,18 +180,19 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     return pipelines.streaming_dedup_within_watermark(spark, sf_dir)
 
 
-_SESSIONIZE_ORACLE = """
+_SESSIONIZE_ORACLE = f"""
 WITH o AS (
   SELECT user_id, ts, value, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w > INTERVAL '120 minutes'
               THEN 1 ELSE 0 END AS new_sess
   FROM events
-  -- time-keyed admission: sessions are gap-defined over event time,
-  -- so untimestamped rows cannot belong to any session (the
-  -- streaming session_window drops them; the batch twin filters
-  -- explicitly — edge-sweep finding)
-  WHERE ts IS NOT NULL
+  -- time-keyed admission (r13 time-edge contract): sessions are
+  -- gap-defined over event time, so untimestamped rows cannot belong
+  -- to any session, a far-future row would poison the streaming
+  -- watermark (flushing/dropping live sessions), and an ancient one
+  -- aborts driver materialization of session_start
+  WHERE {_TS_ADM}
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -248,13 +261,14 @@ def streaming_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def batch_sessionize_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap_us = 120 * 60_000_000
-    # time-keyed admission: untimestamped rows cannot belong to any
-    # gap-defined session (without the filter each NULL-ts row forged
-    # its own session — the streaming twin's session_window drops
-    # them, so the two paths diverged; edge-sweep finding)
+    # time-keyed admission (r13 time-edge contract): untimestamped
+    # or out-of-range rows cannot belong to any gap-defined session
+    # (without the filter each NULL-ts row forged its own session and
+    # an ancient-ts session start aborted the driver's collect; the
+    # streaming twin applies the same admission)
     e = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull())
+        .filter(admissible_ts(F.col("ts")))
         .select("user_id", "ts", "value", "event_id")
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -24,7 +24,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streaming_data_lake_spark.functions.parity import dsum, finite
+from streaming_data_lake_spark.functions.parity import admissible_ts, dsum, finite
 from streaming_data_lake_spark.operators.ingest import clean_events
 from streaming_data_lake_spark.sources.streams import stream_table
 from streaming_data_lake_spark.catalog import load_table
@@ -186,8 +186,12 @@ def streaming_hourly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Time-keyed admission, explicit: the windowed aggregate silently
     drops NULL-event-time rows anyway (window(NULL) has no bucket);
     stating the filter makes the contract visible and keeps the batch
-    oracle expressible (WHERE ts IS NOT NULL — edge-sweep finding)."""
-    src = stream_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    oracle expressible (edge-sweep finding). Admission is the full
+    r13 time-edge contract, not just non-NULL: one far-future row
+    would otherwise advance the watermark past the whole legitimate
+    stream (measured — a single year-9999 row silently dropped every
+    later event), and an ancient row aborts the driver's collect."""
+    src = stream_table(spark, sf_dir, "events").filter(admissible_ts(F.col("ts")))
     agg = (
         src.withWatermark("ts", "30 seconds")
         .groupBy(F.window(F.col("ts"), "1 hour"), "event_type")
@@ -231,10 +235,13 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     Time-keyed admission, explicit: watermark-evicted dedup state is
     keyed on event time, so NULL-ts rows never enter it (they are
     dropped silently); the filter states the contract and keeps the
-    oracle's WHERE ts IS NOT NULL honest (edge-sweep finding). Note
-    the contrast with plain dropDuplicates above, which is NOT
-    time-keyed and admits NULL-ts rows."""
-    src = stream_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    oracle's admission WHERE honest (edge-sweep finding; r13 extended
+    it to the full time-edge contract — one far-future row would
+    advance the watermark and evict live dedup state early, silently
+    re-admitting duplicates). Note the contrast with plain
+    dropDuplicates above, which is NOT time-keyed and admits NULL-ts
+    rows."""
+    src = stream_table(spark, sf_dir, "events").filter(admissible_ts(F.col("ts")))
     deduped = (
         src.withWatermark("ts", "30 seconds")
         .dropDuplicatesWithinWatermark(["event_id"])
@@ -459,7 +466,7 @@ def streaming_upsert_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the hour_start key, event_type IS a key. The oracle carries the
     # same predicates.
     src = stream_table(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+        admissible_ts(F.col("ts")) & F.col("event_type").isNotNull()
     )
     agg = (
         src.withWatermark("ts", "30 seconds")
@@ -520,7 +527,7 @@ def streaming_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MERGE key — NULL ts would feed the sink a NULL key (rejected
     # loudly by contract). The shared oracle drops NULL days anyway
     # via its est-to-exact equi-join.
-    src = stream_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    src = stream_table(spark, sf_dir, "events").filter(admissible_ts(F.col("ts")))
     # Deliberately UNWATERMARKED: converged-state equality with the
     # batch sketch requires that no register row is ever evicted or
     # dropped as late. Update mode + a keyed MERGE sink is valid

@@ -50,7 +50,9 @@ from typing import Any
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from streaming_data_lake_spark.functions.parity import admissible_ts as _admissible
 from streaming_data_lake_spark.functions.parity import finite as _finite
 
 
@@ -213,7 +215,10 @@ def sessionize(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
         # Prune to the three columns the fold reads BEFORE the keyed
         # shuffle: the wide props payload would otherwise ride every
         # shuffle block and Arrow batch into the state operator.
+        # Admission matches the native twin (r13 time-edge contract);
+        # the replay sentinel (user int64-min, ts 2030) passes it.
         src.select("user_id", "ts", "value")
+        .filter(_admissible(F.col("ts")))
         .withWatermark("ts", "30 seconds")
         .groupBy("user_id")
         .applyInPandasWithState(
@@ -267,11 +272,14 @@ def sessionize_native(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
         # keyed shuffle (same rationale as the pandas path).
         # Time-keyed admission, explicit: session_window(NULL) has no
         # window and such rows are dropped silently — the filter
-        # states the contract (oracle: WHERE ts IS NOT NULL) and is
-        # safe against the pushdown NOTE above because a NULL ts is
-        # never a watermark carrier.
+        # states the contract (the oracle carries the same admission
+        # WHERE) and is safe against the pushdown NOTE above because
+        # an inadmissible ts is never a watermark carrier (the replay
+        # sentinel's 2030 timestamps sit inside the r13 time-edge
+        # window (epoch, 2100); a far-future row would otherwise
+        # poison the watermark and flush live sessions — measured).
         src.select("user_id", "ts", "value")
-        .filter(F.col("ts").isNotNull())
+        .filter(_admissible(F.col("ts")))
         .withWatermark("ts", "30 seconds")
         .groupBy("user_id", F.session_window(F.col("ts"), gap).alias("sw"))
         .agg(
@@ -540,7 +548,9 @@ def sessionize_tws(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
                 )
 
     return (
+        # Admission matches the native twin (r13 time-edge contract).
         src.select("user_id", "ts", "value")
+        .filter(_admissible(F.col("ts")))
         .withWatermark("ts", "30 seconds")
         .groupBy("user_id")
         .transformWithStateInPandas(

@@ -1061,3 +1061,84 @@ def test_valid_vectors_excludes_nonfinite_elements(spark):
         f" WHERE {DUCK_VALID_VEC.format(v='embedding')} ORDER BY vec_id"
     ).fetchall()
     assert duck == [(1,)]
+
+
+def test_admissible_ts_cross_engine_over_edge_shapes(spark):
+    """The r13 time-edge admission (parity.admissible_ts vs its
+    DUCK_TS_ADMISSIBLE twin) must agree cross-engine over every edge
+    shape: NULL, epoch zero (excluded — the parser-failure sentinel),
+    one microsecond after epoch (admitted), the nanos-long min/max
+    neighborhood, datetime min/max, the 2100 bound itself (excluded)
+    and one microsecond before it (admitted), plus a normal 2024
+    value and the replay sentinel's 2030."""
+    import datetime as dt
+
+    import duckdb
+
+    from streaming_data_lake_spark.functions.parity import (
+        DUCK_TS_ADMISSIBLE,
+        admissible_ts,
+    )
+    from pyspark.sql import functions as F
+
+    shapes = [
+        None,
+        dt.datetime(1970, 1, 1, 0, 0, 0),
+        dt.datetime(1970, 1, 1, 0, 0, 0, 1),
+        dt.datetime(1, 1, 1, 0, 0, 0),
+        dt.datetime(1677, 9, 22, 0, 0, 0),
+        dt.datetime(2024, 6, 1, 12, 0, 0),
+        dt.datetime(2030, 1, 1, 0, 0, 0),
+        dt.datetime(2099, 12, 31, 23, 59, 59, 999999),
+        dt.datetime(2100, 1, 1, 0, 0, 0),
+        dt.datetime(2262, 4, 11, 23, 47, 16),
+        dt.datetime(9999, 12, 31, 23, 59, 59),
+    ]
+    expect = [False, False, True, False, False, True, True, True,
+              False, False, False]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(shapes)], "i int, ts timestamp")
+    got = {
+        r["i"]: r["adm"]
+        for r in df.select("i", F.coalesce(admissible_ts(F.col("ts")), F.lit(False)).alias("adm")).collect()
+    }
+    assert [got[i] for i in range(len(shapes))] == expect
+    con = duckdb.connect()
+    pred = DUCK_TS_ADMISSIBLE.format(c="ts")
+    for i, s in enumerate(shapes):
+        lit = "NULL" if s is None else f"TIMESTAMP '{s.isoformat(sep=' ')}'"
+        (duck,) = con.execute(
+            f"SELECT coalesce({pred.replace('ts', lit)}, false)"
+        ).fetchone()
+        assert duck == expect[i], (i, s, duck)
+
+
+def test_out_of_range_ts_rejected_with_reason(spark):
+    """Clean/reject partition under the time-edge contract: an
+    out-of-range ts row is rejected as OUT_OF_RANGE_TS with an
+    output-safe NULL ts (the raw value is garbage the driver client
+    cannot materialize); NULL ts stays MISSING_EVENT_TIME; in-range
+    rows with other faults keep their reasons and their ts."""
+    import datetime as dt
+
+    from streaming_data_lake_spark.operators.ingest import clean_events, rejected_events
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "view", 5.0, "{}"),          # clean
+        (2, None, 1, "view", 5.0, "{}"),                              # missing ts
+        (3, dt.datetime(9999, 12, 31), 1, "view", 5.0, "{}"),         # far future
+        (4, dt.datetime(1970, 1, 1), 1, "view", 5.0, "{}"),           # epoch zero
+        (5, dt.datetime(2024, 1, 1), 1, "error", 5.0, "{}"),          # error event
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    clean = clean_events(df).collect()
+    assert [r["event_id"] for r in clean] == [1]
+    rej = {r["event_id"]: r for r in rejected_events(df).collect()}
+    assert rej[2]["reject_reason"] == "MISSING_EVENT_TIME"
+    assert rej[3]["reject_reason"] == "OUT_OF_RANGE_TS" and rej[3]["ts"] is None
+    assert rej[4]["reject_reason"] == "OUT_OF_RANGE_TS" and rej[4]["ts"] is None
+    assert rej[5]["reject_reason"] == "ERROR_EVENT"
+    assert rej[5]["ts"] == dt.datetime(2024, 1, 1)
+    # partition property: every row in exactly one side
+    assert len(clean) + len(rej) == len(rows)

@@ -140,10 +140,23 @@ R14_DRAIN = {
     "multimodal_media_features",
 }
 
-# Names code-touched DURING round 13 while carrying sub-window
-# verdicts. Every r13 session code-touch of a tail name MUST be
-# appended here (they take r14 free slots directly after the drain).
-R13_ROUND_CODE_TOUCHED: list[str] = []
+# Names code-touched DURING round 13 while carrying sub-window (r12)
+# verdicts — the time-edge admission contract (CHANGELOG_r13 §11)
+# changed their engine filters and/or oracle texts. Every r13 session
+# code-touch of a tail name MUST be appended here (they take r14 free
+# slots directly after the drain). The eight R14_DRAIN names the same
+# contract touched (events_clean/rejected, streaming_clean_events,
+# streaming_fanout_ingest, materialize_incremental_clean_events,
+# time_travel_read_v1, streaming_dedup_within_watermark,
+# streaming_hll_daily_users) are already obligatory as drain members.
+R13_ROUND_CODE_TOUCHED: list[str] = [
+    "sql_over_views_adhoc",
+    "scd2_point_in_time_enrichment",
+    "daily_distinct_users",
+    "event_counters_unpivot",
+    "sliding_window_metrics",
+    "streaming_hourly_metrics",
+]
 
 
 def test_order_in_sync_and_window_covers_obligatory_drain():

@@ -51,6 +51,15 @@ Scoped to the contracted column on purpose: un-contracted float
 columns (prices, discounts) have no defined non-finite semantics and
 both engines abort identically on them, which tests nothing.
 
+``--time-edge`` (out default /tmp/sdl_timeedge_sweep) injects
+extreme-but-valid timestamps into ``events.ts`` ONLY — epoch zero,
+the nanos-long min/max neighborhood, datetime.min/max — the r13
+time-edge admission contract (parity.admissible_ts). First run found
+15 failing queries: "year 0 is out of range" collect() aborts
+(one-ancient-row-kills-the-job), silent watermark poisoning by a
+single far-future row (2-3 rows lost per streaming query), and a
+PIT-join label fabricated for a pre-dim-history fact.
+
 ``--order-sensitive`` restricts the run to the queries whose oracle
 SQL or Spark source contains an order-sensitive construct (window
 ranking, LIMIT, first/last, positional folds, collected lists) — the
@@ -297,6 +306,41 @@ def make_skew(name: str, table: pa.Table) -> pa.Table:
     return table
 
 
+def inject_time_edges(name: str, table: pa.Table) -> pa.Table:
+    """Extreme-but-physically-valid timestamps into ``events.ts`` at
+    fixed rows; every other table passes through untouched.
+
+    Scoped to the ONE timestamp column with a declared admission
+    contract (parity.admissible_ts — the r13 time-edge contract), the
+    same scoping rationale as ``--nonfinite``: epoch-zero rows are the
+    canonical parser-failure artifact in any real corpus, a far-future
+    row silently poisons every downstream watermark, and an ancient
+    row aborts pyspark's client-side datetime conversion at collect().
+    First run of this sweep found 15 failing queries (aborts + silent
+    watermark row loss + a PIT-join mislabel)."""
+    if name != "events":
+        return table
+    import datetime
+
+    vals = table.column("ts").to_pylist()
+    n = len(vals)
+    edges = [
+        datetime.datetime(1970, 1, 1, 0, 0, 0),      # epoch zero (parser bug)
+        datetime.datetime(1677, 9, 22, 0, 0, 0),     # near nanos-long min
+        datetime.datetime(2262, 4, 10, 0, 0, 0),     # near nanos-long max
+        datetime.datetime(2262, 4, 11, 23, 47, 16),  # last nanos second
+        datetime.datetime(1, 1, 1, 0, 0, 0),         # datetime.min
+        datetime.datetime(9999, 12, 31, 23, 59, 59), # datetime.max
+    ]
+    for j, ev in enumerate(edges):
+        for rep in range(3):  # a few of each, spread across the file
+            vals[(j * 97 + rep * 211 + 19) % n] = ev
+    idx = table.schema.get_field_index("ts")
+    return table.set_column(
+        idx, "ts", pa.array(vals, type=table.schema.field("ts").type)
+    )
+
+
 def inject_nonfinite(name: str, table: pa.Table) -> pa.Table:
     """NaN / +Inf / -Inf into events.value at fixed rows; every other
     table passes through untouched."""
@@ -315,7 +359,7 @@ def inject_nonfinite(name: str, table: pa.Table) -> pa.Table:
 
 def generate(
     src: str, out: str, empty: bool = False, shuffle: bool = False,
-    nonfinite: bool = False, skew: bool = False,
+    nonfinite: bool = False, skew: bool = False, time_edge: bool = False,
 ) -> None:
     outp = Path(out)
     outp.mkdir(parents=True, exist_ok=True)
@@ -331,6 +375,8 @@ def generate(
             m = inject_nonfinite(p.stem, t)
         elif skew:
             m = make_skew(p.stem, t)
+        elif time_edge:
+            m = inject_time_edges(p.stem, t)
         else:
             m = mutate_table(p.stem, t)
         pq.write_table(m, outp / p.name)
@@ -392,10 +438,11 @@ def main() -> int:
     shuffle = "--shuffle" in argv
     nonfinite = "--nonfinite" in argv
     skew = "--skew" in argv
+    time_edge = "--time-edge" in argv
     order_sensitive = "--order-sensitive" in argv
     argv = [a for a in argv if a not in (
         "--gen-only", "--empty", "--shuffle", "--nonfinite", "--skew",
-        "--order-sensitive",
+        "--time-edge", "--order-sensitive",
     )]
 
     def _flag(name, default):
@@ -412,6 +459,7 @@ def main() -> int:
         "shuffle" if shuffle else
         "nonfinite" if nonfinite else
         "skew" if skew else
+        "time-edge" if time_edge else
         "edge"
     )
     out = _flag("--out", {
@@ -419,11 +467,13 @@ def main() -> int:
         "shuffle": "/tmp/sdl_shuffle",
         "nonfinite": "/tmp/sdl_nonfinite",
         "skew": "/tmp/sdl_skew",
+        "time-edge": "/tmp/sdl_timeedge_sweep",
         "edge": OUT_DEFAULT,
     }[kind])
     print(f"generating {kind} tables {src} -> {out}")
     generate(
-        src, out, empty=empty, shuffle=shuffle, nonfinite=nonfinite, skew=skew
+        src, out, empty=empty, shuffle=shuffle, nonfinite=nonfinite, skew=skew,
+        time_edge=time_edge,
     )
     if gen_only:
         return 0

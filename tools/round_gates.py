@@ -21,20 +21,26 @@ Gates (fail-fast off: one red gate must not hide another):
   7. nonfinite-sweep     — full-registry parity with NaN/±Inf
                            injected into events.value (the raw-events
                            finiteness contract, r12)
-  8. skew-sweep          — full-registry parity on Zipf-skewed
+  8. time-edge-sweep     — full-registry parity with extreme-but-
+                           valid timestamps in events.ts (epoch zero,
+                           nanos min/max, datetime min/max — the r13
+                           event-time admission contract; first run
+                           found 15 failures: collect aborts,
+                           watermark poisoning, a PIT mislabel)
+  9. skew-sweep          — full-registry parity on Zipf-skewed
                            join/group/bucket keys (hot user, hot
                            custkey, hot token, hot LSH/IVF direction)
                            PLUS a per-query bounded-runtime assertion
                            — no candidate-pair/occupancy blowup on a
                            hot key (VERDICT r12 #5)
-  9. bare-sweep @ sf0.01 — bare-session portability, twice
- 10. ledger              — certification-window audit
- 11. driver smoke        — __spark_entry__ entry/queries/oracle_sql
+ 10. bare-sweep @ sf0.01 — bare-session portability, twice
+ 11. ledger              — certification-window audit
+ 12. driver smoke        — __spark_entry__ entry/queries/oracle_sql
 
-Gates run in four concurrent LANES (sequential within a lane) so the
-full suite fits the round budget without dropping coverage (VERDICT
-r11 #8; rebalanced to four when the skew gate landed and the shuffle
-subset grew, VERDICT r12 #8): gate processes share nothing mutable —
+The twelve gates run in four concurrent LANES (sequential within a
+lane) so the full suite fits the round budget without dropping
+coverage (VERDICT r11 #8; rebalanced to four when the skew and
+time-edge gates landed and the shuffle subset grew, VERDICT r12 #8): gate processes share nothing mutable —
 per-process temp warehouses (session.py), atomic-rename artifact
 publication (plans/artifacts.py), per-process scratch dirs, and
 distinct sweep output dirs. Wall-clock = the slowest lane instead of
@@ -46,7 +52,7 @@ note and the runner continues (ADVICE r11: an uncaught
 TimeoutExpired would crash the runner and hide later gates).
 
 Usage: python tools/round_gates.py [--serial]
-           [--skip pytest,sf01,sf1,edge,empty,shuffle,nonfinite,skew,bare,ledger,smoke]
+           [--skip pytest,sf01,sf1,edge,empty,shuffle,nonfinite,skew,timeedge,bare,ledger,smoke]
 """
 
 from __future__ import annotations
@@ -80,14 +86,14 @@ print(f"SMOKE OK: entry={len(rows)} rows, {len(qs)} queries, {len(os_)} oracles"
 """ % (REPO,)
 
 # (name, cmd, success-needle, lane). Lanes are balanced by measured
-# r12 gate times (CHANGELOG_r12 §9) plus the new skew gate (~190s)
-# and the grown shuffle subset (37→55 names, ~120s): pytest ~580s
-# alone; oracle ~190+310+1+20s; sweeps-a ~175+165+120+115s; sweeps-b
-# ~300+190s — max lane ≈ pytest, the irreducible floor.
+# r13 gate times: pytest ~770s alone (under 4-lane contention);
+# oracle ~230+370+200+1+17s; sweeps-a ~235+200+135+150s; sweeps-b
+# ~385+200s — max lane ≈ pytest, the irreducible floor.
 GATES: list[tuple[str, list[str], str, str]] = [
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"], "passed", "pytest"),
     ("check-sf0.01", [sys.executable, "tools/check.py", "/root/testdata/sf0.01"], "ALL GREEN", "oracle"),
     ("check-sf0.1", [sys.executable, "tools/check.py", "/root/testdata/sf0.1"], "ALL GREEN", "oracle"),
+    ("time-edge-sweep", [sys.executable, "tools/edge_sweep.py", "--time-edge"], "ALL GREEN", "oracle"),
     ("ledger", [sys.executable, "tools/ledger.py"], "LEDGER GREEN", "oracle"),
     ("smoke", [sys.executable, "-c", _SMOKE], "SMOKE OK", "oracle"),
     ("edge-sweep", [sys.executable, "tools/edge_sweep.py"], "ALL GREEN", "sweeps-a"),
@@ -106,6 +112,7 @@ _SKIP_ALIASES = {
     "shuffle": "shuffle-sweep",
     "nonfinite": "nonfinite-sweep",
     "skew": "skew-sweep",
+    "timeedge": "time-edge-sweep",
     "bare": "bare-sweep",
 }
 
