@@ -86,14 +86,15 @@ print(f"SMOKE OK: entry={len(rows)} rows, {len(qs)} queries, {len(os_)} oracles"
 """ % (REPO,)
 
 # (name, cmd, success-needle, lane). Lanes are balanced by measured
-# r13 gate times: pytest ~770s alone (under 4-lane contention);
-# oracle ~230+370+200+1+17s; sweeps-a ~235+200+135+150s; sweeps-b
-# ~385+200s — max lane ≈ pytest, the irreducible floor.
+# r13 gate times (idle-host): pytest ~770s alone (under 4-lane
+# contention); oracle ~230+370+1+17s; sweeps-a ~235+200+135+150s;
+# sweeps-b ~385+200+175s — max lane ≈ pytest, the irreducible floor
+# (the first 12-gate run had time-edge in the oracle lane, which made
+# oracle the critical path under host load — rebalanced).
 GATES: list[tuple[str, list[str], str, str]] = [
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"], "passed", "pytest"),
     ("check-sf0.01", [sys.executable, "tools/check.py", "/root/testdata/sf0.01"], "ALL GREEN", "oracle"),
     ("check-sf0.1", [sys.executable, "tools/check.py", "/root/testdata/sf0.1"], "ALL GREEN", "oracle"),
-    ("time-edge-sweep", [sys.executable, "tools/edge_sweep.py", "--time-edge"], "ALL GREEN", "oracle"),
     ("ledger", [sys.executable, "tools/ledger.py"], "LEDGER GREEN", "oracle"),
     ("smoke", [sys.executable, "-c", _SMOKE], "SMOKE OK", "oracle"),
     ("edge-sweep", [sys.executable, "tools/edge_sweep.py"], "ALL GREEN", "sweeps-a"),
@@ -102,6 +103,7 @@ GATES: list[tuple[str, list[str], str, str]] = [
     ("empty-sweep", [sys.executable, "tools/edge_sweep.py", "--empty"], "ALL GREEN", "sweeps-a"),
     ("bare-sweep", [sys.executable, "tools/bare_sweep.py", "/root/testdata/sf0.01"], "ALL OK", "sweeps-b"),
     ("skew-sweep", [sys.executable, "tools/edge_sweep.py", "--skew"], "ALL GREEN", "sweeps-b"),
+    ("time-edge-sweep", [sys.executable, "tools/edge_sweep.py", "--time-edge"], "ALL GREEN", "sweeps-b"),
 ]
 
 _SKIP_ALIASES = {
