@@ -299,6 +299,21 @@ def main() -> int:
     # r11 "Next round" #4). Baseline = the BENCH_r11 driver run's
     # cpu_calibration_sec (0.273) — normalized totals are directly
     # comparable to BENCH_r11's raw 33.763 s.
+    # Post-run CPU calibration (r13): the pre-run probe samples an
+    # instant, and load arriving DURING the run is invisible to it —
+    # r12 run 2 and four r13 runs normalized badly for exactly this
+    # reason. Re-probing after the queries brackets the run;
+    # value_normalized_spancal uses the mean of the two minima, so a
+    # load ramp mid-run is at least half-credited instead of ignored.
+    # value_normalized_r11cal keeps its established pre-probe
+    # semantics for round-over-round comparability.
+    cal_post_times = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(1_000_000_000).selectExpr("sum((id * id) % 1000003) as s").collect()
+        cal_post_times.append(round(time.time() - t0, 3))
+    calibration_post = min(cal_post_times)
+
     cal_baseline = 0.273
     # Regression tripwire (VERDICT r12 #6): normalized per-query
     # comparison against the previous round's recorded artifact, in
@@ -324,6 +339,11 @@ def main() -> int:
         "io_calibration_sec": io_calibration,
         "io_calibration_runs": io_times,
         "value_normalized_r11cal": round(total * cal_baseline / calibration, 3),
+        "cpu_calibration_post_sec": calibration_post,
+        "cpu_calibration_post_runs": cal_post_times,
+        "value_normalized_spancal": round(
+            total * cal_baseline / ((calibration + calibration_post) / 2), 3
+        ),
         "regressions": regressions,
         "regression_baseline": f"BENCH_r{prev_round:02d}" if prev else None,
     }))
