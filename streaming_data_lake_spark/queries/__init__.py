@@ -159,13 +159,13 @@ _CERTIFICATION_ORDER = [
     "event_counters_unpivot",
     "sliding_window_metrics",
     "streaming_hourly_metrics",
+    "monthly_nation_revenue",
     # ---- r12-certified (fresh through r14) ----
     "revenue_by_region",
     "top_nations_by_customers",
     "customers_with_orders",
     "customers_without_orders",
     "order_priority_rollup",
-    "monthly_nation_revenue",
     "priority_decode_rollup",
     "scd2_current_enrichment",
     "top_tokens",

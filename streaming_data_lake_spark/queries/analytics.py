@@ -216,10 +216,17 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Running (cumulative) revenue per nation — window frame aggregation
 # ---------------------------------------------------------------------------
 
-_RUNNING_ORACLE = """
+_ODATE_ADM = DUCK_TS_ADMISSIBLE.format(c="o_orderdate")
+
+_RUNNING_ORACLE = f"""
 WITH monthly AS (
+  -- bucket-safe month (r13 time-edge contract) — see
+  -- _MONTHLY_NATION_ORACLE; NULLS FIRST already orders the
+  -- unknown-month group deterministically at the frame head
   SELECT n_name AS nation_name,
-         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+         CASE WHEN {_ODATE_ADM}
+              THEN CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) END
+           AS order_month,
          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
   FROM orders
   JOIN customer ON o_custkey = c_custkey
@@ -252,7 +259,10 @@ def running_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation_name"),
-            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+            F.when(
+                admissible_ts(F.col("o_orderdate")),
+                F.date_trunc("month", F.col("o_orderdate")),
+            ).alias("order_month"),
         )
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
     )

@@ -677,9 +677,17 @@ def user_daily_landscape(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A10/J6/P15 — monthly revenue by nation (hourly-geo-metrics shape)
 # ---------------------------------------------------------------------------
 
-_MONTHLY_NATION_ORACLE = """
+_ODATE_ADM = DUCK_TS_ADMISSIBLE.format(c="o_orderdate")
+
+_MONTHLY_NATION_ORACLE = f"""
 SELECT
-  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+  -- bucket-safe month (r13 time-edge contract, warehouse-date form):
+  -- an out-of-range o_orderdate is garbage that joins the NULL-date
+  -- rows in the unknown-month group; the row still counts and the
+  -- driver never materializes an unrepresentable month bucket
+  CASE WHEN {_ODATE_ADM}
+       THEN CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) END
+    AS order_month,
   n_name AS nation_name,
   count(*) AS n_orders,
   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
@@ -701,11 +709,17 @@ def monthly_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
+    from streaming_data_lake_spark.functions.parity import admissible_ts
+
+    month = F.when(
+        admissible_ts(F.col("o_orderdate")),
+        F.date_trunc("month", F.col("o_orderdate")),
+    )
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
-            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+            month.alias("order_month"),
             F.col("n_name").alias("nation_name"),
         )
         .agg(

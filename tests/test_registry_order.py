@@ -156,6 +156,8 @@ R13_ROUND_CODE_TOUCHED: list[str] = [
     "event_counters_unpivot",
     "sliding_window_metrics",
     "streaming_hourly_metrics",
+    # warehouse-date extension of the same contract (bucket-safe month)
+    "monthly_nation_revenue",
 ]
 
 

@@ -306,23 +306,36 @@ def make_skew(name: str, table: pa.Table) -> pa.Table:
     return table
 
 
-def inject_time_edges(name: str, table: pa.Table) -> pa.Table:
-    """Extreme-but-physically-valid timestamps into ``events.ts`` at
-    fixed rows; every other table passes through untouched.
+# Timestamp columns under the time-edge admission contract
+# (parity.admissible_ts): the event stream's ts, plus the warehouse
+# date columns whose month/day buckets reach driver output (a
+# year-0001 o_orderdate aborted monthly_nation_revenue and
+# running_revenue_by_nation exactly like an ancient events.ts).
+TIME_EDGE_COLS = {
+    "events": "ts",
+    "orders": "o_orderdate",
+    "lineitem": "l_shipdate",
+}
 
-    Scoped to the ONE timestamp column with a declared admission
-    contract (parity.admissible_ts — the r13 time-edge contract), the
-    same scoping rationale as ``--nonfinite``: epoch-zero rows are the
-    canonical parser-failure artifact in any real corpus, a far-future
-    row silently poisons every downstream watermark, and an ancient
-    row aborts pyspark's client-side datetime conversion at collect().
-    First run of this sweep found 15 failing queries (aborts + silent
-    watermark row loss + a PIT-join mislabel)."""
-    if name != "events":
+
+def inject_time_edges(name: str, table: pa.Table) -> pa.Table:
+    """Extreme-but-physically-valid timestamps into the contracted
+    timestamp columns (TIME_EDGE_COLS) at fixed rows; other tables
+    pass through untouched.
+
+    Rationale (same scoping discipline as ``--nonfinite``): epoch-zero
+    rows are the canonical parser-failure artifact in any real corpus,
+    a far-future row silently poisons every downstream watermark, and
+    an ancient row aborts pyspark's client-side datetime conversion at
+    collect(). First run of this sweep found 15 failing queries
+    (aborts + silent watermark row loss + a PIT-join mislabel); the
+    warehouse-date extension found 2 more month-bucket aborts."""
+    col = TIME_EDGE_COLS.get(name)
+    if col is None:
         return table
     import datetime
 
-    vals = table.column("ts").to_pylist()
+    vals = table.column(col).to_pylist()
     n = len(vals)
     edges = [
         datetime.datetime(1970, 1, 1, 0, 0, 0),      # epoch zero (parser bug)
@@ -335,9 +348,9 @@ def inject_time_edges(name: str, table: pa.Table) -> pa.Table:
     for j, ev in enumerate(edges):
         for rep in range(3):  # a few of each, spread across the file
             vals[(j * 97 + rep * 211 + 19) % n] = ev
-    idx = table.schema.get_field_index("ts")
+    idx = table.schema.get_field_index(col)
     return table.set_column(
-        idx, "ts", pa.array(vals, type=table.schema.field("ts").type)
+        idx, col, pa.array(vals, type=table.schema.field(col).type)
     )
 
 
