@@ -688,18 +688,28 @@ def winnowing_fingerprints(
     n-grams → portable hashes → per-window array_min via slice —
     one narrow projection, no shuffle, no UDF. Returns one row per
     (doc, fingerprint)."""
-    toks = tokens(F.col(text_col))
-    # coalesce: NULL-total short-doc guard, same rationale as
-    # _shingles_of (NULL text otherwise yields one '' gram and a
-    # phantom fingerprint row per NULL doc — edge-sweep finding)
-    k = F.coalesce(F.size(toks) - (n - 1), F.lit(0))  # ordered n-grams
-    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-    )
-    grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, gram)
-    )
+    # Bind the token array ONCE via the same single-element-array
+    # trick used for `hashes` below: referencing the raw `tokens()`
+    # expression inside the per-index gram lambda re-evaluates the
+    # WHOLE tokenization (split of the full text) once per n-gram —
+    # O(tokens²) work that is invisible on 100-token docs but turns
+    # one 1 MB scraped-binary document into a stage that never
+    # finishes (r13 huge-doc probe: 20k tokens = 171 s unbound vs
+    # 1.1 s bound, identical output; a 225k-token doc hung outright).
+    def _grams_of(tk):
+        # coalesce: NULL-total short-doc guard, same rationale as
+        # _shingles_of (NULL text otherwise yields one '' gram and a
+        # phantom fingerprint row per NULL doc — edge-sweep finding)
+        k = F.coalesce(F.size(tk) - (n - 1), F.lit(0))  # ordered n-grams
+        idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(tk, (i + j + 1).cast("int")) for j in range(n)]
+        )
+        return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(idx, gram)
+        )
+
+    grams = F.element_at(F.transform(F.array(tokens(F.col(text_col))), _grams_of), 1)
     hashes = F.transform(grams, lambda g: h32(g))
 
     # Bind the computed hash array ONCE via the single-element-array

@@ -340,18 +340,28 @@ WITH tk AS (
   SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
 ),
 sized AS (SELECT doc_id, toks, len(toks) AS n_tok FROM tk WHERE len(toks) > 0),
-ch AS (
-  SELECT doc_id, n_tok, CAST(i AS INTEGER) AS chunk_idx,
-         list_slice(toks, CAST(i AS INTEGER) * {_CHUNK_STRIDE} + 1,
-                    CAST(i AS INTEGER) * {_CHUNK_STRIDE} + {_CHUNK_SIZE}) AS chunk
-  FROM sized,
-       LATERAL unnest(range(CAST(ceil(CAST(n_tok AS DOUBLE) / {_CHUNK_STRIDE}) AS BIGINT))) AS t(i)
-)
-SELECT doc_id, chunk_idx,
-       CAST(len(chunk) AS INTEGER) AS n_tokens,
-       md5(array_to_string(chunk, ' ')) AS chunk_md5
+-- build ALL chunks per doc in one list_transform pass, then unnest:
+-- the previous LATERAL-unnest shape carried the FULL toks list once
+-- per chunk row, i.e. O(n_tok²/stride) materialized elements — a
+-- single 1 MB scraped-binary document (225k tokens ≈ 4,700 chunks ×
+-- 225k-element list copies) hung the oracle outright (r13 huge-doc
+-- probe). The packed shape is linear: ~1.33 × n_tok elements per doc.
+packed AS (
+  SELECT doc_id,
+         list_transform(
+           range(CAST(ceil(CAST(n_tok AS DOUBLE) / {_CHUNK_STRIDE}) AS BIGINT)),
+           i -> struct_pack(
+                  chunk_idx := CAST(i AS INTEGER),
+                  chunk := list_slice(toks, CAST(i AS INTEGER) * {_CHUNK_STRIDE} + 1,
+                                      CAST(i AS INTEGER) * {_CHUNK_STRIDE} + {_CHUNK_SIZE}))) AS cs
+  FROM sized
+),
+ch AS (SELECT doc_id, unnest(cs) AS u FROM packed)
+SELECT doc_id, u.chunk_idx AS chunk_idx,
+       CAST(len(u.chunk) AS INTEGER) AS n_tokens,
+       md5(array_to_string(u.chunk, ' ')) AS chunk_md5
 FROM ch
-WHERE len(chunk) > 0
+WHERE len(u.chunk) > 0
 """
 
 

@@ -1274,11 +1274,17 @@ h AS (
   FROM g
 ),
 sel AS (
+  -- least(hs[i], .., hs[i+w-1]) instead of list_min(hs[i:i+w-1]):
+  -- DuckDB's list SLICE inside a list_transform lambda copies per
+  -- element (O(grams²) — one 1 MB scraped-binary document hung the
+  -- oracle; r13 huge-doc probe), while plain element access is O(1)
+  -- (the grams stage above proves it). 0.2 s vs a hang on the probe
+  -- corpus, identical fingerprints.
   SELECT doc_id,
          CASE WHEN len(hs) - {_WINNOW_W - 1} <= 0 THEN list_distinct(hs)
               ELSE list_distinct(list_transform(
                      range(1, len(hs) - {_WINNOW_W - 1} + 1),
-                     i -> list_min(hs[i:i+{_WINNOW_W - 1}])))
+                     i -> least({", ".join(f"hs[i+{j}]" for j in range(_WINNOW_W))})))
          END AS fps
   FROM h
 )
