@@ -38,90 +38,22 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver hash-checks the FIRST 50 registered queries per round.
-# Round 13 executes the rotation CHANGELOG_r12.md committed and
-# tests/test_registry_order.py (r12 revision) pinned: the 26-name
-# r10-verdict drain (age 3 the moment CORRECTNESS_r12 landed) at
-# positions 1-26, `knn_ivf_recall_at_k` (registered r12, never
-# certified — its ledger pending-next-window grace expires here) at
-# 27, the 11 R12_ROUND_CODE_TOUCHED names (multimodal skip-contract
-# pair, four finiteness-touched, five GEN-3 admission-touched) at
-# 28-38, and the 12 free slots filled oldest-r11-verdict-first
-# (`tools/ledger.py --emit-order`, ties by prior position) at 39-50
-# to pre-drain the r14 cliff. The committed r14 drain follows
-# contiguously: the 27 remaining r11-verdict names at 51-77 (age 3
-# at r14 → r14 = 27 obligatory + 23 free, pinned by forward
-# simulation in tests/test_registry_order.py). Rotated at round-13
-# start, before any driver run. tools/ledger.py cross-references the
-# verdict files.
+# Round 14 executes the rotation CHANGELOG_r13.md committed and
+# tests/test_registry_order.py (r13 revision) pinned -- the LAST
+# drain round (after it, no verdict predates r12): the 27-name
+# r11-verdict drain (age 3 the moment CORRECTNESS_r13 landed) at
+# positions 1-27, the 7 R13_ROUND_CODE_TOUCHED time-edge names at
+# 28-34, and the 16 free slots filled oldest-r12-verdict-first
+# (`tools/ledger.py --emit-order`, ties by prior position) at 35-50.
+# The committed r15 drain follows contiguously: the 27 remaining
+# r12-verdict names at 51-77 (age 3 at r15 -> r15 window = 27
+# obligatory + 23 free, pinned by forward simulation in
+# tests/test_registry_order.py). Rotated at round-14 start, before
+# any driver run. tools/ledger.py cross-references the verdict files.
 _CERTIFICATION_ORDER = [
-    # ---- (a) the 26-name r13 drain: r10 verdicts, stale the moment
-    # CORRECTNESS_r12 landed (includes all nine late-r11 code-touched
-    # obligations from CHANGELOG_r11 §r12-notes #2) ----
-    "salted_skew_aggregation",
-    "replicated_skew_join_rollup",
-    "conditional_distinct_users",
-    "user_engagement_ratios",
-    "user_daily_landscape",
-    "latest_event_per_user_type",
-    "interval_join_click_view",
-    "funnel_conversion_daily",
-    "value_distribution_by_class",
-    "flag_distribution",
-    "avg_value_spread",
-    "funnel_leakage_daily",
-    "cms_heavy_hitter_tokens",
-    "token_budget_packing",
-    "bloom_semi_join_prune",
-    "materialize_dim_change_repair",
-    "materialize_funnel_exists_repair",
-    "maintenance_compaction",
-    "two_level_overlay_maintenance",
-    "hll_distinct_users_daily",
-    "ngram_jaccard_near_dups",
-    "winnowing_fingerprints",
-    "exact_substring_dups",
-    "dedup_keep_best_quality",
-    "pii_redaction",
-    "event_quality_spine_hourly",
-    # ---- (b) registered r12, never certified: first driver verdict
-    # lands here (VERDICT r12 #2); the ledger's pending-next-window
-    # grace expires with this window either way ----
-    "knn_ivf_recall_at_k",
-    # ---- (c) the 11 R12_ROUND_CODE_TOUCHED commitments (r11
-    # verdicts certify pre-touch code): multimodal skip-contract
-    # pair, four raw-events-finiteness names, five GEN-3
-    # similarity-admission names ----
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "batch_sessionize_windows",
-    "streaming_sessionize",
-    "streaming_upsert_hourly",
-    "user_rolling_7day_value",
-    "semantic_dedup_centroid",
-    "embedding_cosine_near_dups",
-    "knn_ivf_materialized_cosine",
-    "embedding_label_stats",
-    "embedding_int8_quantization",
-    # ---- (d) the 12 free slots: oldest-verdict fills (all r11, ties
-    # by prior position — `tools/ledger.py --emit-order`), pre-
-    # draining the r14 cliff from 39 names to 27 ----
-    "rollup_revenue_levels",
-    "price_quantiles_by_flag",
-    "user_event_gaps",
-    "running_revenue_by_nation",
-    "order_value_deciles",
-    "doc_chunks_overlap",
-    "props_json_stats",
-    "keyset_intersect_except",
-    "orders_above_global_avg",
-    "supplier_name_near_matches",
-    "bigram_lm_quality",
-    "domain_mixture_resample",
-    # ---- position 51+ : NOT certified this round. First the
-    # committed r14 drain: the 27 remaining r11-verdict names (age 3
-    # at r14 → r14 window = 27 obligatory + 23 free; forward-
-    # simulated in tests/test_registry_order.py). Any name below that
-    # r13 code-touches must move directly after this drain ----
+    # ---- (a) the 27-name r14 drain: r11 verdicts, stale the moment
+    # CORRECTNESS_r13 landed (committed by the r13 revision of this
+    # module; pinned by test_r14_drain_fits_after_r13_lands) ----
     "price_outliers_zscore",
     "lineitem_flag_pivot",
     "corr_quantity_price",
@@ -149,10 +81,10 @@ _CERTIFICATION_ORDER = [
     "materialize_incremental_clean_events",
     "streaming_fanout_ingest",
     "multimodal_media_features",
-    # ---- r13 code-touched while carrying r12 verdicts (the
-    # time-edge admission contract: engine filters and/or oracle
-    # text changed; certified-data results verified unchanged).
-    # They take r14 free slots directly after the drain ----
+    # ---- (b) the 7 R13_ROUND_CODE_TOUCHED commitments (r12 verdicts
+    # certify pre-touch code): the time-edge admission contract
+    # changed their engine filters and/or oracle text (CHANGELOG_r13
+    # S11), incl. the warehouse-date bucket-safe month extension ----
     "sql_over_views_adhoc",
     "scd2_point_in_time_enrichment",
     "daily_distinct_users",
@@ -160,7 +92,9 @@ _CERTIFICATION_ORDER = [
     "sliding_window_metrics",
     "streaming_hourly_metrics",
     "monthly_nation_revenue",
-    # ---- r12-certified (fresh through r14) ----
+    # ---- (c) the 16 free slots: oldest-verdict fills (all r12, ties
+    # by prior position -- `tools/ledger.py --emit-order`), pre-
+    # draining the r15 cliff from 43 r12 names to 27 ----
     "revenue_by_region",
     "top_nations_by_customers",
     "customers_with_orders",
@@ -177,6 +111,11 @@ _CERTIFICATION_ORDER = [
     "token_counts",
     "quality_scores",
     "lang_id_heuristic",
+    # ---- position 51+ : NOT certified this round. First the
+    # committed r15 drain: the 27 remaining r12-verdict names (age 3
+    # at r15 -> r15 window = 27 obligatory + 23 free; forward-
+    # simulated in tests/test_registry_order.py). Any name below that
+    # r14 code-touches must move directly after this drain ----
     "simhash_fingerprints",
     "schema_evolution_read",
     "blocklist_filter_retention",
@@ -204,6 +143,58 @@ _CERTIFICATION_ORDER = [
     "knn_ivf_trained_cosine",
     "asof_latest_view_before_purchase",
     "asof_view_within_6h",
+    # ---- r13-certified (fresh through r15; the whole r13 window in
+    # its certified order) ----
+    "salted_skew_aggregation",
+    "replicated_skew_join_rollup",
+    "conditional_distinct_users",
+    "user_engagement_ratios",
+    "user_daily_landscape",
+    "latest_event_per_user_type",
+    "interval_join_click_view",
+    "funnel_conversion_daily",
+    "value_distribution_by_class",
+    "flag_distribution",
+    "avg_value_spread",
+    "funnel_leakage_daily",
+    "cms_heavy_hitter_tokens",
+    "token_budget_packing",
+    "bloom_semi_join_prune",
+    "materialize_dim_change_repair",
+    "materialize_funnel_exists_repair",
+    "maintenance_compaction",
+    "two_level_overlay_maintenance",
+    "hll_distinct_users_daily",
+    "ngram_jaccard_near_dups",
+    "winnowing_fingerprints",
+    "exact_substring_dups",
+    "dedup_keep_best_quality",
+    "pii_redaction",
+    "event_quality_spine_hourly",
+    "knn_ivf_recall_at_k",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "batch_sessionize_windows",
+    "streaming_sessionize",
+    "streaming_upsert_hourly",
+    "user_rolling_7day_value",
+    "semantic_dedup_centroid",
+    "embedding_cosine_near_dups",
+    "knn_ivf_materialized_cosine",
+    "embedding_label_stats",
+    "embedding_int8_quantization",
+    "rollup_revenue_levels",
+    "price_quantiles_by_flag",
+    "user_event_gaps",
+    "running_revenue_by_nation",
+    "order_value_deciles",
+    "doc_chunks_overlap",
+    "props_json_stats",
+    "keyset_intersect_except",
+    "orders_above_global_avg",
+    "supplier_name_near_matches",
+    "bigram_lm_quality",
+    "domain_mixture_resample",
 ]
 
 
