@@ -143,6 +143,16 @@ _CERTIFICATION_ORDER = [
     "knn_ivf_trained_cosine",
     "asof_latest_view_before_purchase",
     "asof_view_within_6h",
+    # ---- r14 code-touched while carrying r13 verdicts (the huge-doc
+    # gate's first run found the LATERAL/list_slice O(tokens^2)
+    # oracle shapes and the explode-then-slice Spark shape; engine
+    # code and/or oracle text changed; certified-data results
+    # verified unchanged). They take r15 free slots directly after
+    # the drain ----
+    "doc_chunks_overlap",
+    "bigram_lm_quality",
+    # (r14 dim-side time-edge admission in the M3 changed-key filter)
+    "materialize_dim_change_repair",
     # ---- r13-certified (fresh through r15; the whole r13 window in
     # its certified order) ----
     "salted_skew_aggregation",
@@ -160,7 +170,6 @@ _CERTIFICATION_ORDER = [
     "cms_heavy_hitter_tokens",
     "token_budget_packing",
     "bloom_semi_join_prune",
-    "materialize_dim_change_repair",
     "materialize_funnel_exists_repair",
     "maintenance_compaction",
     "two_level_overlay_maintenance",
@@ -188,12 +197,10 @@ _CERTIFICATION_ORDER = [
     "user_event_gaps",
     "running_revenue_by_nation",
     "order_value_deciles",
-    "doc_chunks_overlap",
     "props_json_stats",
     "keyset_intersect_except",
     "orders_above_global_avg",
     "supplier_name_near_matches",
-    "bigram_lm_quality",
     "domain_mixture_resample",
 ]
 

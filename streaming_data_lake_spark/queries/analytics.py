@@ -345,15 +345,24 @@ sized AS (SELECT doc_id, toks, len(toks) AS n_tok FROM tk WHERE len(toks) > 0),
 -- per chunk row, i.e. O(n_tok²/stride) materialized elements — a
 -- single 1 MB scraped-binary document (225k tokens ≈ 4,700 chunks ×
 -- 225k-element list copies) hung the oracle outright (r13 huge-doc
--- probe). The packed shape is linear: ~1.33 × n_tok elements per doc.
+-- probe). Chunks are built from PLAIN ELEMENT ACCESS (O(1); the
+-- winnowing oracle proved it), NOT list_slice: DuckDB's list slice
+-- inside a lambda copies the SOURCE list per invocation — the packed
+-- list_slice shape still took 80 s on the r14 huge-doc gate's
+-- 220k-token document vs 0.2 s here. Out-of-bounds accesses in the
+-- trailing short chunk return NULL and are filtered (tokens are
+-- never NULL, so the filter only trims the tail).
 packed AS (
   SELECT doc_id,
          list_transform(
            range(CAST(ceil(CAST(n_tok AS DOUBLE) / {_CHUNK_STRIDE}) AS BIGINT)),
            i -> struct_pack(
                   chunk_idx := CAST(i AS INTEGER),
-                  chunk := list_slice(toks, CAST(i AS INTEGER) * {_CHUNK_STRIDE} + 1,
-                                      CAST(i AS INTEGER) * {_CHUNK_STRIDE} + {_CHUNK_SIZE}))) AS cs
+                  chunk := list_filter(
+                    list_transform(range(1, {_CHUNK_SIZE} + 1),
+                                   j -> toks[CAST(i AS INTEGER) * {_CHUNK_STRIDE}
+                                             + CAST(j AS INTEGER)]),
+                    x -> x IS NOT NULL))) AS cs
   FROM sized
 ),
 ch AS (SELECT doc_id, unnest(cs) AS u FROM packed)
@@ -380,16 +389,27 @@ def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokens(F.col("text")).alias("toks")
     ).withColumn("n_tok", F.size("toks")).filter(F.col("n_tok") > 0)
     n_chunks = F.ceil(F.col("n_tok").cast("double") / F.lit(float(_CHUNK_STRIDE)))
-    chunked = toked.select(
+    # Build ALL chunks per doc inside ONE transform over the chunk
+    # indices, then explode the packed structs — the previous
+    # explode-then-slice shape materialized the FULL toks array once
+    # per chunk row (Tungsten copies the array into every exploded
+    # UnsafeRow), i.e. O(n_tok²/stride) bytes: the 220k-token huge-doc
+    # gate document took 182 s (r14; the r13 oracle fix had covered
+    # only the DuckDB side). Packed, the array is bound once per doc
+    # and output is the linear ~1.33 x n_tok elements. 0.8 s after.
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.slice(
+                F.col("toks"), i * _CHUNK_STRIDE + 1, _CHUNK_SIZE
+            ).alias("chunk"),
+        ),
+    )
+    chunked = toked.select("doc_id", F.explode(chunks).alias("c")).select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"),
-        F.col("toks"),
-    ).select(
-        "doc_id",
-        "chunk_idx",
-        F.slice(
-            F.col("toks"), F.col("chunk_idx") * _CHUNK_STRIDE + 1, _CHUNK_SIZE
-        ).alias("chunk"),
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk").alias("chunk"),
     )
     return chunked.filter(F.size("chunk") > 0).select(
         "doc_id",
@@ -1014,12 +1034,21 @@ WITH tk AS (
   SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
 ),
 sized AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) >= 2),
-bg AS (
+-- build ALL bigrams per doc in one list_transform pass, then unnest:
+-- the previous LATERAL-unnest shape carried the FULL toks list once
+-- per bigram row, i.e. O(n_tok²) materialized elements — the 220k-
+-- token huge-doc gate document ground the oracle for minutes (r14,
+-- same class as the r13 chunking-oracle hang). The packed shape is
+-- linear: one struct per bigram.
+packed AS (
   SELECT doc_id,
-         toks[CAST(t.i AS INTEGER) + 1] AS w1,
-         toks[CAST(t.i AS INTEGER) + 2] AS w2
-  FROM sized, LATERAL unnest(range(n - 1)) AS t(i)
+         list_transform(range(1, CAST(n AS BIGINT)),
+                        i -> struct_pack(w1 := toks[CAST(i AS INTEGER)],
+                                         w2 := toks[CAST(i AS INTEGER) + 1])) AS bs
+  FROM sized
 ),
+bgu AS (SELECT doc_id, unnest(bs) AS u FROM packed),
+bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM bgu),
 c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2),
 c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
 v AS (

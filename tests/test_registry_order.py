@@ -136,7 +136,21 @@ R15_DRAIN = {
 # Names code-touched DURING round 14 while carrying sub-window
 # verdicts. Every r14 session code-touch of a tail name MUST be
 # appended here (they take r15 free slots directly after the drain).
-R14_ROUND_CODE_TOUCHED: list[str] = []
+# The huge-doc gate's first run (VERDICT r13 "Next round" #2) found
+# O(tokens^2) shapes in both: bigram_lm_quality's LATERAL-unnest
+# oracle carried the full toks list per bigram row (>10 min on one
+# 220k-token doc), and doc_chunks_overlap was quadratic on BOTH
+# sides (Spark explode-then-slice copied the array per chunk row,
+# 182 s; the packed oracle's in-lambda list_slice copied the source
+# list per chunk, 80 s — now element access, 0.2 s).
+R14_ROUND_CODE_TOUCHED: list[str] = [
+    "doc_chunks_overlap",
+    "bigram_lm_quality",
+    # r14 dim-side time-edge admission: the M3 changed-key filter now
+    # ignores inadmissible valid_from versions (a year-9999 dim row
+    # phantom-flagged its key every cycle).
+    "materialize_dim_change_repair",
+]
 
 
 def test_order_in_sync_and_window_covers_obligatory_drain():

@@ -60,6 +60,16 @@ time-edge admission contract (parity.admissible_ts). First run found
 single far-future row (2-3 rows lost per streaming query), and a
 PIT-join label fabricated for a pre-dim-history fact.
 
+``--huge-doc`` (out default /tmp/sdl_hugedoc) overwrites a few
+``documents.text`` rows with huge deterministic token streams — one
+220k-token (~1.3 MB) document plus a few ~20k-token ones — and runs
+full-registry parity under a per-query wall bound
+(HUGE_DOC_MAX_QUERY_SEC, the skew sweep's pattern). This is the
+permanent regression gate for the r13 round-end O(tokens^2) fixes
+(winnowing's per-index re-evaluation: 171 s -> 1.1 s at 20k tokens,
+225k hung; the chunking oracle's LATERAL list copies) and a stress
+test for every other token-array operator.
+
 ``--order-sensitive`` restricts the run to the queries whose oracle
 SQL or Spark source contains an order-sensitive construct (window
 ranking, LIMIT, first/last, positional folds, collected lists) — the
@@ -204,8 +214,10 @@ def _set_col(table: pa.Table, cname: str, vals: list) -> pa.Table:
 
 
 def _hot(vals: list):
-    """Deterministic in-domain hot value: the smallest non-NULL."""
-    return min(v for v in vals if v is not None)
+    """Deterministic in-domain hot value: the smallest non-NULL, or
+    None when the column has no non-NULL values (ADVICE r13: an
+    all-NULL column must pass the table through, not ValueError)."""
+    return min((v for v in vals if v is not None), default=None)
 
 
 # Per-query wall-clock bound for the skew sweep (seconds). Normal
@@ -240,31 +252,36 @@ def make_skew(name: str, table: pa.Table) -> pa.Table:
     if name == "events":
         uid = table.column("user_id").to_pylist()
         pool = sorted({v for v in uid if v is not None})
-        hot, warm = pool[0], (pool[1:11] or pool[:1])
-        for i in range(n):
-            r = rng.random()
-            if r < 0.40:
-                uid[i] = hot
-            elif r < 0.60:
-                uid[i] = warm[int(r * 1e6) % len(warm)]
-        table = _set_col(table, "user_id", uid)
+        if pool:
+            hot, warm = pool[0], (pool[1:11] or pool[:1])
+            for i in range(n):
+                r = rng.random()
+                if r < 0.40:
+                    uid[i] = hot
+                elif r < 0.60:
+                    uid[i] = warm[int(r * 1e6) % len(warm)]
+            table = _set_col(table, "user_id", uid)
         et = table.column("event_type").to_pylist()
         hot_type = _hot(et)
-        for i in range(n):
-            if rng.random() < 0.50:
-                et[i] = hot_type
-        table = _set_col(table, "event_type", et)
+        if hot_type is not None:
+            for i in range(n):
+                if rng.random() < 0.50:
+                    et[i] = hot_type
+            table = _set_col(table, "event_type", et)
     elif name == "orders":
         ck = table.column("o_custkey").to_pylist()
         hot = _hot(ck)
-        for i in range(n):
-            if rng.random() < 0.40:
-                ck[i] = hot
-        table = _set_col(table, "o_custkey", ck)
+        if hot is not None:
+            for i in range(n):
+                if rng.random() < 0.40:
+                    ck[i] = hot
+            table = _set_col(table, "o_custkey", ck)
     elif name == "lineitem":
         for cname, frac in (("l_suppkey", 0.35), ("l_partkey", 0.30)):
             v = table.column(cname).to_pylist()
             hot = _hot(v)
+            if hot is None:
+                continue
             for i in range(n):
                 if rng.random() < frac:
                     v[i] = hot
@@ -272,10 +289,11 @@ def make_skew(name: str, table: pa.Table) -> pa.Table:
     elif name == "customer":
         nk = table.column("c_nationkey").to_pylist()
         hot = _hot(nk)
-        for i in range(n):
-            if rng.random() < 0.60:
-                nk[i] = hot
-        table = _set_col(table, "c_nationkey", nk)
+        if hot is not None:
+            for i in range(n):
+                if rng.random() < 0.60:
+                    nk[i] = hot
+            table = _set_col(table, "c_nationkey", nk)
     elif name == "documents":
         txt = table.column("text").to_pylist()
         tail = " zz hot token" * 8
@@ -299,11 +317,65 @@ def make_skew(name: str, table: pa.Table) -> pa.Table:
         table = _set_col(table, "embedding", emb)
         lbl = table.column("label").to_pylist()
         hot = _hot(lbl)
-        for i in range(n):
-            if rng.random() < 0.60:
-                lbl[i] = hot
-        table = _set_col(table, "label", lbl)
+        if hot is not None:
+            for i in range(n):
+                if rng.random() < 0.60:
+                    lbl[i] = hot
+            table = _set_col(table, "label", lbl)
     return table
+
+
+# Per-query wall-clock bound for the huge-doc sweep (seconds). The
+# r13 round-end probe measured the FIXED winnowing at 1.1 s on a
+# 20k-token doc and the pre-fix shape at 171 s (a 225k-token doc hung
+# outright) — any O(tokens^2) regression in a token-array operator
+# blows straight through this bound at 220k tokens.
+HUGE_DOC_MAX_QUERY_SEC = 120.0
+
+# (row index, token count) for the injected documents: one past the
+# 200k bar the r13 probe hung on, plus a few 20k-token mid-size docs
+# so banding/shingling paths see more than a single outlier.
+HUGE_DOC_SPECS = [(7, 220_000), (23, 20_000), (47, 20_000), (61, 22_000)]
+
+_HUGE_VOCAB = (
+    "spark shuffle parquet window join filter group order scan merge "
+    "hash batch stream state token shard vector index bucket probe "
+    "the a of and to in for with on at"
+).split()
+
+
+def make_huge_docs(name: str, table: pa.Table) -> pa.Table:
+    """Overwrite a few ``documents.text`` rows with huge
+    deterministic token streams (one >=200k tokens, a few ~20k) and
+    recompute the stored ``n_chars`` invariant; every other table
+    passes through untouched.
+
+    Rationale (VERDICT r13 "Next round" #2): one megabyte-scale
+    document is routine in any 100 TB crawl corpus, and the r13
+    round-end probe found two real O(tokens^2) hazards (winnowing's
+    per-index re-evaluation, the chunking oracle's LATERAL list
+    copies) that no gate guarded. The token stream is seeded per row
+    with a drifting vocabulary window so shingles/minhash see
+    realistic local repetition without collapsing to one n-gram."""
+    if name != "documents":
+        return table
+    txt = table.column("text").to_pylist()
+    nch = table.column("n_chars").to_pylist()
+    n = len(txt)
+    if n == 0:
+        return table
+    for row, n_tokens in HUGE_DOC_SPECS:
+        rng = random.Random(f"huge:{row}:{n_tokens}")
+        v = len(_HUGE_VOCAB)
+        toks = [
+            _HUGE_VOCAB[(rng.randrange(v) + (k // 997)) % v]
+            for k in range(n_tokens)
+        ]
+        text = " ".join(toks)
+        txt[row % n] = text
+        nch[row % n] = len(text)
+    table = _set_col(table, "text", txt)
+    return _set_col(table, "n_chars", nch)
 
 
 # Timestamp columns under the time-edge admission contract
@@ -373,6 +445,7 @@ def inject_nonfinite(name: str, table: pa.Table) -> pa.Table:
 def generate(
     src: str, out: str, empty: bool = False, shuffle: bool = False,
     nonfinite: bool = False, skew: bool = False, time_edge: bool = False,
+    huge_doc: bool = False,
 ) -> None:
     outp = Path(out)
     outp.mkdir(parents=True, exist_ok=True)
@@ -390,6 +463,8 @@ def generate(
             m = make_skew(p.stem, t)
         elif time_edge:
             m = inject_time_edges(p.stem, t)
+        elif huge_doc:
+            m = make_huge_docs(p.stem, t)
         else:
             m = mutate_table(p.stem, t)
         pq.write_table(m, outp / p.name)
@@ -452,10 +527,11 @@ def main() -> int:
     nonfinite = "--nonfinite" in argv
     skew = "--skew" in argv
     time_edge = "--time-edge" in argv
+    huge_doc = "--huge-doc" in argv
     order_sensitive = "--order-sensitive" in argv
     argv = [a for a in argv if a not in (
         "--gen-only", "--empty", "--shuffle", "--nonfinite", "--skew",
-        "--time-edge", "--order-sensitive",
+        "--time-edge", "--huge-doc", "--order-sensitive",
     )]
 
     def _flag(name, default):
@@ -473,6 +549,7 @@ def main() -> int:
         "nonfinite" if nonfinite else
         "skew" if skew else
         "time-edge" if time_edge else
+        "huge-doc" if huge_doc else
         "edge"
     )
     out = _flag("--out", {
@@ -481,12 +558,13 @@ def main() -> int:
         "nonfinite": "/tmp/sdl_nonfinite",
         "skew": "/tmp/sdl_skew",
         "time-edge": "/tmp/sdl_timeedge_sweep",
+        "huge-doc": "/tmp/sdl_hugedoc",
         "edge": OUT_DEFAULT,
     }[kind])
     print(f"generating {kind} tables {src} -> {out}")
     generate(
         src, out, empty=empty, shuffle=shuffle, nonfinite=nonfinite, skew=skew,
-        time_edge=time_edge,
+        time_edge=time_edge, huge_doc=huge_doc,
     )
     if gen_only:
         return 0
@@ -495,13 +573,20 @@ def main() -> int:
         print(f"order-sensitive subset ({len(argv)} derived): {' '.join(argv)}")
     cmd = [sys.executable, "tools/check.py", out, *argv]
     print("running:", " ".join(cmd))
-    if not skew:
+    bounded = (
+        ("SKEW", SKEW_MAX_QUERY_SEC) if skew else
+        ("HUGE-DOC", HUGE_DOC_MAX_QUERY_SEC) if huge_doc else
+        None
+    )
+    if bounded is None:
         return subprocess.call(cmd, cwd="/root/repo")
-    # Skew sweep: parity AND bounded runtime. A hot key must not blow
-    # up candidate pairs / shard occupancy into a superlinear stage —
-    # the failure mode that kills a 100 TB job even when the answer
+    # Bounded-runtime sweeps (skew, huge-doc): parity AND wall-clock.
+    # A hot key / megabyte document must not blow up candidate pairs,
+    # shard occupancy, or a per-token lambda into a superlinear stage
+    # — the failure mode that kills a 100 TB job even when the answer
     # would eventually be right. check.py prints per-query wall
-    # times; any query over SKEW_MAX_QUERY_SEC fails the sweep.
+    # times; any query over the bound fails the sweep.
+    label, max_sec = bounded
     proc = subprocess.Popen(
         cmd, cwd="/root/repo", stdout=subprocess.PIPE, text=True
     )
@@ -510,13 +595,13 @@ def main() -> int:
     for line in proc.stdout:
         print(line, end="")
         m = re.search(r"^(PASS|FAIL) (\S+):.*\[([0-9.]+)s\]", line)
-        if m and float(m.group(3)) > SKEW_MAX_QUERY_SEC:
+        if m and float(m.group(3)) > max_sec:
             slow.append(f"{m.group(2)} ({m.group(3)}s)")
     rc = proc.wait()
     if slow:
         print(
-            f"SKEW RUNTIME BLOWUP: {len(slow)} query(ies) over "
-            f"{SKEW_MAX_QUERY_SEC}s on hot-key data: {', '.join(slow)}"
+            f"{label} RUNTIME BLOWUP: {len(slow)} query(ies) over "
+            f"{max_sec}s on {label.lower()} data: {', '.join(slow)}"
         )
         return 1
     return rc

@@ -33,14 +33,22 @@ Gates (fail-fast off: one red gate must not hide another):
                            PLUS a per-query bounded-runtime assertion
                            — no candidate-pair/occupancy blowup on a
                            hot key (VERDICT r12 #5)
- 10. bare-sweep @ sf0.01 — bare-session portability, twice
- 11. ledger              — certification-window audit
- 12. driver smoke        — __spark_entry__ entry/queries/oracle_sql
+ 10. huge-doc-sweep      — full-registry parity with one 220k-token
+                           (~1.3 MB) + a few 20k-token documents
+                           injected, under a per-query wall bound —
+                           the O(tokens^2) regression gate for the
+                           r13 winnowing/chunking fixes (VERDICT r13
+                           "Next round" #2)
+ 11. bare-sweep @ sf0.01 — bare-session portability, twice
+ 12. ledger              — certification-window audit
+ 13. driver smoke        — __spark_entry__ entry/queries/oracle_sql
 
-The twelve gates run in four concurrent LANES (sequential within a
+The thirteen gates run in five concurrent LANES (sequential within a
 lane) so the full suite fits the round budget without dropping
 coverage (VERDICT r11 #8; rebalanced to four when the skew and
-time-edge gates landed and the shuffle subset grew, VERDICT r12 #8): gate processes share nothing mutable —
+time-edge gates landed and the shuffle subset grew, VERDICT r12 #8;
+huge-doc got its own fifth lane so the critical path stays the
+pytest lane): gate processes share nothing mutable —
 per-process temp warehouses (session.py), atomic-rename artifact
 publication (plans/artifacts.py), per-process scratch dirs, and
 distinct sweep output dirs. Wall-clock = the slowest lane instead of
@@ -52,7 +60,7 @@ note and the runner continues (ADVICE r11: an uncaught
 TimeoutExpired would crash the runner and hide later gates).
 
 Usage: python tools/round_gates.py [--serial]
-           [--skip pytest,sf01,sf1,edge,empty,shuffle,nonfinite,skew,timeedge,bare,ledger,smoke]
+           [--skip pytest,sf01,sf1,edge,empty,shuffle,nonfinite,skew,timeedge,hugedoc,bare,ledger,smoke]
 """
 
 from __future__ import annotations
@@ -104,6 +112,7 @@ GATES: list[tuple[str, list[str], str, str]] = [
     ("bare-sweep", [sys.executable, "tools/bare_sweep.py", "/root/testdata/sf0.01"], "ALL OK", "sweeps-b"),
     ("skew-sweep", [sys.executable, "tools/edge_sweep.py", "--skew"], "ALL GREEN", "sweeps-b"),
     ("time-edge-sweep", [sys.executable, "tools/edge_sweep.py", "--time-edge"], "ALL GREEN", "sweeps-b"),
+    ("huge-doc-sweep", [sys.executable, "tools/edge_sweep.py", "--huge-doc"], "ALL GREEN", "sweeps-c"),
 ]
 
 _SKIP_ALIASES = {
@@ -115,6 +124,7 @@ _SKIP_ALIASES = {
     "nonfinite": "nonfinite-sweep",
     "skew": "skew-sweep",
     "timeedge": "time-edge-sweep",
+    "hugedoc": "huge-doc-sweep",
     "bare": "bare-sweep",
 }
 
