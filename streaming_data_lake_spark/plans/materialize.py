@@ -639,8 +639,23 @@ class Materializer:
             # (bounded: it is the changed-key SET, like win_view).
             for dep in target.dims:
                 dim = dep.dim(self.spark)
+                # Change detection is bounded to ADMISSIBLE validity
+                # starts (r14, dim-side extension of the r13 time-edge
+                # contract): a single dim version stamped with a
+                # year-9999 valid_from would otherwise satisfy
+                # `valid_from > wm` on EVERY cycle and phantom-flag
+                # its key forever — one malformed dim row turning
+                # every incremental cycle into a full keyed repair of
+                # that key's partitions at 100 TB. Sound to exclude:
+                # a version that starts outside the admissible event-
+                # time window can never match an admissible fact (the
+                # ts choke point above bounds fact times to the same
+                # window).
                 changed = (
-                    dim.filter(F.col(dep.valid_from_col) > F.lit(wm))
+                    dim.filter(
+                        admissible_ts(F.col(dep.valid_from_col))
+                        & (F.col(dep.valid_from_col) > F.lit(wm))
+                    )
                     .select(F.col(dep.dim_key).alias(dep.fact_fk))
                     .distinct()
                     .cache()

@@ -90,6 +90,67 @@ def test_m3_dimension_change_repair(spark, tmp_path):
     assert {r["label"] for r in m.read_mat("mat_enriched").collect()} == {"one_v2", "two_v1"}
 
 
+def test_m3_ignores_inadmissible_dim_validity(spark, tmp_path):
+    """Dim-side extension of the time-edge admission contract (r14,
+    VERDICT r13 "Next round" #8): ONE dim version stamped with a
+    year-9999 valid_from satisfies `valid_from > watermark` on every
+    cycle, so without admission it phantom-flags its key forever —
+    each incremental run degrades to a keyed repair of that key's
+    partitions. It must be ignored (sound: the fact-side ts choke
+    point bounds event times to the same admissible window, so an
+    out-of-window version can never match an admissible fact), while
+    a REAL in-window SCD2 change still repairs."""
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake, exist_ok=True)
+    src = os.path.join(lake, "src")
+    dim_dir = os.path.join(lake, "dim")
+    _write_events(spark, src, [(1, _ts("2024-01-01 10:00:00"), 1, 1.0),
+                               (2, _ts("2024-01-01 11:00:00"), 2, 2.0)])
+    far_future = dt.datetime(9999, 1, 1, tzinfo=dt.timezone.utc)
+    dim_rows = [
+        (1, "one_v1", _ts("2020-01-01 00:00:00"), True),
+        (2, "two_v1", _ts("2020-01-01 00:00:00"), True),
+        # malformed feed artifact: a "scheduled" far-future version
+        (2, "two_v9999", far_future, False),
+    ]
+    schema = "k int, label string, valid_from timestamp, is_current boolean"
+    spark.createDataFrame(dim_rows, schema).write.mode("overwrite").parquet(dim_dir)
+
+    def view(s):
+        facts = s.read.parquet(src)
+        dim = s.read.parquet(dim_dir).filter(F.col("is_current"))
+        return facts.join(F.broadcast(dim), "k", "left").select("id", "ts", "k", "label")
+
+    target = MatTarget(
+        "mat_enriched",
+        view,
+        "ts",
+        dims=(DimDependency(dim=lambda s: s.read.parquet(dim_dir), dim_key="k", fact_fk="k"),),
+    )
+    m = Materializer(spark, lake)
+    m.run(target)
+    assert {r["label"] for r in m.read_mat("mat_enriched").collect()} == {"one_v1", "two_v1"}
+
+    # cycle 2, dim UNCHANGED: the year-9999 row must not phantom-flag
+    # k=2 (pre-fix this read "repaired changed keys" forever)
+    log2 = m.run(target)
+    assert log2["M3:k"] == "no dim change", log2
+    log3 = m.run(target)
+    assert log3["M3:k"] == "no dim change", log3
+
+    # a REAL in-window change on k=1 still repairs, labels correct
+    dim_rows = [
+        (1, "one_v1", _ts("2020-01-01 00:00:00"), False),
+        (1, "one_v2", _ts("2024-06-01 00:00:00"), True),
+        (2, "two_v1", _ts("2020-01-01 00:00:00"), True),
+        (2, "two_v9999", far_future, False),
+    ]
+    spark.createDataFrame(dim_rows, schema).write.mode("overwrite").parquet(dim_dir)
+    log4 = m.run(target)
+    assert log4["M3:k"] == "repaired changed keys"
+    assert {r["label"] for r in m.read_mat("mat_enriched").collect()} == {"one_v2", "two_v1"}
+
+
 def test_maintenance_compact_and_orphans(spark, tmp_path):
     lake = str(tmp_path / "lake")
     tbl = os.path.join(lake, "t")
