@@ -57,6 +57,11 @@ HEADLINE = [
     "materialize_incremental_clean_events",  # incremental materializer
 ]
 
+# Hard cap on regression entries in the stdout contract line: even an
+# everything-regressed pathological run must keep the line inside the
+# driver's ~2000-char tail capture (full entries go to the sidecar).
+_REG_CAP = 8
+
 
 def _round_seed() -> int:
     """Deterministic per-round seed for the execution-order shuffle:
@@ -85,30 +90,60 @@ def _round_seed() -> int:
     return (max(rounds) if rounds else 0) + 1
 
 
-def _prev_bench(repo: str) -> tuple[dict | None, int | None]:
-    """The latest BENCH_r{N}.json's parsed payload (driver files wrap
-    the JSON line under "parsed"; a bare line parses as-is), or
-    (None, round) when unreadable."""
+def _prev_bench(
+    repo: str, before_round: int | None = None
+) -> tuple[dict | None, int | None]:
+    """The latest usable BENCH_r{N}.json's parsed payload (driver
+    files wrap the JSON line under "parsed"; a bare line parses
+    as-is), or (None, highest round seen) when none is usable.
+
+    ``before_round`` excludes the in-flight round: a bench rerun
+    after the driver has already written THIS round's artifact must
+    not compare the run against its own round's record (ADVICE r13).
+    Unreadable artifacts (BENCH_r13's "parsed": null truncation) fall
+    back to the next-lower round instead of silently disabling the
+    tripwire."""
     import glob
     import re
 
-    best: tuple[int, str] | None = None
+    rounds: list[tuple[int, str]] = []
     for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
         if m := re.search(r"BENCH_r(\d+)\.json$", p):
             rnd = int(m.group(1))
-            if best is None or rnd > best[0]:
-                best = (rnd, p)
-    if best is None:
+            if before_round is None or rnd < before_round:
+                rounds.append((rnd, p))
+    if not rounds:
         return None, None
-    try:
-        with open(best[1]) as fh:
-            d = json.load(fh)
-    except (OSError, json.JSONDecodeError):
-        return None, best[0]
-    payload = d.get("parsed", d) if isinstance(d, dict) else None
-    if not isinstance(payload, dict) or not payload.get("queries"):
-        return None, best[0]
-    return payload, best[0]
+    rounds.sort(reverse=True)
+    for rnd, path in rounds:
+        try:
+            with open(path) as fh:
+                d = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        payload = d.get("parsed", d) if isinstance(d, dict) else None
+        if isinstance(payload, dict) and payload.get("queries"):
+            return payload, rnd
+    return None, rounds[0][0]
+
+
+def _span_cal(payload: dict, fallback: float) -> float:
+    """A run's span calibration: the mean of its pre-run probe and
+    the SLOWER of (pre, post) when both exist, else the pre-probe,
+    else ``fallback``.
+
+    One-sided on purpose (r14, tools/probe_spancal.py): the probe's
+    own JIT tail keeps drifting downward through a session, so a
+    post-probe FASTER than pre is warm-process state, not host
+    signal — the r13 spancal averaged it in and overstated slowness
+    on every idle run (VERDICT r13 #6). A post-probe SLOWER than pre
+    is the thing the post-probe exists to catch (load arriving
+    mid-run, ADVICE r13) and is counted."""
+    pre = payload.get("cpu_calibration_sec")
+    post = payload.get("cpu_calibration_post_sec")
+    if pre and post:
+        return (pre + max(post, pre)) / 2
+    return pre or fallback
 
 
 def find_regressions(
@@ -125,8 +160,13 @@ def find_regressions(
     calibration, and flag any query over ``ratio_bar`` x. The
     ``abs_floor_sec`` guard drops sub-second flapping (r12 saw 0.31 s
     vs 0.23 s read as a spike) — a real regression at headline scale
-    moves the normalized time by far more than 0.2 s."""
-    prev_cal = prev.get("cpu_calibration_sec") or cal_baseline
+    moves the normalized time by far more than 0.2 s.
+
+    ``calibration`` should be the CURRENT run's span calibration
+    (mean of pre+post probes, ADVICE r13) so a load ramp arriving
+    mid-run is at least half-credited; the previous side uses its own
+    recorded span when the artifact carries a post-probe."""
+    prev_cal = _span_cal(prev, cal_baseline)
     out: list[dict] = []
     for name, cur in sorted(per_query.items()):
         p = prev["queries"].get(name)
@@ -155,11 +195,25 @@ def main() -> int:
     # Warm the JVM/codegen path once so per-query times measure the
     # plan, not session startup: one scalar agg (codegen), one scan +
     # shuffle over the smallest table (parquet reader + exchange
-    # classloading). Warms machinery only — no headline table data.
-    from streaming_data_lake_spark.catalog import load_table
+    # classloading).
+    from streaming_data_lake_spark.catalog import TABLES, load_table
 
     spark.range(1000).selectExpr("sum(id)").collect()
     load_table(spark, sf_dir, "region").groupBy("r_regionkey").count().count()
+    # Warm EVERY input table with one narrow scan (VERDICT r13 "What's
+    # wrong" #1): the r13 tripwire flagged 5 phantom regressions that
+    # were exactly the head of the reshuffled execution order, because
+    # whichever queries ran first paid each table's first-touch costs
+    # (file listing, footer parse, page-cache fill, per-table codegen)
+    # on BOTH best-of-2 runs. One min() over the first column decodes
+    # real data pages through the same reader path the queries use, so
+    # position in the shuffled order no longer correlates with cold
+    # tables.
+    from pyspark.sql import functions as F
+
+    for _tbl in TABLES:
+        _df = load_table(spark, sf_dir, _tbl)
+        _df.select(F.min(_df.columns[0])).collect()
     # Warm the STREAMING engine too (MicroBatchExecution, file-stream
     # source, state store, foreachBatch + in-batch parquet write):
     # with the shuffled order a streaming query can land in slot 0,
@@ -167,8 +221,6 @@ def main() -> int:
     # first-stream class-loading (~3s) that the old fixed order hid
     # by always running streaming entries late. Uses the 5-row
     # region table — machinery only, no headline table data.
-    from pyspark.sql import functions as F
-
     from streaming_data_lake_spark.scratch import scratch_dir
     from streaming_data_lake_spark.sources.streams import stream_table
     from streaming_data_lake_spark.sources.upsert import foreach_batch_upsert
@@ -201,11 +253,33 @@ def main() -> int:
     # (id*id) % p keeps both the per-row product (max 4e16) and the
     # running sum (≤ 2e14) inside long range — ANSI mode (Spark 4
     # default) raises ARITHMETIC_OVERFLOW on a plain sum(id*id).
-    cal_times = []
-    for _ in range(3):
-        t0 = time.time()
-        spark.range(1_000_000_000).selectExpr("sum((id * id) % 1000003) as s").collect()
-        cal_times.append(round(time.time() - t0, 3))
+    #
+    # The probe is brought to STEADY STATE before the pre measurement
+    # (r14, tools/probe_spancal.py): the probe's own JIT tail drifts
+    # ~0.376 -> 0.25 s over its first ~9 executions with NO query
+    # work in between, while a fully-warmed probe shows post/pre
+    # jitter around 1.0 (0.93/0.85/1.11 over three work-interleaved
+    # cycles). The r13 "post-probe 20% faster" anomaly (VERDICT r13
+    # #6) was the pre-probe sampling a colder probe than the
+    # post-probe, not host load — it made value_normalized_spancal
+    # overstate slowness on every idle run. Discarding 6 warm-up
+    # executions puts pre and post on the same steady probe, making
+    # the pre/post delta a pure load-ramp signal. NOTE: this lowers
+    # the measured calibration ~5-15% vs the r11-r13 semi-cold pre
+    # semantics, so value_normalized_r11cal steps UP by the same
+    # factor relative to older artifacts (documented CHANGELOG_r14).
+    def cpu_probe(n: int = 3, discard: int = 0) -> list[float]:
+        ts: list[float] = []
+        for i in range(discard + n):
+            t0 = time.time()
+            spark.range(1_000_000_000).selectExpr(
+                "sum((id * id) % 1000003) as s"
+            ).collect()
+            if i >= discard:
+                ts.append(round(time.time() - t0, 3))
+        return ts
+
+    cal_times = cpu_probe(n=3, discard=6)
     calibration = min(cal_times)
 
     # IO probe: CPU calibration alone misses IO/scheduler load — two
@@ -273,26 +347,6 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    # warm=false ⇔ at least one durable artifact (bucketed layout,
-    # LSH signature table, IVF index, …) was built IN-LINE during a
-    # SCORED run — i.e. the headline number includes one-time build
-    # costs a steady-state deployment amortizes away. With best-of-2,
-    # a first-run build followed by a warm second run scores warm.
-    #
-    # Stdout carries ONLY the contract line, kept small enough to
-    # survive the driver's bounded tail capture whole — the r8/r9
-    # records landed with parsed:null because per-run detail bloated
-    # the line past the buffer. Full detail (every run, the shuffled
-    # order) goes to a sidecar the judge can read directly.
-    detail = {
-        "query_runs": per_query_runs,
-        "order_seed": seed,
-        "order": order,
-        "artifact_builds_all_runs": builds_total,
-    }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL_local.json"), "w") as fh:
-        json.dump(detail, fh, indent=1)
     # Calibration-normalized total: value x (baseline / this run's
     # calibration), so round-over-round reads divide out host-CPU
     # state IN THE ARTIFACT instead of in changelog prose (VERDICT
@@ -303,28 +357,68 @@ def main() -> int:
     # instant, and load arriving DURING the run is invisible to it —
     # r12 run 2 and four r13 runs normalized badly for exactly this
     # reason. Re-probing after the queries brackets the run;
-    # value_normalized_spancal uses the mean of the two minima, so a
-    # load ramp mid-run is at least half-credited instead of ignored.
-    # value_normalized_r11cal keeps its established pre-probe
+    # value_normalized_spancal half-credits a mid-run load RAMP (a
+    # post-probe slower than pre) and ignores a faster post-probe
+    # (probe warm-up, not host signal — r14 spancal validation, see
+    # _span_cal). value_normalized_r11cal keeps its pre-probe
     # semantics for round-over-round comparability.
-    cal_post_times = []
-    for _ in range(3):
-        t0 = time.time()
-        spark.range(1_000_000_000).selectExpr("sum((id * id) % 1000003) as s").collect()
-        cal_post_times.append(round(time.time() - t0, 3))
+    # One discard resettles the probe after ~70 s of query work (the
+    # pre side is already steady from its 6-run warm-up).
+    cal_post_times = cpu_probe(n=3, discard=1)
     calibration_post = min(cal_post_times)
 
     cal_baseline = 0.273
+    # One-sided span (see _span_cal): a faster post-probe is probe
+    # warm-up, not host signal; only a slower one marks a load ramp.
+    cal_span = (calibration + max(calibration_post, calibration)) / 2
     # Regression tripwire (VERDICT r12 #6): normalized per-query
     # comparison against the previous round's recorded artifact, in
     # the JSON line itself — perf claims stop being hand-assembled.
-    prev, prev_round = _prev_bench(os.path.dirname(os.path.abspath(__file__)))
+    # Both sides normalize with their SPAN calibration (ADVICE r13:
+    # pre-probe-only normalization misses load arriving mid-run);
+    # the in-flight round is excluded from the baseline pick so a
+    # rerun never compares against its own round's artifact.
+    prev, prev_round = _prev_bench(
+        os.path.dirname(os.path.abspath(__file__)), before_round=_round_seed()
+    )
     regressions = (
-        find_regressions(per_query, calibration, prev, cal_baseline)
+        find_regressions(per_query, cal_span, prev, cal_baseline)
         if prev
         else []
     )
-    print(json.dumps({
+
+    # warm=false ⇔ at least one durable artifact (bucketed layout,
+    # LSH signature table, IVF index, …) was built IN-LINE during a
+    # SCORED run — i.e. the headline number includes one-time build
+    # costs a steady-state deployment amortizes away. With best-of-2,
+    # a first-run build followed by a warm second run scores warm.
+    #
+    # Stdout carries the contract line LAST, kept small enough to
+    # survive the driver's ~2000-char tail capture whole — BENCH_r13
+    # landed with parsed:null because run-detail fields bloated the
+    # line past the buffer (VERDICT r13 "Next round" #4). Full detail
+    # (every run, the shuffled order, probe run lists, full
+    # regression entries) goes to a sidecar the judge can read
+    # directly, and regressions in the contract line are compacted to
+    # {q, x} pairs with a hard cap.
+    detail = {
+        "query_runs": per_query_runs,
+        "order_seed": seed,
+        "order": order,
+        "artifact_builds_all_runs": builds_total,
+        "cpu_calibration_runs": cal_times,
+        "io_calibration_runs": io_times,
+        "cpu_calibration_post_runs": cal_post_times,
+        "regressions_full": regressions,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL_local.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    compact_reg = [
+        {"q": r["query"], "x": r["ratio"]} for r in regressions[:_REG_CAP]
+    ]
+    line = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
@@ -335,18 +429,16 @@ def main() -> int:
         "warm": builds_in_best == 0,
         "artifact_builds": builds_in_best,
         "cpu_calibration_sec": calibration,
-        "cpu_calibration_runs": cal_times,
         "io_calibration_sec": io_calibration,
-        "io_calibration_runs": io_times,
         "value_normalized_r11cal": round(total * cal_baseline / calibration, 3),
         "cpu_calibration_post_sec": calibration_post,
-        "cpu_calibration_post_runs": cal_post_times,
-        "value_normalized_spancal": round(
-            total * cal_baseline / ((calibration + calibration_post) / 2), 3
-        ),
-        "regressions": regressions,
+        "value_normalized_spancal": round(total * cal_baseline / cal_span, 3),
+        "regressions": compact_reg,
         "regression_baseline": f"BENCH_r{prev_round:02d}" if prev else None,
-    }))
+    }
+    if len(regressions) > _REG_CAP:
+        line["regressions_omitted"] = len(regressions) - _REG_CAP
+    print(json.dumps(line, separators=(",", ":")))
     return 0
 
 

@@ -56,8 +56,11 @@ def test_round_seed_tracks_correctness_files(monkeypatch):
 
 def test_prev_bench_reads_driver_wrapper_and_bare_line(tmp_path):
     """_prev_bench must unwrap the driver's {"parsed": {...}} file
-    shape, accept a bare JSON line, pick the HIGHEST round, and
-    return (None, round) for artifacts without per-query data."""
+    shape, accept a bare JSON line, pick the HIGHEST usable round,
+    fall back past unreadable artifacts (BENCH_r13's parsed:null
+    truncation must not disable the tripwire — VERDICT r13 #4), and
+    exclude the in-flight round (ADVICE r13: a rerun after the driver
+    wrote THIS round's artifact must not self-compare)."""
     import json
 
     (tmp_path / "BENCH_r03.json").write_text(
@@ -71,9 +74,18 @@ def test_prev_bench_reads_driver_wrapper_and_bare_line(tmp_path):
     )
     payload, rnd = bench._prev_bench(str(tmp_path))
     assert rnd == 10 and payload["queries"] == {"z": 2.0}
-    (tmp_path / "BENCH_r11.json").write_text(json.dumps({"n": 1, "tail": "x"}))
+    # unreadable newest (the r13 truncation shape) -> falls back to r10
+    (tmp_path / "BENCH_r11.json").write_text(
+        json.dumps({"n": 1, "tail": "x", "parsed": None})
+    )
     payload, rnd = bench._prev_bench(str(tmp_path))
-    assert rnd == 11 and payload is None
+    assert rnd == 10 and payload["queries"] == {"z": 2.0}
+    # in-flight round exclusion: r10 is this round's own artifact
+    payload, rnd = bench._prev_bench(str(tmp_path), before_round=10)
+    assert rnd == 3 and payload["queries"] == {"q": 1.0}
+    # nothing usable at all -> (None, highest round seen)
+    payload, rnd = bench._prev_bench(str(tmp_path), before_round=3)
+    assert payload is None and rnd is None
 
 
 def test_find_regressions_normalizes_and_applies_floor():
@@ -99,3 +111,97 @@ def test_find_regressions_normalizes_and_applies_floor():
     assert [r["query"] for r in out] == ["real_regression"]
     assert out[0]["ratio"] == 2.0
     assert out[0]["prev_normalized"] == 1.0 and out[0]["now_normalized"] == 2.0
+
+
+def test_find_regressions_uses_prev_span_calibration_when_present():
+    """A previous artifact that recorded a post-run probe normalizes
+    with its one-sided SPAN (ADVICE r13 + r14 validation) — a load
+    ramp that arrived mid-run on the previous round must not
+    manufacture regressions this round."""
+    # prev ran on a host that loaded up mid-run: pre 0.273, post
+    # 0.546 -> span 0.4095. Its raw 1.5 s normalizes to 1.0 s.
+    prev = {
+        "queries": {"q": 1.5},
+        "cpu_calibration_sec": 0.273,
+        "cpu_calibration_post_sec": 0.546,
+    }
+    # current idle run, same true cost: raw 1.0 at cal 0.273.
+    out = bench.find_regressions({"q": 1.0}, 0.273, prev, 0.273)
+    assert out == []
+    # pre-only normalization would have read prev as 1.5 norm and
+    # missed a REAL 2x regression; span catches it.
+    out = bench.find_regressions({"q": 3.0}, 0.273, prev, 0.273)
+    assert [r["query"] for r in out] == ["q"] and out[0]["ratio"] == 3.0
+
+
+def test_span_cal_is_one_sided():
+    """A post-probe FASTER than pre is probe warm-up (the r13
+    0.263->0.216 anomaly — tools/probe_spancal.py showed the probe's
+    JIT tail drifts down with no query work at all) and must NOT
+    move the span; a slower one is a load ramp and must."""
+    faster_post = {"cpu_calibration_sec": 0.263,
+                   "cpu_calibration_post_sec": 0.216}
+    assert bench._span_cal(faster_post, 0.273) == 0.263
+    slower_post = {"cpu_calibration_sec": 0.263,
+                   "cpu_calibration_post_sec": 0.563}
+    assert bench._span_cal(slower_post, 0.273) == (0.263 + 0.563) / 2
+    pre_only = {"cpu_calibration_sec": 0.3}
+    assert bench._span_cal(pre_only, 0.273) == 0.3
+    assert bench._span_cal({}, 0.273) == 0.273
+
+
+def test_identical_normalized_run_has_no_regressions_any_order():
+    """The r13 artifact flagged 5 phantom regressions that were
+    exactly the head of the reshuffled execution order (VERDICT r13
+    "What's wrong" #1). With per-table warm-up, a
+    reshuffled-but-identical-code run measures the same normalized
+    times — and find_regressions is order-independent by
+    construction: identical normalized values in ANY iteration order
+    produce regressions: []."""
+    q = {n: 0.5 + (i % 7) * 0.3 for i, n in enumerate(bench.HEADLINE)}
+    prev = {"queries": dict(q), "cpu_calibration_sec": 0.273}
+    for seed in (13, 14):
+        shuffled = dict(
+            sorted(q.items(), key=lambda kv: random.Random(seed).random())
+        )
+        assert bench.find_regressions(shuffled, 0.273, prev, 0.273) == []
+    # host 30% slower uniformly (raw x1.3, calibration x1.3): still []
+    loaded = {n: v * 1.3 for n, v in q.items()}
+    assert bench.find_regressions(loaded, 0.273 * 1.3, prev, 0.273) == []
+
+
+def test_contract_line_fits_driver_tail_capture():
+    """The stdout contract line must survive the driver's ~2000-char
+    tail capture even in a pathological everything-regressed run —
+    BENCH_r13 landed parsed:null because the line outgrew the buffer
+    (VERDICT r13 "Next round" #4)."""
+    import json
+
+    per_query = {n: 123.456 for n in bench.HEADLINE}
+    regressions = [
+        {"query": n, "prev_normalized": 1.234, "now_normalized": 123.456,
+         "ratio": 99.99}
+        for n in bench.HEADLINE
+    ]
+    compact = [{"q": r["query"], "x": r["ratio"]}
+               for r in regressions[:bench._REG_CAP]]
+    line = json.dumps({
+        "metric": "headline_queries_total",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": per_query,
+        "policy": "best_of_2",
+        "order_seed": 99,
+        "sf": 0.1,
+        "warm": False,
+        "artifact_builds": 99,
+        "cpu_calibration_sec": 0.263,
+        "io_calibration_sec": 0.412,
+        "value_normalized_r11cal": 9999.999,
+        "cpu_calibration_post_sec": 0.216,
+        "value_normalized_spancal": 9999.999,
+        "regressions": compact,
+        "regression_baseline": "BENCH_r13",
+        "regressions_omitted": len(regressions) - bench._REG_CAP,
+    }, separators=(",", ":"))
+    assert len(line) <= 1900, len(line)
