@@ -468,6 +468,20 @@ def kmeans_train(
     That is the textbook distributed k-means cost: iters × (one scan
     + one k-row shuffle). Clusters that lose all members drop out
     (deterministically) rather than being re-seeded."""
+    # Dimension admission (r14 wrong-dim probe): a finite nonzero
+    # vector of the WRONG length passes valid_vectors (GEN-3 checks
+    # norm, not shape) and then ABORTS the whole training job in
+    # recentering — element_at(v, d) raises INVALID_ARRAY_INDEX under
+    # ANSI for d past its length. One mis-shaped vector in a 100 TB
+    # corpus (an encoder version drift, a truncated row) must not
+    # kill the job: drop it at the trainer's door, the same contract
+    # FAISS enforces at add() time (d mismatch raises there; here the
+    # engine-wide posture is reject-don't-abort). Search paths are
+    # unaffected on purpose: their fold-based dots yield NULL sims
+    # for mis-shaped vectors, which both engines already drop
+    # consistently (probe: all 9 other similarity queries hold
+    # parity on wrong-dim data).
+    corpus = corpus.filter(F.size(F.col(vec_col)) == dim)
     # Seed = the k smallest ids, whatever the id domain. The earlier
     # filter(id < k) shortcut assumed dense 0-based numeric ids:
     # 1-based ids silently trained k-1 clusters, string ids trained

@@ -703,7 +703,7 @@ s{it} AS (
            ORDER BY {dot} / (n.nrm * c.cnrm) DESC, c.cluster_id ASC
          ) AS rn,
          c.cluster_id
-  FROM n CROSS JOIN c{prev}n c
+  FROM nv n CROSS JOIN c{prev}n c
 ),
 a{it} AS (SELECT vec_id, v, cluster_id FROM s{it} WHERE rn = 1),
 m{it} AS (
@@ -724,10 +724,15 @@ WITH n AS (
          sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
   FROM {_DUCK_EMB} embeddings
 ),
+-- TRAINING admits only dim-{_KM_DIM} vectors (r14: kmeans_train
+-- drops mis-shaped vectors instead of aborting on element_at OOB;
+-- the FAISS add()-time contract). The search tail keeps the
+-- unfiltered corpus `n`, mirroring the engine, whose fold-based
+-- dots yield NULL sims for mis-shaped vectors in both engines.
+nv AS (SELECT * FROM n WHERE len(v) = {_KM_DIM}),
 c0n AS (
-  SELECT vec_id AS cluster_id, embedding AS cv,
-         sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS cnrm
-  FROM {_DUCK_EMB} embeddings WHERE vec_id < {_KM_K}
+  SELECT vec_id AS cluster_id, v AS cv, nrm AS cnrm
+  FROM nv ORDER BY vec_id LIMIT {_KM_K}
 ),
 """
     + ",\n".join(

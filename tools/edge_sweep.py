@@ -183,6 +183,15 @@ def mutate_table(name: str, table: pa.Table) -> pa.Table:
                 infrow = [float(k) for k in range(dim)]
                 infrow[2 % dim] = float("inf")
                 vals[83 % n] = infrow
+                # wrong-DIMENSION vectors (r14): finite and nonzero,
+                # so they pass the GEN-3 norm admission — the encoder
+                # version-drift / truncated-row shapes that ABORTED
+                # k-means training outright (ANSI element_at OOB)
+                # until the r14 dim admission; every other similarity
+                # path must hold NULL-sim parity on them.
+                vals[97 % n] = [1.0] * max(dim // 2, 1)
+                vals[113 % n] = [0.5] * (dim + 3)
+                vals[131 % n] = [2.0]
         cols[field.name] = pa.array(vals, type=field.type)
     out = pa.table(cols, schema=table.schema)
     # Duplicate-content rows: identical payload, FRESH primary key —
