@@ -134,7 +134,16 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n
 
 #: RE2-safe patterns (no backrefs/lookaround) so Spark's Java regex
 #: and DuckDB's RE2 match identically.
-EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+# RFC-bounded local part (<=64) and domain labels: the bounds are not
+# pedantry — the unbounded `[...]+@` shape makes Java's backtracking
+# regex O(chars²) on any long run of local-part characters with no @
+# (a single 300 KB whitespace-free token hung redaction outright,
+# r14 megatoken probe; DuckDB's RE2 is linear so the hang was also a
+# cross-engine asymmetry). Bounded quantifiers cap the per-position
+# scan at 64, restoring O(chars). PHONE_RE is already linear on
+# digit runs: its required `-` after a bounded 3-digit prefix fails
+# fast at every position.
+EMAIL_RE = r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,253}\.[A-Za-z]{2,63}"
 PHONE_RE = r"[0-9]{3}-[0-9]{2,}"
 
 

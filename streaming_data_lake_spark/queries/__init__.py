@@ -153,6 +153,8 @@ _CERTIFICATION_ORDER = [
     "bigram_lm_quality",
     # (r14 dim-side time-edge admission in the M3 changed-key filter)
     "materialize_dim_change_repair",
+    # (r14 megatoken probe: RFC-bounded email regex, engine + oracle)
+    "pii_redaction",
     # ---- r13-certified (fresh through r15; the whole r13 window in
     # its certified order) ----
     "salted_skew_aggregation",
@@ -178,7 +180,6 @@ _CERTIFICATION_ORDER = [
     "winnowing_fingerprints",
     "exact_substring_dups",
     "dedup_keep_best_quality",
-    "pii_redaction",
     "event_quality_spine_hourly",
     "knn_ivf_recall_at_k",
     "multimodal_resize",

@@ -150,6 +150,11 @@ R14_ROUND_CODE_TOUCHED: list[str] = [
     # ignores inadmissible valid_from versions (a year-9999 dim row
     # phantom-flagged its key every cycle).
     "materialize_dim_change_repair",
+    # r14 megatoken probe: the unbounded email regex was O(chars²)
+    # under Java's backtracking engine (a 300 KB whitespace-free run
+    # hung redaction; DuckDB's RE2 stayed linear) — RFC-bounded
+    # quantifiers in BOTH the engine constant and the oracle text.
+    "pii_redaction",
 ]
 
 

@@ -346,6 +346,16 @@ HUGE_DOC_MAX_QUERY_SEC = 120.0
 # so banding/shingling paths see more than a single outlier.
 HUGE_DOC_SPECS = [(7, 220_000), (23, 20_000), (47, 20_000), (61, 22_000)]
 
+# (row index, run length) MEGATOKEN documents: a single huge
+# whitespace-free run (the scraped-binary / minified-JS shape).
+# Tokenization sees ONE giant token, and any unanchored regex with an
+# unbounded class scans O(chars) at each of O(chars) start positions
+# — the r14 probe hung pii_redaction's email regex outright on the
+# 300 KB run (Java backtracking; DuckDB's RE2 stayed linear, so the
+# hang was also a cross-engine asymmetry). Second doc embeds the run
+# mid-sentence so boundary paths see both shapes.
+MEGATOKEN_SPECS = [(89, 300_000), (103, 50_000)]
+
 _HUGE_VOCAB = (
     "spark shuffle parquet window join filter group order scan merge "
     "hash batch stream state token shard vector index bucket probe "
@@ -381,6 +391,11 @@ def make_huge_docs(name: str, table: pa.Table) -> pa.Table:
             for k in range(n_tokens)
         ]
         text = " ".join(toks)
+        txt[row % n] = text
+        nch[row % n] = len(text)
+    for i, (row, run_len) in enumerate(MEGATOKEN_SPECS):
+        run = "xy"[i % 2] * run_len
+        text = run if i == 0 else f"start word {run} end word"
         txt[row % n] = text
         nch[row % n] = len(text)
     table = _set_col(table, "text", txt)
