@@ -60,15 +60,21 @@ time-edge admission contract (parity.admissible_ts). First run found
 single far-future row (2-3 rows lost per streaming query), and a
 PIT-join label fabricated for a pre-dim-history fact.
 
-``--huge-doc`` (out default /tmp/sdl_hugedoc) overwrites a few
-``documents.text`` rows with huge deterministic token streams — one
-220k-token (~1.3 MB) document plus a few ~20k-token ones — and runs
-full-registry parity under a per-query wall bound
-(HUGE_DOC_MAX_QUERY_SEC, the skew sweep's pattern). This is the
-permanent regression gate for the r13 round-end O(tokens^2) fixes
-(winnowing's per-index re-evaluation: 171 s -> 1.1 s at 20k tokens,
-225k hung; the chunking oracle's LATERAL list copies) and a stress
-test for every other token-array operator.
+``--huge-doc`` (out default /tmp/sdl_hugedoc) is the DOCUMENT
+PATHOLOGY sweep: it overwrites ``documents.text`` rows with (a) huge
+deterministic token streams — one 220k-token (~1.3 MB) document plus
+a few ~20k-token ones, (b) MEGATOKEN documents — a single 300 KB
+whitespace-free run and a 50 KB run embedded mid-sentence (the
+scraped-binary/minified-JS shape), and (c) a 30% duplicate FLOOD
+(row 3's text copied verbatim — the boilerplate-page clique), then
+runs full-registry parity under a per-query wall bound
+(HUGE_DOC_MAX_QUERY_SEC, the skew sweep's pattern). Its catches so
+far: r13 probe — winnowing per-index re-evaluation (171 s -> 1.1 s
+at 20k tokens), chunking-oracle LATERAL copies; r14 first run —
+bigram-oracle LATERAL copies (>10 min), chunking's Spark-side
+explode-then-slice (182 s) AND the r13 fix's in-lambda list_slice
+(80 s); r14 megatoken probe — the unbounded email regex hanging
+Java's backtracking engine while DuckDB's RE2 stayed linear.
 
 ``--order-sensitive`` restricts the run to the queries whose oracle
 SQL or Spark source contains an order-sensitive construct (window
@@ -356,6 +362,15 @@ HUGE_DOC_SPECS = [(7, 220_000), (23, 20_000), (47, 20_000), (61, 22_000)]
 # mid-sentence so boundary paths see both shapes.
 MEGATOKEN_SPECS = [(89, 300_000), (103, 50_000)]
 
+# Duplicate-flood rate: this share of non-special rows copy row 3's
+# text verbatim (the boilerplate/error-page shape — a 30% clique).
+# Pair-emitting dedup queries are QUADRATIC in clique size by
+# contract (every pair IS a near-dup; r14 probe: the 151-clique's
+# 11k pairs computed in ~3 s with parity), and the cluster path
+# (dup_clusters_connected) is the linear-output scale answer. The
+# flood keeps both under the wall bound permanently.
+DUP_FLOOD_RATE = 0.30
+
 _HUGE_VOCAB = (
     "spark shuffle parquet window join filter group order scan merge "
     "hash batch stream state token shard vector index bucket probe "
@@ -398,6 +413,17 @@ def make_huge_docs(name: str, table: pa.Table) -> pa.Table:
         text = run if i == 0 else f"start word {run} end word"
         txt[row % n] = text
         nch[row % n] = len(text)
+    special = {row % n for row, _ in HUGE_DOC_SPECS + MEGATOKEN_SPECS} | {3 % n}
+    rng = random.Random("hugedoc:dupflood")
+    boiler = txt[3 % n]
+    if boiler is not None:
+        flood = [
+            i for i in sorted(rng.sample(range(n), min(int(n * DUP_FLOOD_RATE), n)))
+            if i not in special
+        ]
+        for i in flood:
+            txt[i] = boiler
+            nch[i] = len(boiler)
     table = _set_col(table, "text", txt)
     return _set_col(table, "n_chars", nch)
 
