@@ -1142,3 +1142,51 @@ def test_out_of_range_ts_rejected_with_reason(spark):
     assert rej[5]["ts"] == dt.datetime(2024, 1, 1)
     # partition property: every row in exactly one side
     assert len(clean) + len(rej) == len(rows)
+
+
+def test_r14_admissions_wrong_dim_and_megatoken(spark):
+    """The two r14 abort-class admissions, unit-pinned so they do not
+    rely on the sweeps alone:
+
+    1. kmeans_train drops WRONG-DIMENSION vectors at its door (a
+       finite nonzero mis-shaped vector passes the norm admission and
+       previously aborted recentering with ANSI element_at OOB — one
+       encoder-drift row must not kill a corpus-scale training job).
+       Training results must equal the same corpus with the
+       mis-shaped rows absent.
+    2. redact_pii stays LINEAR on a megatoken run: the RFC-bounded
+       email pattern caps the per-position scan, so a ~150 KB
+       whitespace-free run redacts in milliseconds (the unbounded
+       pattern was O(chars²) under Java's backtracking engine — this
+       call hung for minutes pre-fix), with the run preserved
+       verbatim and real PII around it still caught.
+    """
+    from streaming_data_lake_spark.operators.similarity import kmeans_train
+    from streaming_data_lake_spark.operators.text import redact_pii
+
+    good = [(i, [float(i % 3), 1.0, 0.5, 2.0]) for i in range(1, 9)]
+    bad = [(100, [9.0, 9.0]), (101, [1.0] * 7), (102, [3.0])]
+    schema = "vec_id long, embedding array<double>"
+    with_bad = spark.createDataFrame(good + bad, schema)
+    only_good = spark.createDataFrame(good, schema)
+    got = {
+        (r["vec_id"], tuple(round(x, 9) for x in r["embedding"]), r["n_members"])
+        for r in kmeans_train(with_bad, k=3, iters=2, dim=4).collect()
+    }
+    want = {
+        (r["vec_id"], tuple(round(x, 9) for x in r["embedding"]), r["n_members"])
+        for r in kmeans_train(only_good, k=3, iters=2, dim=4).collect()
+    }
+    assert got == want and len(got) == 3
+
+    run = "x" * 150_000
+    docs = spark.createDataFrame(
+        [(1, f"mail me a@b.com or {run} call 555-0199 now")],
+        "doc_id long, text string",
+    )
+    row = redact_pii(docs).collect()[0]
+    assert row["n_emails"] == 1 and row["n_phones"] == 1
+    # run preserved verbatim: redaction only touched the real PII
+    assert row["redacted_len"] == len(
+        f"mail me <EMAIL> or {run} call <PHONE> now"
+    )
