@@ -325,9 +325,17 @@ def make_skew(name: str, table: pa.Table) -> pa.Table:
         k = 0
         for i in range(n):
             if rng.random() < 0.20:
-                emb[i] = [
-                    1.0 + ((k * 37 + j) % 101) * 1e-4 for j in range(dim)
-                ]
+                if k % 2 == 0:
+                    # EXACT duplicates (no jitter): cosine exactly 1.0
+                    # — a rank-tie storm that every top-k / near-dup /
+                    # centroid assignment must break deterministically
+                    # in both engines (r14 tie probe: 101-clique held
+                    # parity; this pins it permanently).
+                    emb[i] = [1.0 + (j % 101) * 1e-4 for j in range(dim)]
+                else:
+                    emb[i] = [
+                        1.0 + ((k * 37 + j) % 101) * 1e-4 for j in range(dim)
+                    ]
                 k += 1
         table = _set_col(table, "embedding", emb)
         lbl = table.column("label").to_pylist()
