@@ -35,10 +35,22 @@ def test_rollup_is_single_expand_aggregate(spark):
 
 
 def test_chunking_is_narrow(spark):
-    """Overlapping chunk explode is per-row: zero Exchange."""
+    """Overlapping chunk explode is per-row: zero Exchange. AND the
+    token array binds once per doc (r14 huge-doc gate): the slice
+    must sit INSIDE the explode's packed-struct lambda — the old
+    explode-then-slice shape re-materialized the full toks array
+    into every exploded chunk row (O(n_tok²/stride) bytes; 182 s on
+    a 220k-token document), which shows in the plan as `toks`
+    referenced ABOVE the Generate node."""
     plan = _executed(_query(spark, "doc_chunks_overlap"))
     assert "Exchange" not in plan, "chunking must not shuffle"
     assert "Generate explode" in plan
+    above_generate = plan.split("Generate", 1)[0]
+    assert "toks" not in above_generate, (
+        "toks consumed above the explode — the per-chunk array-copy "
+        "shape is back"
+    )
+    assert "slice(toks" in plan, "chunks must be built from slice inside the lambda"
 
 
 def test_hll_registers_partial_agg(spark):
