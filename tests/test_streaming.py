@@ -770,3 +770,168 @@ def test_merge_upsert_literal_key_names(spark, tmp_path):
     merge_upsert(spark, d2, mk_ts([(2, 99), (3, 30)]), ["t.s"], ts_col="t.s")
     got = sorted((r["t.s"].day, r["v"]) for r in read_upsert(spark, d2).collect())
     assert got == [(2, 10), (3, 99), (4, 30)]
+
+
+def test_parquet_sink_survives_midstream_stop_and_resume(spark, tmp_path):
+    """T2 depth — the recovery path itself: a streaming query STOPPED
+    mid-replay (wherever the stop lands: between batches, or inside a
+    batch's source-list/compute/commit) and RESTARTED on the same
+    checkpoint + sink must deliver each input row exactly once. The
+    existing exactly-once pins cover committed-file read-back and
+    foreachBatch replay idempotency; this drives the offset-log /
+    _spark_metadata handshake across an actual query restart — the
+    executor-loss / driver-restart path every unbounded production
+    run eventually takes (reference Flink job restarts from durable
+    checkpoints; streaming/flink/README.md restart semantics)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for i in range(6):
+        pq.write_table(
+            pa.table({"v": pa.array(range(i * 10, i * 10 + 10), pa.int64())}),
+            str(stage / f"f{i}.parquet"),
+        )
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start(**trigger):
+        src = (
+            spark.readStream.schema("v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage))
+        )
+        return (
+            src.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger)
+            .start()
+        )
+
+    # Run 1: free-running micro-batches; kill as soon as at least one
+    # batch has committed. The kill point is deliberately not
+    # synchronized to a batch boundary — exactly-once must hold at
+    # EVERY kill point, so any landing spot is a valid test.
+    q = start(processingTime="0 seconds")
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any((p["numInputRows"] or 0) > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.05)
+    else:
+        raise AssertionError("no micro-batch committed within 120s")
+    q.stop()
+    q.awaitTermination()
+
+    # Run 2: resume from the same checkpoint and drain the remainder.
+    q2 = start(availableNow=True)
+    q2.awaitTermination()
+
+    got = sorted(r["v"] for r in spark.read.schema("v long").parquet(out).collect())
+    assert got == list(range(60)), "each staged row exactly once across the restart"
+
+
+def test_stateful_upsert_resumes_from_checkpoint_after_crash(spark, tmp_path):
+    """T2/T4 depth: a STATEFUL windowed aggregate whose foreachBatch
+    sink CRASHES on its second micro-batch must, on restart from the
+    same checkpoint, recover its window state and converge the keyed
+    MERGE table to exactly the batch aggregate — state-store recovery
+    plus sink idempotency, driven together through a real failed
+    query. (The convergence test covers multi-batch update mode; this
+    adds the crash/restart transition on top.)"""
+    import datetime as dt
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_spark.functions.parity import dsum
+    from streaming_data_lake_spark.sources.upsert import merge_upsert, read_upsert
+
+    def ts(s):
+        return dt.datetime.fromisoformat(f"2024-03-05 {s}")
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    batches = [
+        [(1, ts("10:05:00"), "view", 1.0), (2, ts("10:59:00"), "click", 2.0)],
+        [(3, ts("10:10:00"), "view", 4.0), (4, ts("11:15:00"), "view", 8.0)],
+        [(5, ts("11:20:00"), "view", 16.0), (6, ts("12:01:00"), "click", 32.0)],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+    table = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    crash = {"armed": True}
+
+    def on_batch(df, bid):
+        # Crash BEFORE writing anything for the second delivered
+        # batch: batch 0 commits, batch 1 fails pre-write — the
+        # restart must replay batch 1, not skip it.
+        if crash["armed"] and bid >= 1:
+            raise RuntimeError("injected sink crash (batch %d)" % bid)
+        merge_upsert(
+            spark, table, df, ["hour_start", "event_type"], ts_col="hour_start"
+        )
+
+    def start():
+        agg = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .withWatermark("ts", "30 seconds")
+            .groupBy(F.window(F.col("ts"), "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+            )
+            .select(
+                F.col("window.start").alias("hour_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+        return (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(Exception, match="injected sink crash"):
+        q.awaitTermination()
+
+    crash["armed"] = False
+    q2 = start()
+    q2.awaitTermination()
+
+    expected = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], float(r["total_value"]))
+        for r in (
+            spark.createDataFrame([r for b in batches for r in b], schema)
+            .groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum(F.col("value"), "decimal(12,2)").alias("total_value"),
+            )
+            .collect()
+        )
+    }
+    got = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], float(r["total_value"]))
+        for r in read_upsert(spark, table).collect()
+    }
+    assert got == expected

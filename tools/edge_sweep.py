@@ -76,6 +76,17 @@ explode-then-slice (182 s) AND the r13 fix's in-lambda list_slice
 (80 s); r14 megatoken probe — the unbounded email regex hanging
 Java's backtracking engine while DuckDB's RE2 stayed linear.
 
+``--row-scale`` (out default /tmp/sdl_rowscale, src default
+/root/testdata/sf0.1) is the ROW-COUNT scale axis: every fact table
+is tiled into K=6 self-consistent shards (per-copy key offsets —
+user cardinality grows 6x too; shard text/embeddings perturbed so
+copies stay near-dups, not exact dups; dims untouched so fan-out
+grows 6x), then full-registry parity runs under a per-query wall
+bound (ROW_SCALE_MAX_QUERY_SEC). The huge-doc sweep scales one
+VALUE; this scales the ROW population — the axis where a hidden
+all-pairs stage, an unbounded collect, or a driver-side loop turns
+sf0.6 into a hang long before 100 TB.
+
 ``--order-sensitive`` restricts the run to the queries whose oracle
 SQL or Spark source contains an order-sensitive construct (window
 ranking, LIMIT, first/last, positional folds, collected lists) — the
@@ -500,10 +511,97 @@ def inject_nonfinite(name: str, table: pa.Table) -> pa.Table:
     )
 
 
+# Per-query wall-clock bound for the row-scale sweep (seconds). At
+# K=6 over sf0.1 the data is ~sf0.6 — every query must stay inside a
+# small multiple of its sf0.1 time. A stage that is superlinear in
+# ROW COUNT (as opposed to per-value size, the huge-doc axis) blows
+# far past this: sf0.1's slowest query runs ~4 s, so 240 s tolerates
+# a full 10x-the-linear-expectation before flagging.
+ROW_SCALE_MAX_QUERY_SEC = 240.0
+
+# Tiling factor for --row-scale.
+ROW_SCALE_K = 6
+
+# Per-copy key offset. Far above every key the generator emits at
+# sf<=1 (sf0.1 maxima: o_orderkey ~6e5, event_id 1e5) and far below
+# int64 even at K in the hundreds, so offsets never collide across
+# copies and never overflow. orders and lineitem share the stride on
+# the orderkey so the FK chain survives inside every copy.
+_ROW_SCALE_STRIDE = 10_000_000
+
+# Fact tables tiled K time(s) and the key columns offset per copy so
+# each copy is a self-consistent shard. Dimension tables (region,
+# nation, customer, supplier, part) pass through UNTOUCHED: their
+# fan-out grows K-fold, which is exactly the fixed-dims/growing-facts
+# shape of a real scale-up.
+_ROW_SCALE_KEYS = {
+    "events": ("event_id", "user_id"),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def make_row_scale(name: str, table: pa.Table, k: int = ROW_SCALE_K) -> pa.Table:
+    """Tile a fact table into K self-consistent shards (row-COUNT
+    scale axis, complementing --huge-doc's per-value-size axis).
+
+    - Key columns get a per-copy offset (same stride everywhere, so
+      orders<->lineitem keeps joining inside each copy); offsetting
+      user_id too grows USER cardinality K-fold — the axis HLL /
+      COUNT(DISTINCT) / dedup actually face at 100 TB.
+    - documents.text gets a per-copy tag appended (n_chars invariant
+      recomputed): copies stay NEAR-dups (more rows => more near-dup
+      structure, realistically) without collapsing into exact-dup
+      groups that the exact-dedup path would erase.
+    - embeddings get one element nudged per copy: vectors stay
+      distinct (no K-clique of cosine-exactly-1 ties masking growth)
+      while cosine-near-dup/IVF structure still densifies with K.
+    - Timestamps stay untouched: K-fold more rows in the SAME time
+      range, which is how event volume actually grows.
+    """
+    key_cols = _ROW_SCALE_KEYS.get(name)
+    if key_cols is None or table.num_rows == 0 or k <= 1:
+        return table
+    import pyarrow.compute as pc
+
+    copies = [table]
+    for c in range(1, k):
+        t = table
+        for col in key_cols:
+            idx = t.schema.get_field_index(col)
+            ftype = t.schema.field(col).type
+            shifted = pc.add(
+                t.column(col), pa.scalar(c * _ROW_SCALE_STRIDE, type=ftype)
+            )
+            t = t.set_column(idx, col, shifted.cast(ftype))
+        if name == "documents":
+            txt = t.column("text").to_pylist()
+            nch = t.column("n_chars").to_pylist()
+            tag = f" rowscale shard {c}"
+            for i, x in enumerate(txt):
+                if x is not None:
+                    txt[i] = x + tag
+                    nch[i] = len(txt[i])
+            t = _set_col(t, "text", txt)
+            t = _set_col(t, "n_chars", nch)
+        if name == "embeddings":
+            emb = t.column("embedding").to_pylist()
+            for i, v in enumerate(emb):
+                if v:
+                    j = c % len(v)
+                    if v[j] is not None:
+                        v[j] = v[j] + 0.001 * c
+            t = _set_col(t, "embedding", emb)
+        copies.append(t)
+    return pa.concat_tables(copies)
+
+
 def generate(
     src: str, out: str, empty: bool = False, shuffle: bool = False,
     nonfinite: bool = False, skew: bool = False, time_edge: bool = False,
-    huge_doc: bool = False,
+    huge_doc: bool = False, row_scale: bool = False,
 ) -> None:
     outp = Path(out)
     outp.mkdir(parents=True, exist_ok=True)
@@ -523,6 +621,8 @@ def generate(
             m = inject_time_edges(p.stem, t)
         elif huge_doc:
             m = make_huge_docs(p.stem, t)
+        elif row_scale:
+            m = make_row_scale(p.stem, t)
         else:
             m = mutate_table(p.stem, t)
         pq.write_table(m, outp / p.name)
@@ -586,10 +686,11 @@ def main() -> int:
     skew = "--skew" in argv
     time_edge = "--time-edge" in argv
     huge_doc = "--huge-doc" in argv
+    row_scale = "--row-scale" in argv
     order_sensitive = "--order-sensitive" in argv
     argv = [a for a in argv if a not in (
         "--gen-only", "--empty", "--shuffle", "--nonfinite", "--skew",
-        "--time-edge", "--huge-doc", "--order-sensitive",
+        "--time-edge", "--huge-doc", "--row-scale", "--order-sensitive",
     )]
 
     def _flag(name, default):
@@ -600,7 +701,9 @@ def main() -> int:
             return v
         return default
 
-    src = _flag("--src", SRC_DEFAULT)
+    # Row-scale defaults to the LARGEST driver sf: superlinear-in-rows
+    # shapes separate from noise best at the biggest base volume.
+    src = _flag("--src", "/root/testdata/sf0.1" if row_scale else SRC_DEFAULT)
     kind = (
         "empty" if empty else
         "shuffle" if shuffle else
@@ -608,6 +711,7 @@ def main() -> int:
         "skew" if skew else
         "time-edge" if time_edge else
         "huge-doc" if huge_doc else
+        "row-scale" if row_scale else
         "edge"
     )
     out = _flag("--out", {
@@ -617,12 +721,13 @@ def main() -> int:
         "skew": "/tmp/sdl_skew",
         "time-edge": "/tmp/sdl_timeedge_sweep",
         "huge-doc": "/tmp/sdl_hugedoc",
+        "row-scale": "/tmp/sdl_rowscale",
         "edge": OUT_DEFAULT,
     }[kind])
     print(f"generating {kind} tables {src} -> {out}")
     generate(
         src, out, empty=empty, shuffle=shuffle, nonfinite=nonfinite, skew=skew,
-        time_edge=time_edge, huge_doc=huge_doc,
+        time_edge=time_edge, huge_doc=huge_doc, row_scale=row_scale,
     )
     if gen_only:
         return 0
@@ -634,6 +739,7 @@ def main() -> int:
     bounded = (
         ("SKEW", SKEW_MAX_QUERY_SEC) if skew else
         ("HUGE-DOC", HUGE_DOC_MAX_QUERY_SEC) if huge_doc else
+        ("ROW-SCALE", ROW_SCALE_MAX_QUERY_SEC) if row_scale else
         None
     )
     if bounded is None:
