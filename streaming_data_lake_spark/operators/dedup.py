@@ -78,7 +78,11 @@ def exact_text_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 # instead of silently serving results computed by old code.
 # gen 2: NULL-total shingle guard — NULL-text docs previously carried
 # one '' shingle and all-paired with Jaccard 1.0 (edge-sweep finding)
-PAIRS_GEN = 2
+# gen 3: jaccard redefined over h32-HASHED shingle sets (prefix-filter
+# + array-intersect verification, r14 row-scale finding) — values can
+# shift under a within-doc hash collision, so cached pair lists from
+# the string-set era must not be served
+PAIRS_GEN = 3
 
 
 def _valid_vec_gen() -> int:
@@ -330,48 +334,154 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram-shingle Jaccard similarity for all pairs sharing
-    ≥1 shingle. Returns (id_a, id_b, jaccard) above threshold.
+    """Exact n-gram-shingle Jaccard similarity: every pair with
+    J >= threshold, as (id_a, id_b, jaccard). EXACT output — the
+    pruning below is lossless.
 
-    Candidate generation = equi-join on the shingle value: only pairs
-    with intersection ≥ 1 are ever formed, and the agg that counts
-    the intersection is a map-side-combinable groupBy. This is the
-    exact-verification stage that MinHash-LSH candidates feed at
-    scale; standalone it is correct (not approximate) and still
-    avoids the cartesian product.
+    Candidate generation uses PREFIX FILTERING (the AllPairs/PPJoin
+    family — Bayardo et al., WWW'07; Xiao et al., WWW'08), not a raw
+    shared-shingle self-join. The raw join costs Σ_s df(s)² over
+    shingle document-frequencies, and that sum is dominated by a few
+    HOT shingles (the r14 row-scale sweep measured 247M join rows on
+    ~sf0.6 documents, 59% of them from the top-100 shingles — 23x
+    the sf0.1 wall for 6x the rows; at 100 TB the hot-shingle term
+    alone is a cluster-killer). Prefix filtering orders each doc's
+    shingles by GLOBAL rarity and joins only each doc's
+    (n - ceil(t*n) + 2) rarest shingles (the classic prefix plus one
+    — K=2): for any pair with J >= t, the K order-earliest elements
+    of the intersection provably land in BOTH K-extended prefixes
+    (if the j-th earliest didn't fit, the alpha-j intersection
+    elements after it would overflow the suffix), so requiring
+    min(2, alpha_pair) shared prefix shingles per pair loses nothing,
+    while hot shingles fall out of the prefixes of essentially every
+    doc and single-shared-mid-frequency pairs — the candidate mass at
+    a low threshold — never reach verification. Candidates also get
+    the usual lossless size filter (J <= min/max sizes) and are then
+    verified with an EXACT intersection count over the full shingle
+    sets.
+
+    Both ceil() and the size filter subtract a 1e-9 epsilon before
+    comparing: IEEE rounding of t*n one ulp ABOVE an exact integer
+    product would otherwise shorten a prefix / reject a boundary
+    candidate that exact arithmetic keeps (t=0.12, |A|=3, |B|=25,
+    A ⊆ B is a real J=0.12 pair that 0.12*25 -> 3.0000000000000004
+    would drop). Deflating can only lengthen prefixes / keep more
+    candidates — lossless in the safe direction. And because the
+    exact verification stage filters candidates down to the true
+    pair set, engine-vs-oracle differences in candidate supersets
+    (tie ordering, epsilon landings) can never diverge the output.
+
+    Verification computes |A∩B| per candidate as one
+    ``array_intersect`` over per-doc sorted arrays of PORTABLE-HASHED
+    shingles (h32, the md5-based hash the minhash oracles already
+    share with DuckDB) — a narrow projection, NOT a second
+    shingle-level join: aggregating (id_a, id_b) groups out of the
+    verification join was the r14-measured bottleneck (105M candidate
+    groups, 178 s at ~sf0.6 vs 18 s for the join itself). The arrays
+    ride two ordinary equi-joins against the per-doc array table —
+    size O(n_docs), never broadcast by hint, so the plan stays valid
+    when the corpus outgrows any single executor. Jaccard is hereby
+    DEFINED over the hashed shingle sets: a within-doc h32 collision
+    (P ≈ |sh|²/2³³ per doc; ~1e-5 at 10k distinct shingles) shifts a
+    set size by one identically in both engines, which is the
+    documented cost of joining 8-byte ints instead of ~25-byte
+    strings at 100 TB.
     """
+    from pyspark.sql.window import Window
+
+    from streaming_data_lake_spark.functions.hashing import h32
+
     sh = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh")
     )
-    # Materialize the exploded shingles once: they feed BOTH sides of
-    # the self-join plus the per-doc size agg, and Spark does not
-    # share subplans across a join — without this the tokenize+
-    # shingle+explode pipeline runs three times. (At cluster scale
-    # the same role is played by writing the shingle table as a
-    # durable artifact, as the LSH signature path does.)
-    sh = sh.localCheckpoint()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # Hash once, then materialize: the hashed rows feed the frequency
+    # agg, the prefix ranking, and the per-doc array build, and Spark
+    # does not share subplans across a join — without the checkpoint
+    # the tokenize+shingle+explode pipeline runs three times. (At
+    # cluster scale the same role is played by writing the shingle
+    # table as a durable artifact, as the LSH signature path does.)
+    # collect_set absorbs the negligible-but-possible within-doc h32
+    # collision so n_sh == size(arr) exactly.
+    sh = sh.select(F.col(id_col), h32("sh").alias("h")).localCheckpoint()
+    arrays = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("h")).alias("arr")
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df_h"))
+    byid = Window.partitionBy(id_col)
+    ranked = sh.join(freq, "h").select(
+        F.col(id_col),
+        F.col("h"),
+        F.row_number()
+        .over(byid.orderBy(F.col("df_h").asc(), F.col("h").asc()))
+        .alias("rk"),
+        F.count(F.lit(1)).over(byid).alias("n_sh"),
+    )
+    # K=2 extended prefix: one token beyond the classic prefix. Any
+    # pair with |A∩B| >= alpha shares its K order-earliest
+    # intersection elements inside both (n - alpha + K)-prefixes (the
+    # j-th earliest has alpha-j intersection elements after it, so it
+    # sits within the first n - (alpha - j) positions), so requiring
+    # n_shared >= min(2, alpha_pair) below is still lossless — and it
+    # collapsed the candidate set 34.5M -> 3.1M on the r14 row-scale
+    # tables (single-shared-mid-frequency-shingle pairs are the
+    # candidate mass at a 0.12 threshold; true pairs share many).
+    # alpha_pair = ceil(t/(1+t)*(n_a+n_b)) >= each side's own
+    # ceil(t*n) whenever the size filter holds, so the pair-level
+    # bound is valid for both prefixes.
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + 2
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    alpha_pair = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b"))
+        - F.lit(1e-9)
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(
+            F.least(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
+            >= F.lit(threshold)
+            * F.greatest(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
+            - F.lit(1e-9)
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= F.least(F.lit(2), alpha_pair))
+        .select("id_a", "id_b")
+    )
+    aa = arrays.select(F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a"))
+    ab = arrays.select(F.col(id_col).alias("id_b"), F.col("arr").alias("arr_b"))
+    verified = (
+        cand.join(aa, "id_a")
+        .join(ab, "id_b")
         .select(
             "id_a",
             "id_b",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
-            ).alias("jaccard"),
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("n_inter"),
+            F.size("arr_a").alias("n_a"),
+            F.size("arr_b").alias("n_b"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
+    return verified.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def rh_weights(num_bits: int, dim: int) -> list[list[float]]:

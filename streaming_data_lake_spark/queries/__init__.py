@@ -155,6 +155,13 @@ _CERTIFICATION_ORDER = [
     "materialize_dim_change_repair",
     # (r14 megatoken probe: RFC-bounded email regex, engine + oracle)
     "pii_redaction",
+    # (r14 row-scale sweep: exact-Jaccard pair generation rewritten
+    # with lossless prefix-filter candidates + hashed-set intersect
+    # verification — the naive shared-shingle self-join aggregated
+    # 105M candidate groups at ~sf0.6, 23x the sf0.1 wall for 6x the
+    # rows, in BOTH engines; dup_clusters_connected shares the fix
+    # but is already an obligatory r15-drain member)
+    "ngram_jaccard_near_dups",
     # ---- r13-certified (fresh through r15; the whole r13 window in
     # its certified order) ----
     "salted_skew_aggregation",
@@ -176,7 +183,6 @@ _CERTIFICATION_ORDER = [
     "maintenance_compaction",
     "two_level_overlay_maintenance",
     "hll_distinct_users_daily",
-    "ngram_jaccard_near_dups",
     "winnowing_fingerprints",
     "exact_substring_dups",
     "dedup_keep_best_quality",

@@ -249,27 +249,89 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_THRESHOLD = 0.12
 
-_JACCARD_ORACLE = rf"""
-WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
-sh AS (
+
+def _duck_jaccard_pairs_ctes(threshold: float) -> str:
+    """Shared oracle CTE chain yielding the exact Jaccard pair set as
+    a final ``pairs(id_a, id_b, jaccard)`` CTE (prepend WITH
+    [RECURSIVE], append the consumer).
+
+    Mirrors the lossless K=2-prefix-filter + hashed-set-intersect
+    shape of :func:`operators.dedup.ngram_jaccard_pairs` — the naive
+    shared-shingle self-join aggregates one group per shingle-sharing
+    doc pair, and the r14 row-scale sweep measured that at 105M
+    groups / 119 s in DuckDB on ~sf0.6 documents, which blows the
+    sweep wall exactly as it did in Spark. Exactness is unchanged:
+    prefix filtering is a lossless candidate bound (any J >= t pair
+    shares its K order-earliest intersection elements in both
+    K-extended prefixes), epsilon-deflated comparisons only widen the
+    candidate superset, and the hashed-set jaccard definition is
+    shared with the engine (functions.hashing.h32 <-> duck_h32).
+
+    The cand/vrf CTEs carry AS MATERIALIZED: DuckDB 1.0 inlines CTEs
+    per reference, so the recursive dup-clusters consumer (sym reads
+    ``pairs`` twice) would re-run the whole pair pipeline per
+    reference — the >11-minute wedge the first row-scale sweep hit —
+    and without materialization the doubled n_inter expression
+    (SELECT + WHERE) pays the 34.5M-row list_intersect twice. The
+    r14 ladder on ~sf0.6: naive 119 s -> K=1 prefix + intersect
+    161 s -> +vrf MATERIALIZED 129 s -> K=2 shared-count filter
+    (34.5M -> 3.1M candidates) 11 s, identical 84,453 pairs."""
+    h = duck_h32("sng")
+    return rf"""
+tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+shl AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
                                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
   FROM tk
 ),
-ex AS (SELECT doc_id, unnest(s) AS sng FROM sh),
-sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM ex a JOIN ex b ON a.sng = b.sng AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b,
-       CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= {_JACCARD_THRESHOLD}
+exh AS (
+  SELECT DISTINCT doc_id, {h} AS h
+  FROM (SELECT doc_id, unnest(s) AS sng FROM shl)
+),
+arrs AS (SELECT doc_id, list(h) AS arr, count(*) AS n FROM exh GROUP BY doc_id),
+fr AS (SELECT h, count(*) AS dfh FROM exh GROUP BY h),
+rk AS (
+  SELECT e.doc_id, e.h, a.n,
+         row_number() OVER (PARTITION BY e.doc_id ORDER BY f.dfh, e.h) AS rk
+  FROM exh e JOIN fr f ON f.h = e.h JOIN arrs a ON a.doc_id = e.doc_id
+),
+pre AS (
+  SELECT doc_id, h, n FROM rk
+  WHERE rk <= n - CAST(ceil({threshold} * n - 1e-9) AS BIGINT) + 2
+),
+cand AS MATERIALIZED (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+           count(*) AS n_shared
+    FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id
+    WHERE CAST(least(a.n, b.n) AS DOUBLE)
+          >= {threshold} * CAST(greatest(a.n, b.n) AS DOUBLE) - 1e-9
+    GROUP BY 1, 2, 3, 4
+  )
+  WHERE n_shared >= least(
+    2, CAST(ceil({threshold} / (1 + {threshold}) * (n_a + n_b) - 1e-9) AS BIGINT)
+  )
+),
+vrf AS MATERIALIZED (
+  SELECT id_a, id_b,
+         len(list_intersect(aa.arr, ab.arr)) AS n_inter,
+         aa.n AS n_a, ab.n AS n_b
+  FROM cand
+  JOIN arrs aa ON aa.doc_id = id_a
+  JOIN arrs ab ON ab.doc_id = id_b
+),
+pairs AS (
+  SELECT id_a, id_b,
+         CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+  FROM vrf
+  WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= {threshold}
+)"""
+
+
+_JACCARD_ORACLE = rf"""
+WITH {_duck_jaccard_pairs_ctes(_JACCARD_THRESHOLD)}
+SELECT id_a, id_b, jaccard FROM pairs
 """
 
 
@@ -754,28 +816,7 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUP_CLUSTERS_ORACLE = rf"""
 WITH RECURSIVE
-tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
-sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
-                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
-  FROM tk
-),
-ex AS (SELECT doc_id, unnest(s) AS sng FROM sh),
-sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM ex a JOIN ex b ON a.sng = b.sng AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT id_a, id_b
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
-        >= {_JACCARD_THRESHOLD}
-),
+{_duck_jaccard_pairs_ctes(_JACCARD_THRESHOLD)},
 sym AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION ALL

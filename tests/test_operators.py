@@ -1190,3 +1190,69 @@ def test_r14_admissions_wrong_dim_and_megatoken(spark):
     assert row["redacted_len"] == len(
         f"mail me <EMAIL> or {run} call <PHONE> now"
     )
+
+
+def test_ngram_jaccard_prefix_filter_equals_brute_force(spark):
+    """The r14 row-scale rewrite of ngram_jaccard_pairs (lossless
+    prefix-filter candidates + hashed-set array-intersect
+    verification; the naive shared-shingle self-join aggregated 105M
+    candidate groups at ~sf0.6 — 23x the sf0.1 wall for 6x the rows)
+    must still return EXACTLY the brute-force pair set: prefix
+    filtering prunes candidates, never answers. Corpora include hot
+    boilerplate tokens (the pruning target), chained near-dups, and
+    the epsilon boundary the implementation deflates for: |A|=3,
+    |B|=25, A ⊆ B at t=0.12 is a real J=0.12 pair that a naive
+    ceil(0.12*25)=ceil(3.0000000000000004)=4 prefix would lose."""
+    import itertools
+    import random
+    import re
+
+    from streaming_data_lake_spark.operators.dedup import ngram_jaccard_pairs
+
+    def brute(docs, n=3, t=0.5):
+        def sh(s):
+            tk = [w for w in re.split(r"\s+", s.strip()) if w]
+            if len(tk) < n:
+                return set()
+            return {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+
+        S = {i: sh(x) for i, x in docs}
+        out = {}
+        for (i, _), (j, _) in itertools.combinations(docs, 2):
+            A, B = S[i], S[j]
+            if not A or not B:
+                continue
+            inter = len(A & B)
+            if not inter:
+                continue
+            jac = inter / (len(A) + len(B) - inter)
+            if jac >= t:
+                out[(min(i, j), max(i, j))] = round(jac, 9)
+        return out
+
+    rng = random.Random(7)
+    vocab = [f"w{k}" for k in range(40)]
+    for trial, t in enumerate([0.12, 0.3, 0.75]):
+        docs = []
+        for i in range(50):
+            words = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randint(0, 25))]
+            if rng.random() < 0.4:
+                words += ["the", "hot", "token"] * 3  # boilerplate clique
+            if rng.random() < 0.2 and docs:
+                words = docs[-1][1].split()[:20] + words[:2]  # chained near-dup
+            docs.append((i, " ".join(words)))
+        base = [f"u{k}" for k in range(27)]  # 25 shingles
+        docs.append((1000, " ".join(base)))
+        docs.append((1001, " ".join(base[:5])))  # 3 shingles, all shared
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(df, threshold=t).collect()
+        }
+        want = brute(docs, t=t)
+        assert got == want, (
+            f"trial {trial} t={t}: missing={set(want) - set(got)} "
+            f"extra={set(got) - set(want)}"
+        )
+        if t == 0.12:
+            assert (1000, 1001) in got, "epsilon-boundary containment pair lost"

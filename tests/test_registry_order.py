@@ -155,6 +155,13 @@ R14_ROUND_CODE_TOUCHED: list[str] = [
     # hung redaction; DuckDB's RE2 stayed linear) — RFC-bounded
     # quantifiers in BOTH the engine constant and the oracle text.
     "pii_redaction",
+    # r14 row-scale sweep: ngram_jaccard_pairs rewritten with
+    # lossless prefix-filter candidates + hashed-set intersect
+    # verification (naive shared-shingle self-join aggregated 105M
+    # candidate groups at ~sf0.6 — superlinear in rows in BOTH
+    # engines; dup_clusters_connected shares the fix but is already
+    # an obligatory r15-drain member, so it costs no extra slot).
+    "ngram_jaccard_near_dups",
 ]
 
 
