@@ -39,11 +39,19 @@ Gates (fail-fast off: one red gate must not hide another):
                            the O(tokens^2) regression gate for the
                            r13 winnowing/chunking fixes (VERDICT r13
                            "Next round" #2)
- 11. bare-sweep @ sf0.01 — bare-session portability, twice
- 12. ledger              — certification-window audit
- 13. driver smoke        — __spark_entry__ entry/queries/oracle_sql
+ 11. row-scale-sweep     — full-registry parity with every fact
+                           table tiled 6x into self-consistent
+                           shards (re-keyed PKs, user cardinality
+                           grows 6x, near-dup shard copies), under a
+                           per-query wall bound — the row-COUNT
+                           scale axis; its first run caught the
+                           exact-Jaccard Σdf² candidate explosion in
+                           BOTH engines (r14)
+ 12. bare-sweep @ sf0.01 — bare-session portability, twice
+ 13. ledger              — certification-window audit
+ 14. driver smoke        — __spark_entry__ entry/queries/oracle_sql
 
-The thirteen gates run in five concurrent LANES (sequential within a
+The fourteen gates run in six concurrent LANES (sequential within a
 lane) so the full suite fits the round budget without dropping
 coverage (VERDICT r11 #8; rebalanced to four when the skew and
 time-edge gates landed and the shuffle subset grew, VERDICT r12 #8;
@@ -60,7 +68,7 @@ note and the runner continues (ADVICE r11: an uncaught
 TimeoutExpired would crash the runner and hide later gates).
 
 Usage: python tools/round_gates.py [--serial]
-           [--skip pytest,sf01,sf1,edge,empty,shuffle,nonfinite,skew,timeedge,hugedoc,bare,ledger,smoke]
+           [--skip pytest,sf01,sf1,edge,empty,shuffle,nonfinite,skew,timeedge,hugedoc,rowscale,bare,ledger,smoke]
 """
 
 from __future__ import annotations
@@ -113,6 +121,15 @@ GATES: list[tuple[str, list[str], str, str]] = [
     ("skew-sweep", [sys.executable, "tools/edge_sweep.py", "--skew"], "ALL GREEN", "sweeps-b"),
     ("time-edge-sweep", [sys.executable, "tools/edge_sweep.py", "--time-edge"], "ALL GREEN", "sweeps-b"),
     ("huge-doc-sweep", [sys.executable, "tools/edge_sweep.py", "--huge-doc"], "ALL GREEN", "sweeps-c"),
+    # Row-COUNT scale axis (14th gate, r14): fact tables tiled 6x with
+    # self-consistent shards, full-registry parity under a per-query
+    # wall bound. Gated at sf0.01x6 (the on-demand heavyweight probe
+    # is --row-scale with its sf0.1 default — first run caught the
+    # exact-Jaccard Σdf² candidate explosion in BOTH engines). Own
+    # lane so the critical path stays the pytest lane.
+    ("row-scale-sweep", [sys.executable, "tools/edge_sweep.py", "--row-scale",
+                         "--src", "/root/testdata/sf0.01", "--out", "/tmp/sdl_rowscale001"],
+     "ALL GREEN", "sweeps-d"),
 ]
 
 _SKIP_ALIASES = {
@@ -125,6 +142,7 @@ _SKIP_ALIASES = {
     "skew": "skew-sweep",
     "timeedge": "time-edge-sweep",
     "hugedoc": "huge-doc-sweep",
+    "rowscale": "row-scale-sweep",
     "bare": "bare-sweep",
 }
 
