@@ -150,6 +150,13 @@ EDGE_JSON = [
     '{"other": 1}',
     '{"k": -5}',
     '{"k": 999999}',
+    # Parser-pathology shapes (r14 probe, all seven held parity at
+    # depth 100k / width 20k — these two keep the axis permanently
+    # guarded at sweep-friendly size): deep nesting exercises the
+    # Jackson-vs-yyjson recursion asymmetry behind from_json /
+    # json_valid; the wide object exercises linear-parse volume.
+    '{"a":' * 20_000 + "1" + "}" * 20_000,
+    '{"k": 7, ' + ", ".join(f'"x{i}": {i}' for i in range(5_000)) + "}",
 ]
 
 
