@@ -307,3 +307,52 @@ def edge_sweep_max() -> float:
     import edge_sweep
 
     return edge_sweep.SKEW_MAX_QUERY_SEC
+
+
+def test_row_scale_tiling_invariants():
+    """make_row_scale (tools/edge_sweep.py --row-scale, the r14
+    row-COUNT axis) must be deterministic, multiply rows exactly K,
+    keep PKs unique across copies, keep the orders<->lineitem FK
+    closed inside every copy (shared orderkey stride), grow user
+    cardinality, keep documents' copies NEAR-dups (not exact) with
+    n_chars recomputed, and pass dimension tables through untouched —
+    breaking any of these silently drains the sweep's signal."""
+    import pyarrow.parquet as pq
+
+    import edge_sweep
+
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    a = edge_sweep.make_row_scale("events", ev)
+    b = edge_sweep.make_row_scale("events", ev)
+    assert a.equals(b), "row-scale generation must be deterministic"
+    k = edge_sweep.ROW_SCALE_K
+    assert a.num_rows == ev.num_rows * k
+    ids = a.column("event_id").to_pylist()
+    assert len(ids) == len(set(ids)), "event_id must stay unique across copies"
+    base_users = len(set(ev.column("user_id").to_pylist()))
+    assert len(set(a.column("user_id").to_pylist())) == base_users * k
+
+    orders = pq.read_table("/root/testdata/sf0.001/orders.parquet")
+    li = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    ok = set(edge_sweep.make_row_scale("orders", orders).column("o_orderkey").to_pylist())
+    lk = set(edge_sweep.make_row_scale("lineitem", li).column("l_orderkey").to_pylist())
+    assert not (lk - ok), "every tiled lineitem row must keep its order"
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    d = edge_sweep.make_row_scale("documents", docs)
+    txt = d.column("text").to_pylist()
+    nch = d.column("n_chars").to_pylist()
+    assert all(t is None or len(t) == c for t, c in zip(txt, nch))
+    n = docs.num_rows
+    base_txt = docs.column("text").to_pylist()
+    # copies are near-dups, never byte-identical to their source row
+    for c in range(1, k):
+        for i in (0, n - 1):
+            if base_txt[i] is not None:
+                assert txt[c * n + i] != base_txt[i]
+                assert txt[c * n + i].startswith(base_txt[i])
+
+    nation = pq.read_table("/root/testdata/sf0.001/nation.parquet")
+    assert edge_sweep.make_row_scale("nation", nation).equals(nation), (
+        "dimension tables pass through untouched"
+    )
