@@ -609,6 +609,7 @@ def generate(
     src: str, out: str, empty: bool = False, shuffle: bool = False,
     nonfinite: bool = False, skew: bool = False, time_edge: bool = False,
     huge_doc: bool = False, row_scale: bool = False,
+    row_scale_k: int = ROW_SCALE_K,
 ) -> None:
     outp = Path(out)
     outp.mkdir(parents=True, exist_ok=True)
@@ -629,7 +630,7 @@ def generate(
         elif huge_doc:
             m = make_huge_docs(p.stem, t)
         elif row_scale:
-            m = make_row_scale(p.stem, t)
+            m = make_row_scale(p.stem, t, k=row_scale_k)
         else:
             m = mutate_table(p.stem, t)
         pq.write_table(m, outp / p.name)
@@ -711,6 +712,10 @@ def main() -> int:
     # Row-scale defaults to the LARGEST driver sf: superlinear-in-rows
     # shapes separate from noise best at the biggest base volume.
     src = _flag("--src", "/root/testdata/sf0.1" if row_scale else SRC_DEFAULT)
+    # --scale-k N overrides the tiling factor (row-scale only): the
+    # on-demand scaling-curve probe runs K=12 over sf0.1 (~sf1.2) on
+    # the heavy families for a second doubling data point.
+    row_scale_k = int(_flag("--scale-k", str(ROW_SCALE_K)))
     kind = (
         "empty" if empty else
         "shuffle" if shuffle else
@@ -735,6 +740,7 @@ def main() -> int:
     generate(
         src, out, empty=empty, shuffle=shuffle, nonfinite=nonfinite, skew=skew,
         time_edge=time_edge, huge_doc=huge_doc, row_scale=row_scale,
+        row_scale_k=row_scale_k,
     )
     if gen_only:
         return 0
