@@ -38,84 +38,30 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver hash-checks the FIRST 50 registered queries per round.
-# Round 14 executes the rotation CHANGELOG_r13.md committed and
-# tests/test_registry_order.py (r13 revision) pinned -- the LAST
-# drain round (after it, no verdict predates r12): the 27-name
-# r11-verdict drain (age 3 the moment CORRECTNESS_r13 landed) at
-# positions 1-27, the 7 R13_ROUND_CODE_TOUCHED time-edge names at
-# 28-34, and the 16 free slots filled oldest-r12-verdict-first
-# (`tools/ledger.py --emit-order`, ties by prior position) at 35-50.
-# The committed r15 drain follows contiguously: the 27 remaining
-# r12-verdict names at 51-77 (age 3 at r15 -> r15 window = 27
-# obligatory + 23 free, pinned by forward simulation in
-# tests/test_registry_order.py). Rotated at round-14 start, before
-# any driver run. tools/ledger.py cross-references the verdict files.
+# Round 15 executes the rotation CHANGELOG_r14.md committed and
+# tests/test_registry_order.py (r14 revision) pinned -- the first
+# steady-state rotation: the 27-name r12-verdict drain (age 3 the
+# moment CORRECTNESS_r14 landed) at positions 1-27, the 5
+# R14_ROUND_CODE_TOUCHED names at 28-32, and 18 free slots at 33-50.
+# The free slots are spent with foresight: the 7 names this round's
+# PLANNED code-touches hit (the GEN-4 corpus-wide vector-dim
+# admission touches every similarity-family engine path and oracle
+# -- VERDICT r14 "Next round" #2 -- and the identity-partition
+# cardinality guard touches the two-level overlay scenario -- #5)
+# lead the fills so their post-touch code is certified THIS round,
+# then oldest-r13-verdict fills (`tools/ledger.py --emit-order`,
+# ties by prior position) pre-drain the r13 block. The committed r16
+# drain follows contiguously at 51-77 (the 27 remaining r13-verdict
+# names -> r16 window = 27 obligatory + 23 free, pinned by forward
+# simulation in tests/test_registry_order.py). Rotated at round-15
+# start, before any driver run. tools/ledger.py cross-references the
+# verdict files.
 _CERTIFICATION_ORDER = [
-    # ---- (a) the 27-name r14 drain: r11 verdicts, stale the moment
-    # CORRECTNESS_r13 landed (committed by the r13 revision of this
-    # module; pinned by test_r14_drain_fits_after_r13_lands) ----
-    "price_outliers_zscore",
-    "lineitem_flag_pivot",
-    "corr_quantity_price",
-    "priority_window_profile",
-    "tfidf_top_terms",
-    "stratified_sample_by_lang",
-    "top_busiest_hours",
-    "repetition_signals",
-    "benchmark_decontamination",
-    "duplicate_rates_hourly",
-    "consistent_hash_sample",
-    "user_event_type_paths",
-    "events_clean",
-    "events_rejected",
-    "dedup_exact_text",
-    "time_travel_read_v1",
-    "snapshot_metadata",
-    "streaming_clean_events",
-    "streaming_interval_join_daily",
-    "streaming_funnel_daily",
-    "streaming_dedup_keys",
-    "streaming_dedup_within_watermark",
-    "streaming_hll_daily_users",
-    "streaming_cms_token_counts",
-    "materialize_incremental_clean_events",
-    "streaming_fanout_ingest",
-    "multimodal_media_features",
-    # ---- (b) the 7 R13_ROUND_CODE_TOUCHED commitments (r12 verdicts
-    # certify pre-touch code): the time-edge admission contract
-    # changed their engine filters and/or oracle text (CHANGELOG_r13
-    # S11), incl. the warehouse-date bucket-safe month extension ----
-    "sql_over_views_adhoc",
-    "scd2_point_in_time_enrichment",
-    "daily_distinct_users",
-    "event_counters_unpivot",
-    "sliding_window_metrics",
-    "streaming_hourly_metrics",
-    "monthly_nation_revenue",
-    # ---- (c) the 16 free slots: oldest-verdict fills (all r12, ties
-    # by prior position -- `tools/ledger.py --emit-order`), pre-
-    # draining the r15 cliff from 43 r12 names to 27 ----
-    "revenue_by_region",
-    "top_nations_by_customers",
-    "customers_with_orders",
-    "customers_without_orders",
-    "order_priority_rollup",
-    "priority_decode_rollup",
-    "scd2_current_enrichment",
-    "top_tokens",
-    "like_pattern_source_classes",
-    "nested_double_unnest_roundtrip",
-    "currency_normalized_revenue",
-    "range_band_pricing",
-    "doc_fingerprints",
-    "token_counts",
-    "quality_scores",
-    "lang_id_heuristic",
-    # ---- position 51+ : NOT certified this round. First the
-    # committed r15 drain: the 27 remaining r12-verdict names (age 3
-    # at r15 -> r15 window = 27 obligatory + 23 free; forward-
-    # simulated in tests/test_registry_order.py). Any name below that
-    # r14 code-touches must move directly after this drain ----
+    # ---- (a) the 27-name r15 drain: r12 verdicts, stale the moment
+    # CORRECTNESS_r14 landed (committed by the r14 revision of this
+    # module; pinned by test_r15_drain_fits_after_r14_lands). The 7
+    # KNN-ladder members double as post-touch certification for the
+    # GEN-4 dim admission (VERDICT r14 "mostly pre-paid") ----
     "simhash_fingerprints",
     "schema_evolution_read",
     "blocklist_filter_retention",
@@ -143,27 +89,32 @@ _CERTIFICATION_ORDER = [
     "knn_ivf_trained_cosine",
     "asof_latest_view_before_purchase",
     "asof_view_within_6h",
-    # ---- r14 code-touched while carrying r13 verdicts (the huge-doc
-    # gate's first run found the LATERAL/list_slice O(tokens^2)
-    # oracle shapes and the explode-then-slice Spark shape; engine
-    # code and/or oracle text changed; certified-data results
-    # verified unchanged). They take r15 free slots directly after
-    # the drain ----
+    # ---- (b) the 5 R14_ROUND_CODE_TOUCHED commitments (r13 verdicts
+    # certify pre-touch code): the huge-doc gate's O(tokens^2)
+    # rewrites, the M3 dim-side time-edge admission, the RFC-bounded
+    # PII regex, and the prefix-filter jaccard rewrite ----
     "doc_chunks_overlap",
     "bigram_lm_quality",
-    # (r14 dim-side time-edge admission in the M3 changed-key filter)
     "materialize_dim_change_repair",
-    # (r14 megatoken probe: RFC-bounded email regex, engine + oracle)
     "pii_redaction",
-    # (r14 row-scale sweep: exact-Jaccard pair generation rewritten
-    # with lossless prefix-filter candidates + hashed-set intersect
-    # verification — the naive shared-shingle self-join aggregated
-    # 105M candidate groups at ~sf0.6, 23x the sf0.1 wall for 6x the
-    # rows, in BOTH engines; dup_clusters_connected shares the fix
-    # but is already an obligatory r15-drain member)
     "ngram_jaccard_near_dups",
-    # ---- r13-certified (fresh through r15; the whole r13 window in
-    # its certified order) ----
+    # ---- (c) 18 free slots. First the 7 r13-verdict names this
+    # round's planned code-touches hit: the 6 similarity-family
+    # names outside the drain that the GEN-4 vector-dim admission
+    # code-touches (engine valid_vectors + DUCK_VALID_VEC oracle
+    # text; knn_ivf_recall_at_k composes the touched KNN oracles),
+    # and the two-level overlay scenario the identity-partition
+    # cardinality guard touches ----
+    "semantic_dedup_centroid",
+    "embedding_cosine_near_dups",
+    "knn_ivf_materialized_cosine",
+    "embedding_label_stats",
+    "embedding_int8_quantization",
+    "knn_ivf_recall_at_k",
+    "two_level_overlay_maintenance",
+    # ---- then 11 oldest-r13-verdict fills (ties by prior position
+    # -- `tools/ledger.py --emit-order`), pre-draining the r16 cliff
+    # from 45 r13 tail names to 27 ----
     "salted_skew_aggregation",
     "replicated_skew_join_rollup",
     "conditional_distinct_users",
@@ -175,30 +126,28 @@ _CERTIFICATION_ORDER = [
     "value_distribution_by_class",
     "flag_distribution",
     "avg_value_spread",
+    # ---- position 51+ : NOT certified this round. First the
+    # committed r16 drain: the 27 remaining r13-verdict names (age 3
+    # at r16 -> r16 window = 27 obligatory + 23 free; forward-
+    # simulated in tests/test_registry_order.py). Any name below that
+    # r15 code-touches must move directly after this drain ----
     "funnel_leakage_daily",
     "cms_heavy_hitter_tokens",
     "token_budget_packing",
     "bloom_semi_join_prune",
     "materialize_funnel_exists_repair",
     "maintenance_compaction",
-    "two_level_overlay_maintenance",
     "hll_distinct_users_daily",
     "winnowing_fingerprints",
     "exact_substring_dups",
     "dedup_keep_best_quality",
     "event_quality_spine_hourly",
-    "knn_ivf_recall_at_k",
     "multimodal_resize",
     "multimodal_frame_sample",
     "batch_sessionize_windows",
     "streaming_sessionize",
     "streaming_upsert_hourly",
     "user_rolling_7day_value",
-    "semantic_dedup_centroid",
-    "embedding_cosine_near_dups",
-    "knn_ivf_materialized_cosine",
-    "embedding_label_stats",
-    "embedding_int8_quantization",
     "rollup_revenue_levels",
     "price_quantiles_by_flag",
     "user_event_gaps",
@@ -209,6 +158,58 @@ _CERTIFICATION_ORDER = [
     "orders_above_global_avg",
     "supplier_name_near_matches",
     "domain_mixture_resample",
+    # ---- r14-certified (fresh through r16; the whole r14 window in
+    # its certified order) ----
+    "price_outliers_zscore",
+    "lineitem_flag_pivot",
+    "corr_quantity_price",
+    "priority_window_profile",
+    "tfidf_top_terms",
+    "stratified_sample_by_lang",
+    "top_busiest_hours",
+    "repetition_signals",
+    "benchmark_decontamination",
+    "duplicate_rates_hourly",
+    "consistent_hash_sample",
+    "user_event_type_paths",
+    "events_clean",
+    "events_rejected",
+    "dedup_exact_text",
+    "time_travel_read_v1",
+    "snapshot_metadata",
+    "streaming_clean_events",
+    "streaming_interval_join_daily",
+    "streaming_funnel_daily",
+    "streaming_dedup_keys",
+    "streaming_dedup_within_watermark",
+    "streaming_hll_daily_users",
+    "streaming_cms_token_counts",
+    "materialize_incremental_clean_events",
+    "streaming_fanout_ingest",
+    "multimodal_media_features",
+    "sql_over_views_adhoc",
+    "scd2_point_in_time_enrichment",
+    "daily_distinct_users",
+    "event_counters_unpivot",
+    "sliding_window_metrics",
+    "streaming_hourly_metrics",
+    "monthly_nation_revenue",
+    "revenue_by_region",
+    "top_nations_by_customers",
+    "customers_with_orders",
+    "customers_without_orders",
+    "order_priority_rollup",
+    "priority_decode_rollup",
+    "scd2_current_enrichment",
+    "top_tokens",
+    "like_pattern_source_classes",
+    "nested_double_unnest_roundtrip",
+    "currency_normalized_revenue",
+    "range_band_pricing",
+    "doc_fingerprints",
+    "token_counts",
+    "quality_scores",
+    "lang_id_heuristic",
 ]
 
 

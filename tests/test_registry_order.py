@@ -1,14 +1,18 @@
 """The driver certifies only the first 50 registered queries, so the
-registry order IS part of the correctness contract. Round 14 executes
-the rotation CHANGELOG_r13.md committed (and the r13 revision of this
-module pinned) — the LAST drain round: the 27-name r11-verdict drain
-at positions 1-27, the 7 R13_ROUND_CODE_TOUCHED time-edge names at
-28-34, and 16 oldest-r12 fills at 35-50 pre-draining the r15 cliff.
-This module pins the r14 window AND the committed r15 drain (the 27
-remaining r12-verdict names at positions 51-77) with a forward
-simulation, so the next session cannot repeat the r8 rotation miss
-(VERDICT r8 "What's wrong" #1). tools/ledger.py cross-references
-every CORRECTNESS_r*.json against this order (tests/test_ledger.py)."""
+registry order IS part of the correctness contract. Round 15 executes
+the rotation CHANGELOG_r14.md committed (and the r14 revision of this
+module pinned) — the first steady-state rotation: the 27-name
+r12-verdict drain at positions 1-27, the 5 R14_ROUND_CODE_TOUCHED
+names at 28-32, and 18 free slots at 33-50 (the 7 names this round's
+PLANNED code-touches hit — the GEN-4 vector-dim admission and the
+identity-partition cardinality guard, VERDICT r14 "Next round" #2/#5
+— lead the fills so post-touch code is certified THIS round, then 11
+oldest-r13 fills pre-drain the r16 cliff). This module pins the r15
+window AND the committed r16 drain (the 27 remaining r13-verdict
+names at positions 51-77) with a forward simulation, so the next
+session cannot repeat the r8 rotation miss (VERDICT r8 "What's wrong"
+#1). tools/ledger.py cross-references every CORRECTNESS_r*.json
+against this order (tests/test_ledger.py)."""
 
 from __future__ import annotations
 
@@ -25,84 +29,10 @@ import ledger  # noqa: E402
 
 WINDOW = 50
 
-# (a) The 27 queries whose latest driver verdict is round 11 — the
-# committed r14 drain (CHANGELOG_r13.md; age 3 the moment
-# CORRECTNESS_r13 landed). They take the first 27 slots
+# (a) The 27 queries whose latest driver verdict is round 12 — the
+# committed r15 drain (CHANGELOG_r14.md; age 3 the moment
+# CORRECTNESS_r14 landed). They take the first 27 slots
 # unconditionally.
-R14_DRAIN = {
-    "price_outliers_zscore",
-    "lineitem_flag_pivot",
-    "corr_quantity_price",
-    "priority_window_profile",
-    "tfidf_top_terms",
-    "stratified_sample_by_lang",
-    "top_busiest_hours",
-    "repetition_signals",
-    "benchmark_decontamination",
-    "duplicate_rates_hourly",
-    "consistent_hash_sample",
-    "user_event_type_paths",
-    "events_clean",
-    "events_rejected",
-    "dedup_exact_text",
-    "time_travel_read_v1",
-    "snapshot_metadata",
-    "streaming_clean_events",
-    "streaming_interval_join_daily",
-    "streaming_funnel_daily",
-    "streaming_dedup_keys",
-    "streaming_dedup_within_watermark",
-    "streaming_hll_daily_users",
-    "streaming_cms_token_counts",
-    "materialize_incremental_clean_events",
-    "streaming_fanout_ingest",
-    "multimodal_media_features",
-}
-
-# (b) Names code-touched DURING round 13 while carrying r12 verdicts
-# (the time-edge admission contract, CHANGELOG_r13 §11, plus the
-# warehouse-date bucket-safe month extension). Committed to the r14
-# head by the r13 revision of this module.
-R13_ROUND_CODE_TOUCHED = [
-    "sql_over_views_adhoc",
-    "scd2_point_in_time_enrichment",
-    "daily_distinct_users",
-    "event_counters_unpivot",
-    "sliding_window_metrics",
-    "streaming_hourly_metrics",
-    "monthly_nation_revenue",
-]
-
-# (c) The 16 free slots: oldest-verdict fills (all r12, ties broken
-# by prior registry position — `tools/ledger.py --emit-order`),
-# pre-draining the r15 cliff from 43 r12 tail names to 27.
-R14_FILLS = [
-    "revenue_by_region",
-    "top_nations_by_customers",
-    "customers_with_orders",
-    "customers_without_orders",
-    "order_priority_rollup",
-    "priority_decode_rollup",
-    "scd2_current_enrichment",
-    "top_tokens",
-    "like_pattern_source_classes",
-    "nested_double_unnest_roundtrip",
-    "currency_normalized_revenue",
-    "range_band_pricing",
-    "doc_fingerprints",
-    "token_counts",
-    "quality_scores",
-    "lang_id_heuristic",
-]
-
-MUST_BE_IN_WINDOW = R14_DRAIN | set(R13_ROUND_CODE_TOUCHED) | set(R14_FILLS)
-
-# The committed r15 drain: the 27 r12-verdict names the 16 r14 fills
-# could NOT pre-drain. They go stale (age 3) the moment
-# CORRECTNESS_r14 lands and MUST lead the r15 window — positions
-# 51-77 here so the r15 rotation is a pure prefix rotation. r15 then
-# has 23 free slots, which should pre-drain the 50-name r13 block
-# (stale at r16 → r16 drain = 27). The cliff arithmetic stays a test.
 R15_DRAIN = {
     "simhash_fingerprints",
     "schema_evolution_read",
@@ -133,36 +63,99 @@ R15_DRAIN = {
     "asof_view_within_6h",
 }
 
-# Names code-touched DURING round 14 while carrying sub-window
-# verdicts. Every r14 session code-touch of a tail name MUST be
-# appended here (they take r15 free slots directly after the drain).
-# The huge-doc gate's first run (VERDICT r13 "Next round" #2) found
-# O(tokens^2) shapes in both: bigram_lm_quality's LATERAL-unnest
-# oracle carried the full toks list per bigram row (>10 min on one
-# 220k-token doc), and doc_chunks_overlap was quadratic on BOTH
-# sides (Spark explode-then-slice copied the array per chunk row,
-# 182 s; the packed oracle's in-lambda list_slice copied the source
-# list per chunk, 80 s — now element access, 0.2 s).
-R14_ROUND_CODE_TOUCHED: list[str] = [
+# (b) Names code-touched DURING round 14 while carrying r13 verdicts
+# (the huge-doc gate's O(tokens^2) rewrites, the M3 dim-side
+# time-edge admission, the RFC-bounded PII regex, the prefix-filter
+# jaccard rewrite). Committed to the r15 head by the r14 revision of
+# this module.
+R14_ROUND_CODE_TOUCHED = [
     "doc_chunks_overlap",
     "bigram_lm_quality",
-    # r14 dim-side time-edge admission: the M3 changed-key filter now
-    # ignores inadmissible valid_from versions (a year-9999 dim row
-    # phantom-flagged its key every cycle).
     "materialize_dim_change_repair",
-    # r14 megatoken probe: the unbounded email regex was O(chars²)
-    # under Java's backtracking engine (a 300 KB whitespace-free run
-    # hung redaction; DuckDB's RE2 stayed linear) — RFC-bounded
-    # quantifiers in BOTH the engine constant and the oracle text.
     "pii_redaction",
-    # r14 row-scale sweep: ngram_jaccard_pairs rewritten with
-    # lossless prefix-filter candidates + hashed-set intersect
-    # verification (naive shared-shingle self-join aggregated 105M
-    # candidate groups at ~sf0.6 — superlinear in rows in BOTH
-    # engines; dup_clusters_connected shares the fix but is already
-    # an obligatory r15-drain member, so it costs no extra slot).
     "ngram_jaccard_near_dups",
 ]
+
+# (c) The 18 free slots. The first 7 are the r13-verdict names this
+# round's PLANNED code-touches hit, placed in the window with
+# foresight so their post-touch code earns a fresh verdict THIS
+# round instead of burdening r16: the GEN-4 corpus-wide vector-dim
+# admission (VERDICT r14 "Next round" #2) code-touches every
+# similarity-family engine path (operators/similarity.valid_vectors)
+# and oracle text (duckql.DUCK_VALID_VEC / DUCK_EMB) — 7 KNN names
+# are already drain members, these 6 are the rest (recall_at_k
+# composes the touched KNN oracle texts) — and the
+# identity-partition cardinality guard (#5) touches the two-level
+# overlay scenario. Then 11 oldest-r13 fills (ties by prior registry
+# position — `tools/ledger.py --emit-order`), pre-draining the r16
+# cliff from 45 r13 tail names to 27.
+R15_FILLS = [
+    "semantic_dedup_centroid",
+    "embedding_cosine_near_dups",
+    "knn_ivf_materialized_cosine",
+    "embedding_label_stats",
+    "embedding_int8_quantization",
+    "knn_ivf_recall_at_k",
+    "two_level_overlay_maintenance",
+    "salted_skew_aggregation",
+    "replicated_skew_join_rollup",
+    "conditional_distinct_users",
+    "user_engagement_ratios",
+    "user_daily_landscape",
+    "latest_event_per_user_type",
+    "interval_join_click_view",
+    "funnel_conversion_daily",
+    "value_distribution_by_class",
+    "flag_distribution",
+    "avg_value_spread",
+]
+
+MUST_BE_IN_WINDOW = R15_DRAIN | set(R14_ROUND_CODE_TOUCHED) | set(R15_FILLS)
+
+# The committed r16 drain: the 27 r13-verdict names the 18 r15 fills
+# could NOT pre-drain. They go stale (age 3) the moment
+# CORRECTNESS_r15 lands and MUST lead the r16 window — positions
+# 51-77 here so the r16 rotation is a pure prefix rotation. r16 then
+# has 23 free slots for the r14 block (50 names, stale at r17). The
+# cliff arithmetic stays a test.
+R16_DRAIN = {
+    "funnel_leakage_daily",
+    "cms_heavy_hitter_tokens",
+    "token_budget_packing",
+    "bloom_semi_join_prune",
+    "materialize_funnel_exists_repair",
+    "maintenance_compaction",
+    "hll_distinct_users_daily",
+    "winnowing_fingerprints",
+    "exact_substring_dups",
+    "dedup_keep_best_quality",
+    "event_quality_spine_hourly",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "batch_sessionize_windows",
+    "streaming_sessionize",
+    "streaming_upsert_hourly",
+    "user_rolling_7day_value",
+    "rollup_revenue_levels",
+    "price_quantiles_by_flag",
+    "user_event_gaps",
+    "running_revenue_by_nation",
+    "order_value_deciles",
+    "props_json_stats",
+    "keyset_intersect_except",
+    "orders_above_global_avg",
+    "supplier_name_near_matches",
+    "domain_mixture_resample",
+}
+
+# Names code-touched DURING round 15 while carrying sub-window
+# verdicts. Every r15 session code-touch of a tail name MUST be
+# appended here (they take r16 free slots directly after the drain).
+# Empty by design: this round's planned code-touches (GEN-4 dim
+# admission, layout cardinality guard) were pre-placed inside the
+# window via R15_FILLS, so a name lands here only if an UNPLANNED
+# fix touches the tail.
+R15_ROUND_CODE_TOUCHED: list[str] = []
 
 
 def test_order_in_sync_and_window_covers_obligatory_drain():
@@ -175,74 +168,74 @@ def test_order_in_sync_and_window_covers_obligatory_drain():
 
 
 def test_window_is_exactly_the_drain_plan():
-    """The r14 window is exactly the committed composition — 27 drain
-    + 7 code-touched + 16 fills, in that block order — and the
-    committed r15 drain sits contiguously after it (positions 51-77)
+    """The r15 window is exactly the committed composition — 27 drain
+    + 5 code-touched + 18 fills, in that block order — and the
+    committed r16 drain sits contiguously after it (positions 51-77)
     so the next rotation is mechanical."""
     assert len(MUST_BE_IN_WINDOW) == WINDOW
     names = list(all_queries())
     assert set(names[:WINDOW]) == MUST_BE_IN_WINDOW
-    n_drain = len(R14_DRAIN)
-    assert set(names[:n_drain]) == R14_DRAIN
-    head = R13_ROUND_CODE_TOUCHED + R14_FILLS
+    n_drain = len(R15_DRAIN)
+    assert set(names[:n_drain]) == R15_DRAIN
+    head = R14_ROUND_CODE_TOUCHED + R15_FILLS
     assert names[n_drain:WINDOW] == head
-    assert set(names[WINDOW : WINDOW + len(R15_DRAIN)]) == R15_DRAIN
-    # r14-session code-touches sit contiguously after the r15 drain
-    # so the r15 window (27 drain + these + fills) stays a prefix
+    assert set(names[WINDOW : WINDOW + len(R16_DRAIN)]) == R16_DRAIN
+    # r15-session code-touches sit contiguously after the r16 drain
+    # so the r16 window (27 drain + these + fills) stays a prefix
     # rotation.
-    ct = slice(WINDOW + len(R15_DRAIN), WINDOW + len(R15_DRAIN) + len(R14_ROUND_CODE_TOUCHED))
-    assert names[ct] == R14_ROUND_CODE_TOUCHED
-    assert len(R15_DRAIN) + len(R14_ROUND_CODE_TOUCHED) <= WINDOW, (
-        "r15 window overflow: committed drain + r14 code-touches exceed 50"
+    ct = slice(WINDOW + len(R16_DRAIN), WINDOW + len(R16_DRAIN) + len(R15_ROUND_CODE_TOUCHED))
+    assert names[ct] == R15_ROUND_CODE_TOUCHED
+    assert len(R16_DRAIN) + len(R15_ROUND_CODE_TOUCHED) <= WINDOW, (
+        "r16 window overflow: committed drain + r15 code-touches exceed 50"
     )
     # Groups pairwise disjoint — a silent overlap would make the
     # size check pass while the window holds fewer obligations.
     groups = [
-        R14_DRAIN,
-        set(R13_ROUND_CODE_TOUCHED),
-        set(R14_FILLS),
         R15_DRAIN,
         set(R14_ROUND_CODE_TOUCHED),
+        set(R15_FILLS),
+        R16_DRAIN,
+        set(R15_ROUND_CODE_TOUCHED),
     ]
     for i, g1 in enumerate(groups):
         for g2 in groups[i + 1 :]:
             assert not (g1 & g2), sorted(g1 & g2)
 
 
-def test_r15_drain_fits_after_r14_lands():
-    """Forward simulation (the r15 aging cliff as a failing test):
-    pretend CORRECTNESS_r14 lands all-green over this window. The
-    resulting AGE-obligatory r15 set must be exactly R15_DRAIN — 27
+def test_r16_drain_fits_after_r15_lands():
+    """Forward simulation (the r16 aging cliff as a failing test):
+    pretend CORRECTNESS_r15 lands all-green over this window. The
+    resulting AGE-obligatory r16 set must be exactly R16_DRAIN — 27
     obligatory + 23 free slots. The simulation base is FROZEN at the
-    r13 verdict state (later CORRECTNESS files are ignored) so the
-    assertion stays meaningful — and green — after the real r14
+    r14 verdict state (later CORRECTNESS files are ignored) so the
+    assertion stays meaningful — and green — after the real r15
     verdict lands mid-/post-round."""
     verdicts = {
-        name: v for name, v in ledger.load_verdicts().items() if v[0] <= 13
+        name: v for name, v in ledger.load_verdicts().items() if v[0] <= 14
     }
-    assert verdicts, "no verdicts at or before r13 — baseline moved?"
+    assert verdicts, "no verdicts at or before r14 — baseline moved?"
     order = list(all_queries())
     simulated = dict(verdicts)
     for name in order[:WINDOW]:
-        simulated[name] = (14, True, "")
+        simulated[name] = (15, True, "")
     due = {name for name, _rnd in ledger.plan_next(max_age=2, verdicts=simulated, order=order)}
-    assert due == R15_DRAIN, (
-        f"unexpected r15 obligatory set: extra={sorted(due - R15_DRAIN)} "
-        f"missing={sorted(R15_DRAIN - due)}"
+    assert due == R16_DRAIN, (
+        f"unexpected r16 obligatory set: extra={sorted(due - R16_DRAIN)} "
+        f"missing={sorted(R16_DRAIN - due)}"
     )
-    assert len(R15_DRAIN) <= WINDOW
+    assert len(R16_DRAIN) <= WINDOW
 
 
-def test_r14_window_has_no_never_certified_stragglers():
-    """Every never-certified registry name must sit INSIDE the r14
+def test_r15_window_has_no_never_certified_stragglers():
+    """Every never-certified registry name must sit INSIDE the r15
     window — the pending-next-window grace covers exactly one round.
-    (As of the r14 rotation there are none: all 127 names carry
+    (As of the r15 rotation there are none: all 127 names carry
     verdicts; this guards new registrations made this round.)"""
     verdicts = ledger.load_verdicts()
     order = list(all_queries())
     never = [n for n in order if n not in verdicts]
     outside = [n for n in never if n not in set(order[:WINDOW])]
-    assert not outside, f"never-certified outside the r14 window: {outside}"
+    assert not outside, f"never-certified outside the r15 window: {outside}"
 
 
 def test_every_query_is_callable_and_oracle_typed():
