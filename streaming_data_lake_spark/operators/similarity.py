@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from streaming_data_lake_spark.schemas import EMBEDDING_DIM
+
 
 def dot(a: Column, b: Column) -> Column:
     """Deterministic left-fold dot product in double precision."""
@@ -44,13 +46,20 @@ def cosine(a: Column, b: Column) -> Column:
 #: every durable artifact built from admitted embeddings (IVF index,
 #: sign-LSH signatures, IVF-PQ codes) so caches built under an older
 #: admission rule are never served. GEN 3: non-finite-element
-#: exclusion (r12).
-VALID_VEC_GEN = 3
+#: exclusion (r12). GEN 4: declared-dimension exclusion (r15 — the
+#: corpus-wide form of the r14 kmeans_train dim admission; VERDICT
+#: r14 "Next round" #2).
+VALID_VEC_GEN = 4
 
 
-def valid_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def valid_vectors(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = EMBEDDING_DIM,
+) -> DataFrame:
     """Drop degenerate embeddings: NULL, empty, zero-norm, holding
-    NULL elements, or holding non-finite elements.
+    NULL elements, holding non-finite elements, or of the wrong
+    declared dimension.
 
     Any real 100 TB corpus carries a few of each (dead docs, encoder
     failures, padding rows); under ANSI SQL a single zero-norm vector
@@ -64,15 +73,30 @@ def valid_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     elements — both engines treat NaN as greater than any number, so
     a NaN norm PASSES ``> 0`` and then poisons every cosine in its
     cluster with NaN (r12 probe) — hence the explicit finite-norm
-    conjunct. Oracles mirror it with ``duckql.DUCK_VALID_VEC``
-    (CASE-guarded: DuckDB's list_reduce errors on empty lists instead
-    of folding to 0).
+    conjunct. Nor does it cover WRONG-DIMENSION vectors (encoder
+    version drift, truncated rows): those are finite and nonzero, so
+    GEN 3 admitted them and relied on zip_with folds yielding NULL
+    similarity downstream — an implicit contract that ANSI
+    element_at paths (PQ subspace slicing, k-means recentering) turn
+    into a job abort instead. GEN 4 makes the dimension explicit:
+    ``dim`` defaults to the declared table contract
+    (schemas.EMBEDDING_DIM — FAISS's ``d``); pass the actual
+    dimension for ad-hoc frames, or ``None`` to skip the check where
+    no dimension is declared. Oracles mirror the full predicate with
+    ``duckql.DUCK_VALID_VEC`` (CASE-guarded: DuckDB's list_reduce
+    errors on empty lists instead of folding to 0).
     """
     v = F.col(vec_col)
     n = norm(v)
-    return df.filter(
-        v.isNotNull() & ~F.isnan(n) & (n < F.lit(float("inf"))) & (n > 0)
-    )
+    pred = v.isNotNull()
+    if dim is not None:
+        # Cheap conjunct FIRST: size() is O(1) against the array
+        # header while each norm fold below is O(dim); conjunct order
+        # survives into the physical Filter, so wrong-length rows
+        # short-circuit before paying three folds.
+        pred = pred & (F.size(v) == F.lit(int(dim)))
+    pred = pred & ~F.isnan(n) & (n < F.lit(float("inf"))) & (n > 0)
+    return df.filter(pred)
 
 
 def brute_force_knn(

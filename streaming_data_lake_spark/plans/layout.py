@@ -23,6 +23,61 @@ from streaming_data_lake_spark.catalog import load_table
 from streaming_data_lake_spark.plans import artifacts
 
 
+#: Default identity-partition cardinality bound. An identity
+#: partition column should be a BOUNDED ENUM (the reference's
+#: identity-partition specs key on device_type / auction-type style
+#: columns, iceberg/tables/bid_requests_enriched.yml:59-63): each
+#: distinct value becomes a directory, so an unbounded key turns the
+#: table into small-files soup — the r14 group-key probe measured 24x
+#: the maintenance wall at 5,815 distinct event_types, purely layout
+#: physics (CHANGELOG_r14 §17). 4096 leaves per day-level partition
+#: is already generous (at a 128 MB file target that is a 0.5 TB day
+#: before any leaf holds two files); anything larger belongs under a
+#: BUCKET transform, which keeps leaf count fixed while preserving
+#: pruning on equality probes.
+IDENTITY_PARTITION_MAX_KEYS = 4096
+
+
+def ensure_bounded_identity(
+    df: DataFrame,
+    col: str,
+    bound: int = IDENTITY_PARTITION_MAX_KEYS,
+    strict: bool = True,
+) -> int:
+    """Guard an identity-partition layout against unbounded key
+    cardinality BEFORE the write lays down one directory per value
+    (VERDICT r14 "Next round" #5 — the docstring prescribed a bucket
+    transform for unbounded columns but nothing enforced it).
+
+    Counts distinct values with ``approx_count_distinct`` — a
+    one-pass, no-shuffle HLL sketch, which is the only admissible
+    probe at 100 TB (an exact distinct would shuffle the key column
+    corpus-wide to answer a yes/no question; ±2% standard error on a
+    threshold whose failure mode is a 24x wall is noise). Over
+    ``bound``: raises ``ValueError`` when ``strict`` (refuse at the
+    door, the FAISS-admission discipline), else emits a one-line
+    warning and proceeds (for certified scenarios whose outputs are
+    defined over whatever layout the data implies). Returns the
+    approximate count either way.
+    """
+    import sys
+
+    n = int(
+        df.agg(F.approx_count_distinct(F.col(col)).alias("n")).head()["n"]
+    )
+    if n > bound:
+        msg = (
+            f"identity partition on {col!r}: ~{n} distinct values exceeds "
+            f"the {bound}-leaf bound — an unbounded key makes one directory "
+            f"per value (small-files physics, ~linear maintenance cost in "
+            f"leaves); use a bucket transform (plans/bucketing.py) instead"
+        )
+        if strict:
+            raise ValueError(msg)
+        print(f"WARN {msg}", file=sys.stderr)
+    return n
+
+
 def day_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table rewritten day-partitioned, as a DURABLE
     artifact (plans/artifacts.py): built once per source-file

@@ -90,3 +90,15 @@ DECLARED_SCHEMAS: dict[str, T.StructType] = {
         _f("label", T.IntegerType()),
     ),
 }
+
+#: Declared dimensionality of the ``embeddings.embedding`` column.
+#: Spark's ArrayType (like Iceberg's list type) cannot carry a length
+#: in the schema, so the vector dimension rides this table-contract
+#: constant instead — the same role FAISS's index ``d`` plays at
+#: construction. The similarity family's admission
+#: (operators.similarity.valid_vectors, VALID_VEC_GEN 4) enforces it
+#: corpus-wide: encoder version drift and truncated rows produce
+#: finite nonzero vectors of the WRONG length, which the norm-based
+#: GEN-3 checks admit and every downstream fold then resolves to
+#: NULL similarity (or, in ANSI element_at paths, a job abort).
+EMBEDDING_DIM = 64

@@ -150,6 +150,37 @@ def test_span_cal_is_one_sided():
     assert bench._span_cal({}, 0.273) == 0.273
 
 
+def test_calibration_swing_alone_cannot_flag():
+    """The r14 phantom-flag class (VERDICT r14 "What's wrong" #1):
+    the r14 run's pre-cal (0.234) vs r12's (0.311) injected a uniform
+    1.33x multiplier into every normalized ratio, so queries whose
+    RAW times moved <1.5x (position noise inside the §8 spread)
+    crossed the normalized bar anyway. The two-sided rule requires
+    BOTH ratios >1.5x: a calibration-swing-only delta produces
+    regressions: [], while a genuine regression under the same swing
+    still flags."""
+    prev = {
+        "queries": {"phantom": 0.45, "genuine": 0.45},
+        "cpu_calibration_sec": 0.311,
+    }
+    # current run: probe sampled low (0.234 — the r14 artifact's
+    # value). phantom's raw moved 1.22x (noise); genuine's raw moved
+    # 2.2x (real code cost).
+    cur = {"phantom": 0.55, "genuine": 1.0}
+    out = bench.find_regressions(cur, 0.234, prev, 0.273)
+    # sanity: the phantom's NORMALIZED ratio alone DOES cross 1.5x —
+    # the one-sided rule would have flagged it.
+    assert (0.55 * 0.273 / 0.234) / (0.45 * 0.273 / 0.311) > 1.5
+    assert [r["query"] for r in out] == ["genuine"]
+    assert out[0]["raw_ratio"] == 2.22
+    # mirror-image swing (current probe HIGH): normalized ratios are
+    # deflated, raw ratios alone cannot flag either — still [].
+    out = bench.find_regressions({"phantom": 0.55}, 0.311, {
+        "queries": {"phantom": 0.45}, "cpu_calibration_sec": 0.234,
+    }, 0.273)
+    assert out == []
+
+
 def test_identical_normalized_run_has_no_regressions_any_order():
     """The r13 artifact flagged 5 phantom regressions that were
     exactly the head of the reshuffled execution order (VERDICT r13

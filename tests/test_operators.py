@@ -914,7 +914,7 @@ def test_edge_sweep_contracts(spark):
         ],
         "vec_id long, embedding array<double>",
     )
-    assert [r["vec_id"] for r in valid_vectors(e).collect()] == [1]
+    assert [r["vec_id"] for r in valid_vectors(e, dim=2).collect()] == [1]
 
     # 3. Event-time contract: NULL ts routes to the reject path with
     #    its own reason (was: silently lost by every watermark
@@ -1030,19 +1030,25 @@ def test_finite_guard_value_level_exclusion(spark):
     assert duck == got
 
 
-def test_valid_vectors_excludes_nonfinite_elements(spark):
+def test_valid_vectors_excludes_nonfinite_and_wrong_dim(spark):
     """VALID_VEC_GEN 3: NaN/Inf elements make the norm NaN/Inf, which
     PASSES a bare `norm > 0` in both engines (NaN-greatest comparison
     semantics) and then poisons every cosine in the cluster — the
     admission must drop them, along with the four r11 shapes (NULL,
-    empty, zero-norm, NULL element). The DuckDB twin must agree."""
+    empty, zero-norm, NULL element). GEN 4: vectors of the WRONG
+    declared dimension (encoder version drift, truncated rows) are
+    finite and nonzero, so the norm checks admit them and downstream
+    they either fold to NULL similarity (implicit, fragile) or abort
+    ANSI element_at paths outright — the declared-dim conjunct drops
+    them at the door, FAISS add()-style. The DuckDB twin must agree
+    shape for shape."""
     import duckdb
 
     from streaming_data_lake_spark.functions.duckql import DUCK_VALID_VEC
     from streaming_data_lake_spark.operators.similarity import valid_vectors
 
     rows = [
-        (1, [1.0, 2.0]),            # valid
+        (1, [1.0, 2.0]),            # valid at declared dim 2
         (2, None),                  # NULL vector
         (3, []),                    # empty
         (4, [0.0, 0.0]),            # zero norm
@@ -1050,17 +1056,29 @@ def test_valid_vectors_excludes_nonfinite_elements(spark):
         (6, [float("nan"), 1.0]),   # NaN element
         (7, [float("inf"), 1.0]),   # +Inf element
         (8, [float("-inf"), 1.0]),  # -Inf element (norm = +Inf)
+        (9, [1.0]),                 # wrong dim: truncated
+        (10, [1.0, 2.0, 3.0]),      # wrong dim: encoder drift
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    assert [r["vec_id"] for r in valid_vectors(df).collect()] == [1]
+    assert [r["vec_id"] for r in valid_vectors(df, dim=2).collect()] == [1]
     con = duckdb.connect()
     duck = con.execute(
         "SELECT vec_id FROM (VALUES (1, [1.0,2.0]), (2, NULL), (3, CAST([] AS DOUBLE[])),"
         " (4, [0.0,0.0]), (5, [NULL, 1.0]), (6, ['nan'::DOUBLE, 1.0]),"
-        " (7, ['inf'::DOUBLE, 1.0]), (8, ['-inf'::DOUBLE, 1.0])) t(vec_id, embedding)"
-        f" WHERE {DUCK_VALID_VEC.format(v='embedding')} ORDER BY vec_id"
+        " (7, ['inf'::DOUBLE, 1.0]), (8, ['-inf'::DOUBLE, 1.0]),"
+        " (9, [1.0]), (10, [1.0, 2.0, 3.0])) t(vec_id, embedding)"
+        f" WHERE {DUCK_VALID_VEC.format(v='embedding', dim=2)} ORDER BY vec_id"
     ).fetchall()
     assert duck == [(1,)]
+
+    # The default dim is the DECLARED table contract
+    # (schemas.EMBEDDING_DIM) — a valid-by-norm vector of any other
+    # length is rejected without an explicit dim argument.
+    from streaming_data_lake_spark.schemas import EMBEDDING_DIM
+
+    ok = [(1, [1.0] * EMBEDDING_DIM), (2, [1.0] * (EMBEDDING_DIM - 1))]
+    d2 = spark.createDataFrame(ok, "vec_id long, embedding array<double>")
+    assert [r["vec_id"] for r in valid_vectors(d2).collect()] == [1]
 
 
 def test_admissible_ts_cross_engine_over_edge_shapes(spark):
@@ -1256,3 +1274,34 @@ def test_ngram_jaccard_prefix_filter_equals_brute_force(spark):
         )
         if t == 0.12:
             assert (1000, 1001) in got, "epsilon-boundary containment pair lost"
+
+
+def test_ngram_jaccard_h32_collision_sizes_agree_with_hashed_set(spark):
+    """Under a WITHIN-DOC h32 collision the candidate-stage sizes must
+    be counted over the DEDUPED hashed set (ADVICE r14): 't82656' and
+    't108050' are distinct tokens with the same md5-prefix h32
+    (0x810c88ec — found by deterministic birthday search). Doc A holds
+    both plus one filler token, doc B holds one of them plus the same
+    filler, so over hashed sets A == B and J = 1.0. With a bare row
+    count n_sh(A)=3 while the hashed set has 2 elements, and at
+    t=0.8 the size filter least(2,3) >= 0.8*greatest(2,3) = 2.4
+    rejects the pair the hashed-set definition (and the oracle's
+    DISTINCT-based count) keeps. Post-dedup n_sh == size(arr) == the
+    oracle's n exactly, collisions or not."""
+    import hashlib
+
+    from streaming_data_lake_spark.operators.dedup import ngram_jaccard_pairs
+
+    c1, c2 = "t82656", "t108050"
+    assert (
+        hashlib.md5(c1.encode()).hexdigest()[:8]
+        == hashlib.md5(c2.encode()).hexdigest()[:8]
+    ), "collision pair no longer collides — hash changed?"
+    docs = spark.createDataFrame(
+        [(1, f"{c1} {c2} zz"), (2, f"{c1} zz")], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(docs, n=1, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 1.0}, got
