@@ -21,8 +21,19 @@ from __future__ import annotations
 
 from streaming_data_lake_spark.schemas import EMBEDDING_DIM
 
+#: Portable whitespace class ↔ ``operators.dedup.WS_CLASS``: Java's
+#: default ``\s`` is exactly [ \t\n\x0B\f\r] while RE2's ``\s`` OMITS
+#: \x0B (vertical tab) — a bare '\s' in an oracle regex silently
+#: diverges from the engine on VT-carrying text (r15 control-char
+#: probe). Both engines spell the Java set explicitly.
+DUCK_WS = r"[ \t\n\r\f\x0B]"
+
 #: whitespace tokenization with empties removed, over a `text` column
-DUCK_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
+DUCK_TOKS = (
+    "list_filter(string_split_regex(trim(text), '"
+    + DUCK_WS
+    + "+'), t -> t <> '')"
+)
 
 #: dot product of two DOUBLE list columns; .format(a=..., b=...)
 DUCK_DOT = (

@@ -95,9 +95,20 @@ def _valid_vec_gen() -> int:
     return VALID_VEC_GEN
 
 
+#: Portable whitespace class ↔ ``duckql.DUCK_WS``. Java's default
+#: ``\s`` is exactly [ \t\n\x0B\f\r] while RE2's ``\s`` OMITS \x0B
+#: (vertical tab) — the r15 control-char probe measured
+#: tokens('a\x0Bb') splitting into two tokens in Spark but staying
+#: one token in DuckDB, a silent cross-engine divergence on every
+#: token-derived query the moment a crawled document carries a VT
+#: (real web text does). Both engines now spell the Java set
+#: explicitly; never write a bare ``\s`` in a compared expression.
+WS_CLASS = r"[ \t\n\r\f\x0B]"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization with empties removed."""
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(F.trim(text), WS_CLASS + "+"), lambda t: t != "")
 
 
 def _shingles_of(toks: Column, n: int) -> Column:

@@ -84,7 +84,11 @@ def clean_events(df: DataFrame) -> DataFrame:
             # try_cast NULLs digit runs that overflow INT; the oracle
             # mirrors both (TRY_CAST(NULLIF(...))).
             F.nullif(
-                F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1), F.lit("")
+                # [ \t\n\r\f\x0B]: Java-\s spelled explicitly — RE2's
+                # \s omits \x0B, so a bare \s here diverges from the
+                # DuckDB oracle on a VT between ':' and the digits
+                # (r15 control-char probe; see dedup.WS_CLASS)
+                F.regexp_extract(F.col("props"), r'"k":[ \t\n\r\f\x0B]*(\d+)', 1), F.lit("")
             )
             .try_cast("int")
             .alias("prop_k"),

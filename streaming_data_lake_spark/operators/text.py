@@ -27,7 +27,11 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 # BPE-ish token pattern: word pieces, digit runs, or single symbols.
-BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# The negated class spells the Java-\s set explicitly (see
+# dedup.WS_CLASS): under a bare \s, a vertical tab is whitespace to
+# Java (never a symbol token) but NOT to the oracle's RE2 (counted
+# as a symbol) — the r15 control-char probe's divergence class.
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]"
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 

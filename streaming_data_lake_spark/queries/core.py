@@ -27,7 +27,12 @@ from streaming_data_lake_spark.functions.parity import (
 _TS_ADM = DUCK_TS_ADMISSIBLE.format(c="ts")
 from streaming_data_lake_spark.functions.scalar import decode_priority, zero_guard_ratio
 from streaming_data_lake_spark.operators import ingest
-from streaming_data_lake_spark.operators.dedup import dedup_groupby_canonical, dedup_row_number
+from streaming_data_lake_spark.functions.duckql import DUCK_WS
+from streaming_data_lake_spark.operators.dedup import (
+    WS_CLASS,
+    dedup_groupby_canonical,
+    dedup_row_number,
+)
 from streaming_data_lake_spark.operators.joins import interval_join
 from streaming_data_lake_spark.queries import register
 
@@ -134,7 +139,7 @@ SELECT
   -- edge sweep proved ''.cast(int) aborts under ANSI). NULLIF maps
   -- no-match to NULL and TRY_CAST maps >INT_MAX digit runs to NULL,
   -- mirroring the engine's nullif + try_cast exactly.
-  TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INTEGER) AS prop_k
+  TRY_CAST(NULLIF(regexp_extract(props, '"k":[ \t\n\r\f\x0B]*(\d+)', 1), '') AS INTEGER) AS prop_k
 FROM events
 -- admissible ts: a valid event time is part of the clean contract —
 -- NULL ts cannot be watermarked, partitioned, or incrementally
@@ -1080,9 +1085,9 @@ def scd2_current_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # P2/P4 — tokenize + explode (UNNEST) + top-k tokens
 # ---------------------------------------------------------------------------
 
-_TOKEN_EXPLODE_ORACLE = r"""
+_TOKEN_EXPLODE_ORACLE = rf"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  SELECT doc_id, unnest(string_split_regex(trim(text), '{DUCK_WS}+')) AS token
   FROM documents
 )
 SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
@@ -1103,7 +1108,7 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+        F.explode(F.split(F.trim(F.col("text")), WS_CLASS + "+")).alias("token"),
     ).filter(F.col("token") != "")
     return (
         tok.groupBy("token")
@@ -1372,7 +1377,7 @@ def value_distribution_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FLAG_DIST_ORACLE = r"""
 SELECT
   value >= 20.0 AS is_high_value,
-  regexp_extract(props, '"k":\s*(\d+)', 1) <> '' AS has_prop_k,
+  regexp_extract(props, '"k":[ \t\n\r\f\x0B]*(\d+)', 1) <> '' AS has_prop_k,
   count(*) AS event_count
 FROM events
 GROUP BY 1, 2
@@ -1390,7 +1395,7 @@ def flag_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select(
             (F.col("value") >= 20.0).alias("is_high_value"),
-            (F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1) != "").alias(
+            (F.regexp_extract(F.col("props"), r'"k":[ \t\n\r\f\x0B]*(\d+)', 1) != "").alias(
                 "has_prop_k"
             ),
         )

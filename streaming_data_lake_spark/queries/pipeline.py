@@ -24,7 +24,7 @@ from streaming_data_lake_spark.operators.multimodal import attach_fake_media, ex
 from streaming_data_lake_spark.queries import register
 
 # Shared DuckDB fragments (kept in lockstep with the Spark operators).
-from streaming_data_lake_spark.functions.duckql import DUCK_DOT, DUCK_EMB, DUCK_TOKS
+from streaming_data_lake_spark.functions.duckql import DUCK_DOT, DUCK_EMB, DUCK_TOKS, DUCK_WS
 from streaming_data_lake_spark.functions.hashing import duck_h32
 
 _DUCK_TOKS = DUCK_TOKS
@@ -103,7 +103,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKEN_COUNT_ORACLE = rf"""
 SELECT doc_id,
        CAST(len({_DUCK_TOKS}) AS BIGINT) AS ws_tokens,
-       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]')) AS BIGINT)
          AS bpe_tokens,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents
@@ -1358,15 +1358,15 @@ _BLOCKLIST_ORACLE = rf"""
 SELECT source, lang,
        count(*) AS n_docs,
        CAST(count(CASE WHEN list_has_any(
-                string_split_regex(trim(text), '\s+'),
+                string_split_regex(trim(text), '{DUCK_WS}+'),
                 ['{"','".join(_BLOCKLIST)}']) THEN 1 END) AS BIGINT)
          AS n_blocked,
        CAST(count(*) - count(CASE WHEN list_has_any(
-                string_split_regex(trim(text), '\s+'),
+                string_split_regex(trim(text), '{DUCK_WS}+'),
                 ['{"','".join(_BLOCKLIST)}']) THEN 1 END) AS BIGINT)
          AS n_kept,
        CAST(count(*) - count(CASE WHEN list_has_any(
-                string_split_regex(trim(text), '\s+'),
+                string_split_regex(trim(text), '{DUCK_WS}+'),
                 ['{"','".join(_BLOCKLIST)}']) THEN 1 END) AS DOUBLE)
          / CAST(count(*) AS DOUBLE) AS retention
 FROM documents

@@ -1305,3 +1305,92 @@ def test_ngram_jaccard_h32_collision_sizes_agree_with_hashed_set(spark):
         for r in ngram_jaccard_pairs(docs, n=1, threshold=0.8).collect()
     }
     assert got == {(1, 2): 1.0}, got
+
+
+def test_whitespace_class_vt_parity_cross_engine(spark):
+    """The r15 control-char probe: Java's default \\s is exactly
+    [ \\t\\n\\x0B\\f\\r] while RE2's \\s OMITS \\x0B (vertical tab) —
+    under a bare \\s, tokens('a\\x0Bb') split into two tokens in Spark
+    but stayed one token in DuckDB, silently diverging every
+    token-derived query (token counts, TF-IDF, minhash/jaccard
+    shingles, CMS, packing) the moment a crawled document carries a
+    VT. Both engines now spell the Java set explicitly (WS_CLASS ↔
+    DUCK_WS); this pins tokens/DUCK_TOKS, the BPE-ish symbol class,
+    and the prop_k extractor on VT/FF/NBSP shapes, engine vs oracle,
+    value for value."""
+    import duckdb
+
+    from streaming_data_lake_spark.functions.duckql import DUCK_TOKS, DUCK_WS
+    from streaming_data_lake_spark.operators.dedup import WS_CLASS, tokens
+    from streaming_data_lake_spark.operators.text import BPE_ISH, bpe_ish_token_count
+
+    assert WS_CLASS == DUCK_WS  # literally the same class text
+    shapes = [
+        (1, "a\x0bb"),        # VT: the divergence shape
+        (2, "a\x0cb"),        # FF: agreed pre-fix, must keep agreeing
+        (3, "a\xa0b"),        # NBSP: NOT whitespace in either engine
+        (4, "a \t\n\x0b\x0c\r b"),  # the full Java set as one gap
+        (5, "\x0b"),          # VT-only doc -> zero tokens
+    ]
+    df = spark.createDataFrame(shapes, "doc_id long, text string")
+    got_toks = {
+        r["doc_id"]: list(r["t"])
+        for r in df.select("doc_id", tokens(F.col("text")).alias("t")).collect()
+    }
+    got_bpe = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", bpe_ish_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, '" + t.replace("'", "''") + "')" for i, t in shapes
+    )
+    duck_toks = {
+        r[0]: list(r[1])
+        for r in con.execute(
+            f"SELECT doc_id, {DUCK_TOKS} FROM (VALUES {vals}) v(doc_id, text)"
+        ).fetchall()
+    }
+    duck_bpe = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT doc_id, CAST(len(regexp_extract_all(text,"
+            f" '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]')) AS BIGINT)"
+            f" FROM (VALUES {vals}) v(doc_id, text)"
+        ).fetchall()
+    }
+    assert got_toks == duck_toks, (got_toks, duck_toks)
+    assert got_bpe == duck_bpe, (got_bpe, duck_bpe)
+    assert got_toks[1] == ["a", "b"]      # VT splits (Java semantics kept)
+    assert got_toks[3] == ["a\xa0b"]      # NBSP glues in BOTH engines
+    assert got_toks[4] == ["a", "b"]      # full Java set as one gap
+    assert got_toks[5] == []
+    assert got_bpe[4] == 2                # whitespace never a symbol token
+
+    # prop_k extractor: '"k":<VT>7' must extract 7 in BOTH engines
+    ev = spark.createDataFrame(
+        [(1, '{"k":\x0b7}'), (2, '{"k": 8}'), (3, '{"k":\t9}')],
+        "event_id long, props string",
+    )
+    got_k = {
+        r["event_id"]: r["k"]
+        for r in ev.select(
+            "event_id",
+            F.regexp_extract(
+                F.col("props"), r'"k":[ \t\n\r\f\x0B]*(\d+)', 1
+            ).alias("k"),
+        ).collect()
+    }
+    duck_k = {
+        r[0]: r[1]
+        for r in con.execute(
+            "SELECT event_id, regexp_extract(props,"
+            " '\"k\":[ \\t\\n\\r\\f\\x0B]*(\\d+)', 1)"
+            " FROM (VALUES (1, '{\"k\":' || chr(11) || '7}'),"
+            " (2, '{\"k\": 8}'), (3, '{\"k\":' || chr(9) || '9}'))"
+            " v(event_id, props)"
+        ).fetchall()
+    }
+    assert got_k == duck_k == {1: "7", 2: "8", 3: "9"}

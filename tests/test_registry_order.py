@@ -151,11 +151,35 @@ R16_DRAIN = {
 # Names code-touched DURING round 15 while carrying sub-window
 # verdicts. Every r15 session code-touch of a tail name MUST be
 # appended here (they take r16 free slots directly after the drain).
-# Empty by design: this round's planned code-touches (GEN-4 dim
-# admission, layout cardinality guard) were pre-placed inside the
-# window via R15_FILLS, so a name lands here only if an UNPLANNED
-# fix touches the tail.
-R15_ROUND_CODE_TOUCHED: list[str] = []
+# The planned touches (GEN-4 dim admission, layout cardinality
+# guard) were pre-placed inside the window via R15_FILLS; this list
+# holds the UNPLANNED mid-round find: the control-char probe showed
+# Java's \s includes \x0B (vertical tab) while RE2's does not, so
+# every compared whitespace regex — tokens()/DUCK_TOKS, BPE_ISH, the
+# prop_k '"k":\s*' extractor — silently diverged on VT-carrying text.
+# Both engines now spell the Java set [ \t\n\r\f\x0B] explicitly;
+# oracle text and/or engine plan literals changed for all
+# tokenization/ingest consumers (certified-data results verified
+# unchanged: no VT/FF in any testdata table). 10 touched names were
+# already r15-window members and 5 more sit in the committed r16
+# drain — zero cost; these 13 carry fresh r14 verdicts on PRE-touch
+# code and take r16 free slots (r16: 40 obligatory + 10 free; the 10
+# fills keep the r17 drain at exactly 27).
+R15_ROUND_CODE_TOUCHED: list[str] = [
+    "events_clean",
+    "streaming_clean_events",
+    "materialize_incremental_clean_events",
+    "streaming_fanout_ingest",
+    "streaming_cms_token_counts",
+    "tfidf_top_terms",
+    "token_counts",
+    "top_tokens",
+    "doc_fingerprints",
+    "quality_scores",
+    "lang_id_heuristic",
+    "repetition_signals",
+    "benchmark_decontamination",
+]
 
 
 def test_order_in_sync_and_window_covers_obligatory_drain():

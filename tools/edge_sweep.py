@@ -141,6 +141,13 @@ EDGE_STRINGS = [
     'quote"back\\slash',
     "UPPER lower MiXeD",
     "x" * 2000,
+    # Control-char whitespace (r15 probe): Java's \s includes \x0B
+    # (vertical tab), RE2's does not — a bare \s in any compared
+    # regex diverges on these. The explicit [ \t\n\r\f\x0B] class
+    # must keep both engines splitting VT/FF and gluing NBSP.
+    "vt\x0bsplit word",
+    "ff\x0csplit word",
+    "nbsp\xa0glued word",
 ]
 
 EDGE_JSON = [
