@@ -68,7 +68,12 @@ def main() -> int:
         return time.monotonic() - t0, cnt
 
     variants = {
-        "A-gen3-admission": lambda: run(valid_vectors(raw), "emb_sig_ab_gen3"),
+        # A = the CURRENT admission (whatever VALID_VEC_GEN is — the
+        # artifact tag carries the live gen so cached A/B signatures
+        # never cross generations); B = the frozen gen-2 baseline.
+        "A-current-admission": lambda: run(
+            valid_vectors(raw), f"emb_sig_ab_gen{similarity.VALID_VEC_GEN}"
+        ),
         "B-gen2-admission": lambda: run(gen2(raw), "emb_sig_ab_gen2"),
     }
     print(f"VALID_VEC_GEN={similarity.VALID_VEC_GEN} sf_dir={sf_dir} n={n}")
