@@ -183,6 +183,19 @@ def compact_parquet(
     n_files = max(1, math.ceil(dir_bytes(table_dir) / target_bytes))
     part_cols = _partition_cols(table_dir)
     df = spark.read.parquet(table_dir)
+    # A layout level whose ONLY directory is __HIVE_DEFAULT_PARTITION__
+    # (every row's key was NULL — one all-NULL-ts batch from a broken
+    # upstream writer is enough) infers as VOID, and partitionBy
+    # refuses VOID columns — the table becomes permanently
+    # uncompactable (r15 all-NULL probe). Cast exactly those columns
+    # to STRING: they hold only NULLs, so every row still lands in
+    # the same null directory and the on-disk tree is bit-identical;
+    # mixed-value levels keep their inferred types untouched.
+    from pyspark.sql.types import NullType
+
+    for f in df.schema.fields:
+        if f.name in part_cols and isinstance(f.dataType, NullType):
+            df = df.withColumn(f.name, df[f.name].cast("string"))
     tmp = tmp_sibling(table_dir)
     if part_cols:
         # Range-partition on the layout key(s): equal keys never split

@@ -166,9 +166,11 @@ _CERTIFICATION_ORDER = [
     # literals for all tokenization/ingest consumers; certified-data
     # results verified unchanged (no VT/FF in any testdata table).
     # The 10 touched r15-window members and 5 touched r16-drain
-    # members cost nothing; these 13 take r16 free slots directly
-    # after the drain (r16: 40 obligatory + 10 free; the 10 fills
-    # keep the r17 drain at exactly 27) ----
+    # members cost nothing; these 14 take r16 free slots directly
+    # after the drain (r16: 41 obligatory + 9 free; the 9 fills keep
+    # the r17 drain at exactly 27). user_event_type_paths: the r15
+    # all-NULL probe found its oracle returning NULL where concat_ws
+    # returns '' on an all-NULL step list — oracle coalesced ----
     "events_clean",
     "streaming_clean_events",
     "materialize_incremental_clean_events",
@@ -182,6 +184,7 @@ _CERTIFICATION_ORDER = [
     "lang_id_heuristic",
     "repetition_signals",
     "benchmark_decontamination",
+    "user_event_type_paths",
     # ---- r14-certified (fresh through r16; the whole r14 window in
     # its certified order) ----
     "price_outliers_zscore",
@@ -192,7 +195,6 @@ _CERTIFICATION_ORDER = [
     "top_busiest_hours",
     "duplicate_rates_hourly",
     "consistent_hash_sample",
-    "user_event_type_paths",
     "events_rejected",
     "dedup_exact_text",
     "time_travel_read_v1",

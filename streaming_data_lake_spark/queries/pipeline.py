@@ -1924,9 +1924,14 @@ def consistent_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENT_PATHS_ORACLE = """
 SELECT user_id,
        count(*) AS n_events,
-       array_to_string(
+       -- coalesce: both engines SKIP NULL steps when joining, but on
+       -- an all-NULL step list Spark's concat_ws returns '' while
+       -- DuckDB's array_to_string returns NULL (r15 all-NULL probe —
+       -- a corrupted upstream writer NULLing event_type diverged
+       -- this row). '' is the contract: a path with no typed steps.
+       coalesce(array_to_string(
          (list(event_type ORDER BY ts, event_id))[1:20], '>'
-       ) AS path20
+       ), '') AS path20
 FROM events
 -- time-keyed admission: a behavioral path is time-ordered, so
 -- untimestamped events can take no position in it (and the two

@@ -459,3 +459,33 @@ def test_identity_partition_cardinality_guard(spark):
     # warn mode: proceeds, returns the (approximate) count
     n = ensure_bounded_identity(unbounded, "k", bound=64, strict=False)
     assert n > 64
+
+
+def test_compact_survives_all_null_partition_level(spark, tmp_path):
+    """compact_parquet on a table whose partition level holds ONLY
+    the Hive null directory (every row's key was NULL — one
+    all-NULL-ts batch from a broken upstream writer) must compact,
+    not abort: the inference read types that level VOID and
+    partitionBy refuses VOID columns (r15 all-NULL probe's first
+    find). The fix casts exactly the VOID level to string — same
+    null directory on disk, data rows untouched."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_spark.plans.maintenance import compact_parquet
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(200).select(
+        F.col("id"),
+        F.lit(None).cast("date").alias("day_pt"),
+        (F.col("id") % 3).cast("string").alias("kb"),
+    )
+    df.repartition(4).write.partitionBy("day_pt", "kb").parquet(t)
+    n = compact_parquet(spark, t)
+    assert n >= 1
+    back = spark.read.parquet(t)
+    assert back.count() == 200
+    # the null level survives as the Hive default dir on every row
+    assert back.filter(F.col("day_pt").isNull()).count() == 200
+    # kb= dirs infer back as int — compare the VALUES, not the
+    # inferred type (partition dirs carry no type)
+    assert {str(r["kb"]) for r in back.select("kb").distinct().collect()} == {"0", "1", "2"}

@@ -162,9 +162,12 @@ R16_DRAIN = {
 # tokenization/ingest consumers (certified-data results verified
 # unchanged: no VT/FF in any testdata table). 10 touched names were
 # already r15-window members and 5 more sit in the committed r16
-# drain — zero cost; these 13 carry fresh r14 verdicts on PRE-touch
-# code and take r16 free slots (r16: 40 obligatory + 10 free; the 10
-# fills keep the r17 drain at exactly 27).
+# drain — zero cost; these carry fresh r14 verdicts on PRE-touch
+# code and take r16 free slots (r16: 41 obligatory + 9 free; the 9
+# fills keep the r17 drain at exactly 27). user_event_type_paths is
+# the all-NULL probe's second find: its oracle returned NULL where
+# the engine's concat_ws returns '' on an all-NULL step list —
+# oracle coalesced to the '' contract.
 R15_ROUND_CODE_TOUCHED: list[str] = [
     "events_clean",
     "streaming_clean_events",
@@ -179,6 +182,7 @@ R15_ROUND_CODE_TOUCHED: list[str] = [
     "lang_id_heuristic",
     "repetition_signals",
     "benchmark_decontamination",
+    "user_event_type_paths",
 ]
 
 

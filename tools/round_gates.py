@@ -47,11 +47,19 @@ Gates (fail-fast off: one red gate must not hide another):
                            scale axis; its first run caught the
                            exact-Jaccard Σdf² candidate explosion in
                            BOTH engines (r14)
- 12. bare-sweep @ sf0.01 — bare-session portability, twice
- 13. ledger              — certification-window audit
- 14. driver smoke        — __spark_entry__ entry/queries/oracle_sql
+ 12. all-null-sweep     — full-registry parity with one column
+                           family ENTIRELY NULL per lane (ts / text /
+                           values / group keys / embeddings) — the
+                           shape between the edge sweep's 2-5%
+                           NULL_RATE and the empty sweep's zero rows;
+                           its first run caught a VOID-partition
+                           compaction abort and a concat_ws-vs-
+                           array_to_string NULL divergence (r15)
+ 13. bare-sweep @ sf0.01 — bare-session portability, twice
+ 14. ledger              — certification-window audit
+ 15. driver smoke        — __spark_entry__ entry/queries/oracle_sql
 
-The fourteen gates run in six concurrent LANES (sequential within a
+The fifteen gates run in six concurrent LANES (sequential within a
 lane) so the full suite fits the round budget without dropping
 coverage (VERDICT r11 #8; rebalanced to four when the skew and
 time-edge gates landed and the shuffle subset grew, VERDICT r12 #8;
@@ -68,7 +76,7 @@ note and the runner continues (ADVICE r11: an uncaught
 TimeoutExpired would crash the runner and hide later gates).
 
 Usage: python tools/round_gates.py [--serial]
-           [--skip pytest,sf01,sf1,edge,empty,shuffle,nonfinite,skew,timeedge,hugedoc,rowscale,bare,ledger,smoke]
+           [--skip pytest,sf01,sf1,edge,empty,shuffle,nonfinite,skew,timeedge,hugedoc,rowscale,allnull,bare,ledger,smoke]
 """
 
 from __future__ import annotations
@@ -130,6 +138,16 @@ GATES: list[tuple[str, list[str], str, str]] = [
     ("row-scale-sweep", [sys.executable, "tools/edge_sweep.py", "--row-scale",
                          "--src", "/root/testdata/sf0.01", "--out", "/tmp/sdl_rowscale001"],
      "ALL GREEN", "sweeps-d"),
+    # ALL-NULL column axis (15th gate, r15): full-registry parity with
+    # one column family entirely NULL per lane (ts / text / values /
+    # group keys / embeddings) — the shape between the 2-5% NULL_RATE
+    # mutation and the zero-row empty sweep. Its first run caught two
+    # real bugs: compact_parquet aborting on a VOID-inferred all-NULL
+    # partition level, and the paths oracle returning NULL where
+    # concat_ws returns '' on an all-NULL step list. Runs at sf0.001
+    # (5 full-registry passes); sweeps-d keeps pytest the critical
+    # path.
+    ("all-null-sweep", [sys.executable, "tools/probe_all_null.py"], "ALL GREEN", "sweeps-d"),
 ]
 
 _SKIP_ALIASES = {
@@ -143,6 +161,7 @@ _SKIP_ALIASES = {
     "timeedge": "time-edge-sweep",
     "hugedoc": "huge-doc-sweep",
     "rowscale": "row-scale-sweep",
+    "allnull": "all-null-sweep",
     "bare": "bare-sweep",
 }
 
