@@ -17,6 +17,13 @@ Scale notes:
    ``cluster_id`` so probes prune partitions at the source.
  - Float math is computed in double with a deterministic fold order
    so the DuckDB oracle reproduces results bit-for-bit.
+ - INPUT CONTRACT: ``vec_id`` is a primary key. Top-k-by-id, code
+   tables, and pair generation are ill-defined under at-least-once
+   replay duplicates (r15 dup-key probe: both engines emit divergent
+   garbage shapes on the same duplicated corpus) — collapse replays
+   upstream with the exact-dedup operators (A4) before indexing, the
+   same discipline events get; ``ensure_unique_ids`` is the opt-in
+   detector (id-column-only aggregate, vectors never shuffle).
 """
 
 from __future__ import annotations
@@ -97,6 +104,45 @@ def valid_vectors(
         pred = pred & (F.size(v) == F.lit(int(dim)))
     pred = pred & ~F.isnan(n) & (n < F.lit(float("inf"))) & (n > 0)
     return df.filter(pred)
+
+
+def ensure_unique_ids(
+    df: DataFrame, id_col: str = "vec_id", strict: bool = True
+) -> int:
+    """Guard the similarity family's PRIMARY-KEY input contract.
+
+    Top-k-by-id, IVF/PQ code tables, pair generation (``id_a <
+    id_b``), and recall accounting all presume ``id_col`` is unique:
+    under at-least-once replay duplicates, a duplicated neighbor
+    occupies multiple ranks, a duplicated query emits two interleaved
+    ranked lists, and self-pair exclusion silently drops the replay
+    pair — ILL-DEFINED output in ANY engine (the r15 dup-key probe
+    measured Spark and DuckDB diverging in two different garbage
+    shapes on the same duplicated corpus). The contract matches the
+    reference's keyed ingestion: replays are collapsed UPSTREAM by
+    the ingest/dedup operators (A4 exact dedup — the same discipline
+    events get) before an embedding corpus is indexed; FAISS-with-ids
+    deployments dedup at the same point. This guard is the opt-in
+    detector for pipelines that cannot prove upstream dedup: one
+    aggregate over the single id column (narrow projection — the
+    corpus vectors never shuffle). Raises ``ValueError`` when
+    ``strict`` (refuse at the door), else returns the duplicate-key
+    count for the caller to log.
+    """
+    n_dup = (
+        df.groupBy(F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    if n_dup and strict:
+        raise ValueError(
+            f"{id_col!r} is not unique ({n_dup} duplicated key(s)) — "
+            f"similarity-family output is ill-defined under replayed "
+            f"ids; collapse duplicates upstream (exact dedup, A4) "
+            f"before indexing"
+        )
+    return n_dup
 
 
 def brute_force_knn(

@@ -1416,9 +1416,14 @@ _QUALITY_KEEP_FRAC = 0.2
 
 _QUALITY_PERCENTILE_ORACLE = f"""
 WITH qs AS ({_QUALITY_ORACLE}),
+-- DISTINCT lang lookup: the ENGINE computes lang inline (no join),
+-- so the oracle's lang attach must not fan out — under verbatim
+-- duplicate doc_ids (at-least-once replay, r15 dup-key probe) a
+-- bare documents join multiplied every replayed doc 2x2 while the
+-- engine's windowed rows doubled once
 j AS (
   SELECT d.lang, qs.doc_id, qs.quality_score
-  FROM qs JOIN documents d USING (doc_id)
+  FROM qs JOIN (SELECT DISTINCT doc_id, lang FROM documents) d USING (doc_id)
 ),
 r AS (
   SELECT lang, quality_score,

@@ -1394,3 +1394,27 @@ def test_whitespace_class_vt_parity_cross_engine(spark):
         ).fetchall()
     }
     assert got_k == duck_k == {1: "7", 2: "8", 3: "9"}
+
+
+def test_ensure_unique_ids_guard(spark):
+    """The similarity family's PK input contract (r15 dup-key probe:
+    duplicated vec_ids make top-k-by-id / pair generation ill-defined
+    in ANY engine — both engines emitted divergent garbage shapes on
+    the same replayed corpus). The guard refuses duplicates in strict
+    mode, counts them otherwise, and passes unique ids untouched —
+    one aggregate over the id column only, vectors never shuffle."""
+    import pytest
+
+    from streaming_data_lake_spark.operators.similarity import ensure_unique_ids
+
+    clean = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(10)], "vec_id long, embedding array<double>"
+    )
+    assert ensure_unique_ids(clean) == 0
+    duped = clean.unionAll(
+        spark.createDataFrame([(3, [1.0, 2.0]), (7, [9.0, 9.0])],
+                              "vec_id long, embedding array<double>")
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        ensure_unique_ids(duped)
+    assert ensure_unique_ids(duped, strict=False) == 2

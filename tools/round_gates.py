@@ -55,11 +55,20 @@ Gates (fail-fast off: one red gate must not hide another):
                            its first run caught a VOID-partition
                            compaction abort and a concat_ws-vs-
                            array_to_string NULL divergence (r15)
- 13. bare-sweep @ sf0.01 — bare-session portability, twice
- 14. ledger              — certification-window audit
- 15. driver smoke        — __spark_entry__ entry/queries/oracle_sql
+ 13. dup-keys-sweep     — full-registry parity with VERBATIM
+                           duplicate primary keys (at-least-once
+                           replay: events / documents / FK-consistent
+                           orders+lineitem), plus the embeddings
+                           PK-guard lane (similarity is ill-defined
+                           under replayed ids — ensure_unique_ids
+                           must refuse); first run caught the
+                           quality_percentile oracle's lang join
+                           fanning out on replayed doc_ids (r15)
+ 14. bare-sweep @ sf0.01 — bare-session portability, twice
+ 15. ledger              — certification-window audit
+ 16. driver smoke        — __spark_entry__ entry/queries/oracle_sql
 
-The fifteen gates run in six concurrent LANES (sequential within a
+The sixteen gates run in eight concurrent LANES (sequential within a
 lane) so the full suite fits the round budget without dropping
 coverage (VERDICT r11 #8; rebalanced to four when the skew and
 time-edge gates landed and the shuffle subset grew, VERDICT r12 #8;
@@ -76,7 +85,7 @@ note and the runner continues (ADVICE r11: an uncaught
 TimeoutExpired would crash the runner and hide later gates).
 
 Usage: python tools/round_gates.py [--serial]
-           [--skip pytest,sf01,sf1,edge,empty,shuffle,nonfinite,skew,timeedge,hugedoc,rowscale,allnull,bare,ledger,smoke]
+           [--skip pytest,sf01,sf1,edge,empty,shuffle,nonfinite,skew,timeedge,hugedoc,rowscale,allnull,dupkeys,bare,ledger,smoke]
 """
 
 from __future__ import annotations
@@ -145,9 +154,19 @@ GATES: list[tuple[str, list[str], str, str]] = [
     # real bugs: compact_parquet aborting on a VOID-inferred all-NULL
     # partition level, and the paths oracle returning NULL where
     # concat_ws returns '' on an all-NULL step list. Runs at sf0.001
-    # (5 full-registry passes); sweeps-d keeps pytest the critical
-    # path.
-    ("all-null-sweep", [sys.executable, "tools/probe_all_null.py"], "ALL GREEN", "sweeps-d"),
+    # (5 full-registry passes, ~677 s) — its OWN lane: sharing
+    # sweeps-d with row-scale (412 s) made that lane the 1088 s
+    # critical path; alone, the wall returns to the pytest floor.
+    ("all-null-sweep", [sys.executable, "tools/probe_all_null.py"], "ALL GREEN", "sweeps-e"),
+    # Duplicate-PRIMARY-KEY axis (16th gate, r15): at-least-once
+    # replay shapes — verbatim duplicate keys in events / documents /
+    # orders+lineitem (FK-consistent) under full-registry parity,
+    # plus the embeddings PK-guard lane (similarity output is
+    # ill-defined under replayed ids; ensure_unique_ids must refuse).
+    # First run caught the quality_percentile oracle's lang join
+    # fanning out 2x2 on replayed doc_ids. Own lane to keep the wall
+    # at the pytest/all-null floor.
+    ("dup-keys-sweep", [sys.executable, "tools/probe_dup_keys.py"], "ALL GREEN", "sweeps-f"),
 ]
 
 _SKIP_ALIASES = {
@@ -162,6 +181,7 @@ _SKIP_ALIASES = {
     "hugedoc": "huge-doc-sweep",
     "rowscale": "row-scale-sweep",
     "allnull": "all-null-sweep",
+    "dupkeys": "dup-keys-sweep",
     "bare": "bare-sweep",
 }
 
