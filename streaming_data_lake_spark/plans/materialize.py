@@ -481,7 +481,39 @@ class Materializer:
         attributed to a PASS instead of re-litigated from aggregate
         bench numbers (the r8→r9 layout-overhead question took a
         dedicated A/B harness to answer; this makes the next one a
-        one-look read)."""
+        one-look read).
+
+        The WHOLE cycle holds a blocking per-target flock (r15
+        concurrency probe): the watermark-store flock alone only
+        serializes the wm read-modify-write, so two cycles fired
+        concurrently on the SAME target (a scheduler double-fire, the
+        oldest cron failure there is) would both read the old
+        watermark, both stage the same increment, and both rename
+        their UUID-named files in — a silent DOUBLE-APPEND, with the
+        second cycle's intent journal overwriting the first's crash
+        protection. Under the cycle lock the late cycle blocks, then
+        reads the COMMITTED watermark and appends nothing — a
+        double-fire degrades to a serialized no-op, which is exactly
+        Delta/Iceberg's optimistic-retry outcome without the
+        conflict-abort. Where flock is unavailable the documented
+        single-writer-per-target assumption applies."""
+        lock_path = self._mat_dir(target.name) + ".cycle.lock"
+        os.makedirs(os.path.dirname(lock_path), exist_ok=True)
+        lock_fh = None
+        try:
+            import fcntl
+
+            lock_fh = open(lock_path, "a")
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+        except (ImportError, OSError):
+            lock_fh = None
+        try:
+            return self._run_cycle(target, lookback_hours)
+        finally:
+            if lock_fh is not None:
+                lock_fh.close()  # releases the flock
+
+    def _run_cycle(self, target: MatTarget, lookback_hours: int = 1) -> dict[str, str]:
         log: dict[str, str] = {}
         timings: dict[str, float] = {}
         self.last_timings = timings

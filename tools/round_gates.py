@@ -64,11 +64,18 @@ Gates (fail-fast off: one red gate must not hide another):
                            must refuse); first run caught the
                            quality_percentile oracle's lang join
                            fanning out on replayed doc_ids (r15)
- 14. bare-sweep @ sf0.01 — bare-session portability, twice
- 15. ledger              — certification-window audit
- 16. driver smoke        — __spark_entry__ entry/queries/oracle_sql
+ 14. mat-race           — scheduler double-fire: two processes race
+                           one materializer target (initial load and
+                           incremental cycle); the per-target cycle
+                           flock must yield one full load / one
+                           non-zero append and zero duplicated keys
+                           (r15 — pre-lock, both cycles staged the
+                           same increment and double-appended)
+ 15. bare-sweep @ sf0.01 — bare-session portability, twice
+ 16. ledger              — certification-window audit
+ 17. driver smoke        — __spark_entry__ entry/queries/oracle_sql
 
-The sixteen gates run in eight concurrent LANES (sequential within a
+The seventeen gates run in eight concurrent LANES (sequential within a
 lane) so the full suite fits the round budget without dropping
 coverage (VERDICT r11 #8; rebalanced to four when the skew and
 time-edge gates landed and the shuffle subset grew, VERDICT r12 #8;
@@ -85,7 +92,7 @@ note and the runner continues (ADVICE r11: an uncaught
 TimeoutExpired would crash the runner and hide later gates).
 
 Usage: python tools/round_gates.py [--serial]
-           [--skip pytest,sf01,sf1,edge,empty,shuffle,nonfinite,skew,timeedge,hugedoc,rowscale,allnull,dupkeys,bare,ledger,smoke]
+           [--skip pytest,sf01,sf1,edge,empty,shuffle,nonfinite,skew,timeedge,hugedoc,rowscale,allnull,dupkeys,matrace,bare,ledger,smoke]
 """
 
 from __future__ import annotations
@@ -167,6 +174,12 @@ GATES: list[tuple[str, list[str], str, str]] = [
     # fanning out 2x2 on replayed doc_ids. Own lane to keep the wall
     # at the pytest/all-null floor.
     ("dup-keys-sweep", [sys.executable, "tools/probe_dup_keys.py"], "ALL GREEN", "sweeps-f"),
+    # Scheduler double-fire (17th gate, r15): two processes race the
+    # SAME materializer target (initial load AND incremental cycle);
+    # the per-target cycle flock must degrade the double-fire to a
+    # serialized no-op — one full load / one non-zero append, no
+    # duplicated keys. Rides the light huge-doc lane (~180 s).
+    ("mat-race", [sys.executable, "tools/probe_concurrent_mat.py"], "ALL GREEN", "sweeps-c"),
 ]
 
 _SKIP_ALIASES = {
@@ -182,6 +195,7 @@ _SKIP_ALIASES = {
     "rowscale": "row-scale-sweep",
     "allnull": "all-null-sweep",
     "dupkeys": "dup-keys-sweep",
+    "matrace": "mat-race",
     "bare": "bare-sweep",
 }
 
