@@ -166,8 +166,8 @@ _CERTIFICATION_ORDER = [
     # literals for all tokenization/ingest consumers; certified-data
     # results verified unchanged (no VT/FF in any testdata table).
     # The 10 touched r15-window members and 5 touched r16-drain
-    # members cost nothing; these 14 take r16 free slots directly
-    # after the drain (r16: 41 obligatory + 9 free; the 9 fills keep
+    # members cost nothing; these 15 take r16 free slots directly
+    # after the drain (r16: 42 obligatory + 8 free; the 8 fills keep
     # the r17 drain at exactly 27). user_event_type_paths: the r15
     # all-NULL probe found its oracle returning NULL where concat_ws
     # returns '' on an all-NULL step list — oracle coalesced ----
@@ -176,6 +176,9 @@ _CERTIFICATION_ORDER = [
     "materialize_incremental_clean_events",
     "streaming_fanout_ingest",
     "streaming_cms_token_counts",
+    # (r15 per-table merge flock: merge_upsert serves the MERGE-folded
+    # streaming sketches; cms is already listed above)
+    "streaming_hll_daily_users",
     "tfidf_top_terms",
     "token_counts",
     "top_tokens",
@@ -203,7 +206,6 @@ _CERTIFICATION_ORDER = [
     "streaming_funnel_daily",
     "streaming_dedup_keys",
     "streaming_dedup_within_watermark",
-    "streaming_hll_daily_users",
     "multimodal_media_features",
     "sql_over_views_adhoc",
     "scd2_point_in_time_enrichment",

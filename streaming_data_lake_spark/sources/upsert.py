@@ -268,7 +268,46 @@ def merge_upsert(
     key-uniqueness invariant (Delta and Iceberg MERGE reject
     multi-matching sources outright; collapsing deterministically is
     kinder to streams).
+
+    The whole MERGE holds a blocking per-table flock (r15, the
+    materializer double-fire class): within one streaming query,
+    foreachBatch micro-batches are sequential, but two PROCESSES — a
+    double-started pipeline, or a batch backfill racing the stream —
+    would interleave per-leaf atomic swaps and lose whole leaves of
+    each other's updates. Serialized, concurrent merges compose to
+    last-writer-wins per key, which is MERGE semantics. Where flock
+    is unavailable the documented single-writer-per-table assumption
+    applies.
     """
+    lock_path = table_dir.rstrip("/") + ".merge.lock"
+    lock_dir = os.path.dirname(lock_path)
+    if lock_dir:
+        os.makedirs(lock_dir, exist_ok=True)
+    lock_fh = None
+    try:
+        import fcntl
+
+        lock_fh = open(lock_path, "a")
+        fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    except (ImportError, OSError):
+        lock_fh = None
+    try:
+        return _merge_upsert_locked(
+            spark, table_dir, updates, keys, ts_col=ts_col, n_buckets=n_buckets
+        )
+    finally:
+        if lock_fh is not None:
+            lock_fh.close()  # releases the flock
+
+
+def _merge_upsert_locked(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    n_buckets: int | None = None,
+) -> None:
     for reserved in (BUCKET_COL, DAY_COL):
         if reserved in updates.columns:
             raise ValueError(

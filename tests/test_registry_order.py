@@ -162,18 +162,21 @@ R16_DRAIN = {
 # tokenization/ingest consumers (certified-data results verified
 # unchanged: no VT/FF in any testdata table). 10 touched names were
 # already r15-window members and 5 more sit in the committed r16
-# drain — zero cost; these carry fresh r14 verdicts on PRE-touch
-# code and take r16 free slots (r16: 41 obligatory + 9 free; the 9
+# drain — zero cost; these 15 carry fresh r14 verdicts on PRE-touch
+# code and take r16 free slots (r16: 42 obligatory + 8 free; the 8
 # fills keep the r17 drain at exactly 27). user_event_type_paths is
 # the all-NULL probe's second find: its oracle returned NULL where
 # the engine's concat_ws returns '' on an all-NULL step list —
-# oracle coalesced to the '' contract.
+# oracle coalesced to the '' contract. streaming_hll_daily_users:
+# the r15 per-table merge flock code-touches merge_upsert, which
+# serves the MERGE-folded streaming sketches (cms already listed).
 R15_ROUND_CODE_TOUCHED: list[str] = [
     "events_clean",
     "streaming_clean_events",
     "materialize_incremental_clean_events",
     "streaming_fanout_ingest",
     "streaming_cms_token_counts",
+    "streaming_hll_daily_users",
     "tfidf_top_terms",
     "token_counts",
     "top_tokens",
