@@ -179,10 +179,55 @@ def link_untouched_leaves(
     return reused
 
 
+_RENAME_EXCHANGE = 2  # include/uapi/linux/fs.h
+_AT_FDCWD = -100
+
+
+def _renameat2_exchange(a: str, b: str) -> bool:
+    """Atomically EXCHANGE two paths via Linux ``renameat2(2)``.
+    Returns False (having done nothing) where the syscall or the
+    filesystem doesn't support it — callers fall back."""
+    try:
+        import ctypes
+        import ctypes.util
+
+        libc = ctypes.CDLL(
+            ctypes.util.find_library("c") or "libc.so.6", use_errno=True
+        )
+        ret = libc.renameat2(
+            _AT_FDCWD,
+            os.fsencode(a),
+            _AT_FDCWD,
+            os.fsencode(b),
+            _RENAME_EXCHANGE,
+        )
+        return ret == 0
+    except Exception:  # noqa: BLE001 — any failure means "unsupported here"
+        return False
+
+
 def atomic_swap(path: str, tmp: str) -> None:
-    """Publish ``tmp`` as the new version of ``path``. After the
-    first rename the original lives only in ``__old_`` — the orphan
-    sweep's restore rule covers a crash between the renames."""
+    """Publish ``tmp`` as the new version of ``path``.
+
+    Preferred path: ``renameat2(RENAME_EXCHANGE)`` swaps the two
+    directories in ONE atomic syscall — a concurrent reader observes
+    either the old version or the new one, never a missing path (r15
+    reader-gap finding: the two-step rename leaves an instant where
+    the table path does not exist, and a reader listing it right
+    then fails PATH_NOT_FOUND — a transient job abort on a 100 TB
+    read that happened to straddle a maintenance publish). After the
+    exchange ``tmp`` holds the OLD version and is removed; a crash
+    before the rmtree leaves only a stale ``__tmp_`` sibling, which
+    the orphan sweep already cleans.
+
+    Fallback (non-Linux / filesystems without RENAME_EXCHANGE): the
+    original two-step rename — after the first rename the original
+    lives only in ``__old_``, and the orphan sweep's restore rule
+    covers a crash between the renames; readers can observe the
+    missing-path instant, the documented cost of the fallback."""
+    if _renameat2_exchange(tmp, path):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
     old = f"{path}__old_{uuid.uuid4().hex}"
     os.rename(path, old)
     os.rename(tmp, path)

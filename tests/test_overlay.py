@@ -318,3 +318,60 @@ def test_leaves_links_stray_regular_files_in_touched_outer(tmp_path):
         ), rel
     assert not os.path.exists(os.path.join(tmp, "day=1", "_meta.json"))
     assert not os.path.exists(os.path.join(tmp, "day=1", "kb=1", "b.parquet"))
+
+
+def test_atomic_swap_has_no_reader_gap(tmp_path):
+    """r15 reader-gap finding: the two-step rename leaves an instant
+    where the table path does not exist — a reader listing it right
+    then dies PATH_NOT_FOUND mid-maintenance. On Linux the swap now
+    uses renameat2(RENAME_EXCHANGE): one atomic syscall, old or new,
+    never missing. This pin races a listing thread against 300 swaps
+    and requires ZERO FileNotFound observations when the filesystem
+    supports the exchange (skipped where it doesn't — the two-step
+    fallback documents the gap instead)."""
+    import os
+    import threading
+
+    import pytest
+
+    from streaming_data_lake_spark.overlay import (
+        _renameat2_exchange,
+        atomic_swap,
+        tmp_sibling,
+    )
+
+    probe_a = tmp_path / "pa"
+    probe_b = tmp_path / "pb"
+    probe_a.mkdir()
+    probe_b.mkdir()
+    if not _renameat2_exchange(str(probe_a), str(probe_b)):
+        pytest.skip("RENAME_EXCHANGE unsupported on this filesystem")
+
+    live = tmp_path / "live"
+    live.mkdir()
+    (live / "v0.txt").write_text("x")
+    gaps = [0]
+    stop = [False]
+
+    def reader():
+        while not stop[0]:
+            try:
+                os.listdir(live)
+            except FileNotFoundError:
+                gaps[0] += 1
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(300):
+            tmp = tmp_sibling(str(live))
+            os.makedirs(tmp)
+            with open(os.path.join(tmp, f"v{i}.txt"), "w") as fh:
+                fh.write("x")
+            atomic_swap(str(live), tmp)
+            assert not os.path.exists(tmp)
+    finally:
+        stop[0] = True
+        t.join()
+    assert gaps[0] == 0
+    assert os.listdir(live) == ["v299.txt"]
