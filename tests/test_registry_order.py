@@ -1,15 +1,15 @@
 """The driver certifies only the first 50 registered queries, so the
-registry order IS part of the correctness contract. Round 15 executes
-the rotation CHANGELOG_r14.md committed (and the r14 revision of this
-module pinned) — the first steady-state rotation: the 27-name
-r12-verdict drain at positions 1-27, the 5 R14_ROUND_CODE_TOUCHED
-names at 28-32, and 18 free slots at 33-50 (the 7 names this round's
-PLANNED code-touches hit — the GEN-4 vector-dim admission and the
-identity-partition cardinality guard, VERDICT r14 "Next round" #2/#5
-— lead the fills so post-touch code is certified THIS round, then 11
-oldest-r13 fills pre-drain the r16 cliff). This module pins the r15
-window AND the committed r16 drain (the 27 remaining r13-verdict
-names at positions 51-77) with a forward simulation, so the next
+registry order IS part of the correctness contract. Round 16 executes
+the rotation CHANGELOG_r15.md committed (and the r15 revision of this
+module pinned) — the 27-name r13-verdict drain at positions 1-27, the
+15 R15_ROUND_CODE_TOUCHED names at 28-42, and 8 free slots at 43-50
+(the 2 names this round's PLANNED code-touches hit — ADVICE r15's
+cycle-flock OSError fd-leak fix in plans/materialize.py and the
+renameat2 ctypes resolve-once refactor in overlay.py — lead the fills
+so post-touch code is certified THIS round, then 6 oldest-r14 fills
+pre-drain the r17 cliff from 35 to 29). This module pins the r16
+window AND the committed r17 drain (the 29 remaining r14-verdict
+names at positions 51-79) with a forward simulation, so the next
 session cannot repeat the r8 rotation miss (VERDICT r8 "What's wrong"
 #1). tools/ledger.py cross-references every CORRECTNESS_r*.json
 against this order (tests/test_ledger.py)."""
@@ -29,95 +29,10 @@ import ledger  # noqa: E402
 
 WINDOW = 50
 
-# (a) The 27 queries whose latest driver verdict is round 12 — the
-# committed r15 drain (CHANGELOG_r14.md; age 3 the moment
-# CORRECTNESS_r14 landed). They take the first 27 slots
+# (a) The 27 queries whose latest driver verdict is round 13 — the
+# committed r16 drain (CHANGELOG_r15.md; age 3 the moment
+# CORRECTNESS_r15 landed). They take the first 27 slots
 # unconditionally.
-R15_DRAIN = {
-    "simhash_fingerprints",
-    "schema_evolution_read",
-    "blocklist_filter_retention",
-    "quality_percentile_filter",
-    "crossdoc_boilerplate_ngrams",
-    "large_orders_having",
-    "cube_device_day_metrics",
-    "value_histogram_quantiles",
-    "zorder_layout_keys",
-    "topn_customers_per_nation",
-    "seeded_dim_hierarchy_enrichment",
-    "events_dedup_canonical",
-    "pricing_summary",
-    "minhash_lsh_near_dups",
-    "dup_clusters_connected",
-    "bucketed_colocated_join",
-    "partition_pruned_scan",
-    "schema_drift_check",
-    "knn_ivf_cosine",
-    "knn_ivf_multiprobe_cosine",
-    "knn_bruteforce_cosine",
-    "knn_pq_adc_l2",
-    "knn_ivf_pq_adc",
-    "kmeans_train_centroids",
-    "knn_ivf_trained_cosine",
-    "asof_latest_view_before_purchase",
-    "asof_view_within_6h",
-}
-
-# (b) Names code-touched DURING round 14 while carrying r13 verdicts
-# (the huge-doc gate's O(tokens^2) rewrites, the M3 dim-side
-# time-edge admission, the RFC-bounded PII regex, the prefix-filter
-# jaccard rewrite). Committed to the r15 head by the r14 revision of
-# this module.
-R14_ROUND_CODE_TOUCHED = [
-    "doc_chunks_overlap",
-    "bigram_lm_quality",
-    "materialize_dim_change_repair",
-    "pii_redaction",
-    "ngram_jaccard_near_dups",
-]
-
-# (c) The 18 free slots. The first 7 are the r13-verdict names this
-# round's PLANNED code-touches hit, placed in the window with
-# foresight so their post-touch code earns a fresh verdict THIS
-# round instead of burdening r16: the GEN-4 corpus-wide vector-dim
-# admission (VERDICT r14 "Next round" #2) code-touches every
-# similarity-family engine path (operators/similarity.valid_vectors)
-# and oracle text (duckql.DUCK_VALID_VEC / DUCK_EMB) — 7 KNN names
-# are already drain members, these 6 are the rest (recall_at_k
-# composes the touched KNN oracle texts) — and the
-# identity-partition cardinality guard (#5) touches the two-level
-# overlay scenario. Then 11 oldest-r13 fills (ties by prior registry
-# position — `tools/ledger.py --emit-order`), pre-draining the r16
-# cliff from 45 r13 tail names to 27.
-R15_FILLS = [
-    "semantic_dedup_centroid",
-    "embedding_cosine_near_dups",
-    "knn_ivf_materialized_cosine",
-    "embedding_label_stats",
-    "embedding_int8_quantization",
-    "knn_ivf_recall_at_k",
-    "two_level_overlay_maintenance",
-    "salted_skew_aggregation",
-    "replicated_skew_join_rollup",
-    "conditional_distinct_users",
-    "user_engagement_ratios",
-    "user_daily_landscape",
-    "latest_event_per_user_type",
-    "interval_join_click_view",
-    "funnel_conversion_daily",
-    "value_distribution_by_class",
-    "flag_distribution",
-    "avg_value_spread",
-]
-
-MUST_BE_IN_WINDOW = R15_DRAIN | set(R14_ROUND_CODE_TOUCHED) | set(R15_FILLS)
-
-# The committed r16 drain: the 27 r13-verdict names the 18 r15 fills
-# could NOT pre-drain. They go stale (age 3) the moment
-# CORRECTNESS_r15 lands and MUST lead the r16 window — positions
-# 51-77 here so the r16 rotation is a pure prefix rotation. r16 then
-# has 23 free slots for the r14 block (50 names, stale at r17). The
-# cliff arithmetic stays a test.
 R16_DRAIN = {
     "funnel_leakage_daily",
     "cms_heavy_hitter_tokens",
@@ -148,29 +63,12 @@ R16_DRAIN = {
     "domain_mixture_resample",
 }
 
-# Names code-touched DURING round 15 while carrying sub-window
-# verdicts. Every r15 session code-touch of a tail name MUST be
-# appended here (they take r16 free slots directly after the drain).
-# The planned touches (GEN-4 dim admission, layout cardinality
-# guard) were pre-placed inside the window via R15_FILLS; this list
-# holds the UNPLANNED mid-round find: the control-char probe showed
-# Java's \s includes \x0B (vertical tab) while RE2's does not, so
-# every compared whitespace regex — tokens()/DUCK_TOKS, BPE_ISH, the
-# prop_k '"k":\s*' extractor — silently diverged on VT-carrying text.
-# Both engines now spell the Java set [ \t\n\r\f\x0B] explicitly;
-# oracle text and/or engine plan literals changed for all
-# tokenization/ingest consumers (certified-data results verified
-# unchanged: no VT/FF in any testdata table). 10 touched names were
-# already r15-window members and 5 more sit in the committed r16
-# drain — zero cost; these 15 carry fresh r14 verdicts on PRE-touch
-# code and take r16 free slots (r16: 42 obligatory + 8 free; the 8
-# fills keep the r17 drain at exactly 27). user_event_type_paths is
-# the all-NULL probe's second find: its oracle returned NULL where
-# the engine's concat_ws returns '' on an all-NULL step list —
-# oracle coalesced to the '' contract. streaming_hll_daily_users:
-# the r15 per-table merge flock code-touches merge_upsert, which
-# serves the MERGE-folded streaming sketches (cms already listed).
-R15_ROUND_CODE_TOUCHED: list[str] = [
+# (b) Names code-touched DURING round 15 while carrying r14 verdicts
+# (the Java-\s vs RE2-\s \x0B whitespace-class spell-out across every
+# tokenization/ingest consumer, the per-table MERGE flock behind the
+# streaming sketches, the all-NULL concat_ws oracle coalesce).
+# Committed to the r16 head by the r15 revision of this module.
+R15_ROUND_CODE_TOUCHED = [
     "events_clean",
     "streaming_clean_events",
     "materialize_incremental_clean_events",
@@ -188,6 +86,75 @@ R15_ROUND_CODE_TOUCHED: list[str] = [
     "user_event_type_paths",
 ]
 
+# (c) The 8 free slots. The first 2 are the r15-verdict names this
+# round's PLANNED code-touches hit, placed in the window with
+# foresight so their post-touch code earns a fresh verdict THIS round
+# instead of burdening r17 (the r15 precedent): ADVICE r15's
+# cycle-flock OSError handler fix lands in plans/materialize.py
+# (serving materialize_dim_change_repair) and the renameat2 ctypes
+# resolve-once refactor lands in overlay.py (serving
+# two_level_overlay_maintenance). Then 6 oldest-r14 fills (ties by
+# prior registry position — `tools/ledger.py --emit-order`),
+# pre-draining the r17 cliff from 35 r14 tail names to 29.
+R16_FILLS = [
+    "materialize_dim_change_repair",
+    "two_level_overlay_maintenance",
+    "price_outliers_zscore",
+    "lineitem_flag_pivot",
+    "corr_quantity_price",
+    "priority_window_profile",
+    "stratified_sample_by_lang",
+    "top_busiest_hours",
+]
+
+MUST_BE_IN_WINDOW = R16_DRAIN | set(R15_ROUND_CODE_TOUCHED) | set(R16_FILLS)
+
+# The committed r17 drain: the 29 r14-verdict names the 8 r16 fills
+# could NOT pre-drain. They go stale (age 3) the moment
+# CORRECTNESS_r16 lands and MUST lead the r17 window — positions
+# 51-79 here so the r17 rotation is a pure prefix rotation. r17 then
+# has 21 free slots for the r15 block (48 tail names, stale at r18).
+# The cliff arithmetic stays a test.
+R17_DRAIN = {
+    "duplicate_rates_hourly",
+    "consistent_hash_sample",
+    "events_rejected",
+    "dedup_exact_text",
+    "time_travel_read_v1",
+    "snapshot_metadata",
+    "streaming_interval_join_daily",
+    "streaming_funnel_daily",
+    "streaming_dedup_keys",
+    "streaming_dedup_within_watermark",
+    "multimodal_media_features",
+    "sql_over_views_adhoc",
+    "scd2_point_in_time_enrichment",
+    "daily_distinct_users",
+    "event_counters_unpivot",
+    "sliding_window_metrics",
+    "streaming_hourly_metrics",
+    "monthly_nation_revenue",
+    "revenue_by_region",
+    "top_nations_by_customers",
+    "customers_with_orders",
+    "customers_without_orders",
+    "order_priority_rollup",
+    "priority_decode_rollup",
+    "scd2_current_enrichment",
+    "like_pattern_source_classes",
+    "nested_double_unnest_roundtrip",
+    "currency_normalized_revenue",
+    "range_band_pricing",
+}
+
+# Names code-touched DURING round 16 while carrying sub-window
+# verdicts. Every r16 session code-touch of a tail name MUST be
+# appended here (they take r17 free slots directly after the drain).
+# The planned touches (materialize cycle-flock fix, renameat2
+# refactor) were pre-placed inside the window via R16_FILLS; this
+# list holds unplanned mid-round finds only.
+R16_ROUND_CODE_TOUCHED: list[str] = []
+
 
 def test_order_in_sync_and_window_covers_obligatory_drain():
     qs = all_queries()
@@ -199,74 +166,74 @@ def test_order_in_sync_and_window_covers_obligatory_drain():
 
 
 def test_window_is_exactly_the_drain_plan():
-    """The r15 window is exactly the committed composition — 27 drain
-    + 5 code-touched + 18 fills, in that block order — and the
-    committed r16 drain sits contiguously after it (positions 51-77)
+    """The r16 window is exactly the committed composition — 27 drain
+    + 15 code-touched + 8 fills, in that block order — and the
+    committed r17 drain sits contiguously after it (positions 51-79)
     so the next rotation is mechanical."""
     assert len(MUST_BE_IN_WINDOW) == WINDOW
     names = list(all_queries())
     assert set(names[:WINDOW]) == MUST_BE_IN_WINDOW
-    n_drain = len(R15_DRAIN)
-    assert set(names[:n_drain]) == R15_DRAIN
-    head = R14_ROUND_CODE_TOUCHED + R15_FILLS
+    n_drain = len(R16_DRAIN)
+    assert set(names[:n_drain]) == R16_DRAIN
+    head = R15_ROUND_CODE_TOUCHED + R16_FILLS
     assert names[n_drain:WINDOW] == head
-    assert set(names[WINDOW : WINDOW + len(R16_DRAIN)]) == R16_DRAIN
-    # r15-session code-touches sit contiguously after the r16 drain
-    # so the r16 window (27 drain + these + fills) stays a prefix
+    assert set(names[WINDOW : WINDOW + len(R17_DRAIN)]) == R17_DRAIN
+    # r16-session code-touches sit contiguously after the r17 drain
+    # so the r17 window (29 drain + these + fills) stays a prefix
     # rotation.
-    ct = slice(WINDOW + len(R16_DRAIN), WINDOW + len(R16_DRAIN) + len(R15_ROUND_CODE_TOUCHED))
-    assert names[ct] == R15_ROUND_CODE_TOUCHED
-    assert len(R16_DRAIN) + len(R15_ROUND_CODE_TOUCHED) <= WINDOW, (
-        "r16 window overflow: committed drain + r15 code-touches exceed 50"
+    ct = slice(WINDOW + len(R17_DRAIN), WINDOW + len(R17_DRAIN) + len(R16_ROUND_CODE_TOUCHED))
+    assert names[ct] == R16_ROUND_CODE_TOUCHED
+    assert len(R17_DRAIN) + len(R16_ROUND_CODE_TOUCHED) <= WINDOW, (
+        "r17 window overflow: committed drain + r16 code-touches exceed 50"
     )
     # Groups pairwise disjoint — a silent overlap would make the
     # size check pass while the window holds fewer obligations.
     groups = [
-        R15_DRAIN,
-        set(R14_ROUND_CODE_TOUCHED),
-        set(R15_FILLS),
         R16_DRAIN,
         set(R15_ROUND_CODE_TOUCHED),
+        set(R16_FILLS),
+        R17_DRAIN,
+        set(R16_ROUND_CODE_TOUCHED),
     ]
     for i, g1 in enumerate(groups):
         for g2 in groups[i + 1 :]:
             assert not (g1 & g2), sorted(g1 & g2)
 
 
-def test_r16_drain_fits_after_r15_lands():
-    """Forward simulation (the r16 aging cliff as a failing test):
-    pretend CORRECTNESS_r15 lands all-green over this window. The
-    resulting AGE-obligatory r16 set must be exactly R16_DRAIN — 27
-    obligatory + 23 free slots. The simulation base is FROZEN at the
-    r14 verdict state (later CORRECTNESS files are ignored) so the
-    assertion stays meaningful — and green — after the real r15
+def test_r17_drain_fits_after_r16_lands():
+    """Forward simulation (the r17 aging cliff as a failing test):
+    pretend CORRECTNESS_r16 lands all-green over this window. The
+    resulting AGE-obligatory r17 set must be exactly R17_DRAIN — 29
+    obligatory + 21 free slots. The simulation base is FROZEN at the
+    r15 verdict state (later CORRECTNESS files are ignored) so the
+    assertion stays meaningful — and green — after the real r16
     verdict lands mid-/post-round."""
     verdicts = {
-        name: v for name, v in ledger.load_verdicts().items() if v[0] <= 14
+        name: v for name, v in ledger.load_verdicts().items() if v[0] <= 15
     }
-    assert verdicts, "no verdicts at or before r14 — baseline moved?"
+    assert verdicts, "no verdicts at or before r15 — baseline moved?"
     order = list(all_queries())
     simulated = dict(verdicts)
     for name in order[:WINDOW]:
-        simulated[name] = (15, True, "")
+        simulated[name] = (16, True, "")
     due = {name for name, _rnd in ledger.plan_next(max_age=2, verdicts=simulated, order=order)}
-    assert due == R16_DRAIN, (
-        f"unexpected r16 obligatory set: extra={sorted(due - R16_DRAIN)} "
-        f"missing={sorted(R16_DRAIN - due)}"
+    assert due == R17_DRAIN, (
+        f"unexpected r17 obligatory set: extra={sorted(due - R17_DRAIN)} "
+        f"missing={sorted(R17_DRAIN - due)}"
     )
-    assert len(R16_DRAIN) <= WINDOW
+    assert len(R17_DRAIN) <= WINDOW
 
 
-def test_r15_window_has_no_never_certified_stragglers():
-    """Every never-certified registry name must sit INSIDE the r15
+def test_r16_window_has_no_never_certified_stragglers():
+    """Every never-certified registry name must sit INSIDE the r16
     window — the pending-next-window grace covers exactly one round.
-    (As of the r15 rotation there are none: all 127 names carry
+    (As of the r16 rotation there are none: all 127 names carry
     verdicts; this guards new registrations made this round.)"""
     verdicts = ledger.load_verdicts()
     order = list(all_queries())
     never = [n for n in order if n not in verdicts]
     outside = [n for n in never if n not in set(order[:WINDOW])]
-    assert not outside, f"never-certified outside the r15 window: {outside}"
+    assert not outside, f"never-certified outside the r16 window: {outside}"
 
 
 def test_every_query_is_callable_and_oracle_typed():
