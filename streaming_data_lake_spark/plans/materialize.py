@@ -68,6 +68,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streaming_data_lake_spark.formats import resolve_format
+from streaming_data_lake_spark.locks import acquire_flock
 from streaming_data_lake_spark.overlay import (
     atomic_swap,
     has_partition_dirs,
@@ -433,18 +434,14 @@ class Materializer:
         rename alone only protects the write, and two concurrent
         cycles for different targets could otherwise interleave
         read→write and silently drop each other's update (ADVICE
-        r9). Where flock is unavailable the store degrades to the
-        documented single-writer-per-wm_dir assumption."""
+        r9). Where flock is unavailable the store degrades LOUDLY to
+        the documented single-writer-per-wm_dir assumption
+        (locks.acquire_flock closes a half-acquired fh and warns on
+        stderr — ADVICE r15)."""
         if ts.tzinfo is None:
             ts = ts.replace(tzinfo=dt.timezone.utc)
         os.makedirs(self.wm_dir, exist_ok=True)
-        try:
-            import fcntl
-
-            lock_fh = open(self._wm_json_path() + ".lock", "a")
-            fcntl.flock(lock_fh, fcntl.LOCK_EX)
-        except (ImportError, OSError):
-            lock_fh = None
+        lock_fh = acquire_flock(self._wm_json_path() + ".lock", "watermark store")
         try:
             m = self._read_wm_map()
             if m is None:
@@ -496,17 +493,11 @@ class Materializer:
         double-fire degrades to a serialized no-op, which is exactly
         Delta/Iceberg's optimistic-retry outcome without the
         conflict-abort. Where flock is unavailable the documented
-        single-writer-per-target assumption applies."""
+        single-writer-per-target assumption applies — loudly, with
+        no fd leak (locks.acquire_flock, ADVICE r15)."""
         lock_path = self._mat_dir(target.name) + ".cycle.lock"
         os.makedirs(os.path.dirname(lock_path), exist_ok=True)
-        lock_fh = None
-        try:
-            import fcntl
-
-            lock_fh = open(lock_path, "a")
-            fcntl.flock(lock_fh, fcntl.LOCK_EX)
-        except (ImportError, OSError):
-            lock_fh = None
+        lock_fh = acquire_flock(lock_path, f"materialize cycle {target.name!r}")
         try:
             return self._run_cycle(target, lookback_hours)
         finally:

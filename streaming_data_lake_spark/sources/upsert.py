@@ -78,6 +78,7 @@ from streaming_data_lake_spark.layout import (
     size_buckets,
     write_layout_meta,
 )
+from streaming_data_lake_spark.locks import acquire_flock
 from streaming_data_lake_spark.overlay import (
     atomic_swap,
     has_partition_dirs,
@@ -277,20 +278,14 @@ def merge_upsert(
     each other's updates. Serialized, concurrent merges compose to
     last-writer-wins per key, which is MERGE semantics. Where flock
     is unavailable the documented single-writer-per-table assumption
-    applies.
+    applies — loudly, with no fd leak (locks.acquire_flock, ADVICE
+    r15).
     """
     lock_path = table_dir.rstrip("/") + ".merge.lock"
     lock_dir = os.path.dirname(lock_path)
     if lock_dir:
         os.makedirs(lock_dir, exist_ok=True)
-    lock_fh = None
-    try:
-        import fcntl
-
-        lock_fh = open(lock_path, "a")
-        fcntl.flock(lock_fh, fcntl.LOCK_EX)
-    except (ImportError, OSError):
-        lock_fh = None
+    lock_fh = acquire_flock(lock_path, f"merge_upsert {table_dir!r}")
     try:
         return _merge_upsert_locked(
             spark, table_dir, updates, keys, ts_col=ts_col, n_buckets=n_buckets
