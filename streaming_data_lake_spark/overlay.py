@@ -9,8 +9,12 @@ hard-links every untouched partition directory from the live version
 into it, and the result is published with the same single atomic
 directory swap used for full rewrites — so readers never see a
 partial state and the crash-recovery rule stays one rule
-(``plans/maintenance.remove_orphans``: restore ``__old_`` when the
-base is missing).
+(``plans/maintenance.remove_orphans``: restore the NEWEST ``__old_``
+when the base is missing). Publishes RETAIN the previous version as
+an ``__old_`` sibling instead of deleting it inline (r16: an inline
+delete races a reader's already-resolved directory handle into a
+partial/empty listing) — Iceberg's snapshot-expiry model: scheduled
+maintenance reclaims retained versions, the publish never deletes.
 
 Hard links are the single-filesystem analog of manifest reuse: no
 data bytes move for untouched partitions. The fallback copy only
@@ -26,6 +30,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 
 
@@ -183,10 +188,12 @@ _RENAME_EXCHANGE = 2  # include/uapi/linux/fs.h
 _AT_FDCWD = -100
 
 
-def _renameat2_exchange(a: str, b: str) -> bool:
-    """Atomically EXCHANGE two paths via Linux ``renameat2(2)``.
-    Returns False (having done nothing) where the syscall or the
-    filesystem doesn't support it — callers fall back."""
+def _resolve_renameat2():
+    """Resolve ``libc.renameat2`` ONCE with explicit argtypes/restype
+    (ADVICE r15: re-CDLL'ing libc per published leaf and relying on
+    ctypes int defaults is both wasteful and fragile for a raw
+    syscall wrapper). Returns the typed function or None when libc
+    or the symbol is unavailable (non-Linux)."""
     try:
         import ctypes
         import ctypes.util
@@ -194,7 +201,31 @@ def _renameat2_exchange(a: str, b: str) -> bool:
         libc = ctypes.CDLL(
             ctypes.util.find_library("c") or "libc.so.6", use_errno=True
         )
-        ret = libc.renameat2(
+        fn = libc.renameat2
+        fn.argtypes = (
+            ctypes.c_int,
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_char_p,
+            ctypes.c_uint,
+        )
+        fn.restype = ctypes.c_int
+        return fn
+    except Exception:  # noqa: BLE001 — any failure means "unsupported here"
+        return None
+
+
+_RENAMEAT2 = _resolve_renameat2()
+
+
+def _renameat2_exchange(a: str, b: str) -> bool:
+    """Atomically EXCHANGE two paths via Linux ``renameat2(2)``.
+    Returns False (having done nothing) where the syscall or the
+    filesystem doesn't support it — callers fall back."""
+    if _RENAMEAT2 is None:
+        return False
+    try:
+        ret = _RENAMEAT2(
             _AT_FDCWD,
             os.fsencode(a),
             _AT_FDCWD,
@@ -206,8 +237,17 @@ def _renameat2_exchange(a: str, b: str) -> bool:
         return False
 
 
+def old_sibling(path: str) -> str:
+    """A retained-version sibling name for ``path``. The fixed-width
+    nanosecond stamp makes names lexicographically chronological, so
+    the orphan sweep's restore rule can pick the NEWEST retained
+    version without trusting filesystem ctimes alone."""
+    return f"{path}__old_{time.time_ns():020d}_{uuid.uuid4().hex[:8]}"
+
+
 def atomic_swap(path: str, tmp: str) -> None:
-    """Publish ``tmp`` as the new version of ``path``.
+    """Publish ``tmp`` as the new version of ``path``, RETAINING the
+    previous version as a ``{path}__old_<ns>_<hex>`` sibling.
 
     Preferred path: ``renameat2(RENAME_EXCHANGE)`` swaps the two
     directories in ONE atomic syscall — a concurrent reader observes
@@ -215,23 +255,34 @@ def atomic_swap(path: str, tmp: str) -> None:
     reader-gap finding: the two-step rename leaves an instant where
     the table path does not exist, and a reader listing it right
     then fails PATH_NOT_FOUND — a transient job abort on a 100 TB
-    read that happened to straddle a maintenance publish). After the
-    exchange ``tmp`` holds the OLD version and is removed; a crash
-    before the rmtree leaves only a stale ``__tmp_`` sibling, which
-    the orphan sweep already cleans.
+    read that happened to straddle a maintenance publish).
+
+    The old version is PARKED, not deleted (r16 fallback race pin):
+    an inline rmtree races any reader whose directory handle already
+    resolved the pre-swap inode — readdir against a directory being
+    emptied returns a PARTIAL (even empty) listing, so a scan
+    straddling a publish could silently read an empty table. That
+    hazard is path-independent (it applied to the exchange path
+    too). With retention, a straddling reader keeps a complete stale
+    snapshot — Iceberg's expire-snapshots model: publish never
+    deletes, scheduled maintenance (plans/maintenance.remove_orphans,
+    min-age-guarded) reclaims retained versions later.
 
     Fallback (non-Linux / filesystems without RENAME_EXCHANGE): the
     original two-step rename — after the first rename the original
     lives only in ``__old_``, and the orphan sweep's restore rule
-    covers a crash between the renames; readers can observe the
-    missing-path instant, the documented cost of the fallback."""
+    (newest ``__old_`` wins) covers a crash between the renames;
+    readers can observe the transient missing-path instant, the
+    documented cost of the fallback."""
+    old = old_sibling(path)
     if _renameat2_exchange(tmp, path):
-        shutil.rmtree(tmp, ignore_errors=True)
+        # tmp now holds the OLD version; park it under the uniform
+        # retained-version name. A crash before this rename leaves it
+        # as a base-present __tmp_ sibling, which the sweep disposes.
+        os.rename(tmp, old)
         return
-    old = f"{path}__old_{uuid.uuid4().hex}"
     os.rename(path, old)
     os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
 
 
 def has_partition_dirs(path: str, partition_col: str) -> bool:

@@ -7,13 +7,15 @@ engine's parquet tables.
    maintenance.sh:66-67). On Iceberg/Delta this is
    ``rewrite_data_files`` / ``OPTIMIZE``; here it is a coalesced
    rewrite with an atomic swap.
- - X2/X3 snapshot/orphan cleanup: the parquet tables keep no
-   snapshots, but the atomic-swap writers leave ``__tmp_``/``__old_``
-   directories behind on crash — :func:`remove_orphans` RECOVERS
-   from them (maintenance.sh:72-79): an ``__old_`` whose base table
-   is missing is the only surviving copy of the data (the swap died
-   between its two renames), so it is renamed back, never deleted.
-   Scratch is deleted only when the base table exists.
+ - X2/X3 snapshot/orphan cleanup: every atomic-swap publish RETAINS
+   the previous version as an ``__old_`` sibling (r16: inline
+   deletion races a straddling reader into a partial/empty listing),
+   and a crash can additionally leave ``__tmp_`` scratch —
+   :func:`remove_orphans` is the expire-snapshots analog that both
+   RECOVERS and reclaims (maintenance.sh:72-79): when a base table
+   is missing, the NEWEST ``__old_`` sibling is the committed state
+   at crash time and is renamed back, never deleted. Retained
+   versions and scratch are deleted only when the base table exists.
 """
 
 from __future__ import annotations
@@ -300,14 +302,17 @@ ORPHAN_MIN_AGE_S = 3600.0
 def remove_orphans(
     lake_dir: str, min_age_s: float = ORPHAN_MIN_AGE_S
 ) -> list[str]:
-    """X2/X3: recover-or-remove leftover atomic-swap scratch.
+    """X2/X3: recover-or-reclaim retained versions and swap scratch.
 
-    Per ``{base}__old_{hex}`` / ``{base}__tmp_{hex}`` entry:
+    Per ``{base}__old_…`` / ``{base}__tmp_{hex}`` entry:
 
-    - base table MISSING and entry is ``__old_``: the swap crashed
-      between its renames and this is the only full copy — RENAME it
-      back to the base (recovery, reported as ``restored:<entry>``).
-    - base table present: the entry is disposable scratch — remove.
+    - base table MISSING: the fallback swap crashed between its
+      renames. The NEWEST ``__old_`` sibling (by embedded ns stamp,
+      ctime for legacy names) is the committed state at crash time —
+      RENAME it back (recovery, reported as ``restored:<entry>``);
+      with retention, OLDER parked versions may coexist and restoring
+      an arbitrary one would resurrect stale data.
+    - base table present: retained versions are disposable — remove.
     - base missing and entry is ``__tmp_``: possibly incomplete
       write; removed only after any ``__old_`` sibling was restored
       first (the pass handles ``__old_`` before ``__tmp_``), so data
@@ -352,15 +357,44 @@ def remove_orphans(
         except OSError:
             return True  # vanished mid-scan: leave it alone
 
+    def version_ns(entry: str) -> int:
+        """Publish order of a retained ``__old_`` entry: the
+        fixed-width nanosecond stamp overlay.old_sibling embeds
+        (names sort chronologically), with the inode ctime as the
+        fallback for legacy random-hex names."""
+        tail = entry.split("__old_", 1)[1]
+        stamp = tail.split("_", 1)[0]
+        if stamp.isdigit():
+            return int(stamp)
+        try:
+            return int(os.stat(os.path.join(lake_dir, entry)).st_ctime * 1e9)
+        except OSError:
+            return 0
+
+    # Retention (r16): every publish parks the previous version as an
+    # ``__old_`` sibling, so multiple entries per base are the NORMAL
+    # steady state, and base-missing recovery must restore the NEWEST
+    # one — restoring an arbitrary entry would resurrect stale data.
+    by_base: dict[str, list[str]] = {}
     for entry in entries("__old_"):
-        path = os.path.join(lake_dir, entry)
-        if young(path):
-            continue
-        base = os.path.join(lake_dir, entry.split("__old_")[0])
+        by_base.setdefault(entry.split("__old_")[0], []).append(entry)
+    for base_name, group in sorted(by_base.items()):
+        base = os.path.join(lake_dir, base_name)
         if not os.path.exists(base):
-            os.rename(path, base)
-            removed.append(f"restored:{entry}")
-        else:
+            if any(young(os.path.join(lake_dir, e)) for e in group):
+                # A young sibling may be the in-flight swap's parked
+                # version; recovering around it could restore a stale
+                # snapshot over the writer's second rename. Leave the
+                # whole group for the next sweep.
+                continue
+            newest = max(group, key=lambda e: (version_ns(e), e))
+            os.rename(os.path.join(lake_dir, newest), base)
+            removed.append(f"restored:{newest}")
+            group = [e for e in group if e != newest]
+        for entry in group:
+            path = os.path.join(lake_dir, entry)
+            if young(path):
+                continue
             shutil.rmtree(path, ignore_errors=True)
             removed.append(entry)
     for entry in entries("__tmp_"):

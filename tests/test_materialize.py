@@ -162,9 +162,14 @@ def test_maintenance_compact_and_orphans(spark, tmp_path):
     assert len(files) == 1
     assert spark.read.parquet(tbl).count() == 1000
 
+    # compaction's publish RETAINED the pre-compaction version (r16
+    # snapshot retention); the sweep reclaims it alongside dead scratch
+    retained = [e for e in os.listdir(lake) if "__old_" in e]
+    assert len(retained) == 1
     os.makedirs(os.path.join(lake, "t__tmp_dead"), exist_ok=True)
     removed = remove_orphans(lake, min_age_s=0)
-    assert removed == ["t__tmp_dead"]
+    assert removed == retained + ["t__tmp_dead"]
+    assert spark.read.parquet(tbl).count() == 1000
 
 
 def test_m5_exists_repair_flag_flip(spark, tmp_path):

@@ -35,7 +35,14 @@ def test_link_untouched_partitions_reuses_inodes(tmp_path):
     assert os.listdir(os.path.join(tmp, "day=2024-01-02")) == ["b2.parquet"]
 
 
-def test_atomic_swap_publishes_and_cleans(tmp_path):
+def test_atomic_swap_publishes_and_retains_old_version(tmp_path):
+    """Publish installs the new version and PARKS the previous one as
+    an ``__old_`` sibling (r16 retention: inline deletion races a
+    reader whose dir handle resolved the pre-swap inode into a
+    partial/empty listing). The sweep — not the publish — reclaims
+    retained versions."""
+    from streaming_data_lake_spark.plans.maintenance import remove_orphans
+
     live = str(tmp_path / "t")
     tmp = str(tmp_path / "t__tmp_y")
     _mk(os.path.join(live, "old.parquet"))
@@ -43,8 +50,12 @@ def test_atomic_swap_publishes_and_cleans(tmp_path):
     atomic_swap(live, tmp)
     assert os.listdir(live) == ["new.parquet"]
     assert not os.path.exists(tmp)
-    leftovers = [e for e in os.listdir(tmp_path) if "__old_" in e]
-    assert leftovers == []
+    retained = [e for e in os.listdir(tmp_path) if "__old_" in e]
+    assert len(retained) == 1
+    # the retained sibling is the COMPLETE old version
+    assert os.listdir(tmp_path / retained[0]) == ["old.parquet"]
+    assert remove_orphans(str(tmp_path), min_age_s=0) == retained
+    assert [e for e in os.listdir(tmp_path) if "__old_" in e] == []
 
 
 def test_has_partition_dirs(tmp_path):
@@ -106,8 +117,8 @@ def test_overlay_stress_many_partitions(tmp_path):
     reader_day = days[0]
     fh = open(os.path.join(live, reader_day, "part-0.parquet"), "rb")
     atomic_swap(live, tmp)
-    # …and still reads its snapshot's bytes afterwards (the inode
-    # lives on through the hard link even though __old_ was removed).
+    # …and still reads its snapshot's bytes afterwards (the retained
+    # __old_ version keeps the inode linked until a sweep reclaims it).
     assert fh.read() == reader_day.encode()
     fh.close()
     # untouched partitions: same inodes (zero data bytes moved)
@@ -375,3 +386,176 @@ def test_atomic_swap_has_no_reader_gap(tmp_path):
         t.join()
     assert gaps[0] == 0
     assert os.listdir(live) == ["v299.txt"]
+
+
+def test_two_step_fallback_gap_is_transient_and_snapshot_consistent(
+    tmp_path, monkeypatch
+):
+    """VERDICT r15 "Next round" #3: the non-Linux two-step fallback,
+    race-tested instead of merely documented. With RENAME_EXCHANGE
+    forced off, a reader racing 300 swaps MAY observe the documented
+    missing-path instant — the pin is that the gap is (a) TRANSIENT:
+    one bounded retry always lands on a live version, and (b)
+    SNAPSHOT-CONSISTENT: every successful listing sees exactly one
+    complete version, never a partial or empty directory. The first
+    run of this pin FAILED on (b): the pre-retention swap rmtree'd
+    the old version inline, and readers whose dir handle had
+    resolved the dying inode saw EMPTY listings — a silent
+    empty-table read, strictly worse than the crash, and present on
+    the exchange path too. Snapshot retention (atomic_swap parks
+    ``__old_``, the sweep reclaims) is the fix this pin now holds."""
+    import threading
+
+    import streaming_data_lake_spark.overlay as overlay
+
+    monkeypatch.setattr(overlay, "_RENAMEAT2", None)
+    assert not overlay._renameat2_exchange(str(tmp_path / "x"), str(tmp_path / "y"))
+
+    live = tmp_path / "live"
+    live.mkdir()
+    (live / "v0.txt").write_text("x")
+    gaps = [0]
+    bad_snapshots = []
+    retry_failures = []
+    stop = [False]
+
+    def reader():
+        while not stop[0]:
+            try:
+                names = os.listdir(live)
+            except FileNotFoundError:
+                gaps[0] += 1
+                # bounded retry: the gap spans only the instant
+                # between the fallback's two renames
+                for _ in range(10_000):
+                    try:
+                        names = os.listdir(live)
+                        break
+                    except FileNotFoundError:
+                        continue
+                else:
+                    retry_failures.append(True)
+                    continue
+            if len(names) != 1 or not names[0].startswith("v"):
+                bad_snapshots.append(list(names))
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(300):
+            tmp = overlay.tmp_sibling(str(live))
+            os.makedirs(tmp)
+            with open(os.path.join(tmp, f"v{i + 1}.txt"), "w") as fh:
+                fh.write("x")
+            overlay.atomic_swap(str(live), tmp)
+    finally:
+        stop[0] = True
+        t.join()
+    assert not retry_failures, "reader gap was not transient"
+    assert not bad_snapshots, f"partial version observed: {bad_snapshots[:3]}"
+    assert os.listdir(live) == ["v300.txt"]
+    # every old version was parked (none deleted inline); the sweep
+    # reclaims them all with the live table untouched
+    from streaming_data_lake_spark.plans.maintenance import remove_orphans
+
+    retained = [e for e in os.listdir(tmp_path) if "__old_" in e]
+    assert len(retained) == 300
+    actions = remove_orphans(str(tmp_path), min_age_s=0)
+    assert len(actions) == 300 and not any(a.startswith("restored:") for a in actions)
+    assert os.listdir(live) == ["v300.txt"]
+    assert [e for e in os.listdir(tmp_path) if "__" in e] == []
+
+
+def test_two_step_fallback_crash_matrix_old_restore_holds(tmp_path, monkeypatch):
+    """Crash-recovery matrix over the forced two-step path (VERDICT
+    r15 #3): crash BETWEEN the renames leaves the table only in
+    ``__old_`` siblings and the sweep restores the NEWEST of them —
+    with retention, older parked versions coexist, and restoring an
+    arbitrary one would resurrect stale data."""
+    import pytest
+
+    import streaming_data_lake_spark.overlay as overlay
+    from streaming_data_lake_spark.plans.maintenance import remove_orphans
+
+    monkeypatch.setattr(overlay, "_RENAMEAT2", None)
+
+    lake = tmp_path / "lake1"
+    lake.mkdir()
+    live = lake / "t"
+    live.mkdir()
+    (live / "v1.parquet").write_text("v1")
+
+    # one clean publish first, so an OLDER retained version exists
+    tmp0 = overlay.tmp_sibling(str(live))
+    os.makedirs(tmp0)
+    with open(os.path.join(tmp0, "v2.parquet"), "w") as fh:
+        fh.write("v2")
+    overlay.atomic_swap(str(live), tmp0)
+    assert len([e for e in os.listdir(lake) if "__old_" in e]) == 1
+
+    # second publish crashes between rename #1 and rename #2
+    tmp = overlay.tmp_sibling(str(live))
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "v3.parquet"), "w") as fh:
+        fh.write("v3")
+
+    real_rename = os.rename
+    calls = [0]
+
+    def crashy_rename(a, b):
+        calls[0] += 1
+        if calls[0] == 2:
+            raise RuntimeError("simulated crash between the two renames")
+        real_rename(a, b)
+
+    monkeypatch.setattr(os, "rename", crashy_rename)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        overlay.atomic_swap(str(live), tmp)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    assert not os.path.exists(live)  # the documented crash window
+    olds = [e for e in os.listdir(lake) if "__old_" in e]
+    assert len(olds) == 2  # the retained v1 AND the crashed swap's v2
+    actions = remove_orphans(str(lake), min_age_s=0)
+    restored = [a for a in actions if a.startswith("restored:")]
+    assert len(restored) == 1, actions
+    # the NEWEST parked version (v2, the committed state at crash
+    # time) is restored — not the older retained v1
+    assert os.path.isfile(live / "v2.parquet")
+    assert not os.path.exists(live / "v1.parquet")
+    assert [e for e in os.listdir(lake) if "__" in e] == []
+
+
+def test_successful_publish_retention_is_swept_not_restored(tmp_path):
+    """After successful publishes the retained versions are ordinary
+    disposable scratch: base present → the sweep removes them all and
+    never renames one over the live table."""
+    import streaming_data_lake_spark.overlay as overlay
+    from streaming_data_lake_spark.plans.maintenance import remove_orphans
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    live = lake / "t"
+    live.mkdir()
+    (live / "v1.parquet").write_text("v1")
+    for i in (2, 3, 4):
+        tmp = overlay.tmp_sibling(str(live))
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, f"v{i}.parquet"), "w") as fh:
+            fh.write(f"v{i}")
+        overlay.atomic_swap(str(live), tmp)
+    assert os.listdir(live) == ["v4.parquet"]
+    assert len([e for e in os.listdir(lake) if "__old_" in e]) == 3
+    actions = remove_orphans(str(lake), min_age_s=0)
+    assert len(actions) == 3 and not any(a.startswith("restored:") for a in actions)
+    assert os.listdir(live) == ["v4.parquet"]
+    assert [e for e in os.listdir(lake) if "__" in e] == []
+    # default age guard: a fresh retained version is left alone (a
+    # straddling reader may still hold it)
+    tmp = overlay.tmp_sibling(str(live))
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "v5.parquet"), "w") as fh:
+        fh.write("v5")
+    overlay.atomic_swap(str(live), tmp)
+    assert remove_orphans(str(lake)) == []
+    assert len([e for e in os.listdir(lake) if "__old_" in e]) == 1
