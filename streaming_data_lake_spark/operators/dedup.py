@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from streaming_data_lake_spark.functions.hashing import h32, minhash_mix
+from streaming_data_lake_spark.schemas import EMBEDDING_DIM
 
 
 def dedup_groupby_canonical(df: DataFrame, keys: list[str], aggs: dict[str, str]) -> DataFrame:
@@ -527,7 +528,7 @@ def banded_embedding_signatures(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int = EMBEDDING_DIM,
     num_bits: int = 16,
     bands: int = 2,
 ) -> DataFrame:
@@ -571,7 +572,7 @@ def embedding_lsh_candidates(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int = EMBEDDING_DIM,
     num_bits: int = 16,
     bands: int = 2,
 ) -> DataFrame:
@@ -588,7 +589,7 @@ def embedding_lsh_candidates_materialized(
     table: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int = EMBEDDING_DIM,
     num_bits: int = 16,
     bands: int = 2,
     buckets: int = 8,
@@ -624,7 +625,7 @@ def embedding_cosine_near_dups(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int = EMBEDDING_DIM,
     num_bits: int = 16,
     bands: int = 2,
     spark=None,

@@ -693,7 +693,9 @@ def cms_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KM_K = 8
 _KM_ITERS = 2
-_KM_DIM = 64
+# Derived, not an independent literal (ADVICE r15): the kmeans/IVF
+# training dim must track the declared corpus admission contract.
+from streaming_data_lake_spark.schemas import EMBEDDING_DIM as _KM_DIM  # noqa: E402
 
 _KM_ASSIGN = """
 s{it} AS (

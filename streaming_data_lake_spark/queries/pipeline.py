@@ -590,7 +590,11 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _EMB_NEAR_DUP_THRESHOLD = 0.4
-_EMB_DIM = 64
+# Derived, not an independent literal (ADVICE r15): schemas.
+# EMBEDDING_DIM is the declared admission contract; an independent 64
+# here would silently desync the LSH engine params and oracle text
+# from the default valid_vectors admission if the contract moved.
+from streaming_data_lake_spark.schemas import EMBEDDING_DIM as _EMB_DIM  # noqa: E402
 _EMB_BITS = 16
 _EMB_BANDS = 2
 
