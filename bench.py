@@ -213,6 +213,45 @@ def find_regressions(
     return out
 
 
+def find_near_misses(
+    per_query: dict[str, float],
+    calibration: float,
+    prev: dict,
+    cal_baseline: float,
+    ratio_bar: float = 1.5,
+    abs_floor_sec: float = 0.2,
+) -> list[dict]:
+    """Queries the two-sided rule ABSOLVED: normalized ratio over the
+    bar (with the same abs floor) but raw ratio under it. The
+    two-sided flag kills calibration-swing phantoms, but it can also
+    mask a genuine code regression when the host got uniformly
+    faster round-over-round — normalized crosses, raw stays under,
+    and the query is silently absolved (ADVICE r15). These entries
+    go to the sidecar only (never the contract line), so a masked
+    regression stays auditable instead of invisible."""
+    prev_cal = _span_cal(prev, cal_baseline)
+    out: list[dict] = []
+    for name, cur in sorted(per_query.items()):
+        p = prev["queries"].get(name)
+        if p is None or p <= 0:
+            continue
+        cur_n = cur * cal_baseline / calibration
+        prev_n = p * cal_baseline / prev_cal
+        if (
+            cur_n > ratio_bar * prev_n
+            and cur_n - prev_n > abs_floor_sec
+            and not (cur > ratio_bar * p)
+        ):
+            out.append({
+                "query": name,
+                "prev_normalized": round(prev_n, 3),
+                "now_normalized": round(cur_n, 3),
+                "ratio": round(cur_n / prev_n, 2),
+                "raw_ratio": round(cur / p, 2),
+            })
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from streaming_data_lake_spark.queries import all_queries
@@ -415,6 +454,11 @@ def main() -> int:
         if prev
         else []
     )
+    near_misses = (
+        find_near_misses(per_query, cal_span, prev, cal_baseline)
+        if prev
+        else []
+    )
 
     # warm=false ⇔ at least one durable artifact (bucketed layout,
     # LSH signature table, IVF index, …) was built IN-LINE during a
@@ -439,6 +483,7 @@ def main() -> int:
         "io_calibration_runs": io_times,
         "cpu_calibration_post_runs": cal_post_times,
         "regressions_full": regressions,
+        "regression_near_misses": near_misses,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL_local.json"), "w") as fh:

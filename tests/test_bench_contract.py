@@ -236,3 +236,28 @@ def test_contract_line_fits_driver_tail_capture():
         "regressions_omitted": len(regressions) - bench._REG_CAP,
     }, separators=(",", ":"))
     assert len(line) <= 1900, len(line)
+
+
+def test_near_misses_record_what_the_two_sided_rule_absolved():
+    """ADVICE r15: the two-sided rule can mask a genuine regression
+    when the host got uniformly faster round-over-round (normalized
+    crosses the bar, raw stays under). find_near_misses records
+    exactly that shape — sidecar-only audit trail — and stays silent
+    on ordinary noise and on entries the main tripwire already
+    flags."""
+    # r14-phantom fixture: probe sampled low, phantom normalized
+    # crosses but raw is 1.22x -> a near miss; genuine (raw 2.2x) is
+    # a REAL regression and must NOT be duplicated into near-misses.
+    prev = {
+        "queries": {"phantom": 0.45, "genuine": 0.45},
+        "cpu_calibration_sec": 0.311,
+    }
+    cur = {"phantom": 0.55, "genuine": 1.0}
+    nm = bench.find_near_misses(cur, 0.234, prev, 0.273)
+    assert [r["query"] for r in nm] == ["phantom"]
+    assert nm[0]["raw_ratio"] < 1.5 < nm[0]["ratio"]
+    # identical run, no swing: nothing to audit
+    q = {"a": 1.0, "b": 2.0}
+    assert bench.find_near_misses(
+        q, 0.273, {"queries": dict(q), "cpu_calibration_sec": 0.273}, 0.273
+    ) == []
