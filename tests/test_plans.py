@@ -489,3 +489,24 @@ def test_compact_survives_all_null_partition_level(spark, tmp_path):
     # kb= dirs infer back as int — compare the VALUES, not the
     # inferred type (partition dirs carry no type)
     assert {str(r["kb"]) for r in back.select("kb").distinct().collect()} == {"0", "1", "2"}
+
+
+def test_admit_identity_partition_refuses_unbounded_by_default(spark):
+    """VERDICT r15 "Next round" #5, layout side: the production front
+    door for identity partitioning has NO warn-mode parameter — an
+    unbounded key is refused before a directory is minted; the
+    certified overlay scenario's ensure_bounded_identity(strict=False)
+    stays the explicit exception."""
+    import inspect
+
+    import pytest
+
+    from streaming_data_lake_spark.plans.layout import admit_identity_partition
+
+    bounded = spark.range(0, 2000).selectExpr("id % 16 AS k", "id AS v")
+    assert admit_identity_partition(bounded, "k", bound=64) is bounded
+    unbounded = spark.range(0, 2000).selectExpr("id AS k", "id AS v")
+    with pytest.raises(ValueError, match="bucket transform"):
+        admit_identity_partition(unbounded, "k", bound=64)
+    # the refusal is not relaxable through this entry point
+    assert "strict" not in inspect.signature(admit_identity_partition).parameters
