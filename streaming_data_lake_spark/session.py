@@ -65,6 +65,14 @@ def get_spark(app_name: str = "streaming_data_lake_spark", cpus: str | None = No
             tempfile.mkdtemp(prefix="spark_warehouse_"),
         )
     )
+    # Probe hook (inert unless set): "k=v;k2=v2" conf overrides, used
+    # by tools/partition_sweep.py to vary scan-split sizing per
+    # subprocess without forking the session recipe. Applied LAST so
+    # a probe can override any default above.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, extra.split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -411,6 +411,94 @@ _HUGE_VOCAB = (
 ).split()
 
 
+# Unicode-pathology pool (r16 axis, VERDICT r15 "Next round" #7):
+# beyond the edge sweep's multibyte/control-char strings — NFC/NFD
+# twins, compatibility characters, conjoining jamo, ZWJ/modifier/flag
+# grapheme clusters, astral-plane letters (surrogate pairs on the
+# JVM), combining-mark stacks, zero-width and bidi controls inside
+# tokens, non-ASCII Unicode whitespace (outside the compared
+# [ \t\n\r\f\x0B] class on BOTH engines — must glue, not split), and
+# the classic locale-sensitive case-mapping traps (dotted/dotless I,
+# sharp s, final sigma). Both engines must agree byte-for-byte on
+# UNNORMALIZED input: the engine never normalizes, so the oracle must
+# see identical code points flow through tokens/shingles/chunks.
+UNICODE_STRINGS = [
+    # NFC / NFD twins of the same visual text -- distinct code-point
+    # sequences that MUST stay distinct through both engines
+    "caf\u00e9 nfc twin",
+    "cafe\u0301 nfd twin",
+    "\u00c5ngstr\u00f6m nfc",
+    "A\u030angstro\u0308m nfd",
+    "\u212bngstr\u00f6m compat angstrom",
+    # Hangul: precomposed syllables vs conjoining jamo
+    "\ud55c\uad6d\uc5b4 hangul composed",
+    "\u1112\u1161\u11ab\u1100\u116e\u11a8\u110b\u1165 hangul jamo",
+    # grapheme clusters: ZWJ family, skin-tone modifier, flag pair,
+    # keycap -- multi-codepoint single graphemes
+    "family \U0001f469\u200d\U0001f469\u200d\U0001f467\u200d\U0001f466 zwj",
+    "wave \U0001f44b\U0001f3fd tone",
+    "flag \U0001f1e9\U0001f1ea pair",
+    "key 1\ufe0f\u20e3 cap",
+    # astral plane (UTF-16 surrogate pairs on the JVM)
+    "math \U0001d54a\U0001d55e\U0001d552\U0001d55d\U0001d55d double-struck",
+    "cjkb \U00020bb7\U00020bb8 extb",
+    # combining-mark stack (8 marks on one base letter)
+    "z\u0301\u0302\u0303\u0304\u0305\u0306\u0307\u0308algo stack",
+    # zero-width and bidi controls INSIDE a token
+    "zero\u200bwidth\u200cnon\u200djoiners",
+    "bidi \u202eevil\u202c override",
+    # Unicode whitespace OUTSIDE the compared [ \t\n\r\f\x0B] class --
+    # must glue (stay inside one token) in BOTH engines
+    "ideographic\u3000space glued",
+    "thin\u2009space en\u2002quad glued",
+    "line\u2028sep para\u2029sep glued",
+    "nel\u0085next-line glued",
+    # locale-sensitive case-mapping traps
+    "\u0130stanbul dotted \u0131stanbul dotless",
+    "STRASSE stra\u00dfe \u1e9e sharp",
+    "\u03a3\u03af\u03c3\u03c5\u03c6\u03bf\u03c2 final sigma",
+]
+
+
+def make_unicode(name: str, table: pa.Table) -> pa.Table:
+    """Inject the unicode pool into every non-PK string column (the
+    mutate_table placement scheme, pure — no NULL/dup noise, so a
+    failure isolates to the unicode axis), and give ``documents``
+    three LONG unicode documents (the pool tiled with a drifting
+    offset) so chunking/shingling/winnowing chew multi-codepoint
+    graphemes across window boundaries. ``n_chars`` is recomputed for
+    touched document rows (Python/Spark/DuckDB all count code
+    points)."""
+    pk = set(PK_COLS.get(name, ()))
+    n = table.num_rows
+    if n == 0:
+        return table
+    cols = {}
+    for field in table.schema:
+        vals = table.column(field.name).to_pylist()
+        if field.name not in pk and pa.types.is_string(field.type) and not (
+            name == "events" and field.name == "props"
+        ):
+            for j, ev in enumerate(UNICODE_STRINGS):
+                vals[(j * 37 + 11) % n] = ev
+        cols[field.name] = pa.array(vals, type=field.type)
+    out = pa.table(cols, schema=table.schema)
+    if name != "documents":
+        return out
+    txt = out.column("text").to_pylist()
+    nch = out.column("n_chars").to_pylist()
+    for d, row in enumerate((13, 131, 313)):
+        pool = UNICODE_STRINGS[d::2] or UNICODE_STRINGS
+        txt[row % n] = " ".join(pool[(k + d) % len(pool)] for k in range(400))
+    for j, _ in enumerate(UNICODE_STRINGS):
+        i = (j * 37 + 11) % n
+        nch[i] = len(txt[i]) if txt[i] is not None else None
+    for row in (13, 131, 313):
+        nch[row % n] = len(txt[row % n])
+    out = _set_col(out, "text", txt)
+    return _set_col(out, "n_chars", nch)
+
+
 def make_huge_docs(name: str, table: pa.Table) -> pa.Table:
     """Overwrite a few ``documents.text`` rows with huge
     deterministic token streams (one >=200k tokens, a few ~20k) and
@@ -616,7 +704,7 @@ def generate(
     src: str, out: str, empty: bool = False, shuffle: bool = False,
     nonfinite: bool = False, skew: bool = False, time_edge: bool = False,
     huge_doc: bool = False, row_scale: bool = False,
-    row_scale_k: int = ROW_SCALE_K,
+    row_scale_k: int = ROW_SCALE_K, unicode_mode: bool = False,
 ) -> None:
     outp = Path(out)
     outp.mkdir(parents=True, exist_ok=True)
@@ -638,6 +726,8 @@ def generate(
             m = make_huge_docs(p.stem, t)
         elif row_scale:
             m = make_row_scale(p.stem, t, k=row_scale_k)
+        elif unicode_mode:
+            m = make_unicode(p.stem, t)
         else:
             m = mutate_table(p.stem, t)
         pq.write_table(m, outp / p.name)
@@ -702,10 +792,12 @@ def main() -> int:
     time_edge = "--time-edge" in argv
     huge_doc = "--huge-doc" in argv
     row_scale = "--row-scale" in argv
+    unicode_mode = "--unicode" in argv
     order_sensitive = "--order-sensitive" in argv
     argv = [a for a in argv if a not in (
         "--gen-only", "--empty", "--shuffle", "--nonfinite", "--skew",
-        "--time-edge", "--huge-doc", "--row-scale", "--order-sensitive",
+        "--time-edge", "--huge-doc", "--row-scale", "--unicode",
+        "--order-sensitive",
     )]
 
     def _flag(name, default):
@@ -731,6 +823,7 @@ def main() -> int:
         "time-edge" if time_edge else
         "huge-doc" if huge_doc else
         "row-scale" if row_scale else
+        "unicode" if unicode_mode else
         "edge"
     )
     out = _flag("--out", {
@@ -741,13 +834,14 @@ def main() -> int:
         "time-edge": "/tmp/sdl_timeedge_sweep",
         "huge-doc": "/tmp/sdl_hugedoc",
         "row-scale": "/tmp/sdl_rowscale",
+        "unicode": "/tmp/sdl_unicode",
         "edge": OUT_DEFAULT,
     }[kind])
     print(f"generating {kind} tables {src} -> {out}")
     generate(
         src, out, empty=empty, shuffle=shuffle, nonfinite=nonfinite, skew=skew,
         time_edge=time_edge, huge_doc=huge_doc, row_scale=row_scale,
-        row_scale_k=row_scale_k,
+        row_scale_k=row_scale_k, unicode_mode=unicode_mode,
     )
     if gen_only:
         return 0
