@@ -87,6 +87,17 @@ VALUE; this scales the ROW population — the axis where a hidden
 all-pairs stage, an unbounded collect, or a driver-side loop turns
 sf0.6 into a hang long before 100 TB.
 
+``--unicode`` (out default /tmp/sdl_unicode) injects the unicode
+pathology pool — NFC/NFD twins, conjoining jamo, ZWJ/modifier/flag
+grapheme clusters, astral-plane letters, combining-mark stacks,
+zero-width/bidi controls inside tokens, non-ASCII Unicode whitespace
+(outside the compared [ \t\n\r\f\x0B] class: must GLUE in both
+engines), and locale-sensitive case traps — into every non-PK string
+column, plus three long tiled unicode documents so chunking/
+shingling/winnowing cross grapheme boundaries (r16 axis; first
+full-registry run ALL GREEN: the engine is case-preserving and
+normalization-free, so both engines agree byte-for-byte).
+
 ``--order-sensitive`` restricts the run to the queries whose oracle
 SQL or Spark source contains an order-sensitive construct (window
 ranking, LIMIT, first/last, positional folds, collected lists) — the
