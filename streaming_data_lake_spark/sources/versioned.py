@@ -50,10 +50,36 @@ class VersionedTable:
         return os.path.join(self.table_dir, "_snapshots.json")
 
     def _read_meta(self) -> list[dict]:
+        """Parse the snapshot log, tolerating a TORN FINAL line (r16
+        torn-write probe): the log is append-mode, so a crash mid-
+        append (or a power loss that loses the tail block) leaves a
+        half-written last record — and a hard parse error here
+        bricked EVERY later operation on the table (latest_version,
+        commit, snapshots, read all route through this). A torn tail
+        is exactly the already-handled "crash between the v{N} rename
+        and the metadata append" state — the version dir may exist
+        unrecorded, which _next_version's disk scan and
+        expire_snapshots' dir-listing candidates both cover — so the
+        half record is dropped. A torn NON-final line is real
+        corruption (append-only logs tear only at the tail) and still
+        raises."""
         if not os.path.exists(self._meta_path()):
             return []
         with open(self._meta_path()) as f:
-            return [json.loads(line) for line in f if line.strip()]
+            lines = [ln for ln in f if ln.strip()]
+        out: list[dict] = []
+        for i, line in enumerate(lines):
+            try:
+                out.append(json.loads(line))
+            except ValueError:
+                if i == len(lines) - 1:
+                    break  # torn tail from a crashed append — ignore
+                raise ValueError(
+                    f"corrupt snapshot log {self._meta_path()!r}: "
+                    f"unparseable NON-final line {i + 1} — an append-only "
+                    f"log tears only at the tail; inspect before use"
+                ) from None
+        return out
 
     def latest_version(self) -> int:
         meta = self._read_meta()

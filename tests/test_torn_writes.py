@@ -1,0 +1,152 @@
+"""Torn-write recovery matrix (r16 adversarial axis, VERDICT r15
+"Next round" #7 candidate list): every durable metadata file the
+engine writes, truncated or garbled mid-byte — the power-loss /
+lost-tail-block shape that kill/resume testing cannot produce.
+
+Findings on first run: the versioned table's append-mode snapshot
+log BRICKED the whole table on a torn final line (every operation
+routes through _read_meta's per-line json.loads) — fixed by
+tolerating exactly the torn-tail record, which is the already-
+handled crash-between-rename-and-metadata-append state. The other
+three writers already degraded correctly and are pinned here so they
+stay that way: a torn watermark store reads as absent and an
+existing mat table then REFUSES the cycle loudly (no silent
+re-append duplication), a torn layout sidecar reads as
+layout-unknown and the next merge migrates with a full rewrite, and
+a torn M4 append journal raises the documented inspect-and-remove
+error instead of guessing at rollback."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+def _truncate_tail(path: str, n_bytes: int = 7) -> None:
+    size = os.path.getsize(path)
+    with open(path, "r+b") as fh:
+        fh.truncate(size - n_bytes)
+
+
+def test_versioned_snapshot_log_torn_tail_does_not_brick(spark, tmp_path):
+    from streaming_data_lake_spark.sources.versioned import VersionedTable
+
+    ref = str(tmp_path / "t")
+    vt = VersionedTable(spark, ref)
+    vt.commit(spark.range(0, 50).selectExpr("id", "id * 2 AS v"), "append")
+    vt.commit(spark.range(50, 80).selectExpr("id", "id * 2 AS v"), "append")
+    meta_path = os.path.join(ref, "_snapshots.json")
+    _truncate_tail(meta_path)  # tear the v2 record mid-byte
+
+    vt2 = VersionedTable(spark, ref)
+    # the torn record is dropped; the table is NOT bricked
+    assert vt2.latest_version() == 1
+    assert vt2.snapshots().count() == 1
+    assert vt2.read(1).count() == 50
+    # the unrecorded v2 DIR exists (the documented crash state) and
+    # the next commit numbers PAST it instead of colliding
+    assert os.path.isdir(os.path.join(ref, "v2"))
+    v = vt2.commit(spark.range(80, 90).selectExpr("id", "id * 2 AS v"), "append")
+    assert v == 3
+    assert vt2.read(3).count() == 60  # v1-linked files + the new rows
+
+
+def test_versioned_snapshot_log_torn_middle_line_raises(spark, tmp_path):
+    """An append-only log tears only at the tail; an unparseable
+    MIDDLE line is real corruption and must surface, not be skipped
+    (skipping would silently renumber history)."""
+    from streaming_data_lake_spark.sources.versioned import VersionedTable
+
+    ref = str(tmp_path / "t")
+    vt = VersionedTable(spark, ref)
+    vt.commit(spark.range(0, 10).selectExpr("id"), "append")
+    vt.commit(spark.range(10, 20).selectExpr("id"), "append")
+    meta_path = os.path.join(ref, "_snapshots.json")
+    lines = open(meta_path).read().splitlines()
+    lines[0] = lines[0][: len(lines[0]) // 2]  # tear the FIRST record
+    with open(meta_path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    with pytest.raises(ValueError, match="NON-final"):
+        VersionedTable(spark, ref).snapshots()
+
+
+def test_torn_watermark_store_refuses_cycle_on_existing_table(spark, tmp_path):
+    """A torn watermark JSON reads as ABSENT (the shape-tolerant
+    reader) — and a mat table that exists without a watermark must
+    refuse the cycle loudly: guessing a watermark would either
+    re-append history (silent permanent duplication past the
+    lookback) or skip late facts."""
+    from streaming_data_lake_spark.plans.materialize import Materializer, MatTarget
+
+    lake = str(tmp_path / "lake")
+    src = os.path.join(lake, "src")
+    os.makedirs(lake, exist_ok=True)
+    spark.sql(
+        "SELECT id AS event_id, timestamp'2024-06-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts,"
+        " id % 7 AS user_id FROM range(200)"
+    ).write.parquet(src)
+
+    target = MatTarget(
+        name="mat_torn_wm",
+        view=lambda s: s.read.parquet(src),
+        ts_col="ts",
+    )
+    m = Materializer(spark, lake)
+    log = m.run(target)
+    assert "M1" in log
+    wm_json = m._wm_json_path()
+    assert os.path.exists(wm_json)
+    _truncate_tail(wm_json, 3)
+    assert m.get_watermark("mat_torn_wm") is None  # torn -> absent
+    with pytest.raises(RuntimeError, match="no watermark"):
+        m.run(target)
+
+
+def test_torn_layout_sidecar_migrates_with_full_rewrite(spark, tmp_path):
+    """A torn _layout.json reads as None (layout unknown) and the
+    next merge MIGRATES with one atomic full rewrite instead of
+    probing buckets by a possibly-wrong hash — pinned end to end:
+    merge result correct, sidecar re-written whole."""
+    from streaming_data_lake_spark.layout import layout_path, read_layout_meta
+    from streaming_data_lake_spark.sources.upsert import merge_upsert, read_upsert
+
+    tdir = str(tmp_path / "t")
+    base = spark.sql(
+        "SELECT id AS k, timestamp'2024-06-01' + make_interval(0,0,0,id) AS ts, id * 10 AS v"
+        " FROM range(100)"
+    )
+    merge_upsert(spark, tdir, base, ["k", "ts"], ts_col="ts")
+    sidecar = layout_path(tdir)
+    assert os.path.exists(sidecar)
+    _truncate_tail(sidecar, 5)
+    assert read_layout_meta(tdir) is None  # torn -> layout unknown
+
+    upd = spark.sql(
+        "SELECT id AS k, timestamp'2024-06-01' + make_interval(0,0,0,id) AS ts, id * 10 + 1 AS v"
+        " FROM range(40)"
+    )
+    merge_upsert(spark, tdir, upd, ["k", "ts"], ts_col="ts")
+    got = {r["k"]: r["v"] for r in read_upsert(spark, tdir).collect()}
+    assert len(got) == 100
+    assert all(got[k] == k * 10 + 1 for k in range(40))
+    assert all(got[k] == k * 10 for k in range(40, 100))
+    meta = read_layout_meta(tdir)
+    assert meta is not None and meta["keys"] == ["k", "ts"]  # healed
+
+
+def test_torn_m4_journal_raises_inspect_and_remove(spark, tmp_path):
+    """A torn M4 append journal must SURFACE, not guess at rollback:
+    the file list is unreadable, so deleting by guess could drop
+    committed data and proceeding could duplicate the increment."""
+    import datetime as dt
+
+    from streaming_data_lake_spark.plans.materialize import Materializer
+
+    lake = str(tmp_path / "lake")
+    m = Materializer(spark, lake)
+    os.makedirs(m.wm_dir, exist_ok=True)
+    with open(m._m4_intent_path("t"), "w") as fh:
+        fh.write('{"wm_us": 123, "files": ["a.parq')  # torn mid-list
+    with pytest.raises(RuntimeError, match="inspect and remove"):
+        m._recover_m4("t", dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc), lake)
