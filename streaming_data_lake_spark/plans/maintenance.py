@@ -325,6 +325,16 @@ def remove_orphans(
     the writer's second rename) or delete live ``__tmp_`` scratch.
     A single-process maintenance cycle that KNOWS no writer is in
     flight passes 0 explicitly for run-after-the-fact semantics.
+
+    Clock-skew bound (r16): the age guard compares THIS process's
+    clock against filesystem timestamps, so the in-flight-writer
+    guarantee assumes |sweeper-vs-fs clock skew| << min_age_s — on
+    the 1h default, any realistic NTP drift. A sweeper running AHEAD
+    merely reclaims retained versions early (shortening the
+    straddling-reader window; pinned harmless in
+    tests/test_torn_writes.py); a skew comparable to min_age_s in a
+    concurrent deployment re-opens the mid-swap restore race, so
+    shrink min_age_s only where writers and sweeper share a clock.
     """
     removed: list[str] = []
     now = time.time()

@@ -150,3 +150,43 @@ def test_torn_m4_journal_raises_inspect_and_remove(spark, tmp_path):
         fh.write('{"wm_us": 123, "files": ["a.parq')  # torn mid-list
     with pytest.raises(RuntimeError, match="inspect and remove"):
         m._recover_m4("t", dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc), lake)
+
+
+def test_sweeper_clock_skew_only_shortens_retention(tmp_path, monkeypatch):
+    """Clock-skew axis (the third VERDICT r15 #7 candidate), bounded
+    pin: the orphan sweep's age guard compares the SWEEPER's clock
+    against FILESYSTEM timestamps, so cross-host skew (NFS) can
+    misjudge age. The safe direction is pinned — a sweeper running
+    AHEAD by more than min_age reclaims retained versions early
+    (shortening the straddling-reader window, acceptable) but never
+    touches the live table or restores over a present base. The
+    dangerous direction (restoring mid-swap when the base is
+    transiently missing) is excluded by the documented deployment
+    assumption |skew| << min_age (1h default), now stated in the
+    remove_orphans docstring."""
+    import time as _time
+
+    import streaming_data_lake_spark.overlay as overlay
+    from streaming_data_lake_spark.plans.maintenance import remove_orphans
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    live = lake / "t"
+    live.mkdir()
+    (live / "v1.parquet").write_text("v1")
+    tmp = overlay.tmp_sibling(str(live))
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "v2.parquet"), "w") as fh:
+        fh.write("v2")
+    overlay.atomic_swap(str(live), tmp)
+    # default guard, honest clock: the fresh retained version is young
+    assert remove_orphans(str(lake)) == []
+    # sweeper clock 2h ahead: the same entry looks stale and is
+    # reclaimed EARLY — but the live table is untouched and nothing
+    # is restored over it
+    real_time = _time.time
+    monkeypatch.setattr(_time, "time", lambda: real_time() + 7200)
+    actions = remove_orphans(str(lake))
+    assert len(actions) == 1 and not actions[0].startswith("restored:")
+    assert os.listdir(live) == ["v2.parquet"]
+    assert [e for e in os.listdir(lake) if "__" in e] == []
