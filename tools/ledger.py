@@ -47,7 +47,8 @@ WINDOW = 50
 # requires recording it here (the red ledger is the reminder).
 # Certified names are inert here; prune entries when convenient.
 PENDING_SINCE: dict[str, int] = {
-    "knn_ivf_recall_at_k": 12,  # registered r12 (window was exactly full)
+    # (empty: every registered query is certified; add an entry here
+    # when registering a new query while the window is full)
 }
 
 
