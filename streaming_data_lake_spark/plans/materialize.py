@@ -376,6 +376,19 @@ class Materializer:
     # whose watermark still matches means M6 never ran — delete any
     # listed files (rollback; the same rows re-append this cycle); a
     # stale watermark means the cycle completed — drop the journal.
+    #
+    # Reader-visibility contract (r16, stated for honesty): M4 is the
+    # ONE publish path that is not snapshot-atomic. Files rename in
+    # one by one, so a reader listing the table mid-append sees a
+    # SUBSET of the increment — Hive-style directory-table append
+    # semantics: never corrupt, never partial-file, but an
+    # intermediate point between two watermark states (all subset
+    # rows are committed rows). The alternative — routing every
+    # append through the overlay + whole-table swap — would make
+    # appends atomic at O(all leaves) metadata cost per cycle, which
+    # at 100 TB turns the cheapest pass into the most expensive; the
+    # M2/M3/M5 repairs, which REPLACE data (where intermediate states
+    # WOULD be wrong), are the ones that pay for the swap.
 
     def _m4_intent_path(self, name: str) -> str:
         return os.path.join(self.wm_dir, f"_m4_inflight_{name}.json")
