@@ -255,7 +255,22 @@ class VersionedTable:
         # Report only versions whose data ACTUALLY existed — the
         # retained metadata history alone would re-report
         # already-deleted versions on every later call.
+        #
+        # Expire by RENAME, not inline rmtree (r16 — the last member
+        # of the dying-listing class): a time-travel reader mid-scan
+        # of an expiring version would otherwise see its directory
+        # being emptied — a silent partial read, worse than the clean
+        # "version does not exist" a post-expiry lookup gets. Renamed
+        # to table-internal ``__tmp_`` scratch, the reader's
+        # already-resolved inode stays a complete snapshot; fresh
+        # lookups fail loudly; _sweep_stale_scratch reclaims the
+        # bytes age-guarded at a later commit.
+        self._sweep_stale_scratch()  # reclaim PRIOR expiries' parked bytes
         expired = [v for v in candidates if v in on_disk]
         for v in expired:
-            shutil.rmtree(os.path.join(self.table_dir, f"v{v}"), ignore_errors=True)
+            src = os.path.join(self.table_dir, f"v{v}")
+            try:
+                os.rename(src, os.path.join(self.table_dir, f"__tmp_{uuid.uuid4().hex}"))
+            except OSError:
+                shutil.rmtree(src, ignore_errors=True)
         return expired

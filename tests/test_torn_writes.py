@@ -190,3 +190,46 @@ def test_sweeper_clock_skew_only_shortens_retention(tmp_path, monkeypatch):
     assert len(actions) == 1 and not actions[0].startswith("restored:")
     assert os.listdir(live) == ["v2.parquet"]
     assert [e for e in os.listdir(lake) if "__" in e] == []
+
+
+def test_expire_parks_versions_instead_of_inline_delete(spark, tmp_path, monkeypatch):
+    """r16, last member of the dying-listing class: expire_snapshots
+    used to rmtree an expiring version INLINE — a reader whose
+    read.parquet LISTING raced the (non-atomic, possibly slow)
+    recursive delete could plan over the surviving SUBSET of files
+    and return a silently partial count. Expiry now renames the
+    version to table-internal scratch in ONE atomic step: there is
+    no in-between state to list, so a straddling reader gets either
+    the complete version or a LOUD error (FILE_NOT_EXIST /
+    PATH_NOT_FOUND) — never a quiet subset. Metadata expiry is
+    immediate; the age-guarded scratch sweep reclaims the bytes at a
+    later commit or expire."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from streaming_data_lake_spark.sources.versioned import VersionedTable
+
+    ref = str(tmp_path / "t")
+    vt = VersionedTable(spark, ref)
+    vt.commit(spark.range(0, 50).toDF("id"))
+    vt.commit(spark.range(50, 60).toDF("id"))
+    vt.commit(spark.range(60, 65).toDF("id"))
+
+    # a reader that planned over v1 BEFORE the expiry...
+    reader = spark.read.parquet(os.path.join(ref, "v1"))
+    assert vt.expire_snapshots(keep_last=1) == [1, 2]
+    # ...fails LOUDLY afterwards — an expired-snapshot scan must
+    # never return a quiet subset (Iceberg expire semantics: expiry
+    # breaks concurrent readers of the expired snapshot, visibly)
+    with _pytest.raises(Py4JJavaError, match="FILE_NOT_EXIST|does not exist"):
+        reader.count()
+    # fresh lookups fail loudly too, immediately
+    with _pytest.raises(ValueError, match="does not exist"):
+        vt.read(1)
+    scratch = [e for e in os.listdir(ref) if "__tmp_" in e]
+    assert len(scratch) == 2  # v1 and v2, parked
+    # the age-guarded sweep reclaims parked bytes at the next commit
+    monkeypatch.setattr(VersionedTable, "_SCRATCH_MIN_AGE_S", 0.0)
+    vt.commit(spark.range(65, 70).toDF("id"))
+    assert [e for e in os.listdir(ref) if "__tmp_" in e] == []
+    assert vt.read(4).count() == 70  # self-contained: v3's 65 linked + 5 new
