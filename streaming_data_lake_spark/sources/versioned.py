@@ -37,6 +37,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from streaming_data_lake_spark.locks import acquire_flock
+
 
 class VersionedTable:
     """A parquet table with numbered snapshot versions."""
@@ -80,6 +82,36 @@ class VersionedTable:
                     f"log tears only at the tail; inspect before use"
                 ) from None
         return out
+
+    def _repair_torn_tail(self) -> None:
+        """Physically truncate a torn final record BEFORE appending
+        (ADVICE r16, high): _read_meta's read-side tolerance alone is
+        DEFEATED by commit() — the torn half-line has no trailing
+        newline, so an 'a'-mode append GLUES the new JSON record onto
+        it. That glued line is itself unparseable, so the fresh
+        commit's metadata is silently dropped as "the torn tail"
+        (latest_version/read go stale after a successful commit), and
+        the commit after THAT makes the glued line non-final —
+        permanently bricking the table with the NON-final-line error.
+        Repair = truncate to the end of the last newline-terminated
+        line (append-only logs tear only at the tail, so the torn
+        bytes are exactly the suffix after the last ``\\n``). Runs
+        under the commit flock, so no concurrent appender can be
+        mid-write when we truncate."""
+        path = self._meta_path()
+        if not os.path.exists(path):
+            return
+        with open(path, "r+b") as fh:
+            fh.seek(0, os.SEEK_END)
+            size = fh.tell()
+            if size == 0:
+                return
+            fh.seek(size - 1)
+            if fh.read(1) == b"\n":
+                return
+            fh.seek(0)
+            keep = fh.read().rfind(b"\n") + 1  # 0 when no newline at all
+            fh.truncate(keep)
 
     def latest_version(self) -> int:
         meta = self._read_meta()
@@ -170,8 +202,29 @@ class VersionedTable:
         materializes a uniform-schema version — see
         ``schema_evolution_read`` for the mergeSchema read pattern
         over heterogeneous HISTORY).
+
+        The whole commit holds a blocking per-table flock (r17,
+        VERDICT r16 "What's wrong" #3): two unserialized committers
+        race _next_version's disk scan to the SAME v{N} — the loser
+        hits ENOTEMPTY on the rename at best, interleaves the
+        metadata log at worst. Under the flock the late committer
+        blocks, then numbers past the winner. Where flock is
+        unavailable the documented single-writer assumption applies —
+        loudly, with no fd leak (locks.acquire_flock).
         """
+        lock_fh = acquire_flock(
+            os.path.join(self.table_dir, "_commit.lock"),
+            f"VersionedTable commit {self.table_dir!r}",
+        )
+        try:
+            return self._commit_locked(df, operation)
+        finally:
+            if lock_fh is not None:
+                lock_fh.close()  # releases the flock
+
+    def _commit_locked(self, df: DataFrame, operation: str) -> int:
         self._sweep_stale_scratch()
+        self._repair_torn_tail()
         version = self._next_version()
         prev = os.path.join(self.table_dir, f"v{self.latest_version()}")
         link_prev = (
@@ -266,11 +319,19 @@ class VersionedTable:
         # lookups fail loudly; _sweep_stale_scratch reclaims the
         # bytes age-guarded at a later commit.
         self._sweep_stale_scratch()  # reclaim PRIOR expiries' parked bytes
-        expired = [v for v in candidates if v in on_disk]
-        for v in expired:
+        expired = []
+        for v in candidates:
+            if v not in on_disk:
+                continue
             src = os.path.join(self.table_dir, f"v{v}")
             try:
                 os.rename(src, os.path.join(self.table_dir, f"__tmp_{uuid.uuid4().hex}"))
             except OSError:
-                shutil.rmtree(src, ignore_errors=True)
+                # Do NOT fall back to an inline rmtree (ADVICE r16):
+                # that reintroduces the partial-listing reader race the
+                # rename-parking exists to eliminate, on precisely the
+                # filesystems where rename is flaky. Skip; a later
+                # expire/sweep retries.
+                continue
+            expired.append(v)
         return expired

@@ -233,3 +233,116 @@ def test_expire_parks_versions_instead_of_inline_delete(spark, tmp_path, monkeyp
     vt.commit(spark.range(65, 70).toDF("id"))
     assert [e for e in os.listdir(ref) if "__tmp_" in e] == []
     assert vt.read(4).count() == 70  # self-contained: v3's 65 linked + 5 new
+
+
+def test_commit_after_torn_tail_repairs_log_not_glue(spark, tmp_path):
+    """ADVICE r16 (high): read-side torn-tail tolerance alone is
+    defeated by commit() — the torn half-line has no trailing
+    newline, so the next 'a'-mode append GLUES its record onto it.
+    Pre-fix: that commit's metadata was silently lost (latest_version
+    stale after a SUCCESSFUL commit) and the commit after that made
+    the glued line non-final, permanently bricking the table. The
+    repair truncates the torn suffix before appending."""
+    from streaming_data_lake_spark.sources.versioned import VersionedTable
+
+    ref = str(tmp_path / "t")
+    vt = VersionedTable(spark, ref)
+    vt.commit(spark.range(0, 50).selectExpr("id", "id * 2 AS v"), "append")
+    vt.commit(spark.range(50, 80).selectExpr("id", "id * 2 AS v"), "append")
+    meta_path = os.path.join(ref, "_snapshots.json")
+    _truncate_tail(meta_path)  # tear the v2 record mid-byte
+
+    vt2 = VersionedTable(spark, ref)
+    v = vt2.commit(spark.range(80, 90).selectExpr("id", "id * 2 AS v"), "append")
+    assert v == 3
+    # the fresh commit's metadata is VISIBLE after re-reading — the
+    # glue bug silently dropped it as "the torn tail"
+    assert vt2.latest_version() == 3
+    assert VersionedTable(spark, ref).latest_version() == 3
+    assert vt2.read().count() == 60  # reads v3, not stale v1
+    # the commit after that does not brick the table (the glued line
+    # would have become NON-final here)
+    v4 = vt2.commit(spark.range(90, 95).selectExpr("id", "id * 2 AS v"), "append")
+    assert v4 == 4
+    assert vt2.latest_version() == 4
+    assert vt2.snapshots().count() == 3  # v1, v3, v4 (v2's record was torn away)
+    # every surviving log line is parseable and newline-terminated
+    raw = open(meta_path, "rb").read()
+    assert raw.endswith(b"\n")
+    import json as _json
+
+    assert [_json.loads(ln)["version"] for ln in raw.decode().splitlines()] == [1, 3, 4]
+
+
+def test_concurrent_versioned_commits_serialize_under_flock(spark, tmp_path):
+    """VERDICT r16 "What's wrong" #3: two unserialized same-table
+    committers race _next_version to the same v{N}; commit now holds
+    a per-table flock. flock(2) conflicts between separate open file
+    descriptions even within one process, so two THREADS exercise the
+    real lock: both commits must succeed with distinct versions and a
+    fully-parseable metadata log (no interleaved appends)."""
+    import json as _json
+    import threading
+
+    from streaming_data_lake_spark.sources.versioned import VersionedTable
+
+    ref = str(tmp_path / "t")
+    VersionedTable(spark, ref).commit(spark.range(0, 10).toDF("id"), "overwrite")
+
+    errors: list[BaseException] = []
+
+    def worker(lo: int) -> None:
+        try:
+            VersionedTable(spark, ref).commit(
+                spark.range(lo, lo + 10).toDF("id"), "overwrite"
+            )
+        except BaseException as exc:  # noqa: BLE001 — collected for the assert
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(lo,)) for lo in (100, 200)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    vt = VersionedTable(spark, ref)
+    assert vt.latest_version() == 3
+    meta_path = os.path.join(ref, "_snapshots.json")
+    versions = [
+        _json.loads(ln)["version"] for ln in open(meta_path).read().splitlines()
+    ]
+    assert sorted(versions) == [1, 2, 3]
+    assert vt.read(2).count() == 10
+    assert vt.read(3).count() == 10
+
+
+def test_expire_snapshots_rename_failure_skips_not_deletes(spark, tmp_path, monkeypatch):
+    """ADVICE r16: expire's OSError fallback must SKIP the version
+    (a later expire retries), never inline-rmtree — that reintroduces
+    the partial-listing reader race on exactly the filesystems where
+    rename is flaky."""
+    from streaming_data_lake_spark.sources.versioned import VersionedTable
+
+    ref = str(tmp_path / "t")
+    vt = VersionedTable(spark, ref)
+    vt.commit(spark.range(0, 10).toDF("id"))
+    vt.commit(spark.range(10, 20).toDF("id"))
+    vt.commit(spark.range(20, 25).toDF("id"))
+
+    real_rename = os.rename
+
+    def flaky_rename(src, dst, *a, **kw):
+        if "__tmp_" in str(dst) and str(src).endswith("v1"):
+            raise OSError("simulated rename failure")
+        return real_rename(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "rename", flaky_rename)
+    # v1's rename fails -> skipped (still on disk, still readable);
+    # v2's succeeds -> expired
+    assert vt.expire_snapshots(keep_last=1) == [2]
+    assert os.path.isdir(os.path.join(ref, "v1"))
+    assert vt.read(1).count() == 10
+    monkeypatch.undo()
+    # a later expire retries and reclaims v1
+    assert vt.expire_snapshots(keep_last=1) == [1]
+    assert not os.path.isdir(os.path.join(ref, "v1"))
