@@ -33,7 +33,7 @@ from streaming_data_lake_spark.layout import (
     read_layout_meta,
     write_layout_meta,
 )
-from streaming_data_lake_spark.overlay import atomic_swap, tmp_sibling
+from streaming_data_lake_spark.overlay import atomic_swap, stamp_ns, tmp_sibling
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # reference compaction target
 
@@ -370,12 +370,15 @@ def remove_orphans(
     def version_ns(entry: str) -> int:
         """Publish order of a retained ``__old_`` entry: the
         fixed-width nanosecond stamp overlay.old_sibling embeds
-        (names sort chronologically), with the inode ctime as the
-        fallback for legacy random-hex names."""
-        tail = entry.split("__old_", 1)[1]
-        stamp = tail.split("_", 1)[0]
-        if stamp.isdigit():
-            return int(stamp)
+        (names sort chronologically; stamps are monotonic per base
+        even across a backwards clock step — overlay.old_sibling
+        clamps to newest-existing+1). overlay.stamp_ns accepts ONLY
+        the emitted fixed width, so a legacy random-hex suffix that
+        happens to be all digits cannot masquerade as an enormous
+        stamp (ADVICE r16); legacy names fall to inode ctime."""
+        ns = stamp_ns(entry)
+        if ns >= 0:
+            return ns
         try:
             return int(os.stat(os.path.join(lake_dir, entry)).st_ctime * 1e9)
         except OSError:

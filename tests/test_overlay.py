@@ -559,3 +559,104 @@ def test_successful_publish_retention_is_swept_not_restored(tmp_path):
     overlay.atomic_swap(str(live), tmp)
     assert remove_orphans(str(lake)) == []
     assert len([e for e in os.listdir(lake) if "__old_" in e]) == 1
+
+
+def test_old_sibling_stamps_are_monotonic_across_clock_step(tmp_path, monkeypatch):
+    """ADVICE r16: a backwards wall-clock step between publishes must
+    not invert "newest" — crash recovery would restore a STALE
+    snapshot. old_sibling clamps its stamp to newest-existing+1."""
+    import time as _time
+
+    import streaming_data_lake_spark.overlay as overlay
+
+    live = str(tmp_path / "t")
+    os.makedirs(live)
+    first = overlay.old_sibling(live)
+    os.makedirs(first)
+    # clock steps BACKWARDS by one hour
+    real_ns = _time.time_ns
+    monkeypatch.setattr(_time, "time_ns", lambda: real_ns() - 3_600_000_000_000)
+    second = overlay.old_sibling(live)
+    assert overlay.stamp_ns(os.path.basename(second)) > overlay.stamp_ns(
+        os.path.basename(first)
+    )
+
+
+def test_stamp_ns_rejects_legacy_all_digit_hex_names(tmp_path):
+    """A legacy 32-char random-hex suffix that happens to be all
+    digits must NOT parse as an (astronomical) ns stamp and silently
+    win every newest-entry selection — only the emitted fixed width
+    counts; everything else falls to the ctime path."""
+    from streaming_data_lake_spark.overlay import stamp_ns
+
+    assert stamp_ns("t__old_" + "9" * 32) == -1  # legacy, not a stamp
+    assert stamp_ns("t__old_deadbeef") == -1
+    assert stamp_ns(f"t__old_{123:020d}_abcd1234") == 123
+
+
+def test_heal_missing_base_restores_newest_parked_version(tmp_path):
+    """VERDICT r16 #1: a flock-holding cycle self-heals a crashed
+    two-step swap at entry — newest ``__old_`` (by stamp) is renamed
+    back; older retained versions stay parked; a present base or an
+    empty group is a no-op."""
+    import streaming_data_lake_spark.overlay as overlay
+
+    live = str(tmp_path / "t")
+    # nothing parked, base missing -> no-op
+    assert overlay.heal_missing_base(live) is None
+    old1 = overlay.old_sibling(live)
+    os.makedirs(old1)
+    with open(os.path.join(old1, "v1.parquet"), "w") as fh:
+        fh.write("v1")
+    old2 = overlay.old_sibling(live)
+    os.makedirs(old2)
+    with open(os.path.join(old2, "v2.parquet"), "w") as fh:
+        fh.write("v2")
+    restored = overlay.heal_missing_base(live)
+    assert restored == os.path.basename(old2)  # newest wins
+    assert os.path.isfile(os.path.join(live, "v2.parquet"))
+    assert os.path.isdir(old1)  # older version stays parked
+    # base present -> no-op even with a parked sibling
+    assert overlay.heal_missing_base(live) is None
+
+
+def test_publish_retires_aged_old_siblings_keeps_newest(tmp_path, monkeypatch):
+    """ADVICE r16: hot publish loops must not grow one retained dir
+    per publish forever on deployments that never schedule
+    remove_orphans — atomic_swap opportunistically reclaims its OWN
+    base's aged siblings, always keeping the newest (restore stays
+    possible). Default 1h age: young siblings are untouched."""
+    import streaming_data_lake_spark.overlay as overlay
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    live = lake / "t"
+    live.mkdir()
+    (live / "v1.parquet").write_text("v1")
+
+    def publish(i):
+        tmp = overlay.tmp_sibling(str(live))
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, f"v{i}.parquet"), "w") as fh:
+            fh.write(f"v{i}")
+        overlay.atomic_swap(str(live), tmp)
+
+    for i in (2, 3, 4):
+        publish(i)
+    # default age guard: all three young retained versions survive
+    assert len([e for e in os.listdir(lake) if "__old_" in e]) == 3
+
+    # age out: the next publish reclaims all but the newest sibling
+    monkeypatch.setattr(overlay, "RETIRE_MIN_AGE_S", 0.0)
+    publish(5)
+    olds = [e for e in os.listdir(lake) if "__old_" in e]
+    assert len(olds) == 1
+    # the survivor is the newest (v4, just parked by publish(5))
+    assert os.path.isfile(lake / olds[0] / "v4.parquet")
+    assert os.listdir(live) == ["v5.parquet"]
+    # ...and it remains restorable: simulate base loss, heal
+    import shutil as _shutil
+
+    _shutil.rmtree(live)
+    assert overlay.heal_missing_base(str(live)) == olds[0]
+    assert os.path.isfile(live / "v4.parquet")
