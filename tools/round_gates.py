@@ -180,6 +180,15 @@ GATES: list[tuple[str, list[str], str, str]] = [
     # serialized no-op — one full load / one non-zero append, no
     # duplicated keys. Rides the light huge-doc lane (~180 s).
     ("mat-race", [sys.executable, "tools/probe_concurrent_mat.py"], "ALL GREEN", "sweeps-c"),
+    # Orphan-sweep vs live publishers (18th gate, r17): a real
+    # remove_orphans loop at the SCHEDULED min-age races two tight
+    # atomic_swap publishers (exchange + forced two-step fallback)
+    # and a two-lane reader (by-path scan; resolved-dir-fd listing
+    # held across publishes). The sweep must act on nothing young,
+    # the reader must never see a partial/mixed snapshot, and the
+    # run-after-the-fact min_age=0 sweep must leave exactly the final
+    # versions. Rides the light huge-doc lane with mat-race.
+    ("orphan-race", [sys.executable, "tools/probe_orphan_race.py", "6"], "ALL OK", "sweeps-c"),
 ]
 
 _SKIP_ALIASES = {
@@ -196,6 +205,7 @@ _SKIP_ALIASES = {
     "allnull": "all-null-sweep",
     "dupkeys": "dup-keys-sweep",
     "matrace": "mat-race",
+    "orphanrace": "orphan-race",
     "bare": "bare-sweep",
 }
 
