@@ -1,0 +1,268 @@
+"""Publish-path fault injection + readdir-order independence (r17
+adversarial axis — VERDICT r16 "Next round" #6a/#6b).
+
+Axis (a): force ENOSPC / EMLINK mid link/copy on every publish path
+that stages a new version — the overlay's partition reuse (M2), the
+versioned table's append manifest reuse, and the staged M4 move loop.
+The invariant: a failed stage ABORTS, it never publishes — a
+truncated leaf written by a dying copy must be unreachable from any
+reader-visible version, the live table must be byte-identical to its
+pre-fault state, and the leaked scratch must be reclaimable by the
+normal sweeps. M4 (the one non-snapshot-atomic path, by contract)
+must roll its partial move back via the intent journal on the next
+cycle — appended rows land exactly once.
+
+Axis (b): overlay/sweep/restore loops iterate ``os.listdir``, whose
+order is filesystem-arbitrary. Every outcome (links made, newest
+``__old_`` restored, siblings retired) must be identical under
+reversed listing order — nothing may depend on readdir sequence.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import errno
+import os
+import shutil
+
+import pytest
+
+from streaming_data_lake_spark.plans.maintenance import remove_orphans
+from streaming_data_lake_spark.plans.materialize import Materializer, MatTarget
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(rows, "id long, ts timestamp, k int, v double")
+    df.write.mode("append").parquet(path)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _truncating_copy2(src, dst, **kw):
+    """A copy that dies of ENOSPC halfway: the destination exists and
+    is TRUNCATED — the dangerous shape (a reader of that file would
+    see a torn parquet footer)."""
+    with open(src, "rb") as s, open(dst, "wb") as d:
+        d.write(s.read()[: max(1, os.path.getsize(src) // 2)])
+    raise OSError(errno.ENOSPC, "No space left on device (injected)")
+
+
+def test_enospc_mid_m2_overlay_link_aborts_not_publishes(spark, tmp_path, monkeypatch):
+    """ENOSPC while hard-linking untouched day partitions into an M2
+    repair's scratch: the cycle must raise, the live table must stay
+    the complete pre-fault version (no truncated leaf reachable), and
+    the leaked scratch must sweep away."""
+    lake = str(tmp_path / "lake")
+    src = os.path.join(lake, "src")
+    os.makedirs(lake, exist_ok=True)
+    _write_events(spark, src, [(1, _ts("2024-01-01 10:00:00"), 1, 1.0),
+                               (2, _ts("2024-01-02 11:00:00"), 2, 2.0)])
+    target = MatTarget("mat", lambda s: s.read.parquet(src), "ts")
+    m = Materializer(spark, lake)
+    m.run(target, lookback_hours=2)
+    pre = sorted(r["id"] for r in m.read_mat("mat").collect())
+
+    # late row on day 2 -> next cycle takes the M2 repair publish,
+    # which links the untouched day-1 partition into scratch
+    _write_events(spark, src, [(3, _ts("2024-01-02 10:30:00"), 3, 3.0)])
+
+    def failing_link(src_f, dst_f, **kw):
+        raise OSError(errno.EMLINK, "Too many links (injected)")
+
+    monkeypatch.setattr(os, "link", failing_link)
+    monkeypatch.setattr(shutil, "copy2", _truncating_copy2)
+    with pytest.raises(OSError, match="injected"):
+        m.run(target, lookback_hours=2)
+    monkeypatch.undo()
+
+    # live table: byte-complete pre-fault state, no torn leaf readable
+    assert sorted(r["id"] for r in m.read_mat("mat").collect()) == pre
+    # the dying copy's truncated leaf lives only in scratch
+    scratch = [e for e in os.listdir(lake) if "__tmp_" in e]
+    assert scratch, "aborted publish left no scratch to inspect"
+    assert not any("__tmp_" in e for e in os.listdir(os.path.join(lake, "mat")))
+    # normal reclamation covers the leak; the table survives it
+    actions = remove_orphans(lake, min_age_s=0)
+    assert any("__tmp_" in a for a in actions)
+    assert not any(a.startswith("restored:") for a in actions)
+    assert sorted(r["id"] for r in m.read_mat("mat").collect()) == pre
+
+    # and the next healthy cycle repairs what the aborted one couldn't
+    log = m.run(target, lookback_hours=2)
+    assert log["M2"].startswith("repaired")
+    assert sorted(r["id"] for r in m.read_mat("mat").collect()) == [1, 2, 3]
+
+
+def test_emlink_mid_versioned_append_aborts_commit(spark, tmp_path, monkeypatch):
+    """EMLINK (then truncated-copy ENOSPC) while an append commit
+    reuses the previous version's data files: commit raises, the
+    table still reads the previous version, no metadata row lands,
+    and the next healthy commit sweeps the scratch and succeeds."""
+    from streaming_data_lake_spark.sources.versioned import VersionedTable
+
+    ref = str(tmp_path / "t")
+    vt = VersionedTable(spark, ref)
+    vt.commit(spark.range(0, 50).selectExpr("id", "id * 2 AS v"), "append")
+
+    def failing_link(src_f, dst_f, **kw):
+        raise OSError(errno.EMLINK, "Too many links (injected)")
+
+    monkeypatch.setattr(os, "link", failing_link)
+    monkeypatch.setattr(shutil, "copy2", _truncating_copy2)
+    with pytest.raises(OSError, match="injected"):
+        vt.commit(spark.range(50, 60).selectExpr("id", "id * 2 AS v"), "append")
+    monkeypatch.undo()
+
+    assert vt.latest_version() == 1
+    assert vt.read().count() == 50
+    assert vt.snapshots().count() == 1
+    assert not os.path.isdir(os.path.join(ref, "v2"))  # never published
+    scratch = [e for e in os.listdir(ref) if "__tmp_" in e]
+    assert scratch, "aborted commit left no scratch"
+
+    monkeypatch.setattr(VersionedTable, "_SCRATCH_MIN_AGE_S", 0.0)
+    v = vt.commit(spark.range(50, 60).selectExpr("id", "id * 2 AS v"), "append")
+    assert v == 2
+    assert vt.read(2).count() == 60
+    assert [e for e in os.listdir(ref) if "__tmp_" in e] == []
+
+
+def test_enospc_mid_m4_move_rolls_back_on_next_cycle(spark, tmp_path, monkeypatch):
+    """M4 renames staged append files into the live table one by one
+    (the documented non-snapshot-atomic path). A fault partway
+    through the move loop leaves a PARTIAL append + the intent
+    journal + the OLD watermark; the next cycle must roll the partial
+    files back and re-append — every new row lands exactly once."""
+    lake = str(tmp_path / "lake")
+    src = os.path.join(lake, "src")
+    os.makedirs(lake, exist_ok=True)
+    _write_events(spark, src, [(1, _ts("2024-01-01 10:00:00"), 1, 1.0)])
+    target = MatTarget("mat", lambda s: s.read.parquet(src), "ts")
+    m = Materializer(spark, lake)
+    m.run(target, lookback_hours=2)
+
+    # two NEW days -> the staged M4 move loop renames >= 2 files
+    _write_events(spark, src, [(2, _ts("2024-01-02 11:00:00"), 2, 2.0),
+                               (3, _ts("2024-01-03 12:00:00"), 3, 3.0)])
+    real_rename = os.rename
+    mat_dir = os.path.join(lake, "mat")
+    moved_in = [0]
+
+    def crashy_rename(a, b, *args, **kw):
+        # fail the SECOND move of a staged data file into the table
+        if str(b).startswith(mat_dir + os.sep) and str(b).endswith(".parquet"):
+            if moved_in[0] >= 1:
+                raise OSError(errno.ENOSPC, "No space left on device (injected)")
+            moved_in[0] += 1
+        return real_rename(a, b, *args, **kw)
+
+    monkeypatch.setattr(os, "rename", crashy_rename)
+    with pytest.raises(OSError, match="injected"):
+        m.run(target, lookback_hours=2)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert moved_in[0] == 1, "fault did not land mid-move"
+
+    # crash state: partial append visible (documented M4 contract:
+    # a committed-rows subset, never a torn file), journal present
+    assert os.path.exists(m._m4_intent_path("mat"))
+
+    # next cycle: journal rollback, then a clean re-append
+    log = m.run(target, lookback_hours=2)
+    assert log.get("M4:recovery") == "rolled back crashed append"
+    assert log["M4"] == "appended 2"
+    got = sorted(r["id"] for r in m.read_mat("mat").collect())
+    assert got == [1, 2, 3], f"rows duplicated or lost: {got}"
+    assert not os.path.exists(m._m4_intent_path("mat"))
+
+
+def test_overlay_and_sweep_outcomes_survive_reversed_readdir(tmp_path, monkeypatch):
+    """Readdir-order independence: run the crash-restore sweep, the
+    publish-time retirement, and the leaf-link overlay under a
+    REVERSED os.listdir and assert outcomes identical to natural
+    order — newest-__old_ selection must come from stamps, links from
+    set membership, never from listing sequence."""
+    import streaming_data_lake_spark.overlay as overlay
+
+    real_listdir = os.listdir
+
+    def reversed_listdir(path="."):
+        return list(reversed(real_listdir(path)))
+
+    # -- newest-__old_ restore under reversed listing ------------------
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    live = str(lake / "t")
+    olds = []
+    for i in (1, 2, 3):
+        o = overlay.old_sibling(live)
+        os.makedirs(o)
+        with open(os.path.join(o, f"v{i}.txt"), "w") as fh:
+            fh.write(str(i))
+        olds.append(o)
+    monkeypatch.setattr(os, "listdir", reversed_listdir)
+    actions = remove_orphans(str(lake), min_age_s=0)
+    monkeypatch.undo()
+    restored = [a for a in actions if a.startswith("restored:")]
+    assert restored == [f"restored:{os.path.basename(olds[-1])}"]
+    assert os.path.isfile(os.path.join(live, "v3.txt"))  # newest by stamp
+    assert sorted(a for a in actions if not a.startswith("restored:")) == sorted(
+        os.path.basename(o) for o in olds[:-1]
+    )
+
+    # -- heal_missing_base under reversed listing ----------------------
+    live2 = str(lake / "u")
+    olds2 = []
+    for i in (1, 2):
+        o = overlay.old_sibling(live2)
+        os.makedirs(o)
+        with open(os.path.join(o, f"w{i}.txt"), "w") as fh:
+            fh.write(str(i))
+        olds2.append(o)
+    monkeypatch.setattr(os, "listdir", reversed_listdir)
+    healed = overlay.heal_missing_base(live2)
+    monkeypatch.undo()
+    assert healed == os.path.basename(olds2[-1])
+    assert os.path.isfile(os.path.join(live2, "w2.txt"))
+
+    # -- retirement keeps the newest regardless of order ---------------
+    monkeypatch.setattr(overlay, "RETIRE_MIN_AGE_S", 0.0)
+    third = overlay.old_sibling(live2)
+    os.makedirs(third)
+    monkeypatch.setattr(os, "listdir", reversed_listdir)
+    overlay.retire_old_siblings(live2)
+    monkeypatch.undo()
+    left = [e for e in real_listdir(lake) if e.startswith("u__old_")]
+    assert left == [os.path.basename(third)]  # newest survives
+
+    # -- leaf overlay links the same set under reversed listing --------
+    def mk_table(root):
+        for day in ("d=1", "d=2"):
+            for kb in ("kb=0", "kb=1"):
+                p = os.path.join(root, day, kb)
+                os.makedirs(p)
+                with open(os.path.join(p, "f.parquet"), "w") as fh:
+                    fh.write(day + kb)
+
+    src_a, dst_a = str(tmp_path / "a"), str(tmp_path / "a_tmp")
+    src_b, dst_b = str(tmp_path / "b"), str(tmp_path / "b_tmp")
+    mk_table(src_a)
+    mk_table(src_b)
+    os.makedirs(dst_a)
+    os.makedirs(dst_b)
+    rewritten = {("d=1", "kb=1")}
+    n_nat = overlay.link_untouched_leaves(src_a, dst_a, "d", "kb", rewritten)
+    monkeypatch.setattr(os, "listdir", reversed_listdir)
+    n_rev = overlay.link_untouched_leaves(src_b, dst_b, "d", "kb", rewritten)
+    monkeypatch.undo()
+    assert n_nat == n_rev == 3
+
+    def tree(root):
+        out = set()
+        for r, _d, files in os.walk(root):
+            for f in files:
+                out.add(os.path.relpath(os.path.join(r, f), root))
+        return out
+
+    assert tree(dst_a) == tree(dst_b)
