@@ -38,103 +38,29 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver hash-checks the FIRST 50 registered queries per round.
-# Round 16 executes the rotation CHANGELOG_r15.md committed and
-# tests/test_registry_order.py (r15 revision) pinned: the 27-name
-# r13-verdict drain (age 3 the moment CORRECTNESS_r15 landed) at
-# positions 1-27, the 15 R15_ROUND_CODE_TOUCHED names (r14 verdicts
-# certify PRE-touch code: the Java-\s vs RE2-\s \x0B whitespace-class
-# spell-out, the all-NULL concat_ws oracle coalesce, the per-table
-# merge flock) at 28-42, and 8 free slots at 43-50. The free slots
-# are spent with foresight (the r15 precedent): the 2 names this
-# round's PLANNED code-touches hit lead the fills — ADVICE r15's
-# flock-OSError fd-leak fix touches plans/materialize.py (serving
-# materialize_dim_change_repair, whose r15 verdict would go
-# pre-touch) and the renameat2 ctypes-caching refactor touches
-# overlay.py (serving two_level_overlay_maintenance) — so their
-# post-touch code is certified THIS round; then 6 oldest-r14-verdict
-# fills (`tools/ledger.py --emit-order`, ties by prior position).
-# The committed r17 drain follows contiguously at 51-79 (the 29
-# remaining r14-verdict names -> r17 window = 29 obligatory + 21
+# Round 17 executes the rotation CHANGELOG_r16.md committed and
+# tests/test_registry_order.py (r16 revision) pinned: the 29-name
+# r14-verdict drain (age 3 the moment CORRECTNESS_r16 landed) at
+# positions 1-29 — including time_travel_read_v1/snapshot_metadata,
+# whose r17 verdicts certify the versioned.py torn-tail-repair +
+# commit-flock code — then the 8 names round 17's OWN code touches
+# hit while carrying r16 verdicts (self-heal at flock entry in the
+# materializer cycle and the upsert MERGE; monotonic __old_ stamps,
+# publish-time retirement, stamp-width cap) at 30-37, then 13
+# oldest-r15-verdict fills (`tools/ledger.py --emit-order`, ties by
+# prior position) at 38-50, pre-draining the r18 cliff from 48 to
+# 35. The committed r18 drain follows contiguously at 51-85 (the 35
+# remaining r15-verdict names -> r18 window = 35 obligatory + 15
 # free, pinned by forward simulation in
-# tests/test_registry_order.py). Rotated at round-16 start, before
+# tests/test_registry_order.py). Rotated at round-17 start, before
 # any driver run. tools/ledger.py cross-references the verdict files.
 _CERTIFICATION_ORDER = [
-    # ---- (a) the 27-name r16 drain: r13 verdicts, stale the moment
-    # CORRECTNESS_r15 landed (committed by the r15 revision of this
-    # module; pinned by test_r16_drain_fits_after_r15_lands). This
-    # re-certifies the heavyweight r13 tail (bloom_semi_join_prune —
-    # the VERDICT r15 bench watch item — event_quality_spine_hourly,
-    # streaming_sessionize, materialize_funnel_exists_repair,
-    # maintenance_compaction) ----
-    "funnel_leakage_daily",
-    "cms_heavy_hitter_tokens",
-    "token_budget_packing",
-    "bloom_semi_join_prune",
-    "materialize_funnel_exists_repair",
-    "maintenance_compaction",
-    "hll_distinct_users_daily",
-    "winnowing_fingerprints",
-    "exact_substring_dups",
-    "dedup_keep_best_quality",
-    "event_quality_spine_hourly",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "batch_sessionize_windows",
-    "streaming_sessionize",
-    "streaming_upsert_hourly",
-    "user_rolling_7day_value",
-    "rollup_revenue_levels",
-    "price_quantiles_by_flag",
-    "user_event_gaps",
-    "running_revenue_by_nation",
-    "order_value_deciles",
-    "props_json_stats",
-    "keyset_intersect_except",
-    "orders_above_global_avg",
-    "supplier_name_near_matches",
-    "domain_mixture_resample",
-    # ---- (b) the 15 R15_ROUND_CODE_TOUCHED commitments (r14
-    # verdicts certify pre-touch code): the explicit Java whitespace
-    # class [ \t\n\r\f\x0B] spelled on both engine and oracle sides
-    # of every tokenization/ingest consumer, the per-table MERGE
-    # flock behind the streaming sketches, and the all-NULL
-    # concat_ws-vs-NULL oracle coalesce (user_event_type_paths) ----
-    "events_clean",
-    "streaming_clean_events",
-    "materialize_incremental_clean_events",
-    "streaming_fanout_ingest",
-    "streaming_cms_token_counts",
-    "streaming_hll_daily_users",
-    "tfidf_top_terms",
-    "token_counts",
-    "top_tokens",
-    "doc_fingerprints",
-    "quality_scores",
-    "lang_id_heuristic",
-    "repetition_signals",
-    "benchmark_decontamination",
-    "user_event_type_paths",
-    # ---- (c) 8 free slots. First the 2 r15-verdict names this
-    # round's PLANNED code-touches hit (ADVICE r15: the cycle-flock
-    # OSError fd-leak fix in plans/materialize.py, the renameat2
-    # ctypes resolve-once refactor in overlay.py), placed with
-    # foresight so post-touch code earns its verdict THIS round ----
-    "materialize_dim_change_repair",
-    "two_level_overlay_maintenance",
-    # ---- then 6 oldest-r14-verdict fills (ties by prior position
-    # -- `tools/ledger.py --emit-order`), pre-draining the r17 cliff
-    # from 35 r14 tail names to 29 ----
-    "price_outliers_zscore",
-    "lineitem_flag_pivot",
-    "corr_quantity_price",
-    "priority_window_profile",
-    "stratified_sample_by_lang",
-    "top_busiest_hours",
-    # ---- position 51+ : NOT certified this round. First the
-    # committed r17 drain: the 29 remaining r14-verdict names (age 3
-    # at r17 -> r17 window = 29 obligatory + 21 free; forward-
-    # simulated in tests/test_registry_order.py). Any name below that
-    # r16 code-touches must move directly after this drain ----
+    # ---- (a) the 29-name r17 drain: r14 verdicts, stale the moment
+    # CORRECTNESS_r16 landed (committed by the r16 revision of this
+    # module; pinned by test_r17_drain_fits_after_r16_lands). Includes
+    # time_travel_read_v1 / snapshot_metadata — the consumers that
+    # certify r17's torn-tail-repair + commit-flock changes to
+    # sources/versioned.py ----
     "duplicate_rates_hourly",
     "consistent_hash_sample",
     "events_rejected",
@@ -164,9 +90,23 @@ _CERTIFICATION_ORDER = [
     "nested_double_unnest_roundtrip",
     "currency_normalized_revenue",
     "range_band_pricing",
-    # ---- r15-certified (fresh through r17; the r15 window in its
-    # certified order, minus the 2 foresight names moved into the
-    # window above) ----
+    # ---- (b) names code-touched DURING round 17 while carrying r16
+    # verdicts (self-heal at flock entry in plans/materialize.py and
+    # sources/upsert.py; monotonic __old_ stamps + publish-time
+    # retirement in overlay.py; stamp-width cap in
+    # plans/maintenance.py) — certified THIS round, the r15/r16
+    # foresight precedent ----
+    "materialize_incremental_clean_events",
+    "materialize_dim_change_repair",
+    "materialize_funnel_exists_repair",
+    "maintenance_compaction",
+    "two_level_overlay_maintenance",
+    "streaming_upsert_hourly",
+    "streaming_hll_daily_users",
+    "streaming_cms_token_counts",
+    # ---- (c) 13 oldest-r15 fills (ties by prior registry position —
+    # tools/ledger.py --emit-order), pre-draining the r18 cliff from
+    # 48 r15 tail names to 35 ----
     "simhash_fingerprints",
     "schema_evolution_read",
     "blocklist_filter_retention",
@@ -180,6 +120,11 @@ _CERTIFICATION_ORDER = [
     "seeded_dim_hierarchy_enrichment",
     "events_dedup_canonical",
     "pricing_summary",
+    # ---- position 51+ : NOT certified this round. The committed r18
+    # drain sits first (35 remaining r15-verdict names, stale the
+    # moment CORRECTNESS_r17 lands -> r18 window = 35 obligatory + 15
+    # free, pinned by forward simulation in
+    # tests/test_registry_order.py) ----
     "minhash_lsh_near_dups",
     "dup_clusters_connected",
     "bucketed_colocated_join",
@@ -215,6 +160,49 @@ _CERTIFICATION_ORDER = [
     "value_distribution_by_class",
     "flag_distribution",
     "avg_value_spread",
+    # ---- r16-certified tail (back in rotation at r19) ----
+    "funnel_leakage_daily",
+    "cms_heavy_hitter_tokens",
+    "token_budget_packing",
+    "bloom_semi_join_prune",
+    "hll_distinct_users_daily",
+    "winnowing_fingerprints",
+    "exact_substring_dups",
+    "dedup_keep_best_quality",
+    "event_quality_spine_hourly",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "batch_sessionize_windows",
+    "streaming_sessionize",
+    "user_rolling_7day_value",
+    "rollup_revenue_levels",
+    "price_quantiles_by_flag",
+    "user_event_gaps",
+    "running_revenue_by_nation",
+    "order_value_deciles",
+    "props_json_stats",
+    "keyset_intersect_except",
+    "orders_above_global_avg",
+    "supplier_name_near_matches",
+    "domain_mixture_resample",
+    "events_clean",
+    "streaming_clean_events",
+    "streaming_fanout_ingest",
+    "tfidf_top_terms",
+    "token_counts",
+    "top_tokens",
+    "doc_fingerprints",
+    "quality_scores",
+    "lang_id_heuristic",
+    "repetition_signals",
+    "benchmark_decontamination",
+    "user_event_type_paths",
+    "price_outliers_zscore",
+    "lineitem_flag_pivot",
+    "corr_quantity_price",
+    "priority_window_profile",
+    "stratified_sample_by_lang",
+    "top_busiest_hours",
 ]
 
 

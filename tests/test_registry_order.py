@@ -1,18 +1,19 @@
 """The driver certifies only the first 50 registered queries, so the
-registry order IS part of the correctness contract. Round 16 executes
-the rotation CHANGELOG_r15.md committed (and the r15 revision of this
-module pinned) — the 27-name r13-verdict drain at positions 1-27, the
-15 R15_ROUND_CODE_TOUCHED names at 28-42, and 8 free slots at 43-50
-(the 2 names this round's PLANNED code-touches hit — ADVICE r15's
-cycle-flock OSError fd-leak fix in plans/materialize.py and the
-renameat2 ctypes resolve-once refactor in overlay.py — lead the fills
-so post-touch code is certified THIS round, then 6 oldest-r14 fills
-pre-drain the r17 cliff from 35 to 29). This module pins the r16
-window AND the committed r17 drain (the 29 remaining r14-verdict
-names at positions 51-79) with a forward simulation, so the next
-session cannot repeat the r8 rotation miss (VERDICT r8 "What's wrong"
-#1). tools/ledger.py cross-references every CORRECTNESS_r*.json
-against this order (tests/test_ledger.py)."""
+registry order IS part of the correctness contract. Round 17 executes
+the rotation CHANGELOG_r16.md committed (and the r16 revision of this
+module pinned): the 29-name r14-verdict drain at positions 1-29 —
+including ``time_travel_read_v1``/``snapshot_metadata``, whose r17
+verdicts certify this round's torn-tail-repair + commit-flock changes
+to sources/versioned.py — then the 8 names round 17's OWN code
+touches hit while carrying r16 verdicts (self-heal at flock entry in
+plans/materialize.py and sources/upsert.py; monotonic ``__old_``
+stamps + publish-time retirement in overlay.py; the stamp-width cap
+in plans/maintenance.py), then 13 oldest-r15 fills pre-draining the
+r18 cliff from 48 to 35. This module pins the r17 window AND the
+committed r18 drain (positions 51-85) with a forward simulation, so
+the next session cannot repeat the r8 rotation miss (VERDICT r8
+"What's wrong" #1). tools/ledger.py cross-references every
+CORRECTNESS_r*.json against this order (tests/test_ledger.py)."""
 
 from __future__ import annotations
 
@@ -29,92 +30,10 @@ import ledger  # noqa: E402
 
 WINDOW = 50
 
-# (a) The 27 queries whose latest driver verdict is round 13 — the
-# committed r16 drain (CHANGELOG_r15.md; age 3 the moment
-# CORRECTNESS_r15 landed). They take the first 27 slots
+# (a) The 29 queries whose latest driver verdict is round 14 — the
+# committed r17 drain (CHANGELOG_r16.md; age 3 the moment
+# CORRECTNESS_r16 landed). They take the first 29 slots
 # unconditionally.
-R16_DRAIN = {
-    "funnel_leakage_daily",
-    "cms_heavy_hitter_tokens",
-    "token_budget_packing",
-    "bloom_semi_join_prune",
-    "materialize_funnel_exists_repair",
-    "maintenance_compaction",
-    "hll_distinct_users_daily",
-    "winnowing_fingerprints",
-    "exact_substring_dups",
-    "dedup_keep_best_quality",
-    "event_quality_spine_hourly",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "batch_sessionize_windows",
-    "streaming_sessionize",
-    "streaming_upsert_hourly",
-    "user_rolling_7day_value",
-    "rollup_revenue_levels",
-    "price_quantiles_by_flag",
-    "user_event_gaps",
-    "running_revenue_by_nation",
-    "order_value_deciles",
-    "props_json_stats",
-    "keyset_intersect_except",
-    "orders_above_global_avg",
-    "supplier_name_near_matches",
-    "domain_mixture_resample",
-}
-
-# (b) Names code-touched DURING round 15 while carrying r14 verdicts
-# (the Java-\s vs RE2-\s \x0B whitespace-class spell-out across every
-# tokenization/ingest consumer, the per-table MERGE flock behind the
-# streaming sketches, the all-NULL concat_ws oracle coalesce).
-# Committed to the r16 head by the r15 revision of this module.
-R15_ROUND_CODE_TOUCHED = [
-    "events_clean",
-    "streaming_clean_events",
-    "materialize_incremental_clean_events",
-    "streaming_fanout_ingest",
-    "streaming_cms_token_counts",
-    "streaming_hll_daily_users",
-    "tfidf_top_terms",
-    "token_counts",
-    "top_tokens",
-    "doc_fingerprints",
-    "quality_scores",
-    "lang_id_heuristic",
-    "repetition_signals",
-    "benchmark_decontamination",
-    "user_event_type_paths",
-]
-
-# (c) The 8 free slots. The first 2 are the r15-verdict names this
-# round's PLANNED code-touches hit, placed in the window with
-# foresight so their post-touch code earns a fresh verdict THIS round
-# instead of burdening r17 (the r15 precedent): ADVICE r15's
-# cycle-flock OSError handler fix lands in plans/materialize.py
-# (serving materialize_dim_change_repair) and the renameat2 ctypes
-# resolve-once refactor lands in overlay.py (serving
-# two_level_overlay_maintenance). Then 6 oldest-r14 fills (ties by
-# prior registry position — `tools/ledger.py --emit-order`),
-# pre-draining the r17 cliff from 35 r14 tail names to 29.
-R16_FILLS = [
-    "materialize_dim_change_repair",
-    "two_level_overlay_maintenance",
-    "price_outliers_zscore",
-    "lineitem_flag_pivot",
-    "corr_quantity_price",
-    "priority_window_profile",
-    "stratified_sample_by_lang",
-    "top_busiest_hours",
-]
-
-MUST_BE_IN_WINDOW = R16_DRAIN | set(R15_ROUND_CODE_TOUCHED) | set(R16_FILLS)
-
-# The committed r17 drain: the 29 r14-verdict names the 8 r16 fills
-# could NOT pre-drain. They go stale (age 3) the moment
-# CORRECTNESS_r16 lands and MUST lead the r17 window — positions
-# 51-79 here so the r17 rotation is a pure prefix rotation. r17 then
-# has 21 free slots for the r15 block (48 tail names, stale at r18).
-# The cliff arithmetic stays a test.
 R17_DRAIN = {
     "duplicate_rates_hourly",
     "consistent_hash_sample",
@@ -147,13 +66,96 @@ R17_DRAIN = {
     "range_band_pricing",
 }
 
-# Names code-touched DURING round 16 while carrying sub-window
-# verdicts. Every r16 session code-touch of a tail name MUST be
-# appended here (they take r17 free slots directly after the drain).
-# The planned touches (materialize cycle-flock fix, renameat2
-# refactor) were pre-placed inside the window via R16_FILLS; this
-# list holds unplanned mid-round finds only.
-R16_ROUND_CODE_TOUCHED: list[str] = []
+# (b) Names code-touched DURING round 17 while carrying r16 verdicts
+# (the r15/r16 foresight precedent — certify post-touch code THIS
+# round): the materializer-cycle and upsert-MERGE self-heal at flock
+# entry (plans/materialize.py run(), sources/upsert.py merge_upsert),
+# the monotonic __old_ stamp + publish-time retirement in overlay.py
+# (every atomic_swap publisher), and the stamp-width cap in
+# plans/maintenance.py.
+R17_ROUND_CODE_TOUCHED = [
+    "materialize_incremental_clean_events",
+    "materialize_dim_change_repair",
+    "materialize_funnel_exists_repair",
+    "maintenance_compaction",
+    "two_level_overlay_maintenance",
+    "streaming_upsert_hourly",
+    "streaming_hll_daily_users",
+    "streaming_cms_token_counts",
+]
+
+# (c) The 13 free-slot fills: oldest-r15 verdicts (ties by prior
+# registry position — `tools/ledger.py --emit-order`), pre-draining
+# the r18 cliff from 48 r15 tail names to 35.
+R17_FILLS = [
+    "simhash_fingerprints",
+    "schema_evolution_read",
+    "blocklist_filter_retention",
+    "quality_percentile_filter",
+    "crossdoc_boilerplate_ngrams",
+    "large_orders_having",
+    "cube_device_day_metrics",
+    "value_histogram_quantiles",
+    "zorder_layout_keys",
+    "topn_customers_per_nation",
+    "seeded_dim_hierarchy_enrichment",
+    "events_dedup_canonical",
+    "pricing_summary",
+]
+
+MUST_BE_IN_WINDOW = R17_DRAIN | set(R17_ROUND_CODE_TOUCHED) | set(R17_FILLS)
+
+# The committed r18 drain: the 35 r15-verdict names the 13 r17 fills
+# could NOT pre-drain. They go stale (age 3) the moment
+# CORRECTNESS_r17 lands and MUST lead the r18 window — positions
+# 51-85 here so the r18 rotation is a pure prefix rotation. r18 then
+# has 15 free slots for oldest-r16 fills (42 r16 tail names, stale at
+# r19). The cliff arithmetic stays a test.
+R18_DRAIN = {
+    "minhash_lsh_near_dups",
+    "dup_clusters_connected",
+    "bucketed_colocated_join",
+    "partition_pruned_scan",
+    "schema_drift_check",
+    "knn_ivf_cosine",
+    "knn_ivf_multiprobe_cosine",
+    "knn_bruteforce_cosine",
+    "knn_pq_adc_l2",
+    "knn_ivf_pq_adc",
+    "kmeans_train_centroids",
+    "knn_ivf_trained_cosine",
+    "asof_latest_view_before_purchase",
+    "asof_view_within_6h",
+    "doc_chunks_overlap",
+    "bigram_lm_quality",
+    "pii_redaction",
+    "ngram_jaccard_near_dups",
+    "semantic_dedup_centroid",
+    "embedding_cosine_near_dups",
+    "knn_ivf_materialized_cosine",
+    "embedding_label_stats",
+    "embedding_int8_quantization",
+    "knn_ivf_recall_at_k",
+    "salted_skew_aggregation",
+    "replicated_skew_join_rollup",
+    "conditional_distinct_users",
+    "user_engagement_ratios",
+    "user_daily_landscape",
+    "latest_event_per_user_type",
+    "interval_join_click_view",
+    "funnel_conversion_daily",
+    "value_distribution_by_class",
+    "flag_distribution",
+    "avg_value_spread",
+}
+
+# Names code-touched LATER during round 17 (after the rotation was
+# pinned) while carrying sub-window verdicts. Every such touch MUST
+# be appended here (they take r18 free slots directly after the
+# drain). The planned touches were pre-placed inside the window via
+# R17_ROUND_CODE_TOUCHED; this list holds unplanned mid-round finds
+# only.
+R17_LATE_CODE_TOUCHED: list[str] = []
 
 
 def test_order_in_sync_and_window_covers_obligatory_drain():
@@ -166,74 +168,74 @@ def test_order_in_sync_and_window_covers_obligatory_drain():
 
 
 def test_window_is_exactly_the_drain_plan():
-    """The r16 window is exactly the committed composition — 27 drain
-    + 15 code-touched + 8 fills, in that block order — and the
-    committed r17 drain sits contiguously after it (positions 51-79)
+    """The r17 window is exactly the committed composition — 29 drain
+    + 8 code-touched + 13 fills, in that block order — and the
+    committed r18 drain sits contiguously after it (positions 51-85)
     so the next rotation is mechanical."""
     assert len(MUST_BE_IN_WINDOW) == WINDOW
     names = list(all_queries())
     assert set(names[:WINDOW]) == MUST_BE_IN_WINDOW
-    n_drain = len(R16_DRAIN)
-    assert set(names[:n_drain]) == R16_DRAIN
-    head = R15_ROUND_CODE_TOUCHED + R16_FILLS
+    n_drain = len(R17_DRAIN)
+    assert set(names[:n_drain]) == R17_DRAIN
+    head = R17_ROUND_CODE_TOUCHED + R17_FILLS
     assert names[n_drain:WINDOW] == head
-    assert set(names[WINDOW : WINDOW + len(R17_DRAIN)]) == R17_DRAIN
-    # r16-session code-touches sit contiguously after the r17 drain
-    # so the r17 window (29 drain + these + fills) stays a prefix
-    # rotation.
-    ct = slice(WINDOW + len(R17_DRAIN), WINDOW + len(R17_DRAIN) + len(R16_ROUND_CODE_TOUCHED))
-    assert names[ct] == R16_ROUND_CODE_TOUCHED
-    assert len(R17_DRAIN) + len(R16_ROUND_CODE_TOUCHED) <= WINDOW, (
-        "r17 window overflow: committed drain + r16 code-touches exceed 50"
+    assert set(names[WINDOW : WINDOW + len(R18_DRAIN)]) == R18_DRAIN
+    # r17-session late code-touches sit contiguously after the r18
+    # drain so the r18 window (35 drain + these + fills) stays a
+    # prefix rotation.
+    ct = slice(WINDOW + len(R18_DRAIN), WINDOW + len(R18_DRAIN) + len(R17_LATE_CODE_TOUCHED))
+    assert names[ct] == R17_LATE_CODE_TOUCHED
+    assert len(R18_DRAIN) + len(R17_LATE_CODE_TOUCHED) <= WINDOW, (
+        "r18 window overflow: committed drain + r17 late code-touches exceed 50"
     )
     # Groups pairwise disjoint — a silent overlap would make the
     # size check pass while the window holds fewer obligations.
     groups = [
-        R16_DRAIN,
-        set(R15_ROUND_CODE_TOUCHED),
-        set(R16_FILLS),
         R17_DRAIN,
-        set(R16_ROUND_CODE_TOUCHED),
+        set(R17_ROUND_CODE_TOUCHED),
+        set(R17_FILLS),
+        R18_DRAIN,
+        set(R17_LATE_CODE_TOUCHED),
     ]
     for i, g1 in enumerate(groups):
         for g2 in groups[i + 1 :]:
             assert not (g1 & g2), sorted(g1 & g2)
 
 
-def test_r17_drain_fits_after_r16_lands():
-    """Forward simulation (the r17 aging cliff as a failing test):
-    pretend CORRECTNESS_r16 lands all-green over this window. The
-    resulting AGE-obligatory r17 set must be exactly R17_DRAIN — 29
-    obligatory + 21 free slots. The simulation base is FROZEN at the
-    r15 verdict state (later CORRECTNESS files are ignored) so the
-    assertion stays meaningful — and green — after the real r16
+def test_r18_drain_fits_after_r17_lands():
+    """Forward simulation (the r18 aging cliff as a failing test):
+    pretend CORRECTNESS_r17 lands all-green over this window. The
+    resulting AGE-obligatory r18 set must be exactly R18_DRAIN — 35
+    obligatory + 15 free slots. The simulation base is FROZEN at the
+    r16 verdict state (later CORRECTNESS files are ignored) so the
+    assertion stays meaningful — and green — after the real r17
     verdict lands mid-/post-round."""
     verdicts = {
-        name: v for name, v in ledger.load_verdicts().items() if v[0] <= 15
+        name: v for name, v in ledger.load_verdicts().items() if v[0] <= 16
     }
-    assert verdicts, "no verdicts at or before r15 — baseline moved?"
+    assert verdicts, "no verdicts at or before r16 — baseline moved?"
     order = list(all_queries())
     simulated = dict(verdicts)
     for name in order[:WINDOW]:
-        simulated[name] = (16, True, "")
+        simulated[name] = (17, True, "")
     due = {name for name, _rnd in ledger.plan_next(max_age=2, verdicts=simulated, order=order)}
-    assert due == R17_DRAIN, (
-        f"unexpected r17 obligatory set: extra={sorted(due - R17_DRAIN)} "
-        f"missing={sorted(R17_DRAIN - due)}"
+    assert due == R18_DRAIN, (
+        f"unexpected r18 obligatory set: extra={sorted(due - R18_DRAIN)} "
+        f"missing={sorted(R18_DRAIN - due)}"
     )
-    assert len(R17_DRAIN) <= WINDOW
+    assert len(R18_DRAIN) <= WINDOW
 
 
-def test_r16_window_has_no_never_certified_stragglers():
-    """Every never-certified registry name must sit INSIDE the r16
+def test_r17_window_has_no_never_certified_stragglers():
+    """Every never-certified registry name must sit INSIDE the r17
     window — the pending-next-window grace covers exactly one round.
-    (As of the r16 rotation there are none: all 127 names carry
+    (As of the r17 rotation there are none: all 127 names carry
     verdicts; this guards new registrations made this round.)"""
     verdicts = ledger.load_verdicts()
     order = list(all_queries())
     never = [n for n in order if n not in verdicts]
     outside = [n for n in never if n not in set(order[:WINDOW])]
-    assert not outside, f"never-certified outside the r16 window: {outside}"
+    assert not outside, f"never-certified outside the r17 window: {outside}"
 
 
 def test_every_query_is_callable_and_oracle_typed():
