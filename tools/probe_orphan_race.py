@@ -29,7 +29,18 @@ Afterwards the parent runs ``remove_orphans(min_age_s=0)`` (the
 run-after-the-fact semantics) and asserts each table still holds its
 final published version, complete.
 
-Usage: python tools/probe_orphan_race.py [seconds]   # probe (default 6)
+A second, heavyweight mode drives the REAL engine writers instead of
+raw ``atomic_swap`` loops (the literal VERDICT ask): one child runs
+``Materializer.run`` cycles (fresh facts each cycle) plus
+``merge_upsert`` batches on the same lake, a sweeper loops
+``remove_orphans`` at the scheduled min-age, and a Spark reader
+asserts the mat table's row count and the upsert table's key count
+never regress and every read succeeds (no partial version ever
+becomes a visible count drop). Three concurrent JVMs — on-demand,
+not a gate.
+
+Usage: python tools/probe_orphan_race.py [seconds]          # fs mode (default 6)
+       python tools/probe_orphan_race.py --spark [seconds]  # engine mode (default 45)
        (child roles are internal, selected via argv)
 """
 
@@ -179,6 +190,147 @@ def reader(lake: str, until: float) -> dict:
     }
 
 
+def spark_writer(lake: str, until: float) -> dict:
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from streaming_data_lake_spark.plans.materialize import Materializer, MatTarget
+    from streaming_data_lake_spark.session import get_spark
+    from streaming_data_lake_spark.sources.upsert import merge_upsert
+
+    spark = get_spark(f"orphan-race-writer-{os.getpid()}")
+    src = os.path.join(lake, "events_src")
+    upsert_dir = os.path.join(lake, "upsert_t")
+    base_ts = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_fact(i: int) -> None:
+        spark.createDataFrame(
+            [(i, base_ts + dt.timedelta(minutes=i), i, float(i))],
+            "id long, ts timestamp, k int, v double",
+        ).write.mode("append").parquet(src)
+
+    write_fact(0)
+    target = MatTarget("mat_race", lambda s: s.read.parquet(src), "ts")
+    m = Materializer(spark, lake)
+    cycles = 0
+    while time.time() < until:
+        write_fact(cycles + 1)
+        m.run(target, lookback_hours=2)
+        upd = spark.createDataFrame(
+            [(cycles % 7, f"v{cycles}"), (cycles, f"w{cycles}")], "k long, v string"
+        )
+        merge_upsert(spark, upsert_dir, upd, ["k"], n_buckets=4)
+        cycles += 1
+    return {"role": "spark-writer", "cycles": cycles}
+
+
+def spark_reader(lake: str, until: float) -> dict:
+    from streaming_data_lake_spark.session import get_spark
+
+    spark = get_spark(f"orphan-race-reader-{os.getpid()}")
+    mat_dir = os.path.join(lake, "mat_race")
+    upsert_dir = os.path.join(lake, "upsert_t")
+    reads = 0
+    max_mat = 0
+    max_keys = 0
+    loud_straddles = 0
+    violations: list[str] = []
+    while time.time() < until:
+        for path, kind in ((mat_dir, "mat"), (upsert_dir, "upsert")):
+            if not os.path.isdir(path):
+                continue  # writer has not created it yet
+            try:
+                # fresh per-read plan: snapshot-listing at read time
+                n = spark.read.parquet(path).count()
+            except Exception as exc:  # noqa: BLE001 — judged below
+                # Documented contract (test_torn_writes expire pin +
+                # the fs mode's loud-straddle lane): a read whose file
+                # listing straddles a publish fails LOUDLY on the
+                # vanished old names — parquet emulation semantics; a
+                # real table format reads a pinned snapshot instead.
+                # Anything that is NOT a missing-path/missing-file
+                # error (e.g. a torn footer) is a real violation.
+                msg = str(exc)
+                if any(
+                    pat in msg
+                    for pat in (
+                        "FileNotFoundException",
+                        "FILE_NOT_EXIST",
+                        "PATH_NOT_FOUND",
+                        "does not exist",
+                        "UNABLE_TO_INFER_SCHEMA",
+                    )
+                ):
+                    loud_straddles += 1
+                else:
+                    violations.append(f"{kind}: read failed: {msg[:400]}")
+                continue
+            reads += 1
+            if kind == "mat":
+                if n < max_mat:
+                    violations.append(f"mat: count REGRESSED {max_mat} -> {n}")
+                max_mat = max(max_mat, n)
+            else:
+                if n < max_keys:
+                    violations.append(f"upsert: keys REGRESSED {max_keys} -> {n}")
+                max_keys = max(max_keys, n)
+    return {
+        "role": "spark-reader",
+        "reads": reads,
+        "loud_straddles": loud_straddles,
+        "max_mat": max_mat,
+        "max_keys": max_keys,
+        "violations": violations,
+    }
+
+
+def main_spark(seconds: float) -> int:
+    lake = tempfile.mkdtemp(prefix="orphan_race_spark_")
+    until = time.time() + seconds
+    roles = ["spark-writer", "sweeper", "spark-reader"]
+    procs = {
+        r: subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child", r, lake, str(until)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        for r in roles
+    }
+    results = {}
+    ok = True
+    for r, p in procs.items():
+        out, _ = p.communicate(timeout=seconds + 300)
+        if p.returncode != 0:
+            print(f"FAIL {r}: exit {p.returncode}")
+            ok = False
+            continue
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")][-1]
+        results[r] = json.loads(line[len("RESULT "):])
+
+    sw = results.get("sweeper", {})
+    rd = results.get("spark-reader", {})
+    wr = results.get("spark-writer", {})
+    if sw.get("violations"):
+        print(f"FAIL sweeper acted on live/young entries: {sw['violations'][:5]}")
+        ok = False
+    if rd.get("violations"):
+        print(f"FAIL spark reader: {rd['violations'][:5]}")
+        ok = False
+    if wr.get("cycles", 0) < 2:
+        print(f"FAIL writer completed only {wr.get('cycles')} cycles")
+        ok = False
+    print(
+        f"{'ALL OK' if ok else 'FAILED'} (spark mode): {wr.get('cycles')} "
+        f"writer cycles, {sw.get('sweeps', 0)} sweeps (0 actions), "
+        f"{rd.get('reads', 0)} spark reads "
+        f"({rd.get('loud_straddles', 0)} loud straddles; "
+        f"mat rows {rd.get('max_mat')}, upsert keys {rd.get('max_keys')})"
+    )
+    return 0 if ok else 1
+
+
 def _child(role: str, lake: str, until: float) -> None:
     if role == "pub-exchange":
         out = publisher(lake, TABLES_EXCHANGE, False, until)
@@ -188,6 +340,10 @@ def _child(role: str, lake: str, until: float) -> None:
         out = sweeper(lake, until)
     elif role == "reader":
         out = reader(lake, until)
+    elif role == "spark-writer":
+        out = spark_writer(lake, until)
+    elif role == "spark-reader":
+        out = spark_reader(lake, until)
     else:
         raise SystemExit(f"unknown role {role}")
     print("RESULT " + json.dumps(out))
@@ -267,5 +423,7 @@ def main(seconds: float) -> int:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         _child(sys.argv[2], sys.argv[3], float(sys.argv[4]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--spark":
+        sys.exit(main_spark(float(sys.argv[2]) if len(sys.argv) > 2 else 45.0))
     else:
         sys.exit(main(float(sys.argv[1]) if len(sys.argv) > 1 else 6.0))
