@@ -254,7 +254,64 @@ def stamp_ns(entry_or_path: str) -> int:
     return -1
 
 
-def old_sibling(path: str) -> str:
+def list_old_siblings(path: str) -> list[str]:
+    """The retained ``__old_`` sibling ENTRY NAMES of ``path``, from
+    one parent listdir (empty on a listing error). Every policy
+    decision over retained versions (clamp, retire, heal, the orphan
+    sweep's restore) starts from this one primitive — and decision
+    points that can race a live publisher must call it FRESH at
+    decision time, never trust a pass-start listing."""
+    parent, base = os.path.split(path)
+    marker = f"{base}__old_"
+    try:
+        return [e for e in os.listdir(parent or ".") if e.startswith(marker)]
+    except OSError:
+        return []
+
+
+def sibling_order_key(parent: str, entry: str) -> tuple[int, str]:
+    """Publish-order key of a retained ``__old_`` entry: the
+    fixed-width monotonic stamp, inode ctime for legacy random-hex
+    names, entry name as the tiebreak. THE single newest-selection
+    rule — the orphan sweep's restore, heal-at-entry, and retirement
+    must all agree on it or a crash could resurrect stale data."""
+    ns = stamp_ns(entry)
+    if ns < 0:
+        try:
+            ns = int(os.stat(os.path.join(parent, entry)).st_ctime * 1e9)
+        except OSError:
+            ns = 0
+    return (ns, entry)
+
+
+def young_entry(path: str, now: float, min_age_s: float) -> bool:
+    """THE shared age guard for retained/scratch entries: age from
+    the newest of ctime/mtime over the entry AND its immediate
+    children. mtime alone is wrong for ``__old_`` entries: os.rename
+    PRESERVES the directory's mtime, so a table last published hours
+    ago looks hours old one second after being swapped aside — and a
+    sweep would race the swap's second rename (r10 review finding).
+    rename updates the inode's ctime, so ctime bounds the swap
+    moment; children cover long-running writes whose top-dir times go
+    stale while files stream into ``_temporary/``. A path that
+    vanishes mid-scan reads as young (leave it alone)."""
+    if min_age_s <= 0:
+        return False
+    try:
+        st = os.stat(path)
+        newest = max(st.st_ctime, st.st_mtime)
+        for e in os.listdir(path):
+            try:
+                cst = os.stat(os.path.join(path, e))
+                newest = max(newest, cst.st_ctime, cst.st_mtime)
+            except OSError:
+                continue
+        return (now - newest) < min_age_s
+    except OSError:
+        return True
+
+
+def old_sibling(path: str, _group: list[str] | None = None) -> str:
     """A retained-version sibling name for ``path``. The fixed-width
     nanosecond stamp makes names lexicographically chronological, so
     the orphan sweep's restore rule can pick the NEWEST retained
@@ -266,16 +323,10 @@ def old_sibling(path: str) -> str:
     snapshot. The stamp is therefore max(now_ns, newest existing
     sibling stamp + 1), so publish order is preserved even across a
     clock step; the uuid suffix keeps names collision-free when two
-    publishes land inside one clamp."""
-    parent, base = os.path.split(path)
-    marker = f"{base}__old_"
-    newest = 0
-    try:
-        for entry in os.listdir(parent or "."):
-            if entry.startswith(marker):
-                newest = max(newest, stamp_ns(entry))
-    except OSError:
-        pass
+    publishes land inside one clamp. ``_group`` lets atomic_swap
+    reuse one parent listing for clamp + retirement."""
+    group = list_old_siblings(path) if _group is None else _group
+    newest = max((stamp_ns(e) for e in group), default=0)
     ns = max(time.time_ns(), newest + 1)
     return f"{path}__old_{ns:0{_STAMP_WIDTH}d}_{uuid.uuid4().hex[:8]}"
 
@@ -309,45 +360,27 @@ def atomic_swap(path: str, tmp: str) -> None:
     (newest ``__old_`` wins) covers a crash between the renames;
     readers can observe the transient missing-path instant, the
     documented cost of the fallback."""
-    old = old_sibling(path)
+    group = list_old_siblings(path)  # ONE listing: clamp + retirement
+    old = old_sibling(path, _group=group)
     if _renameat2_exchange(tmp, path):
         # tmp now holds the OLD version; park it under the uniform
         # retained-version name. A crash before this rename leaves it
         # as a base-present __tmp_ sibling, which the sweep disposes.
         os.rename(tmp, old)
-        retire_old_siblings(path)
-        return
-    os.rename(path, old)
-    os.rename(tmp, path)
-    retire_old_siblings(path)
+    else:
+        os.rename(path, old)
+        os.rename(tmp, path)
+    retire_old_siblings(path, group=group + [os.path.basename(old)])
 
 
 RETIRE_MIN_AGE_S = 3600.0
 
 
-def _retire_young(path: str, now: float, min_age_s: float) -> bool:
-    """Conservative age check for publish-time reclamation: newest of
-    ctime/mtime over the entry and its immediate children (rename
-    preserves a directory's mtime but refreshes its ctime, so the
-    just-parked sibling always reads young)."""
-    if min_age_s <= 0:
-        return False
-    try:
-        st = os.stat(path)
-        newest = max(st.st_ctime, st.st_mtime)
-        for e in os.listdir(path):
-            try:
-                cst = os.stat(os.path.join(path, e))
-                newest = max(newest, cst.st_ctime, cst.st_mtime)
-            except OSError:
-                continue
-        return (now - newest) < min_age_s
-    except OSError:
-        return True  # vanished mid-scan (a concurrent sweep): leave it
-
-
 def retire_old_siblings(
-    path: str, min_age_s: float | None = None, keep_newest: int = 1
+    path: str,
+    min_age_s: float | None = None,
+    keep_newest: int = 1,
+    group: list[str] | None = None,
 ) -> list[str]:
     """Opportunistic reclamation of ``path``'s retained ``__old_``
     versions at publish time (ADVICE r16): hot publish loops (a
@@ -363,23 +396,22 @@ def retire_old_siblings(
     names as tiebreak). The just-parked sibling is always young AND
     newest, so a publish never reclaims the version it just retired;
     restores stay possible until maintenance or age catches up.
-    Returns the reclaimed entry names."""
+    ``group`` lets atomic_swap reuse its pre-park listing (plus the
+    just-parked name) instead of a second parent listdir on the
+    publish hot path. Returns the reclaimed entry names."""
     if min_age_s is None:
         min_age_s = RETIRE_MIN_AGE_S  # resolved at call time (testable)
-    parent, base = os.path.split(path)
-    marker = f"{base}__old_"
-    try:
-        group = [e for e in os.listdir(parent or ".") if e.startswith(marker)]
-    except OSError:
-        return []
-    group.sort(key=lambda e: (stamp_ns(e), e))
+    parent = os.path.dirname(path)
+    if group is None:
+        group = list_old_siblings(path)
+    group = sorted(group, key=lambda e: sibling_order_key(parent, e))
     if keep_newest > 0:
         group = group[:-keep_newest]
     now = time.time()
     reclaimed = []
     for entry in group:
         full = os.path.join(parent, entry)
-        if _retire_young(full, now, min_age_s):
+        if young_entry(full, now, min_age_s):
             continue
         shutil.rmtree(full, ignore_errors=True)
         reclaimed.append(entry)
@@ -402,26 +434,21 @@ def heal_missing_base(path: str) -> str | None:
     base exists or nothing is parked."""
     if os.path.exists(path):
         return None
-    parent, base = os.path.split(path)
-    marker = f"{base}__old_"
-    try:
-        group = [e for e in os.listdir(parent or ".") if e.startswith(marker)]
-    except OSError:
-        return None
+    parent = os.path.dirname(path)
+    group = list_old_siblings(path)
     if not group:
         return None
-
-    def order(entry: str) -> tuple[int, str]:
-        ns = stamp_ns(entry)
-        if ns < 0:
-            try:
-                ns = int(os.stat(os.path.join(parent, entry)).st_ctime * 1e9)
-            except OSError:
-                ns = 0
-        return (ns, entry)
-
-    newest = max(group, key=order)
-    os.rename(os.path.join(parent, newest), path)
+    newest = max(group, key=lambda e: sibling_order_key(parent, e))
+    try:
+        os.rename(os.path.join(parent, newest), path)
+    except FileNotFoundError:
+        # A concurrent restorer (a scheduled sweep whose age guard
+        # elapsed, or another flock-scoped healer on a different lock)
+        # renamed it first. If the base is back, the heal happened —
+        # by whichever hand; anything else is a real error.
+        if os.path.exists(path):
+            return None
+        raise
     return newest
 
 

@@ -27,13 +27,20 @@ import time
 
 from pyspark.sql import SparkSession
 
+from streaming_data_lake_spark.locks import acquire_flock
 from streaming_data_lake_spark.layout import (
     copy_layout_meta,
     dir_data_bytes as layout_dir_data_bytes,
     read_layout_meta,
     write_layout_meta,
 )
-from streaming_data_lake_spark.overlay import atomic_swap, stamp_ns, tmp_sibling
+from streaming_data_lake_spark.overlay import (
+    atomic_swap,
+    list_old_siblings,
+    sibling_order_key,
+    tmp_sibling,
+    young_entry,
+)
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # reference compaction target
 
@@ -179,7 +186,35 @@ def compact_parquet(
     Compacting a table with NO data files is a no-op returning 0: an
     inference read over it dies UNABLE_TO_INFER_SCHEMA, and an empty
     table (fresh deployment, all-empty source) is a state, not an
-    error (empty-input sweep finding)."""
+    error (empty-input sweep finding).
+
+    The whole compaction holds BOTH of the table's per-table writer
+    flocks (r17 review finding): compaction publishes with the same
+    atomic_swap as the writers, and the writers' heal-at-entry
+    (overlay.heal_missing_base, no age guard) assumes the flock
+    holder is the only publisher for its target — an unserialized
+    compaction's two-step fallback window could otherwise be "healed"
+    mid-swap, failing its second rename and orphaning the compacted
+    output. The upsert sink locks ``<table>.merge.lock`` and the
+    materializer ``<table>.cycle.lock``; compaction takes both (in
+    that fixed order — no other path takes both, so no deadlock) and
+    degrades loudly where flock is unavailable, like every other
+    serialized writer."""
+    locks = [
+        acquire_flock(table_dir.rstrip("/") + suffix, f"compact_parquet {table_dir!r}")
+        for suffix in (".merge.lock", ".cycle.lock")
+    ]
+    try:
+        return _compact_parquet_locked(spark, table_dir, target_bytes)
+    finally:
+        for fh in locks:
+            if fh is not None:
+                fh.close()  # releases the flock
+
+
+def _compact_parquet_locked(
+    spark: SparkSession, table_dir: str, target_bytes: int
+) -> int:
     if _parquet_files(table_dir) == 0:
         return 0
     n_files = max(1, math.ceil(dir_bytes(table_dir) / target_bytes))
@@ -343,46 +378,17 @@ def remove_orphans(
         return [e for e in sorted(os.listdir(lake_dir)) if marker in e]
 
     def young(path: str) -> bool:
-        """Age from the newest of ctime/mtime over the entry AND its
-        immediate children. mtime alone is wrong for ``__old_``
-        entries: os.rename PRESERVES the directory's mtime, so a
-        table last published hours ago looks hours old one second
-        after being swapped aside — and the sweep would race the
-        swap's second rename (r10 review finding). rename updates the
-        inode's ctime, so ctime bounds the swap moment; children
-        cover long-running writes whose top-dir times go stale while
-        files stream into ``_temporary/``."""
-        if min_age_s <= 0:
-            return False
-        try:
-            st = os.stat(path)
-            newest = max(st.st_ctime, st.st_mtime)
-            for e in os.listdir(path):
-                try:
-                    cst = os.stat(os.path.join(path, e))
-                    newest = max(newest, cst.st_ctime, cst.st_mtime)
-                except OSError:
-                    continue
-            return (now - newest) < min_age_s
-        except OSError:
-            return True  # vanished mid-scan: leave it alone
+        """THE shared age guard (overlay.young_entry — the same rule
+        the publish-time retirement uses; ctime bounds the swap
+        moment because rename preserves mtime, r10 review finding)."""
+        return young_entry(path, now, min_age_s)
 
     def version_ns(entry: str) -> int:
-        """Publish order of a retained ``__old_`` entry: the
-        fixed-width nanosecond stamp overlay.old_sibling embeds
-        (names sort chronologically; stamps are monotonic per base
-        even across a backwards clock step — overlay.old_sibling
-        clamps to newest-existing+1). overlay.stamp_ns accepts ONLY
-        the emitted fixed width, so a legacy random-hex suffix that
-        happens to be all digits cannot masquerade as an enormous
-        stamp (ADVICE r16); legacy names fall to inode ctime."""
-        ns = stamp_ns(entry)
-        if ns >= 0:
-            return ns
-        try:
-            return int(os.stat(os.path.join(lake_dir, entry)).st_ctime * 1e9)
-        except OSError:
-            return 0
+        """Publish order of a retained ``__old_`` entry (the shared
+        overlay.sibling_order_key rule: fixed-width monotonic stamp,
+        inode ctime for legacy random-hex names — a legacy all-digit
+        hex suffix cannot masquerade as a stamp, ADVICE r16)."""
+        return sibling_order_key(lake_dir, entry)[0]
 
     # Retention (r16): every publish parks the previous version as an
     # ``__old_`` sibling, so multiple entries per base are the NORMAL
@@ -394,14 +400,40 @@ def remove_orphans(
     for base_name, group in sorted(by_base.items()):
         base = os.path.join(lake_dir, base_name)
         if not os.path.exists(base):
-            if any(young(os.path.join(lake_dir, e)) for e in group):
+            # Decide from a FRESH listing, not the pass-start one
+            # (r17 review finding): the pass listing can be seconds
+            # stale, so it would MISS a fallback publisher's
+            # just-parked young sibling — this sweep would then see
+            # only the aged siblings, conclude the base-missing state
+            # is a crash, and restore a STALE version into the
+            # publisher's two-step window (its second rename fails
+            # ENOTEMPTY and the just-parked committed state is later
+            # reclaimed as disposable: silent data loss). The fresh
+            # listing sees the young parked sibling and skips; the
+            # remaining instant between this re-list and the rename
+            # is exactly what the min-age guard covers.
+            group = list_old_siblings(base)
+            if os.path.exists(base):
+                continue  # a publisher/healer completed meanwhile;
+                # its retained versions are young — next sweep's work
+            if not group or any(
+                young(os.path.join(lake_dir, e)) for e in group
+            ):
                 # A young sibling may be the in-flight swap's parked
                 # version; recovering around it could restore a stale
                 # snapshot over the writer's second rename. Leave the
                 # whole group for the next sweep.
                 continue
             newest = max(group, key=lambda e: (version_ns(e), e))
-            os.rename(os.path.join(lake_dir, newest), base)
+            try:
+                os.rename(os.path.join(lake_dir, newest), base)
+            except OSError:
+                # Lost the restore race to a flock-holding healer
+                # (overlay.heal_missing_base at cycle/merge entry) or
+                # another sweep. Whoever won owns the base now; skip
+                # this group — aborting the whole pass would strand
+                # every later base's restore/reclaim (r17 review).
+                continue
             removed.append(f"restored:{newest}")
             group = [e for e in group if e != newest]
         for entry in group:

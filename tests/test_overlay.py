@@ -682,3 +682,111 @@ def test_orphan_sweep_races_live_publishers_clean():
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "ALL OK" in out.stdout, out.stdout
+
+
+def test_sweep_restore_decides_from_fresh_listing(tmp_path, monkeypatch):
+    """r17 review finding: the sweep's restore decision must come
+    from a FRESH per-base listing, not the pass-start one. A fallback
+    publisher that parks a young sibling AFTER the pass listing was
+    taken (base briefly missing, mid two-step swap) is invisible to
+    the stale listing — a stale-group decision would see only the
+    aged sibling and restore it INTO the publisher's swap window:
+    the publisher's second rename fails and the just-parked committed
+    state is later reclaimed as disposable (silent data loss)."""
+    import streaming_data_lake_spark.overlay as overlay
+    import streaming_data_lake_spark.plans.maintenance as maintenance
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    base = os.path.join(lake, "t")
+    os.makedirs(base)
+    with open(os.path.join(base, "live.txt"), "w") as fh:
+        fh.write("live")
+    aged = overlay.old_sibling(base)
+    os.makedirs(aged)
+    with open(os.path.join(aged, "stale.txt"), "w") as fh:
+        fh.write("stale")
+
+    real_listdir = os.listdir
+    parked = {"name": None, "busy": False}
+
+    def listdir_midpass_publisher(path="."):
+        out = real_listdir(path)
+        if (
+            parked["name"] is None
+            and not parked["busy"]
+            and os.path.abspath(str(path)) == os.path.abspath(lake)
+            and any("__old_" in e for e in out)
+        ):
+            # the pass-start listing has been taken; NOW the
+            # publisher's two-step swap starts: park the live base
+            parked["busy"] = True  # old_sibling lists the lake too
+            parked["name"] = os.path.basename(overlay.old_sibling(base))
+            os.rename(base, os.path.join(lake, parked["name"]))
+            return out  # the sweep keeps its STALE view
+        return out
+
+    # age rule: only the just-parked sibling is young (the aged one
+    # passed the 1h guard long ago)
+    monkeypatch.setattr(
+        maintenance,
+        "young_entry",
+        lambda p, now, ma: os.path.basename(p) == parked["name"],
+    )
+    monkeypatch.setattr(os, "listdir", listdir_midpass_publisher)
+    actions = maintenance.remove_orphans(lake, min_age_s=3600)
+    monkeypatch.undo()
+
+    assert parked["name"] is not None, "mid-pass publisher never fired"
+    assert actions == [], f"sweep acted during a live swap: {actions}"
+    # the committed (parked) state is intact and restorable
+    assert os.path.isdir(os.path.join(lake, parked["name"]))
+    healed = overlay.heal_missing_base(base)
+    assert healed == parked["name"]  # newest wins, not the aged one
+    assert os.path.isfile(os.path.join(base, "live.txt"))
+
+
+def test_sweep_skips_group_when_losing_restore_race(tmp_path, monkeypatch):
+    """r17 review finding: heal_missing_base (flock-holding, no age
+    guard) can restore the same newest sibling the sweep picked; the
+    sweep's rename then fails on the vanished source. It must SKIP
+    that group and keep sweeping — aborting the pass would strand
+    every later base's restore."""
+    import streaming_data_lake_spark.overlay as overlay
+    from streaming_data_lake_spark.plans.maintenance import remove_orphans
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    # group A: its restore will lose the race to a healer
+    base_a = os.path.join(lake, "a")
+    old_a = overlay.old_sibling(base_a)
+    os.makedirs(old_a)
+    with open(os.path.join(old_a, "a.txt"), "w") as fh:
+        fh.write("a")
+    # group B (sorts after A): must still be restored in the SAME pass
+    base_b = os.path.join(lake, "b")
+    old_b = overlay.old_sibling(base_b)
+    os.makedirs(old_b)
+    with open(os.path.join(old_b, "b.txt"), "w") as fh:
+        fh.write("b")
+
+    real_rename = os.rename
+
+    def racing_rename(src, dst, *args, **kw):
+        if str(src) == old_a:
+            # the healer wins the race: it performs the restore, and
+            # the sweep's own rename finds the source gone
+            real_rename(src, dst, *args, **kw)
+            raise FileNotFoundError(f"lost race: {src}")
+        return real_rename(src, dst, *args, **kw)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    actions = remove_orphans(lake, min_age_s=0)
+    monkeypatch.undo()
+
+    # the pass survived: no exception, group B restored
+    assert f"restored:{os.path.basename(old_b)}" in actions
+    assert os.path.isfile(os.path.join(base_b, "b.txt"))
+    # group A: the winner's restore stands
+    assert os.path.isfile(os.path.join(base_a, "a.txt"))
+    assert not any(os.path.basename(old_a) in a for a in actions)
