@@ -46,3 +46,52 @@ def test_cycle_still_runs_without_lock(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(fcntl, "flock", boom)
     assert acquire_flock(str(tmp_path / "t.lock"), "degradation") is None
     assert "single-writer" in capsys.readouterr().err
+
+
+def test_acquire_flock_under_real_fd_exhaustion(tmp_path):
+    """VERDICT r16 "Next round" #6c: genuine RLIMIT_NOFILE pressure,
+    not a monkeypatched flock. With the table full, open() itself
+    fails EMFILE: acquire_flock must return None loudly WITHOUT
+    leaking a descriptor slot — verified by the retry succeeding the
+    moment one slot frees (a leak would keep failing)."""
+    import resource
+    import subprocess
+    import sys as _sys
+
+    # Run in a fresh interpreter: lowering RLIMIT_NOFILE in the test
+    # process would break pytest/Spark machinery.
+    code = """
+import os, resource, sys
+sys.path.insert(0, %r)
+from streaming_data_lake_spark.locks import acquire_flock
+
+lock_path = sys.argv[1]
+soft, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+resource.setrlimit(resource.RLIMIT_NOFILE, (32, hard))
+hogs = []
+try:
+    while True:
+        hogs.append(open(os.devnull))
+except OSError:
+    pass  # table is now full
+
+out = acquire_flock(lock_path, "fd-exhaustion probe")
+assert out is None, "expected loud None under EMFILE"
+
+# free ONE slot; a leak-free helper succeeds immediately
+hogs.pop().close()
+fh = acquire_flock(lock_path, "fd-exhaustion probe retry")
+assert fh is not None, "retry failed: a descriptor leaked in the None branch"
+fh.close()
+print("FD_PROBE_OK")
+"""
+    repo = __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__)))
+    proc = subprocess.run(
+        [_sys.executable, "-c", code % repo, str(tmp_path / "t.lock")],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "FD_PROBE_OK" in proc.stdout
+    assert "UNSERIALIZED" in proc.stderr  # the loud line fired
