@@ -20,9 +20,11 @@ engine's parquet tables.
 
 from __future__ import annotations
 
+import errno
 import math
 import os
 import shutil
+import sys
 import time
 
 from pyspark.sql import SparkSession
@@ -36,6 +38,7 @@ from streaming_data_lake_spark.layout import (
 )
 from streaming_data_lake_spark.overlay import (
     atomic_swap,
+    heal_missing_base,
     list_old_siblings,
     sibling_order_key,
     tmp_sibling,
@@ -205,6 +208,18 @@ def compact_parquet(
         for suffix in (".merge.lock", ".cycle.lock")
     ]
     try:
+        # Heal a crashed fallback swap at entry, like the other two
+        # flock-entry writers (r17 review): without this, a missing
+        # base walks as "empty table" and compaction reports a silent
+        # no-op success while holding the very locks that make an
+        # immediate heal safe.
+        healed = heal_missing_base(table_dir)
+        if healed is not None:
+            print(
+                f"compact_parquet: restored {table_dir!r} from parked "
+                f"{healed!r} (crashed swap healed at entry)",
+                file=sys.stderr,
+            )
         return _compact_parquet_locked(spark, table_dir, target_bytes)
     finally:
         for fh in locks:
@@ -383,12 +398,42 @@ def remove_orphans(
         moment because rename preserves mtime, r10 review finding)."""
         return young_entry(path, now, min_age_s)
 
-    def version_ns(entry: str) -> int:
-        """Publish order of a retained ``__old_`` entry (the shared
-        overlay.sibling_order_key rule: fixed-width monotonic stamp,
-        inode ctime for legacy random-hex names — a legacy all-digit
-        hex suffix cannot masquerade as a stamp, ADVICE r16)."""
-        return sibling_order_key(lake_dir, entry)[0]
+    def try_writer_flocks(base: str) -> tuple[bool, list]:
+        """NON-BLOCKING acquisition of both per-table writer flocks
+        for a base-missing restore (r17 review, residual-race fix):
+        under both locks no flock-abiding publisher (upsert MERGE,
+        materializer cycle, compaction) can be mid-swap for this
+        base, and concurrent SWEEPS serialize against each other too
+        — closing the microsecond hole where a restore-then-new-swap
+        lands between this sweep's listing and its rename. A LIVE
+        holder means skip: a flock-holding writer heals its own
+        target at entry, so the restore is its job, not ours.
+        Platforms without working flock proceed unlocked under the
+        documented single-writer assumption (the pre-lock behavior)."""
+        fhs: list = []
+        try:
+            import fcntl
+        except ImportError:
+            return True, fhs
+        for suffix in (".merge.lock", ".cycle.lock"):
+            fh = None
+            try:
+                fh = open(base + suffix, "a")
+                fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                fhs.append(fh)
+            except BlockingIOError:
+                if fh is not None:
+                    fh.close()
+                for h in fhs:
+                    h.close()
+                return False, []
+            except OSError:
+                if fh is not None:
+                    fh.close()
+                # can't lock HERE (ENOLCK, read-only lock file, ...):
+                # documented single-writer degradation — proceed with
+                # whatever locks were taken.
+        return True, fhs
 
     # Retention (r16): every publish parks the previous version as an
     # ``__old_`` sibling, so multiple entries per base are the NORMAL
@@ -400,42 +445,70 @@ def remove_orphans(
     for base_name, group in sorted(by_base.items()):
         base = os.path.join(lake_dir, base_name)
         if not os.path.exists(base):
-            # Decide from a FRESH listing, not the pass-start one
-            # (r17 review finding): the pass listing can be seconds
-            # stale, so it would MISS a fallback publisher's
-            # just-parked young sibling — this sweep would then see
-            # only the aged siblings, conclude the base-missing state
-            # is a crash, and restore a STALE version into the
-            # publisher's two-step window (its second rename fails
-            # ENOTEMPTY and the just-parked committed state is later
-            # reclaimed as disposable: silent data loss). The fresh
-            # listing sees the young parked sibling and skips; the
-            # remaining instant between this re-list and the rename
-            # is exactly what the min-age guard covers.
-            group = list_old_siblings(base)
-            if os.path.exists(base):
-                continue  # a publisher/healer completed meanwhile;
-                # its retained versions are young — next sweep's work
-            if not group or any(
-                young(os.path.join(lake_dir, e)) for e in group
-            ):
-                # A young sibling may be the in-flight swap's parked
-                # version; recovering around it could restore a stale
-                # snapshot over the writer's second rename. Leave the
-                # whole group for the next sweep.
-                continue
-            newest = max(group, key=lambda e: (version_ns(e), e))
+            acquired, lock_fhs = try_writer_flocks(base)
+            if not acquired:
+                continue  # a live flock-holding writer owns this
+                # base; it heals its own target at entry
             try:
-                os.rename(os.path.join(lake_dir, newest), base)
-            except OSError:
-                # Lost the restore race to a flock-holding healer
-                # (overlay.heal_missing_base at cycle/merge entry) or
-                # another sweep. Whoever won owns the base now; skip
-                # this group — aborting the whole pass would strand
-                # every later base's restore/reclaim (r17 review).
-                continue
-            removed.append(f"restored:{newest}")
-            group = [e for e in group if e != newest]
+                # Decide from a FRESH listing taken UNDER the writer
+                # locks, not the pass-start one (r17 review finding):
+                # the pass listing can be seconds stale, so it would
+                # MISS a fallback publisher's just-parked young
+                # sibling — a stale-group decision would see only the
+                # aged siblings, conclude the base-missing state is a
+                # crash, and restore a STALE version into the
+                # publisher's two-step window (its second rename
+                # fails ENOTEMPTY and the just-parked committed state
+                # is later reclaimed as disposable: silent data
+                # loss). Under the locks, no flock-abiding publisher
+                # can start a swap between this listing and the
+                # rename below.
+                group = list_old_siblings(base)
+                if os.path.exists(base):
+                    continue  # a publisher/healer completed
+                    # meanwhile; its retained versions are young —
+                    # next sweep's work
+                if not group or any(
+                    young(os.path.join(lake_dir, e)) for e in group
+                ):
+                    # A young sibling may be the in-flight swap's
+                    # parked version; recovering around it could
+                    # restore a stale snapshot over the writer's
+                    # second rename. Leave the whole group for the
+                    # next sweep.
+                    continue
+                newest = max(
+                    group, key=lambda e: sibling_order_key(lake_dir, e)
+                )
+                try:
+                    os.rename(os.path.join(lake_dir, newest), base)
+                except OSError as exc:
+                    if isinstance(exc, (FileNotFoundError, FileExistsError)) or (
+                        exc.errno == errno.ENOTEMPTY
+                    ):
+                        # the two RACE shapes: another restorer (a
+                        # non-flock-abiding healer on a legacy lock
+                        # path, or an unlocked-platform sweep) won.
+                        # Whoever won owns the base now; skip this
+                        # group — aborting the pass would strand
+                        # every later base's restore/reclaim.
+                        continue
+                    # A PERSISTENT failure (EACCES, EIO, ...) must be
+                    # LOUD, not silently skipped forever (locks.py
+                    # convention) — but still must not abort the
+                    # sweep of every other base.
+                    print(
+                        f"remove_orphans: cannot restore {newest!r} -> "
+                        f"{base!r} ({exc!r}); table stays unreadable — "
+                        f"inspect manually",
+                        file=sys.stderr,
+                    )
+                    continue
+                removed.append(f"restored:{newest}")
+                group = [e for e in group if e != newest]
+            finally:
+                for fh in lock_fhs:
+                    fh.close()
         for entry in group:
             path = os.path.join(lake_dir, entry)
             if young(path):
