@@ -20,6 +20,40 @@ import sys
 from typing import IO
 
 
+def acquire_flock_nonblocking(
+    lock_path: str, what: str
+) -> tuple[str, IO[str] | None]:
+    """NON-blocking variant for opportunistic serialization (the
+    orphan sweep's base-missing restore): returns
+    ``("acquired", fh)`` (close fh to release), ``("busy", None)``
+    when a live holder owns the lock (the caller should defer to the
+    holder), or ``("unavailable", None)`` when flock itself cannot be
+    used here — LOUDLY, like :func:`acquire_flock`, because the
+    caller proceeding anyway is running under the documented
+    single-writer assumption with no serialization."""
+    fh = None
+    try:
+        import fcntl
+
+        fh = open(lock_path, "a")
+        fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        return "acquired", fh
+    except BlockingIOError:
+        if fh is not None:
+            fh.close()
+        return "busy", None
+    except (ImportError, OSError) as exc:
+        if fh is not None:
+            fh.close()
+        print(
+            f"locks: non-blocking flock unavailable for {what} at "
+            f"{lock_path!r} ({exc!r}); caller proceeding UNSERIALIZED "
+            f"under the documented single-writer assumption",
+            file=sys.stderr,
+        )
+        return "unavailable", None
+
+
 def acquire_flock(lock_path: str, what: str) -> IO[str] | None:
     """Open ``lock_path`` and take a blocking exclusive flock.
 

@@ -29,7 +29,7 @@ import time
 
 from pyspark.sql import SparkSession
 
-from streaming_data_lake_spark.locks import acquire_flock
+from streaming_data_lake_spark.locks import acquire_flock, acquire_flock_nonblocking
 from streaming_data_lake_spark.layout import (
     copy_layout_meta,
     dir_data_bytes as layout_dir_data_bytes,
@@ -199,9 +199,11 @@ def compact_parquet(
     compaction's two-step fallback window could otherwise be "healed"
     mid-swap, failing its second rename and orphaning the compacted
     output. The upsert sink locks ``<table>.merge.lock`` and the
-    materializer ``<table>.cycle.lock``; compaction takes both (in
-    that fixed order — no other path takes both, so no deadlock) and
-    degrades loudly where flock is unavailable, like every other
+    materializer ``<table>.cycle.lock``; compaction takes both in
+    that fixed order. The orphan sweep's restore also takes both, but
+    NON-blocking (it backs off a live holder), so compaction is the
+    only BLOCKING both-lock path — no hold-and-wait cycle exists.
+    Degrades loudly where flock is unavailable, like every other
     serialized writer."""
     locks = [
         acquire_flock(table_dir.rstrip("/") + suffix, f"compact_parquet {table_dir!r}")
@@ -212,8 +214,15 @@ def compact_parquet(
         # flock-entry writers (r17 review): without this, a missing
         # base walks as "empty table" and compaction reports a silent
         # no-op success while holding the very locks that make an
-        # immediate heal safe.
-        healed = heal_missing_base(table_dir)
+        # immediate heal safe. The age-guard-free heal is only sound
+        # FOR A LOCK HOLDER — if either flock degraded (None), another
+        # process's lock may still be live and mid-swap, so leave the
+        # heal to the real holder or the age-guarded sweep.
+        healed = (
+            heal_missing_base(table_dir)
+            if all(fh is not None for fh in locks)
+            else None
+        )
         if healed is not None:
             print(
                 f"compact_parquet: restored {table_dir!r} from parked "
@@ -409,30 +418,22 @@ def remove_orphans(
         holder means skip: a flock-holding writer heals its own
         target at entry, so the restore is its job, not ours.
         Platforms without working flock proceed unlocked under the
-        documented single-writer assumption (the pre-lock behavior)."""
+        documented single-writer assumption (the pre-lock behavior) —
+        LOUDLY, via locks.acquire_flock_nonblocking, like every other
+        degradation in the engine."""
         fhs: list = []
-        try:
-            import fcntl
-        except ImportError:
-            return True, fhs
         for suffix in (".merge.lock", ".cycle.lock"):
-            fh = None
-            try:
-                fh = open(base + suffix, "a")
-                fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            status, fh = acquire_flock_nonblocking(
+                base + suffix, f"orphan restore of {base!r}"
+            )
+            if status == "acquired":
                 fhs.append(fh)
-            except BlockingIOError:
-                if fh is not None:
-                    fh.close()
+            elif status == "busy":
                 for h in fhs:
                     h.close()
                 return False, []
-            except OSError:
-                if fh is not None:
-                    fh.close()
-                # can't lock HERE (ENOLCK, read-only lock file, ...):
-                # documented single-writer degradation — proceed with
-                # whatever locks were taken.
+            # "unavailable": warned loudly; proceed with whatever
+            # locks were taken (documented single-writer assumption)
         return True, fhs
 
     # Retention (r16): every publish parks the previous version as an

@@ -61,7 +61,8 @@ def test_acquire_flock_under_real_fd_exhaustion(tmp_path):
     # Run in a fresh interpreter: lowering RLIMIT_NOFILE in the test
     # process would break pytest/Spark machinery.
     code = """
-import os, resource, sys
+import fcntl  # pre-import: a deferred dlopen inside the EMFILE window
+import os, resource, sys  # would race the single freed slot (flaky)
 sys.path.insert(0, %r)
 from streaming_data_lake_spark.locks import acquire_flock
 
@@ -85,7 +86,9 @@ assert fh is not None, "retry failed: a descriptor leaked in the None branch"
 fh.close()
 print("FD_PROBE_OK")
 """
-    repo = __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__)))
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     proc = subprocess.run(
         [_sys.executable, "-c", code % repo, str(tmp_path / "t.lock")],
         capture_output=True,
