@@ -519,7 +519,13 @@ class Materializer:
             # flight for THIS target, so a base-missing table with a
             # parked __old_ sibling recovers now instead of waiting
             # out the scheduled sweep's ORPHAN_MIN_AGE_S blackout.
-            healed = heal_missing_base(self._mat_dir(target.name))
+            # Only a real lock holder may run the age-guard-free heal
+            # (r17 review, same guard as compact_parquet/merge_upsert).
+            healed = (
+                heal_missing_base(self._mat_dir(target.name))
+                if lock_fh is not None
+                else None
+            )
             if healed is not None:
                 print(
                     f"materialize: restored {target.name!r} from parked "

@@ -113,7 +113,10 @@ def _with_layout(
     # resizes re-bucket the whole table).
     out = df.withColumn(BUCKET_COL, F.pmod(F.hash(*[_qcol(k) for k in keys]), F.lit(n_buckets)))
     if ts_col:
-        out = out.withColumn(DAY_COL, F.to_date(_qcol(ts_col)))
+        # try_to_date: an unparseable ts must reach the fused
+        # null-day GATE as a NULL day (one uniform ValueError) rather
+        # than explode as an ANSI DateTimeException mid-write.
+        out = out.withColumn(DAY_COL, F.try_to_date(_qcol(ts_col)))
     return out
 
 
@@ -142,18 +145,37 @@ def _desired_buckets(
     return max(current, size_buckets(data_bytes, n_outer))
 
 
-def _null_key_check_col(keys: list[str]) -> Column:
+def _null_key_check_col(keys: list[str], ts_col: str | None = None) -> Column:
     pred = _qcol(keys[0]).isNull()
     for k in keys[1:]:
         pred = pred | _qcol(k).isNull()
+    if ts_col:
+        # A NON-null ts whose to_date() is NULL (an unparseable string
+        # date) evades the key check but produces a NULL day_pt (r17
+        # review): the rewritten-leaf name renders as "day_pt=None",
+        # which never matches Spark's on-disk
+        # __HIVE_DEFAULT_PARTITION__, so the overlay would link the
+        # STALE null-day files in beside the rewrite — silent
+        # duplicates. The day must be a total function of the key.
+        # try_to_date, not to_date: under ANSI (Spark 4 default) a
+        # plain to_date THROWS DateTimeException mid-probe on the
+        # unparseable value — the gate's job is to surface the
+        # CONTRACT error uniformly across ANSI settings.
+        pred = pred | F.try_to_date(_qcol(ts_col)).isNull()
     return pred
 
 
-def _raise_null_keys(table_dir: str, keys: list[str]):
+def _raise_null_keys(table_dir: str, keys: list[str], ts_col: str | None = None):
+    day = (
+        f" (or a ts value whose to_date() is NULL — an unparseable day)"
+        if ts_col
+        else ""
+    )
     raise ValueError(
         f"updates for upsert table {table_dir!r} contain NULL values in "
-        f"key column(s) {keys}: key columns are non-null by contract "
-        f"(Iceberg identifier_fields semantics) — a null key would "
+        f"key column(s) {keys}{day}: key columns are non-null by contract "
+        f"(Iceberg identifier_fields semantics) and the day partition "
+        f"must be a total function of the key — a null key or day would "
         f"silently duplicate its stale row on every merge. Filter or "
         f"coalesce nulls upstream."
     )
@@ -226,6 +248,36 @@ def _last_writer_wins(updates: DataFrame, keys: list[str]) -> DataFrame:
     # (module rule, _qcol); getField on extraction.
     q = _qcol
 
+    from pyspark.sql.types import MapType
+
+    unorderable = {
+        f.name for f in updates.schema.fields
+        if f.name in payload and isinstance(f.dataType, MapType)
+    }
+    if unorderable:
+        # max(struct(payload)) requires an ORDERABLE struct and maps
+        # are not (AnalysisException on every merge of such a table —
+        # r17 review). Fall back to a row_number window whose ordering
+        # struct substitutes to_json for map columns (deterministic
+        # per row value) while the SELECTED row keeps the real maps.
+        from pyspark.sql.window import Window
+
+        order_cols = [
+            F.to_json(q(c)).alias(c) if c in unorderable else q(c).alias(c)
+            for c in payload
+        ]
+        rn = "__rn"
+        while rn in updates.columns:
+            rn += "_"
+        w = Window.partitionBy(*[q(k) for k in keys]).orderBy(
+            F.struct(*order_cols).desc()
+        )
+        return (
+            updates.withColumn(rn, F.row_number().over(w))
+            .filter(F.col(rn) == 1)
+            .drop(rn)
+        )
+
     # The aggregate alias must not collide with a key column (a key
     # literally named "__p" would make the following select ambiguous)
     # — extend with underscores until absent from the batch schema.
@@ -295,7 +347,13 @@ def merge_upsert(
         # __old_ sibling recovers now — without this, a missing base
         # reads as "first write" and the merge would CTAS just the
         # batch, orphaning the parked full table.
-        healed = heal_missing_base(table_dir)
+        # The age-guard-free heal is only sound FOR A LOCK HOLDER
+        # (r17 review, same guard as compact_parquet): with a
+        # degraded flock another process's live lock may be mid-swap,
+        # and an unserialized heal would resurrect the pre-swap state
+        # under its second rename. Degraded = defer to the real
+        # holder or the age-guarded sweep.
+        healed = heal_missing_base(table_dir) if lock_fh is not None else None
         if healed is not None:
             print(
                 f"merge_upsert: restored {table_dir!r} from parked "
@@ -336,8 +394,8 @@ def _merge_upsert_locked(
         # Full-rewrite paths are rare (init/migration/resize), so a
         # standalone probe job is fine; the per-batch incremental
         # path fuses this flag into its touched-leaf probe instead.
-        if updates.where(_null_key_check_col(keys)).limit(1).count():
-            _raise_null_keys(table_dir, keys)
+        if updates.where(_null_key_check_col(keys, ts_col)).limit(1).count():
+            _raise_null_keys(table_dir, keys, ts_col)
 
     if not os.path.exists(table_dir):
         if updates.isEmpty():
@@ -405,7 +463,7 @@ def _merge_upsert_locked(
     # columns with a max(is-null) flag costs nothing extra over the
     # plain distinct and keeps the contract check off the hot path's
     # job count.
-    any_null = _null_key_check_col(keys)
+    any_null = _null_key_check_col(keys, ts_col)
     updates_b = _with_layout(updates, keys, ts_col, n).cache()
     try:
         if ts_col:
@@ -421,7 +479,7 @@ def _merge_upsert_locked(
             if not probe:
                 return  # empty micro-batch: table state unchanged
             if any(r["has_null_key"] for r in probe):
-                _raise_null_keys(table_dir, keys)
+                _raise_null_keys(table_dir, keys, ts_col)
             pairs = [(r[0], r[1]) for r in probe]
             keep = spark.read.parquet(table_dir).filter(
                 _leaf_predicate(pairs)
@@ -444,7 +502,7 @@ def _merge_upsert_locked(
                 # publish with its non-atomic rename window.
                 return
             if any(r["has_null_key"] for r in probe):
-                _raise_null_keys(table_dir, keys)
+                _raise_null_keys(table_dir, keys, ts_col)
             touched = sorted(r[0] for r in probe)
             keep = spark.read.parquet(table_dir).filter(
                 F.col(BUCKET_COL).isin(touched)

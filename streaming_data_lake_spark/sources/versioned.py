@@ -38,6 +38,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from streaming_data_lake_spark.locks import acquire_flock
+from streaming_data_lake_spark.overlay import young_entry
 
 
 class VersionedTable:
@@ -132,9 +133,19 @@ class VersionedTable:
     _SCRATCH_MIN_AGE_S = 3600.0
 
     def _sweep_stale_scratch(self) -> None:
-        """Remove crash-leaked commit scratch (``__tmp_`` inside the
-        table dir — the lake-level orphan sweep never descends here).
-        Age-guarded so a concurrent writer's live scratch survives."""
+        """Remove crash-leaked commit scratch and expire-parked
+        version bytes (``__tmp_`` inside the table dir — the
+        lake-level orphan sweep never descends here). Age-guarded so
+        a concurrent writer's live scratch AND a straddling reader's
+        expire-parked snapshot survive. The guard is the SHARED
+        overlay.young_entry rule (r17 review): a private mtime-only
+        check read expire-parked dirs as instantly old — os.rename
+        PRESERVES the directory's mtime, so a version written hours
+        ago looked hours old one second after expire_snapshots parked
+        it, and the very next commit reclaimed it under a mid-scan
+        time-travel reader (the exact race expire-by-rename exists to
+        eliminate). rename refreshes the inode's ctime, which
+        young_entry takes into account."""
         import time
 
         now = time.time()
@@ -142,11 +153,9 @@ class VersionedTable:
             if "__tmp_" not in entry:
                 continue
             path = os.path.join(self.table_dir, entry)
-            try:
-                if now - os.path.getmtime(path) >= self._SCRATCH_MIN_AGE_S:
-                    shutil.rmtree(path, ignore_errors=True)
-            except OSError:
-                pass
+            if young_entry(path, now, self._SCRATCH_MIN_AGE_S):
+                continue
+            shutil.rmtree(path, ignore_errors=True)
 
     def _link_data_files(self, src_dir: str, dst_dir: str) -> int:
         """Hard-link every data file of ``src_dir`` into ``dst_dir``
@@ -248,9 +257,18 @@ class VersionedTable:
                 )
         tmp = os.path.join(self.table_dir, f"__tmp_{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
-        if link_prev:
-            self._link_data_files(prev, tmp)
+        # n_rows = previous snapshot's recorded count + the staged
+        # files' count, read BEFORE linking the previous version in
+        # (r17 review): counting the fully-linked dir opens every
+        # accumulated part file's footer on every small append —
+        # O(all files) per commit, contradicting the module's
+        # append-IO-proportional-to-appended-data contract. Linked
+        # files are byte-identical to the prior version's, whose
+        # count was recorded at ITS commit.
         n_rows = self.spark.read.parquet(tmp).count()
+        if link_prev:
+            n_rows += self._read_meta()[-1]["n_rows"]
+            self._link_data_files(prev, tmp)
         final = os.path.join(self.table_dir, f"v{version}")
         os.rename(tmp, final)
         with open(self._meta_path(), "a") as f:
@@ -282,7 +300,26 @@ class VersionedTable:
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """X2 analog: drop all but the newest ``keep_last`` versions'
         data directories (metadata rows are kept, as Iceberg keeps
-        history of expired snapshots in the metadata log)."""
+        history of expired snapshots in the metadata log).
+
+        Holds the per-table commit flock (r17 review): with
+        ``keep_last=0`` an unserialized expire could rename the
+        previous version out from under a concurrent append commit's
+        _link_data_files walk — os.walk silently skips vanished
+        subdirectories, so the commit would publish a PARTIAL version
+        as if complete. Under the flock, expire and commit
+        serialize."""
+        lock_fh = acquire_flock(
+            os.path.join(self.table_dir, "_commit.lock"),
+            f"expire_snapshots {self.table_dir!r}",
+        )
+        try:
+            return self._expire_snapshots_locked(keep_last)
+        finally:
+            if lock_fh is not None:
+                lock_fh.close()  # releases the flock
+
+    def _expire_snapshots_locked(self, keep_last: int) -> list[int]:
         versions = [m["version"] for m in self._read_meta()]
         retained = set(versions[-keep_last:]) if keep_last else set()
         # Candidates come from metadata AND the directory listing: a
@@ -326,12 +363,22 @@ class VersionedTable:
             src = os.path.join(self.table_dir, f"v{v}")
             try:
                 os.rename(src, os.path.join(self.table_dir, f"__tmp_{uuid.uuid4().hex}"))
-            except OSError:
+            except OSError as exc:
                 # Do NOT fall back to an inline rmtree (ADVICE r16):
                 # that reintroduces the partial-listing reader race the
                 # rename-parking exists to eliminate, on precisely the
-                # filesystems where rename is flaky. Skip; a later
-                # expire/sweep retries.
+                # filesystems where rename is flaky. Skip LOUDLY (r17
+                # review — the engine's degradation convention): a
+                # persistent failure must be distinguishable from
+                # already-expired, or storage grows with no signal.
+                import sys
+
+                print(
+                    f"expire_snapshots: cannot park v{v} of "
+                    f"{self.table_dir!r} ({exc!r}); skipped — a later "
+                    f"expire retries",
+                    file=sys.stderr,
+                )
                 continue
             expired.append(v)
         return expired

@@ -1933,3 +1933,76 @@ def test_merge_upsert_self_heals_crashed_swap(spark, tmp_path, monkeypatch):
     # absent (its publish never completed)
     assert len(rows) == 50
     assert rows[8] == "NEW8" and rows[7] == "v7" and rows[0] == "v0"
+
+
+def test_merge_upsert_rejects_unparseable_day(spark, tmp_path):
+    """r17 review: on a two-level table keyed on a STRING ts, a
+    NON-null ts whose to_date() is NULL evades the null-KEY gate but
+    lands in the hive null-day partition, while the rewritten-leaf
+    set renders the day as 'day_pt=None' — never matching the on-disk
+    __HIVE_DEFAULT_PARTITION__ — so the overlay would link the stale
+    null-day files in beside the rewrite: silent duplicates. The gate
+    must reject unparseable days loudly on every entry path."""
+    import pytest
+
+    from streaming_data_lake_spark.sources.upsert import merge_upsert, read_upsert
+
+    # initial publish: rejected
+    with pytest.raises(ValueError, match="NULL values in key"):
+        merge_upsert(
+            spark, str(tmp_path / "t0"),
+            spark.createDataFrame([("a", "03/04/2024", "v")], "k string, ts string, v string"),
+            ["k", "ts"], ts_col="ts",
+        )
+    assert not os.path.exists(str(tmp_path / "t0"))
+
+    # incremental two-level path: table survives the rejected batch
+    t1 = str(tmp_path / "t1")
+    merge_upsert(
+        spark, t1,
+        spark.createDataFrame(
+            [("a", "2024-01-01", "v1"), ("b", "2024-01-02", "v2")],
+            "k string, ts string, v string",
+        ),
+        ["k", "ts"], ts_col="ts",
+    )
+    with pytest.raises(ValueError, match="NULL values in key"):
+        merge_upsert(
+            spark, t1,
+            spark.createDataFrame([("a", "not a date", "v9")], "k string, ts string, v string"),
+            ["k", "ts"], ts_col="ts",
+        )
+    rows = {(r["k"], r["ts"]): r["v"] for r in read_upsert(spark, t1).collect()}
+    assert rows == {("a", "2024-01-01"): "v1", ("b", "2024-01-02"): "v2"}
+
+
+def test_merge_upsert_map_payload_collapses_deterministically(spark, tmp_path):
+    """r17 review: max(struct(payload)) requires an orderable struct,
+    so a MapType payload column made EVERY merge of that table fail.
+    The window fallback (to_json ordering, real maps selected) must
+    merge and collapse duplicate keys deterministically."""
+    from streaming_data_lake_spark.sources.upsert import merge_upsert, read_upsert
+
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, {"a": "1"}, "x"), (2, {"b": "2"}, "y")],
+        "k long, attrs map<string,string>, v string",
+    )
+    merge_upsert(spark, t, base, ["k"])
+    # a batch with duplicate keys: one deterministic winner
+    upd = spark.createDataFrame(
+        [(1, {"a": "9"}, "zz"), (1, {"a": "3"}, "aa"), (3, {"c": "3"}, "w")],
+        "k long, attrs map<string,string>, v string",
+    )
+    merge_upsert(spark, t, upd, ["k"])
+    rows = {r["k"]: (dict(r["attrs"]), r["v"]) for r in read_upsert(spark, t).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2] == ({"b": "2"}, "y")
+    assert rows[3] == ({"c": "3"}, "w")
+    # winner of the duplicate: greatest (v, to_json(attrs)) ordering —
+    # struct order is (attrs, v), jsonified attrs "a":"9" > "a":"3"
+    assert rows[1] == ({"a": "9"}, "zz")
+    # replay converges (idempotent per batch)
+    merge_upsert(spark, t, upd, ["k"])
+    rows2 = {r["k"]: (dict(r["attrs"]), r["v"]) for r in read_upsert(spark, t).collect()}
+    assert rows2 == rows
