@@ -346,3 +346,41 @@ def test_expire_snapshots_rename_failure_skips_not_deletes(spark, tmp_path, monk
     # a later expire retries and reclaims v1
     assert vt.expire_snapshots(keep_last=1) == [1]
     assert not os.path.isdir(os.path.join(ref, "v1"))
+
+
+def test_expire_parked_version_survives_sweep_by_ctime(spark, tmp_path):
+    """r17 review (high): the commit-scratch sweep age-guarded on
+    getmtime, but os.rename PRESERVES a directory's mtime — an
+    expire-parked version whose CONTENT is hours old read as
+    instantly reclaimable, and the very next commit deleted it under
+    any mid-scan time-travel reader (the exact race expire-by-rename
+    exists to eliminate). The shared ctime-aware rule keeps the
+    parked snapshot for the full min-age after the PARK, not after
+    the write."""
+    import time
+
+    from streaming_data_lake_spark.sources.versioned import VersionedTable
+
+    ref = str(tmp_path / "t")
+    vt = VersionedTable(spark, ref)
+    vt.commit(spark.range(0, 20).toDF("id"))
+    vt.commit(spark.range(20, 30).toDF("id"))
+
+    # age the v1 content: mtimes 2h in the past (rename will PRESERVE
+    # these; only the inode ctime reflects the park moment)
+    old = time.time() - 7200
+    v1 = os.path.join(ref, "v1")
+    for root, dirs, files in os.walk(v1):
+        for name in dirs + files:
+            os.utime(os.path.join(root, name), (old, old))
+    os.utime(v1, (old, old))
+
+    assert vt.expire_snapshots(keep_last=1) == [1]
+    parked = [e for e in os.listdir(ref) if "__tmp_" in e]
+    assert len(parked) == 1
+
+    # the next commit's sweep must NOT reclaim the just-parked bytes
+    # (a straddling reader may still hold them) — pre-fix, the
+    # mtime-only guard deleted them right here
+    vt.commit(spark.range(30, 35).toDF("id"))
+    assert [e for e in os.listdir(ref) if "__tmp_" in e] == parked
