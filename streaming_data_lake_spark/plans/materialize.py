@@ -598,6 +598,15 @@ class Materializer:
             n_buckets = n
             _mark("M1")
         else:
+            wm = self.get_watermark(target.name)
+            if wm is not None and self._recover_m4(target.name, wm, mat_dir):
+                # Roll back a crashed append BEFORE any layout
+                # migration (r17 review): the migration's full
+                # rewrite absorbs the uncommitted increment into new
+                # file names the journal cannot name — recovery would
+                # then no-op, retire the journal, and M4 would append
+                # the whole increment AGAIN (permanent duplication).
+                log["M4:recovery"] = "rolled back crashed append"
             if not self._has_layout(mat_dir, target):
                 # Legacy/flattened table (e.g. written before the
                 # day layout, compacted flat by a foreign tool, a
@@ -628,11 +637,8 @@ class Materializer:
                 log["layout"] = "migrated to " + "/".join(layout) + " partitions"
                 _mark("layout")
             n_buckets = self._resolve_buckets(mat_dir, target)
-            wm = self.get_watermark(target.name)
             if wm is None:
                 raise RuntimeError(f"mat table {target.name} exists but no watermark")
-            if self._recover_m4(target.name, wm, mat_dir):
-                log["M4:recovery"] = "rolled back crashed append"
             lo = wm - dt.timedelta(hours=lookback_hours)
             # The lookback window's day partitions — pure arithmetic
             # on the aware-UTC bounds, no job. Every windowed row's
@@ -747,8 +753,16 @@ class Materializer:
             if target.exists_repair is not None:
                 er = target.exists_repair
                 mat = self.read_mat(target.name)
+                # Null-safe rising edge (r17 review): a flag that
+                # materialized NULL (nullable outer-join flag before
+                # the downstream event existed) and later turns true
+                # must repair — `(~NULL) & true` is NULL and filter()
+                # drops it, exempting exactly the late-arrival shape
+                # this pass exists for. "Was not true, now true."
                 flips = [
-                    (~F.col(f"m.{c}")) & F.col(f"v.{c}") for c in er.flag_cols
+                    (~F.coalesce(F.col(f"m.{c}"), F.lit(False)))
+                    & F.coalesce(F.col(f"v.{c}"), F.lit(False))
+                    for c in er.flag_cols
                 ]
                 # value drift: null-safe inequality (a late event can
                 # change a count without flipping any flag)
@@ -777,7 +791,16 @@ class Materializer:
                     if changed.isEmpty():
                         log["M5"] = "no flag flips"
                     else:
-                        reinsert = view.join(changed, on=er.key_col, how="left_semi")
+                        # ts <= wm, exactly like M3's reinsert (r17
+                        # review): a flipped key can ALSO carry a new
+                        # view row at ts > wm, which M4 appends later
+                        # this same cycle — without the guard M5
+                        # inserts it first and the append duplicates
+                        # it permanently (past the lookback horizon
+                        # M2 never repairs it).
+                        reinsert = view.join(
+                            changed, on=er.key_col, how="left_semi"
+                        ).filter(ts <= F.lit(wm))
                         if target.bucket_col == er.key_col:
                             n = self._repair_keys(
                                 mat_dir, target, changed, er.key_col, reinsert, n_buckets

@@ -2006,3 +2006,135 @@ def test_merge_upsert_map_payload_collapses_deterministically(spark, tmp_path):
     merge_upsert(spark, t, upd, ["k"])
     rows2 = {r["k"]: (dict(r["attrs"]), r["v"]) for r in read_upsert(spark, t).collect()}
     assert rows2 == rows
+
+
+def test_m5_reinsert_excludes_post_watermark_rows(spark, tmp_path):
+    """r17 review (high): a flipped key can ALSO carry a new view row
+    at ts > wm. M5's reinsert pulled ALL the key's view rows (no
+    ts <= wm guard, unlike M3), so the post-watermark row landed once
+    via M5 and AGAIN via M4's append — permanent silent duplication
+    once past the lookback horizon."""
+    from streaming_data_lake_spark.plans.materialize import ExistsRepair
+
+    lake = str(tmp_path / "lake")
+    src = os.path.join(lake, "src")
+    down = os.path.join(lake, "down")
+    os.makedirs(lake, exist_ok=True)
+    _write_events(spark, src, [(1, _ts("2024-01-01 10:00:00"), 7, 1.0)])
+    spark.createDataFrame([(99, 0)], "k long, dummy int").write.mode(
+        "overwrite"
+    ).parquet(down)
+
+    def view(s):
+        ev = s.read.parquet(src)
+        d = s.read.parquet(down).select("k").distinct().withColumn(
+            "has_down", F.lit(True)
+        )
+        return ev.join(d, "k", "left").withColumn(
+            "has_down", F.coalesce(F.col("has_down"), F.lit(False))
+        )
+
+    target = MatTarget(
+        "mat_m5wm", view, "ts",
+        exists_repair=ExistsRepair(key_col="k", flag_cols=("has_down",)),
+    )
+    m = Materializer(spark, lake)
+    m.run(target, lookback_hours=1)
+
+    # downstream event flips k=7 AND a NEW fact for k=7 arrives at
+    # ts far beyond the watermark (outside any lookback)
+    spark.createDataFrame([(7, 0)], "k long, dummy int").write.mode(
+        "append"
+    ).parquet(down)
+    _write_events(spark, src, [(2, _ts("2024-01-02 12:00:00"), 7, 2.0)])
+    log = m.run(target, lookback_hours=1)
+    assert log["M5"].startswith("repaired")
+    assert log["M4"] == "appended 1"
+    rows = sorted(r["id"] for r in m.read_mat("mat_m5wm").collect())
+    assert rows == [1, 2], f"post-watermark row duplicated: {rows}"
+    assert all(r["has_down"] for r in m.read_mat("mat_m5wm").collect())
+
+
+def test_m4_crash_recovery_runs_before_layout_migration(spark, tmp_path, monkeypatch):
+    """r17 review (high): a layout migration between a crashed append
+    and its recovery absorbs the uncommitted increment into new file
+    names the journal cannot name — the rollback no-ops, retires the
+    journal, and M4 re-appends the whole increment (permanent
+    duplication). Recovery must run BEFORE the migration rewrite."""
+    lake = str(tmp_path / "lake")
+    src = os.path.join(lake, "src")
+    os.makedirs(lake, exist_ok=True)
+    _write_events(spark, src, [(1, _ts("2024-01-01 10:00:00"), 1, 1.0)])
+    target = MatTarget("mat_mig", lambda s: s.read.parquet(src), "ts")
+    m = Materializer(spark, lake)
+    m.run(target, lookback_hours=1)
+
+    # two new days -> M4 moves >= 2 staged files; crash after the first
+    _write_events(spark, src, [(2, _ts("2024-01-02 11:00:00"), 2, 2.0),
+                               (3, _ts("2024-01-03 12:00:00"), 3, 3.0)])
+    mat_dir = os.path.join(lake, "mat_mig")
+    real_rename = os.rename
+    moved = [0]
+
+    def crashy_rename(a, b, *args, **kw):
+        if str(b).startswith(mat_dir + os.sep) and str(b).endswith(".parquet"):
+            if moved[0] >= 1:
+                raise RuntimeError("simulated crash mid-M4")
+            moved[0] += 1
+        return real_rename(a, b, *args, **kw)
+
+    monkeypatch.setattr(os, "rename", crashy_rename)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        m.run(target, lookback_hours=1)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert moved[0] == 1
+    assert os.path.exists(m._m4_intent_path("mat_mig"))
+
+    # the target now DECLARES a bucket layout -> next cycle migrates
+    target2 = MatTarget(
+        "mat_mig", lambda s: s.read.parquet(src), "ts",
+        bucket_col="id", n_buckets=2,
+    )
+    log = m.run(target2, lookback_hours=1)
+    assert log.get("M4:recovery") == "rolled back crashed append"
+    assert "layout" in log
+    rows = sorted(r["id"] for r in m.read_mat("mat_mig").collect())
+    assert rows == [1, 2, 3], f"increment duplicated through migration: {rows}"
+    assert not os.path.exists(m._m4_intent_path("mat_mig"))
+
+
+def test_m5_detects_null_to_true_flag_flip(spark, tmp_path):
+    """r17 review: `(~NULL) & true` is NULL and filter() drops it, so
+    a flag that materialized as NULL (nullable outer-join flag) and
+    later turned true was never repaired. Rising edge = 'was not
+    true, now true', null-safe."""
+    from streaming_data_lake_spark.plans.materialize import ExistsRepair
+
+    lake = str(tmp_path / "lake")
+    src = os.path.join(lake, "src")
+    down = os.path.join(lake, "down")
+    os.makedirs(lake, exist_ok=True)
+    _write_events(spark, src, [(1, _ts("2024-01-01 10:00:00"), 7, 1.0)])
+    spark.createDataFrame([(99,)], "k long").write.mode("overwrite").parquet(down)
+
+    def view(s):
+        ev = s.read.parquet(src)
+        d = s.read.parquet(down).select("k").distinct().withColumn(
+            "has_down", F.lit(True)
+        )
+        return ev.join(d, "k", "left")  # NO coalesce: flag stays NULL
+
+    target = MatTarget(
+        "mat_nullflag", view, "ts",
+        exists_repair=ExistsRepair(key_col="k", flag_cols=("has_down",)),
+    )
+    m = Materializer(spark, lake)
+    m.run(target, lookback_hours=1)
+    assert [r["has_down"] for r in m.read_mat("mat_nullflag").collect()] == [None]
+
+    spark.createDataFrame([(7,)], "k long").write.mode("append").parquet(down)
+    log = m.run(target, lookback_hours=1)
+    assert log["M5"].startswith("repaired"), log
+    assert [r["has_down"] for r in m.read_mat("mat_nullflag").collect()] == [True]
