@@ -257,7 +257,12 @@ class Materializer:
             return 1
         return int(read_layout_meta(mat_dir)["n_buckets"])
 
-    def _sized_buckets(self, mat_dir: str, target: MatTarget) -> int:
+    def _sized_buckets(
+        self,
+        mat_dir: str,
+        target: MatTarget,
+        df_for_day_span: DataFrame | None = None,
+    ) -> int:
         """Bucket count for a (re)build of ``mat_dir``: the explicit
         declaration, else sized from the existing table's bytes
         (layout.size_buckets; emulation-scale stat walk — a format
@@ -266,8 +271,23 @@ class Materializer:
             return target.n_buckets
         from streaming_data_lake_spark.plans.maintenance import dir_bytes
 
-        n_days = max(1, count_partition_dirs(mat_dir, DAY_COL))
-        return size_buckets(dir_bytes(mat_dir), n_days)
+        n_days = count_partition_dirs(mat_dir, DAY_COL)
+        if n_days == 0 and df_for_day_span is not None:
+            # FLAT-table migration (r17 review): no day dirs exist
+            # yet, so byte-based sizing would treat the whole table
+            # as ONE day and pick a bucket count that, once the data
+            # spreads over its real day span, leaves every (day x kb)
+            # leaf n_days times smaller than the target — a permanent
+            # small-files layout every later cycle pays for. One
+            # count-distinct job over the migrating frame gets the
+            # real span (migrations are rare full rewrites already).
+            n_days = (
+                df_for_day_span.select(
+                    F.countDistinct(F.to_date(F.col(target.ts_col))).alias("d")
+                ).head()["d"]
+                or 1
+            )
+        return size_buckets(dir_bytes(mat_dir), max(1, n_days))
 
     def _mat_meta(self, target: MatTarget, n_buckets: int) -> dict:
         return {
@@ -431,6 +451,63 @@ class Materializer:
             raise RuntimeError(
                 f"unreadable M4 append journal {path!r}; inspect and remove"
             )
+
+    def _recover_missing_watermark(
+        self, target: MatTarget, mat_dir: str, log: dict[str, str]
+    ) -> dt.datetime:
+        """Self-heal a mat table that EXISTS without a watermark (r17
+        review): a crash between M1's publish and M6's first
+        watermark write — or a torn watermark store — previously
+        raised 'exists but no watermark' on EVERY later cycle, a
+        permanent wedge needing manual table deletion. But the lost
+        value is not a guess: M6's invariant is wm == max(ts) over
+        the mat table at rest, so deriving max(ts) recovers the
+        EXACT watermark — M4 then appends nothing already present and
+        M2 repairs the lookback window idempotently. A crashed
+        append's journal (if present) is rolled back FIRST using the
+        journal's own recorded watermark, restoring the at-rest
+        invariant before the derivation. An unreadable or empty
+        table still raises: there is nothing sound to derive."""
+        name = target.name
+        intent_path = self._m4_intent_path(name)
+        if os.path.exists(intent_path):
+            try:
+                with open(intent_path) as fh:
+                    intent_wm = _utc_from_micros(json.load(fh)["wm_us"])
+            except (OSError, ValueError, KeyError, TypeError):
+                raise RuntimeError(
+                    f"mat table {name} has no watermark AND an unreadable "
+                    f"M4 append journal {intent_path!r}; inspect manually"
+                ) from None
+            if self._recover_m4(name, intent_wm, mat_dir):
+                log["M4:recovery"] = "rolled back crashed append"
+        try:
+            max_us = (
+                self.read_mat(name)
+                .agg(F.unix_micros(F.max(F.col(target.ts_col))).alias("us"))
+                .collect()[0][0]
+            )
+        except Exception as exc:  # noqa: BLE001 — converted to the loud wedge error
+            raise RuntimeError(
+                f"mat table {name} exists but has no watermark and its "
+                f"max-ts derivation failed ({exc!r}); inspect manually"
+            ) from None
+        if max_us is None:
+            raise RuntimeError(
+                f"mat table {name} exists but has no watermark and no "
+                f"rows to derive one from; drop the empty table"
+            )
+        wm = _utc_from_micros(max_us)
+        self._set_watermark(name, wm)
+        log["M6:recovery"] = f"derived watermark {wm.isoformat()} from max(ts)"
+        print(
+            f"materialize: {name!r} had no watermark (crash between the "
+            f"first publish and the watermark write, or a torn store); "
+            f"derived {wm.isoformat()} from max(ts) — the M6 at-rest "
+            f"invariant makes this exact",
+            file=sys.stderr,
+        )
+        return wm
 
     def get_watermark(self, name: str) -> dt.datetime | None:
         """Returns the watermark as an AWARE-UTC datetime."""
@@ -599,7 +676,9 @@ class Materializer:
             _mark("M1")
         else:
             wm = self.get_watermark(target.name)
-            if wm is not None and self._recover_m4(target.name, wm, mat_dir):
+            if wm is None:
+                wm = self._recover_missing_watermark(target, mat_dir, log)
+            if self._recover_m4(target.name, wm, mat_dir):
                 # Roll back a crashed append BEFORE any layout
                 # migration (r17 review): the migration's full
                 # rewrite absorbs the uncommitted increment into new
@@ -632,20 +711,39 @@ class Materializer:
                             f"{col!r} column; rebuild it before running "
                             f"maintenance cycles against it"
                         )
-                n = self._sized_buckets(mat_dir, target) if target.bucket_col else 1
+                n = self._sized_buckets(
+                    mat_dir, target, df_for_day_span=flat
+                ) if target.bucket_col else 1
                 self._overwrite(mat_dir, flat, target, n)
                 log["layout"] = "migrated to " + "/".join(layout) + " partitions"
                 _mark("layout")
             n_buckets = self._resolve_buckets(mat_dir, target)
-            if wm is None:
-                raise RuntimeError(f"mat table {target.name} exists but no watermark")
             lo = wm - dt.timedelta(hours=lookback_hours)
             # The lookback window's day partitions — pure arithmetic
-            # on the aware-UTC bounds, no job. Every windowed row's
-            # day lies in [date(lo), date(wm)].
+            # on the window bounds, no job. day_pt values were derived
+            # by to_date(ts) in the SESSION timezone, so the window's
+            # day names must come from the same zone (r17 review): on
+            # a non-UTC session a UTC-named list misses the partition
+            # a near-midnight row actually lives in, and the repair
+            # would write the row into an un-rewritten day while the
+            # overlay links that day's old files — duplicates.
+            tz: dt.tzinfo = dt.timezone.utc
+            tz_name = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+            if tz_name not in ("UTC", "Etc/UTC", "GMT", "Z"):
+                try:
+                    from zoneinfo import ZoneInfo
+
+                    tz = ZoneInfo(tz_name)
+                except Exception:  # noqa: BLE001 — unresolvable tz id
+                    print(
+                        f"materialize: session timeZone {tz_name!r} not "
+                        f"resolvable; deriving lookback day names in UTC "
+                        f"(repairs near midnight may miss a partition)",
+                        file=sys.stderr,
+                    )
             days = []
-            d = lo.date()
-            while d <= wm.date():
+            d = lo.astimezone(tz).date()
+            while d <= wm.astimezone(tz).date():
                 days.append(d)
                 d += dt.timedelta(days=1)
             day_in_window = F.col(DAY_COL).isin([str(x) for x in days])
@@ -953,6 +1051,31 @@ class Materializer:
         os.rename(staged, mat_dir)
         return n
 
+    @staticmethod
+    def _guard_nonempty_publish(path: str, tmp: str, what: str) -> None:
+        """Refuse to publish a version with ZERO data files (r17
+        review): parquet writes of an empty frame emit only _SUCCESS,
+        and a published fileless dir wedges EVERY later cycle
+        (read_mat / the migration read die UNABLE_TO_INFER_SCHEMA —
+        the typed-empty fallback covers a MISSING path, not an
+        existing fileless one). A repair that would converge the
+        table to zero rows is an operator decision (upstream purge?),
+        not a silent publish: abort loudly, keep the table in its
+        pre-repair state, drop the scratch."""
+        for root, _dirs, files in os.walk(tmp):
+            for f in files:
+                if not f.startswith((".", "_")):
+                    return
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"{what} of {path!r} would publish a version with zero data "
+            f"files (the view converged to zero rows in scope); refusing "
+            f"— the table keeps its pre-repair state. If the source was "
+            f"genuinely emptied, drop the mat table AND its retained "
+            f"__old_ siblings (else heal-at-entry restores them) and let "
+            f"the next cycle re-create it."
+        )
+
     def _overwrite(
         self, path: str, df: DataFrame, target: MatTarget, n_buckets: int
     ) -> None:
@@ -969,6 +1092,7 @@ class Materializer:
             "overwrite"
         ).partitionBy(*layout).parquet(tmp)
         write_layout_meta(tmp, self._mat_meta(target, n_buckets))
+        self._guard_nonempty_publish(path, tmp, "full rewrite")
         atomic_swap(path, tmp)
 
     def _overwrite_partitions(
@@ -994,6 +1118,7 @@ class Materializer:
             path, tmp, DAY_COL, {f"{DAY_COL}={d.isoformat()}" for d in days}
         )
         copy_layout_meta(path, tmp)
+        self._guard_nonempty_publish(path, tmp, "partition-scoped repair")
         atomic_swap(path, tmp)
 
     def _repair_keys(
@@ -1040,5 +1165,6 @@ class Materializer:
             path, tmp, DAY_COL, KB_COL, {f"{KB_COL}={b}" for b in touched}
         )
         copy_layout_meta(path, tmp)
+        self._guard_nonempty_publish(path, tmp, "keyed repair")
         atomic_swap(path, tmp)
         return len(touched)

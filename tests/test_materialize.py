@@ -2138,3 +2138,121 @@ def test_m5_detects_null_to_true_flag_flip(spark, tmp_path):
     log = m.run(target, lookback_hours=1)
     assert log["M5"].startswith("repaired"), log
     assert [r["has_down"] for r in m.read_mat("mat_nullflag").collect()] == [True]
+
+
+def test_zero_row_repair_refuses_fileless_publish(spark, tmp_path):
+    """r17 review: a repair converging the table to zero rows wrote a
+    version with only _SUCCESS — and a published fileless dir wedges
+    every later cycle with UNABLE_TO_INFER_SCHEMA. The publish now
+    refuses loudly and the table keeps its pre-repair state."""
+    import pytest
+
+    lake = str(tmp_path / "lake")
+    src = os.path.join(lake, "src")
+    os.makedirs(lake, exist_ok=True)
+    _write_events(spark, src, [(1, _ts("2024-01-01 10:00:00"), 1, 1.0),
+                               (2, _ts("2024-01-01 11:00:00"), 2, 2.0)])
+    target = MatTarget("mat_zero", lambda s: s.read.parquet(src), "ts")
+    m = Materializer(spark, lake)
+    m.run(target, lookback_hours=2)
+    assert m.read_mat("mat_zero").count() == 2
+
+    # upstream purge: the source is emptied in place (same schema)
+    spark.createDataFrame([], "id long, ts timestamp, k int, v double").write.mode(
+        "overwrite"
+    ).parquet(src)
+    with pytest.raises(RuntimeError, match="zero data"):
+        m.run(target, lookback_hours=2)
+    # pre-repair state intact and READABLE — not a fileless wedge
+    assert m.read_mat("mat_zero").count() == 2
+    # every later cycle refuses the same way (loud, actionable) —
+    # never the old UNABLE_TO_INFER_SCHEMA wedge
+    with pytest.raises(RuntimeError, match="zero data"):
+        m.run(target, lookback_hours=2)
+
+    # the documented operator action: drop the table; the next cycle
+    # re-creates it from the current view
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.join(lake, "mat_zero"))
+    _write_events(spark, src, [(3, _ts("2024-01-01 11:30:00"), 3, 3.0)])
+    log = m.run(target, lookback_hours=2)
+    assert "M1" in log
+    assert sorted(r["id"] for r in m.read_mat("mat_zero").collect()) == [3]
+
+
+def test_flat_migration_sizes_buckets_by_real_day_span(spark, tmp_path, monkeypatch):
+    """r17 review (efficiency): migrating a FLAT legacy table with an
+    auto-sized bucket layout counted day dirs (0 -> treated as one
+    day), so the bucket count was sized as if every byte lived in one
+    day — after migration each (day x kb) leaf lands ~n_days times
+    under the target (permanent small-files). The migration must size
+    with the frame's REAL day span."""
+    import streaming_data_lake_spark.plans.materialize as mat_mod
+
+    lake = str(tmp_path / "lake")
+    src = os.path.join(lake, "src")
+    os.makedirs(lake, exist_ok=True)
+    # 5 distinct days of facts
+    _write_events(spark, src, [
+        (i, _ts(f"2024-01-0{d} 10:00:00"), i, float(i))
+        for i, d in enumerate([1, 1, 2, 3, 4, 5], start=1)
+    ])
+    # a flat legacy table: plain parquet, no day layout, no sidecar
+    mat_dir = os.path.join(lake, "mat_flatmig")
+    spark.read.parquet(src).write.parquet(mat_dir)
+
+    target = MatTarget(
+        "mat_flatmig", lambda s: s.read.parquet(src), "ts", bucket_col="id"
+    )
+    m = Materializer(spark, lake)
+    m._set_watermark("mat_flatmig", _ts("2024-01-05 10:00:00"))
+
+    seen = {}
+    real = mat_mod.size_buckets
+
+    def capture(total_bytes, n_outer, *a, **kw):
+        seen["n_outer"] = n_outer
+        return real(total_bytes, n_outer, *a, **kw)
+
+    monkeypatch.setattr(mat_mod, "size_buckets", capture)
+    log = m.run(target, lookback_hours=1)
+    assert "layout" in log
+    assert seen["n_outer"] == 5, (
+        f"migration sized buckets with n_days={seen.get('n_outer')}, "
+        f"not the real 5-day span"
+    )
+    assert sorted(r["id"] for r in m.read_mat("mat_flatmig").collect()) == [1, 2, 3, 4, 5, 6]
+
+
+def test_m2_repair_day_names_follow_session_timezone(spark, tmp_path):
+    """r17 review: day_pt values come from to_date(ts) in the SESSION
+    timezone, but the M2 window-day list was computed in UTC — on a
+    non-UTC session a near-midnight row's partition is missing from
+    the rewritten set, so the repair writes the row into one leaf
+    while the overlay links that leaf's OLD files in beside it:
+    duplicate rows. The day list now derives in the session zone."""
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        lake = str(tmp_path / "lake")
+        src = os.path.join(lake, "src")
+        os.makedirs(lake, exist_ok=True)
+        # 03:00 UTC = 22:00 previous day in New York: UTC day names
+        # and session day names DIVERGE for this window
+        _write_events(spark, src, [(1, _ts("2024-01-02 03:00:00"), 1, 1.0)])
+        target = MatTarget("mat_tz", lambda s: s.read.parquet(src), "ts")
+        m = Materializer(spark, lake)
+        m.run(target, lookback_hours=2)
+        assert m.read_mat("mat_tz").count() == 1
+
+        # late row inside the lookback, same NY day
+        _write_events(spark, src, [(2, _ts("2024-01-02 02:30:00"), 2, 2.0)])
+        log = m.run(target, lookback_hours=2)
+        assert log["M2"].startswith("repaired")
+        rows = sorted(r["id"] for r in m.read_mat("mat_tz").collect())
+        assert rows == [1, 2], f"day-boundary duplicate/loss: {rows}"
+        # idempotent rerun
+        assert m.run(target, lookback_hours=2)["M2"] == "no drift"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)

@@ -71,12 +71,15 @@ def test_versioned_snapshot_log_torn_middle_line_raises(spark, tmp_path):
         VersionedTable(spark, ref).snapshots()
 
 
-def test_torn_watermark_store_refuses_cycle_on_existing_table(spark, tmp_path):
+def test_torn_watermark_store_self_heals_by_deriving_max_ts(spark, tmp_path):
     """A torn watermark JSON reads as ABSENT (the shape-tolerant
-    reader) — and a mat table that exists without a watermark must
-    refuse the cycle loudly: guessing a watermark would either
-    re-append history (silent permanent duplication past the
-    lookback) or skip late facts."""
+    reader). r17: instead of refusing the cycle forever (the old
+    permanent wedge — it also fired when a crash landed between M1's
+    publish and the first watermark write), the cycle DERIVES the
+    lost watermark from max(ts): M6's at-rest invariant is wm ==
+    max(ts), so the derivation is exact, not a guess — M4 appends
+    nothing already present (no silent re-append duplication, the
+    hazard the old refusal guarded) and the cycle completes."""
     from streaming_data_lake_spark.plans.materialize import Materializer, MatTarget
 
     lake = str(tmp_path / "lake")
@@ -99,8 +102,15 @@ def test_torn_watermark_store_refuses_cycle_on_existing_table(spark, tmp_path):
     assert os.path.exists(wm_json)
     _truncate_tail(wm_json, 3)
     assert m.get_watermark("mat_torn_wm") is None  # torn -> absent
-    with pytest.raises(RuntimeError, match="no watermark"):
-        m.run(target)
+    log2 = m.run(target)
+    assert log2.get("M6:recovery", "").startswith("derived watermark")
+    # NO duplication: the derived wm == max(ts), so M4 appended nothing
+    assert log2["M4"] == "appended 0"
+    assert m.read_mat("mat_torn_wm").count() == 200
+    # the store is healed; the next cycle is a plain no-op cycle
+    log3 = m.run(target)
+    assert "M6:recovery" not in log3
+    assert m.read_mat("mat_torn_wm").count() == 200
 
 
 def test_torn_layout_sidecar_migrates_with_full_rewrite(spark, tmp_path):
