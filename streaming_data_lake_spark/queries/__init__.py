@@ -160,8 +160,12 @@ _CERTIFICATION_ORDER = [
     "value_distribution_by_class",
     "flag_distribution",
     "avg_value_spread",
-    # ---- r16-certified tail (back in rotation at r19) ----
+    # ---- r17 LATE code-touches (after the rotation was pinned):
+    # sealed-emission sessionize protocol + funnel admission — they
+    # take r18 free slots directly after the drain ----
+    "streaming_sessionize",
     "funnel_leakage_daily",
+    # ---- r16-certified tail (back in rotation at r19) ----
     "cms_heavy_hitter_tokens",
     "token_budget_packing",
     "bloom_semi_join_prune",
@@ -173,7 +177,6 @@ _CERTIFICATION_ORDER = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "batch_sessionize_windows",
-    "streaming_sessionize",
     "user_rolling_7day_value",
     "rollup_revenue_levels",
     "price_quantiles_by_flag",

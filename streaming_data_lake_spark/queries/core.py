@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 from streaming_data_lake_spark.catalog import load_table
 from streaming_data_lake_spark.functions.parity import (
     DUCK_TS_ADMISSIBLE,
+    admissible_ts,
     davg,
     dsum,
     finite,
@@ -941,10 +942,10 @@ def interval_join_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J4/J5/A9 — chained funnel joins + stage conversion rates
 # ---------------------------------------------------------------------------
 
-_FUNNEL_ORACLE = """
-WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
-     c AS (SELECT * FROM events WHERE event_type = 'click'),
-     p AS (SELECT * FROM events WHERE event_type = 'purchase')
+_FUNNEL_ORACLE = f"""
+WITH v AS (SELECT * FROM events WHERE event_type = 'view' AND {_TS_ADM}),
+     c AS (SELECT * FROM events WHERE event_type = 'click' AND {_TS_ADM}),
+     p AS (SELECT * FROM events WHERE event_type = 'purchase' AND {_TS_ADM})
 SELECT
   CAST(date_trunc('day', v.ts) AS TIMESTAMP) AS event_day,
   count(DISTINCT v.event_id) AS n_views,
@@ -973,7 +974,13 @@ def _funnel_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     of funnel_conversion_daily and funnel_leakage_daily (both
     oracles read the same chain; keeping one copy means a window or
     bound change cannot desynchronize the two queries)."""
-    e = _t(spark, sf_dir, "events")
+    # Time-keyed admission (r13 contract, extended r17): the funnel
+    # is the STREAMING funnel's oracle (two-path design, T6), and the
+    # streaming stages admission-filter their watermarked inputs — a
+    # far-future row would otherwise poison their join watermarks in
+    # multi-batch runs. Both paths and the SQL oracle carry the same
+    # WHERE, so they stay row-for-row convergent on any corpus.
+    e = _t(spark, sf_dir, "events").filter(admissible_ts(F.col("ts")))
     v = e.filter(F.col("event_type") == "view").alias("v")
     c = e.filter(F.col("event_type") == "click").alias("c")
     p = e.filter(F.col("event_type") == "purchase").alias("p")

@@ -45,14 +45,14 @@ GROUP BY 1, 2
 
 _DEDUP_KEYS_ORACLE = "SELECT DISTINCT user_id, event_type FROM events"
 
-_STREAM_JOIN_ORACLE = """
+_STREAM_JOIN_ORACLE = f"""
 SELECT
   CAST(date_trunc('day', c.ts) AS TIMESTAMP) AS event_day,
   count(*) AS n_pairs,
   count(DISTINCT c.event_id) AS n_clicks_matched,
   count(DISTINCT v.event_id) AS n_views_matched
-FROM (SELECT * FROM events WHERE event_type = 'click') c
-JOIN (SELECT * FROM events WHERE event_type = 'view') v
+FROM (SELECT * FROM events WHERE event_type = 'click' AND {_TS_ADM}) c
+JOIN (SELECT * FROM events WHERE event_type = 'view' AND {_TS_ADM}) v
   ON v.user_id = c.user_id
  AND v.ts >= c.ts - INTERVAL '10 minutes'
  AND v.ts <= c.ts

@@ -256,14 +256,22 @@ def streaming_interval_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     user_id with views in [click - 10 min, click], watermarks on both
     sides; joined pairs are then rolled up per day (batch agg over
     the sink)."""
+    # Time-keyed admission BEFORE the watermark, like every other
+    # watermarked pipeline (r13 time-edge contract; r17 review): in a
+    # multi-batch run one far-future row would advance the join
+    # watermark past the whole legitimate stream, evicting all
+    # interval state and dropping every later event as late. The
+    # oracle carries the same admission WHERE.
     clicks = (
         stream_table(spark, sf_dir, "events")
+        .filter(admissible_ts(F.col("ts")))
         .filter(F.col("event_type") == "click")
         .withWatermark("ts", "30 seconds")
         .alias("c")
     )
     views = (
         stream_table(spark, sf_dir, "events")
+        .filter(admissible_ts(F.col("ts")))
         .filter(F.col("event_type") == "view")
         .withWatermark("ts", "30 seconds")
         .alias("v")
@@ -320,8 +328,13 @@ def streaming_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the chained cardinality row-for-row."""
 
     def staged(t: str) -> DataFrame:
+        # Admission before the watermark (r13 contract; r17 review):
+        # a far-future row would poison both join stages' watermarks
+        # in a multi-batch run. The batch views spine below and the
+        # shared batch-funnel oracle carry the same admission.
         return (
             stream_table(spark, sf_dir, "events")
+            .filter(admissible_ts(F.col("ts")))
             .filter(F.col("event_type") == t)
             .withWatermark("ts", "30 seconds")
         )
@@ -371,6 +384,7 @@ def streaming_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     cp_pairs = cp_res().withColumnRenamed("click_id", "cp_click_id")
     views = (
         load_table(spark, sf_dir, "events")
+        .filter(admissible_ts(F.col("ts")))
         .filter(F.col("event_type") == "view")
         .select(F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id"))
     )

@@ -67,7 +67,19 @@ SESSION_SCHEMA = (
     "n_events long, total_value double"
 )
 
-_STATE_SCHEMA = "start long, end long, n long, cents long, nfin long"
+# Per-user PENDING sessions (parallel arrays, start-ascending). Every
+# session stays in state until the watermark passes session_end + gap
+# (r17 review): emitting a gap-closed session IMMEDIATELY was wrong in
+# multi-batch runs — a late-but-admissible row in a later micro-batch
+# can still merge with it (the watermark only guarantees no MORE
+# admissible rows once it passes end + gap), so eager emission split
+# one oracle session into two sink rows. The native session_window
+# buffers until the watermark passes the window end for exactly this
+# reason; the hand fold now follows the same protocol.
+_STATE_SCHEMA = (
+    "starts array<long>, ends array<long>, ns array<long>, "
+    "centss array<long>, nfins array<long>"
+)
 
 # Sentinel identity for replay watermark-carrier rows. int64 min, NOT
 # -1: real corpora plausibly contain user_id -1 (the edge sweep
@@ -104,7 +116,12 @@ def _emit_sessions(
     a = np.asarray(sessions, dtype="int64")
     return pd.DataFrame(
         {
-            "user_id": np.full(len(sessions), user_id, dtype="int64"),
+            # Nullable Int64, not np.full(int64): a NULL user_id is a
+            # real key (edge corpora plant them; the native twin
+            # sessionizes them) and np.full(n, None, dtype='int64')
+            # raises TypeError in the executor worker, killing the
+            # whole query (r17 review).
+            "user_id": pd.array([user_id] * len(sessions), dtype="Int64"),
             "session_start": pd.to_datetime(a[:, 0], unit="us"),
             "session_end": pd.to_datetime(a[:, 1], unit="us"),
             "n_events": a[:, 2],
@@ -126,8 +143,11 @@ def _fold_batch(pdf: pd.DataFrame, carried, gap_us: int):
     late-data semantics: a state session whose end exceeds the
     batch's early timestamps can absorb the next segment.
 
-    Returns (closed_sessions, open_session) as (start, end, n, cents,
-    nfin) tuples; ``carried`` is the prior state tuple or None."""
+    Returns the FULL merged session list (start-ascending
+    (start, end, n, cents, nfin) tuples) — ripeness (which sessions
+    the watermark has sealed) is the CALLER's split, because only the
+    caller sees the current watermark. ``carried`` is the prior
+    pending-session list (may be empty/None)."""
     ts_us = (pdf["ts"].astype("int64") // 1_000).to_numpy()
     # Finiteness contract, cents-domain form: NULL/NaN/Inf values
     # contribute 0 cents (the decimal-SUM twins skip them as NULL; a
@@ -137,7 +157,13 @@ def _fold_batch(pdf: pd.DataFrame, carried, gap_us: int):
     # session can emit total_value NULL like the decimal-SUM twins
     # instead of 0.0 (ADVICE r12).
     vals = pdf["value"].to_numpy(dtype="float64", na_value=float("nan"))
-    fin = np.isfinite(vals)
+    # Magnitude clamp alongside finiteness (r17 review): a finite
+    # value with |v|*100 beyond int64 makes rint().astype('int64')
+    # undefined-garbage cents (INT64_MIN) — the same silent-corruption
+    # class as NaN. Values outside the decimal(12,2) domain the twins
+    # sum in (|v| >= 1e10) are excluded like non-finite ones; the
+    # native path's ANSI decimal cast errors loudly on them instead.
+    fin = np.isfinite(vals) & (np.abs(vals) < 1e10)
     vals = np.where(fin, vals, 0.0)
     cents_arr = np.rint(vals * 100).astype("int64")
     nfin_arr = fin.astype("int64")
@@ -152,21 +178,21 @@ def _fold_batch(pdf: pd.DataFrame, carried, gap_us: int):
         (int(ts_us[lo]), int(ts_us[hi - 1]), int(hi - lo), int(c), int(k))
         for lo, hi, c, k in zip(seg_lo, seg_hi, seg_cents, seg_nfin)
     ]
-    if carried is not None:
-        # Fold the carried session in as ONE MORE interval and run a
-        # single ascending merge over the start-sorted list. Treating
-        # the carried state as the running accumulator instead was
-        # wrong twice over: it absorbed ANY earlier segment
+    if carried:
+        # Fold every carried pending session in as MORE intervals and
+        # run a single ascending merge over the start-sorted list.
+        # Treating carried state as the running accumulator instead
+        # was wrong twice over: it absorbed ANY earlier segment
         # (seg_end << carried_start - gap is trivially
         # seg_start - carried_end <= gap), merging sessions the batch
         # gaps-and-islands oracle and session_window keep separate —
         # and it kept late segments from merging with EACH OTHER
         # before the carried session's span (r10 review finding; the
         # r9 min-merge fix handled only the overlapping-start case).
-        segments.append(tuple(carried))
+        segments.extend(tuple(c) for c in carried)
         segments.sort(key=lambda s: (s[0], s[1]))
     cur, segments = segments[0], segments[1:]
-    closed: list[tuple[int, int, int, int]] = []
+    merged: list[tuple[int, int, int, int, int]] = []
     for seg in segments:
         if seg[0] - cur[1] <= gap_us:
             cur = (
@@ -177,13 +203,47 @@ def _fold_batch(pdf: pd.DataFrame, carried, gap_us: int):
                 cur[4] + seg[4],
             )
         else:
-            closed.append(cur)
+            merged.append(cur)
             cur = seg
-    return closed, cur
+    merged.append(cur)
+    return merged
+
+
+def _state_sessions(raw) -> list[tuple[int, int, int, int, int]]:
+    """Decode the parallel-array state row into session tuples."""
+    starts, ends, ns, centss, nfins = raw
+    return [
+        (int(a), int(b), int(c), int(d), int(e))
+        for a, b, c, d, e in zip(starts, ends, ns, centss, nfins)
+    ]
+
+
+def _arrays(sessions: list[tuple[int, int, int, int, int]]):
+    """Encode session tuples as the parallel-array state row."""
+    return tuple([list(col) for col in zip(*sessions)])
+
+
+def _split_ripe(
+    sessions: list[tuple[int, int, int, int, int]], wm_us: int, gap_us: int
+):
+    """Sessions the watermark has SEALED (no admissible row can merge
+    with them any more: wm > end + gap) vs still-pending ones."""
+    ripe = [s for s in sessions if s[1] + gap_us < wm_us]
+    pending = [s for s in sessions if s[1] + gap_us >= wm_us]
+    return ripe, pending
 
 
 def sessionize(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
-    """Stateful sessionization over a watermarked event stream."""
+    """Stateful sessionization over a watermarked event stream.
+
+    Emission protocol (r17 review): a merged session is emitted only
+    once the watermark passes ``session_end + gap`` — before that, a
+    late-but-admissible row in a later micro-batch can still extend
+    it, and eager emission would split one oracle session into two
+    append-sink rows (the native session_window buffers the same
+    way). Sessions wait in state; each batch emits the newly-sealed
+    ones and re-arms the timeout at the earliest pending
+    ``end + gap``."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_minutes * 60_000_000
@@ -192,10 +252,18 @@ def sessionize(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         user_id = key[0]
+        wm_us = state.getCurrentWatermarkMs() * 1000
         if state.hasTimedOut:
-            start, end, n, cents, nfin = state.get
-            state.remove()
-            yield _emit_sessions(user_id, [(start, end, n, cents, nfin)])
+            ripe, pending = _split_ripe(_state_sessions(state.get), wm_us, gap_us)
+            if pending:
+                state.update(_arrays(pending))
+                state.setTimeoutTimestamp(
+                    (min(s[1] for s in pending) + gap_us) // 1000 + 1
+                )
+            else:
+                state.remove()
+            if ripe:
+                yield _emit_sessions(user_id, ripe)
             return
         if user_id == _SENTINEL_USER:
             return  # watermark carrier, not data
@@ -203,13 +271,19 @@ def sessionize(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
         pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
         if pdf.empty:
             return
-        closed, cur = _fold_batch(
-            pdf, tuple(state.get) if state.exists else None, gap_us
+        merged = _fold_batch(
+            pdf, _state_sessions(state.get) if state.exists else [], gap_us
         )
-        state.update(cur)
-        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000 + 1)
-        if closed:
-            yield _emit_sessions(user_id, closed)
+        ripe, pending = _split_ripe(merged, wm_us, gap_us)
+        if pending:
+            state.update(_arrays(pending))
+            state.setTimeoutTimestamp(
+                (min(s[1] for s in pending) + gap_us) // 1000 + 1
+            )
+        elif state.exists:
+            state.remove()
+        if ripe:
+            yield _emit_sessions(user_id, ripe)
 
     return (
         # Prune to the three columns the fold reads BEFORE the keyed
@@ -260,9 +334,12 @@ def sessionize_native(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
     filtered-out watermark-carrier row (the replay sentinel) would
     never advance the watermark — measured: the last open sessions
     are then never flushed. The sentinel instead flows INTO the
-    aggregate, forms its own (user -1, 2030) session whose window end
-    stays beyond the final watermark, and dies with the query's
-    state; callers drop ``user_id = -1`` from the sink if present.
+    aggregate, forms its own (_SENTINEL_USER, 2030) session whose
+    window end stays beyond the final watermark, and dies with the
+    query's state; replay callers null-safe-drop ``_SENTINEL_USER``
+    (int64 min — NEVER -1: real corpora contain user -1, and dropping
+    it would silently delete a real user's sessions, the exact
+    regression the sentinel redesign fixed) from the sink if present.
     """
     from pyspark.sql import functions as F
 
@@ -310,10 +387,10 @@ def _replay_to_parquet(
     100× — so they land on storage via executor-written files, with
     the file sink's ``_spark_metadata`` commit log making the
     read-back exactly-once (VERDICT r10 "What's wrong" #1)."""
-    from pyspark.sql import functions as F
-
     from streaming_data_lake_spark.catalog import normalize_timestamps
     from streaming_data_lake_spark.sources.streams import physical_schema
+
+    from streaming_data_lake_spark.streaming.pipelines import _state_partitions
 
     stage = _stage_with_sentinels(sf_dir)
     raw = (
@@ -324,14 +401,22 @@ def _replay_to_parquet(
     )
     sessions = build(normalize_timestamps(raw, "events"), gap_minutes)
     out_dir = _scratch(f"{name_prefix}_")
-    q = (
-        sessions.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", _scratch("ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    # The Python fold's measured optimum is 16 state partitions
+    # (pipelines._state_partitions docstring) — previously dead text:
+    # no caller passed it, so unwrapped replays ran at the ambient 32
+    # and paid the per-store commit floor (r17 review). Scoped here,
+    # an OUTER _state_partitions (the certified streamq wrapper) set
+    # its value first and this inner scope simply re-sets/restores
+    # around the start — last writer before .start() wins.
+    with _state_partitions(spark, 16):
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", _scratch("ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     out = spark.read.schema(sessions.schema).parquet(out_dir)
     if drop_sentinel:
@@ -495,9 +580,14 @@ def sessionize_tws(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
     state tuple). Same semantics as :func:`sessionize`; kept as a
     parallel implementation so pipelines can migrate API-by-API.
 
-    State: one ValueState holding (start, end, n, cents). Timers: one
-    event-time timer per open session at ``end + gap``; re-arming on
-    new data deletes the stale timer (the old API's implicit
+    State: one ValueState holding the PENDING sessions as parallel
+    arrays (starts/ends/ns/centss/nfins — nfin is the finite-value
+    count that distinguishes an all-excluded session, total_value
+    NULL, from a zero-sum one, ADVICE r12). Sessions wait in state
+    until the watermark passes ``end + gap`` (the r17 sealed-emission
+    protocol — see :func:`sessionize`). Timers: one event-time timer
+    at the earliest pending ``end + gap``; re-arming on new data
+    deletes the stale timer (the old API's implicit
     setTimeoutTimestamp overwrite, made explicit).
 
     Requires a working ``google.protobuf`` (the TWS state protocol
@@ -518,10 +608,22 @@ def sessionize_tws(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
         def close(self) -> None:
             pass
 
-        def _rearm(self, end_us: int) -> None:
+        def _rearm(self, min_end_us: int) -> None:
             for t in list(self._handle.listTimers()):
                 self._handle.deleteTimer(t)
-            self._handle.registerTimer((end_us + gap_us) // 1000 + 1)
+            self._handle.registerTimer((min_end_us + gap_us) // 1000 + 1)
+
+        def _settle(self, user_id, sessions, wm_us):
+            """Shared sealed-emission step: keep pending sessions in
+            state with a timer at the earliest end+gap, emit ripe."""
+            ripe, pending = _split_ripe(sessions, wm_us, gap_us)
+            if pending:
+                self._sess.update(_arrays(pending))
+                self._rearm(min(s[1] for s in pending))
+            elif self._sess.exists():
+                self._sess.clear()
+            if ripe:
+                yield _emit_sessions(user_id, ripe)
 
         def handleInputRows(self, key, rows, timerValues):
             user_id = key[0]
@@ -531,20 +633,21 @@ def sessionize_tws(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
             pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
             if pdf.empty:
                 return
-            closed, cur = _fold_batch(
-                pdf, tuple(self._sess.get()) if self._sess.exists() else None, gap_us
+            merged = _fold_batch(
+                pdf,
+                _state_sessions(self._sess.get()) if self._sess.exists() else [],
+                gap_us,
             )
-            self._sess.update(cur)
-            self._rearm(cur[1])
-            if closed:
-                yield _emit_sessions(user_id, closed)
+            yield from self._settle(
+                user_id, merged, timerValues.getCurrentWatermarkInMs() * 1000
+            )
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             if self._sess.exists():
-                start, end, n, cents, nfin = self._sess.get()
-                self._sess.clear()
-                yield _emit_sessions(
-                    key[0], [(int(start), int(end), int(n), int(cents), int(nfin))]
+                yield from self._settle(
+                    key[0],
+                    _state_sessions(self._sess.get()),
+                    timerValues.getCurrentWatermarkInMs() * 1000,
                 )
 
     return (

@@ -15,8 +15,8 @@ GAP_US = 3_000_000  # 3 s in microseconds — tight gap to force many sessions
 
 
 def naive_fold(events, carried, gap_us):
-    """Reference: the carried session is ONE MORE interval in a
-    start-sorted ascending merge over per-event point intervals —
+    """Reference: every carried pending session is ONE MORE interval
+    in a start-sorted ascending merge over per-event point intervals —
     exactly the batch gaps-and-islands SQL and session_window on the
     full replayed stream. (The pre-r10 reference treated the carried
     state as the running accumulator, which absorbed ANY earlier
@@ -29,21 +29,21 @@ def naive_fold(events, carried, gap_us):
     finite-value count (nfin), mirroring the NULL-skipping decimal
     SUM contract."""
     segs = [(t, t, 1, c if f else 0, 1 if f else 0) for t, c, f in sorted(events)]
-    if carried is not None:
-        segs.append(tuple(carried))
-        segs.sort(key=lambda s: (s[0], s[1]))
-    closed = []
+    segs.extend(tuple(c) for c in (carried or []))
+    segs.sort(key=lambda s: (s[0], s[1]))
+    merged = []
     start, end, n, cents, nfin = segs[0]
     for s, e, k, c, f in segs[1:]:
         if s - end > gap_us:
-            closed.append((start, end, n, cents, nfin))
+            merged.append((start, end, n, cents, nfin))
             start, end, n, cents, nfin = s, e, k, c, f
         else:
             end = max(end, e)
             n += k
             cents += c
             nfin += f
-    return closed, (start, end, n, cents, nfin)
+    merged.append((start, end, n, cents, nfin))
+    return merged
 
 
 events_strategy = st.lists(
@@ -56,16 +56,16 @@ events_strategy = st.lists(
     max_size=60,
 )
 
-carried_strategy = st.one_of(
-    st.none(),
-    st.tuples(
-        st.integers(min_value=0, max_value=10_000_000),  # start
-        st.integers(min_value=0, max_value=20_000_000),  # end (may exceed early ts)
-        st.integers(min_value=1, max_value=10),
-        st.integers(min_value=0, max_value=1_000_000),
-        st.integers(min_value=0, max_value=10),  # nfin (finite-value count)
-    ).map(lambda t: (min(t[0], t[1]), max(t[0], t[1]), t[2], t[3], min(t[4], t[2]))),
-)
+_one_session = st.tuples(
+    st.integers(min_value=0, max_value=10_000_000),  # start
+    st.integers(min_value=0, max_value=20_000_000),  # end (may exceed early ts)
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=0, max_value=1_000_000),
+    st.integers(min_value=0, max_value=10),  # nfin (finite-value count)
+).map(lambda t: (min(t[0], t[1]), max(t[0], t[1]), t[2], t[3], min(t[4], t[2])))
+
+# The r17 sealed-emission protocol carries a LIST of pending sessions.
+carried_strategy = st.lists(_one_session, min_size=0, max_size=4)
 
 
 @settings(max_examples=300, deadline=None)
@@ -77,10 +77,9 @@ def test_fold_batch_matches_naive(events, carried):
             "value": [c / 100.0 if f else float("nan") for _, c, f in events],
         }
     )
-    got_closed, got_open = _fold_batch(pdf, carried, GAP_US)
-    want_closed, want_open = naive_fold(events, carried, GAP_US)
-    assert got_closed == want_closed
-    assert got_open == want_open
+    got = _fold_batch(pdf, carried, GAP_US)
+    want = naive_fold(events, carried, GAP_US)
+    assert got == want
 
 
 def test_emit_sessions_all_excluded_total_is_null():

@@ -155,7 +155,12 @@ R18_DRAIN = {
 # drain). The planned touches were pre-placed inside the window via
 # R17_ROUND_CODE_TOUCHED; this list holds unplanned mid-round finds
 # only.
-R17_LATE_CODE_TOUCHED: list[str] = []
+R17_LATE_CODE_TOUCHED: list[str] = [
+    # sealed-emission sessionize protocol (streaming/sessionize.py);
+    # funnel admission extension (queries/core.py chain + oracle)
+    "streaming_sessionize",
+    "funnel_leakage_daily",
+]
 
 
 def test_order_in_sync_and_window_covers_obligatory_drain():

@@ -279,8 +279,8 @@ def test_fold_matches_native_session_window_random(spark):
         pdf = pd.DataFrame(
             {"ts": pd.to_datetime(ts_us, unit="us"), "value": [c / 100.0 for c in cents]}
         )
-        closed, cur = _fold_batch(pdf, None, gap_us)
-        fold_sessions = sorted((s[0], s[1], s[2]) for s in closed + [cur])
+        merged = _fold_batch(pdf, [], gap_us)
+        fold_sessions = sorted((s[0], s[1], s[2]) for s in merged)
         # native session_window in batch mode
         df = spark.createDataFrame(
             [(pd.Timestamp(t, unit="us").to_pydatetime(), c / 100.0) for t, c in zip(ts_us, cents)],
@@ -488,19 +488,24 @@ def test_review_r10_source_contracts(spark, tmp_path):
     gap_us = 10_000_000  # 10s
     late = pd2.DataFrame({"ts": pd2.to_datetime([50_000_000_000], unit="ns"),
                           "value": [1.0]})  # t=50s
-    closed, cur = _fold_batch(late, (100_000_000, 100_000_000, 1, 100, 1), gap_us)
-    assert closed == [(50_000_000, 50_000_000, 1, 100, 1)], "late segment must close separately"
-    assert cur == (100_000_000, 100_000_000, 1, 100, 1)
+    merged = _fold_batch(late, [(100_000_000, 100_000_000, 1, 100, 1)], gap_us)
+    assert merged == [
+        (50_000_000, 50_000_000, 1, 100, 1),
+        (100_000_000, 100_000_000, 1, 100, 1),
+    ], "late segment must stay a separate session"
     # two late segments within gap of each other merge together
     late2 = pd2.DataFrame({"ts": pd2.to_datetime([50_000_000_000, 55_000_000_000], unit="ns"),
                            "value": [1.0, 1.0]})
-    closed, cur = _fold_batch(late2, (100_000_000, 100_000_000, 1, 100, 1), gap_us)
-    assert closed == [(50_000_000, 55_000_000, 2, 200, 2)]
+    merged = _fold_batch(late2, [(100_000_000, 100_000_000, 1, 100, 1)], gap_us)
+    assert merged == [
+        (50_000_000, 55_000_000, 2, 200, 2),
+        (100_000_000, 100_000_000, 1, 100, 1),
+    ]
     # a late segment within gap of the carried start still merges
     near = pd2.DataFrame({"ts": pd2.to_datetime([95_000_000_000], unit="ns"),
                           "value": [1.0]})
-    closed, cur = _fold_batch(near, (100_000_000, 100_000_000, 1, 100, 1), gap_us)
-    assert closed == [] and cur == (95_000_000, 100_000_000, 2, 200, 2)
+    merged = _fold_batch(near, [(100_000_000, 100_000_000, 1, 100, 1)], gap_us)
+    assert merged == [(95_000_000, 100_000_000, 2, 200, 2)]
 
     # 4: relative sf_dir staging resolves
     rel = os.path.relpath(SF_DIR, os.getcwd())
@@ -935,3 +940,152 @@ def test_stateful_upsert_resumes_from_checkpoint_after_crash(spark, tmp_path):
         for r in read_upsert(spark, table).collect()
     }
     assert got == expected
+
+
+def test_sessionize_pandas_handles_null_user(spark, tmp_path):
+    """r17 review: a NULL user_id group crashed the pandas fold's
+    emit (np.full(n, None, dtype='int64') raises TypeError in the
+    executor worker, killing the query) while the native twin
+    sessionizes it fine. Edge corpora plant NULL users; the twins
+    must agree on them."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streaming_data_lake_spark.streaming import pipelines
+    from streaming_data_lake_spark.streaming.sessionize import (
+        sessionize_native_replay,
+        sessionize_replay,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array(
+                [mins(0), mins(5), mins(300), mins(2), mins(400)],
+                pa.timestamp("ns"),
+            ),
+            # user NULL has TWO sessions (0-5min, 300min) around a
+            # 120-min gap; user 7 interleaves
+            "user_id": pa.array([None, None, None, 7, 7], pa.int64()),
+            "event_type": pa.array(["view"] * 5, pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, None], pa.float64()),
+            "props": pa.array(["{}"] * 5, pa.string()),
+        }
+    )
+    import os as _os
+
+    sf = str(tmp_path / "sf")
+    _os.makedirs(sf)
+    pq.write_table(tbl, _os.path.join(sf, "events.parquet"))
+
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+
+    def rows(df):  # None-safe sort (the shared _rows sorts raw tuples)
+        out = [tuple(r[c] for c in cols) for r in df.collect()]
+        return sorted(out, key=lambda t: ((t[0] is None, t[0] or 0), t[1]))
+
+    with pipelines._state_partitions(spark):
+        native = sessionize_native_replay(spark, sf, 120)
+        pandas_path = sessionize_replay(spark, sf, 120)
+    nat = rows(native)
+    pnd = rows(pandas_path)
+    assert nat == pnd, f"native={nat} pandas={pnd}"
+    # the NULL-user sessions are PRESENT (two of them), not dropped
+    assert sum(1 for r in nat if r[0] is None) == 2
+
+
+def test_sessionize_multibatch_late_row_merges_sessions(spark, tmp_path):
+    """r17 review: the fold previously EMITTED a gap-closed session
+    immediately; a late-but-admissible row in a later micro-batch
+    then merged with the carried state and emitted a second session —
+    one oracle session split across two append-sink rows. Under the
+    sealed-emission protocol the session waits in state until the
+    watermark passes end+gap, so the late row merges in-state and ONE
+    session emits. Three micro-batches: [t0, S], then the late bridge
+    r (admissible: r >= S - 30s watermark), then the sentinel."""
+    import datetime as dt
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streaming_data_lake_spark.streaming import pipelines
+    from streaming_data_lake_spark.streaming.sessionize import (
+        _SENTINEL_USER,
+        sessionize,
+        sessionize_native,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    S = t0 + dt.timedelta(minutes=120, seconds=10)   # > gap from t0
+    r = t0 + dt.timedelta(minutes=119, seconds=50)   # bridges t0 <-> S
+
+    def events_file(path, rows, mtime):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([x[0] for x in rows], pa.int64()),
+                # micros, not nanos: the engine session reads parquet
+                # NANOS as long (nanosAsLong), which would mismatch
+                # the declared timestamp schema here
+                "ts": pa.array([x[1] for x in rows], pa.timestamp("us")),
+                "user_id": pa.array([x[2] for x in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, path)
+        _os.utime(path, (mtime, mtime))
+
+    stage = str(tmp_path / "stage")
+    _os.makedirs(stage)
+    import time as _time
+
+    base = _time.time()
+    events_file(_os.path.join(stage, "a.parquet"), [(1, t0, 5), (2, S, 5)], base)
+    events_file(_os.path.join(stage, "b.parquet"), [(3, r, 5)], base + 1800)
+    events_file(
+        _os.path.join(stage, "c_sentinel.parquet"),
+        [(-1, dt.datetime(2030, 1, 1), _SENTINEL_USER)],
+        base + 3600,
+    )
+
+    def run(build, tag):
+        raw = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string"
+            )
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(stage)
+        )
+        sessions = build(raw, 120)
+        out = str(tmp_path / f"out_{tag}")
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.schema(sessions.schema).parquet(out)
+        return sorted(
+            (r_["user_id"], r_["session_start"], r_["session_end"], r_["n_events"])
+            for r_ in got.filter(f"user_id = 5").collect()
+        )
+
+    with pipelines._state_partitions(spark):
+        pandas_rows = run(sessionize, "pandas")
+        native_rows = run(sessionize_native, "native")
+    assert native_rows == [(5, t0, S, 3)], native_rows
+    assert pandas_rows == native_rows, (
+        f"multi-batch late row split the session: pandas={pandas_rows} "
+        f"native={native_rows}"
+    )
