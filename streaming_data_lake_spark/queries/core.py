@@ -1464,10 +1464,12 @@ def avg_value_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LEAKAGE_ORACLE = """
-WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
-     c AS (SELECT * FROM events WHERE event_type = 'click'),
-     p AS (SELECT * FROM events WHERE event_type = 'purchase')
+# Same admission as _FUNNEL_ORACLE (r17): the leakage query reads the
+# shared admission-filtered chain.
+_LEAKAGE_ORACLE = f"""
+WITH v AS (SELECT * FROM events WHERE event_type = 'view' AND {_TS_ADM}),
+     c AS (SELECT * FROM events WHERE event_type = 'click' AND {_TS_ADM}),
+     p AS (SELECT * FROM events WHERE event_type = 'purchase' AND {_TS_ADM})
 SELECT
   CAST(date_trunc('day', v.ts) AS TIMESTAMP) AS event_day,
   count(DISTINCT v.event_id) - count(DISTINCT c.event_id) AS views_no_click,
