@@ -38,93 +38,29 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver hash-checks the FIRST 50 registered queries per round.
-# Round 17 executes the rotation CHANGELOG_r16.md committed and
-# tests/test_registry_order.py (r16 revision) pinned: the 29-name
-# r14-verdict drain (age 3 the moment CORRECTNESS_r16 landed) at
-# positions 1-29 — including time_travel_read_v1/snapshot_metadata,
-# whose r17 verdicts certify the versioned.py torn-tail-repair +
-# commit-flock code — then the 8 names round 17's OWN code touches
-# hit while carrying r16 verdicts (self-heal at flock entry in the
-# materializer cycle and the upsert MERGE; monotonic __old_ stamps,
-# publish-time retirement, stamp-width cap) at 30-37, then 13
-# oldest-r15-verdict fills (`tools/ledger.py --emit-order`, ties by
-# prior position) at 38-50, pre-draining the r18 cliff from 48 to
-# 35. The committed r18 drain follows contiguously at 51-85 (the 35
-# remaining r15-verdict names -> r18 window = 35 obligatory + 15
+# Round 18 executes the rotation CHANGELOG_r17.md committed and
+# tests/test_registry_order.py (r17 revision) pinned: the 35-name
+# r15-verdict drain (age 3 the moment CORRECTNESS_r17 landed) at
+# positions 1-35, then the two r17 LATE code-touches FIRST among the
+# 15 free slots (VERDICT r17 #1: streaming_sessionize /
+# funnel_leakage_daily are the only names whose current code lacks a
+# driver verdict — §15's sealed-emission/admission landed after the
+# r17 rotation was pinned) at 36-37, then the 8 names round 18's OWN
+# code touches hit while carrying r17 verdicts (retire_old_siblings
+# loud persistent-failure + the legacy-ctime monotonic clamp in
+# overlay.py, every atomic_swap publisher; sweep lock-file GC in
+# plans/maintenance.py — the r15/r16/r17 foresight precedent) at
+# 38-45, then batch_sessionize_windows (r16 verdict AND a
+# sessionize.py ADVICE-fix consumer) + 4 oldest-r16 fills at 46-50.
+# The committed r19 drain follows contiguously at 51-85 (the 35
+# remaining r16-verdict names -> r19 window = 35 obligatory + 15
 # free, pinned by forward simulation in
-# tests/test_registry_order.py). Rotated at round-17 start, before
+# tests/test_registry_order.py). Rotated at round-18 start, before
 # any driver run. tools/ledger.py cross-references the verdict files.
 _CERTIFICATION_ORDER = [
-    # ---- (a) the 29-name r17 drain: r14 verdicts, stale the moment
-    # CORRECTNESS_r16 landed (committed by the r16 revision of this
-    # module; pinned by test_r17_drain_fits_after_r16_lands). Includes
-    # time_travel_read_v1 / snapshot_metadata — the consumers that
-    # certify r17's torn-tail-repair + commit-flock changes to
-    # sources/versioned.py ----
-    "duplicate_rates_hourly",
-    "consistent_hash_sample",
-    "events_rejected",
-    "dedup_exact_text",
-    "time_travel_read_v1",
-    "snapshot_metadata",
-    "streaming_interval_join_daily",
-    "streaming_funnel_daily",
-    "streaming_dedup_keys",
-    "streaming_dedup_within_watermark",
-    "multimodal_media_features",
-    "sql_over_views_adhoc",
-    "scd2_point_in_time_enrichment",
-    "daily_distinct_users",
-    "event_counters_unpivot",
-    "sliding_window_metrics",
-    "streaming_hourly_metrics",
-    "monthly_nation_revenue",
-    "revenue_by_region",
-    "top_nations_by_customers",
-    "customers_with_orders",
-    "customers_without_orders",
-    "order_priority_rollup",
-    "priority_decode_rollup",
-    "scd2_current_enrichment",
-    "like_pattern_source_classes",
-    "nested_double_unnest_roundtrip",
-    "currency_normalized_revenue",
-    "range_band_pricing",
-    # ---- (b) names code-touched DURING round 17 while carrying r16
-    # verdicts (self-heal at flock entry in plans/materialize.py and
-    # sources/upsert.py; monotonic __old_ stamps + publish-time
-    # retirement in overlay.py; stamp-width cap in
-    # plans/maintenance.py) — certified THIS round, the r15/r16
-    # foresight precedent ----
-    "materialize_incremental_clean_events",
-    "materialize_dim_change_repair",
-    "materialize_funnel_exists_repair",
-    "maintenance_compaction",
-    "two_level_overlay_maintenance",
-    "streaming_upsert_hourly",
-    "streaming_hll_daily_users",
-    "streaming_cms_token_counts",
-    # ---- (c) 13 oldest-r15 fills (ties by prior registry position —
-    # tools/ledger.py --emit-order), pre-draining the r18 cliff from
-    # 48 r15 tail names to 35 ----
-    "simhash_fingerprints",
-    "schema_evolution_read",
-    "blocklist_filter_retention",
-    "quality_percentile_filter",
-    "crossdoc_boilerplate_ngrams",
-    "large_orders_having",
-    "cube_device_day_metrics",
-    "value_histogram_quantiles",
-    "zorder_layout_keys",
-    "topn_customers_per_nation",
-    "seeded_dim_hierarchy_enrichment",
-    "events_dedup_canonical",
-    "pricing_summary",
-    # ---- position 51+ : NOT certified this round. The committed r18
-    # drain sits first (35 remaining r15-verdict names, stale the
-    # moment CORRECTNESS_r17 lands -> r18 window = 35 obligatory + 15
-    # free, pinned by forward simulation in
-    # tests/test_registry_order.py) ----
+    # ---- (a) the 35-name r18 drain: r15 verdicts, stale the moment
+    # CORRECTNESS_r17 landed (committed by the r17 revision of this
+    # module; pinned by test_r18_drain_fits_after_r17_lands) ----
     "minhash_lsh_near_dups",
     "dup_clusters_connected",
     "bucketed_colocated_join",
@@ -160,23 +96,46 @@ _CERTIFICATION_ORDER = [
     "value_distribution_by_class",
     "flag_distribution",
     "avg_value_spread",
-    # ---- r17 LATE code-touches (after the rotation was pinned):
-    # sealed-emission sessionize protocol + funnel admission — they
-    # take r18 free slots directly after the drain ----
+    # ---- (b) r17 LATE code-touches, FIRST among the free slots
+    # (VERDICT r17 #1): sealed-emission sessionize protocol + funnel
+    # admission — the only registry names whose current code lacked a
+    # driver verdict entering r18 ----
     "streaming_sessionize",
     "funnel_leakage_daily",
-    # ---- r16-certified tail (back in rotation at r19) ----
+    # ---- (c) names code-touched DURING round 18 while carrying r17
+    # verdicts (retire_old_siblings loud persistent-failure + the
+    # legacy-ctime monotonic clamp in overlay.py, which every
+    # atomic_swap publisher executes; sweep/compaction lock-file GC in
+    # plans/maintenance.py) — certified THIS round, the foresight
+    # precedent ----
+    "materialize_incremental_clean_events",
+    "materialize_dim_change_repair",
+    "materialize_funnel_exists_repair",
+    "maintenance_compaction",
+    "two_level_overlay_maintenance",
+    "streaming_upsert_hourly",
+    "streaming_hll_daily_users",
+    "streaming_cms_token_counts",
+    # ---- (d) batch_sessionize_windows (r16 verdict AND consumer of
+    # this round's sessionize.py ADVICE fixes) + 4 oldest-r16 fills
+    # (ties by prior registry position, tools/ledger.py
+    # --emit-order) ----
+    "batch_sessionize_windows",
     "cms_heavy_hitter_tokens",
     "token_budget_packing",
     "bloom_semi_join_prune",
     "hll_distinct_users_daily",
+    # ---- position 51+ : NOT certified this round. The committed r19
+    # drain sits first (35 remaining r16-verdict names, stale the
+    # moment CORRECTNESS_r18 lands -> r19 window = 35 obligatory + 15
+    # free, pinned by forward simulation in
+    # tests/test_registry_order.py) ----
     "winnowing_fingerprints",
     "exact_substring_dups",
     "dedup_keep_best_quality",
     "event_quality_spine_hourly",
     "multimodal_resize",
     "multimodal_frame_sample",
-    "batch_sessionize_windows",
     "user_rolling_7day_value",
     "rollup_revenue_levels",
     "price_quantiles_by_flag",
@@ -206,6 +165,51 @@ _CERTIFICATION_ORDER = [
     "priority_window_profile",
     "stratified_sample_by_lang",
     "top_busiest_hours",
+    # ---- r17-certified tail (back in rotation at r20; the 8
+    # overlay/maintenance consumers moved into this round's window
+    # under the foresight rule are not repeated here) ----
+    "duplicate_rates_hourly",
+    "consistent_hash_sample",
+    "events_rejected",
+    "dedup_exact_text",
+    "time_travel_read_v1",
+    "snapshot_metadata",
+    "streaming_interval_join_daily",
+    "streaming_funnel_daily",
+    "streaming_dedup_keys",
+    "streaming_dedup_within_watermark",
+    "multimodal_media_features",
+    "sql_over_views_adhoc",
+    "scd2_point_in_time_enrichment",
+    "daily_distinct_users",
+    "event_counters_unpivot",
+    "sliding_window_metrics",
+    "streaming_hourly_metrics",
+    "monthly_nation_revenue",
+    "revenue_by_region",
+    "top_nations_by_customers",
+    "customers_with_orders",
+    "customers_without_orders",
+    "order_priority_rollup",
+    "priority_decode_rollup",
+    "scd2_current_enrichment",
+    "like_pattern_source_classes",
+    "nested_double_unnest_roundtrip",
+    "currency_normalized_revenue",
+    "range_band_pricing",
+    "simhash_fingerprints",
+    "schema_evolution_read",
+    "blocklist_filter_retention",
+    "quality_percentile_filter",
+    "crossdoc_boilerplate_ngrams",
+    "large_orders_having",
+    "cube_device_day_metrics",
+    "value_histogram_quantiles",
+    "zorder_layout_keys",
+    "topn_customers_per_nation",
+    "seeded_dim_hierarchy_enrichment",
+    "events_dedup_canonical",
+    "pricing_summary",
 ]
 
 
