@@ -12,12 +12,39 @@ open descriptor and silently runs the cycle UNSERIALIZED,
 reintroducing the exact double-append race the lock exists to
 prevent, with no signal. This helper closes the fh in that branch
 and emits one stderr line so an unserialized run is always visible.
+
+Inode revalidation (r18, ADVICE r17 #4 prerequisite): after taking
+the flock, the acquirer confirms the lock PATH still resolves to the
+inode its descriptor holds; on mismatch it releases and retries.
+Without this, unlinking a lock file splits the lock: waiter A holds
+the fd of the unlinked inode while newcomer B creates a fresh file at
+the same path and locks THAT — two concurrent "holders". With it,
+lock files become garbage-collectable (:func:`release_flock` with
+``gc=True``), which is what lets the orphan sweep and compaction stop
+littering ``<base>.merge.lock``/``.cycle.lock`` files for tables that
+are never writer targets. Every flock in the engine goes through this
+module, so the revalidation invariant is global.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import IO
+
+# Bounded retry on inode churn. Churn needs a concurrent GC (unlink)
+# landing between our open and our stat — transient by construction;
+# exhaustion means pathological lockfile thrash and degrades LOUDLY.
+_REVALIDATE_ATTEMPTS = 8
+
+
+def _path_matches_fd(lock_path: str, fh: IO[str]) -> bool:
+    try:
+        st_path = os.stat(lock_path)
+    except OSError:
+        return False  # unlinked under us — retry on a fresh inode
+    st_fd = os.fstat(fh.fileno())
+    return (st_path.st_ino, st_path.st_dev) == (st_fd.st_ino, st_fd.st_dev)
 
 
 def acquire_flock_nonblocking(
@@ -35,10 +62,18 @@ def acquire_flock_nonblocking(
     try:
         import fcntl
 
-        fh = open(lock_path, "a")
-        fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
-        return "acquired", fh
+        for _ in range(_REVALIDATE_ATTEMPTS):
+            fh = open(lock_path, "a")
+            fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            if _path_matches_fd(lock_path, fh):
+                return "acquired", fh
+            fh.close()  # locked a just-unlinked inode — retry fresh
+            fh = None
+        raise OSError(f"inode revalidation exhausted after {_REVALIDATE_ATTEMPTS} attempts")
     except BlockingIOError:
+        # A holder owns the flock on the inode this path resolves to
+        # (or held the about-to-vanish inode — it will finish and any
+        # successor revalidates); either way, defer to the holder.
         if fh is not None:
             fh.close()
         return "busy", None
@@ -67,9 +102,14 @@ def acquire_flock(lock_path: str, what: str) -> IO[str] | None:
     try:
         import fcntl
 
-        fh = open(lock_path, "a")
-        fcntl.flock(fh, fcntl.LOCK_EX)
-        return fh
+        for _ in range(_REVALIDATE_ATTEMPTS):
+            fh = open(lock_path, "a")
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            if _path_matches_fd(lock_path, fh):
+                return fh
+            fh.close()  # locked a just-unlinked inode — retry fresh
+            fh = None
+        raise OSError(f"inode revalidation exhausted after {_REVALIDATE_ATTEMPTS} attempts")
     except (ImportError, OSError) as exc:
         if fh is not None:
             fh.close()
@@ -80,3 +120,25 @@ def acquire_flock(lock_path: str, what: str) -> IO[str] | None:
             file=sys.stderr,
         )
         return None
+
+
+def release_flock(fh: IO[str], lock_path: str, gc: bool = False) -> None:
+    """Release an acquired flock; with ``gc=True`` also UNLINK the
+    lock file so opportunistic lockers (the orphan sweep's
+    base-missing restore, compaction of a table that is never an
+    upsert/materializer target) stop accumulating empty ``*.lock``
+    entries in the lake dir (ADVICE r17 #4).
+
+    Unlink happens BEFORE close, while this process still holds the
+    exclusive flock: a waiter blocked on this inode wakes after the
+    close, revalidates path-vs-fd, sees the mismatch and retries on a
+    fresh inode — serialization holds (see module docstring). Only a
+    still-zero-length file is unlinked; lock files are never written,
+    so content means something else owns that path."""
+    if gc:
+        try:
+            if os.fstat(fh.fileno()).st_size == 0:
+                os.unlink(lock_path)
+        except OSError:
+            pass  # vanished / not ours to reclaim — close regardless
+    fh.close()

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import sys
 import time
 import uuid
 
@@ -321,12 +322,21 @@ def old_sibling(path: str, _group: list[str] | None = None) -> str:
     corrections), and a backwards step between two publishes would
     invert "newest" — crash recovery would then restore a STALE
     snapshot. The stamp is therefore max(now_ns, newest existing
-    sibling stamp + 1), so publish order is preserved even across a
-    clock step; the uuid suffix keeps names collision-free when two
-    publishes land inside one clamp. ``_group`` lets atomic_swap
-    reuse one parent listing for clamp + retirement."""
+    sibling ORDER KEY + 1) — the order key, not just the embedded
+    stamp, because sibling_order_key ranks LEGACY hex-named siblings
+    by inode ctime-ns (ADVICE r17 #3): on a mixed-era table a
+    backwards clock step could otherwise mint a stamp that sorts
+    BELOW a legacy sibling's ctime, and a crash restore would
+    resurrect the stale legacy version. Publish order is preserved
+    across a clock step either way; the uuid suffix keeps names
+    collision-free when two publishes land inside one clamp.
+    ``_group`` lets atomic_swap reuse one parent listing for clamp +
+    retirement."""
     group = list_old_siblings(path) if _group is None else _group
-    newest = max((stamp_ns(e) for e in group), default=0)
+    parent = os.path.dirname(path)
+    newest = max(
+        (sibling_order_key(parent, e)[0] for e in group), default=0
+    )
     ns = max(time.time_ns(), newest + 1)
     return f"{path}__old_{ns:0{_STAMP_WIDTH}d}_{uuid.uuid4().hex[:8]}"
 
@@ -376,6 +386,30 @@ def atomic_swap(path: str, tmp: str) -> None:
 RETIRE_MIN_AGE_S = 3600.0
 
 
+def rmtree_reclaim(path: str, what: str) -> bool:
+    """THE shared reclamation rmtree (VERDICT r17 "What's wrong" #3):
+    race shapes stay silent — the entry vanishing mid-walk means
+    another reclaimer/sweep won, which is fine — but a PERSISTENT
+    failure (EACCES, EIO, ...) warns once on stderr with the path
+    instead of being swallowed forever by ``ignore_errors=True``.
+    The entry stays parked either way (a partial delete never breaks
+    restores: the newest sibling is parked complete BEFORE the base
+    can go missing) and the next publish/sweep retries. Returns
+    whether the path is gone."""
+    try:
+        shutil.rmtree(path)
+        return True
+    except FileNotFoundError:
+        return True  # another reclaimer won the race
+    except OSError as exc:
+        print(
+            f"{what}: cannot reclaim {path!r} ({exc!r}); "
+            f"left parked — will retry next publish/sweep",
+            file=sys.stderr,
+        )
+        return False
+
+
 def retire_old_siblings(
     path: str,
     min_age_s: float | None = None,
@@ -413,8 +447,8 @@ def retire_old_siblings(
         full = os.path.join(parent, entry)
         if young_entry(full, now, min_age_s):
             continue
-        shutil.rmtree(full, ignore_errors=True)
-        reclaimed.append(entry)
+        if rmtree_reclaim(full, "retire_old_siblings"):
+            reclaimed.append(entry)
     return reclaimed
 
 

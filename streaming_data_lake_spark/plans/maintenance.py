@@ -29,7 +29,11 @@ import time
 
 from pyspark.sql import SparkSession
 
-from streaming_data_lake_spark.locks import acquire_flock, acquire_flock_nonblocking
+from streaming_data_lake_spark.locks import (
+    acquire_flock,
+    acquire_flock_nonblocking,
+    release_flock,
+)
 from streaming_data_lake_spark.layout import (
     copy_layout_meta,
     dir_data_bytes as layout_dir_data_bytes,
@@ -40,6 +44,7 @@ from streaming_data_lake_spark.overlay import (
     atomic_swap,
     heal_missing_base,
     list_old_siblings,
+    rmtree_reclaim,
     sibling_order_key,
     tmp_sibling,
     young_entry,
@@ -206,7 +211,12 @@ def compact_parquet(
     Degrades loudly where flock is unavailable, like every other
     serialized writer."""
     locks = [
-        acquire_flock(table_dir.rstrip("/") + suffix, f"compact_parquet {table_dir!r}")
+        (
+            table_dir.rstrip("/") + suffix,
+            acquire_flock(
+                table_dir.rstrip("/") + suffix, f"compact_parquet {table_dir!r}"
+            ),
+        )
         for suffix in (".merge.lock", ".cycle.lock")
     ]
     try:
@@ -220,7 +230,7 @@ def compact_parquet(
         # heal to the real holder or the age-guarded sweep.
         healed = (
             heal_missing_base(table_dir)
-            if all(fh is not None for fh in locks)
+            if all(fh is not None for _p, fh in locks)
             else None
         )
         if healed is not None:
@@ -231,9 +241,15 @@ def compact_parquet(
             )
         return _compact_parquet_locked(spark, table_dir, target_bytes)
     finally:
-        for fh in locks:
+        for lock_path, fh in locks:
             if fh is not None:
-                fh.close()  # releases the flock
+                # gc=True: releases the flock AND unlinks the (always
+                # zero-length) lock file, so compacting a table that
+                # is never an upsert/materializer target leaves no
+                # stray *.lock entries behind (ADVICE r17 #4) — safe
+                # because every flock user revalidates inode-vs-path
+                # after acquiring (locks.py r18).
+                release_flock(fh, lock_path, gc=True)
 
 
 def _compact_parquet_locked(
@@ -420,17 +436,22 @@ def remove_orphans(
         Platforms without working flock proceed unlocked under the
         documented single-writer assumption (the pre-lock behavior) —
         LOUDLY, via locks.acquire_flock_nonblocking, like every other
-        degradation in the engine."""
+        degradation in the engine. Returns (path, fh) pairs so the
+        caller releases with gc=True — the sweep visits every
+        base-missing group, most of which are never upsert/
+        materializer targets, and without GC their lock files would
+        accumulate in the lake dir forever (ADVICE r17 #4)."""
         fhs: list = []
         for suffix in (".merge.lock", ".cycle.lock"):
+            lock_path = base + suffix
             status, fh = acquire_flock_nonblocking(
-                base + suffix, f"orphan restore of {base!r}"
+                lock_path, f"orphan restore of {base!r}"
             )
             if status == "acquired":
-                fhs.append(fh)
+                fhs.append((lock_path, fh))
             elif status == "busy":
-                for h in fhs:
-                    h.close()
+                for p, h in fhs:
+                    release_flock(h, p, gc=True)
                 return False, []
             # "unavailable": warned loudly; proceed with whatever
             # locks were taken (documented single-writer assumption)
@@ -508,18 +529,18 @@ def remove_orphans(
                 removed.append(f"restored:{newest}")
                 group = [e for e in group if e != newest]
             finally:
-                for fh in lock_fhs:
-                    fh.close()
+                for lock_path, fh in lock_fhs:
+                    release_flock(fh, lock_path, gc=True)
         for entry in group:
             path = os.path.join(lake_dir, entry)
             if young(path):
                 continue
-            shutil.rmtree(path, ignore_errors=True)
-            removed.append(entry)
+            if rmtree_reclaim(path, "remove_orphans"):
+                removed.append(entry)
     for entry in entries("__tmp_"):
         path = os.path.join(lake_dir, entry)
         if young(path):
             continue
-        shutil.rmtree(path, ignore_errors=True)
-        removed.append(entry)
+        if rmtree_reclaim(path, "remove_orphans"):
+            removed.append(entry)
     return removed

@@ -157,13 +157,25 @@ def _fold_batch(pdf: pd.DataFrame, carried, gap_us: int):
     # session can emit total_value NULL like the decimal-SUM twins
     # instead of 0.0 (ADVICE r12).
     vals = pdf["value"].to_numpy(dtype="float64", na_value=float("nan"))
-    # Magnitude clamp alongside finiteness (r17 review): a finite
-    # value with |v|*100 beyond int64 makes rint().astype('int64')
-    # undefined-garbage cents (INT64_MIN) — the same silent-corruption
-    # class as NaN. Values outside the decimal(12,2) domain the twins
-    # sum in (|v| >= 1e10) are excluded like non-finite ones; the
-    # native path's ANSI decimal cast errors loudly on them instead.
-    fin = np.isfinite(vals) & (np.abs(vals) < 1e10)
+    # Shared value-domain contract, both halves loud-or-excluded the
+    # SAME way on every path (ADVICE r17 #2): non-finite values
+    # (NULL/NaN/Inf) are EXCLUDED — the native twin nulls them via
+    # _finite() before its decimal cast — while a FINITE value
+    # outside the decimal(12,2) domain (|v| >= 1e10) RAISES, exactly
+    # where the native path's ANSI decimal cast errors. The previous
+    # silent clamp (r17 review) prevented the int64-garbage-cents
+    # corruption but made the two paths diverge on out-of-domain
+    # corpora: the hand fold dropped what the native path refused.
+    fin = np.isfinite(vals)
+    over = fin & (np.abs(vals) >= 1e10)
+    if over.any():
+        bad = float(vals[over][0])
+        raise ValueError(
+            f"sessionize: value {bad!r} outside the decimal(12,2) "
+            f"domain (|v| >= 1e10) — the native session_window twin's "
+            f"ANSI decimal cast rejects the same input; filter or "
+            f"rescale the corpus"
+        )
     vals = np.where(fin, vals, 0.0)
     cents_arr = np.rint(vals * 100).astype("int64")
     nfin_arr = fin.astype("int64")
@@ -573,6 +585,30 @@ def _require_tws(spark: SparkSession | None = None) -> None:
         )
 
 
+def _tws_settle_step(handle, sess_state, sessions, wm_us: int, gap_us: int):
+    """The TWS sealed-emission settle, module-level so the timer
+    bookkeeping is unit-pinned without a live TWS runtime: split ripe
+    vs pending against the watermark; pending sessions stay in state
+    with ONE timer at the earliest ``end + gap`` (re-arming deletes
+    the stale timer — the old API's implicit setTimeoutTimestamp
+    overwrite, made explicit); when nothing is pending the state is
+    cleared AND any outstanding timer is deleted too (ADVICE r17 #1:
+    the clear path previously left the registered timer armed, so it
+    later fired a no-op handleExpiredTimer — a wasted wakeup per
+    sealed key). Returns the ripe sessions for the caller to emit."""
+    ripe, pending = _split_ripe(sessions, wm_us, gap_us)
+    for t in list(handle.listTimers()):
+        handle.deleteTimer(t)
+    if pending:
+        sess_state.update(_arrays(pending))
+        handle.registerTimer(
+            (min(s[1] for s in pending) + gap_us) // 1000 + 1
+        )
+    elif sess_state.exists():
+        sess_state.clear()
+    return ripe
+
+
 def sessionize_tws(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
     """Gap sessionization on ``transformWithStateInPandas`` — the
     Spark 4 successor to ``applyInPandasWithState`` (typed state
@@ -608,20 +644,12 @@ def sessionize_tws(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
         def close(self) -> None:
             pass
 
-        def _rearm(self, min_end_us: int) -> None:
-            for t in list(self._handle.listTimers()):
-                self._handle.deleteTimer(t)
-            self._handle.registerTimer((min_end_us + gap_us) // 1000 + 1)
-
         def _settle(self, user_id, sessions, wm_us):
             """Shared sealed-emission step: keep pending sessions in
             state with a timer at the earliest end+gap, emit ripe."""
-            ripe, pending = _split_ripe(sessions, wm_us, gap_us)
-            if pending:
-                self._sess.update(_arrays(pending))
-                self._rearm(min(s[1] for s in pending))
-            elif self._sess.exists():
-                self._sess.clear()
+            ripe = _tws_settle_step(
+                self._handle, self._sess, sessions, wm_us, gap_us
+            )
             if ripe:
                 yield _emit_sessions(user_id, ripe)
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import errno
 import fcntl
+import os
 
 from streaming_data_lake_spark.locks import acquire_flock
 
@@ -98,3 +99,68 @@ print("FD_PROBE_OK")
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "FD_PROBE_OK" in proc.stdout
     assert "UNSERIALIZED" in proc.stderr  # the loud line fired
+
+
+def test_release_flock_gc_unlinks_zero_length_lock(tmp_path):
+    """ADVICE r17 #4: gc=True releases AND unlinks the (always
+    zero-length) lock file; a file with content is something else's
+    and survives."""
+    from streaming_data_lake_spark.locks import acquire_flock, release_flock
+
+    p = str(tmp_path / "t.merge.lock")
+    fh = acquire_flock(p, "test")
+    assert fh is not None and os.path.exists(p)
+    release_flock(fh, p, gc=True)
+    assert not os.path.exists(p)
+
+    with open(p, "w") as f:
+        f.write("owned")
+    fh = acquire_flock(p, "test")
+    release_flock(fh, p, gc=True)
+    assert os.path.exists(p)  # non-empty: not ours to reclaim
+
+
+def test_acquire_revalidates_inode_after_unlink(tmp_path):
+    """The unlink+flock split-lock hazard: an acquirer whose path was
+    unlinked (and possibly recreated) between open and flock must not
+    return a handle on the dead inode — it retries until path and fd
+    agree, so two concurrent lockers can never both 'hold' the lock
+    across a GC. Simulated deterministically: _path_matches_fd is the
+    decision point."""
+    from streaming_data_lake_spark import locks
+
+    p = str(tmp_path / "x.lock")
+    with open(p, "a") as fh:
+        assert locks._path_matches_fd(p, fh)
+        os.unlink(p)
+        assert not locks._path_matches_fd(p, fh)  # dead inode
+        with open(p, "a") as fresh:  # recreated by a newcomer
+            assert not locks._path_matches_fd(p, fh)
+            assert locks._path_matches_fd(p, fresh)
+
+    # end-to-end: acquire after a GC'd release lands on a live inode
+    fh1 = locks.acquire_flock(p, "t")
+    locks.release_flock(fh1, p, gc=True)
+    fh2 = locks.acquire_flock(p, "t")
+    assert fh2 is not None and locks._path_matches_fd(p, fh2)
+    locks.release_flock(fh2, p, gc=True)
+
+
+def test_nonblocking_acquire_gc_roundtrip(tmp_path):
+    """The sweep's opportunistic path: acquire non-blocking, release
+    with gc — no litter; a live holder still reads as busy."""
+    from streaming_data_lake_spark.locks import (
+        acquire_flock_nonblocking,
+        release_flock,
+    )
+
+    p = str(tmp_path / "t.cycle.lock")
+    status, fh = acquire_flock_nonblocking(p, "sweep")
+    assert status == "acquired"
+    status2, fh2 = acquire_flock_nonblocking(p, "sweep2")
+    # same-process flock re-entrancy differs by platform; what must
+    # hold is: never a second independent handle while one is live
+    if status2 == "acquired":
+        release_flock(fh2, p, gc=True)
+    release_flock(fh, p, gc=True)
+    assert not os.path.exists(p)

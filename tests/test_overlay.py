@@ -790,3 +790,91 @@ def test_sweep_skips_group_when_losing_restore_race(tmp_path, monkeypatch):
     # group A: the winner's restore stands
     assert os.path.isfile(os.path.join(base_a, "a.txt"))
     assert not any(os.path.basename(old_a) in a for a in actions)
+
+
+def test_old_sibling_clamp_covers_legacy_ctime_siblings(tmp_path, monkeypatch):
+    """ADVICE r17 #3: on a MIXED-ERA table (legacy random-hex
+    retained names ranked by inode ctime + stamped names), a
+    backwards clock step must not mint a stamp that sorts BELOW a
+    legacy sibling's ctime — a crash restore would resurrect the
+    stale legacy version. The clamp maxes over sibling_order_key of
+    the whole group, not just embedded stamps."""
+    import time as _time
+
+    import streaming_data_lake_spark.overlay as overlay
+
+    live = str(tmp_path / "t")
+    os.makedirs(live)
+    legacy = f"{live}__old_deadbeef01"  # no fixed-width stamp
+    os.makedirs(legacy)
+    # clock steps BACKWARDS by one hour between the legacy publish
+    # and the next one
+    real_ns = _time.time_ns
+    monkeypatch.setattr(_time, "time_ns", lambda: real_ns() - 3_600_000_000_000)
+    minted = overlay.old_sibling(live)
+    parent = str(tmp_path)
+    assert overlay.sibling_order_key(
+        parent, os.path.basename(minted)
+    ) > overlay.sibling_order_key(parent, os.path.basename(legacy))
+
+
+def test_retire_persistent_failure_is_loud_not_swallowed(
+    tmp_path, monkeypatch, capsys
+):
+    """VERDICT r17 "What's wrong" #3: a persistent EACCES/EIO on
+    publish-time reclamation must surface once on stderr (the sweep's
+    convention), not vanish into ignore_errors=True forever. Race
+    shapes (entry vanished — another reclaimer won) stay silent and
+    count as reclaimed."""
+    import shutil as _shutil
+
+    import streaming_data_lake_spark.overlay as overlay
+
+    live = str(tmp_path / "t")
+    os.makedirs(live)
+    old1 = overlay.old_sibling(live)
+    os.makedirs(old1)
+    old2 = overlay.old_sibling(live)
+    os.makedirs(old2)
+
+    def deny(path, *a, **kw):
+        raise PermissionError(13, "Permission denied", path)
+
+    monkeypatch.setattr(_shutil, "rmtree", deny)
+    got = overlay.retire_old_siblings(live, min_age_s=0, keep_newest=1)
+    err = capsys.readouterr().err
+    assert got == []
+    assert "cannot reclaim" in err and os.path.basename(old1) in err
+    assert os.path.isdir(old1)  # left parked for the next retry
+
+    # race shape: vanished mid-reclaim -> silent, counted gone
+    def vanish(path, *a, **kw):
+        raise FileNotFoundError(2, "gone", path)
+
+    monkeypatch.setattr(_shutil, "rmtree", vanish)
+    got = overlay.retire_old_siblings(live, min_age_s=0, keep_newest=1)
+    assert got == [os.path.basename(old1)]
+    assert capsys.readouterr().err == ""
+
+
+def test_sweep_restore_leaves_no_lock_litter(tmp_path):
+    """ADVICE r17 #4: the orphan sweep's base-missing restore takes
+    both per-table writer flocks for EVERY swept group — without GC
+    the empty <base>.merge.lock/.cycle.lock files accumulate in the
+    lake dir forever. release_flock(gc=True) reclaims them; safe
+    because every flock user inode-revalidates after acquiring."""
+    from streaming_data_lake_spark.plans.maintenance import remove_orphans
+
+    import streaming_data_lake_spark.overlay as overlay
+
+    lake = str(tmp_path)
+    live = os.path.join(lake, "t")
+    old = overlay.old_sibling(live)
+    os.makedirs(old)
+    with open(os.path.join(old, "v.parquet"), "w") as fh:
+        fh.write("v")
+    removed = remove_orphans(lake, min_age_s=0)
+    assert any(r.startswith("restored:") for r in removed)
+    assert os.path.isfile(os.path.join(live, "v.parquet"))
+    litter = [e for e in os.listdir(lake) if e.endswith(".lock")]
+    assert litter == [], litter

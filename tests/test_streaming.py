@@ -1089,3 +1089,93 @@ def test_sessionize_multibatch_late_row_merges_sessions(spark, tmp_path):
         f"multi-batch late row split the session: pandas={pandas_rows} "
         f"native={native_rows}"
     )
+
+
+def test_fold_batch_raises_on_out_of_decimal_domain_values():
+    """ADVICE r17 #2: the hand fold and the native twin must agree on
+    out-of-domain corpora. Non-finite values are EXCLUDED on both
+    paths (native nulls them via _finite before the decimal cast);
+    a FINITE value outside decimal(12,2) (|v| >= 1e10) raises in the
+    fold exactly where the native path's ANSI decimal cast errors —
+    no more silent exclusion on one path and a loud error on the
+    other."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from streaming_data_lake_spark.streaming.sessionize import _fold_batch
+
+    gap_us = 120 * 60_000_000
+    ts = pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:01:00"])
+
+    with _pytest.raises(ValueError, match="decimal\\(12,2\\)"):
+        _fold_batch(pd.DataFrame({"ts": ts, "value": [1.0, 1e10]}), [], gap_us)
+    with _pytest.raises(ValueError, match="decimal"):
+        _fold_batch(pd.DataFrame({"ts": ts, "value": [-1e12, 1.0]}), [], gap_us)
+
+    # non-finite stays the EXCLUDED half of the contract: contributes
+    # no cents, nfin counts only finite members
+    merged = _fold_batch(
+        pd.DataFrame({"ts": ts, "value": [float("nan"), 2.0]}), [], gap_us
+    )
+    assert len(merged) == 1
+    _s, _e, n, cents, nfin = merged[0]
+    assert (n, cents, nfin) == (2, 200, 1)
+
+
+def test_tws_settle_step_deletes_timer_on_clear():
+    """ADVICE r17 #1: when the last pending session seals, the settle
+    step must delete the outstanding event-time timer along with the
+    state — previously the stale timer stayed armed and later fired a
+    no-op handleExpiredTimer (a wasted wakeup per sealed key)."""
+    from streaming_data_lake_spark.streaming.sessionize import (
+        _state_sessions,
+        _tws_settle_step,
+    )
+
+    class FakeHandle:
+        def __init__(self):
+            self.timers = []
+
+        def listTimers(self):
+            return list(self.timers)
+
+        def deleteTimer(self, t):
+            self.timers.remove(t)
+
+        def registerTimer(self, t):
+            self.timers.append(t)
+
+    class FakeState:
+        def __init__(self):
+            self.raw = None
+
+        def exists(self):
+            return self.raw is not None
+
+        def get(self):
+            return self.raw
+
+        def update(self, arrays):
+            self.raw = arrays
+
+        def clear(self):
+            self.raw = None
+
+    gap_us = 100
+    handle, state = FakeHandle(), FakeState()
+    sessions = [(0, 10, 1, 100, 1), (1000, 2000, 2, 50, 2)]
+
+    # batch 1: wm=500 seals the first session, second stays pending
+    ripe = _tws_settle_step(handle, state, sessions, 500, gap_us)
+    assert [s[0] for s in ripe] == [0]
+    assert state.exists()
+    assert handle.timers == [(2000 + gap_us) // 1000 + 1]
+
+    # batch 2 (timer fires): wm past everything -> emit, clear state
+    # AND the timer — nothing left armed
+    ripe = _tws_settle_step(
+        handle, state, _state_sessions(state.get()), 10_000_000, gap_us
+    )
+    assert [s[0] for s in ripe] == [1000]
+    assert not state.exists()
+    assert handle.timers == []
