@@ -388,6 +388,30 @@ def main() -> int:
     seed = _round_seed()
     order = list(HEADLINE)
     random.Random(seed).shuffle(order)
+    # UNTIMED PRIMING PASS (r18, VERDICT r17 "Next round" #2): the
+    # table/streaming warmups above warm the readers, but the scored
+    # loop still started JVM/JIT-cold — whoever the per-round shuffle
+    # put at positions 0-9 ate C2/codegen/shuffle-machinery warmup on
+    # BOTH best-of-2 runs (both runs of query 0 execute before
+    # anything else warms the session), tripping the two-sided
+    # regression rule on bit-unchanged code: 5 of the 6 r17-flagged
+    # names sat at positions 0, 1, 3, 4, 9 of that run's order. One
+    # untimed execution of every headline query (same shuffled order)
+    # puts all one-time costs — JIT tiers, per-plan codegen, durable
+    # artifact builds — on the priming pass, so scored best-of-2
+    # measures the steady-state plan regardless of position.
+    # SPARK_GRAFT_BENCH_PRIME=0 restores the unprimed r17 behavior
+    # (used by the interleaved A/B in tools/ab_pricing_warmup.py).
+    primed = os.environ.get("SPARK_GRAFT_BENCH_PRIME", "1") != "0"
+    if primed:
+        t_prime0 = time.time()
+        for name in order:
+            queries[name].fn(spark, sf_dir).count()
+        print(
+            f"# priming pass: {len(order)} queries in "
+            f"{time.time() - t_prime0:.1f}s (untimed)",
+            file=sys.stderr,
+        )
     per_query: dict[str, float] = {}
     per_query_runs: dict[str, list[float]] = {}
     builds_total = 0
@@ -510,6 +534,7 @@ def main() -> int:
         "regressions": compact_reg,
         "regression_baseline": f"BENCH_r{prev_round:02d}" if prev else None,
         "probe_semantics": PROBE_SEMANTICS,
+        "primed": primed,
     }
     if len(regressions) > _REG_CAP:
         line["regressions_omitted"] = len(regressions) - _REG_CAP

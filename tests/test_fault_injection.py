@@ -266,3 +266,165 @@ def test_overlay_and_sweep_outcomes_survive_reversed_readdir(tmp_path, monkeypat
         return out
 
     assert tree(dst_a) == tree(dst_b)
+
+
+# ---------------------------------------------------------------------------
+# r18 axis (VERDICT r17 "Next round" #6a): ENOSPC/EIO on the LOG side
+# of VersionedTable — the r17 injections hit the link/copy DATA paths;
+# these hit the snapshot log append, the torn-tail repair, and the
+# flock-file create.
+# ---------------------------------------------------------------------------
+
+
+def test_enospc_partial_metadata_append_is_crash_equivalent(
+    spark, tmp_path, monkeypatch
+):
+    """The snapshot-log APPEND dies of ENOSPC after flushing only a
+    PREFIX of the record — v{N} is already renamed, so this is the
+    documented crash-between-rename-and-append state PLUS a torn
+    tail, with no process death. Required: the commit RAISES (abort
+    visible — the caller owns the retry); reads stay at the last
+    recorded version; the retry repairs the tail under the flock,
+    numbers PAST the orphan dir, and lands the rows exactly once;
+    expire reclaims both the old version and the orphan."""
+    import streaming_data_lake_spark.sources.versioned as versioned
+    from streaming_data_lake_spark.sources.versioned import VersionedTable
+
+    ref = str(tmp_path / "t")
+    vt = VersionedTable(spark, ref)
+    vt.commit(spark.range(0, 50).selectExpr("id", "id * 2 AS v"), "append")
+    meta = os.path.join(ref, "_snapshots.json")
+    clean_size = os.path.getsize(meta)
+
+    real_open = open
+    armed = [True]
+
+    class TornAppend:
+        """File-object stand-in whose write() flushes half the record
+        to the REAL log, then dies of ENOSPC — the exact shape a full
+        disk leaves behind (kernel write(2) is not transactional)."""
+
+        def __init__(self, path):
+            self.path = path
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def write(self, data):
+            with real_open(self.path, "ab") as fh:
+                fh.write(data[: len(data) // 2].encode())
+                fh.flush()
+                os.fsync(fh.fileno())
+            raise OSError(errno.ENOSPC, "No space left on device (injected)")
+
+    def fake_open(path, mode="r", *a, **kw):
+        if str(path) == meta and mode == "a" and armed[0]:
+            armed[0] = False
+            return TornAppend(str(path))
+        return real_open(path, mode, *a, **kw)
+
+    monkeypatch.setattr(versioned, "open", fake_open, raising=False)
+    with pytest.raises(OSError, match="injected"):
+        vt.commit(spark.range(50, 60).selectExpr("id", "id * 2 AS v"), "append")
+
+    # the injection left the real torn-tail shape: a half record with
+    # no trailing newline, after the intact v1 line
+    raw = open(meta, "rb").read()
+    assert len(raw) > clean_size and not raw.endswith(b"\n")
+    # v2 was renamed before the append — a full but UNRECORDED orphan
+    assert os.path.isdir(os.path.join(ref, "v2"))
+    # reads and metadata stay at the last recorded version
+    assert vt.latest_version() == 1
+    assert vt.read().count() == 50
+    assert vt.snapshots().count() == 1
+
+    # retry (disk space back): repairs the tail, numbers PAST the
+    # orphan, lands the rows exactly once
+    v = vt.commit(spark.range(50, 60).selectExpr("id", "id * 2 AS v"), "append")
+    assert v == 3
+    assert vt.read().count() == 60
+    assert vt.read(3).count() == 60
+    snaps = {r["version"] for r in vt.snapshots().collect()}
+    assert snaps == {1, 3}
+    raw = open(meta, "rb").read()
+    assert raw.endswith(b"\n") and raw.count(b"\n") == 2  # tail repaired
+
+    # expire reclaims the superseded version AND the orphan
+    monkeypatch.setattr(VersionedTable, "_SCRATCH_MIN_AGE_S", 0.0)
+    assert vt.expire_snapshots(keep_last=1) == [1, 2]
+    assert vt.read(3).count() == 60
+    assert not os.path.isdir(os.path.join(ref, "v1"))
+    assert not os.path.isdir(os.path.join(ref, "v2"))
+
+
+def test_eio_during_torn_tail_repair_aborts_before_any_mutation(
+    spark, tmp_path, monkeypatch
+):
+    """EIO opening the log for the pre-append torn-tail repair: the
+    commit must abort BEFORE staging anything — no scratch, no
+    version dir, log byte-unchanged — and succeed once the fault
+    clears."""
+    import streaming_data_lake_spark.sources.versioned as versioned
+    from streaming_data_lake_spark.sources.versioned import VersionedTable
+
+    ref = str(tmp_path / "t")
+    vt = VersionedTable(spark, ref)
+    vt.commit(spark.range(0, 50).selectExpr("id", "id * 2 AS v"), "append")
+    meta = os.path.join(ref, "_snapshots.json")
+    with open(meta, "ab") as fh:
+        fh.write(b'{"version": 2, "oper')  # torn tail, no newline
+    before = open(meta, "rb").read()
+
+    real_open = open
+    armed = [True]
+
+    def fake_open(path, mode="r", *a, **kw):
+        if str(path) == meta and mode == "r+b" and armed[0]:
+            armed[0] = False
+            raise OSError(errno.EIO, "I/O error (injected)")
+        return real_open(path, mode, *a, **kw)
+
+    monkeypatch.setattr(versioned, "open", fake_open, raising=False)
+    with pytest.raises(OSError, match="injected"):
+        vt.commit(spark.range(50, 60).selectExpr("id", "id * 2 AS v"), "append")
+
+    assert open(meta, "rb").read() == before  # log byte-unchanged
+    assert not os.path.isdir(os.path.join(ref, "v2"))
+    assert [e for e in os.listdir(ref) if "__tmp_" in e] == []
+    assert vt.read().count() == 50
+
+    v = vt.commit(spark.range(50, 60).selectExpr("id", "id * 2 AS v"), "append")
+    assert v == 2
+    assert vt.read().count() == 60
+    assert {r["version"] for r in vt.snapshots().collect()} == {1, 2}
+
+
+def test_enospc_creating_commit_lockfile_degrades_loudly(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """A full disk failing the flock-file CREATE must follow the
+    engine's degradation convention: one stderr line, the commit
+    proceeds UNSERIALIZED under the documented single-writer
+    assumption — it must neither crash nor silently skip the lock."""
+    from streaming_data_lake_spark import locks
+    from streaming_data_lake_spark.sources.versioned import VersionedTable
+
+    ref = str(tmp_path / "t")
+    vt = VersionedTable(spark, ref)
+    vt.commit(spark.range(0, 50).selectExpr("id", "id * 2 AS v"), "append")
+
+    real_open = open
+
+    def fake_open(path, mode="r", *a, **kw):
+        if str(path).endswith("_commit.lock"):
+            raise OSError(errno.ENOSPC, "No space left on device (injected)")
+        return real_open(path, mode, *a, **kw)
+
+    monkeypatch.setattr(locks, "open", fake_open, raising=False)
+    v = vt.commit(spark.range(50, 60).selectExpr("id", "id * 2 AS v"), "append")
+    err = capsys.readouterr().err
+    assert v == 2 and vt.read().count() == 60
+    assert "flock unavailable" in err and "UNSERIALIZED" in err

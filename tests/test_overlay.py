@@ -878,3 +878,64 @@ def test_sweep_restore_leaves_no_lock_litter(tmp_path):
     assert os.path.isfile(os.path.join(live, "v.parquet"))
     litter = [e for e in os.listdir(lake) if e.endswith(".lock")]
     assert litter == [], litter
+
+
+def test_clock_step_torture_retirement_keeps_true_newest(tmp_path, monkeypatch):
+    """VERDICT r17 "Next round" #6c: the monotonic clamp under LARGE
+    alternating clock steps WHILE publish-time retirement runs
+    (keep_newest=1, no age guard). Invariant after every publish: the
+    single surviving sibling is the version the last publish parked
+    (the true previous state), never a stale or legacy one — so a
+    crash restore at any point heals to the right snapshot. Includes
+    a mixed-era legacy hex sibling injected mid-sequence before a
+    backwards step (the ADVICE r17 #3 shape)."""
+    import time as _time
+
+    import streaming_data_lake_spark.overlay as overlay
+
+    monkeypatch.setattr(overlay, "RETIRE_MIN_AGE_S", 0.0)
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    live = lake / "t"
+    live.mkdir()
+    (live / "v1.parquet").write_text("v1")
+
+    real_ns = _time.time_ns
+
+    def publish(i):
+        tmp = overlay.tmp_sibling(str(live))
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, f"v{i}.parquet"), "w") as fh:
+            fh.write(f"v{i}")
+        overlay.atomic_swap(str(live), tmp)
+
+    # hour-to-multi-hour steps, both directions, including repeats of
+    # the same backwards offset (stamps must still strictly ascend)
+    offsets_s = [0, -7200, 3600, -10800, -10800, 14400, -86400]
+    prev_key = None
+    for i, off in enumerate(offsets_s):
+        if i == 3:
+            # legacy random-hex sibling appears (mixed-era table) with
+            # a REAL ctime, just before more backwards steps
+            os.makedirs(str(live) + "__old_abcdef0123456789")
+        monkeypatch.setattr(
+            _time, "time_ns", lambda off=off: real_ns() + off * 1_000_000_000
+        )
+        publish(i + 2)
+        olds = overlay.list_old_siblings(str(live))
+        assert len(olds) == 1, olds  # retirement keeps exactly one
+        survivor = olds[0]
+        assert overlay.stamp_ns(survivor) >= 0  # stamped, never legacy
+        # the survivor is the version the swap just parked
+        assert os.path.isfile(os.path.join(str(lake), survivor, f"v{i + 1}.parquet"))
+        key = overlay.sibling_order_key(str(lake), survivor)
+        if prev_key is not None:
+            assert key > prev_key  # strictly ascending across steps
+        prev_key = key
+        # crash restore at this point heals to that same version
+    import shutil as _shutil
+
+    _shutil.rmtree(live)
+    healed = overlay.heal_missing_base(str(live))
+    assert healed is not None
+    assert os.path.isfile(live / f"v{len(offsets_s)}.parquet")
