@@ -165,6 +165,13 @@ _CERTIFICATION_ORDER = [
     "priority_window_profile",
     "stratified_sample_by_lang",
     "top_busiest_hours",
+    # ---- r18 LATE code-touches (after the rotation was pinned):
+    # locks.py grew inode revalidation (r18 lock-GC prerequisite) and
+    # VersionedTable.commit/expire flock through it, so these two
+    # r17-verdict names certify pre-touch lock code — they take r19
+    # free slots directly after the drain ----
+    "time_travel_read_v1",
+    "snapshot_metadata",
     # ---- r17-certified tail (back in rotation at r20; the 8
     # overlay/maintenance consumers moved into this round's window
     # under the foresight rule are not repeated here) ----
@@ -172,8 +179,6 @@ _CERTIFICATION_ORDER = [
     "consistent_hash_sample",
     "events_rejected",
     "dedup_exact_text",
-    "time_travel_read_v1",
-    "snapshot_metadata",
     "streaming_interval_join_daily",
     "streaming_funnel_daily",
     "streaming_dedup_keys",
