@@ -15,7 +15,11 @@ and emits one stderr line so an unserialized run is always visible.
 
 Inode revalidation (r18, ADVICE r17 #4 prerequisite): after taking
 the flock, the acquirer confirms the lock PATH still resolves to the
-inode its descriptor holds; on mismatch it releases and retries.
+inode its descriptor holds; on mismatch the blocking variant releases
+and retries (unbounded — each mismatch is proof a holder just
+completed a GC'd release, so the loop cannot live-lock) and the
+non-blocking variant reports ``busy`` (defer to the holder that just
+churned the inode).
 Without this, unlinking a lock file splits the lock: waiter A holds
 the fd of the unlinked inode while newcomer B creates a fresh file at
 the same path and locks THAT — two concurrent "holders". With it,
@@ -31,12 +35,6 @@ from __future__ import annotations
 import os
 import sys
 from typing import IO
-
-# Bounded retry on inode churn. Churn needs a concurrent GC (unlink)
-# landing between our open and our stat — transient by construction;
-# exhaustion means pathological lockfile thrash and degrades LOUDLY.
-_REVALIDATE_ATTEMPTS = 8
-
 
 def _path_matches_fd(lock_path: str, fh: IO[str]) -> bool:
     try:
@@ -57,19 +55,21 @@ def acquire_flock_nonblocking(
     holder), or ``("unavailable", None)`` when flock itself cannot be
     used here — LOUDLY, like :func:`acquire_flock`, because the
     caller proceeding anyway is running under the documented
-    single-writer assumption with no serialization."""
+    single-writer assumption with no serialization.
+
+    A revalidation mismatch reports ``busy``, not a retry loop: the
+    inode we locked was just GC-unlinked, which proves a holder was
+    live this instant — exactly the defer-to-the-holder case."""
     fh = None
     try:
         import fcntl
 
-        for _ in range(_REVALIDATE_ATTEMPTS):
-            fh = open(lock_path, "a")
-            fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            if _path_matches_fd(lock_path, fh):
-                return "acquired", fh
-            fh.close()  # locked a just-unlinked inode — retry fresh
-            fh = None
-        raise OSError(f"inode revalidation exhausted after {_REVALIDATE_ATTEMPTS} attempts")
+        fh = open(lock_path, "a")
+        fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        if _path_matches_fd(lock_path, fh):
+            return "acquired", fh
+        fh.close()  # locked a just-unlinked inode — a holder GC'd it
+        return "busy", None
     except BlockingIOError:
         # A holder owns the flock on the inode this path resolves to
         # (or held the about-to-vanish inode — it will finish and any
@@ -97,19 +97,29 @@ def acquire_flock(lock_path: str, what: str) -> IO[str] | None:
     half-acquired handle and warning on stderr that ``what`` is
     proceeding unserialized. Callers must treat ``None`` as "the
     single-writer assumption is now load-bearing", never as success.
+
+    Revalidation retries are UNBOUNDED by design: a mismatch can only
+    happen because a holder of that very inode's lock completed a
+    GC'd release between our open and our grant — i.e. every failed
+    attempt is proof of real progress elsewhere, so the loop cannot
+    live-lock (no concurrent activity → first attempt validates).
+    The r18 multiprocess churn pin showed a bounded retry under
+    worst-case unlink-every-release contention exhausting into the
+    UNSERIALIZED degradation — the one outcome transient churn must
+    never produce; degradation stays reserved for flock being truly
+    unusable (ENOLCK, EMFILE, ...).
     """
     fh = None
     try:
         import fcntl
 
-        for _ in range(_REVALIDATE_ATTEMPTS):
+        while True:
             fh = open(lock_path, "a")
             fcntl.flock(fh, fcntl.LOCK_EX)
             if _path_matches_fd(lock_path, fh):
                 return fh
             fh.close()  # locked a just-unlinked inode — retry fresh
             fh = None
-        raise OSError(f"inode revalidation exhausted after {_REVALIDATE_ATTEMPTS} attempts")
     except (ImportError, OSError) as exc:
         if fh is not None:
             fh.close()

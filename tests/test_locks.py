@@ -164,3 +164,50 @@ def test_nonblocking_acquire_gc_roundtrip(tmp_path):
         release_flock(fh2, p, gc=True)
     release_flock(fh, p, gc=True)
     assert not os.path.exists(p)
+
+
+def test_gc_flock_mutual_exclusion_under_multiprocess_churn(tmp_path):
+    """The revalidation invariant under WORST-CASE inode churn: N
+    processes loop { blocking acquire -> read-modify-write a shared
+    counter -> release with gc=True (unlink EVERY time) }. Every
+    release destroys the lock inode, so every waiter exercises the
+    dead-inode retry path. A single lost update means two processes
+    held 'the lock' at once — the exact split the inode revalidation
+    exists to prevent."""
+    import multiprocessing as mp
+
+    lock_path = str(tmp_path / "c.lock")
+    counter = str(tmp_path / "counter.txt")
+    with open(counter, "w") as fh:
+        fh.write("0")
+
+    iters = 150
+
+    def worker(_i, lock_path=lock_path, counter=counter, iters=iters):
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from streaming_data_lake_spark.locks import acquire_flock, release_flock
+
+        for _ in range(iters):
+            fh = acquire_flock(lock_path, "churn-test")
+            assert fh is not None
+            with open(counter) as c:
+                v = int(c.read())
+            # widen the race window: a broken lock loses updates here
+            os.sched_yield()
+            with open(counter, "w") as c:
+                c.write(str(v + 1))
+            release_flock(fh, lock_path, gc=True)
+
+    nproc = 8
+    ctx = mp.get_context("fork")
+    procs = [ctx.Process(target=worker, args=(i,)) for i in range(nproc)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    with open(counter) as fh:
+        assert int(fh.read()) == nproc * iters
+    assert not os.path.exists(lock_path)  # fully GC'd at the end
