@@ -1179,3 +1179,159 @@ def test_tws_settle_step_deletes_timer_on_clear():
     assert [s[0] for s in ripe] == [1000]
     assert not state.exists()
     assert handle.timers == []
+
+
+def test_sessionize_multibatch_random_splits_match_batch_oracle(spark, tmp_path):
+    """Property generalization of the 3-batch sealed-emission pin:
+    random session structures for several users, chunked into K
+    time-ordered micro-batch files (intra-batch disorder allowed;
+    cross-batch lateness is the deterministic pin's job), with deltas
+    weighted onto the MERGE boundary (diff == gap merges, gap+1s
+    splits) and the watermark lateness boundary (30 s). Both stateful
+    streaming paths must reproduce the batch gaps-and-islands oracle
+    exactly — sessions spanning batch boundaries seal only when the
+    watermark passes end+gap, never early, never split."""
+    import datetime as dt
+    import os as _os
+    import random as _random
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streaming_data_lake_spark.streaming import pipelines
+    from streaming_data_lake_spark.streaming.sessionize import (
+        _SENTINEL_USER,
+        sessionize,
+        sessionize_native,
+    )
+
+    GAP_MIN = 2
+    gap_s = GAP_MIN * 60
+    # boundary-weighted inter-event deltas (seconds): == gap merges,
+    # gap+1 splits; 29/30/31 straddle the watermark lateness bound
+    deltas = [1, 29, 30, 31, 119, 120, 121, 300, 600]
+
+    def corpus(seed):
+        rng = _random.Random(seed)
+        rows = []
+        for uid in (1, 2, 3):
+            t = dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(
+                seconds=rng.randrange(0, 60)
+            )
+            for i in range(rng.randrange(12, 22)):
+                rows.append((uid, t, 0.25 * (i % 7)))
+                t += dt.timedelta(seconds=rng.choice(deltas))
+        rows.sort(key=lambda r: r[1])
+        return rows
+
+    def oracle(rows):
+        by_user = {}
+        for uid, ts, v in rows:
+            by_user.setdefault(uid, []).append((ts, v))
+        out = []
+        for uid, evs in by_user.items():
+            evs.sort()
+            cur = [evs[0]]
+            for e in evs[1:]:
+                if (e[0] - cur[-1][0]).total_seconds() > gap_s:
+                    out.append((uid, cur))
+                    cur = [e]
+                else:
+                    cur.append(e)
+            out.append((uid, cur))
+        return sorted(
+            (
+                uid,
+                evs[0][0],
+                evs[-1][0],
+                len(evs),
+                round(sum(v for _t, v in evs), 2),
+            )
+            for uid, evs in out
+        )
+
+    def write_stage(rows, seed, tag):
+        rng = _random.Random(seed + 1000)
+        stage = str(tmp_path / f"stage_{tag}_{seed}")
+        _os.makedirs(stage)
+        k = rng.randrange(3, 6)
+        bounds = sorted(rng.sample(range(1, len(rows)), k - 1))
+        chunks = [
+            rows[a:b]
+            for a, b in zip([0] + bounds, bounds + [len(rows)])
+        ]
+        base = _time.time()
+        for ci, chunk in enumerate(chunks):
+            chunk = list(chunk)
+            rng.shuffle(chunk)  # intra-batch disorder
+            tbl = pa.table(
+                {
+                    "event_id": pa.array(range(len(chunk)), pa.int64()),
+                    "ts": pa.array([r[1] for r in chunk], pa.timestamp("us")),
+                    "user_id": pa.array([r[0] for r in chunk], pa.int64()),
+                    "event_type": pa.array(["view"] * len(chunk), pa.string()),
+                    "value": pa.array([r[2] for r in chunk], pa.float64()),
+                    "props": pa.array(["{}"] * len(chunk), pa.string()),
+                }
+            )
+            path = _os.path.join(stage, f"b{ci:02d}.parquet")
+            pq.write_table(tbl, path)
+            _os.utime(path, (base + 60 * ci,) * 2)
+        sent = pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array([dt.datetime(2030, 1, 1)], pa.timestamp("us")),
+                "user_id": pa.array([_SENTINEL_USER], pa.int64()),
+                "event_type": pa.array(["view"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        )
+        path = _os.path.join(stage, "z_sentinel.parquet")
+        pq.write_table(sent, path)
+        _os.utime(path, (base + 60 * len(chunks),) * 2)
+        return stage
+
+    def run(build, stage, tag, seed):
+        raw = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string"
+            )
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(stage)
+        )
+        sessions = build(raw, GAP_MIN)
+        out = str(tmp_path / f"out_{tag}_{seed}")
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}_{seed}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.schema(sessions.schema).parquet(out)
+        return sorted(
+            (
+                r_["user_id"],
+                r_["session_start"],
+                r_["session_end"],
+                r_["n_events"],
+                round(r_["total_value"], 2),
+            )
+            for r_ in got.filter(f"user_id != {_SENTINEL_USER}").collect()
+        )
+
+    with pipelines._state_partitions(spark):
+        for seed in (7, 18):
+            rows = corpus(seed)
+            want = oracle(rows)
+            stage = write_stage(rows, seed, "s")
+            got_pandas = run(sessionize, stage, "pandas", seed)
+            got_native = run(sessionize_native, stage, "native", seed)
+            assert got_native == want, f"seed {seed}: native diverged"
+            assert got_pandas == want, f"seed {seed}: pandas diverged"
