@@ -38,98 +38,25 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver hash-checks the FIRST 50 registered queries per round.
-# Round 18 executes the rotation CHANGELOG_r17.md committed and
-# tests/test_registry_order.py (r17 revision) pinned: the 35-name
-# r15-verdict drain (age 3 the moment CORRECTNESS_r17 landed) at
-# positions 1-35, then the two r17 LATE code-touches FIRST among the
-# 15 free slots (VERDICT r17 #1: streaming_sessionize /
-# funnel_leakage_daily are the only names whose current code lacks a
-# driver verdict — §15's sealed-emission/admission landed after the
-# r17 rotation was pinned) at 36-37, then the 8 names round 18's OWN
-# code touches hit while carrying r17 verdicts (retire_old_siblings
-# loud persistent-failure + the legacy-ctime monotonic clamp in
-# overlay.py, every atomic_swap publisher; sweep lock-file GC in
-# plans/maintenance.py — the r15/r16/r17 foresight precedent) at
-# 38-45, then batch_sessionize_windows (r16 verdict AND a
-# sessionize.py ADVICE-fix consumer) + 4 oldest-r16 fills at 46-50.
-# The committed r19 drain follows contiguously at 51-85 (the 35
-# remaining r16-verdict names -> r19 window = 35 obligatory + 15
-# free, pinned by forward simulation in
-# tests/test_registry_order.py). Rotated at round-18 start, before
-# any driver run. tools/ledger.py cross-references the verdict files.
+# Round 19 executes the rotation CHANGELOG_r18.md committed and
+# tests/test_registry_order.py (r18 revision) pinned: the 35-name
+# r16-verdict drain (age 3 the moment CORRECTNESS_r18 landed) at
+# positions 1-35, then the two r18 LATE code-touches FIRST among the
+# 15 free slots (VERDICT r18 #1: time_travel_read_v1 /
+# snapshot_metadata are the only names whose current code — locks.py
+# inode revalidation under VersionedTable.commit/expire — lacks a
+# driver verdict) at 36-37, then 13 oldest-r17 fills (ties by prior
+# registry position, tools/ledger.py --emit-order) at 38-50. The
+# committed r20 drain follows contiguously at 51-77 (the 27 remaining
+# r17-verdict names -> r20 window = 27 obligatory + 23 free, pinned
+# by forward simulation in tests/test_registry_order.py; r20 is the
+# FINAL round, so the tail after it must be all-r18 — no name can
+# strand). Rotated at round-19 start, before any driver run.
+# tools/ledger.py cross-references the verdict files.
 _CERTIFICATION_ORDER = [
-    # ---- (a) the 35-name r18 drain: r15 verdicts, stale the moment
-    # CORRECTNESS_r17 landed (committed by the r17 revision of this
-    # module; pinned by test_r18_drain_fits_after_r17_lands) ----
-    "minhash_lsh_near_dups",
-    "dup_clusters_connected",
-    "bucketed_colocated_join",
-    "partition_pruned_scan",
-    "schema_drift_check",
-    "knn_ivf_cosine",
-    "knn_ivf_multiprobe_cosine",
-    "knn_bruteforce_cosine",
-    "knn_pq_adc_l2",
-    "knn_ivf_pq_adc",
-    "kmeans_train_centroids",
-    "knn_ivf_trained_cosine",
-    "asof_latest_view_before_purchase",
-    "asof_view_within_6h",
-    "doc_chunks_overlap",
-    "bigram_lm_quality",
-    "pii_redaction",
-    "ngram_jaccard_near_dups",
-    "semantic_dedup_centroid",
-    "embedding_cosine_near_dups",
-    "knn_ivf_materialized_cosine",
-    "embedding_label_stats",
-    "embedding_int8_quantization",
-    "knn_ivf_recall_at_k",
-    "salted_skew_aggregation",
-    "replicated_skew_join_rollup",
-    "conditional_distinct_users",
-    "user_engagement_ratios",
-    "user_daily_landscape",
-    "latest_event_per_user_type",
-    "interval_join_click_view",
-    "funnel_conversion_daily",
-    "value_distribution_by_class",
-    "flag_distribution",
-    "avg_value_spread",
-    # ---- (b) r17 LATE code-touches, FIRST among the free slots
-    # (VERDICT r17 #1): sealed-emission sessionize protocol + funnel
-    # admission — the only registry names whose current code lacked a
-    # driver verdict entering r18 ----
-    "streaming_sessionize",
-    "funnel_leakage_daily",
-    # ---- (c) names code-touched DURING round 18 while carrying r17
-    # verdicts (retire_old_siblings loud persistent-failure + the
-    # legacy-ctime monotonic clamp in overlay.py, which every
-    # atomic_swap publisher executes; sweep/compaction lock-file GC in
-    # plans/maintenance.py) — certified THIS round, the foresight
-    # precedent ----
-    "materialize_incremental_clean_events",
-    "materialize_dim_change_repair",
-    "materialize_funnel_exists_repair",
-    "maintenance_compaction",
-    "two_level_overlay_maintenance",
-    "streaming_upsert_hourly",
-    "streaming_hll_daily_users",
-    "streaming_cms_token_counts",
-    # ---- (d) batch_sessionize_windows (r16 verdict AND consumer of
-    # this round's sessionize.py ADVICE fixes) + 4 oldest-r16 fills
-    # (ties by prior registry position, tools/ledger.py
-    # --emit-order) ----
-    "batch_sessionize_windows",
-    "cms_heavy_hitter_tokens",
-    "token_budget_packing",
-    "bloom_semi_join_prune",
-    "hll_distinct_users_daily",
-    # ---- position 51+ : NOT certified this round. The committed r19
-    # drain sits first (35 remaining r16-verdict names, stale the
-    # moment CORRECTNESS_r18 lands -> r19 window = 35 obligatory + 15
-    # free, pinned by forward simulation in
-    # tests/test_registry_order.py) ----
+    # ---- (a) the 35-name r19 drain: r16 verdicts, stale the moment
+    # ---- CORRECTNESS_r18 landed (committed by the r18 revision of this
+    # ---- module; pinned by test_r19_drain_fits_after_r18_lands) ----
     "winnowing_fingerprints",
     "exact_substring_dups",
     "dedup_keep_best_quality",
@@ -165,16 +92,15 @@ _CERTIFICATION_ORDER = [
     "priority_window_profile",
     "stratified_sample_by_lang",
     "top_busiest_hours",
-    # ---- r18 LATE code-touches (after the rotation was pinned):
-    # locks.py grew inode revalidation (r18 lock-GC prerequisite) and
-    # VersionedTable.commit/expire flock through it, so these two
-    # r17-verdict names certify pre-touch lock code — they take r19
-    # free slots directly after the drain ----
+    # ---- (b) r18 LATE code-touches, FIRST among the 15 free slots
+    # ---- (VERDICT r18 #1): locks.py grew inode revalidation after the
+    # ---- r18 rotation was pinned and VersionedTable.commit/expire
+    # ---- flock through it — the only names whose current code lacks a
+    # ---- driver verdict entering r19 ----
     "time_travel_read_v1",
     "snapshot_metadata",
-    # ---- r17-certified tail (back in rotation at r20; the 8
-    # overlay/maintenance consumers moved into this round's window
-    # under the foresight rule are not repeated here) ----
+    # ---- (c) 13 oldest-r17 fills (ascending verdict round, ties by
+    # ---- prior registry position — tools/ledger.py --emit-order) ----
     "duplicate_rates_hourly",
     "consistent_hash_sample",
     "events_rejected",
@@ -188,6 +114,11 @@ _CERTIFICATION_ORDER = [
     "scd2_point_in_time_enrichment",
     "daily_distinct_users",
     "event_counters_unpivot",
+    # ---- position 51+ : NOT certified this round. The committed r20
+    # ---- drain sits first (27 remaining r17-verdict names, stale the
+    # ---- moment CORRECTNESS_r19 lands -> r20 window = 27 obligatory +
+    # ---- 23 free; r20 is the FINAL round — pinned by forward
+    # ---- simulation in tests/test_registry_order.py) ----
     "sliding_window_metrics",
     "streaming_hourly_metrics",
     "monthly_nation_revenue",
@@ -215,6 +146,59 @@ _CERTIFICATION_ORDER = [
     "seeded_dim_hierarchy_enrichment",
     "events_dedup_canonical",
     "pricing_summary",
+    # ---- r18-certified tail (23 of these fill r20's free slots as
+    # ---- the oldest-position r18 names; the rest end the final round
+    # ---- at age 2 — inside the 3-round freshness window) ----
+    "minhash_lsh_near_dups",
+    "dup_clusters_connected",
+    "bucketed_colocated_join",
+    "partition_pruned_scan",
+    "schema_drift_check",
+    "knn_ivf_cosine",
+    "knn_ivf_multiprobe_cosine",
+    "knn_bruteforce_cosine",
+    "knn_pq_adc_l2",
+    "knn_ivf_pq_adc",
+    "kmeans_train_centroids",
+    "knn_ivf_trained_cosine",
+    "asof_latest_view_before_purchase",
+    "asof_view_within_6h",
+    "doc_chunks_overlap",
+    "bigram_lm_quality",
+    "pii_redaction",
+    "ngram_jaccard_near_dups",
+    "semantic_dedup_centroid",
+    "embedding_cosine_near_dups",
+    "knn_ivf_materialized_cosine",
+    "embedding_label_stats",
+    "embedding_int8_quantization",
+    "knn_ivf_recall_at_k",
+    "salted_skew_aggregation",
+    "replicated_skew_join_rollup",
+    "conditional_distinct_users",
+    "user_engagement_ratios",
+    "user_daily_landscape",
+    "latest_event_per_user_type",
+    "interval_join_click_view",
+    "funnel_conversion_daily",
+    "value_distribution_by_class",
+    "flag_distribution",
+    "avg_value_spread",
+    "streaming_sessionize",
+    "funnel_leakage_daily",
+    "materialize_incremental_clean_events",
+    "materialize_dim_change_repair",
+    "materialize_funnel_exists_repair",
+    "maintenance_compaction",
+    "two_level_overlay_maintenance",
+    "streaming_upsert_hourly",
+    "streaming_hll_daily_users",
+    "streaming_cms_token_counts",
+    "batch_sessionize_windows",
+    "cms_heavy_hitter_tokens",
+    "token_budget_packing",
+    "bloom_semi_join_prune",
+    "hll_distinct_users_daily",
 ]
 
 
