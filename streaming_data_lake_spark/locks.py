@@ -28,6 +28,20 @@ lock files become garbage-collectable (:func:`release_flock` with
 littering ``<base>.merge.lock``/``.cycle.lock`` files for tables that
 are never writer targets. Every flock in the engine goes through this
 module, so the revalidation invariant is global.
+
+MIXED-VERSION DEPLOYMENT CONSTRAINT (ADVICE r18 #2): the GC safety
+argument covers exactly the processes that revalidate — i.e. every
+writer running THIS module. A pre-r18 binary (or any external flock
+user) sharing the same lake dir locks the path without revalidating,
+so a new-code holder's gc-unlink can hand it a split lock and
+silently re-enable the double-writer race. Operationally: DRAIN
+old-code writers before enabling sweep/compaction on a shared lake
+dir (a rolling upgrade must complete before the first GC'd release),
+and never point non-engine flock tooling at ``*.lock`` files the
+sweep may collect. The steady-state writers (upsert / materializer /
+versioned) deliberately keep their lock files — only the sweep and
+compaction release with ``gc=True`` — so the exposure window is
+maintenance, not every MERGE.
 """
 
 from __future__ import annotations

@@ -39,6 +39,15 @@ def get_spark(app_name: str = "streaming_data_lake_spark", cpus: str | None = No
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # ANSI mode PINNED, not inherited (ADVICE r18 #1): the
+        # sessionize value-domain contract is "finite out-of-domain
+        # RAISES on every path" — the hand fold raises explicitly,
+        # the native twin via the ANSI decimal(12,2) cast. Spark 4.x
+        # defaults ANSI on (verified: no behavior change here), but
+        # under ANSI-off (external spark-defaults, Spark 3.x) the
+        # cast silently NULLs and the paths diverge; the pin plus the
+        # sessionize-side assert make the contract config-independent.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Right-sized heap, not "all of RAM": in local mode this one
         # JVM is driver + every executor, and an over-sized heap lets

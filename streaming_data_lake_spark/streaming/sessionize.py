@@ -56,6 +56,27 @@ from streaming_data_lake_spark.functions.parity import admissible_ts as _admissi
 from streaming_data_lake_spark.functions.parity import finite as _finite
 
 
+def _require_ansi(df: DataFrame) -> None:
+    """The shared value-domain contract (ADVICE r17 #2) is
+    loud-or-excluded on EVERY path: the hand fold raises explicitly
+    on finite out-of-decimal-domain values, the native twin via its
+    ANSI ``decimal(12,2)`` cast. Under ANSI-off (external
+    spark-defaults, Spark 3.x where the default was false) that cast
+    silently NULLs instead — recreating the exact path divergence the
+    contract eliminates. ``session.get_spark()`` pins
+    ``spark.sql.ansi.enabled=true`` (ADVICE r18 #1; the Spark 4.x
+    default, so a behavioral no-op there), and this assert makes the
+    native builder refuse any session where the pin is absent — the
+    contract is config-independent, not convention-dependent."""
+    if str(df.sparkSession.conf.get("spark.sql.ansi.enabled", "false")).lower() != "true":
+        raise RuntimeError(
+            "sessionize_native requires spark.sql.ansi.enabled=true: the "
+            "decimal(12,2) out-of-domain RAISE is half of the fold/native "
+            "parity contract (ANSI-off silently NULLs those values) — use "
+            "session.get_spark() or set the conf on this session"
+        )
+
+
 def _scratch(prefix: str) -> str:
     """Process-exit-cleaned scratch dir (see pipelines._scratch_dir)."""
     from streaming_data_lake_spark.scratch import scratch_dir as _scratch_dir
@@ -355,6 +376,7 @@ def sessionize_native(src: DataFrame, gap_minutes: int = 120) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    _require_ansi(src)
     gap = f"{gap_minutes * 60_000_000} microseconds"
     return (
         # Prune to the three columns the aggregate reads BEFORE the

@@ -261,3 +261,29 @@ def test_near_misses_record_what_the_two_sided_rule_absolved():
     assert bench.find_near_misses(
         q, 0.273, {"queries": dict(q), "cpu_calibration_sec": 0.273}, 0.273
     ) == []
+
+
+def test_primed_mismatch_suppresses_tripwire_to_sidecar():
+    """ADVICE r18 #3: across the primed/unprimed methodology boundary
+    the per-query tripwire measures the harness change, not the code
+    — entries are suppressed from the contract line and parked for
+    the sidecar. Same-methodology rounds pass through untouched, and
+    a pre-r18 baseline (no "primed" field) counts as unprimed."""
+    regs = [{"query": "q", "ratio": 1.9}]
+    nms = [{"query": "m", "ratio": 1.6}]
+
+    # primed run vs unprimed baseline (the r17->r18 boundary shape)
+    r, n, sup, mm = bench.primed_tripwire_gate({"primed": False}, True, regs, nms)
+    assert (r, n, sup, mm) == ([], [], regs, True)
+    # missing field == pre-r18 unprimed baseline
+    r, n, sup, mm = bench.primed_tripwire_gate({}, True, regs, nms)
+    assert (r, n, sup, mm) == ([], [], regs, True)
+    # unprimed run vs primed baseline (SPARK_GRAFT_BENCH_PRIME=0)
+    r, n, sup, mm = bench.primed_tripwire_gate({"primed": True}, False, regs, nms)
+    assert (r, n, sup, mm) == ([], [], regs, True)
+    # same methodology: untouched
+    r, n, sup, mm = bench.primed_tripwire_gate({"primed": True}, True, regs, nms)
+    assert (r, n, sup, mm) == (regs, nms, [], False)
+    # no baseline at all: nothing to compare, nothing to suppress
+    r, n, sup, mm = bench.primed_tripwire_gate(None, True, regs, nms)
+    assert (r, n, sup, mm) == (regs, nms, [], False)

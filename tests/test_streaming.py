@@ -1122,6 +1122,30 @@ def test_fold_batch_raises_on_out_of_decimal_domain_values():
     assert (n, cents, nfin) == (2, 200, 1)
 
 
+def test_sessionize_native_refuses_ansi_off_session(spark):
+    """ADVICE r18 #1: the native twin's half of the loud-or-excluded
+    contract is the ANSI decimal(12,2) cast raising on finite
+    out-of-domain values. get_spark() pins spark.sql.ansi.enabled=true
+    (the Spark 4.x default — a no-op pin locally), and the builder
+    itself must refuse a session where the pin is absent, so the
+    contract survives external spark-defaults and Spark 3.x sessions
+    rather than silently NULLing where the fold raises."""
+    import pytest as _pytest
+
+    from streaming_data_lake_spark.sources.streams import stream_table
+    from streaming_data_lake_spark.streaming.sessionize import sessionize_native
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"  # the pin
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with _pytest.raises(RuntimeError, match="ansi"):
+            sessionize_native(stream_table(spark, SF_DIR, "events"), 120)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+    # restored: the builder accepts the session again
+    sessionize_native(stream_table(spark, SF_DIR, "events"), 120)
+
+
 def test_tws_settle_step_deletes_timer_on_clear():
     """ADVICE r17 #1: when the last pending session seals, the settle
     step must delete the outstanding event-time timer along with the
