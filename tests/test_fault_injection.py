@@ -428,3 +428,194 @@ def test_enospc_creating_commit_lockfile_degrades_loudly(
     err = capsys.readouterr().err
     assert v == 2 and vt.read().count() == 60
     assert "flock unavailable" in err and "UNSERIALIZED" in err
+
+
+# ---------------------------------------------------------------------------
+# r19 adversarial axis (VERDICT r18 "Next round" #5): concurrent
+# multi-writer contention on the SAME upsert table ACROSS PROCESSES,
+# with the lock-GC machinery churning the merge lock's inode under
+# the live writers — the flock degradation convention's hardest case
+# now that locks are GC'd and inode-revalidated. The invariants: no
+# lost updates (every writer's every key survives with its final
+# value), key uniqueness holds, and the UNSERIALIZED degradation
+# fires ONLY under genuine flock unavailability — never from
+# transient inode churn or contention.
+# ---------------------------------------------------------------------------
+
+_WRITER_SCRIPT = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "2g")
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[3]")
+    .appName("merge-contention-writer")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .config("spark.sql.ansi.enabled", "true")
+    .getOrCreate()
+)
+from streaming_data_lake_spark.sources.upsert import merge_upsert
+
+table_dir = {table_dir!r}
+base = {base} * 1000
+for rnd in range({rounds}):
+    updates = spark.createDataFrame(
+        [(base + i, rnd) for i in range({keys_per_writer})], "k long, v long"
+    )
+    merge_upsert(spark, table_dir, updates, keys=["k"])
+print("WRITER_DONE", {base})
+spark.stop()
+"""
+
+
+def _gc_churn_worker(lock_path: str, stop_path: str, repo: str) -> None:
+    """Emulates compaction/sweep behavior against a live writer
+    table: opportunistically take the merge lock and GC-release it
+    (unlink the inode) in a tight loop. Every successful cycle
+    destroys the lock file under any blocked writer — the exact
+    dead-inode retry path the revalidation invariant covers."""
+    import sys as _sys
+
+    _sys.path.insert(0, repo)
+    from streaming_data_lake_spark.locks import (
+        acquire_flock_nonblocking,
+        release_flock,
+    )
+
+    cycles = 0
+    while not os.path.exists(stop_path):
+        status, fh = acquire_flock_nonblocking(lock_path, "gc-churn")
+        if status == "acquired":
+            release_flock(fh, lock_path, gc=True)
+            cycles += 1
+        else:
+            os.sched_yield()
+    with open(stop_path + ".cycles", "w") as fh:
+        fh.write(str(cycles))
+
+
+def test_multiprocess_merge_contention_with_gc_churn_no_lost_updates(
+    spark, tmp_path
+):
+    """Two independent JVM writer processes MERGE into the same
+    upsert table (disjoint key ranges, several rounds each, the
+    small-table single-bucket layout so every merge rewrites the same
+    leaf — maximal contention) while a third process churns the merge
+    lock's inode with GC'd releases. A lost leaf rewrite shows up as
+    missing keys or a stale round value; a split lock shows up the
+    same way; contention or churn must never trip the UNSERIALIZED
+    degradation."""
+    import multiprocessing as mp
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    table_dir = str(tmp_path / "contended_table")
+    lock_path = table_dir.rstrip("/") + ".merge.lock"
+    stop_path = str(tmp_path / "stop_churn")
+    rounds, keys_per_writer, writers = 3, 25, 2
+
+    ctx = mp.get_context("fork")
+    churn = ctx.Process(target=_gc_churn_worker, args=(lock_path, stop_path, repo))
+    churn.start()
+    try:
+        procs = [
+            subprocess.Popen(
+                [
+                    _sys.executable,
+                    "-c",
+                    _WRITER_SCRIPT.format(
+                        repo=repo,
+                        table_dir=table_dir,
+                        base=w,
+                        rounds=rounds,
+                        keys_per_writer=keys_per_writer,
+                    ),
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+            for w in range(1, writers + 1)
+        ]
+        outs = [p.communicate(timeout=420) for p in procs]
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, out + err
+            assert "WRITER_DONE" in out
+            # degradation is reserved for genuine flock
+            # unavailability — contention and inode churn are not it
+            assert "UNSERIALIZED" not in err, err
+    finally:
+        with open(stop_path, "w"):
+            pass
+        churn.join(timeout=60)
+        assert churn.exitcode == 0
+
+    # the churn must have actually destroyed lock inodes under the
+    # writers — a vacuous run (zero GC cycles) proves nothing
+    with open(stop_path + ".cycles") as fh:
+        assert int(fh.read()) > 0, "churn worker never won the lock"
+
+    from streaming_data_lake_spark.sources.upsert import read_upsert
+
+    got = {
+        (r["k"], r["v"])
+        for r in read_upsert(spark, table_dir).select("k", "v").collect()
+    }
+    want = {
+        (w * 1000 + i, rounds - 1)
+        for w in range(1, writers + 1)
+        for i in range(keys_per_writer)
+    }
+    assert got == want, (
+        f"lost updates: missing={sorted(want - got)[:10]} "
+        f"unexpected={sorted(got - want)[:10]}"
+    )
+
+
+def test_merge_upsert_enolck_degrades_loudly_and_lands(
+    spark, tmp_path, monkeypatch, capfd
+):
+    """Genuine flock unavailability (ENOLCK — the NFS classic) at the
+    upsert sink: the MERGE must still land under the documented
+    single-writer assumption with ONE loud stderr line; with flock
+    restored the next merge re-serializes silently. This pins the
+    upsert-level half of the degradation convention (the lock-level
+    half lives in test_locks.py)."""
+    import fcntl
+
+    from streaming_data_lake_spark.sources.upsert import merge_upsert, read_upsert
+
+    table_dir = str(tmp_path / "t")
+
+    def no_locks(*a, **kw):
+        raise OSError(errno.ENOLCK, "No locks available (injected)")
+
+    monkeypatch.setattr(fcntl, "flock", no_locks)
+    merge_upsert(
+        spark,
+        table_dir,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        keys=["k"],
+    )
+    err = capfd.readouterr().err
+    assert "flock unavailable" in err and "UNSERIALIZED" in err
+    assert err.count("UNSERIALIZED") == 1
+    monkeypatch.undo()
+
+    merge_upsert(
+        spark,
+        table_dir,
+        spark.createDataFrame([(2, 21), (3, 30)], "k long, v long"),
+        keys=["k"],
+    )
+    err = capfd.readouterr().err
+    assert "UNSERIALIZED" not in err
+    got = {
+        (r["k"], r["v"])
+        for r in read_upsert(spark, table_dir).select("k", "v").collect()
+    }
+    assert got == {(1, 10), (2, 21), (3, 30)}
