@@ -146,6 +146,12 @@ _CERTIFICATION_ORDER = [
     "seeded_dim_hierarchy_enrichment",
     "events_dedup_canonical",
     "pricing_summary",
+    # ---- r19 LATE code-touch (after this round's rotation was
+    # pinned): sessionize_native grew the ANSI-pin guard (ADVICE r18
+    # #1) and streaming_sessionize executes it while carrying an r18
+    # verdict — it takes an r20 free slot directly after the drain,
+    # the same mechanism as r17/r18 late-touch handling ----
+    "streaming_sessionize",
     # ---- r18-certified tail (23 of these fill r20's free slots as
     # ---- the oldest-position r18 names; the rest end the final round
     # ---- at age 2 — inside the 3-round freshness window) ----
@@ -184,7 +190,6 @@ _CERTIFICATION_ORDER = [
     "value_distribution_by_class",
     "flag_distribution",
     "avg_value_spread",
-    "streaming_sessionize",
     "funnel_leakage_daily",
     "materialize_incremental_clean_events",
     "materialize_dim_change_repair",

@@ -140,7 +140,12 @@ R20_DRAIN = {
 # Names code-touched DURING round 19 (after this rotation was pinned)
 # while carrying sub-window verdicts. Every such touch MUST be
 # appended here (they take r20 free slots directly after the drain).
-R19_LATE_CODE_TOUCHED: list[str] = []
+R19_LATE_CODE_TOUCHED: list[str] = [
+    # sessionize_native grew the ANSI-pin guard (ADVICE r18 #1) after
+    # this round's rotation was pinned; streaming_sessionize executes
+    # it while carrying an r18 verdict.
+    "streaming_sessionize",
+]
 
 
 def test_order_in_sync_and_window_covers_obligatory_drain():
