@@ -66,6 +66,11 @@ def pin_session_confs(spark: SparkSession) -> None:
     ``physical_schema``) pins them idempotently before reading."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Engine-written timestamps as INT64 micros (stats-bearing,
+    # row-group-skippable), not deprecated stats-less INT96 — see
+    # session.py; pinned here too so a bare driver session writes the
+    # same physical format the engine session does.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
 
 def normalize_timestamps(df: DataFrame, name: str) -> DataFrame:

@@ -88,6 +88,82 @@ def _utc_from_micros(us: int) -> dt.datetime:
     return _EPOCH_UTC + dt.timedelta(microseconds=int(us))
 
 
+def footer_max_ts_us(table_dir: str, ts_col: str) -> int | None:
+    """max(ts_col) over a parquet directory table in epoch MICROS,
+    read from row-group FOOTER STATISTICS alone — zero Spark jobs,
+    zero data pages. The filesystem analog of reading a max from
+    Iceberg/Delta manifest metadata (guide §6: make readers use
+    metadata, not scans); the M6 watermark derivation is the one
+    consumer that needs a full-table max per maintenance cycle.
+
+    EXACTNESS CONTRACT: returns a value only when EVERY data file's
+    every row group carries usable min/max statistics for a
+    TIMESTAMP(MICROS/MILLIS)-typed ``ts_col`` — int64 timestamp
+    statistics are exact (no string-style truncation), so the result
+    then equals Spark's ``max(ts_col)`` bit-for-bit. ANY anomaly
+    (missing stats, absent column, non-timestamp physical type,
+    unreadable footer) returns None and the caller falls back to the
+    Spark scan — the fallback IS the correctness story, the footer
+    path is only ever a shortcut. All-null columns (stats carry no
+    min/max but null_count == num_values) contribute nothing, like
+    Spark's null-skipping max; a directory with zero data files
+    returns None (caller semantics: nothing to derive)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover — pyarrow ships with pyspark
+        return None
+    best: int | None = None
+    saw_rows = False
+    try:
+        for root, _dirs, files in os.walk(table_dir):
+            for f in sorted(files):
+                if f.startswith((".", "_")) or not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                schema = md.schema
+                idx = None
+                for i in range(len(schema)):
+                    col = schema.column(i)
+                    # top-level column only: a nested ts_col has a
+                    # dotted path and falls back to the scan
+                    if col.path == ts_col:
+                        idx = i
+                        break
+                if idx is None:
+                    return None
+                for rg in range(md.num_row_groups):
+                    cc = md.row_group(rg).column(idx)
+                    if cc.num_values == 0:
+                        continue
+                    st = cc.statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    if st.null_count is not None and st.null_count == st.num_values:
+                        continue
+                    lt = st.logical_type
+                    if lt is None or lt.type not in ("TIMESTAMP", "Timestamp"):
+                        return None
+                    unit = json.loads(lt.to_json()).get("timeUnit")
+                    raw = st.max_raw  # physical int64 in the file's unit
+                    if not isinstance(raw, int):
+                        return None
+                    if unit == "microseconds":
+                        us = raw
+                    elif unit == "milliseconds":
+                        us = raw * 1000
+                    else:
+                        # nanos (or anything else): engine-written mat
+                        # tables are always micros; rather than pick a
+                        # truncation rule, defer to the scan.
+                        return None
+                    saw_rows = True
+                    if best is None or us > best:
+                        best = us
+    except (OSError, ValueError, KeyError):
+        return None
+    return best if saw_rows else None
+
+
 @dataclass(frozen=True)
 class DimDependency:
     """An SCD2 dimension the view joins; used by the M3 repair pass."""
@@ -561,6 +637,24 @@ class Materializer:
             "table_name string, last_materialized_at timestamp",
         )
 
+    def _mat_max_ts_us(self, target: MatTarget, mat_dir: str) -> int | None:
+        """max(ts) over the mat table in epoch micros, for the M6
+        watermark: parquet footer statistics when they are usable for
+        an exact answer (zero Spark jobs — the manifest-metadata
+        read a real table format would do), else one narrow Spark
+        column scan. A None from the footer path is ambiguous
+        (no rows vs. unusable stats), so it always defers to the
+        scan, which returns the authoritative None for a rowless
+        table."""
+        us = footer_max_ts_us(mat_dir, target.ts_col)
+        if us is not None:
+            return us
+        return (
+            self.read_mat(target.name)
+            .agg(F.unix_micros(F.max(F.col(target.ts_col))).alias("us"))
+            .collect()[0][0]
+        )
+
     # -- passes ----------------------------------------------------------
     def run(self, target: MatTarget, lookback_hours: int = 1) -> dict[str, str]:
         """Run one maintenance cycle; returns {pass: action} audit log.
@@ -673,8 +767,10 @@ class Materializer:
             n = self._m1_full_load(view, target, mat_dir)
             log["M1"] = f"full load ({n} buckets)" if target.bucket_col else "full load"
             n_buckets = n
+            incremental = False
             _mark("M1")
         else:
+            incremental = True
             wm = self.get_watermark(target.name)
             if wm is None:
                 wm = self._recover_missing_watermark(target, mat_dir, log)
@@ -937,30 +1033,64 @@ class Materializer:
                             os.path.relpath(os.path.join(root, f), staged)
                         )
             if moved:
-                n_new = self.spark.read.parquet(staged).count()
+                # One footer-only job carries BOTH the audit count and
+                # the increment's max(ts): the append's max is the
+                # cycle's new watermark whenever an append happened
+                # (see M6 below), so reading it here removes M6's
+                # full-table scan from every appending cycle.
+                n_new, staged_max_us = (
+                    self.spark.read.parquet(staged)
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.unix_micros(F.max(ts)).alias("us"),
+                    )
+                    .collect()[0]
+                )
                 self._write_m4_intent(target.name, wm, moved)
                 for rel in moved:
                     dst = os.path.join(mat_dir, rel)
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
                     os.rename(os.path.join(staged, rel), dst)
             else:
-                n_new = 0
+                n_new, staged_max_us = 0, None
             shutil.rmtree(staged, ignore_errors=True)
             log["M4"] = f"appended {n_new}"
             _mark("M4")
 
         # M6 — watermark upsert. After the passes above the mat table
         # contains every view row newer than the old watermark (M4)
-        # plus repaired older windows, so max(ts) over the MAT table
-        # equals max(ts) over the view — one narrow column scan of
-        # already-materialized parquet (footer-stats friendly;
-        # Iceberg/Delta read this from manifest metadata) instead of
-        # recomputing the view transform a fourth time.
-        max_us = (
-            self.read_mat(target.name)
-            .agg(F.unix_micros(F.max(ts)).alias("us"))
-            .collect()[0][0]
-        )
+        # plus repaired older windows, so wm' = max(ts) over the MAT
+        # table (the at-rest invariant _recover_missing_watermark
+        # depends on). The scan is avoided wherever the maximum is
+        # already known (guide §1.2: don't compute what you throw
+        # away; at 100 TB this was a full-table column scan per
+        # cycle):
+        #  - an appending incremental cycle: every pre-existing and
+        #    repaired row is <= wm while every appended row is > wm,
+        #    so max(mat) == max(staged) — already read by M4's
+        #    count+max footer job above;
+        #  - a no-append, no-repair cycle: the table is bit-unchanged,
+        #    so wm' == wm and even the store write is a no-op;
+        #  - only a repairing cycle WITHOUT appends (a repair can
+        #    delete the previous max row) still needs the scan.
+        if incremental:
+            repaired = any(
+                not v.startswith(("no ", "empty"))
+                for k, v in log.items()
+                if k.startswith(("M2", "M3", "M5")) and ":recovery" not in k
+            )
+            if staged_max_us is not None:
+                max_ts = _utc_from_micros(staged_max_us)
+                self._set_watermark(target.name, max_ts)
+                log["M6"] = f"watermark={max_ts.isoformat()}"
+                max_us = None  # scan not needed
+            elif not repaired:
+                log["M6"] = f"watermark={wm.isoformat()} (unchanged)"
+                max_us = None
+            else:
+                max_us = self._mat_max_ts_us(target, mat_dir)
+        else:
+            max_us = self._mat_max_ts_us(target, mat_dir)
         if max_us is not None:
             max_ts = _utc_from_micros(max_us)
             self._set_watermark(target.name, max_ts)

@@ -61,6 +61,13 @@ def get_spark(app_name: str = "streaming_data_lake_spark", cpus: str | None = No
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # INT64 micros timestamps on write, not the INT96 default:
+        # INT96 is deprecated, carries NO column statistics (so every
+        # engine-written table was opaque to row-group skipping on ts
+        # predicates AND to the M6 footer-stats watermark read), and
+        # is 4 bytes/value fatter. Also pinned at runtime by
+        # catalog.pin_session_confs for bare driver sessions.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # The driver's testdata stores timestamps as parquet
         # TIMESTAMP(NANOS), which Spark cannot represent natively;
         # read them as long nanos and convert in catalog.load_table.

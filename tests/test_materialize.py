@@ -2256,3 +2256,95 @@ def test_m2_repair_day_names_follow_session_timezone(spark, tmp_path):
         assert m.run(target, lookback_hours=2)["M2"] == "no drift"
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+def test_m6_footer_stats_watermark_matches_scan(spark, tmp_path):
+    """r19 optimization: M6 derives the watermark without a full-table
+    scan — from the M4 increment's own count+max job on appending
+    cycles, from footer statistics (or the scan fallback) otherwise.
+    The derived value must equal the Spark max(ts) scan bit-for-bit
+    in every cycle shape, because _recover_missing_watermark depends
+    on the at-rest invariant wm == max(ts)."""
+    from streaming_data_lake_spark.plans.materialize import footer_max_ts_us
+
+    lake = str(tmp_path / "lake")
+    src = os.path.join(lake, "src")
+    os.makedirs(lake, exist_ok=True)
+    # microsecond-precision timestamps so footer-vs-scan equality is
+    # exercised at full resolution
+    _write_events(
+        spark,
+        src,
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 0, 0, 123456), 1, 1.0),
+            (2, dt.datetime(2024, 1, 1, 11, 0, 0, 999999), 2, 2.0),
+        ],
+    )
+    target = MatTarget("mat", lambda s: s.read.parquet(src), "ts")
+    m = Materializer(spark, lake)
+
+    def scan_max_us():
+        return (
+            m.read_mat("mat")
+            .agg(F.unix_micros(F.max(F.col("ts"))).alias("us"))
+            .collect()[0][0]
+        )
+
+    def wm_us():
+        return (m.get_watermark("mat") - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)) // dt.timedelta(microseconds=1)
+
+    # M1 cycle: footer path (or scan fallback) must equal the scan
+    m.run(target, lookback_hours=2)
+    mat_dir = os.path.join(lake, "mat")
+    assert wm_us() == scan_max_us()
+    assert footer_max_ts_us(mat_dir, "ts") == scan_max_us()
+
+    # appending cycle: wm comes from the staged increment's max
+    _write_events(
+        spark, src, [(3, dt.datetime(2024, 1, 1, 12, 0, 0, 777777), 3, 3.0)]
+    )
+    log = m.run(target, lookback_hours=2)
+    assert log["M4"] == "appended 1"
+    assert wm_us() == scan_max_us()
+
+    # no-op cycle: watermark unchanged, M6 recorded without a scan
+    log = m.run(target, lookback_hours=2)
+    assert log["M4"] == "appended 0" and log["M2"] == "no drift"
+    assert log["M6"].endswith("(unchanged)")
+    assert wm_us() == scan_max_us()
+
+    # repair-without-append cycle that DELETES the max row: the
+    # fallback scan must lower the watermark exactly as the old
+    # full-scan M6 did (rewrite source so the lookback window's
+    # content changes but nothing is newer than the watermark)
+    import shutil as _sh
+
+    _sh.rmtree(src)
+    _write_events(
+        spark,
+        src,
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 0, 0, 123456), 1, 1.0),
+            (2, dt.datetime(2024, 1, 1, 11, 0, 0, 999999), 2, 2.0),
+        ],
+    )
+    log = m.run(target, lookback_hours=6)
+    assert log["M2"].startswith("repaired") and log["M4"] == "appended 0"
+    assert wm_us() == scan_max_us()
+    assert wm_us() == footer_max_ts_us(mat_dir, "ts")
+
+
+def test_footer_max_ts_us_fallback_shapes(spark, tmp_path):
+    """footer_max_ts_us returns None (deferring to the scan) on every
+    unusable shape instead of guessing: missing column, no data
+    files, non-timestamp column."""
+    from streaming_data_lake_spark.plans.materialize import footer_max_ts_us
+
+    p = str(tmp_path / "t")
+    _write_events(spark, p, [(1, dt.datetime(2024, 1, 1), 1, 1.0)])
+    assert footer_max_ts_us(p, "nope") is None          # absent column
+    assert footer_max_ts_us(p, "id") is None            # non-timestamp
+    assert footer_max_ts_us(str(tmp_path / "empty"), "ts") is None  # no files
+    us = footer_max_ts_us(p, "ts")
+    want = spark.read.parquet(p).agg(F.unix_micros(F.max("ts"))).collect()[0][0]
+    assert us == want
