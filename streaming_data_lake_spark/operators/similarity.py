@@ -120,7 +120,6 @@ def valid_vectors(
     errors on empty lists instead of folding to 0).
     """
     v = F.col(vec_col)
-    n = norm(v)
     pred = v.isNotNull()
     if dim is not None:
         # Cheap conjunct first as a HINT: size() is O(1) against the
@@ -129,8 +128,22 @@ def valid_vectors(
         # short-circuit ordering is not a guaranteed contract — only
         # the predicate's value is (ADVICE r15).
         pred = pred & (F.size(v) == F.lit(int(dim)))
-    pred = pred & ~F.isnan(n) & (n < F.lit(float("inf"))) & (n > 0)
-    return df.filter(pred)
+    # Bind the O(dim) norm fold ONCE per row via the single-element-
+    # array transform (the ivf_assign/shingles trick): spelling the
+    # three conjuncts over a shared `n = norm(v)` Column embeds the
+    # fold expression three times, and the interpreted higher-order
+    # fold gets no codegen CSE — every admission row paid 3 folds
+    # (guide §1.2 per-task work; visible as triple aggregate(zip_with)
+    # chains in every similarity scan's Filter). Same predicate value,
+    # one fold.
+    finite_pos = F.element_at(
+        F.transform(
+            F.array(norm(v)),
+            lambda n: ~F.isnan(n) & (n < F.lit(float("inf"))) & (n > 0),
+        ),
+        1,
+    )
+    return df.filter(pred & finite_pos)
 
 
 def admit_corpus(
