@@ -152,13 +152,19 @@ def decontaminate(
     map-side-combinable count. The 100 TB corpus is never shuffled on
     content — only the matched rows reach the aggregate.
     """
+    from streaming_data_lake_spark.operators.similarity import spread
+
     # The input frame's own session — getActiveSession() is
     # thread-local and can be None off the driver thread.
     spark = docs.sparkSession
     bench = F.broadcast(
         spark.createDataFrame([(g,) for g in sorted(set(benchmark_ngrams))], "sng string")
     )
-    sh = docs.select(
+    # spread(): the tokenize+shingle explode is the query's CPU and
+    # runs where the doc rows sit — a single-file corpus executes it
+    # in one task (measured 1.09 → 0.70 s at sf0.1; no-op at real
+    # scale, see similarity.spread).
+    sh = spread(docs).select(
         F.col(id_col), F.explode(tokens_shingles(F.col(text_col), n)).alias("sng")
     )
     return (

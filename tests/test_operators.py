@@ -1449,3 +1449,33 @@ def test_admit_corpus_production_path_refuses_replays_by_default(spark):
         admit_corpus(replayed)
     # warn mode is the explicit, visible opt-out
     assert admit_corpus(replayed, strict=False).count() == 7
+
+
+def test_spread_scale_adaptive_and_result_preserving(spark):
+    """spread() (guide §2.5 input skew): repartitions a frame
+    NARROWER than the default parallelism so single-file scans do not
+    serialize CPU-heavy scoring stages, and is a structural NO-OP for
+    any frame already at or above it — it must never add an exchange
+    at scale. Consumers are per-row maps / keyed joins / aggregates,
+    so the row SET is unchanged either way (pinned here through
+    decontaminate, the r19 consumer)."""
+    from streaming_data_lake_spark.operators.corpus import decontaminate
+    from streaming_data_lake_spark.operators.similarity import spread
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tok{i}") for i in range(40)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    assert spread(narrow).rdd.getNumPartitions() == target
+    # already-wide frame: the SAME plan object comes back (no-op)
+    wide = narrow.repartition(target)
+    assert spread(wide) is wide
+    # row-set equality through the r19 consumer
+    ngrams = ["alpha beta gamma", "beta gamma delta"]
+    got = {
+        (r["doc_id"], r["n_matched_shingles"])
+        for r in decontaminate(narrow, ngrams).collect()
+    }
+    want = {(i, 2) for i in range(40)}
+    assert got == want
