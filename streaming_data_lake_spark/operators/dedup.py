@@ -203,7 +203,7 @@ def _self_join_band_pairs(banded: DataFrame, id_col: str) -> DataFrame:
 
 def _materialized_band_pairs(
     spark,
-    banded: DataFrame,
+    banded: "callable",
     table: str,
     id_col: str,
     buckets: int = 8,
@@ -215,13 +215,21 @@ def _materialized_band_pairs(
     recompute, no join Exchange) — the 100 TB shape for any banded
     LSH family. ``bkey = band:band_key`` folds both logical join
     columns into the single bucketing column so the bucket-join rule
-    applies directly."""
+    applies directly.
+
+    ``banded`` is a ZERO-ARG THUNK returning the (id, band, band_key)
+    signature frame: on an artifact hit the frame is never built, so
+    the caller does not pay signature-expression construction (a real
+    driver-time cost per query build — see bucketed_frame) on every
+    run of an already-materialized family."""
     from streaming_data_lake_spark.plans.bucketing import bucketed_frame
 
-    keyed = banded.select(
-        F.col(id_col),
-        F.concat_ws(":", F.col("band"), F.col("band_key")).alias("bkey"),
-    )
+    def keyed():
+        return banded().select(
+            F.col(id_col),
+            F.concat_ws(":", F.col("band"), F.col("band_key")).alias("bkey"),
+        )
+
     # Every durable LSH artifact key carries the module generation:
     # signature content derives from tokenize/shingle/hash semantics,
     # so a PAIRS_GEN bump invalidates the cached signature tables too,
@@ -331,10 +339,9 @@ def minhash_lsh_candidates_materialized(
     The composite key ``bkey = band:band_key`` folds both logical
     join columns into the single bucketing column, so bucket-join
     co-location applies directly."""
-    banded = banded_minhash_signatures(df, id_col, text_col, n, num_hashes, bands)
     return _materialized_band_pairs(
         spark,
-        banded,
+        lambda: banded_minhash_signatures(df, id_col, text_col, n, num_hashes, bands),
         table,
         id_col,
         buckets,
@@ -536,7 +543,7 @@ def banded_embedding_signatures(
     ``(id, band, band_key)``: num_bits dot products against broadcast
     literal weight arrays — a narrow per-row projection, no shuffle —
     then explode to one row per band."""
-    from streaming_data_lake_spark.operators.similarity import dot
+    from streaming_data_lake_spark.operators.similarity import dot, lit_doubles
 
     if bands <= 0 or num_bits % bands != 0:
         # Same degeneracy as banded_minhash_signatures: zero-column
@@ -546,10 +553,12 @@ def banded_embedding_signatures(
             f"bands ({bands}) must positively divide num_bits ({num_bits})"
         )
     weights = rh_weights(num_bits, dim)
-    # One F.lit per hyperplane (array literal), not one per component —
-    # 16 driver→JVM calls instead of 1024.
+    # lit_doubles: ONE driver→JVM call per hyperplane. F.lit(list)
+    # still issues one py4j call per ELEMENT under the hood — the 16
+    # × 64 weight family measured 1.4 s of pure plan-construction
+    # time per query build (r19, guide §7.3).
     bits = [
-        F.when(dot(F.col(vec_col), F.lit(ws)) >= 0, F.lit("1"))
+        F.when(dot(F.col(vec_col), lit_doubles(ws)) >= 0, F.lit("1"))
         .otherwise(F.lit("0"))
         .alias(f"b{s}")
         for s, ws in enumerate(weights)
@@ -599,10 +608,9 @@ def embedding_lsh_candidates_materialized(
     table (see :func:`_materialized_band_pairs`): the hyperplane
     signature projection runs once at write time instead of once per
     self-join side."""
-    banded = banded_embedding_signatures(df, id_col, vec_col, dim, num_bits, bands)
     return _materialized_band_pairs(
         spark,
-        banded,
+        lambda: banded_embedding_signatures(df, id_col, vec_col, dim, num_bits, bands),
         table,
         id_col,
         buckets,

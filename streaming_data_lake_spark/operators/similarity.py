@@ -41,6 +41,30 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def lit_doubles(vals) -> Column:
+    """Double-array literal built in ONE driver→JVM round-trip.
+
+    ``F.lit(list)`` issues one py4j call per element; a family of
+    literal weight arrays (16 hyperplanes × 64 dims) costs ~1000
+    round-trips ≈ 1.4 s of pure driver-side plan construction PER
+    QUERY BUILD (measured r19, guide §7.3 "planning time itself can
+    become the bottleneck"). Parsing one SQL expression string is a
+    single call. Bit-exactness: ``repr()`` of a finite Python float
+    is the shortest decimal that round-trips, and the JVM's
+    ``Double.parseDouble`` of that string reconstructs the identical
+    bits, so after constant folding the plan holds literals
+    bit-equal to ``F.lit``'s (pinned by
+    test_lit_doubles_bit_identical_to_lit)."""
+    import math
+
+    vs = [float(v) for v in vals]
+    if not all(math.isfinite(v) for v in vs):
+        raise ValueError("lit_doubles requires finite values")
+    return F.expr(
+        "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in vs) + ")"
+    )
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Spread an under-parallel frame across the cluster's cores
     before CPU-heavy per-row scoring (guide §2.5 input skew: "one
@@ -492,12 +516,17 @@ def ivf_knn_materialized(
 
     from streaming_data_lake_spark.plans.bucketing import bucketed_frame
 
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col("vec_norm").alias("c_norm"),
-        "cluster_id",
-    )
+    # Thunk: on an artifact hit the corpus-assignment frame is never
+    # built, so the per-query driver cost of constructing the argmax
+    # fold expressions is paid only by the one build per generation.
+    def assigned():
+        return ivf_assign(corpus, centroids, id_col, vec_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col("vec_norm").alias("c_norm"),
+            "cluster_id",
+        )
+
     idx = bucketed_frame(
         spark,
         assigned,

@@ -125,7 +125,7 @@ def _ddl_type(t) -> str:
 
 def _durable_bucketed(
     spark: SparkSession,
-    df: DataFrame,
+    df: "DataFrame | callable",
     tbl: str,
     key: str,
     buckets: int,
@@ -136,7 +136,9 @@ def _durable_bucketed(
         f"bkt_{tbl}",
         inputs,
         {"key": key, "buckets": buckets, **params},
-        lambda tmp: _build_bucketed(spark, df, tbl, key, buckets, tmp),
+        lambda tmp: _build_bucketed(
+            spark, df() if callable(df) else df, tbl, key, buckets, tmp
+        ),
     )
     return _register_and_read(spark, tbl, art, key, buckets)
 
@@ -161,7 +163,7 @@ def bucketed_table(
 
 def bucketed_frame(
     spark: SparkSession,
-    df: DataFrame,
+    df: "DataFrame | callable",
     tbl: str,
     key: str,
     buckets: int = _BUCKETS,
@@ -173,6 +175,13 @@ def bucketed_frame(
     co-located: the expensive subtree that produced ``df`` executes
     exactly once (at write time), and the join needs no Exchange on
     either side.
+
+    ``df`` may be a zero-arg callable returning the frame: on an
+    artifact HIT the frame is never needed, and constructing a
+    signature frame is real driver time (a banded sign-LSH family is
+    hundreds of py4j calls ≈ 0.5 s per query build — measured r19,
+    guide §7.3); a thunk defers that cost to the one build per
+    (inputs, params) generation.
 
     With ``inputs`` (the source files the frame derives from) the
     copy is a durable artifact shared across sessions and processes;
@@ -191,7 +200,7 @@ def bucketed_frame(
         from streaming_data_lake_spark.scratch import scratch_dir
 
         tmp = scratch_dir(f"bkt_{tbl}_")
-        _build_bucketed(spark, df, tbl, key, buckets, tmp)
+        _build_bucketed(spark, df() if callable(df) else df, tbl, key, buckets, tmp)
         return _register_and_read(spark, tbl, tmp, key, buckets)
     # Already registered in this process: re-resolve under the lock so
     # a concurrent re-registration cannot re-point the name mid-read.

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from streaming_data_lake_spark.catalog import load_table
 from streaming_data_lake_spark.functions.parity import dsum
 from streaming_data_lake_spark.operators import similarity, text
+from streaming_data_lake_spark.operators.similarity import spread
 from streaming_data_lake_spark.operators.dedup import (
     exact_text_dedup,
     ngram_jaccard_pairs,
@@ -423,7 +424,12 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The verify stage reads the shingle sets from BOTH pair sides;
     # materialize them once instead of recomputing per join input.
-    sh = d.select(F.col("doc_id"), shingles(F.col("text"), 3).alias("s")).localCheckpoint()
+    # spread(): the tokenize+shingle projection is the checkpoint
+    # job's CPU and otherwise runs in ONE task on the single-file
+    # corpus scan (guide §2.5; no-op at real scale).
+    sh = spread(d).select(
+        F.col("doc_id"), shingles(F.col("text"), 3).alias("s")
+    ).localCheckpoint()
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
     inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b"))).cast("double")
@@ -1534,8 +1540,10 @@ def crossdoc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global frequency build, the per-doc probe side); materialize it
     # once instead of re-running tokenize+shingle per branch — the
     # dominant cost of the query (same precedent as the LSH verify
-    # stage above).
-    sh = d.select(
+    # stage above). spread(): that checkpoint job otherwise runs in
+    # ONE task on the single-file corpus scan (guide §2.5; no-op at
+    # real scale).
+    sh = spread(d).select(
         "doc_id", shingles(F.col("text"), _BOILER_N).alias("s")
     ).localCheckpoint()
     ex = sh.select("doc_id", F.explode("s").alias("sng"))

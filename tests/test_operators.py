@@ -1479,3 +1479,38 @@ def test_spread_scale_adaptive_and_result_preserving(spark):
     }
     want = {(i, 2) for i in range(40)}
     assert got == want
+
+
+def test_lit_doubles_bit_identical_to_lit(spark):
+    """lit_doubles builds its array literal by parsing repr() of each
+    float — one py4j call instead of one per element. repr() is the
+    shortest round-trip decimal and Double.parseDouble reconstructs
+    the identical bits, so the column must equal F.lit's
+    element-wise, bit for bit — including the actual sign-LSH
+    hyperplane weights and repr edge shapes (exponents, denormals,
+    negative zero, many digits)."""
+    import struct
+
+    from streaming_data_lake_spark.operators.dedup import rh_weights
+    from streaming_data_lake_spark.operators.similarity import lit_doubles
+
+    tricky = [
+        0.1, -0.1, 1.0 / 3.0, 2.0**-1074, -2.0**-1074, 5e-324,
+        1e-300, -1e308, 0.0, -0.0, 123456789.123456789,
+        9007199254740993.0, 6.02e23, 2.5e-10,
+    ]
+    cases = [tricky] + rh_weights(4, 64)
+    row = spark.range(1).select(
+        *[lit_doubles(ws).alias(f"a{i}") for i, ws in enumerate(cases)],
+        *[F.lit([float(v) for v in ws]).alias(f"b{i}") for i, ws in enumerate(cases)],
+    ).first()
+    for i, ws in enumerate(cases):
+        got, want = row[f"a{i}"], row[f"b{i}"]
+        # struct-pack compare: bit equality, distinguishes -0.0/0.0
+        assert [struct.pack("<d", v) for v in got] == [
+            struct.pack("<d", v) for v in want
+        ], f"case {i}"
+    import pytest
+
+    with pytest.raises(ValueError, match="finite"):
+        lit_doubles([1.0, float("nan")])
