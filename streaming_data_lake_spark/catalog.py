@@ -37,6 +37,20 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# (path, mtime_ns, size) -> inferred physical schema. Schema
+# inference reads the parquet footer through a fresh DataSource
+# resolution on EVERY ``spark.read.parquet`` call — measured 70-90 ms
+# per call vs 13-20 ms with an explicit schema (r19). A bench/oracle
+# run issues hundreds of load_table calls over the same immutable
+# files, so the footer work is pure repeat. At 100 TB the same role
+# is played by the catalog (metastore/table format) supplying the
+# schema instead of footer inference (guide §6). Keyed on the file's
+# stat fingerprint so a rewritten fixture (generated sweep dirs) can
+# never be served a stale schema; values are metadata only — the DATA
+# is re-read from parquet on every query, so this caches no results.
+_SCHEMA_MEMO: dict[tuple[str, int, int], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one logical table. Parquet scan → full predicate pushdown,
     column pruning and (on partitioned layouts) partition pruning are
@@ -52,7 +66,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     pin_session_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[key] = schema
+    df = spark.read.schema(schema).parquet(path)
     return normalize_timestamps(df, name)
 
 

@@ -68,7 +68,12 @@ def _require_ansi(df: DataFrame) -> None:
     default, so a behavioral no-op there), and this assert makes the
     native builder refuse any session where the pin is absent — the
     contract is config-independent, not convention-dependent."""
-    if str(df.sparkSession.conf.get("spark.sql.ansi.enabled", "false")).lower() != "true":
+    # No fallback argument: conf.get(key) returns the EFFECTIVE value
+    # (session setting or Spark's own default — "true" on 4.x). A
+    # caller-supplied default would shadow Spark's default for unset
+    # keys, making this assert refuse a bare driver session where
+    # ANSI is in fact on (r19 bare-sweep catch).
+    if str(df.sparkSession.conf.get("spark.sql.ansi.enabled")).lower() != "true":
         raise RuntimeError(
             "sessionize_native requires spark.sql.ansi.enabled=true: the "
             "decimal(12,2) out-of-domain RAISE is half of the fold/native "

@@ -1514,3 +1514,40 @@ def test_lit_doubles_bit_identical_to_lit(spark):
 
     with pytest.raises(ValueError, match="finite"):
         lit_doubles([1.0, float("nan")])
+
+
+def test_load_table_schema_memo_invalidates_on_rewrite(spark, tmp_path):
+    """load_table memoizes the inferred parquet schema per (path,
+    mtime, size) — footer inference measured 70-90 ms per call vs
+    13-20 ms with an explicit schema, and a bench run issues hundreds
+    of load_table calls over immutable files. The memo is metadata
+    only (data re-reads from parquet every query), and a REWRITTEN
+    file at the same path must never be served a stale schema."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streaming_data_lake_spark.catalog import _SCHEMA_MEMO, load_table, table_path
+    from tests.conftest import SF_DIR
+
+    # same schema object served on repeat loads of immutable testdata
+    a = load_table(spark, SF_DIR, "region").schema
+    key_hits = [k for k in _SCHEMA_MEMO if k[0] == table_path(SF_DIR, "region")]
+    assert len(key_hits) == 1
+    assert load_table(spark, SF_DIR, "region").schema == a
+
+    # rewrite-at-same-path: different stats -> fresh inference
+    d = str(tmp_path)
+    p = table_path(d, "region")
+    shutil.copy(table_path(SF_DIR, "region"), p)
+    s1 = load_table(spark, d, "region").schema
+    assert s1 == a
+    pq.write_table(
+        pa.table({"r_regionkey": pa.array([1], type=pa.int64()),
+                  "extra_col": pa.array(["x"])}), p)
+    # ensure the stat fingerprint moved even on coarse-mtime filesystems
+    os.utime(p, ns=(1, 1))
+    s2 = load_table(spark, d, "region").schema
+    assert "extra_col" in s2.fieldNames() and s2 != s1

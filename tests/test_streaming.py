@@ -1145,6 +1145,18 @@ def test_sessionize_native_refuses_ansi_off_session(spark):
     # restored: the builder accepts the session again
     sessionize_native(stream_table(spark, SF_DIR, "events"), 120)
 
+    # UNSET conf (a bare driver session — no engine confs at all):
+    # the assert must read the EFFECTIVE value, which on Spark 4.x
+    # defaults to true. The r19 bare-sweep caught the original check
+    # passing its own "false" fallback to conf.get, which shadowed
+    # Spark's default and refused exactly the session class the
+    # correctness driver runs queries in.
+    spark.conf.unset("spark.sql.ansi.enabled")
+    try:
+        sessionize_native(stream_table(spark, SF_DIR, "events"), 120)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+
 
 def test_tws_settle_step_deletes_timer_on_clear():
     """ADVICE r17 #1: when the last pending session seals, the settle
