@@ -522,6 +522,20 @@ def semantic_dedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("cluster_id_b"),
         F.col("shard").alias("shard_b"),
     )
+    # Explicit-N repartition on the join keys: the pair join's own
+    # ENSURE_REQUIREMENTS exchanges carry only ~kilobytes here, so
+    # AQE coalesces them to ONE partition — and the per-pair cosine
+    # folds (the query's CPU, which AQE's byte-based sizing cannot
+    # see) then run in one task. A user repartition with an explicit
+    # count is exempt from coalescing and satisfies the join's
+    # distribution, so it REPLACES the planner's exchange rather than
+    # adding one (verified on the executed plan; interleaved A/B
+    # 1.35 → 0.91 s). N = defaultParallelism scales with the cluster;
+    # skew stays bounded by the occupancy shards, not by AQE's
+    # skew-split (which user repartitions opt out of).
+    n_par = spark.sparkContext.defaultParallelism
+    a = a.repartition(n_par, F.col("cluster_id"), F.col("shard"))
+    b = b.repartition(n_par, F.col("cluster_id_b"), F.col("shard_b"))
     sim = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         a.join(

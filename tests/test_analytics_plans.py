@@ -81,6 +81,13 @@ def test_semantic_dedup_pairs_by_cluster_equijoin(spark):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     ), "pair join must be hash-based on cluster_id"
+    # r19: the pair join's exchanges are explicit-N repartitions on
+    # the join keys — exempt from AQE coalescing, so the per-pair
+    # cosine folds (CPU the byte-based coalescer cannot see) never
+    # collapse into one task. They REPLACE the planner's exchanges:
+    # exactly the two, no ENSURE_REQUIREMENTS exchange added on top.
+    assert plan.count("REPARTITION_BY_NUM") == 2
+    assert "ENSURE_REQUIREMENTS" not in plan
 
 
 def test_running_total_windows_over_preagg(spark):
