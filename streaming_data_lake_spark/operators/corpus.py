@@ -35,18 +35,25 @@ def tfidf_top_terms(
     +,·,/ so Spark and the DuckDB oracle agree bit-for-bit (libm
     ``ln`` may differ across engines in the last ulp).
 
-    Plan shape at scale: explode → two map-side-combinable groupBys
-    (term frequency per doc, document frequency per term), an
-    equi-join on term (shuffle both sides — the vocabulary is NOT
-    assumed broadcastable), a broadcast of the single-row corpus
-    count, and a per-doc top-k window. No driver-side collect.
+    Plan shape at scale: explode → one map-side-combinable groupBy
+    (term frequency per doc), then document frequency as a
+    ``count(*)`` window over the tf table partitioned by term — the
+    tf/dfreq self-join spelled without re-deriving (and re-tokenizing)
+    the tf subtree twice, since Spark plans each DataFrame reference
+    independently. Row-identical to the join form: ``term`` is never
+    NULL (``tokens`` splits to non-null strings and filters empties),
+    so the inner equi-join dropped nothing the window keeps, and
+    every tf row's doc_freq is exactly the term's tf row count either
+    way. Then a broadcast of the single-row corpus count and a
+    per-doc top-k window. No driver-side collect.
     """
     tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn(
+            "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(total))
         .withColumn(
             "tfidf",

@@ -241,16 +241,68 @@ def test_token_packing_window_is_partitioned(spark):
 
 
 def test_tfidf_join_shapes(spark):
-    """The term join carries no hint: Catalyst picks broadcast at
-    test scale (the vocabulary is tiny) and would pick a shuffled
-    equi-join once stats exceed the threshold. What must hold at any
-    scale: the only cross join is the single-row corpus count, and
-    nothing degenerates into a cartesian over (doc, term) pairs."""
+    """doc_freq is a count(*) window over the tf table (r19: the
+    tf⋈dfreq self-join re-derived — and re-tokenized — the whole tf
+    subtree, since Spark plans each DataFrame reference
+    independently). What must hold at any scale: the ONLY join of any
+    kind is the single-row n_docs cross join, the corpus tokenizes
+    exactly once, and nothing degenerates into a cartesian over
+    (doc, term) pairs."""
     plan = _executed(_query(spark, "tfidf_top_terms"))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, (
         "exactly one nested-loop: the single-row n_docs cross join"
     )
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan, f"term self-join reappeared: {j}"
+    assert plan.count("Generate") == 1, "corpus should tokenize exactly once"
+
+
+def test_tfidf_window_dfreq_equals_join_form(spark):
+    """Row-identical equivalence pin for the r19 rewrite: doc_freq
+    via count(*) window == the groupBy+inner-join form, on a corpus
+    with shared terms, repeated terms, an empty doc and a NULL doc
+    (terms are never NULL, so the inner join dropped nothing)."""
+    from pyspark.sql import Window
+
+    from streaming_data_lake_spark.operators.corpus import tfidf_top_terms
+    from streaming_data_lake_spark.operators.dedup import tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "cat cat cat unique"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * (
+                (F.col("n_docs").cast("double") + F.lit(1.0))
+                / (F.col("doc_freq").cast("double") + F.lit(1.0))
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    join_form = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "doc_freq", "tfidf", "rank")
+    )
+    out = tfidf_top_terms(docs, k=3)
+    assert out.exceptAll(join_form).count() == 0
+    assert join_form.exceptAll(out).count() == 0
 
 
 def test_ivf_materialized_index_prunes_buckets(spark):
