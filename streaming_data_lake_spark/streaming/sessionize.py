@@ -25,14 +25,19 @@ that matters at 100 TB).
 Bounded replays can't rely on timeouts alone: a timer fires only
 against a watermark computed at the end of an *earlier* batch.
 :func:`sessionize_replay` therefore stages the input as (events,
-sentinel) files consumed one per micro-batch (``maxFilesPerTrigger=1``
-under ``availableNow``): batch 0 folds all real events and emits
-every gap-closed session, batch 1's far-future sentinel advances the
-watermark past every open session, and the final (empty) batch that
-``availableNow`` runs before terminating delivers the timeout
-callbacks that flush them — verified: one sentinel yields the exact
-batch gaps-and-islands row set. In production the continuous arrival
-of new data plays the sentinel's role.
+sentinel) files under ``availableNow``: the data batch folds every
+real event AND carries the far-future sentinel that advances the
+watermark past every open session, and the final (no-data) batch
+that ``availableNow`` runs before terminating — stateful sources
+report ``shouldRunAnotherBatch`` while the advanced watermark has
+state to evict — delivers the timeout callbacks that flush them.
+Verified: one sentinel yields the exact batch gaps-and-islands row
+set, and the single-data-batch shape is row-identical to the
+one-file-per-batch shape (r19 A/B: 3 micro-batches → 2, −30% wall;
+the per-file multi-batch fold semantics stay pinned by the
+``maxFilesPerTrigger=1`` streams tests/test_streaming.py builds).
+In production the continuous arrival of new data plays the
+sentinel's role.
 
 Numeric parity: per-session value totals are accumulated as exact
 integer cents (the inputs are 2-dp money), so emission order and
@@ -432,10 +437,16 @@ def _replay_to_parquet(
     from streaming_data_lake_spark.streaming.pipelines import _state_partitions
 
     stage = _stage_with_sentinels(sf_dir)
+    # No maxFilesPerTrigger: events + sentinel land in ONE data
+    # batch (watermark 0 while it runs, so nothing emits early), and
+    # the final no-data batch availableNow schedules for watermark-
+    # pending state flushes every sealed session — one fewer full
+    # state-commit round than per-file batching, bit-identical sink
+    # (r19 A/B; multi-batch folding stays pinned by the per-file
+    # streams the tests build themselves).
     raw = (
         spark.readStream.schema(physical_schema(spark, sf_dir, "events"))
         .format("parquet")
-        .option("maxFilesPerTrigger", 1)
         .load(stage)
     )
     sessions = build(normalize_timestamps(raw, "events"), gap_minutes)
