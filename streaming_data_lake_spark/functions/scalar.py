@@ -42,3 +42,52 @@ def event_class(event_type: Column) -> Column:
         .when(event_type == "error", "Fault")
         .otherwise("Unknown")
     )
+
+
+# ---------------------------------------------------------------------------
+# Column-expression memo (r19, guide §7.3 driver-side plan cost)
+# ---------------------------------------------------------------------------
+
+#: (applicationId, key) -> Column. See :func:`memo_column`.
+_COLUMN_MEMO: dict = {}
+
+
+def memo_column(key: tuple, build) -> Column:
+    """Memoize an IMMUTABLE Column expression tree that is a pure
+    function of plain-Python parameters (names, ints) — e.g. an
+    unrolled ADC distance over fixed column names, or an admission
+    predicate keyed on (vec_col, dim).
+
+    Why: every ``F.xxx`` call is a py4j round-trip, so a deep helper
+    tree costs hundreds of driver→JVM calls PER QUERY BUILD (measured
+    r19: the ADC search rebuilt ~3.5k calls each time; guide §7.3
+    "planning time itself can become the bottleneck"). Spark Columns
+    are immutable expression trees on both sides of the gateway —
+    composing one into many plans never mutates it — so rebuilding an
+    identical tree is pure waste. This memo is an EXPRESSION cache
+    (a prepared-statement analog), never a data/result cache: what a
+    memoized Column computes over any given input is unchanged by
+    construction.
+
+    Entries key on the active SparkContext's ``applicationId``: a
+    cached Column holds a JVM object reference, which a stopped/
+    restarted context invalidates — a fresh application never sees
+    another JVM's refs (and a process with no active context skips
+    caching entirely). One-deep history: starting a new context drops
+    every older application's entries, so serial session-per-test
+    suites don't accumulate dead gateway refs."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return build()
+    app = sc.applicationId
+    full = (app, key)
+    col = _COLUMN_MEMO.get(full)
+    if col is None:
+        stale = [k for k in _COLUMN_MEMO if k[0] != app]
+        for k in stale:
+            del _COLUMN_MEMO[k]
+        col = build()
+        _COLUMN_MEMO[full] = col
+    return col

@@ -95,8 +95,31 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def norm_named(name: str) -> Column:
+    """``norm(F.col(name))``, memoized per column name: the O(dim)
+    fold tree costs ~100 py4j round-trips to build and the similarity
+    family re-derives it on every query build
+    (functions/scalar.memo_column)."""
+    from streaming_data_lake_spark.functions.scalar import memo_column
+
+    return memo_column(("norm", name), lambda: norm(F.col(name)))
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def _cosine_qc() -> Column:
+    """The pair-scoring cosine over the family's fixed internal
+    column names (q_vec/c_vec/q_norm/c_norm), memoized — identical
+    tree to spelling it inline (functions/scalar.memo_column)."""
+    from streaming_data_lake_spark.functions.scalar import memo_column
+
+    return memo_column(
+        ("cosine_qc",),
+        lambda: dot(F.col("q_vec"), F.col("c_vec"))
+        / (F.col("q_norm") * F.col("c_norm")),
+    )
 
 
 #: Version of the valid_vectors admission contract, threaded into
@@ -143,31 +166,43 @@ def valid_vectors(
     ``duckql.DUCK_VALID_VEC`` (CASE-guarded: DuckDB's list_reduce
     errors on empty lists instead of folding to 0).
     """
-    v = F.col(vec_col)
-    pred = v.isNotNull()
-    if dim is not None:
-        # Cheap conjunct first as a HINT: size() is O(1) against the
-        # array header while each norm fold below is O(dim). Catalyst
-        # may split or reorder conjuncts during optimization, so the
-        # short-circuit ordering is not a guaranteed contract — only
-        # the predicate's value is (ADVICE r15).
-        pred = pred & (F.size(v) == F.lit(int(dim)))
-    # Bind the O(dim) norm fold ONCE per row via the single-element-
-    # array transform (the ivf_assign/shingles trick): spelling the
-    # three conjuncts over a shared `n = norm(v)` Column embeds the
-    # fold expression three times, and the interpreted higher-order
-    # fold gets no codegen CSE — every admission row paid 3 folds
-    # (guide §1.2 per-task work; visible as triple aggregate(zip_with)
-    # chains in every similarity scan's Filter). Same predicate value,
-    # one fold.
-    finite_pos = F.element_at(
-        F.transform(
-            F.array(norm(v)),
-            lambda n: ~F.isnan(n) & (n < F.lit(float("inf"))) & (n > 0),
-        ),
-        1,
+    from streaming_data_lake_spark.functions.scalar import memo_column
+
+    def build() -> Column:
+        v = F.col(vec_col)
+        pred = v.isNotNull()
+        if dim is not None:
+            # Cheap conjunct first as a HINT: size() is O(1) against
+            # the array header while each norm fold below is O(dim).
+            # Catalyst may split or reorder conjuncts during
+            # optimization, so the short-circuit ordering is not a
+            # guaranteed contract — only the predicate's value is
+            # (ADVICE r15).
+            pred = pred & (F.size(v) == F.lit(int(dim)))
+        # Bind the O(dim) norm fold ONCE per row via the single-
+        # element-array transform (the ivf_assign/shingles trick):
+        # spelling the three conjuncts over a shared `n = norm(v)`
+        # Column embeds the fold expression three times, and the
+        # interpreted higher-order fold gets no codegen CSE — every
+        # admission row paid 3 folds (guide §1.2 per-task work;
+        # visible as triple aggregate(zip_with) chains in every
+        # similarity scan's Filter). Same predicate value, one fold.
+        finite_pos = F.element_at(
+            F.transform(
+                F.array(norm(v)),
+                lambda n: ~F.isnan(n) & (n < F.lit(float("inf"))) & (n > 0),
+            ),
+            1,
+        )
+        return pred & finite_pos
+
+    # Memoized per (vec_col, dim): the admission predicate is a pure
+    # function of those, and every similarity query rebuilds it
+    # (often twice — corpus and query sides) at tens of py4j calls a
+    # time (functions/scalar.memo_column).
+    return df.filter(
+        memo_column(("valid_vectors", vec_col, None if dim is None else int(dim)), build)
     )
-    return df.filter(pred & finite_pos)
 
 
 def admit_corpus(
@@ -256,7 +291,7 @@ def brute_force_knn(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col)).alias("q_norm"),
+        norm_named(vec_col).alias("q_norm"),
     )
     # spread(): the corpus side carries the O(Nq·Nc·d) scoring fold
     # plus the admission norms — single-file corpora must not run
@@ -264,7 +299,7 @@ def brute_force_knn(
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_norm"),
+        norm_named(vec_col).alias("c_norm"),
     )
     scored = (
         F.broadcast(q)
@@ -272,10 +307,7 @@ def brute_force_knn(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm"))
-            ).alias("cosine_sim"),
+            _cosine_qc().alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -318,10 +350,12 @@ def ivf_assign(
     per element). The window path remains only for true multi-probe
     (nprobe > 1) query-side top-n, where the input is the small
     query set."""
+    from streaming_data_lake_spark.functions.scalar import memo_column
+
     c = centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("cent_vec"),
-        norm(F.col(vec_col)).alias("cent_norm"),
+        norm_named(vec_col).alias("cent_norm"),
     )
     if nprobe == 1:
         cents = c.agg(
@@ -334,14 +368,17 @@ def ivf_assign(
             ).alias("cents")
         )
         vec = F.col(vec_col)
+
         # The bound struct carries BOTH the argmax and the vector's
         # own norm: every caller needs the norm again for the cosine
         # scoring join, and re-deriving it is a full O(d) fold per
-        # corpus row — emit it once as ``vec_norm`` instead.
-        best = corpus.crossJoin(F.broadcast(cents)).select(
-            F.col(id_col),
-            vec,
-            F.element_at(
+        # corpus row — emit it once as ``vec_norm`` instead. The whole
+        # argmax tree is a pure function of vec_col (`cents` is a
+        # fixed internal name), memoized per name — it is the single
+        # most expensive expression the family builds
+        # (functions/scalar.memo_column).
+        def build_bd() -> Column:
+            return F.element_at(
                 F.transform(
                     F.array(norm(vec)),
                     lambda vn: F.struct(
@@ -358,7 +395,12 @@ def ivf_assign(
                     ),
                 ),
                 1,
-            ).alias("bd"),
+            )
+
+        best = corpus.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col),
+            vec,
+            memo_column(("ivf_assign_bd", vec_col), build_bd).alias("bd"),
         )
         return best.select(
             F.col(id_col),
@@ -367,16 +409,17 @@ def ivf_assign(
             (-F.col("bd.best.neg_cid")).alias("cluster_id"),
         )
     scored = (
-        corpus.withColumn("__v_norm", norm(F.col(vec_col)))
+        corpus.withColumn("__v_norm", norm_named(vec_col))
         .crossJoin(F.broadcast(c))
         .select(
             F.col(id_col),
             F.col(vec_col),
             F.col("__v_norm"),
             F.col("centroid_id"),
-            (
-                dot(F.col(vec_col), F.col("cent_vec"))
-                / (F.col("__v_norm") * F.col("cent_norm"))
+            memo_column(
+                ("ivf_probe_sim", vec_col),
+                lambda: dot(F.col(vec_col), F.col("cent_vec"))
+                / (F.col("__v_norm") * F.col("cent_norm")),
             ).alias("sim"),
         )
     )
@@ -430,10 +473,7 @@ def ivf_knn(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm"))
-            ).alias("cosine_sim"),
+            _cosine_qc().alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -818,13 +858,23 @@ def _adc_dist(n_sub: int, dsub: int) -> Column:
     """Sum of per-subspace squared L2 between the exact query
     subvector (``qv``) and the codebook reconstruction of code
     ``c{m}`` (``cb`` array in scope); unrolled in fixed subspace
-    order for cross-engine fold parity."""
-    dist = None
-    for m in range(n_sub):
-        cv = F.element_at(F.col("cb"), F.col(f"c{m}").cast("int") + F.lit(1))["cv"]
-        d_m = sq_l2(_sub(F.col("qv"), m, dsub), _sub(cv, m, dsub))
-        dist = d_m if dist is None else (dist + d_m)
-    return dist
+    order for cross-engine fold parity.
+
+    Memoized per (n_sub, dsub): the unrolled tree references only
+    fixed column names, and building it costs hundreds of py4j
+    round-trips the ADC search otherwise re-pays on every query
+    build (functions/scalar.memo_column)."""
+    from streaming_data_lake_spark.functions.scalar import memo_column
+
+    def build() -> Column:
+        dist = None
+        for m in range(n_sub):
+            cv = F.element_at(F.col("cb"), F.col(f"c{m}").cast("int") + F.lit(1))["cv"]
+            d_m = sq_l2(_sub(F.col("qv"), m, dsub), _sub(cv, m, dsub))
+            dist = d_m if dist is None else (dist + d_m)
+        return dist
+
+    return memo_column(("adc_dist", n_sub, dsub), build)
 
 
 def _adc_rank(

@@ -105,11 +105,14 @@ def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
         ).alias("denom"),
     )
     raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M / F.col("denom")
+    # lit_doubles: the 63-entry linear-counting table as ONE
+    # driver→JVM call instead of one per element (bit-identical
+    # literals — see similarity.lit_doubles).
+    from streaming_data_lake_spark.operators.similarity import lit_doubles
+
     corrected = F.when(
         (raw <= 2.5 * HLL_M) & (F.col("n_buckets") < HLL_M),
-        F.element_at(
-            F.array(*[F.lit(x) for x in HLL_LC_TABLE]), F.col("n_buckets").cast("int")
-        ),
+        F.element_at(lit_doubles(HLL_LC_TABLE), F.col("n_buckets").cast("int")),
     ).otherwise(raw)
     return est.select(
         *group_cols, "n_buckets", F.round(corrected, 4).alias("hll_estimate")
@@ -120,19 +123,28 @@ CMS_D = 4  # hash rows
 CMS_W = 256  # buckets per row
 
 
-def _cms_seed_buckets(token: Column) -> Column:
-    """Array of (seed, bucket) structs — one per hash row."""
+def _cms_seed_buckets(token: Column | str) -> Column:
+    """Array of (seed, bucket) structs — one per hash row. Given a
+    column NAME, the tree (d seeded-hash chains) is memoized per name
+    — both sketch passes and every lookup rebuild it otherwise
+    (functions/scalar.memo_column)."""
     from streaming_data_lake_spark.functions.hashing import h32_seeded
+    from streaming_data_lake_spark.functions.scalar import memo_column
 
-    return F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("seed"),
-                (h32_seeded(token, s) % CMS_W).alias("bucket"),
-            )
-            for s in range(CMS_D)
-        ]
-    )
+    def build(col: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("seed"),
+                    (h32_seeded(col, s) % CMS_W).alias("bucket"),
+                )
+                for s in range(CMS_D)
+            ]
+        )
+
+    if isinstance(token, str):
+        return memo_column(("cms_seed_buckets", token), lambda: build(F.col(token)))
+    return build(token)
 
 
 def cms_cells(tok: DataFrame, token_col: str = "token") -> DataFrame:
@@ -146,7 +158,7 @@ def cms_cells(tok: DataFrame, token_col: str = "token") -> DataFrame:
     breaking the estimate >= truth invariant for it."""
     return (
         tok.filter(F.col(token_col).isNotNull())
-        .select(F.explode(_cms_seed_buckets(F.col(token_col))).alias("sb"))
+        .select(F.explode(_cms_seed_buckets(token_col)).alias("sb"))
         .groupBy(F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -163,7 +175,7 @@ def cms_lookup(cand: DataFrame, cells: DataFrame, token_col: str = "token") -> D
     (an inner join would silently drop it, and min over a partial set
     of cells overestimates)."""
     probes = cand.select(
-        "*", F.explode(_cms_seed_buckets(F.col(token_col))).alias("sb")
+        "*", F.explode(_cms_seed_buckets(token_col)).alias("sb")
     ).select(
         *cand.columns,
         F.col("sb.seed").alias("seed"),

@@ -536,7 +536,14 @@ def semantic_dedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_par = spark.sparkContext.defaultParallelism
     a = a.repartition(n_par, F.col("cluster_id"), F.col("shard"))
     b = b.repartition(n_par, F.col("cluster_id_b"), F.col("shard_b"))
-    sim = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    # Memoized pair-cosine tree (fixed internal names; the O(dim)
+    # fold costs hundreds of py4j calls per build — scalar.memo_column).
+    from streaming_data_lake_spark.functions.scalar import memo_column
+
+    sim = memo_column(
+        ("semdedup_pair_sim",),
+        lambda: dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+    )
     return (
         a.join(
             b,

