@@ -172,7 +172,7 @@ def decontaminate(
     # in one task (measured 1.09 → 0.70 s at sf0.1; no-op at real
     # scale, see similarity.spread).
     sh = spread(docs).select(
-        F.col(id_col), F.explode(tokens_shingles(F.col(text_col), n)).alias("sng")
+        F.col(id_col), F.explode(tokens_shingles(text_col, n)).alias("sng")
     )
     return (
         sh.join(bench, "sng")

@@ -131,7 +131,7 @@ def _shingles_of(toks: Column, n: int) -> Column:
     )
 
 
-def shingles(text: Column, n: int = 3) -> Column:
+def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column, as an array of
     strings. Built entirely from higher-order array functions —
     JVM-side, no UDF.
@@ -140,10 +140,22 @@ def shingles(text: Column, n: int = 3) -> Column:
     single-element-array ``transform``: referencing ``tokens(text)``
     directly inside the per-shingle lambda would re-evaluate the
     split for every element (O(tokens²) per doc — measured 16×
-    slower at sf0.1)."""
-    return F.element_at(
-        F.transform(F.array(tokens(text)), lambda t: _shingles_of(t, n)), 1
-    )
+    slower at sf0.1).
+
+    Given a column NAME the tree is memoized per (name, n): it costs
+    ~150 py4j round-trips to build and the dedup/text family
+    re-derives it on every query build (functions/scalar.memo_column)."""
+
+    def build(col: Column) -> Column:
+        return F.element_at(
+            F.transform(F.array(tokens(col)), lambda t: _shingles_of(t, n)), 1
+        )
+
+    if isinstance(text, str):
+        from streaming_data_lake_spark.functions.scalar import memo_column
+
+        return memo_column(("shingles", text, int(n)), lambda: build(F.col(text)))
+    return build(text)
 
 
 def minhash_signatures(
@@ -163,7 +175,7 @@ def minhash_signatures(
     doc per input partition, not the shingle fan-out. Docs too short
     to shingle drop out at the explode (empty array → no rows).
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sng"))
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("sng"))
     # One md5 per (doc, shingle), materialized in the projection so
     # the k aggregate expressions reference the column instead of
     # each embedding its own md5 — the mixes are two integer ops.
@@ -415,7 +427,7 @@ def ngram_jaccard_pairs(
     from streaming_data_lake_spark.functions.hashing import h32
 
     sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh")
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("sh")
     )
     # Hash once, DEDUPE, then materialize: the hashed rows feed the
     # frequency agg, the prefix ranking, and the per-doc array build,
@@ -796,7 +808,7 @@ def exact_substring_dups(
     equi-join, so cost scales with window-hash bucket occupancy, not
     n². Returns (id_a, id_b, n_shared_windows)."""
     sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), window_tokens)).alias("w")
+        F.col(id_col), F.explode(shingles(text_col, window_tokens)).alias("w")
     )
     a, b = sh.alias("a"), sh.alias("b")
     return (

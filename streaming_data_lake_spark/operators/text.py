@@ -124,7 +124,7 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n
     """Document fingerprint: (min, max) portable hash over the word
     n-gram shingle set — a 1-hash MinHash sketch usable as a cheap
     near-dup prefilter key."""
-    sh = shingles(F.col(text_col), n)
+    sh = shingles(text_col, n)
     hashes = F.transform(sh, lambda s: h32(s))
     return df.select(
         F.col(id_col),
@@ -193,7 +193,7 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     base = df.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
-        F.size(shingles(F.col(text_col), 2)).cast("long").alias("n_distinct_2grams"),
+        F.size(shingles(text_col, 2)).cast("long").alias("n_distinct_2grams"),
     )
     tok_counts = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))

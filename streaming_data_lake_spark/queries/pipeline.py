@@ -428,7 +428,7 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # job's CPU and otherwise runs in ONE task on the single-file
     # corpus scan (guide §2.5; no-op at real scale).
     sh = spread(d).select(
-        F.col("doc_id"), shingles(F.col("text"), 3).alias("s")
+        F.col("doc_id"), shingles("text", 3).alias("s")
     ).localCheckpoint()
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
@@ -1544,7 +1544,7 @@ def crossdoc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE task on the single-file corpus scan (guide §2.5; no-op at
     # real scale).
     sh = spread(d).select(
-        "doc_id", shingles(F.col("text"), _BOILER_N).alias("s")
+        "doc_id", shingles("text", _BOILER_N).alias("s")
     ).localCheckpoint()
     ex = sh.select("doc_id", F.explode("s").alias("sng"))
     boiler = (
