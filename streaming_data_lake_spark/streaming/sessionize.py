@@ -420,6 +420,7 @@ def _replay_to_parquet(
     build,
     name_prefix: str,
     drop_sentinel: bool = False,
+    state_partitions: int | None = 16,
 ) -> DataFrame:
     """Shared bounded-replay harness for every sessionize variant:
     sentinel-staged file stream -> variant -> durable scratch parquet
@@ -451,14 +452,19 @@ def _replay_to_parquet(
     )
     sessions = build(normalize_timestamps(raw, "events"), gap_minutes)
     out_dir = _scratch(f"{name_prefix}_")
-    # The Python fold's measured optimum is 16 state partitions
-    # (pipelines._state_partitions docstring) — previously dead text:
-    # no caller passed it, so unwrapped replays ran at the ambient 32
-    # and paid the per-store commit floor (r17 review). Scoped here,
-    # an OUTER _state_partitions (the certified streamq wrapper) set
-    # its value first and this inner scope simply re-sets/restores
-    # around the start — last writer before .start() wins.
-    with _state_partitions(spark, 16):
+    # State-partition count is per VARIANT (r19): the Python fold's
+    # measured optimum is 16 (pipelines._state_partitions docstring —
+    # previously no caller passed it, so unwrapped replays ran at the
+    # ambient 32 and paid the per-store commit floor, r17 review),
+    # while the native session_window path holds far cheaper
+    # per-store state and measured fastest at the env-driven default
+    # (min-of-3 interleaved at sf0.1: 4 → 2.06 s, 8 → 2.93, 16 →
+    # 3.19 — per-store commit floor dominates JVM-side state).
+    # Scoped here, an OUTER _state_partitions (the certified streamq
+    # wrapper) set its value first and this inner scope simply
+    # re-sets/restores around the start — last writer before
+    # .start() wins.
+    with _state_partitions(spark, state_partitions):
         q = (
             sessions.writeStream.outputMode("append")
             .format("parquet")
@@ -489,6 +495,12 @@ def sessionize_native_replay(
     return _replay_to_parquet(
         spark, sf_dir, gap_minutes, sessionize_native, "sessions_native",
         drop_sentinel=True,
+        # None → the env-driven _state_partitions default (4 locally,
+        # cluster-sized via $SPARK_GRAFT_STATE_PARTITIONS): the
+        # JVM-side session store's per-partition state is cheap, so
+        # the per-store commit floor dominates and fewer instances
+        # win (measured — see _replay_to_parquet).
+        state_partitions=None,
     )
 
 
