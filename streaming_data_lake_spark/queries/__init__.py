@@ -152,14 +152,19 @@ _CERTIFICATION_ORDER = [
     # verdict — it takes an r20 free slot directly after the drain,
     # the same mechanism as r17/r18 late-touch handling ----
     "streaming_sessionize",
-    # ---- r18-certified tail (23 of these fill r20's free slots as
-    # ---- the oldest-position r18 names; the rest end the final round
-    # ---- at age 2 — inside the 3-round freshness window) ----
+    # ---- r19 session-2 LATE code-touches (optimization work landed
+    # after the rotation was pinned; every name here EXECUTES changed
+    # code while carrying a pre-r19 verdict): the expression-memo
+    # rewrite (similarity/sketches/shingles — valid_vectors, ivf
+    # argmax, ADC distance, CMS seed buckets, HLL linear-counting
+    # literals), the native-sessionize replay batching, and the
+    # shingle call-site change. All oracle-green at sf0.01 this
+    # session; they take r20 free slots directly after the drain
+    # (27 + 22 = 49 <= 50, one slack slot), same mechanism as the
+    # r17/r18 late-touch handling. Pinned by
+    # tests/test_registry_order.R19_LATE_CODE_TOUCHED. ----
     "minhash_lsh_near_dups",
     "dup_clusters_connected",
-    "bucketed_colocated_join",
-    "partition_pruned_scan",
-    "schema_drift_check",
     "knn_ivf_cosine",
     "knn_ivf_multiprobe_cosine",
     "knn_bruteforce_cosine",
@@ -167,11 +172,7 @@ _CERTIFICATION_ORDER = [
     "knn_ivf_pq_adc",
     "kmeans_train_centroids",
     "knn_ivf_trained_cosine",
-    "asof_latest_view_before_purchase",
-    "asof_view_within_6h",
-    "doc_chunks_overlap",
     "bigram_lm_quality",
-    "pii_redaction",
     "ngram_jaccard_near_dups",
     "semantic_dedup_centroid",
     "embedding_cosine_near_dups",
@@ -179,6 +180,20 @@ _CERTIFICATION_ORDER = [
     "embedding_label_stats",
     "embedding_int8_quantization",
     "knn_ivf_recall_at_k",
+    "streaming_hll_daily_users",
+    "streaming_cms_token_counts",
+    "cms_heavy_hitter_tokens",
+    "hll_distinct_users_daily",
+    # ---- r18-certified tail (fills r20's remaining free slot as
+    # ---- the oldest-position r18 name; the rest end the final round
+    # ---- at age 2 — inside the 3-round freshness window) ----
+    "bucketed_colocated_join",
+    "partition_pruned_scan",
+    "schema_drift_check",
+    "asof_latest_view_before_purchase",
+    "asof_view_within_6h",
+    "doc_chunks_overlap",
+    "pii_redaction",
     "salted_skew_aggregation",
     "replicated_skew_join_rollup",
     "conditional_distinct_users",
@@ -197,13 +212,9 @@ _CERTIFICATION_ORDER = [
     "maintenance_compaction",
     "two_level_overlay_maintenance",
     "streaming_upsert_hourly",
-    "streaming_hll_daily_users",
-    "streaming_cms_token_counts",
     "batch_sessionize_windows",
-    "cms_heavy_hitter_tokens",
     "token_budget_packing",
     "bloom_semi_join_prune",
-    "hll_distinct_users_daily",
 ]
 
 

@@ -143,8 +143,36 @@ R20_DRAIN = {
 R19_LATE_CODE_TOUCHED: list[str] = [
     # sessionize_native grew the ANSI-pin guard (ADVICE r18 #1) after
     # this round's rotation was pinned; streaming_sessionize executes
-    # it while carrying an r18 verdict.
+    # it while carrying an r18 verdict. Session 2 additionally
+    # re-batched its bounded replay and sized the native path's state
+    # partitions.
     "streaming_sessionize",
+    # Session-2 optimization touches (expression memo across the
+    # similarity/sketch/shingle operators, shingle call-site change):
+    # every name below executes changed code while carrying an r18
+    # verdict outside the r19 window. Oracle-green at sf0.01 when
+    # landed; they must be re-certified by the r20 driver run.
+    "minhash_lsh_near_dups",
+    "dup_clusters_connected",
+    "knn_ivf_cosine",
+    "knn_ivf_multiprobe_cosine",
+    "knn_bruteforce_cosine",
+    "knn_pq_adc_l2",
+    "knn_ivf_pq_adc",
+    "kmeans_train_centroids",
+    "knn_ivf_trained_cosine",
+    "bigram_lm_quality",
+    "ngram_jaccard_near_dups",
+    "semantic_dedup_centroid",
+    "embedding_cosine_near_dups",
+    "knn_ivf_materialized_cosine",
+    "embedding_label_stats",
+    "embedding_int8_quantization",
+    "knn_ivf_recall_at_k",
+    "streaming_hll_daily_users",
+    "streaming_cms_token_counts",
+    "cms_heavy_hitter_tokens",
+    "hll_distinct_users_daily",
 ]
 
 
