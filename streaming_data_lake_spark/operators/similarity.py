@@ -467,7 +467,20 @@ def ivf_knn(
         F.broadcast(q)
         .join(
             c,
-            (F.col("cluster_id") == F.col("c_cluster"))
+            # eqNullSafe, not ==: a plain equi-join key makes the
+            # optimizer push IsNotNull(cluster_id) below the Project
+            # on BOTH sides, and on the corpus side that substitution
+            # re-expands the whole interpreted argmax tree into the
+            # broadcast join's condition — the O(k·d) assignment fold
+            # ran TWICE per corpus row (seen as
+            # `isnotnull(-element_at(transform(...)))` inside the
+            # BroadcastNestedLoopJoin condition of the r19 before
+            # plan). cluster_id is never NULL (argmax over a non-empty
+            # centroid array whose sims are finite by the valid_vectors
+            # admission), so <=> selects the identical row set while
+            # suppressing the IsNotNull inference; the join still
+            # plans as a BroadcastHashJoin on the null-safe key.
+            F.col("cluster_id").eqNullSafe(F.col("c_cluster"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
         .select(

@@ -203,3 +203,26 @@ def test_recall_query_reuses_ivfpq_artifact_and_checkpointed_brute(spark):
     assert set(by_variant) == {"ivf_nprobe1", "ivfpq_nprobe2"}
     assert len(by_variant["ivf_nprobe1"]) == 50
     assert len(by_variant["ivfpq_nprobe2"]) == 10
+
+
+def test_ivf_knn_join_does_not_reexpand_assignment(spark):
+    """The cluster-pruned scoring join keys on a DERIVED column (the
+    corpus side's argmax cluster assignment). With a plain `==` key
+    the optimizer infers IsNotNull(cluster_id) and pushes it below
+    the Project, re-expanding the whole interpreted argmax fold into
+    the broadcast join's condition — the O(k·d) assignment ran twice
+    per corpus row (r19 before-plan). The null-safe key suppresses
+    that inference; this pins (a) no element_at/argmax tree inside
+    any join condition, (b) the join still plans hash-based (never a
+    filter-only nested-loop over the pair product)."""
+    df = _query(spark, "knn_ivf_cosine")
+    formatted = _formatted(df)
+    saw_join_condition = False
+    for line in formatted.splitlines():
+        if "Join condition" in line:
+            saw_join_condition = True
+            assert "element_at(transform" not in line, (
+                "assignment fold re-expanded into a join condition"
+            )
+    assert saw_join_condition, "expected at least one join-condition line"
+    assert "BroadcastHashJoin" in _executed(df)
