@@ -450,7 +450,16 @@ def ivf_knn(
     nprobe — the approximate scale path next to
     :func:`brute_force_knn`. Each corpus vector lives in exactly one
     cluster, so multi-probe candidates are naturally duplicate-free."""
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    # spread() the corpus side (guide §2.5 input skew): the sf
+    # testdata is single-file/single-row-group parquet, so the whole
+    # assignment-argmax + scoring-probe + partial-top-k chain ran in
+    # ONE task under the scan. Scale-adaptive no-op for any corpus
+    # wider than the core count. Re-measured AFTER the null-safe join
+    # fix removed the double argmax (the earlier rejection's
+    # measurement had the fold running twice, which drowned the
+    # parallelism win): interleaved A/B at sf0.1 min-of-5
+    # 0.517 -> 0.419 s, results bit-identical.
+    assigned = ivf_assign(spread(corpus), centroids, id_col, vec_col)
     q = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
