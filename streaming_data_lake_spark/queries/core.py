@@ -767,8 +767,15 @@ GROUP BY 1, 2, 3
 )
 def sliding_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_lake_spark.functions.parity import admissible_ts
+    from streaming_data_lake_spark.operators.similarity import spread
 
-    e = _t(spark, sf_dir, "events").filter(admissible_ts(F.col("ts")))
+    # spread() (guide §2.5 input skew): the HOP window explodes every
+    # event into 5 window rows and partial-aggregates them in the scan
+    # task — on the single-file sf table that whole ×5 expansion plus
+    # the decimal partial agg ran in ONE task. Scale-adaptive no-op
+    # for any table wider than the core count; interleaved A/B at
+    # sf0.1 min-of-5 0.641 -> 0.472 s, results bit-identical.
+    e = spread(_t(spark, sf_dir, "events").filter(admissible_ts(F.col("ts"))))
     return (
         e.groupBy(F.window(F.col("ts"), "5 minutes", "1 minute"), "event_type")
         .agg(
