@@ -707,7 +707,17 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     posexplode of a 32-element sequence → groupBy(id) summing votes →
     reassemble with bit arithmetic. All built-ins; two shuffles on id.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    from streaming_data_lake_spark.operators.similarity import spread
+
+    # spread() (guide §2.5): the explode fans every token out x32 bit
+    # positions before the vote aggregate's map side, and on a
+    # single-file corpus that whole expansion ran in ONE task.
+    # Scale-adaptive no-op for any corpus wider than the core count.
+    # Interleaved A/B at sf0.1 min-of-4: 1.01 -> 0.34 s, results
+    # bit-identical.
+    tok = spread(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     hashed = tok.select(id_col, h32(F.col("tok")).alias("h"))
     bits = hashed.select(
         id_col,
@@ -898,4 +908,11 @@ def winnowing_fingerprints(
         )
 
     selected = F.element_at(F.transform(F.array(hashes), _select), 1)
-    return df.select(F.col(id_col), F.explode(selected).alias("fingerprint"))
+    from streaming_data_lake_spark.operators.similarity import spread
+
+    # spread() (guide §2.5): the gram+hash+window-min pipeline is the
+    # query's CPU and runs where the doc rows sit — one task on a
+    # single-file corpus. Scale-adaptive no-op for any corpus wider
+    # than the core count. Interleaved A/B at sf0.1 min-of-4:
+    # 0.58 -> 0.18 s, results bit-identical.
+    return spread(df).select(F.col(id_col), F.explode(selected).alias("fingerprint"))
