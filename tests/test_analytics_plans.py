@@ -226,3 +226,32 @@ def test_ivf_knn_join_does_not_reexpand_assignment(spark):
             )
     assert saw_join_condition, "expected at least one join-condition line"
     assert "BroadcastHashJoin" in _executed(df)
+
+
+def test_threshold_levenshtein_equals_full_form(spark):
+    """supplier_name_near_matches filters with the banded
+    levenshtein(a, b, 1) (-1 above the bound) instead of the full
+    levenshtein <= 1. Pin the equivalence on the edge cases the swap
+    relies on: NULLs (both forms yield NULL -> dropped), empty
+    strings, equality, distance exactly at and just above the bound,
+    and a length gap that short-circuits the banded form."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", "a"), ("a", "b"), ("a", "ab"), ("ab", "a"), ("", ""),
+        ("", "x"), ("", "xy"), ("abc", "axc"), ("abc", "xyz"),
+        ("abc", "abcde"), ("abcdef", "abc"), (None, "a"), ("a", None),
+        (None, None), ("Supplier#01", "Supplier#02"),
+        ("Supplier#01", "Supplier#123"),
+    ]
+    df = spark.createDataFrame(rows, "l string, r string")
+    full = df.select(
+        "l", "r", (F.levenshtein("l", "r") <= 1).alias("keep"),
+        F.levenshtein("l", "r").alias("d"),
+    ).where("keep").select("l", "r", "d")
+    banded = df.select(
+        "l", "r", F.levenshtein("l", "r", 1).alias("d3"),
+    ).where("d3 >= 0").select("l", "r", F.col("d3").alias("d"))
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, banded.collect())
+    )
