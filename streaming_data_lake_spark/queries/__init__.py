@@ -38,25 +38,122 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver hash-checks the FIRST 50 registered queries per round.
-# Round 19 executes the rotation CHANGELOG_r18.md committed and
-# tests/test_registry_order.py (r18 revision) pinned: the 35-name
-# r16-verdict drain (age 3 the moment CORRECTNESS_r18 landed) at
-# positions 1-35, then the two r18 LATE code-touches FIRST among the
-# 15 free slots (VERDICT r18 #1: time_travel_read_v1 /
-# snapshot_metadata are the only names whose current code — locks.py
-# inode revalidation under VersionedTable.commit/expire — lacks a
-# driver verdict) at 36-37, then 13 oldest-r17 fills (ties by prior
-# registry position, tools/ledger.py --emit-order) at 38-50. The
-# committed r20 drain follows contiguously at 51-77 (the 27 remaining
-# r17-verdict names -> r20 window = 27 obligatory + 23 free, pinned
-# by forward simulation in tests/test_registry_order.py; r20 is the
-# FINAL round, so the tail after it must be all-r18 — no name can
-# strand). Rotated at round-19 start, before any driver run.
-# tools/ledger.py cross-references the verdict files.
+# Round 20 (the FINAL round) executes the rotation the r19 revision of
+# this module committed at positions 51-99 and
+# tests/test_registry_order.py pinned by forward simulation: the
+# 27-name r17-verdict drain (age 3 the moment CORRECTNESS_r19 landed)
+# at positions 1-27, then the 22 r19 LATE code-touches (names whose
+# current code — the expression memo / spread / sessionize-guard
+# optimization work of r19 sessions 2-3 — lacks a driver verdict) at
+# 28-49, then the single free slot filled by the oldest-position
+# r18-certified name (bucketed_colocated_join; ledger fill order =
+# ascending verdict round, ties by prior registry position). Every
+# name after position 50 ends the final round at age <= 2 — inside
+# the 3-round freshness window, zero stragglers (pinned by
+# test_final_horizon_no_stale_name_after_r20). Rotated at round-20
+# start, before any driver run. tools/ledger.py cross-references the
+# verdict files.
 _CERTIFICATION_ORDER = [
-    # ---- (a) the 35-name r19 drain: r16 verdicts, stale the moment
-    # ---- CORRECTNESS_r18 landed (committed by the r18 revision of this
-    # ---- module; pinned by test_r19_drain_fits_after_r18_lands) ----
+    # ---- (a) the 27-name r20 drain: r17 verdicts, stale the moment
+    # ---- CORRECTNESS_r19 landed (committed by the r19 revision of
+    # ---- this module; pinned by test_r20_drain_is_the_committed_one)
+    "sliding_window_metrics",
+    "streaming_hourly_metrics",
+    "monthly_nation_revenue",
+    "revenue_by_region",
+    "top_nations_by_customers",
+    "customers_with_orders",
+    "customers_without_orders",
+    "order_priority_rollup",
+    "priority_decode_rollup",
+    "scd2_current_enrichment",
+    "like_pattern_source_classes",
+    "nested_double_unnest_roundtrip",
+    "currency_normalized_revenue",
+    "range_band_pricing",
+    "simhash_fingerprints",
+    "schema_evolution_read",
+    "blocklist_filter_retention",
+    "quality_percentile_filter",
+    "crossdoc_boilerplate_ngrams",
+    "large_orders_having",
+    "cube_device_day_metrics",
+    "value_histogram_quantiles",
+    "zorder_layout_keys",
+    "topn_customers_per_nation",
+    "seeded_dim_hierarchy_enrichment",
+    "events_dedup_canonical",
+    "pricing_summary",
+    # ---- (b) the 22 r19 LATE code-touches (committed by the r19
+    # revision at positions 78-99; every name here EXECUTES r19
+    # optimization code — expression memo across similarity/sketches/
+    # shingles, native-sessionize replay batching + ANSI guard,
+    # shingle call-site spread — while carrying a pre-r19 verdict;
+    # oracle-green at sf0.01 when landed, re-certified by THIS
+    # round's driver run). Pinned by
+    # tests/test_registry_order.R19_LATE_CODE_TOUCHED. ----
+    "streaming_sessionize",
+    "minhash_lsh_near_dups",
+    "dup_clusters_connected",
+    "knn_ivf_cosine",
+    "knn_ivf_multiprobe_cosine",
+    "knn_bruteforce_cosine",
+    "knn_pq_adc_l2",
+    "knn_ivf_pq_adc",
+    "kmeans_train_centroids",
+    "knn_ivf_trained_cosine",
+    "bigram_lm_quality",
+    "ngram_jaccard_near_dups",
+    "semantic_dedup_centroid",
+    "embedding_cosine_near_dups",
+    "knn_ivf_materialized_cosine",
+    "embedding_label_stats",
+    "embedding_int8_quantization",
+    "knn_ivf_recall_at_k",
+    "streaming_hll_daily_users",
+    "streaming_cms_token_counts",
+    "cms_heavy_hitter_tokens",
+    "hll_distinct_users_daily",
+    # ---- (c) the single free slot: oldest-position r18-certified
+    # ---- name (ledger fill order — ascending verdict round, ties by
+    # ---- prior registry position). 27 + 22 + 1 = 50. ----
+    "bucketed_colocated_join",
+    # ---- position 51+ : NOT certified this round. r20 is the FINAL
+    # ---- round, so there is no next drain: every name below ends
+    # ---- the horizon at age <= 2 (r18/r19 verdicts — inside the
+    # ---- 3-round freshness window; pinned by
+    # ---- test_final_horizon_no_stale_name_after_r20). r18-certified
+    # ---- tail first (age 2 at horizon), then the 50 r19-certified
+    # ---- names (age 1 at horizon) in their r19 window order. ----
+    "partition_pruned_scan",
+    "schema_drift_check",
+    "asof_latest_view_before_purchase",
+    "asof_view_within_6h",
+    "doc_chunks_overlap",
+    "pii_redaction",
+    "salted_skew_aggregation",
+    "replicated_skew_join_rollup",
+    "conditional_distinct_users",
+    "user_engagement_ratios",
+    "user_daily_landscape",
+    "latest_event_per_user_type",
+    "interval_join_click_view",
+    "funnel_conversion_daily",
+    "value_distribution_by_class",
+    "flag_distribution",
+    "avg_value_spread",
+    "funnel_leakage_daily",
+    "materialize_incremental_clean_events",
+    "materialize_dim_change_repair",
+    "materialize_funnel_exists_repair",
+    "maintenance_compaction",
+    "two_level_overlay_maintenance",
+    "streaming_upsert_hourly",
+    "batch_sessionize_windows",
+    "token_budget_packing",
+    "bloom_semi_join_prune",
+    # ---- the 50 r19-certified names (CORRECTNESS_r19 all-green), in
+    # ---- their r19 window order — age 1 at the final horizon ----
     "winnowing_fingerprints",
     "exact_substring_dups",
     "dedup_keep_best_quality",
@@ -92,15 +189,8 @@ _CERTIFICATION_ORDER = [
     "priority_window_profile",
     "stratified_sample_by_lang",
     "top_busiest_hours",
-    # ---- (b) r18 LATE code-touches, FIRST among the 15 free slots
-    # ---- (VERDICT r18 #1): locks.py grew inode revalidation after the
-    # ---- r18 rotation was pinned and VersionedTable.commit/expire
-    # ---- flock through it — the only names whose current code lacks a
-    # ---- driver verdict entering r19 ----
     "time_travel_read_v1",
     "snapshot_metadata",
-    # ---- (c) 13 oldest-r17 fills (ascending verdict round, ties by
-    # ---- prior registry position — tools/ledger.py --emit-order) ----
     "duplicate_rates_hourly",
     "consistent_hash_sample",
     "events_rejected",
@@ -114,107 +204,6 @@ _CERTIFICATION_ORDER = [
     "scd2_point_in_time_enrichment",
     "daily_distinct_users",
     "event_counters_unpivot",
-    # ---- position 51+ : NOT certified this round. The committed r20
-    # ---- drain sits first (27 remaining r17-verdict names, stale the
-    # ---- moment CORRECTNESS_r19 lands -> r20 window = 27 obligatory +
-    # ---- 23 free; r20 is the FINAL round — pinned by forward
-    # ---- simulation in tests/test_registry_order.py) ----
-    "sliding_window_metrics",
-    "streaming_hourly_metrics",
-    "monthly_nation_revenue",
-    "revenue_by_region",
-    "top_nations_by_customers",
-    "customers_with_orders",
-    "customers_without_orders",
-    "order_priority_rollup",
-    "priority_decode_rollup",
-    "scd2_current_enrichment",
-    "like_pattern_source_classes",
-    "nested_double_unnest_roundtrip",
-    "currency_normalized_revenue",
-    "range_band_pricing",
-    "simhash_fingerprints",
-    "schema_evolution_read",
-    "blocklist_filter_retention",
-    "quality_percentile_filter",
-    "crossdoc_boilerplate_ngrams",
-    "large_orders_having",
-    "cube_device_day_metrics",
-    "value_histogram_quantiles",
-    "zorder_layout_keys",
-    "topn_customers_per_nation",
-    "seeded_dim_hierarchy_enrichment",
-    "events_dedup_canonical",
-    "pricing_summary",
-    # ---- r19 LATE code-touch (after this round's rotation was
-    # pinned): sessionize_native grew the ANSI-pin guard (ADVICE r18
-    # #1) and streaming_sessionize executes it while carrying an r18
-    # verdict — it takes an r20 free slot directly after the drain,
-    # the same mechanism as r17/r18 late-touch handling ----
-    "streaming_sessionize",
-    # ---- r19 session-2 LATE code-touches (optimization work landed
-    # after the rotation was pinned; every name here EXECUTES changed
-    # code while carrying a pre-r19 verdict): the expression-memo
-    # rewrite (similarity/sketches/shingles — valid_vectors, ivf
-    # argmax, ADC distance, CMS seed buckets, HLL linear-counting
-    # literals), the native-sessionize replay batching, and the
-    # shingle call-site change. All oracle-green at sf0.01 this
-    # session; they take r20 free slots directly after the drain
-    # (27 + 22 = 49 <= 50, one slack slot), same mechanism as the
-    # r17/r18 late-touch handling. Pinned by
-    # tests/test_registry_order.R19_LATE_CODE_TOUCHED. ----
-    "minhash_lsh_near_dups",
-    "dup_clusters_connected",
-    "knn_ivf_cosine",
-    "knn_ivf_multiprobe_cosine",
-    "knn_bruteforce_cosine",
-    "knn_pq_adc_l2",
-    "knn_ivf_pq_adc",
-    "kmeans_train_centroids",
-    "knn_ivf_trained_cosine",
-    "bigram_lm_quality",
-    "ngram_jaccard_near_dups",
-    "semantic_dedup_centroid",
-    "embedding_cosine_near_dups",
-    "knn_ivf_materialized_cosine",
-    "embedding_label_stats",
-    "embedding_int8_quantization",
-    "knn_ivf_recall_at_k",
-    "streaming_hll_daily_users",
-    "streaming_cms_token_counts",
-    "cms_heavy_hitter_tokens",
-    "hll_distinct_users_daily",
-    # ---- r18-certified tail (fills r20's remaining free slot as
-    # ---- the oldest-position r18 name; the rest end the final round
-    # ---- at age 2 — inside the 3-round freshness window) ----
-    "bucketed_colocated_join",
-    "partition_pruned_scan",
-    "schema_drift_check",
-    "asof_latest_view_before_purchase",
-    "asof_view_within_6h",
-    "doc_chunks_overlap",
-    "pii_redaction",
-    "salted_skew_aggregation",
-    "replicated_skew_join_rollup",
-    "conditional_distinct_users",
-    "user_engagement_ratios",
-    "user_daily_landscape",
-    "latest_event_per_user_type",
-    "interval_join_click_view",
-    "funnel_conversion_daily",
-    "value_distribution_by_class",
-    "flag_distribution",
-    "avg_value_spread",
-    "funnel_leakage_daily",
-    "materialize_incremental_clean_events",
-    "materialize_dim_change_repair",
-    "materialize_funnel_exists_repair",
-    "maintenance_compaction",
-    "two_level_overlay_maintenance",
-    "streaming_upsert_hourly",
-    "batch_sessionize_windows",
-    "token_budget_packing",
-    "bloom_semi_join_prune",
 ]
 
 

@@ -19,15 +19,12 @@ import ledger  # noqa: E402
 
 
 def test_ledger_green_under_current_window_or_committed_drain():
-    """Green ledger, with ONE sanctioned exception: names committed
-    in writing as the NEXT round's window leaders (pinned by
-    tests/test_registry_order.R19_DRAIN — 35 r16-verdict names the
-    r18 window cannot also hold). Staleness is excused for them and
-    ONLY them, so the gate stays green across the verdict landing
-    without loosening anything else. FAILED verdicts are never
-    excused: a regression must not hide behind rotation."""
-    from tests.test_registry_order import R19_DRAIN
-
+    """Green ledger. r20 is the FINAL round and its window holds every
+    stale name (27-name drain + 22 late touches + 1 fill — pinned by
+    tests/test_registry_order), so there is no committed-next-drain
+    exception left: every stale or never-certified name must sit
+    INSIDE the window, and FAILED verdicts are never excused — a
+    regression must not hide behind rotation."""
     problems, rows = ledger.audit()
     assert rows, "ledger saw no queries — registry import broken?"
     unexcused = []
@@ -37,11 +34,10 @@ def test_ledger_green_under_current_window_or_committed_drain():
         elif (
             row["status"] in ("stale", "never-certified")
             and not row["windowed"]
-            and row["query"] not in R19_DRAIN
         ):
             unexcused.append(
-                f"{row['query']}: {row['status']} and outside both the "
-                f"window and the committed r19 drain"
+                f"{row['query']}: {row['status']} and outside the final "
+                f"r20 window"
             )
     assert not unexcused, "\n".join(unexcused)
 

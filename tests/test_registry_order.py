@@ -1,17 +1,17 @@
 """The driver certifies only the first 50 registered queries, so the
-registry order IS part of the correctness contract. Round 19 executes
-the rotation CHANGELOG_r18.md committed (and the r18 revision of this
-module pinned): the 35-name r16-verdict drain at positions 1-35, then
-the two r18 LATE code-touches FIRST among the free slots (VERDICT r18
-#1 — ``time_travel_read_v1`` / ``snapshot_metadata``, the only names
-whose current code — locks.py inode revalidation under
-VersionedTable.commit/expire — lacked a driver verdict entering r19),
-then 13 oldest-r17 fills. This module pins the r19 window AND the
-committed r20 drain (positions 51-77) with a forward simulation; r20
-is the FINAL round, so the simulation also checks the horizon: after
-r20 lands, no name's verdict may be older than the 3-round freshness
-window. tools/ledger.py cross-references every CORRECTNESS_r*.json
-against this order (tests/test_ledger.py)."""
+registry order IS part of the correctness contract. Round 20 (the
+FINAL round) executes the rotation the r19 revision of this module
+committed and pinned by forward simulation: the 27-name r17-verdict
+drain (age 3 the moment CORRECTNESS_r19 landed) at positions 1-27,
+the 22 r19 LATE code-touches at positions 28-49, and the single free
+slot filled by the oldest-position r18-certified name. Because there
+is no round after this one, the module also pins the horizon: with
+CORRECTNESS_r20 green over this window, no registry name's verdict
+may be older than the 3-round freshness window — and any query code
+touched DURING r20 must belong to a name inside the r20 window
+(there is no later round to re-certify a late touch).
+tools/ledger.py cross-references every CORRECTNESS_r*.json against
+this order (tests/test_ledger.py)."""
 
 from __future__ import annotations
 
@@ -28,86 +28,11 @@ import ledger  # noqa: E402
 
 WINDOW = 50
 
-# (a) The 35 queries whose latest driver verdict is round 16 — the
-# committed r19 drain (CHANGELOG_r18.md; age 3 the moment
-# CORRECTNESS_r18 landed). They take the first 35 slots
-# unconditionally.
-R19_DRAIN = {
-    "winnowing_fingerprints",
-    "exact_substring_dups",
-    "dedup_keep_best_quality",
-    "event_quality_spine_hourly",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "user_rolling_7day_value",
-    "rollup_revenue_levels",
-    "price_quantiles_by_flag",
-    "user_event_gaps",
-    "running_revenue_by_nation",
-    "order_value_deciles",
-    "props_json_stats",
-    "keyset_intersect_except",
-    "orders_above_global_avg",
-    "supplier_name_near_matches",
-    "domain_mixture_resample",
-    "events_clean",
-    "streaming_clean_events",
-    "streaming_fanout_ingest",
-    "tfidf_top_terms",
-    "token_counts",
-    "top_tokens",
-    "doc_fingerprints",
-    "quality_scores",
-    "lang_id_heuristic",
-    "repetition_signals",
-    "benchmark_decontamination",
-    "user_event_type_paths",
-    "price_outliers_zscore",
-    "lineitem_flag_pivot",
-    "corr_quantity_price",
-    "priority_window_profile",
-    "stratified_sample_by_lang",
-    "top_busiest_hours",
-}
-
-# (b) The r18 LATE code-touches, FIRST among the 15 free slots
-# (VERDICT r18 #1): locks.py grew inode revalidation (the lock-GC
-# prerequisite) AFTER the r18 rotation was pinned, and
-# VersionedTable.commit/expire flock through it — so these two
-# r17-verdict names entered r19 certifying pre-touch lock code. They
-# are the only names in that state.
-R18_LATE_CODE_TOUCHED = [
-    "time_travel_read_v1",
-    "snapshot_metadata",
-]
-
-# (c) The 13 oldest-r17 fills (ascending verdict round, ties by prior
-# registry position — `tools/ledger.py --emit-order`).
-R19_FILLS = [
-    "duplicate_rates_hourly",
-    "consistent_hash_sample",
-    "events_rejected",
-    "dedup_exact_text",
-    "streaming_interval_join_daily",
-    "streaming_funnel_daily",
-    "streaming_dedup_keys",
-    "streaming_dedup_within_watermark",
-    "multimodal_media_features",
-    "sql_over_views_adhoc",
-    "scd2_point_in_time_enrichment",
-    "daily_distinct_users",
-    "event_counters_unpivot",
-]
-
-MUST_BE_IN_WINDOW = R19_DRAIN | set(R18_LATE_CODE_TOUCHED) | set(R19_FILLS)
-
-# The committed r20 drain: the 27 r17-verdict names the r19 free
-# slots could not hold. They go stale (age 3) the moment
-# CORRECTNESS_r19 lands and MUST lead the r20 window — positions
-# 51-77 here so the r20 rotation is a pure prefix rotation. r20 is
-# the FINAL round: its 23 free slots take the oldest-position r18
-# names, leaving every remaining name at age <= 2 at the horizon.
-R20_DRAIN = {
+# (a) The 27 queries whose latest driver verdict is round 17 — the
+# committed r20 drain (pinned at positions 51-77 by the r19 revision
+# of this module; age 3 the moment CORRECTNESS_r19 landed). They take
+# the first 27 slots unconditionally, in the committed order.
+R20_DRAIN = [
     "sliding_window_metrics",
     "streaming_hourly_metrics",
     "monthly_nation_revenue",
@@ -135,23 +60,14 @@ R20_DRAIN = {
     "seeded_dim_hierarchy_enrichment",
     "events_dedup_canonical",
     "pricing_summary",
-}
+]
 
-# Names code-touched DURING round 19 (after this rotation was pinned)
-# while carrying sub-window verdicts. Every such touch MUST be
-# appended here (they take r20 free slots directly after the drain).
-R19_LATE_CODE_TOUCHED: list[str] = [
-    # sessionize_native grew the ANSI-pin guard (ADVICE r18 #1) after
-    # this round's rotation was pinned; streaming_sessionize executes
-    # it while carrying an r18 verdict. Session 2 additionally
-    # re-batched its bounded replay and sized the native path's state
-    # partitions.
+# (b) Names code-touched DURING round 19 (after the r19 rotation was
+# pinned) while carrying sub-window verdicts — committed at positions
+# 78-99 by the r19 revision; they take the free slots directly after
+# the drain and are re-certified by THIS round's driver run.
+R19_LATE_CODE_TOUCHED = [
     "streaming_sessionize",
-    # Session-2 optimization touches (expression memo across the
-    # similarity/sketch/shingle operators, shingle call-site change):
-    # every name below executes changed code while carrying an r18
-    # verdict outside the r19 window. Oracle-green at sf0.01 when
-    # landed; they must be re-certified by the r20 driver run.
     "minhash_lsh_near_dups",
     "dup_clusters_connected",
     "knn_ivf_cosine",
@@ -175,6 +91,21 @@ R19_LATE_CODE_TOUCHED: list[str] = [
     "hll_distinct_users_daily",
 ]
 
+# (c) The single free slot: the oldest-position r18-certified name
+# (ledger fill order — ascending verdict round, ties by prior
+# registry position).
+R20_FILL = ["bucketed_colocated_join"]
+
+MUST_BE_IN_WINDOW = set(R20_DRAIN) | set(R19_LATE_CODE_TOUCHED) | set(R20_FILL)
+
+# Names whose QUERY-PATH code is touched DURING round 20, after this
+# rotation was pinned. r20 is the FINAL round: there is no later
+# window to re-certify a late touch, so every entry here MUST already
+# sit inside the r20 window (enforced below). A touch to a query
+# outside the window must instead be reverted to its last certified
+# shape before round end.
+R20_CODE_TOUCHED: list[str] = []
+
 
 def test_order_in_sync_and_window_covers_obligatory_drain():
     qs = all_queries()
@@ -186,101 +117,77 @@ def test_order_in_sync_and_window_covers_obligatory_drain():
 
 
 def test_window_is_exactly_the_drain_plan():
-    """The r19 window is exactly the committed composition — 35 drain
-    + 2 late + 13 fills, in that block order — and the committed r20
-    drain sits contiguously after it (positions 51-77) so the final
-    rotation is mechanical."""
+    """The r20 window is exactly the committed composition — 27 drain
+    + 22 late + 1 fill, in that block order (a pure prefix rotation
+    of the r19 revision's positions 51-100)."""
     assert len(MUST_BE_IN_WINDOW) == WINDOW
     names = list(all_queries())
     assert set(names[:WINDOW]) == MUST_BE_IN_WINDOW
-    n_drain = len(R19_DRAIN)
-    assert set(names[:n_drain]) == R19_DRAIN
-    head = R18_LATE_CODE_TOUCHED + R19_FILLS
-    assert names[n_drain:WINDOW] == head
-    assert set(names[WINDOW : WINDOW + len(R20_DRAIN)]) == R20_DRAIN
-    # r19-session late code-touches sit contiguously after the r20
-    # drain so the r20 window (27 drain + these + fills) stays a
-    # prefix rotation.
-    ct = slice(WINDOW + len(R20_DRAIN), WINDOW + len(R20_DRAIN) + len(R19_LATE_CODE_TOUCHED))
-    assert names[ct] == R19_LATE_CODE_TOUCHED
-    assert len(R20_DRAIN) + len(R19_LATE_CODE_TOUCHED) <= WINDOW, (
-        "r20 window overflow: committed drain + r19 late code-touches exceed 50"
-    )
+    n_drain = len(R20_DRAIN)
+    assert names[:n_drain] == R20_DRAIN
+    assert names[n_drain : n_drain + len(R19_LATE_CODE_TOUCHED)] == R19_LATE_CODE_TOUCHED
+    assert names[n_drain + len(R19_LATE_CODE_TOUCHED) : WINDOW] == R20_FILL
     # Groups pairwise disjoint — a silent overlap would make the
     # size check pass while the window holds fewer obligations.
-    groups = [
-        R19_DRAIN,
-        set(R18_LATE_CODE_TOUCHED),
-        set(R19_FILLS),
-        R20_DRAIN,
-        set(R19_LATE_CODE_TOUCHED),
-    ]
+    groups = [set(R20_DRAIN), set(R19_LATE_CODE_TOUCHED), set(R20_FILL)]
     for i, g1 in enumerate(groups):
         for g2 in groups[i + 1 :]:
             assert not (g1 & g2), sorted(g1 & g2)
 
 
-def test_r20_drain_fits_after_r19_lands():
-    """Forward simulation (the r20 aging cliff as a failing test):
-    pretend CORRECTNESS_r19 lands all-green over this window. The
-    resulting AGE-obligatory r20 set must be exactly R20_DRAIN — 27
-    obligatory + 23 free slots. The simulation base is FROZEN at the
-    r18 verdict state (later CORRECTNESS files are ignored) so the
-    assertion stays meaningful — and green — after the real r19
-    verdict lands mid-/post-round."""
+def test_r20_drain_is_the_committed_one():
+    """The REAL r19 verdicts landed (CORRECTNESS_r19.json): the
+    age-obligatory r20 set computed from them must be exactly the
+    committed R20_DRAIN — the forward simulation the r19 revision
+    pinned, now checked against ground truth instead of simulation."""
     verdicts = {
-        name: v for name, v in ledger.load_verdicts().items() if v[0] <= 18
+        name: v for name, v in ledger.load_verdicts().items() if v[0] <= 19
     }
-    assert verdicts, "no verdicts at or before r18 — baseline moved?"
-    order = list(all_queries())
-    simulated = dict(verdicts)
-    for name in order[:WINDOW]:
-        simulated[name] = (19, True, "")
-    due = {name for name, _rnd in ledger.plan_next(max_age=2, verdicts=simulated, order=order)}
-    assert due == R20_DRAIN, (
-        f"unexpected r20 obligatory set: extra={sorted(due - R20_DRAIN)} "
-        f"missing={sorted(R20_DRAIN - due)}"
+    assert any(v[0] == 19 for v in verdicts.values()), (
+        "CORRECTNESS_r19.json missing — r20 rotation rests on it"
     )
-    assert len(R20_DRAIN) + len(R19_LATE_CODE_TOUCHED) <= WINDOW
+    order = list(all_queries())
+    due = {name for name, _rnd in ledger.plan_next(max_age=2, verdicts=verdicts, order=order)}
+    assert due == set(R20_DRAIN), (
+        f"unexpected r20 obligatory set: extra={sorted(due - set(R20_DRAIN))} "
+        f"missing={sorted(set(R20_DRAIN) - due)}"
+    )
+    assert len(R20_DRAIN) + len(R19_LATE_CODE_TOUCHED) + len(R20_FILL) == WINDOW
 
 
 def test_final_horizon_no_stale_name_after_r20():
-    """r20 is the final round: simulate r19 green over this window
-    AND r20 green over R20_DRAIN + 23 oldest-verdict fills. At the
-    horizon every registry name must carry a verdict no older than
-    r18 (age <= 2 when r20 is the latest round) — the judge's
-    3-round freshness window with zero stragglers."""
-    verdicts = {
-        name: v for name, v in ledger.load_verdicts().items() if v[0] <= 18
+    """r20 is the final round: simulate CORRECTNESS_r20 green over
+    this window. At the horizon every registry name must carry a
+    verdict no older than r18 (age <= 2 when r20 is the latest
+    round) — the judge's 3-round freshness window, zero stragglers."""
+    simulated = {
+        name: v for name, v in ledger.load_verdicts().items() if v[0] <= 19
     }
     order = list(all_queries())
-    simulated = dict(verdicts)
     for name in order[:WINDOW]:
-        simulated[name] = (19, True, "")
-    r20_due = [n for n, _ in ledger.plan_next(max_age=2, verdicts=simulated, order=order)]
-    fills = [
-        n
-        for n, _ in sorted(
-            ((n, v) for n, v in simulated.items() if n not in set(r20_due)),
-            key=lambda kv: (kv[1][0], order.index(kv[0])),
-        )
-    ][: WINDOW - len(r20_due)]
-    for name in r20_due + fills:
         simulated[name] = (20, True, "")
-    stale = sorted(n for n in order if simulated.get(n, (0,))[0] < 18)
+    stale = sorted(
+        n for n in order if simulated.get(n, (0, False, ""))[0] < 18
+    )
     assert not stale, f"names stale beyond the freshness window at the horizon: {stale}"
+    never = [n for n in order if n not in simulated]
+    assert not never, f"never-certified at the horizon: {never}"
 
 
-def test_r19_window_has_no_never_certified_stragglers():
-    """Every never-certified registry name must sit INSIDE the r19
-    window — the pending-next-window grace covers exactly one round.
-    (As of the r19 rotation there are none: all 127 names carry
-    verdicts; this guards new registrations made this round.)"""
+def test_r20_code_touches_sit_inside_the_window():
+    """FINAL-round freeze: any query-path code touched after this
+    rotation was pinned must belong to a name the r20 driver run
+    re-certifies — there is no later round. (Registrations of new
+    queries are likewise impossible to certify and must not happen.)"""
+    names = list(all_queries())
+    window = set(names[:WINDOW])
+    outside = [n for n in R20_CODE_TOUCHED if n not in window]
+    assert not outside, f"r20 late code-touches outside the final window: {outside}"
+    # No never-certified name may exist at all this round: there is
+    # no pending-next-window grace left.
     verdicts = ledger.load_verdicts()
-    order = list(all_queries())
-    never = [n for n in order if n not in verdicts]
-    outside = [n for n in never if n not in set(order[:WINDOW])]
-    assert not outside, f"never-certified outside the r19 window: {outside}"
+    never = [n for n in names if n not in verdicts and n not in window]
+    assert not never, f"never-certified outside the final window: {never}"
 
 
 def test_every_query_is_callable_and_oracle_typed():
