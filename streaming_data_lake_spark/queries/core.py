@@ -767,15 +767,17 @@ GROUP BY 1, 2, 3
 )
 def sliding_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_lake_spark.functions.parity import admissible_ts
-    from streaming_data_lake_spark.operators.similarity import spread
 
-    # spread() (guide §2.5 input skew): the HOP window explodes every
-    # event into 5 window rows and partial-aggregates them in the scan
-    # task — on the single-file sf table that whole ×5 expansion plus
-    # the decimal partial agg ran in ONE task. Scale-adaptive no-op
-    # for any table wider than the core count; interleaved A/B at
-    # sf0.1 min-of-5 0.641 -> 0.472 s, results bit-identical.
-    e = spread(_t(spark, sf_dir, "events").filter(admissible_ts(F.col("ts"))))
+    # NO spread() here (r20 adjudication of the r19 +57% driver
+    # regression): the ×5 HOP explode feeds a map-side partial
+    # aggregate that collapses rows BEFORE the exchange, so the
+    # round-robin pre-shuffle of every raw event row costs more than
+    # the single-task explode saves — the r19 driver bench (0.461 →
+    # 0.724 s) and the r20 interleaved A/B (min 0.550 no-spread vs
+    # 0.605 spread, median 0.624 vs 0.660) agree. This is the r18
+    # shape, unlike the similarity folds where per-row scoring work
+    # dominates and spread() stays.
+    e = _t(spark, sf_dir, "events").filter(admissible_ts(F.col("ts")))
     return (
         e.groupBy(F.window(F.col("ts"), "5 minutes", "1 minute"), "event_type")
         .agg(

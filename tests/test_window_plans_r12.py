@@ -92,16 +92,16 @@ def test_dedup_canonicalization_single_shuffle(spark):
 def test_sliding_window_single_shuffle_via_expand(spark):
     """The HOP window materializes slide assignments with Expand and
     aggregates with ONE keyed shuffle — not one pass per window
-    offset. r19 additionally spreads the single-file scan before the
-    ×5 Expand (similarity.spread — a scale-adaptive round-robin that
-    no-ops on any input wider than the core count), so exactly one
-    round-robin exchange below the Expand is allowed; what stays
-    pinned is a single hash-partitioned aggregation exchange and no
-    extra keyed passes."""
+    offset. r20 reverted the r19 spread before the ×5 Expand (the
+    driver bench measured it +57% and the r20 interleaved A/B agreed:
+    the Expand feeds a map-side partial aggregate that collapses rows
+    before the exchange, so pre-shuffling raw events buys nothing),
+    so the plan is back to exactly ONE exchange total — the keyed
+    aggregation one."""
     plan = _executed(spark, "sliding_window_metrics")
     assert "Expand" in plan
     assert plan.count("Exchange hashpartitioning") == 1
-    assert plan.count("Exchange") - plan.count("Exchange RoundRobinPartitioning") == 1
+    assert plan.count("Exchange") == 1
 
 
 def test_asof_join_no_nested_loop(spark):

@@ -1,5 +1,5 @@
 """Capture ``explain("formatted")`` for headline queries into
-``plans/r19/<query>_<tag>.txt`` (the optimization round's evidence
+``plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt`` (default r20) (the optimization round's evidence
 files). Usage:
 
     python tools/capture_plans.py <tag> [query ...]
@@ -28,7 +28,7 @@ def main() -> int:
     names = sys.argv[2:] or list(HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "plans", "r19")
+                           "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r20"))
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark("capture_plans")
