@@ -96,6 +96,29 @@ def test_ivf_recall_positive(spark):
     assert recall > 0.2, f"IVF recall suspiciously low: {recall}"
 
 
+def test_ivf_knn_empty_centroids_degrades_to_exact(spark):
+    """ADVICE r19 #1: the eqNullSafe join key means an EMPTY centroid
+    table assigns cluster_id NULL on both sides, so every query
+    matches every corpus vector — ivf_knn degrades to the EXACT
+    brute-force top-k (one NULL bucket = a full scan), never to
+    silently dropped rows. This pins that degenerate contract: the
+    degradation is cost (full scan), not correctness. A deployment
+    that must refuse empty centroid tables gates upstream, where the
+    centroids are built."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    empty_cents = emb.filter(F.lit(False))
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_knn(emb, queries, empty_cents, k=5).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in brute_force_knn(emb, queries, k=5).collect()
+    }
+    assert got == exact
+
+
 def test_multimodal_stub_gate(spark):
     media = attach_fake_media(load_table(spark, SF_DIR, "documents").limit(5))
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):

@@ -104,7 +104,13 @@ MUST_BE_IN_WINDOW = set(R20_DRAIN) | set(R19_LATE_CODE_TOUCHED) | set(R20_FILL)
 # sit inside the r20 window (enforced below). A touch to a query
 # outside the window must instead be reverted to its last certified
 # shape before round end.
-R20_CODE_TOUCHED: list[str] = []
+R20_CODE_TOUCHED: list[str] = [
+    # the r19 spread() before the HOP-window Expand was reverted
+    # after the adjudication A/B agreed with the driver's +57%
+    # (queries/core.py sliding_window_metrics — drain position 1,
+    # certified by this round's driver run).
+    "sliding_window_metrics",
+]
 
 
 def test_order_in_sync_and_window_covers_obligatory_drain():
