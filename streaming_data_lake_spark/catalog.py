@@ -68,6 +68,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pin_session_confs(spark)
     path = table_path(sf_dir, name)
     st = os.stat(path)
+    if os.path.isdir(path):
+        # Directory layout (never the case for this catalog today —
+        # table_path names a single file): a dir's stat does not
+        # change when an inner file is rewritten in place at the same
+        # size, so the (mtime, size) fingerprint below would be
+        # unsound. Skip the memo rather than trust it (VERDICT r19
+        # minor #4).
+        return normalize_timestamps(spark.read.parquet(path), name)
     key = (path, st.st_mtime_ns, st.st_size)
     schema = _SCHEMA_MEMO.get(key)
     if schema is None:
